@@ -1,0 +1,48 @@
+"""Tests for the Jaro-variant distance and positional helpers.
+
+Expected values mirror /root/reference/util_test.go and hand-checked
+properties of the transliterated algorithm (util.go:40-135)."""
+
+import pytest
+
+from tldr_ray.kernel import distance, symmetric_difference, intersection
+
+
+class TestDistance:
+    def test_both_empty(self):
+        assert distance("", "") == 0.0
+
+    def test_identical(self):
+        assert distance("abc", "abc") == 1.0
+
+    def test_identical_after_lowering_not_shortcut(self):
+        # exact-equality shortcut happens BEFORE lowercasing
+        assert distance("ABC", "abc") == 1.0  # lowered -> equal chars, m=3, t=0
+
+    def test_no_common(self):
+        assert distance("abc", "xyz") == 0.0
+
+    def test_classic_jaro_value(self):
+        # MARTHA/MARHTA: the NaturalNode variant reproduces classic Jaro
+        # here: m=6, t=1 -> (1 + 1 + 5/6)/3
+        assert distance("martha", "marhta") == pytest.approx((1 + 1 + 5 / 6) / 3)
+
+    def test_symmetry_of_argument_order(self):
+        assert distance("dixon", "dicksonx") == distance("dicksonx", "dixon")
+
+    def test_range(self):
+        for a, b in [("abcd", "abcf"), ("hello world", "help wanted"),
+                     ("a", "ab"), ("same same", "same")]:
+            d = distance(a, b)
+            assert 0.0 <= d <= 1.0
+
+
+class TestPositionalHelpers:
+    # /root/reference/util_test.go semantics: positions, not set ops
+    def test_symmetric_difference(self):
+        assert symmetric_difference([1, 0, 1], [1, 1, 0]) == [1, 2]
+        assert symmetric_difference([1, 1], [1, 1]) == []
+
+    def test_intersection(self):
+        assert intersection([1, 0, 1], [1, 1, 0]) == [0]
+        assert intersection([0, 0], [0, 0]) == [0, 1]

@@ -1,0 +1,106 @@
+"""Jaro-variant string similarity + positional set helpers.
+
+``distance`` is a faithful transliteration of the reference's
+``Distance`` (/root/reference/util.go:40-135, itself adapted from
+NaturalNode's jaro-winkler *without* the Winkler prefix bonus). The Go
+code indiscriminately mixes rune iteration (``for i, v := range s``
+yields byte offsets + runes) with byte indexing (``rune(s2[i])`` reads a
+single byte) — the transliteration preserves that behavior exactly, so
+it operates on UTF-8 byte offsets, not character offsets. For ASCII
+inputs the two coincide.
+
+``symmetric_difference`` / ``intersection`` are the exported positional
+helpers of util.go:137-157 (unused by the pipeline, kept for API
+parity).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _runes_with_byte_offsets(s: str):
+    """Yield (byte_offset, codepoint) like Go's ``for i, v := range s``."""
+    off = 0
+    for ch in s:
+        yield off, ord(ch)
+        off += len(ch.encode("utf-8"))
+
+
+def distance(str1: str, str2: str) -> float:
+    """Jaro similarity variant, bit-compatible with util.go:40-135."""
+    if len(str1) == 0 and len(str2) == 0:
+        return 0.0
+    if str1 == str2:
+        return 1.0
+    str1 = str1.lower()
+    str2 = str2.lower()
+    b1 = str1.encode("utf-8")
+    b2 = str2.encode("utf-8")
+    # s1 is the byte-shorter string (util.go:51-58 compares byte lengths)
+    if len(b1) <= len(b2):
+        s1, bs1, bs2 = str1, b1, b2
+    else:
+        s1, bs1, bs2 = str2, b2, b1
+
+    n1, n2 = len(bs1), len(bs2)
+    match_window = int(math.floor(max(n1, n2) / 2.0) - 1.0)
+    matches1 = bytearray(n1)
+    matches2 = bytearray(n2)
+    m = 0.0
+
+    for i, v in _runes_with_byte_offsets(s1):
+        matched = False
+        if v == bs2[i]:
+            matches1[i] = 1
+            matches2[i] = 1
+            matched = True
+            m += 1
+        else:
+            k = 0 if i <= match_window else i - match_window
+            while True:
+                dif = n2 - n1
+                x = 0 if dif < 2 else dif - 2
+                if k == n2 - x:
+                    break
+                if v == bs2[k]:
+                    if not matches1[i] and not matches2[k]:
+                        m += 1
+                    matches1[i] = 1
+                    matches2[k] = 1
+                    matched = True
+                k += 1
+                if k <= i + match_window and k < n2 and matched:
+                    break
+
+    if m == 0:
+        return 0.0
+
+    # transposition count (util.go:113-129): k walks byte positions while
+    # v walks runes of s1
+    t = 0.0
+    k = 0
+    for ch in s1:
+        if k >= n1 - 1:
+            break
+        if matches1[k]:
+            while k < n2 and not matches2[k]:
+                k += 1
+            if k < n2 and ord(ch) != bs2[k]:
+                t += 1
+            k += 1
+
+    t /= 2.0
+    x1 = m / n1
+    x2 = m / n2
+    return (x1 + x2 + ((m - t) / m)) / 3
+
+
+def symmetric_difference(src, dst) -> list[int]:
+    """Indexes where the two equal-length int vectors differ (util.go:137-145)."""
+    return [i for i, v in enumerate(src) if v != dst[i]]
+
+
+def intersection(src, dst) -> list[int]:
+    """Indexes where the two equal-length int vectors are equal (util.go:147-157)."""
+    return [i for i, v in enumerate(src) if v == dst[i]]
