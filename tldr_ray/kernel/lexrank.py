@@ -227,6 +227,32 @@ def summarize(
     return _concat(sentences, original, cfg.max_characters)
 
 
+def summarize_with_indices(
+    text: str,
+    num: int,
+    cfg: Optional[SummarizeConfig] = None,
+    presplit: Optional[list[str]] = None,
+) -> list[tuple[int, str]]:
+    """Like ``summarize`` but returns ``(original_sentence_idx, text)`` pairs
+    (in original appearance order) — the structured form the Ray pipelines
+    emit. MaxCharacters truncation applies to the text exactly as in
+    ``summarize``."""
+    cfg = cfg or SummarizeConfig()
+    prep = _prepare(text, cfg, presplit)
+    if prep is None:
+        return []
+    sentences, kept_idx, src, dst, weight = prep
+    ranks = _ranks(src, dst, weight, cfg)
+    if ranks.size == 0:
+        return []
+    if num > ranks.size or num < 1:
+        num = 1
+    top = sorted(ranks[:num].tolist())
+    original = [kept_idx[v] for v in top]
+    texts = _concat(sentences, original, cfg.max_characters)
+    return list(zip(original[: len(texts)], texts))
+
+
 def summarize_to_edges(
     text: str,
     cfg: Optional[SummarizeConfig] = None,
