@@ -1,0 +1,68 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every SQL-checkable QUERIES entry at sf0.001 and compares
+row-count, schema (column names) and order-insensitive values against
+the DuckDB oracle.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tldr_ray import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def oracle_df(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(q.ORACLE_SQL))
+def test_query_matches_oracle(name):
+    got = normalize(to_pandas(q.QUERIES[name](SF_DIR)))
+    want = normalize(oracle_df(q.ORACLE_SQL[name]))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    got = got.astype(want.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(set(q.QUERIES) - set(q.ORACLE_SQL)))
+def test_rows_only_queries_run(name):
+    df = to_pandas(q.QUERIES[name](SF_DIR))
+    assert len(df) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    out = mod.entry()
+    df = to_pandas(out)
+    assert len(df) >= 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -1,0 +1,392 @@
+"""Driver-checkable query registry (__ray_entry__.queries / oracle_sql).
+
+Each QUERIES entry takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; the matching ORACLE_SQL entry is ANSI SQL DuckDB runs over the
+same Parquet tables. Column names AND dtypes match pairwise; float
+aggregates are computed on exact integer cents (floor(x*100+0.5)) so
+partial-aggregation order cannot perturb the value hash.
+
+Queries without an oracle (iterative graph algorithms, kernel
+summarization) get the driver's rows-only check; their numeric parity
+is enforced by the pytest oracles instead (FIXTURES.md F2/F5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — bit-identical to the SQL oracle."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# documents: token counts, word frequency, dedup, per-lang stats
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(sf_dir: str):
+    """O3-style whitespace tokenization, vectorized (no Python loop)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def word_frequency_top100(sf_dir: str):
+    """Partial per-batch counts -> small groupby -> deterministic top-k.
+
+    The map_batches combiner keeps the shuffle tiny: one row per
+    distinct word per batch, not per token (SURVEY.md §4 pre-aggregate
+    rule)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        words, counts = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table({"word": pa.array(words.tolist(), pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(100)
+
+
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup: hash-partition by content, keep first (min doc_id).
+
+    At 100 TB the group key is a 128-bit content hash added in a
+    vectorized map_batches; at test scale grouping by the text itself is
+    identical and keeps the oracle trivial."""
+    from ray.data.aggregate import Min, Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_dupes"),
+    )
+    return agg.select_columns(["doc_id", "n_dupes"])
+
+
+def docs_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: grouped aggregates + co-occurrence pairs (the tool/entity
+# co-reference edge builder in miniature)
+# ---------------------------------------------------------------------------
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(batch["value"], dtype=np.float64))
+        return pa.table({"event_type": batch["event_type"],
+                         "value_cents": pa.array(cents, pa.int64())})
+
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_cents", alias_name="total_value_cents"))
+    )
+
+
+def events_cooccurrence_pairs(sf_dir: str):
+    """Unordered event-type pairs co-occurring for the same user.
+
+    distinct (user, type) -> per-user pairwise inside map_groups ->
+    partial counts -> groupby sum. This is the cross-conversation
+    co-reference edge build (SURVEY.md §2.4) in miniature; hot keys are
+    bounded because pairs per user are quadratic in its DISTINCT types
+    (small vocabulary), not its event count."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    distinct = ds.groupby(["user_id", "event_type"]).count()
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(group["event_type"].unique())
+        a, b = [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                a.append(types[i])
+                b.append(types[j])
+        return pd.DataFrame({"type_a": a, "type_b": b,
+                             "n": np.ones(len(a), dtype=np.int64)})
+
+    return (
+        distinct.groupby("user_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem/orders: scan-heavy grouped aggregate + multi-way broadcast join
+# ---------------------------------------------------------------------------
+
+def tpch_q1(sf_dir: str):
+    """TPC-H Q1-shaped: vectorized derived columns + grouped exact sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_cents": pa.array(_cents(qty), pa.int64()),
+                "price_cents": pa.array(_cents(px), pa.int64()),
+                "revenue_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("revenue_cents", alias_name="sum_revenue_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def revenue_by_nation(sf_dir: str):
+    """lineitem -> orders -> customer -> nation via BROADCAST lookups.
+
+    The dimension maps ride the object store once (``ray.put``) and every
+    task reads them zero-copy — no shuffle join anywhere (SURVEY.md §2.4
+    broadcast-small-side rule). At 100 TB the orders->cust map outgrows a
+    broadcast and this becomes the bucketed hash join in
+    tldr_ray/stages/joins.py; table sizes here keep the demo honest."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+
+    order_cust = dict(zip(orders["o_orderkey"].to_pylist(),
+                          orders["o_custkey"].to_pylist()))
+    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
+                           cust["c_nationkey"].to_pylist()))
+    nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                           nation["n_name"].to_pylist()))
+    maps_ref = ray.put((order_cust, cust_nation, nation_name))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    class Lookup:
+        def __init__(self):
+            self.order_cust, self.cust_nation, self.nation_name = ray.get(maps_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+            disc = np.asarray(batch["l_discount"], dtype=np.float64)
+            names = [
+                self.nation_name[self.cust_nation[self.order_cust[k]]]
+                for k in batch["l_orderkey"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "revenue_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+                }
+            )
+
+    return (
+        ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+def embedding_top10_cosine(sf_dir: str):
+    """Top-10 neighbors of vec_id=0 by cosine; broadcast query matrix +
+    per-batch float32 matmul, then a tiny global top-k."""
+    import ray
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vec_ids = emb["vec_id"].to_pylist()
+    qvec = np.asarray(emb["embedding"][vec_ids.index(0)].as_py(), dtype=np.float32)
+    qvec = qvec / np.linalg.norm(qvec)
+    qref = ray.put(qvec)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ q) / np.where(norms == 0, 1.0, norms)
+        ids = np.asarray(batch["vec_id"])
+        keep = ids != 0
+        ids, cos = ids[keep], cos[keep]
+        # per-batch top-k combiner: only k candidates leave each batch
+        if ids.size > 10:
+            part = np.argpartition(-cos, 10)[:10]
+            ids, cos = ids[part], cos[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cos": pa.array(cos.astype(np.float64), pa.float64())})
+
+    top = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+    return top.select_columns(["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) pipelines
+# ---------------------------------------------------------------------------
+
+def summarize_documents_k3(sf_dir: str):
+    from tldr_ray.pipelines import summarize_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return summarize_documents(docs, num=3, presplit_words=12)
+
+
+def summarize_transcripts_k3(sf_dir: str):
+    from tldr_ray.pipelines import summarize_transcripts
+    from tldr_ray.sources import documents_as_transcripts
+
+    return summarize_transcripts(documents_as_transcripts(sf_dir), num=3)
+
+
+QUERIES = {
+    "doc_token_counts": doc_token_counts,
+    "word_frequency_top100": word_frequency_top100,
+    "exact_dedup_docs": exact_dedup_docs,
+    "docs_by_lang": docs_by_lang,
+    "events_by_type": events_by_type,
+    "events_cooccurrence_pairs": events_cooccurrence_pairs,
+    "tpch_q1": tpch_q1,
+    "revenue_by_nation": revenue_by_nation,
+    "embedding_top10_cosine": embedding_top10_cosine,
+    "summarize_documents_k3": summarize_documents_k3,
+    "summarize_transcripts_k3": summarize_transcripts_k3,
+}
+
+ORACLE_SQL = {
+    "doc_token_counts": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    """,
+    "word_frequency_top100": """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 100
+    """,
+    "exact_dedup_docs": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+        FROM documents
+        GROUP BY text
+    """,
+    "docs_by_lang": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    "events_cooccurrence_pairs": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_revenue_cents,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name AS n_name,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "embedding_top10_cosine": """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS vec_id
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 10
+    """,
+}
