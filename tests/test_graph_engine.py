@@ -1,0 +1,209 @@
+"""Distributed graph engine vs NumPy oracles (FIXTURES.md F5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tldr_ray.config import SummarizeConfig
+from tldr_ray.kernel import pagerank_ref, summarize_to_edges, pagerank_rank
+
+
+def edge_ds(edges):
+    import ray.data as rd
+    import pyarrow as pa
+
+    src = [e[0] for e in edges]
+    dst = [e[1] for e in edges]
+    w = [float(e[2]) if len(e) > 2 else 1.0 for e in edges]
+    return rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                   "dst": pa.array(dst, pa.int64()),
+                                   "weight": pa.array(w, pa.float64())}))
+
+
+TWO_TRIANGLES_BRIDGE = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+TWO_COMPONENTS = [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3)]
+
+
+def symmetrized(edges):
+    out = []
+    for a, b in edges:
+        out.append((a, b, 1.0))
+        out.append((b, a, 1.0))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagerank:
+    def test_matches_oracle_on_bridge_graph(self):
+        from tldr_ray.graph import pagerank
+
+        edges = symmetrized(TWO_TRIANGLES_BRIDGE)
+        ids, scores, info = pagerank(edge_ds(edges), num_partitions=3)
+        o_ids, o_scores = pagerank_ref(
+            np.array([e[0] for e in edges]),
+            np.array([e[1] for e in edges]),
+            np.array([e[2] for e in edges]))
+        assert info["converged"]
+        assert np.array_equal(ids, o_ids)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-6)
+
+    def test_matches_oracle_weighted_directed(self):
+        from tldr_ray.graph import pagerank
+
+        rng = np.random.default_rng(7)
+        n = 60
+        src = rng.integers(0, n, 500)
+        dst = rng.integers(0, n, 500)
+        w = rng.random(500) + 0.1
+        edges = list(zip(src.tolist(), dst.tolist(), w.tolist()))
+        ids, scores, info = pagerank(edge_ds(edges), num_partitions=4)
+        o_ids, o_scores = pagerank_ref(src, dst, w)
+        assert np.array_equal(ids, o_ids)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-6)
+
+    def test_dangling_vertices(self):
+        from tldr_ray.graph import pagerank
+
+        # vertex 2 has no out-edges -> dangling leak path
+        edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 2.0)]
+        ids, scores, _ = pagerank(edge_ds(edges), num_partitions=2)
+        o_ids, o_scores = pagerank_ref(np.array([0, 1, 0]), np.array([1, 2, 2]),
+                                       np.array([1.0, 1.0, 2.0]))
+        assert np.array_equal(ids, o_ids)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-6)
+
+    def test_single_conv_lexrank_parity_and_golden_topk(self):
+        """F5 single_conv_lexrank: distributed PageRank on the sample.txt
+        similarity graph == per-conversation kernel, and the golden top-3."""
+        from pathlib import Path
+        from tldr_ray.graph import pagerank
+
+        text = Path("/root/reference/sample.txt").read_text()
+        cfg = SummarizeConfig()
+        sentences, kept_idx, src, dst, w = summarize_to_edges(text, cfg)
+        ids, scores, _ = pagerank(edge_ds(list(zip(src.tolist(), dst.tolist(),
+                                                   w.tolist()))),
+                                  num_partitions=3)
+        k_ids, k_scores = pagerank_rank(src, dst, w, cfg.damping, cfg.tolerance)
+        # same scores per vertex
+        kernel_by_id = dict(zip(k_ids.tolist(), k_scores.tolist()))
+        for v, s in zip(ids.tolist(), scores.tolist()):
+            assert abs(kernel_by_id[v] - s) < 1e-6
+        # same golden top-3 under (score desc, id asc)
+        order = np.lexsort((ids, -scores))
+        top3 = sorted(ids[order][:3].tolist())
+        golden = Path("/root/reference/result.txt").read_text().strip().split("\n\n")
+        picked = [sentences[kept_idx[v]] for v in top3]
+        assert "\n\n".join(picked) == "\n\n".join(golden)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConnectedComponents:
+    def test_two_components(self):
+        from tldr_ray.graph import connected_components
+
+        ids, labels, info = connected_components(
+            edge_ds([(a, b, 1.0) for a, b in TWO_COMPONENTS]), num_partitions=3)
+        assert info["converged"]
+        got = dict(zip(ids.tolist(), labels.tolist()))
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+    def test_bridge_graph_single_component(self):
+        from tldr_ray.graph import connected_components
+
+        ids, labels, _ = connected_components(
+            edge_ds([(a, b, 1.0) for a, b in TWO_TRIANGLES_BRIDGE]),
+            num_partitions=2)
+        assert set(labels.tolist()) == {0}
+
+    def test_long_path_needs_many_iterations(self):
+        from tldr_ray.graph import connected_components
+
+        n = 40
+        path = [(i, i + 1, 1.0) for i in range(n - 1)]
+        ids, labels, info = connected_components(edge_ds(path), num_partitions=4)
+        assert set(labels.tolist()) == {0}
+        assert info["converged"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelPropagation:
+    def test_two_cliques_weak_bridge(self):
+        from tldr_ray.graph import label_propagation
+
+        clique1 = [(0, 1), (1, 2), (0, 2)]
+        clique2 = [(3, 4), (4, 5), (3, 5)]
+        edges = [(a, b, 10.0) for a, b in clique1 + clique2] + [(2, 3, 0.1)]
+        ids, labels, info = label_propagation(edge_ds(edges), num_partitions=3)
+        got = dict(zip(ids.tolist(), labels.tolist()))
+        # the two dense cliques keep separate labels; the weak bridge
+        # cannot flip either side
+        assert len({got[0], got[1], got[2]}) == 1
+        assert len({got[3], got[4], got[5]}) == 1
+        assert got[0] != got[3]
+
+    def test_deterministic(self):
+        from tldr_ray.graph import label_propagation
+
+        edges = [(a, b, 1.0) for a, b in TWO_TRIANGLES_BRIDGE]
+        r1 = label_propagation(edge_ds(edges), num_partitions=2)
+        r2 = label_propagation(edge_ds(edges), num_partitions=5)
+        assert np.array_equal(r1[0], r2[0])
+        assert np.array_equal(r1[1], r2[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    def test_two_triangles_bridge(self):
+        from tldr_ray.graph import triangle_counts
+
+        total, per_vertex = triangle_counts(
+            edge_ds([(a, b, 1.0) for a, b in TWO_TRIANGLES_BRIDGE]))
+        assert total == 2
+        df = per_vertex.to_pandas().set_index("vertex")["triangles"]
+        assert df.to_dict() == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_k4(self):
+        from tldr_ray.graph import triangle_counts
+
+        k4 = [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)]
+        total, per_vertex = triangle_counts(edge_ds(k4))
+        assert total == 4
+        df = per_vertex.to_pandas()
+        assert df["triangles"].tolist() == [3, 3, 3, 3]
+
+    def test_triangle_free(self):
+        from tldr_ray.graph import triangle_counts
+
+        star = [(0, i, 1.0) for i in range(1, 6)]
+        total, _ = triangle_counts(edge_ds(star))
+        assert total == 0
+
+    def test_duplicate_and_reversed_edges_ignored(self):
+        from tldr_ray.graph import triangle_counts
+
+        tri = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 0, 1.0), (0, 2, 5.0)]
+        total, _ = triangle_counts(edge_ds(tri))
+        assert total == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStarHubSkew:
+    def test_star_hub_salting_equivalence(self):
+        """F5 star_hub: per-shard pre-combining must give the exact same
+        result regardless of partition count (the salted two-stage sum)."""
+        from tldr_ray.graph import pagerank
+
+        star = []
+        for i in range(1, 301):
+            star.append((0, i, 1.0))
+            star.append((i, 0, 1.0))
+        r1 = pagerank(edge_ds(star), num_partitions=1)
+        r8 = pagerank(edge_ds(star), num_partitions=8)
+        assert np.array_equal(r1[0], r8[0])
+        np.testing.assert_allclose(r1[1], r8[1], atol=1e-12)
+        o_ids, o_scores = pagerank_ref(
+            np.array([e[0] for e in star]),
+            np.array([e[1] for e in star]),
+            np.array([e[2] for e in star]))
+        np.testing.assert_allclose(r8[1], o_scores, atol=1e-6)

@@ -1,0 +1,461 @@
+"""BSP iteration engine over CSR shards held by a Ray actor pool.
+
+This is the heart of the distributed layer (north rule): each iteration
+is a sparse gather-scatter (SpMV) of rank mass over CSR partitions held
+by an actor pool, followed by a destination-keyed exchange. Ray Data's
+``groupby(dst).sum()`` shuffle is realized actor-to-actor with per-shard
+PRE-COMBINING: every shard bincounts its outgoing mass per destination
+vertex before anything leaves the process, so a hub destination receives
+at most P partial sums per iteration regardless of its in-degree — the
+skew-salting requirement is structural, not reactive (SURVEY.md §4).
+Only scalars (dangling mass, L1 delta, change counts) cross the driver.
+
+Why raw actors and not per-iteration Dataset ops: Ray Data has no
+iterate-to-fixpoint primitive (SURVEY.md §7.4); re-launching a shuffle
+pipeline per iteration would re-ship the static CSR every round. The
+CSR is pinned once per actor (``__init__``), and each round ships only
+the frontier (rank slices / label deltas) through the object store —
+exactly the "actor pools for stateful stages" carve-out in the build
+brief. The shard build itself (partition.build_shards) IS a Ray Data
+shuffle, and results are re-exposed as a Dataset.
+
+Message plumbing: at setup each shard publishes, per destination
+partition q, the sorted vocabulary of destination vertices it ever
+sends to (static for the run); receivers resolve those once to local
+positions. Per iteration only dense float/int arrays aligned to those
+vocabularies travel — zero-copy NumPy views over plasma buffers.
+
+Algorithms sharing the plumbing:
+- PageRank: combiner=sum; scores match the reference oracle
+  (kernel.pagerank_ref, alixaxel semantics) to allclose 1e-6.
+- Connected components: combiner=min over propagated labels
+  (min-vertex-id fixpoint); exact.
+- Label propagation: messages are (dst, label, weight) triples combined
+  by (dst, label); synchronous rounds, deterministic smallest-label
+  tie-break; exact.
+
+Checkpoint/resume: every ``checkpoint_every`` iterations each shard
+writes its state slice ``part=<p>.parquet`` (atomic rename) and the
+driver commits ``manifest.json`` with the iteration and per-partition
+lineage; ``resume=True`` loads the newest complete checkpoint and
+continues — bit-identical to an uninterrupted run (state is exactly the
+rank/label vector; updates are deterministic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tldr_ray.graph.partition import build_shards, vhash
+
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+def _shard_actor_cls(num_cpus: float = 0):
+    """Build the shard actor class.
+
+    ``num_cpus`` defaults to 0 so a pool of P shards is always
+    schedulable regardless of the session's CPU count (P > num_cpus
+    would otherwise deadlock actor creation); shard work is bursty,
+    GIL-releasing NumPy, so logical oversubscription is harmless. Bench
+    runs size the pool explicitly (e.g. 1.0 per shard on a 32-CPU box).
+    """
+    import ray
+
+    @ray.remote(num_cpus=num_cpus)
+    class CsrShard:
+        def __init__(self, part: int, num_partitions: int, shard_dir: str):
+            self.part = part
+            self.P = num_partitions
+            et = pq.read_table(f"{shard_dir}/edges/part={part}.parquet")
+            vt = pq.read_table(f"{shard_dir}/vertices/part={part}.parquet")
+            self.verts = np.asarray(vt["vertex"], dtype=np.int64)  # sorted
+            src = np.asarray(et["src"], dtype=np.int64)
+            dst = np.asarray(et["dst"], dtype=np.int64)
+            w = np.asarray(et["weight"], dtype=np.float64)
+
+            n_local = self.verts.size
+            src_local = np.searchsorted(self.verts, src)
+            outbound = np.bincount(src_local, weights=w, minlength=n_local) \
+                if n_local else np.zeros(0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                w_norm = np.where(outbound[src_local] > 0,
+                                  w / outbound[src_local], 0.0) if src.size else w
+            self.dangling_mask = outbound == 0
+
+            dst_part = (vhash(dst) % np.uint64(self.P)).astype(np.int64)
+            order = np.argsort(dst_part, kind="stable")
+            self.e_src_local = src_local[order]
+            self.e_wnorm = np.asarray(w_norm)[order] if src.size else w_norm
+            self.e_weight_sorted = w[order]     # raw weights (LPA votes)
+            e_dst = dst[order]
+            dp_sorted = dst_part[order]
+            self.q_lo = np.searchsorted(dp_sorted, np.arange(self.P))
+            self.q_hi = np.searchsorted(dp_sorted, np.arange(self.P) + 1)
+            self.dvocabs = []
+            self.dlocals = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                dv, dl = np.unique(e_dst[sl], return_inverse=True)
+                self.dvocabs.append(dv)
+                self.dlocals.append(dl)
+
+            self.incoming_idx = None   # per sender p: local positions
+            self.state = None          # float ranks or int labels
+            self.n_total = None
+
+        # -- setup -----------------------------------------------------
+        def publish_vocabs(self):
+            import ray
+            return [ray.put(dv) for dv in self.dvocabs]
+
+        def register_incoming(self, vocab_refs):
+            import ray
+            self.incoming_idx = [
+                np.searchsorted(self.verts, np.asarray(ray.get(ref)))
+                for ref in vocab_refs
+            ]
+
+        def n_local(self) -> int:
+            return int(self.verts.size)
+
+        # -- pagerank --------------------------------------------------
+        def pr_init(self, n_total: int):
+            self.n_total = n_total
+            self.state = np.full(self.verts.size, 1.0 / n_total) \
+                if n_total else np.zeros(0)
+
+        def pr_set_total(self, n_total: int):
+            """Resume path: restore n_total without resetting state."""
+            self.n_total = n_total
+
+        def pr_messages(self):
+            import ray
+            m = self.state[self.e_src_local] * self.e_wnorm
+            refs = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.bincount(self.dlocals[q], weights=m[sl],
+                                  minlength=self.dvocabs[q].size)
+                refs.append(ray.put(acc))
+            dangling = float(self.state[self.dangling_mask].sum())
+            return dangling, refs
+
+        def pr_apply(self, refs, dangling_total: float, alpha: float) -> float:
+            import ray
+            base = ((1.0 - alpha) + alpha * dangling_total) / self.n_total
+            new = np.full(self.verts.size, base)
+            for idx, ref in zip(self.incoming_idx, refs):
+                arr = np.asarray(ray.get(ref))
+                if arr.size:
+                    np.add.at(new, idx, alpha * arr)
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            return delta
+
+        # -- connected components (min-label) --------------------------
+        def label_init(self):
+            self.state = self.verts.copy()
+
+        def cc_messages(self):
+            import ray
+            lab = self.state[self.e_src_local]
+            refs = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.full(self.dvocabs[q].size, _INT64_MAX, dtype=np.int64)
+                if self.dlocals[q].size:
+                    np.minimum.at(acc, self.dlocals[q], lab[sl])
+                refs.append(ray.put(acc))
+            return refs
+
+        def cc_apply(self, refs) -> int:
+            import ray
+            new = self.state.copy()
+            for idx, ref in zip(self.incoming_idx, refs):
+                arr = np.asarray(ray.get(ref))
+                if arr.size:
+                    np.minimum.at(new, idx, arr)
+            changed = int((new != self.state).sum())
+            self.state = new
+            return changed
+
+        # -- label propagation (weighted mode, smallest-label ties) ----
+        def lpa_messages(self):
+            import ray
+            lab = self.state[self.e_src_local]
+            w = self.e_wnorm_raw if hasattr(self, "e_wnorm_raw") else None
+            refs = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                dl = self.dlocals[q]
+                lq = lab[sl]
+                wq = self.e_weight_sorted[sl]
+                if dl.size:
+                    order = np.lexsort((lq, dl))
+                    dl_s, lq_s, wq_s = dl[order], lq[order], wq[order]
+                    bound = np.empty(dl_s.size, dtype=bool)
+                    bound[0] = True
+                    bound[1:] = (dl_s[1:] != dl_s[:-1]) | (lq_s[1:] != lq_s[:-1])
+                    starts = np.nonzero(bound)[0]
+                    sums = np.add.reduceat(wq_s, starts)
+                    trip = (dl_s[starts], lq_s[starts], sums)
+                else:
+                    trip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, np.float64))
+                refs.append(ray.put(trip))
+            return refs
+
+        def lpa_apply(self, refs) -> int:
+            import ray
+            pos_all, lab_all, w_all = [], [], []
+            for idx, ref in zip(self.incoming_idx, refs):
+                dl, lq, wq = ray.get(ref)
+                if len(dl):
+                    pos_all.append(idx[dl])
+                    lab_all.append(np.asarray(lq))
+                    w_all.append(np.asarray(wq))
+            if not pos_all:
+                return 0
+            pos = np.concatenate(pos_all)
+            lab = np.concatenate(lab_all)
+            w = np.concatenate(w_all)
+            # combine across senders by (pos, label)
+            order = np.lexsort((lab, pos))
+            pos, lab, w = pos[order], lab[order], w[order]
+            bound = np.empty(pos.size, dtype=bool)
+            bound[0] = True
+            bound[1:] = (pos[1:] != pos[:-1]) | (lab[1:] != lab[:-1])
+            starts = np.nonzero(bound)[0]
+            pos_u, lab_u = pos[starts], lab[starts]
+            w_u = np.add.reduceat(w, starts)
+            # per pos: max weight, tie -> smallest label. Sort by
+            # (pos, -w, label) and take the first row per pos.
+            order2 = np.lexsort((lab_u, -w_u, pos_u))
+            pos_s, lab_s = pos_u[order2], lab_u[order2]
+            first = np.empty(pos_s.size, dtype=bool)
+            first[0] = True
+            first[1:] = pos_s[1:] != pos_s[:-1]
+            tgt, val = pos_s[first], lab_s[first]
+            new = self.state.copy()
+            new[tgt] = val
+            changed = int((new != self.state).sum())
+            self.state = new
+            return changed
+
+        def lpa_init(self):
+            # LPA votes are weighed by RAW edge weight (e_weight_sorted)
+            self.state = self.verts.copy()
+
+        # -- state I/O -------------------------------------------------
+        def collect(self):
+            return self.verts, self.state
+
+        def write_state(self, ckpt_dir: str, dtype: str):
+            os.makedirs(ckpt_dir, exist_ok=True)
+            col = pa.array(self.state.astype(np.float64 if dtype == "f8"
+                                             else np.int64))
+            t = pa.table({"vertex": pa.array(self.verts), "value": col})
+            tmp = f"{ckpt_dir}/part={self.part}.parquet.tmp-{uuid.uuid4().hex[:6]}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, f"{ckpt_dir}/part={self.part}.parquet")
+            return int(self.verts.size)
+
+        def load_state(self, ckpt_dir: str, dtype: str):
+            t = pq.read_table(f"{ckpt_dir}/part={self.part}.parquet")
+            v = np.asarray(t["vertex"], dtype=np.int64)
+            assert np.array_equal(v, self.verts), "checkpoint/partition mismatch"
+            self.state = np.asarray(
+                t["value"], dtype=np.float64 if dtype == "f8" else np.int64)
+
+    return CsrShard
+
+
+class GraphEngine:
+    """Actor pool over the shard layout of ``build_shards``."""
+
+    def __init__(self, shard_dir: str, num_partitions: int | None = None,
+                 cpus_per_shard: float = 0):
+        import ray
+
+        with open(f"{shard_dir}/manifest.json") as f:
+            self.manifest = json.load(f)
+        self.P = num_partitions or self.manifest["num_partitions"]
+        self.shard_dir = shard_dir
+        cls = _shard_actor_cls(cpus_per_shard)
+        self.shards = [cls.remote(p, self.P, shard_dir) for p in range(self.P)]
+        vocab_refs = ray.get([s.publish_vocabs.remote() for s in self.shards])
+        ray.get([
+            self.shards[q].register_incoming.remote(
+                [vocab_refs[p][q] for p in range(self.P)])
+            for q in range(self.P)
+        ])
+        self.n_total = sum(ray.get([s.n_local.remote() for s in self.shards]))
+
+    @classmethod
+    def from_edges(cls, edges, num_partitions: int = 8,
+                   work_dir: str | None = None, symmetrize: bool = False,
+                   cpus_per_shard: float = 0):
+        work_dir = work_dir or f"/tmp/tldr_ray/graph-{uuid.uuid4().hex[:8]}"
+        build_shards(edges, num_partitions, work_dir, symmetrize=symmetrize)
+        return cls(work_dir, cpus_per_shard=cpus_per_shard)
+
+    # -- algorithms ----------------------------------------------------
+    def pagerank(self, damping: float = 0.85, tolerance: float = 1e-4,
+                 max_iterations: int = 200, checkpoint_every: int = 0,
+                 checkpoint_dir: str | None = None, resume: bool = False):
+        """Returns (vertex_ids, scores, info). alixaxel/pagerank semantics
+        (see kernel.pagerank_ref)."""
+        import ray
+
+        start_iter = 0
+        if resume and checkpoint_dir and os.path.exists(
+                f"{checkpoint_dir}/manifest.json"):
+            with open(f"{checkpoint_dir}/manifest.json") as f:
+                ck = json.load(f)
+            start_iter = ck["iteration"]
+            ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
+                                         "f8") for s in self.shards])
+            ray.get([s.pr_set_total.remote(self.n_total) for s in self.shards])
+        else:
+            ray.get([s.pr_init.remote(self.n_total) for s in self.shards])
+
+        if self.n_total == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    {"iterations": 0, "converged": True})
+
+        delta = np.inf
+        it = start_iter
+        while delta > tolerance and it < max_iterations:
+            outs = ray.get([s.pr_messages.remote() for s in self.shards])
+            dangling_total = sum(o[0] for o in outs)
+            deltas = ray.get([
+                self.shards[q].pr_apply.remote(
+                    [outs[p][1][q] for p in range(self.P)],
+                    dangling_total, damping)
+                for q in range(self.P)
+            ])
+            delta = float(sum(deltas))
+            it += 1
+            if checkpoint_every and checkpoint_dir and it % checkpoint_every == 0:
+                self._checkpoint(checkpoint_dir, it, "f8")
+
+        ids, scores = self._collect(np.float64)
+        return ids, scores, {"iterations": it, "converged": delta <= tolerance}
+
+    def connected_components(self, max_iterations: int = 200):
+        """Min-vertex-id label fixpoint. Supply symmetrized edges for
+        undirected semantics. Returns (vertex_ids, component_ids, info)."""
+        import ray
+
+        ray.get([s.label_init.remote() for s in self.shards])
+        it, changed = 0, 1
+        while changed and it < max_iterations:
+            outs = ray.get([s.cc_messages.remote() for s in self.shards])
+            counts = ray.get([
+                self.shards[q].cc_apply.remote([outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, labels = self._collect(np.int64)
+        return ids, labels, {"iterations": it, "converged": changed == 0}
+
+    def label_propagation(self, max_rounds: int = 20):
+        """Synchronous weighted LPA, smallest-label tie-break.
+        Returns (vertex_ids, labels, info)."""
+        import ray
+
+        ray.get([s.lpa_init.remote() for s in self.shards])
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.lpa_messages.remote() for s in self.shards])
+            counts = ray.get([
+                self.shards[q].lpa_apply.remote([outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, labels = self._collect(np.int64)
+        return ids, labels, {"rounds": it, "stable": changed == 0}
+
+    # -- plumbing ------------------------------------------------------
+    def _checkpoint(self, checkpoint_dir: str, iteration: int, dtype: str):
+        import ray
+
+        d = f"{checkpoint_dir}/iter={iteration}"
+        counts = ray.get([s.write_state.remote(d, dtype) for s in self.shards])
+        manifest = {
+            "iteration": iteration,
+            "n_total": self.n_total,
+            "num_partitions": self.P,
+            "rows_per_part": counts,
+            "shard_dir": self.shard_dir,
+        }
+        tmp = f"{checkpoint_dir}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, f"{checkpoint_dir}/manifest.json")
+
+    def _collect(self, dtype):
+        import ray
+
+        parts = ray.get([s.collect.remote() for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, dtype)
+        order = np.argsort(ids)
+        return ids[order], vals[order]
+
+    def to_dataset(self, value_name: str = "score"):
+        """Current state as a Ray Dataset (vertex, <value_name>)."""
+        import ray.data as rd
+
+        ids, vals = self._collect(None)
+        return rd.from_arrow(pa.table({"vertex": pa.array(ids),
+                                       value_name: pa.array(vals)}))
+
+    def shutdown(self):
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+# -- convenience one-shots ---------------------------------------------
+
+def pagerank(edges, num_partitions: int = 8, damping: float = 0.85,
+             tolerance: float = 1e-4, max_iterations: int = 200,
+             work_dir: str | None = None, **ckpt):
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir)
+    try:
+        return eng.pagerank(damping, tolerance, max_iterations, **ckpt)
+    finally:
+        eng.shutdown()
+
+
+def connected_components(edges, num_partitions: int = 8,
+                         max_iterations: int = 200,
+                         work_dir: str | None = None):
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.connected_components(max_iterations)
+    finally:
+        eng.shutdown()
+
+
+def label_propagation(edges, num_partitions: int = 8, max_rounds: int = 20,
+                      work_dir: str | None = None):
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.label_propagation(max_rounds)
+    finally:
+        eng.shutdown()

