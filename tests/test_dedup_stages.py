@@ -1,0 +1,139 @@
+"""Dedup operator tests over small deterministic corpora."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def doc_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under heavy autumn rain near the harbor")
+NEAR = BASE.replace("slow waltz", "slow polka")
+OTHER = ("completely unrelated text about turbine engines and ledger audits "
+         "in a quiet alpine valley with copper pipes and nickel fittings")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedup:
+    def test_clusters(self):
+        from tldr_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(doc_ds([BASE, OTHER, BASE, BASE])).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out["keep_id"].tolist() == [0, 1, 0, 0]
+        assert out["n_dupes"].tolist() == [3, 1, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinHashLSH:
+    def test_near_dup_found_unrelated_not(self):
+        from tldr_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(doc_ds([BASE, NEAR, OTHER]),
+                                  threshold=0.5).to_pandas()
+        pairs = pairs[pairs["id_a"] >= 0]
+        got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+
+    def test_exact_duplicates_estimate_one(self):
+        from tldr_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(doc_ds([BASE, BASE]), threshold=0.9).to_pandas()
+        pairs = pairs[pairs["id_a"] >= 0]
+        assert len(pairs) == 1
+        assert pairs["est_jaccard"].iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimHash:
+    def test_near_dup_low_hamming(self):
+        from tldr_ray.stages.dedup import simhash_pairs
+
+        pairs = simhash_pairs(doc_ds([BASE, NEAR, OTHER]),
+                              max_hamming=8).to_pandas()
+        got = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}
+        assert (0, 1) in got
+        assert (0, 2) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccard:
+    def test_exact_jaccard_verification(self):
+        from tldr_ray.stages.dedup import ngram_jaccard_pairs
+        from tldr_ray.stages.dedup import _shingle_hashes
+
+        out = ngram_jaccard_pairs(doc_ds([BASE, NEAR, OTHER]),
+                                  threshold=0.6).to_pandas()
+        assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(0, 1)}
+        # reported jaccard equals the true shingle-set jaccard
+        sa = _shingle_hashes(BASE, 5)
+        sb = _shingle_hashes(NEAR, 5)
+        inter = np.intersect1d(sa, sb).size
+        true_j = inter / (sa.size + sb.size - inter)
+        assert out["jaccard"].iloc[0] == pytest.approx(true_j)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingCosine:
+    def test_pairs_on_testdata(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import embedding_cosine_pairs
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        pairs = embedding_cosine_pairs(ds, threshold=0.99).to_pandas()
+        # sanity: no self pairs, ordered ids, cosine within bounds
+        if len(pairs):
+            assert (pairs["id_a"] < pairs["id_b"]).all()
+            assert (pairs["cosine"] >= 0.99).all()
+
+    def test_identical_vectors_pair(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import embedding_cosine_pairs
+
+        vecs = [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }))
+        pairs = embedding_cosine_pairs(ds, threshold=0.999).to_pandas()
+        assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {(10, 11)}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResolveClusters:
+    def test_union_find_path(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import resolve_clusters
+
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([1, 2, 5], pa.int64()),
+            "id_b": pa.array([2, 3, 6], pa.int64()),
+        }))
+        out = resolve_clusters(pairs).set_index("id")["cluster_id"]
+        assert out[1] == out[2] == out[3] == 1
+        assert out[5] == out[6] == 5
+
+    def test_distributed_cc_path_matches(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import resolve_clusters
+
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([1, 2, 5], pa.int64()),
+            "id_b": pa.array([2, 3, 6], pa.int64()),
+        }))
+        small = resolve_clusters(pairs, small_limit=2_000_000)
+        big = resolve_clusters(pairs, small_limit=0)
+        pd.testing.assert_frame_equal(
+            small.sort_values("id").reset_index(drop=True),
+            big.sort_values("id").reset_index(drop=True))

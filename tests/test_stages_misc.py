@@ -1,0 +1,229 @@
+"""Tests: edge materialization, text analysis, ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tldr_ray.sources import synth_transcripts_table
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEdgeMaterialization:
+    def test_similarity_edges_match_kernel(self):
+        import ray.data as rd
+        from tldr_ray.stages.edges import similarity_edges, conv_vertex_base
+        from tldr_ray.kernel.lexrank import summarize_to_edges
+
+        tab = synth_transcripts_table(6, seed=42)
+        out = similarity_edges(rd.from_arrow(tab)).to_pandas()
+        df = tab.to_pandas()
+        for conv_id, g in df.groupby("conv_id"):
+            g = g.sort_values("turn_idx")
+            text = " ".join(t for t in g["text"] if t).strip()
+            _, kept, src, dst, w = summarize_to_edges(text)
+            base = conv_vertex_base(conv_id)
+            sub = out[out["conv_id"] == conv_id]
+            assert len(sub) == len(src)
+            want = set(zip((base + np.asarray(kept)[src]).tolist(),
+                           (base + np.asarray(kept)[dst]).tolist(),
+                           w.tolist()))
+            got = set(zip(sub["src"], sub["dst"], sub["weight"]))
+            assert got == want
+
+    def test_tool_star_clamp(self):
+        import ray.data as rd
+        from tldr_ray.stages.edges import tool_cooccurrence_edges
+
+        rows = []
+        for i in range(20):
+            rows.append({"conv_id": f"c{i:03d}", "turn_idx": 0, "role": "tool",
+                         "text": "x.", "tool": "hot", "ts": 0})
+        for i in range(3):
+            rows.append({"conv_id": f"c{i:03d}", "turn_idx": 1, "role": "tool",
+                         "text": "y.", "tool": "cold", "ts": 0})
+        tab = pa.table({k: [r[k] for r in rows]
+                        for k in ["conv_id", "turn_idx", "role", "text",
+                                  "tool", "ts"]})
+        out = tool_cooccurrence_edges(rd.from_arrow(tab),
+                                      max_group_size=10).to_pandas()
+        hot = out[out["etype"] == "tool_star"]
+        cold = out[out["etype"] == "tool"]
+        assert len(hot) == 2 * 19        # star over 20 convs, both directions
+        assert len(cold) == 2 * 3        # clique over 3 convs (3 pairs)
+
+    def test_transcript_graph_feeds_pagerank(self):
+        import ray.data as rd
+        from tldr_ray.stages.edges import transcript_graph
+        from tldr_ray.graph import pagerank
+
+        tab = synth_transcripts_table(10, seed=42)
+        edges = transcript_graph(rd.from_arrow(tab))
+        ids, scores, info = pagerank(edges.select_columns(
+            ["src", "dst", "weight"]), num_partitions=3)
+        assert info["converged"]
+        assert ids.size > 0
+        assert np.isclose(scores.sum(), 1.0, atol=1e-3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextAnalysis:
+    def test_language_id(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import language_id
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "the cat is on the mat and it is happy for now",
+                "der Hund ist nicht im Haus und die Katze auch nicht",
+                "el perro y el gato que viven en la casa por ahora",
+            ]),
+        }))
+        out = language_id(docs, concurrency=1).to_pandas().sort_values("doc_id")
+        assert out["lang_pred"].tolist() == ["en", "de", "es"]
+        assert (out["lang_score"] > 0).all()
+
+    def test_quality_scores(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import quality_scores
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "!!! ??? ### $$$ %%% 12345 67890 !!!",
+            ]),
+        }))
+        out = quality_scores(docs, concurrency=1).to_pandas().sort_values("doc_id")
+        assert out["quality_score"].iloc[0] > out["quality_score"].iloc[1]
+        assert out["n_tokens"].iloc[0] == 13
+
+    def test_token_counts_vs_duckdb(self):
+        import duckdb
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import token_counts
+
+        docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+        got = token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = duckdb.sql(
+            "SELECT doc_id, "
+            " len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens, "
+            " len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_pieces "
+            "FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+        ).df()
+        assert got["n_ws_tokens"].tolist() == want["n_ws_tokens"].tolist()
+        assert got["n_bpe_pieces"].tolist() == want["n_bpe_pieces"].tolist()
+
+    def test_fingerprints_md5_vs_duckdb(self):
+        import duckdb
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import fingerprints
+
+        docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+        got = fingerprints(docs).to_pandas().sort_values("doc_id")
+        want = duckdb.sql(
+            "SELECT doc_id, md5(text) AS md5 FROM "
+            "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id").df()
+        assert got["md5"].tolist() == want["md5"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def _corpus(self):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def _queries(self, n=3):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        mat = np.asarray(t["embedding"].to_pylist()[:n], dtype=np.float32)
+        ids = np.asarray(t["vec_id"].to_pylist()[:n], dtype=np.int64)
+        return mat, ids
+
+    def test_brute_self_is_top1(self):
+        from tldr_ray.stages.ann import knn_brute
+
+        q, qids = self._queries()
+        out = knn_brute(self._corpus(), q, qids, k=5).to_pandas()
+        top0 = out[out["rank"] == 0].set_index("query_id")["vec_id"]
+        for qid in qids:
+            assert top0[qid] == qid
+
+    def test_brute_matches_numpy_oracle(self):
+        import pyarrow.parquet as pq
+        from tldr_ray.stages.ann import knn_brute
+
+        q, qids = self._queries(2)
+        out = knn_brute(self._corpus(), q, qids, k=10).to_pandas()
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        for i, qid in enumerate(qids):
+            cos = mat @ qn[i]
+            order = np.lexsort((ids, -cos))[:10]
+            want = ids[order].tolist()
+            got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+            assert got == want
+
+    def test_lsh_recall_reasonable(self):
+        from tldr_ray.stages.ann import knn_brute, knn_lsh
+
+        q, qids = self._queries(3)
+        brute = knn_brute(self._corpus(), q, qids, k=10).to_pandas()
+        lsh = knn_lsh(self._corpus(), q, qids, k=10, num_planes=6,
+                      probe_hamming=2).to_pandas()
+        recalls = []
+        for qid in qids:
+            b = set(brute[brute["query_id"] == qid]["vec_id"])
+            l = set(lsh[lsh["query_id"] == qid]["vec_id"])
+            recalls.append(len(b & l) / len(b))
+        assert np.mean(recalls) >= 0.5   # approximate, multi-probe radius 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self):
+        import ray.data as rd
+        from tldr_ray.stages.multimodal import (synth_media_table,
+                                                extract_media_features)
+
+        ds = rd.from_arrow(synth_media_table(30))
+        out = extract_media_features(ds, dim=16).to_pandas()
+        assert len(out) == 30
+        assert all(len(f) == 16 for f in out["feature"])
+        # deterministic: same payload -> same features
+        out2 = extract_media_features(rd.from_arrow(synth_media_table(30)),
+                                      dim=16).to_pandas()
+        a = out.sort_values("media_id")["feature"].tolist()
+        b = out2.sort_values("media_id")["feature"].tolist()
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    def test_missing_decoder_raises(self):
+        from tldr_ray.stages.multimodal import MediaFeatureExtractor
+
+        stage = MediaFeatureExtractor(decoder=None)
+        tab = pa.table({"media_id": pa.array([0], pa.int64()),
+                        "kind": pa.array(["image"]),
+                        "payload": pa.array([b"xx"], pa.binary()),
+                        "mime": pa.array(["image/png"])})
+        with pytest.raises(NotImplementedError):
+            stage(tab)
+
+    def test_frame_sampler(self):
+        import ray.data as rd
+        from tldr_ray.stages.multimodal import synth_media_table, sample_frames
+
+        tab = synth_media_table(12)
+        out = sample_frames(rd.from_arrow(tab), every_ms=500).to_pandas()
+        videos = tab.to_pandas().query("kind == 'video'")
+        want = sum(len(range(0, d, 500)) for d in videos["duration_ms"])
+        assert len(out) == want
+        assert (out["ts_ms"] % 500 == 0).all()

@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: exact cosine top-k — broadcast the query matrix once
+  (``ray.put``), per-batch float32 matmul, per-batch top-k combiner so
+  only k candidates per (query, batch) leave each task, tiny global
+  reduce. The baseline and the verifier for the bucketed variant.
+- ``knn_lsh``: random-hyperplane LSH (signature buckets with multi-probe
+  by signature hamming radius) + exact rerank inside candidate buckets —
+  the scale path when the corpus outgrows per-batch scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float32)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1.0, norms)
+
+
+def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k for each query row. Returns a Dataset
+    (query_id, vec_id, rank, cosine) with rank 0..k-1 (cosine desc,
+    vec_id asc tie-break)."""
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float32))
+    qref = ray.put((q_unit, np.asarray(query_ids, dtype=np.int64)))
+
+    class Score:
+        def __init__(self):
+            self.q, self.qids = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(batch[emb_col]))
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            cos = mat @ self.q.T                      # (n, nq)
+            out_q, out_v, out_c = [], [], []
+            kk = min(k, ids.size)
+            for qi in range(self.q.shape[0]):
+                c = cos[:, qi]
+                part = np.argpartition(-c, kk - 1)[:kk] if ids.size > kk \
+                    else np.arange(ids.size)
+                out_q.append(np.full(part.size, self.qids[qi]))
+                out_v.append(ids[part])
+                out_c.append(c[part].astype(np.float64))
+            return pa.table(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.array(range(len(g)), dtype="int32")
+        return g[["query_id", "vec_id", "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            num_planes: int = 8, probe_hamming: int = 1, seed: int = 29):
+    """LSH-bucketed approximate top-k with exact rerank in probed buckets.
+
+    Corpus rows land in one bucket each; every query probes all buckets
+    within ``probe_hamming`` of its signature (multi-probe), so recall
+    degrades gracefully with bucket skew. Returns the same schema as
+    ``knn_brute`` (rank within the probed candidate set)."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    q = np.asarray(queries, dtype=np.float32)
+    planes = rng.standard_normal((q.shape[1], num_planes)).astype(np.float32)
+
+    def sig(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        out = np.zeros(mat.shape[0], dtype=np.int64)
+        for i in range(num_planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return out
+
+    q_unit = _unit(q)
+    q_sigs = sig(q_unit)
+    # multi-probe: all bucket ids within hamming radius of each query sig
+    probe: dict[int, list[tuple[int, np.ndarray]]] = {}
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(num_planes)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(num_planes)
+                  for j in range(i + 1, num_planes)]
+    for qi, s in enumerate(q_sigs):
+        for m in masks:
+            probe.setdefault(int(s) ^ m, []).append(qi)
+    pref = ray.put((probe, _unit(q), np.asarray(query_ids, dtype=np.int64)))
+
+    class BucketScore:
+        def __init__(self):
+            self.probe, self.q, self.qids = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(batch[emb_col]))
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            sigs = sig(mat)
+            out_q, out_v, out_c = [], [], []
+            for b in np.unique(sigs):
+                hits = self.probe.get(int(b))
+                if not hits:
+                    continue
+                rows = sigs == b
+                sub, sub_ids = mat[rows], ids[rows]
+                cos = sub @ self.q[hits].T
+                for col, qi in enumerate(hits):
+                    c = cos[:, col]
+                    kk = min(k, sub_ids.size)
+                    part = np.argpartition(-c, kk - 1)[:kk] \
+                        if sub_ids.size > kk else np.arange(sub_ids.size)
+                    out_q.append(np.full(part.size, self.qids[qi]))
+                    out_v.append(sub_ids[part])
+                    out_c.append(c[part].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "cosine": np.concatenate(out_c)})
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.array(range(len(g)), dtype="int32")
+        return g[["query_id", "vec_id", "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(BucketScore, batch_format="pyarrow", concurrency=2)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -94,17 +94,12 @@ def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
     """num_perm minima of (a*x + b) mod 2^61-1 over the shingle set."""
     if shingles.size == 0:
         return np.zeros(a.size, dtype=np.uint64)
-    x = (shingles % np.uint64(_MERSENNE)).astype(np.object_)  # exact bigint mul
-    # object math is slow; do it in uint64 with wraparound-safe split instead
     x64 = shingles % np.uint64(_MERSENNE)
-    sig = np.empty(a.size, dtype=np.uint64)
-    for i in range(a.size):
-        # (a*x+b) mod M with 128-bit safety via Python ints only at reduce
-        prod = (x64.astype(np.uint64) * a[i] + b[i])  # mod 2^64 wrap is fine:
-        # wrapped product is still a pairwise-independent-ish hash; we only
-        # need consistent minima, not true mod-M arithmetic
-        sig[i] = prod.min()
-    return sig
+    # (a*x + b) in uint64 with natural mod-2^64 wraparound: the wrapped
+    # product is still a consistent pairwise hash (we only need stable
+    # minima across documents, not true mod-Mersenne arithmetic)
+    prod = x64[None, :] * a[:, None] + b[:, None]
+    return prod.min(axis=1)
 
 
 def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",

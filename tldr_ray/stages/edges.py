@@ -1,0 +1,150 @@
+"""Global edge-table materialization from transcripts (SURVEY.md §7.1 step 4).
+
+Two edge families, unioned into one (src, dst, weight, etype) table:
+
+1. ``similarity_edges`` — per-conversation sentence-similarity edges:
+   the kernel's front half (tokenize -> dedup -> dictionary -> vectors
+   -> pairwise weights -> threshold) emits kept edges instead of
+   summarizing. Vertex ids are globally unique without any
+   id-assignment shuffle: ``vertex = (conv_hash48 << 16) + local_idx``
+   from a stable 48-bit conversation hash.
+2. ``tool_cooccurrence_edges`` — cross-conversation co-reference: two
+   conversations sharing a tool are linked. Tool groups are Zipf-skewed
+   (one hub tool), so the pairwise build inside a hot group is clamped:
+   groups beyond ``max_group_size`` conversations connect STAR-wise
+   through the group's minimum vertex instead of clique-wise —
+   O(k) edges instead of O(k^2), preserving connectivity semantics for
+   components/PageRank mass flow. The clamp is an explicit, documented
+   skew decision (SURVEY.md §4), surfaced via etype="tool_star".
+
+Edge weights: similarity edges carry the kernel weight; co-occurrence
+edges carry 1.0 per shared tool occurrence pair.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tldr_ray.config import SummarizeConfig
+from tldr_ray.kernel.lexrank import summarize_to_edges
+
+
+def conv_vertex_base(conv_id: str) -> int:
+    """Stable 47-bit conversation hash shifted left 16: low 16 bits hold
+    the sentence local_idx, fitting int64 (63 bits) for conversations
+    with < 65536 kept sentences. 47 bits keeps the collision expectation
+    below ~1 up to ~10^7 conversations; beyond that, switch the vertex
+    key to the composite (conv bucket, local id) layout."""
+    h = int.from_bytes(hashlib.blake2b(conv_id.encode(), digest_size=6).digest(),
+                       "little") & ((1 << 47) - 1)
+    return h << 16
+
+
+def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None):
+    """transcripts -> Dataset (src, dst, weight, etype='sim', conv_id).
+
+    One groupby(conv_id) shuffle; the quadratic work happens inside each
+    small group, vectorized."""
+    cfg = cfg or SummarizeConfig()
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("turn_idx")
+        conv_id = group["conv_id"].iloc[0]
+        text = " ".join(t for t in group["text"].tolist() if t).strip()
+        sentences, kept_idx, src, dst, w = summarize_to_edges(text, cfg)
+        base = conv_vertex_base(conv_id)
+        kept = np.asarray(kept_idx, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "src": base + kept[src],
+                "dst": base + kept[dst],
+                "weight": w,
+                "etype": np.full(len(w), "sim", dtype=object),
+                "conv_id": np.full(len(w), conv_id, dtype=object),
+            }
+        )
+
+    return (
+        transcripts.select_columns(["conv_id", "turn_idx", "text"])
+        .groupby("conv_id")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
+    """transcripts -> Dataset (src, dst, weight, etype) linking
+    conversations that invoke the same tool.
+
+    Conversation-level vertex = conv_vertex_base(conv_id) (local_idx 0
+    slot). Distinct (tool, conv) rows first (bounds hub groups by
+    distinct conversations, not call counts), then per-tool pairs with
+    the star clamp for hub tools."""
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        tools = batch["tool"].to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        seen = {(t, c) for t, c in zip(tools, convs) if t}
+        if not seen:
+            return pa.table({"tool": pa.array([], pa.string()),
+                             "conv_id": pa.array([], pa.string())})
+        t, c = zip(*sorted(seen))
+        return pa.table({"tool": pa.array(list(t), pa.string()),
+                         "conv_id": pa.array(list(c), pa.string())})
+
+    distinct = (
+        transcripts.select_columns(["tool", "conv_id"])
+        .map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .count()
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        convs = sorted(group["conv_id"].unique())
+        verts = np.asarray([conv_vertex_base(c) for c in convs], dtype=np.int64)
+        k = verts.size
+        if k < 2:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64"),
+                                 "weight": pd.array([], dtype="float64"),
+                                 "etype": pd.array([], dtype=object)})
+        if k > max_group_size:
+            hub = verts.min()
+            others = verts[verts != hub]
+            src = np.concatenate([np.full(others.size, hub), others])
+            dst = np.concatenate([others, np.full(others.size, hub)])
+            et = "tool_star"
+        else:
+            ii, jj = np.triu_indices(k, 1)
+            src = np.concatenate([verts[ii], verts[jj]])
+            dst = np.concatenate([verts[jj], verts[ii]])
+            et = "tool"
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": dst,
+                "weight": np.ones(src.size),
+                "etype": np.full(src.size, et, dtype=object),
+            }
+        )
+
+    return distinct.groupby("tool").map_groups(pairs, batch_format="pandas")
+
+
+def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
+                     max_group_size: int = 64, include_tools: bool = True):
+    """Union of both edge families, ready for graph.GraphEngine.
+
+    Similarity edges anchor each conversation's sentence subgraph; the
+    conversation vertex (local_idx 0) doubles as the tool-co-reference
+    anchor, so tool edges connect conversations' sentence graphs into
+    one global link graph."""
+    sim = similarity_edges(transcripts, cfg).select_columns(
+        ["src", "dst", "weight", "etype"])
+    if not include_tools:
+        return sim
+    tools = tool_cooccurrence_edges(transcripts, max_group_size)
+    return sim.union(tools.select_columns(["src", "dst", "weight", "etype"]))
