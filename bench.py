@@ -1,0 +1,196 @@
+"""Benchmark driver. Prints ONE JSON line.
+
+  python bench.py             # full suite at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # headline pipeline at 8 vs 32 CPUs in fresh
+                              # processes + scaling efficiency
+
+Input tables come from $GRAFT_SF_DIR (default /root/testdata/sf0.1);
+the transcript corpus is synthesized deterministically (FIXTURES.md F1)
+once and cached under /tmp.
+
+Honest parallelism accounting for --scaling: the graph engine runs
+P = num_cpus shard actors each holding a full 1.0-CPU slot, and every
+Ray Data stage is capped by the session's logical CPUs, so an 8-CPU run
+really computes with ~8 threads (shard kernels are single-threaded
+NumPy). Efficiency = (T_8 / T_32) / (32/8); the north rule wants >= 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("RAY_GRAFT_CONVS", "20000"))
+SEED = 42
+CACHE = f"/tmp/tldr_ray/bench_transcripts_n{N_CONVS}_s{SEED}"
+
+
+def ensure_transcripts():
+    if not os.path.exists(f"{CACHE}/_SUCCESS"):
+        from tldr_ray.sources import write_transcripts
+
+        os.makedirs(CACHE, exist_ok=True)
+        write_transcripts(CACHE, N_CONVS, SEED, parallelism=max(NCPU, 8))
+        open(f"{CACHE}/_SUCCESS", "w").close()
+    return CACHE
+
+
+def bench_headline(results: dict, meta: dict):
+    """transcripts -> edge table -> distributed PageRank (the north star)."""
+    import ray.data as rd
+    from tldr_ray.stages.edges import transcript_graph
+    from tldr_ray.graph import GraphEngine
+    from tldr_ray.graph.partition import build_shards
+
+    path = ensure_transcripts()
+    # warm page cache so we measure compute + shuffle, not first-touch I/O
+    rd.read_parquet(path).count()
+
+    shard_dir = f"/tmp/tldr_ray/bench_shards_{NCPU}"
+    import shutil
+
+    shutil.rmtree(shard_dir, ignore_errors=True)
+
+    from tldr_ray.graph.engine import _shard_actor_cls
+
+    t0 = time.time()
+    # pre-spawn shard actor processes; interpreter startup overlaps the
+    # Ray Data shard build (same trick as GraphEngine.from_edges)
+    actor_cls = _shard_actor_cls(0)
+    prestarted = [actor_cls.remote(p, NCPU) for p in range(NCPU)]
+    edges = transcript_graph(rd.read_parquet(path)).select_columns(
+        ["src", "dst", "weight"])
+    manifest = build_shards(edges, NCPU, shard_dir)
+    results["edges_build"] = round(time.time() - t0, 3)
+    meta["n_edges"] = manifest["n_edges"]
+    meta["n_vertices"] = manifest["n_vertices"]
+    meta["edges_built_per_sec"] = int(manifest["n_edges"] /
+                                      results["edges_build"])
+
+    t0 = time.time()
+    eng = GraphEngine(shard_dir, NCPU, _prestarted=prestarted)
+    setup = time.time() - t0
+    t0 = time.time()
+    ids, scores, info = eng.pagerank()
+    pr = time.time() - t0
+    eng.shutdown()
+    results["pagerank"] = round(setup + pr, 3)
+    meta["pagerank_setup_sec"] = round(setup, 3)
+    meta["pagerank_loop_sec"] = round(pr, 3)
+    meta["pagerank_iterations"] = info["iterations"]
+    meta["pagerank_converged"] = info["converged"]
+    # north-rule metric: edges processed (SpMV traversals) per second
+    meta["edges_processed_per_sec"] = int(
+        manifest["n_edges"] * info["iterations"] / pr) if pr > 0 else 0
+
+
+def bench_suite(results: dict, meta: dict):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tldr_ray import queries as q
+    from tldr_ray.pipelines import summarize_documents
+    from tldr_ray.stages.dedup import minhash_lsh_pairs
+    from tldr_ray.stages.ann import knn_brute
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        if hasattr(out, "count"):
+            n = out.count()
+        else:
+            n = len(out)
+        results[name] = round(time.time() - t0, 3)
+        return n
+
+    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    timed("summarize_documents",
+          lambda: summarize_documents(docs(), num=3, presplit_words=12))
+    timed("tpch_q1", lambda: q.tpch_q1(SF_DIR))
+    timed("word_frequency", lambda: q.word_frequency_top100(SF_DIR))
+    timed("events_cooccurrence", lambda: q.events_cooccurrence_pairs(SF_DIR))
+    timed("minhash_dedup", lambda: minhash_lsh_pairs(docs(), threshold=0.5))
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qmat = np.asarray(t["embedding"].to_pylist()[:8], dtype=np.float32)
+    qids = np.asarray(t["vec_id"].to_pylist()[:8], dtype=np.int64)
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    timed("knn_brute", lambda: knn_brute(emb, qmat, qids, k=10))
+
+
+def run_once(headline_only: bool) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    results: dict = {}
+    meta: dict = {}
+    try:
+        bench_headline(results, meta)
+        if not headline_only:
+            bench_suite(results, meta)
+    finally:
+        ray.shutdown()
+
+    total = round(sum(results.values()), 3)
+    return {
+        "metric": "bench_suite_seconds (headline: transcripts->edges->"
+                  "distributed PageRank; see edges_processed_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NCPU,
+        **meta,
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency (headline pipeline, fresh ray.init "
+                  f"at num_cpus={lo} vs {hi})",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "edges_per_sec_8": r_lo.get("edges_processed_per_sec"),
+        "edges_per_sec_32": r_hi.get("edges_processed_per_sec"),
+        "queries": {"headline_8": r_lo["queries"], "headline_32": r_hi["queries"]},
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        headline_only = os.environ.get("RAY_GRAFT_HEADLINE_ONLY") == "1"
+        print(json.dumps(run_once(headline_only)))

@@ -70,9 +70,17 @@ def _shard_actor_cls(num_cpus: float = 0):
 
     @ray.remote(num_cpus=num_cpus)
     class CsrShard:
-        def __init__(self, part: int, num_partitions: int, shard_dir: str):
+        def __init__(self, part: int, num_partitions: int,
+                     shard_dir: str | None = None):
+            """Cheap construction; ``load`` does the heavy lifting so actor
+            process spawn can overlap the Ray Data shard build."""
             self.part = part
             self.P = num_partitions
+            if shard_dir is not None:
+                self.load(shard_dir)
+
+        def load(self, shard_dir: str):
+            part = self.part
             et = pq.read_table(f"{shard_dir}/edges/part={part}.parquet")
             vt = pq.read_table(f"{shard_dir}/vertices/part={part}.parquet")
             self.verts = np.asarray(vt["vertex"], dtype=np.int64)  # sorted
@@ -112,14 +120,11 @@ def _shard_actor_cls(num_cpus: float = 0):
 
         # -- setup -----------------------------------------------------
         def publish_vocabs(self):
-            import ray
-            return [ray.put(dv) for dv in self.dvocabs]
+            return self.dvocabs
 
-        def register_incoming(self, vocab_refs):
-            import ray
+        def register_incoming(self, vocabs):
             self.incoming_idx = [
-                np.searchsorted(self.verts, np.asarray(ray.get(ref)))
-                for ref in vocab_refs
+                np.searchsorted(self.verts, np.asarray(v)) for v in vocabs
             ]
 
         def n_local(self) -> int:
@@ -136,23 +141,24 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.n_total = n_total
 
         def pr_messages(self):
-            import ray
+            """Per-destination-partition pre-combined mass arrays, returned
+            BY VALUE: Ray ships small results inline and auto-puts large
+            ones into plasma, so the driver-mediated exchange degrades
+            gracefully with message size."""
             m = self.state[self.e_src_local] * self.e_wnorm
-            refs = []
+            masses = []
             for q in range(self.P):
                 sl = slice(self.q_lo[q], self.q_hi[q])
-                acc = np.bincount(self.dlocals[q], weights=m[sl],
-                                  minlength=self.dvocabs[q].size)
-                refs.append(ray.put(acc))
+                masses.append(np.bincount(self.dlocals[q], weights=m[sl],
+                                          minlength=self.dvocabs[q].size))
             dangling = float(self.state[self.dangling_mask].sum())
-            return dangling, refs
+            return dangling, masses
 
-        def pr_apply(self, refs, dangling_total: float, alpha: float) -> float:
-            import ray
+        def pr_apply(self, masses, dangling_total: float, alpha: float) -> float:
             base = ((1.0 - alpha) + alpha * dangling_total) / self.n_total
             new = np.full(self.verts.size, base)
-            for idx, ref in zip(self.incoming_idx, refs):
-                arr = np.asarray(ray.get(ref))
+            for idx, arr in zip(self.incoming_idx, masses):
+                arr = np.asarray(arr)
                 if arr.size:
                     np.add.at(new, idx, alpha * arr)
             delta = float(np.abs(new - self.state).sum())
@@ -164,22 +170,20 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.state = self.verts.copy()
 
         def cc_messages(self):
-            import ray
             lab = self.state[self.e_src_local]
-            refs = []
+            out = []
             for q in range(self.P):
                 sl = slice(self.q_lo[q], self.q_hi[q])
                 acc = np.full(self.dvocabs[q].size, _INT64_MAX, dtype=np.int64)
                 if self.dlocals[q].size:
                     np.minimum.at(acc, self.dlocals[q], lab[sl])
-                refs.append(ray.put(acc))
-            return refs
+                out.append(acc)
+            return out
 
-        def cc_apply(self, refs) -> int:
-            import ray
+        def cc_apply(self, mins) -> int:
             new = self.state.copy()
-            for idx, ref in zip(self.incoming_idx, refs):
-                arr = np.asarray(ray.get(ref))
+            for idx, arr in zip(self.incoming_idx, mins):
+                arr = np.asarray(arr)
                 if arr.size:
                     np.minimum.at(new, idx, arr)
             changed = int((new != self.state).sum())
@@ -188,10 +192,8 @@ def _shard_actor_cls(num_cpus: float = 0):
 
         # -- label propagation (weighted mode, smallest-label ties) ----
         def lpa_messages(self):
-            import ray
             lab = self.state[self.e_src_local]
-            w = self.e_wnorm_raw if hasattr(self, "e_wnorm_raw") else None
-            refs = []
+            out = []
             for q in range(self.P):
                 sl = slice(self.q_lo[q], self.q_hi[q])
                 dl = self.dlocals[q]
@@ -209,14 +211,12 @@ def _shard_actor_cls(num_cpus: float = 0):
                 else:
                     trip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                             np.zeros(0, np.float64))
-                refs.append(ray.put(trip))
-            return refs
+                out.append(trip)
+            return out
 
-        def lpa_apply(self, refs) -> int:
-            import ray
+        def lpa_apply(self, trips) -> int:
             pos_all, lab_all, w_all = [], [], []
-            for idx, ref in zip(self.incoming_idx, refs):
-                dl, lq, wq = ray.get(ref)
+            for idx, (dl, lq, wq) in zip(self.incoming_idx, trips):
                 if len(dl):
                     pos_all.append(idx[dl])
                     lab_all.append(np.asarray(lq))
@@ -281,19 +281,24 @@ class GraphEngine:
     """Actor pool over the shard layout of ``build_shards``."""
 
     def __init__(self, shard_dir: str, num_partitions: int | None = None,
-                 cpus_per_shard: float = 0):
+                 cpus_per_shard: float = 0, _prestarted=None):
         import ray
 
         with open(f"{shard_dir}/manifest.json") as f:
             self.manifest = json.load(f)
         self.P = num_partitions or self.manifest["num_partitions"]
         self.shard_dir = shard_dir
-        cls = _shard_actor_cls(cpus_per_shard)
-        self.shards = [cls.remote(p, self.P, shard_dir) for p in range(self.P)]
-        vocab_refs = ray.get([s.publish_vocabs.remote() for s in self.shards])
+        if _prestarted is not None:
+            self.shards = _prestarted
+            ray.get([s.load.remote(shard_dir) for s in self.shards])
+        else:
+            cls = _shard_actor_cls(cpus_per_shard)
+            self.shards = [cls.remote(p, self.P, shard_dir)
+                           for p in range(self.P)]
+        vocabs = ray.get([s.publish_vocabs.remote() for s in self.shards])
         ray.get([
             self.shards[q].register_incoming.remote(
-                [vocab_refs[p][q] for p in range(self.P)])
+                [vocabs[p][q] for p in range(self.P)])
             for q in range(self.P)
         ])
         self.n_total = sum(ray.get([s.n_local.remote() for s in self.shards]))
@@ -302,9 +307,18 @@ class GraphEngine:
     def from_edges(cls, edges, num_partitions: int = 8,
                    work_dir: str | None = None, symmetrize: bool = False,
                    cpus_per_shard: float = 0):
+        """Build shards and the actor pool; actor processes are spawned
+        BEFORE the Ray Data shard build so interpreter startup overlaps
+        the shuffle (they are num_cpus=0, so they never starve the build
+        tasks; single-threaded shard kernels keep real parallelism == P)."""
+        import ray  # noqa: F401
+
         work_dir = work_dir or f"/tmp/tldr_ray/graph-{uuid.uuid4().hex[:8]}"
+        actor_cls = _shard_actor_cls(0)
+        prestarted = [actor_cls.remote(p, num_partitions)
+                      for p in range(num_partitions)]
         build_shards(edges, num_partitions, work_dir, symmetrize=symmetrize)
-        return cls(work_dir, cpus_per_shard=cpus_per_shard)
+        return cls(work_dir, num_partitions, _prestarted=prestarted)
 
     # -- algorithms ----------------------------------------------------
     def pagerank(self, damping: float = 0.85, tolerance: float = 1e-4,

@@ -92,6 +92,15 @@ def build_shards(edges, num_partitions: int, out_dir: str,
         .to_pandas()
     )
 
+    # vertex pass reads the just-written edge shards back from disk so the
+    # (possibly expensive) upstream edge pipeline is not recomputed — a
+    # lazy Dataset re-executes its whole lineage per consumer
+    import ray.data as rd
+
+    edge_files = rd.read_parquet([f"{out_dir}/edges/part={int(p)}.parquet"
+                                  for p in edge_manifest["part"]]) \
+        if len(edge_manifest) else parted
+
     def vertex_rows(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch["src"], dtype=np.int64)
         dst = np.asarray(batch["dst"], dtype=np.int64)
@@ -107,7 +116,7 @@ def build_shards(edges, num_partitions: int, out_dir: str,
         return pd.DataFrame({"part": [p], "n_vertices": [len(v)]})
 
     vertex_manifest = (
-        parted.map_batches(vertex_rows, batch_format="pyarrow")
+        edge_files.map_batches(vertex_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(write_vertex_group, batch_format="pandas")
         .to_pandas()

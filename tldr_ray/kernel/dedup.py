@@ -21,7 +21,7 @@ nothing is rejected (including the reference's own golden corpus
 
 from __future__ import annotations
 
-from tldr_ray.kernel.distance import distance
+from tldr_ray.kernel.distance import distance, distance_upper_bound
 
 
 def uniq_sentence_indices(token_lists: list[list[str]], threshold: float) -> list[int]:
@@ -30,12 +30,19 @@ def uniq_sentence_indices(token_lists: list[list[str]], threshold: float) -> lis
     n = len(msens)
     reject: set[int] = set()
 
+    # byte lengths after lowercasing, for the exact length-ratio bound
+    # (the O(n^2) Jaro pass dominates kernel cost; most pairs are pruned)
+    blen = [len(s.lower().encode("utf-8")) for s in msens]
+
     for i in range(n - 1):
         if i in reject:
             continue
         sen = msens[i]
+        li = blen[i]
         for j in range(i + 1, n):
-            if j not in reject and distance(sen, msens[j]) >= threshold:
+            if j in reject or distance_upper_bound(li, blen[j]) < threshold:
+                continue
+            if distance(sen, msens[j]) >= threshold:
                 reject.add(j)
 
     for i in range(n - 1):

@@ -49,7 +49,13 @@ def distance(str1: str, str2: str) -> float:
     matches2 = bytearray(n2)
     m = 0.0
 
-    for i, v in _runes_with_byte_offsets(s1):
+    # hoisted loop invariant of the Go inner loop (dif/x are constant)
+    dif = n2 - n1
+    bound = n2 - (0 if dif < 2 else dif - 2)
+
+    # ASCII fast path: rune iteration == byte iteration
+    s1_iter = enumerate(bs1) if s1.isascii() else _runes_with_byte_offsets(s1)
+    for i, v in s1_iter:
         matched = False
         if v == bs2[i]:
             matches1[i] = 1
@@ -58,11 +64,8 @@ def distance(str1: str, str2: str) -> float:
             m += 1
         else:
             k = 0 if i <= match_window else i - match_window
-            while True:
-                dif = n2 - n1
-                x = 0 if dif < 2 else dif - 2
-                if k == n2 - x:
-                    break
+            i_hi = i + match_window
+            while k != bound:
                 if v == bs2[k]:
                     if not matches1[i] and not matches2[k]:
                         m += 1
@@ -70,7 +73,7 @@ def distance(str1: str, str2: str) -> float:
                     matches2[k] = 1
                     matched = True
                 k += 1
-                if k <= i + match_window and k < n2 and matched:
+                if matched and k <= i_hi and k < n2:
                     break
 
     if m == 0:
@@ -80,13 +83,14 @@ def distance(str1: str, str2: str) -> float:
     # v walks runes of s1
     t = 0.0
     k = 0
-    for ch in s1:
+    vals = bs1 if s1.isascii() else [ord(c) for c in s1]
+    for v in vals:
         if k >= n1 - 1:
             break
         if matches1[k]:
             while k < n2 and not matches2[k]:
                 k += 1
-            if k < n2 and ord(ch) != bs2[k]:
+            if k < n2 and v != bs2[k]:
                 t += 1
             k += 1
 
@@ -94,6 +98,20 @@ def distance(str1: str, str2: str) -> float:
     x1 = m / n1
     x2 = m / n2
     return (x1 + x2 + ((m - t) / m)) / 3
+
+
+def distance_upper_bound(len1: int, len2: int) -> float:
+    """Cheap EXACT upper bound on ``distance`` from byte lengths alone.
+
+    With L1 = min byte length, L2 = max: m <= L1, so
+    jaro = (m/L1 + m/L2 + (m-t)/m) / 3 <= (1 + L1/L2 + 1) / 3.
+    Pairs whose bound is below the dedup threshold cannot be rejected —
+    the dedup pass skips the full O(n*window) scan for them without any
+    semantic change. Degenerate zero lengths return 1.0 (no pruning)."""
+    lo, hi = (len1, len2) if len1 <= len2 else (len2, len1)
+    if hi == 0:
+        return 1.0
+    return (2.0 + lo / hi) / 3.0
 
 
 def symmetric_difference(src, dst) -> list[int]:
