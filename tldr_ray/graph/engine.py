@@ -120,11 +120,17 @@ def _shard_actor_cls(num_cpus: float = 0):
 
         # -- setup -----------------------------------------------------
         def publish_vocabs(self):
-            return self.dvocabs
+            """One-time exchange goes through plasma refs so vocab bytes
+            flow actor-to-actor, not through the driver (per-iteration
+            mass arrays are smaller and travel by value instead)."""
+            import ray
+            return [ray.put(dv) for dv in self.dvocabs]
 
-        def register_incoming(self, vocabs):
+        def register_incoming(self, vocab_refs):
+            import ray
             self.incoming_idx = [
-                np.searchsorted(self.verts, np.asarray(v)) for v in vocabs
+                np.searchsorted(self.verts, np.asarray(ray.get(r)))
+                for r in vocab_refs
             ]
 
         def n_local(self) -> int:

@@ -294,6 +294,124 @@ def embedding_top10_cosine(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# text-analysis operators with SQL oracles
+# ---------------------------------------------------------------------------
+
+def doc_token_counts_bpe(sf_dir: str):
+    """Whitespace + BPE-ish piece counts (both RE2 semantics, so DuckDB's
+    regexp functions agree exactly)."""
+    from tldr_ray.stages.text_analysis import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def doc_fingerprints_md5(sf_dir: str):
+    from tldr_ray.stages.text_analysis import fingerprints
+
+    out = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "md5"])
+
+
+def exact_dedup_clusters(sf_dir: str):
+    """Full cluster assignment (one row per doc) from stages.dedup."""
+    from tldr_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling event-time window aggregate (streaming-shaped op)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table(
+            {
+                "hour": hour.cast(pa.timestamp("us")),
+                "value_cents": pa.array(
+                    _cents(np.asarray(batch["value"], dtype=np.float64)),
+                    pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_cents", alias_name="total_value_cents"))
+    )
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min splits); ordered map_groups
+    with incremental state, SQL oracle via lag()+cumsum window."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype(np.int64) + 1
+        g = g.assign(session_id=sid)
+        out = g.groupby("session_id").agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def top_users_by_value(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value_cents": pa.array(
+                    _cents(np.asarray(batch["value"], dtype=np.float64)),
+                    pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("value_cents", alias_name="total_cents"))
+    )
+    return agg.sort(["total_cents", "user_id"],
+                    descending=[True, False]).limit(10)
+
+
+def knn_multi_query(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id in (0,1,2); SQL
+    oracle via list_cosine_similarity + row_number window."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    order = [ids.index(i) for i in (0, 1, 2)]
+    qmat = np.asarray([t["embedding"][i].as_py() for i in order],
+                      dtype=np.float32)
+    qids = np.asarray([0, 1, 2], dtype=np.int64)
+
+    from tldr_ray.stages.ann import knn_brute
+
+    out = knn_brute(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    qmat, qids, k=10)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) pipelines
 # ---------------------------------------------------------------------------
 
@@ -311,18 +429,181 @@ def summarize_transcripts_k3(sf_dir: str):
     return summarize_transcripts(documents_as_transcripts(sf_dir), num=3)
 
 
+def summarize_centrality_k3(sf_dir: str):
+    """Centrality ranking variant (reference O17) over documents."""
+    from tldr_ray.config import SummarizeConfig
+    from tldr_ray.pipelines import summarize_documents
+
+    cfg = SummarizeConfig(algorithm="centrality")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return summarize_documents(docs, num=3, cfg=cfg, presplit_words=12)
+
+
+def pagerank_documents_graph(sf_dir: str):
+    """North-star pipeline at query scale: documents-as-transcripts ->
+    similarity + tool edge table -> distributed PageRank over CSR shard
+    actors. Returns (vertex, score)."""
+    import ray.data as rd
+
+    from tldr_ray.graph import GraphEngine
+    from tldr_ray.sources import documents_as_transcripts
+    from tldr_ray.stages.edges import transcript_graph
+
+    edges = transcript_graph(documents_as_transcripts(sf_dir),
+                             presplit_words=12).select_columns(
+        ["src", "dst", "weight"])
+    eng = GraphEngine.from_edges(edges, num_partitions=4)
+    try:
+        ids, scores, _ = eng.pagerank()
+    finally:
+        eng.shutdown()
+    return pa.table({"vertex": pa.array(ids),
+                     "score": pa.array(scores)})
+
+
+def connected_components_documents(sf_dir: str):
+    from tldr_ray.graph import connected_components
+    from tldr_ray.sources import documents_as_transcripts
+    from tldr_ray.stages.edges import transcript_graph
+
+    edges = transcript_graph(documents_as_transcripts(sf_dir),
+                             presplit_words=12).select_columns(
+        ["src", "dst", "weight"])
+    ids, labels, _ = connected_components(edges, num_partitions=4)
+    return pa.table({"vertex": pa.array(ids),
+                     "component": pa.array(labels)})
+
+
+def label_propagation_documents(sf_dir: str):
+    from tldr_ray.graph import label_propagation
+    from tldr_ray.sources import documents_as_transcripts
+    from tldr_ray.stages.edges import transcript_graph
+
+    edges = transcript_graph(documents_as_transcripts(sf_dir),
+                             presplit_words=12).select_columns(
+        ["src", "dst", "weight"])
+    ids, labels, _ = label_propagation(edges, num_partitions=4, max_rounds=10)
+    return pa.table({"vertex": pa.array(ids),
+                     "label": pa.array(labels)})
+
+
+def triangle_counts_documents(sf_dir: str):
+    from tldr_ray.graph import triangle_counts
+    from tldr_ray.sources import documents_as_transcripts
+    from tldr_ray.stages.edges import transcript_graph
+
+    edges = transcript_graph(documents_as_transcripts(sf_dir),
+                             presplit_words=12).select_columns(
+        ["src", "dst", "weight"])
+    _, per_vertex = triangle_counts(edges)
+    return per_vertex
+
+
+def minhash_dedup_docs(sf_dir: str):
+    from tldr_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.5)
+
+
+def simhash_dedup_docs(sf_dir: str):
+    from tldr_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=8)
+
+
+def ngram_jaccard_docs(sf_dir: str):
+    from tldr_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=0.6)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    from tldr_ray.stages.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.98)
+
+
+def knn_lsh_top10(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from tldr_ray.stages.ann import knn_lsh
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qmat = np.asarray(t["embedding"].to_pylist()[:4], dtype=np.float32)
+    qids = np.asarray(t["vec_id"].to_pylist()[:4], dtype=np.int64)
+    return knn_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   qmat, qids, k=10, probe_hamming=2)
+
+
+def language_id_docs(sf_dir: str):
+    from tldr_ray.stages.text_analysis import language_id
+
+    out = language_id(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def quality_scores_docs(sf_dir: str):
+    from tldr_ray.stages.text_analysis import quality_scores
+
+    out = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         concurrency=2)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "stopword_ratio", "unique_token_ratio",
+         "punct_ratio", "digit_ratio", "quality_score"])
+
+
+def media_features_demo(sf_dir: str):
+    """Multimodal plumbing demo (synthetic payloads; decode is the
+    documented stub — sf_dir unused by design)."""
+    import ray.data as rd
+
+    from tldr_ray.stages.multimodal import (extract_media_features,
+                                            synth_media_table)
+
+    return extract_media_features(rd.from_arrow(synth_media_table(120)),
+                                  dim=16)
+
+
 QUERIES = {
+    # SQL-checked
     "doc_token_counts": doc_token_counts,
+    "doc_token_counts_bpe": doc_token_counts_bpe,
+    "doc_fingerprints_md5": doc_fingerprints_md5,
     "word_frequency_top100": word_frequency_top100,
     "exact_dedup_docs": exact_dedup_docs,
+    "exact_dedup_clusters": exact_dedup_clusters,
     "docs_by_lang": docs_by_lang,
     "events_by_type": events_by_type,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
     "events_cooccurrence_pairs": events_cooccurrence_pairs,
+    "top_users_by_value": top_users_by_value,
     "tpch_q1": tpch_q1,
     "revenue_by_nation": revenue_by_nation,
     "embedding_top10_cosine": embedding_top10_cosine,
+    "knn_multi_query": knn_multi_query,
+    # rows-only (iterative / model-like; parity enforced by pytest oracles)
     "summarize_documents_k3": summarize_documents_k3,
+    "summarize_centrality_k3": summarize_centrality_k3,
     "summarize_transcripts_k3": summarize_transcripts_k3,
+    "pagerank_documents_graph": pagerank_documents_graph,
+    "connected_components_documents": connected_components_documents,
+    "label_propagation_documents": label_propagation_documents,
+    "triangle_counts_documents": triangle_counts_documents,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_dedup_docs": simhash_dedup_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "knn_lsh_top10": knn_lsh_top10,
+    "language_id_docs": language_id_docs,
+    "quality_scores_docs": quality_scores_docs,
+    "media_features_demo": media_features_demo,
 }
 
 ORACLE_SQL = {
@@ -388,5 +669,68 @@ ORACLE_SQL = {
         WHERE e.vec_id != 0
         ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
         LIMIT 10
+    """,
+    "doc_token_counts_bpe": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_pieces
+        FROM documents
+    """,
+    "doc_fingerprints_md5": """
+        SELECT doc_id, md5(text) AS md5 FROM documents
+    """,
+    "exact_dedup_clusters": """
+        SELECT doc_id,
+               min(doc_id) OVER w AS keep_id,
+               count(*) OVER w AS n_dupes
+        FROM documents
+        WINDOW w AS (PARTITION BY text)
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+        FROM events
+        GROUP BY 1
+    """,
+    "events_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sessions
+        GROUP BY 1, 2
+    """,
+    "top_users_by_value": """
+        SELECT user_id,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY total_cents DESC, user_id
+        LIMIT 10
+    """,
+    "knn_multi_query": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id FROM scored WHERE rn <= 10
     """,
 }

@@ -45,34 +45,76 @@ def conv_vertex_base(conv_id: str) -> int:
     return h << 16
 
 
-def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None):
+def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
+                     presplit_words: Optional[int] = None,
+                     num_parts: int = 64):
     """transcripts -> Dataset (src, dst, weight, etype='sim', conv_id).
 
-    One groupby(conv_id) shuffle; the quadratic work happens inside each
-    small group, vectorized."""
+    The shuffle is a hash-partitioned groupby on a SMALL int key
+    (``part = crc32(conv_id) % num_parts``), not on conv_id itself:
+    sorting millions of rows by a 32-value int is far cheaper than by
+    high-cardinality strings, and the per-group task overhead drops from
+    one call per conversation to one per partition (each partition task
+    then iterates its conversations with a local pandas groupby). The
+    quadratic kernel work happens inside each small conversation,
+    vectorized. ``presplit_words`` chunks punctuation-free documents into
+    pseudo-sentences via the reference's pre-split entry point (O28)."""
     cfg = cfg or SummarizeConfig()
 
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("turn_idx")
-        conv_id = group["conv_id"].iloc[0]
-        text = " ".join(t for t in group["text"].tolist() if t).strip()
-        sentences, kept_idx, src, dst, w = summarize_to_edges(text, cfg)
-        base = conv_vertex_base(conv_id)
-        kept = np.asarray(kept_idx, dtype=np.int64)
-        return pd.DataFrame(
+    def assign(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        part = np.asarray(
+            [zlib.crc32(c.encode()) % num_parts
+             for c in batch["conv_id"].to_pylist()], dtype=np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def per_part(group: pd.DataFrame) -> pa.Table:
+        srcs, dsts, ws, etypes, convs = [], [], [], [], []
+        for conv_id, g in group.groupby("conv_id", sort=False):
+            g = g.sort_values("turn_idx")
+            text = " ".join(t for t in g["text"].tolist() if t).strip()
+            presplit = None
+            if presplit_words:
+                from tldr_ray.kernel import tokenize_sentences
+
+                if not tokenize_sentences(text):
+                    words = text.split()
+                    presplit = [" ".join(words[j : j + presplit_words])
+                                for j in range(0, len(words), presplit_words)] \
+                        or None
+            _, kept_idx, src, dst, w = summarize_to_edges(
+                text, cfg, presplit=presplit)
+            if len(src) == 0:
+                continue
+            base = conv_vertex_base(conv_id)
+            kept = np.asarray(kept_idx, dtype=np.int64)
+            srcs.append(base + kept[src])
+            dsts.append(base + kept[dst])
+            ws.append(w)
+            etypes.extend(["sim"] * len(w))
+            convs.extend([conv_id] * len(w))
+        if not srcs:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64()),
+                             "etype": pa.array([], pa.string()),
+                             "conv_id": pa.array([], pa.string())})
+        return pa.table(
             {
-                "src": base + kept[src],
-                "dst": base + kept[dst],
-                "weight": w,
-                "etype": np.full(len(w), "sim", dtype=object),
-                "conv_id": np.full(len(w), conv_id, dtype=object),
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "weight": np.concatenate(ws),
+                "etype": pa.array(etypes, pa.string()),
+                "conv_id": pa.array(convs, pa.string()),
             }
         )
 
     return (
         transcripts.select_columns(["conv_id", "turn_idx", "text"])
-        .groupby("conv_id")
-        .map_groups(fn, batch_format="pandas")
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -135,14 +177,15 @@ def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
 
 
 def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
-                     max_group_size: int = 64, include_tools: bool = True):
+                     max_group_size: int = 64, include_tools: bool = True,
+                     presplit_words: Optional[int] = None):
     """Union of both edge families, ready for graph.GraphEngine.
 
     Similarity edges anchor each conversation's sentence subgraph; the
     conversation vertex (local_idx 0) doubles as the tool-co-reference
     anchor, so tool edges connect conversations' sentence graphs into
     one global link graph."""
-    sim = similarity_edges(transcripts, cfg).select_columns(
+    sim = similarity_edges(transcripts, cfg, presplit_words).select_columns(
         ["src", "dst", "weight", "etype"])
     if not include_tools:
         return sim
