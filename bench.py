@@ -8,11 +8,13 @@ Input tables come from $GRAFT_SF_DIR (default /root/testdata/sf0.1);
 the transcript corpus is synthesized deterministically (FIXTURES.md F1)
 once and cached under /tmp.
 
-Honest parallelism accounting for --scaling: the graph engine runs
-P = num_cpus shard actors each holding a full 1.0-CPU slot, and every
-Ray Data stage is capped by the session's logical CPUs, so an 8-CPU run
-really computes with ~8 threads (shard kernels are single-threaded
-NumPy). Efficiency = (T_8 / T_32) / (32/8); the north rule wants >= 0.8.
+Honest parallelism accounting for --scaling: both legs run the
+IDENTICAL job (fixed RAY_GRAFT_PARTITIONS shard layout, like a job
+moved between cluster sizes) and each leg is pinned to that many
+PHYSICAL cores via sched_setaffinity (inherited by raylet + workers),
+because Ray's logical num_cpus does not stop oversubscribed actors
+from using every physical core. Efficiency = (T_8 / T_32) / (32/8);
+the north rule wants >= 0.8.
 """
 
 from __future__ import annotations
@@ -25,6 +27,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# graph partition count: a property of the JOB (like a real deployment's
+# shard layout), not of the cluster size — the scaling runs pin it so both
+# legs execute the identical partitioned job
+NPARTS = int(os.environ.get("RAY_GRAFT_PARTITIONS", str(NCPU)))
 N_CONVS = int(os.environ.get("RAY_GRAFT_CONVS", "20000"))
 SEED = 42
 CACHE = f"/tmp/tldr_ray/bench_transcripts_n{N_CONVS}_s{SEED}"
@@ -51,7 +57,7 @@ def bench_headline(results: dict, meta: dict):
     # warm page cache so we measure compute + shuffle, not first-touch I/O
     rd.read_parquet(path).count()
 
-    shard_dir = f"/tmp/tldr_ray/bench_shards_{NCPU}"
+    shard_dir = f"/tmp/tldr_ray/bench_shards_{NPARTS}_{NCPU}"
     import shutil
 
     shutil.rmtree(shard_dir, ignore_errors=True)
@@ -62,10 +68,10 @@ def bench_headline(results: dict, meta: dict):
     # pre-spawn shard actor processes; interpreter startup overlaps the
     # Ray Data shard build (same trick as GraphEngine.from_edges)
     actor_cls = _shard_actor_cls(0)
-    prestarted = [actor_cls.remote(p, NCPU) for p in range(NCPU)]
+    prestarted = [actor_cls.remote(p, NPARTS) for p in range(NPARTS)]
     edges = transcript_graph(rd.read_parquet(path)).select_columns(
         ["src", "dst", "weight"])
-    manifest = build_shards(edges, NCPU, shard_dir)
+    manifest = build_shards(edges, NPARTS, shard_dir)
     results["edges_build"] = round(time.time() - t0, 3)
     meta["n_edges"] = manifest["n_edges"]
     meta["n_vertices"] = manifest["n_vertices"]
@@ -73,7 +79,7 @@ def bench_headline(results: dict, meta: dict):
                                       results["edges_build"])
 
     t0 = time.time()
-    eng = GraphEngine(shard_dir, NCPU, _prestarted=prestarted)
+    eng = GraphEngine(shard_dir, NPARTS, _prestarted=prestarted)
     setup = time.time() - t0
     t0 = time.time()
     ids, scores, info = eng.pagerank()
@@ -161,14 +167,25 @@ def run_once(headline_only: bool) -> dict:
 
 
 def run_scaling() -> dict:
+    """8- vs 32-CPU legs run the IDENTICAL job (fixed partition count)
+    in fresh processes; parallelism is enforced with PHYSICAL core
+    affinity (sched_setaffinity, inherited by the raylet and every
+    worker), because Ray's logical num_cpus does not stop oversubscribed
+    actors from using all physical cores."""
+    hi = 32
+
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
+                   RAY_GRAFT_HEADLINE_ONLY="1",
+                   RAY_GRAFT_PARTITIONS=str(hi))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env,
+            capture_output=True, text=True, check=True,
+            preexec_fn=lambda: os.sched_setaffinity(0, set(range(ncpu))),
+        ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = 8
     r_lo = sub(lo)
     r_hi = sub(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

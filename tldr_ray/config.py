@@ -59,7 +59,12 @@ class SummarizeConfig:
 
 @dataclass
 class GraphConfig:
-    """Knobs of the distributed graph engine (tldr_ray.graph)."""
+    """Knobs of the distributed graph engine (tldr_ray.graph).
+
+    Partition count is a property of the JOB (shard layout), not the
+    cluster size; hub skew needs no reactive salting knob because the
+    engine's per-shard pre-combining bounds a hub destination's fan-in
+    at P messages per iteration structurally (see graph/engine.py)."""
 
     num_partitions: int = 8                 # CSR shards == actor pool size
     damping: float = DEFAULT_DAMPING
@@ -67,5 +72,3 @@ class GraphConfig:
     max_iterations: int = 200
     checkpoint_every: int = 0               # 0 = no checkpointing
     checkpoint_dir: Optional[str] = None
-    hub_degree_threshold: int = 1 << 20     # dst degree above which salting kicks in
-    salt_factor: int = 8
