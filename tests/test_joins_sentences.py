@@ -1,0 +1,91 @@
+"""Tests: bucketed hash join, broadcast lookup, sentence-split stage,
+pre-split sentences-table pipeline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    def test_bucketed_join_matches_pandas(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        rng = np.random.default_rng(5)
+        l = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                          "x": rng.random(300)})
+        r = pd.DataFrame({"k": rng.integers(0, 50, 200),
+                          "y": rng.random(200)})
+        got = bucketed_hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                                 on="k", num_buckets=8).to_pandas()
+        want = l.merge(r, on="k", how="inner")
+        key = ["k", "x", "y"]
+        got = got.sort_values(key).reset_index(drop=True)[key]
+        want = want.sort_values(key).reset_index(drop=True)[key]
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_left_join(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        l = pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]})
+        r = pd.DataFrame({"k": [2, 3, 4], "y": [200, 300, 400]})
+        got = bucketed_hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                                 on="k", num_buckets=4, how="left").to_pandas()
+        want = l.merge(r, on="k", how="left")
+        got = got.sort_values("k").reset_index(drop=True)[["k", "x", "y"]]
+        want = want.sort_values("k").reset_index(drop=True)[["k", "x", "y"]]
+        # null-filling the superset schema promotes ints to float64
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_broadcast_lookup(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import broadcast_lookup
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 9]}))
+        out = broadcast_lookup(ds, {1: "a", 2: "b"}, "k", "v",
+                               default="?").to_pandas()
+        assert out.sort_values("k")["v"].tolist() == ["a", "b", "?"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSentenceStage:
+    def test_split_turns_batch(self):
+        import ray.data as rd
+        from tldr_ray.stages.sentences import split_turns_batch
+
+        tab = pa.table({
+            "conv_id": pa.array(["c1", "c1", "c2"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "text": pa.array(["One. Two! tail-dropped",
+                              "Only here.",
+                              "NoTerminator"]),
+        })
+        out = rd.from_arrow(tab).map_batches(
+            split_turns_batch, batch_format="pyarrow").to_pandas()
+        assert out["text"].tolist() == ["One.", "Two!", "Only here."]
+        assert out["sent_idx"].tolist() == [0, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSentencesTable:
+    def test_presplit_matches_reference_fixture(self):
+        import ray.data as rd
+        from tldr_ray.sources.sentences import summarize_sentences_table
+
+        rows = [
+            ("d1", 0, "Mary had a little lamb,"),
+            ("d1", 1, "it's fleece was white as snow,"),
+            ("d1", 2, "and everywhere that Mary went,"),
+            ("d1", 3, "that lamb was sure to go."),
+        ]
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows]),
+            "sent_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows]),
+        })
+        out = summarize_sentences_table(rd.from_arrow(tab), num=1).to_pandas()
+        assert out["text"].tolist() == ["it's fleece was white as snow,"]
+        assert out["local_idx"].tolist() == [1]
