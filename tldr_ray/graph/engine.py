@@ -81,8 +81,12 @@ def _shard_actor_cls(num_cpus: float = 0):
 
         def load(self, shard_dir: str):
             part = self.part
-            et = pq.read_table(f"{shard_dir}/edges/part={part}.parquet")
-            vt = pq.read_table(f"{shard_dir}/vertices/part={part}.parquet")
+            # single-threaded reads: P actors already saturate the node;
+            # per-actor Arrow thread pools (default = all cores) thrash
+            et = pq.read_table(f"{shard_dir}/edges/part={part}.parquet",
+                               use_threads=False)
+            vt = pq.read_table(f"{shard_dir}/vertices/part={part}.parquet",
+                               use_threads=False)
             self.verts = np.asarray(vt["vertex"], dtype=np.int64)  # sorted
             src = np.asarray(et["src"], dtype=np.int64)
             dst = np.asarray(et["dst"], dtype=np.int64)
@@ -282,7 +286,8 @@ def _shard_actor_cls(num_cpus: float = 0):
             return int(self.verts.size)
 
         def load_state(self, ckpt_dir: str, dtype: str):
-            t = pq.read_table(f"{ckpt_dir}/part={self.part}.parquet")
+            t = pq.read_table(f"{ckpt_dir}/part={self.part}.parquet",
+                              use_threads=False)
             v = np.asarray(t["vertex"], dtype=np.int64)
             assert np.array_equal(v, self.verts), "checkpoint/partition mismatch"
             self.state = np.asarray(
