@@ -33,14 +33,20 @@ from tldr_ray.kernel.text import tokenize_sentences
 
 
 def _summarize_group_fn(num: int, cfg: Optional[SummarizeConfig],
-                        id_col: str = "conv_id"):
+                        id_col: str = "conv_id",
+                        presplit_words: Optional[int] = None):
     cfg = cfg or SummarizeConfig()
 
     def fn(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values("turn_idx")
         conv_id = group[id_col].iloc[0]
         text = " ".join(t for t in group["text"].tolist() if t).strip()
-        picked = summarize_with_indices(text, num, cfg)
+        presplit = None
+        if presplit_words and not tokenize_sentences(text):
+            words = text.split()
+            presplit = [" ".join(words[j : j + presplit_words])
+                        for j in range(0, len(words), presplit_words)] or None
+        picked = summarize_with_indices(text, num, cfg, presplit=presplit)
         return pd.DataFrame(
             {
                 id_col: [conv_id] * len(picked),
@@ -54,12 +60,14 @@ def _summarize_group_fn(num: int, cfg: Optional[SummarizeConfig],
 
 
 def summarize_transcripts(transcripts, num: int = 3,
-                          cfg: Optional[SummarizeConfig] = None):
+                          cfg: Optional[SummarizeConfig] = None,
+                          presplit_words: Optional[int] = None):
     """transcripts Dataset -> summary Dataset (conv_id, rank, local_idx, text)."""
     return (
         transcripts.select_columns(["conv_id", "turn_idx", "text"])
         .groupby("conv_id")
-        .map_groups(_summarize_group_fn(num, cfg), batch_format="pandas")
+        .map_groups(_summarize_group_fn(num, cfg, presplit_words=presplit_words),
+                    batch_format="pandas")
     )
 
 

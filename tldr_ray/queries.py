@@ -426,7 +426,8 @@ def summarize_transcripts_k3(sf_dir: str):
     from tldr_ray.pipelines import summarize_transcripts
     from tldr_ray.sources import documents_as_transcripts
 
-    return summarize_transcripts(documents_as_transcripts(sf_dir), num=3)
+    return summarize_transcripts(documents_as_transcripts(sf_dir), num=3,
+                                 presplit_words=12)
 
 
 def summarize_centrality_k3(sf_dir: str):

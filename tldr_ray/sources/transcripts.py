@@ -190,7 +190,9 @@ def documents_as_transcripts(sf_dir: str):
     reference sentence splitter, so rejoining turns with a single space
     reproduces the sentence stream (per-turn text equality under stable
     turn ordering). Documents whose text has no sentence terminator
-    become a single turn holding the raw text.
+    become a single turn holding the raw text. The document's ``source``
+    rides in the ``tool`` column, giving the co-reference edge builder a
+    real cross-conversation key on the shared tables.
     """
     import ray.data as rd
 
@@ -198,8 +200,9 @@ def documents_as_transcripts(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
+        for doc_id, text, source in zip(batch["doc_id"].to_pylist(),
+                                        batch["text"].to_pylist(),
+                                        batch["source"].to_pylist()):
             sents = tokenize_sentences(text or "")
             if not sents:
                 turns = [text or ""]
@@ -212,12 +215,13 @@ def documents_as_transcripts(sf_dir: str):
                         "turn_idx": t_idx,
                         "role": _ROLES[t_idx % 3],
                         "text": t_text,
-                        "tool": None,
+                        "tool": source,
                         "ts": _BASE_TS_US + int(doc_id) * 3_600_000_000
                         + t_idx * 30_000_000,
                     }
                 )
         return _rows_to_table(rows)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
