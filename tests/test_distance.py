@@ -38,11 +38,34 @@ class TestDistance:
 
 
 class TestPositionalHelpers:
-    # /root/reference/util_test.go semantics: positions, not set ops
-    def test_symmetric_difference(self):
-        assert symmetric_difference([1, 0, 1], [1, 1, 0]) == [1, 2]
-        assert symmetric_difference([1, 1], [1, 1]) == []
+    # expected values ported verbatim from /root/reference/util_test.go
+    def test_symmetric_difference_differs(self):
+        assert symmetric_difference([1, 2, 3, 4, 5], [1, 0, 3, 0, 5]) == [1, 3]
 
-    def test_intersection(self):
-        assert intersection([1, 0, 1], [1, 1, 0]) == [0]
-        assert intersection([0, 0], [0, 0]) == [0, 1]
+    def test_symmetric_difference_identical(self):
+        assert symmetric_difference([1, 2, 3], [1, 2, 3]) == []
+
+    def test_symmetric_difference_all_differ(self):
+        assert symmetric_difference([1, 2, 3], [0, 0, 0]) == [0, 1, 2]
+
+    def test_symmetric_difference_empty_and_single(self):
+        assert symmetric_difference([], []) == []
+        assert symmetric_difference([1], [0]) == [0]
+
+    def test_intersection_some(self):
+        assert intersection([1, 2, 3, 4, 5], [1, 0, 3, 0, 5]) == [0, 2, 4]
+
+    def test_intersection_none(self):
+        assert intersection([1, 2, 3], [0, 0, 0]) == []
+
+    def test_intersection_all(self):
+        assert intersection([1, 2, 3], [1, 2, 3]) == [0, 1, 2]
+
+    def test_intersection_empty_and_single(self):
+        assert intersection([], []) == []
+        assert intersection([1], [1]) == [0]
+
+    def test_intersection_large(self):
+        src = list(range(100))
+        dst = [i % 2 for i in range(100)]
+        assert intersection(src, dst) == [0, 1]
