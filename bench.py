@@ -138,6 +138,71 @@ def bench_suite(results: dict, meta: dict):
     timed("knn_brute", lambda: knn_brute(emb, qmat, qids, k=10))
 
 
+def bench_synth_graph(n_edges: int) -> dict:
+    """SpMV stress on a pure synthetic graph (no text kernel): shows the
+    iteration loop compute-bound, the regime a 100 TB corpus lives in.
+
+      RAY_GRAFT_SYNTH_EDGES=100000000 python bench.py --synth-graph
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from tldr_ray.graph import GraphEngine
+    from tldr_ray.graph.partition import build_shards
+    from tldr_ray.graph.engine import _shard_actor_cls
+
+    n_vertices = max(1000, n_edges // 16)
+    blocks = max(NCPU, 16)
+    per_block = n_edges // blocks
+
+    def gen(batch):
+        out = []
+        for bid in batch["id"].tolist():
+            rng = np.random.default_rng(1000 + bid)
+            src = rng.integers(0, n_vertices, per_block)
+            dst = rng.integers(0, n_vertices, per_block)
+            w = rng.random(per_block) + 0.01
+            out.append(pa.table({"src": src, "dst": dst, "weight": w}))
+        return pa.concat_tables(out)
+
+    shard_dir = f"/tmp/tldr_ray/synth_shards_{n_edges}_{NPARTS}"
+    import shutil
+
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    t0 = time.time()
+    actor_cls = _shard_actor_cls(0)
+    prestarted = [actor_cls.remote(p, NPARTS) for p in range(NPARTS)]
+    edges = rd.range(blocks, override_num_blocks=blocks).map_batches(
+        gen, batch_format="numpy")
+    manifest = build_shards(edges, NPARTS, shard_dir)
+    build = time.time() - t0
+    t0 = time.time()
+    eng = GraphEngine(shard_dir, NPARTS, _prestarted=prestarted)
+    setup = time.time() - t0
+    t0 = time.time()
+    _, _, info = eng.pagerank(tolerance=1e-9, max_iterations=20)
+    loop = time.time() - t0
+    eng.shutdown()
+    return {
+        "metric": "synthetic_graph_spmv",
+        "value": round(loop, 3),
+        "unit": "sec",
+        "n_edges": manifest["n_edges"],
+        "n_vertices": manifest["n_vertices"],
+        "build_sec": round(build, 3),
+        "setup_sec": round(setup, 3),
+        "iterations": info["iterations"],
+        "sec_per_iteration": info["sec_per_iteration"],
+        "edges_processed_per_sec": int(manifest["n_edges"] /
+                                       info["sec_per_iteration"])
+        if info["sec_per_iteration"] else 0,
+        "num_cpus": NCPU,
+        "num_partitions": NPARTS,
+    }
+
+
 def run_once(headline_only: bool) -> dict:
     import ray
 
@@ -217,6 +282,20 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--synth-graph" in sys.argv:
+        import ray
+
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            out = bench_synth_graph(
+                int(os.environ.get("RAY_GRAFT_SYNTH_EDGES", "100000000")))
+        finally:
+            ray.shutdown()
+        print(json.dumps(out))
     else:
         headline_only = os.environ.get("RAY_GRAFT_HEADLINE_ONLY") == "1"
         print(json.dumps(run_once(headline_only)))

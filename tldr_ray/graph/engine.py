@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 import uuid
 
 import numpy as np
@@ -365,11 +366,13 @@ class GraphEngine:
 
         delta = np.inf
         it = start_iter
+        iter_secs: list[float] = []
         # bootstrap round: every shard emits its first message set
         outs = ray.get([s.pr_messages.remote() for s in self.shards])
         dangling_total = sum(o[0] for o in outs)
         masses = [o[1] for o in outs]
         while delta > tolerance and it < max_iterations:
+            _t = _time.time()
             step = ray.get([
                 self.shards[q].pr_step.remote(
                     [masses[p][q] for p in range(self.P)],
@@ -380,11 +383,18 @@ class GraphEngine:
             dangling_total = sum(s_[1] for s_ in step)
             masses = [s_[2] for s_ in step]
             it += 1
+            iter_secs.append(round(_time.time() - _t, 4))
             if checkpoint_every and checkpoint_dir and it % checkpoint_every == 0:
                 self._checkpoint(checkpoint_dir, it, "f8")
 
         ids, scores = self._collect(np.float64)
-        return ids, scores, {"iterations": it, "converged": delta <= tolerance}
+        return ids, scores, {
+            "iterations": it,
+            "converged": delta <= tolerance,
+            "iter_secs": iter_secs,
+            "sec_per_iteration": round(float(np.mean(iter_secs)), 4)
+            if iter_secs else 0.0,
+        }
 
     def connected_components(self, max_iterations: int = 200):
         """Min-vertex-id label fixpoint. Supply symmetrized edges for
