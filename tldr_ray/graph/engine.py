@@ -348,11 +348,17 @@ class GraphEngine:
         (see kernel.pagerank_ref)."""
         import ray
 
+        from tldr_ray.state import read_manifest
+
         start_iter = 0
-        if resume and checkpoint_dir and os.path.exists(
-                f"{checkpoint_dir}/manifest.json"):
-            with open(f"{checkpoint_dir}/manifest.json") as f:
-                ck = json.load(f)
+        ck = read_manifest(checkpoint_dir) if (resume and checkpoint_dir) \
+            else None
+        if ck is not None:
+            if ck["num_partitions"] != self.P or ck["n_total"] != self.n_total:
+                raise ValueError(
+                    "checkpoint lineage mismatch: manifest "
+                    f"(P={ck['num_partitions']}, n={ck['n_total']}) vs engine "
+                    f"(P={self.P}, n={self.n_total}) — refusing to resume")
             start_iter = ck["iteration"]
             ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
                                          "f8") for s in self.shards])
@@ -436,19 +442,18 @@ class GraphEngine:
     def _checkpoint(self, checkpoint_dir: str, iteration: int, dtype: str):
         import ray
 
+        from tldr_ray.state import write_manifest
+
         d = f"{checkpoint_dir}/iter={iteration}"
         counts = ray.get([s.write_state.remote(d, dtype) for s in self.shards])
-        manifest = {
+        write_manifest(checkpoint_dir, {
             "iteration": iteration,
             "n_total": self.n_total,
             "num_partitions": self.P,
             "rows_per_part": counts,
             "shard_dir": self.shard_dir,
-        }
-        tmp = f"{checkpoint_dir}/manifest.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, f"{checkpoint_dir}/manifest.json")
+            "n_edges": self.manifest.get("n_edges"),
+        })
 
     def _collect(self, dtype):
         import ray
