@@ -28,6 +28,31 @@ class TestDistanceProperties:
         assert distance(a, b) <= distance_upper_bound(la, lb) + 1e-12
 
 
+class TestPairwiseBoundSoundness:
+    @given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                                   max_codepoint=126),
+                            min_size=0, max_size=30),
+                    min_size=2, max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def test_bound_dominates_distance_ascii(self, sens):
+        from tldr_ray.kernel.dedup import _pairwise_jaro_bound
+
+        bound = _pairwise_jaro_bound(sens)
+        for i in range(len(sens)):
+            for j in range(i + 1, len(sens)):
+                assert distance(sens[i], sens[j]) <= bound[i, j] + 1e-12
+
+    @given(st.lists(st.text(max_size=20), min_size=2, max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_bound_dominates_distance_unicode(self, sens):
+        from tldr_ray.kernel.dedup import _pairwise_jaro_bound
+
+        bound = _pairwise_jaro_bound(sens)
+        for i in range(len(sens)):
+            for j in range(i + 1, len(sens)):
+                assert distance(sens[i], sens[j]) <= bound[i, j] + 1e-12
+
+
 class TestUniqProperties:
     @given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
                              min_size=1, max_size=4), max_size=8),

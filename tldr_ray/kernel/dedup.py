@@ -21,7 +21,52 @@ nothing is rejected (including the reference's own golden corpus
 
 from __future__ import annotations
 
+import numpy as np
+
 from tldr_ray.kernel.distance import distance, distance_upper_bound
+
+
+def _pairwise_jaro_bound(msens: list[str]) -> np.ndarray:
+    """EXACT per-pair upper bound on ``distance`` (the Jaro variant).
+
+    Per character value c, the match count m gains at most one increment
+    per s1 rune (the branches are exclusive per i), each else-branch
+    increment consumes a fresh flagged s2 position, and the DIAGONAL
+    branch (util.go:68-72) increments WITHOUT flag guards — an already
+    else-matched s2 position can be counted twice. Hence per char
+    m(c) <= min(h_s1(c), 2*h_s2(c)) with s1 the byte-shorter string, and
+    m <= L1 overall; the score (m/L1 + m/L2 + (m-t)/m)/3 is then bounded
+    by (b/L1 + b/L2 + 1)/3 with b = min(sum_c min(h_s1, 2*h_s2), L1).
+    ASCII-only (non-ASCII codepoints can equal continuation bytes,
+    breaking the histogram argument) — other pairs fall back to the
+    length-ratio bound. Pruned pairs skip the O(n*window) scan with no
+    semantic change.
+    """
+    n = len(msens)
+    lowered = [s.lower().encode("utf-8") for s in msens]
+    lens = np.array([len(b) for b in lowered], dtype=np.float64)
+    is_ascii = np.array([s.lower().isascii() for s in msens])
+    hist = np.zeros((n, 256), dtype=np.int32)
+    for i, b in enumerate(lowered):
+        if len(b):
+            hist[i] = np.bincount(np.frombuffer(b, dtype=np.uint8),
+                                  minlength=256)
+    lmin = np.minimum(lens[:, None], lens[None, :])
+    lmax = np.maximum(lens[:, None], lens[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio_bound = (2.0 + lmin / lmax) / 3.0
+        # D[i, j] = sum_c min(h_i(c), 2*h_j(c))  (i in the "short" role)
+        d = np.zeros((n, n))
+        for lo in range(0, n, 64):  # row blocks cap the n*n*256 intermediate
+            hi = min(lo + 64, n)
+            d[lo:hi] = np.minimum(hist[lo:hi, None, :],
+                                  2 * hist[None, :, :]).sum(axis=2)
+        short_is_row = lens[:, None] <= lens[None, :]
+        b = np.where(short_is_row, d, d.T)
+        b = np.minimum(b, lmin)
+        bound = (b / lmin + b / lmax + 1.0) / 3.0
+    usable = is_ascii[:, None] & is_ascii[None, :] & (lmin > 0)
+    return np.where(usable, bound, np.where(lmax > 0, ratio_bound, 1.0))
 
 
 def uniq_sentence_indices(token_lists: list[list[str]], threshold: float) -> list[int]:
@@ -30,17 +75,15 @@ def uniq_sentence_indices(token_lists: list[list[str]], threshold: float) -> lis
     n = len(msens)
     reject: set[int] = set()
 
-    # byte lengths after lowercasing, for the exact length-ratio bound
-    # (the O(n^2) Jaro pass dominates kernel cost; most pairs are pruned)
-    blen = [len(s.lower().encode("utf-8")) for s in msens]
+    # exact upper bounds prune most of the O(n^2) Jaro pass
+    bound = _pairwise_jaro_bound(msens) if n > 1 else None
 
     for i in range(n - 1):
         if i in reject:
             continue
         sen = msens[i]
-        li = blen[i]
         for j in range(i + 1, n):
-            if j in reject or distance_upper_bound(li, blen[j]) < threshold:
+            if j in reject or bound[i, j] < threshold:
                 continue
             if distance(sen, msens[j]) >= threshold:
                 reject.add(j)
