@@ -348,23 +348,23 @@ def events_hourly(sf_dir: str):
 def events_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min splits); ordered map_groups
     with incremental state, SQL oracle via lag()+cumsum window."""
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    from tldr_ray.stages.windows import session_windows
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype(np.int64) + 1
-        g = g.assign(session_id=sid)
-        out = g.groupby("session_id").agg(
-            n_events=("ts", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    return session_windows(_read(sf_dir, "events", ["user_id", "ts"]),
+                           key_col="user_id", ts_col="ts", gap_s=1800)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+def events_sliding_30m(sf_dir: str):
+    """30-min windows sliding by 15 min: each event lands in 2 windows
+    (vectorized replication), then a tiny groupby; SQL oracle unions two
+    tumbling offsets."""
+    from ray.data.aggregate import Count
+    from tldr_ray.stages.windows import assign_sliding
+
+    ds = _read(sf_dir, "events", ["ts"])
+    win = assign_sliding(ds, ts_col="ts", size_s=1800, step_s=900,
+                         keep=[])
+    return win.groupby("window_start").aggregate(Count(alias_name="n_events"))
 
 
 def top_users_by_value(sf_dir: str):
@@ -583,6 +583,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_sliding_30m": events_sliding_30m,
     "events_cooccurrence_pairs": events_cooccurrence_pairs,
     "top_users_by_value": top_users_by_value,
     "tpch_q1": tpch_q1,
@@ -712,6 +713,16 @@ ORACLE_SQL = {
                min(ts) AS session_start, max(ts) AS session_end
         FROM sessions
         GROUP BY 1, 2
+    """,
+    "events_sliding_30m": """
+        SELECT CAST(to_timestamp(k * 900) AS TIMESTAMP) AS window_start,
+               count(*) AS n_events
+        FROM (
+            SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS k FROM events
+            UNION ALL
+            SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) - 1 FROM events
+        )
+        GROUP BY 1
     """,
     "top_users_by_value": """
         SELECT user_id,

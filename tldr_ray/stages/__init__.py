@@ -27,6 +27,11 @@ from tldr_ray.stages.multimodal import (
     sample_frames,
     synth_media_table,
 )
+from tldr_ray.stages.windows import (
+    assign_tumbling,
+    assign_sliding,
+    session_windows,
+)
 
 __all__ = [
     "split_turns_batch", "split_documents_batch",
@@ -37,4 +42,5 @@ __all__ = [
     "language_id", "quality_scores", "token_counts", "fingerprints",
     "broadcast_lookup", "bucketed_hash_join",
     "extract_media_features", "sample_frames", "synth_media_table",
+    "assign_tumbling", "assign_sliding", "session_windows",
 ]
