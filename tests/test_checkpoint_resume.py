@@ -58,19 +58,46 @@ def test_resume_bit_identical(star_edges, tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_shard_build_is_resumable_layout(star_edges, tmp_path):
-    """build_shards writes one atomic file per partition + manifest —
-    the resumable-output contract (no giant single file)."""
+    """Both shard layouts write atomic per-partition output + a manifest
+    — the resumable-output contract (no giant single file)."""
     from tldr_ray.graph.partition import build_shards
     import json
 
-    d = str(tmp_path / "s")
-    man = build_shards(star_edges, 4, d)
-    assert sorted(os.listdir(f"{d}/edges")) == [f"part={p}.parquet"
-                                                for p in range(4)]
-    assert sorted(os.listdir(f"{d}/vertices")) == [f"part={p}.parquet"
-                                                   for p in range(4)]
+    d = str(tmp_path / "scatter")
+    man = build_shards(star_edges, 4, d)   # default: map-side scatter
+    assert sorted(os.listdir(f"{d}/edges")) == [f"part={p}" for p in range(4)]
+    assert all(f.endswith(".parquet")
+               for f in os.listdir(f"{d}/edges/part=0"))
     with open(f"{d}/manifest.json") as f:
         on_disk = json.load(f)
     assert on_disk["n_edges"] == 400
-    assert on_disk["n_vertices"] == 40
+    assert on_disk["layout"] == "scatter"
     assert man["num_partitions"] == 4
+
+    d2 = str(tmp_path / "sort")
+    man2 = build_shards(star_edges, 4, d2, method="sort")
+    assert sorted(os.listdir(f"{d2}/edges")) == [f"part={p}.parquet"
+                                                 for p in range(4)]
+    assert man2["n_edges"] == 400
+    assert man2["n_vertices"] == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scatter_and_sort_layouts_agree(star_edges, tmp_path):
+    """The two physical shuffles produce the same logical graph."""
+    import numpy as np
+    from tldr_ray.graph import GraphEngine
+    from tldr_ray.graph.partition import build_shards
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_shards(star_edges, 3, a, method="scatter")
+    build_shards(star_edges, 3, b, method="sort")
+    ea = GraphEngine(a)
+    ra = ea.pagerank(tolerance=1e-10)
+    ea.shutdown()
+    eb = GraphEngine(b)
+    rb = eb.pagerank(tolerance=1e-10)
+    eb.shutdown()
+    assert np.array_equal(ra[0], rb[0])
+    np.testing.assert_allclose(ra[1], rb[1], atol=1e-12)

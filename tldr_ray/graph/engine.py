@@ -80,19 +80,77 @@ def _shard_actor_cls(num_cpus: float = 0):
             if shard_dir is not None:
                 self.load(shard_dir)
 
+        @staticmethod
+        def _read_part(base: str):
+            """Read a partition written by either shard layout: a single
+            ``part=<p>.parquet`` file (sort) or a ``part=<p>/`` directory
+            of scatter files. Single-threaded reads: P actors already
+            saturate the node; per-actor Arrow thread pools (default =
+            all cores) thrash."""
+            f = f"{base}.parquet"
+            if os.path.isfile(f):
+                return pq.read_table(f, use_threads=False)
+            files = sorted(os.listdir(base)) if os.path.isdir(base) else []
+            tabs = [pq.read_table(f"{base}/{name}", use_threads=False)
+                    for name in files if name.endswith(".parquet")]
+            if not tabs:
+                return None
+            return pa.concat_tables(tabs)
+
         def load(self, shard_dir: str):
             part = self.part
-            # single-threaded reads: P actors already saturate the node;
-            # per-actor Arrow thread pools (default = all cores) thrash
-            et = pq.read_table(f"{shard_dir}/edges/part={part}.parquet",
-                               use_threads=False)
-            vt = pq.read_table(f"{shard_dir}/vertices/part={part}.parquet",
-                               use_threads=False)
-            self.verts = np.asarray(vt["vertex"], dtype=np.int64)  # sorted
-            src = np.asarray(et["src"], dtype=np.int64)
-            dst = np.asarray(et["dst"], dtype=np.int64)
-            w = np.asarray(et["weight"], dtype=np.float64)
+            et = self._read_part(f"{shard_dir}/edges/part={part}")
+            vt = self._read_part(f"{shard_dir}/vertices/part={part}")
+            if vt is None:
+                verts = np.zeros(0, dtype=np.int64)
+            else:
+                # scatter layout carries per-batch duplicates; dedup+sort
+                verts = np.unique(np.asarray(vt["vertex"], dtype=np.int64))
+            if et is None:
+                src = dst = np.zeros(0, dtype=np.int64)
+                w = np.zeros(0, dtype=np.float64)
+            else:
+                # edge order within the shard is whatever the (sorted)
+                # file listing yields — the SpMV kernels are order-free
+                # (bincount scatter), and determinism per shard_dir holds
+                # because the listing is sorted; no O(E log E) sort here
+                src = np.asarray(et["src"], dtype=np.int64)
+                dst = np.asarray(et["dst"], dtype=np.int64)
+                w = np.asarray(et["weight"], dtype=np.float64)
+            self._build(src, dst, w, verts)
 
+        # -- push-based streaming ingest (no disk round-trip) ----------
+        def ingest(self, src, dst, w, vert_candidates) -> int:
+            """Accumulate a scatter slice shipped directly from a build
+            task (push shuffle). Arrays arrive as zero-copy NumPy views
+            over plasma."""
+            if not hasattr(self, "_chunks"):
+                self._chunks = []
+                self._vchunks = []
+            self._chunks.append((np.asarray(src), np.asarray(dst),
+                                 np.asarray(w)))
+            self._vchunks.append(np.asarray(vert_candidates))
+            return len(src)
+
+        def finalize(self) -> int:
+            chunks = getattr(self, "_chunks", [])
+            vchunks = getattr(self, "_vchunks", [])
+            if chunks:
+                src = np.concatenate([c[0] for c in chunks])
+                dst = np.concatenate([c[1] for c in chunks])
+                w = np.concatenate([c[2] for c in chunks])
+            else:
+                src = dst = np.zeros(0, dtype=np.int64)
+                w = np.zeros(0, dtype=np.float64)
+            verts = np.unique(np.concatenate(vchunks)) if vchunks \
+                else np.zeros(0, dtype=np.int64)
+            self._chunks = []
+            self._vchunks = []
+            self._build(src, dst, w, verts)
+            return int(verts.size)
+
+        def _build(self, src, dst, w, verts):
+            self.verts = verts
             n_local = self.verts.size
             src_local = np.searchsorted(self.verts, src)
             outbound = np.bincount(src_local, weights=w, minlength=n_local) \
@@ -315,6 +373,71 @@ class GraphEngine:
             cls = _shard_actor_cls(cpus_per_shard)
             self.shards = [cls.remote(p, self.P, shard_dir)
                            for p in range(self.P)]
+        self._exchange_vocabs()
+
+    @classmethod
+    def from_edges_streaming(cls, edges, num_partitions: int = 8,
+                             symmetrize: bool = False):
+        """Push-based shuffle straight into the actor pool: the Ray Data
+        build tasks scatter each batch by destination partition and ship
+        the slices to the shard actors as they stream through — no
+        parquet write + reload round-trip, no all-to-all sort. The
+        ``ray.get`` on the pushes inside each task is the backpressure.
+        Use ``build_shards`` + ``GraphEngine(shard_dir)`` instead when a
+        re-loadable on-disk graph layout is wanted (resume across driver
+        restarts); iterative-state checkpointing works identically in
+        both modes."""
+        import ray
+
+        P = num_partitions
+        actor_cls = _shard_actor_cls(0)
+        shards = [actor_cls.remote(p, P) for p in range(P)]
+
+        def push(batch: pa.Table) -> pa.Table:
+            src = np.asarray(batch["src"], dtype=np.int64)
+            dst = np.asarray(batch["dst"], dtype=np.int64)
+            w = np.asarray(batch["weight"], dtype=np.float64)
+            if symmetrize:
+                src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+                w = np.concatenate([w, w])
+            part = (vhash(src) % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            src, dst, w, part = src[order], dst[order], w[order], part[order]
+            lo = np.searchsorted(part, np.arange(P))
+            hi = np.searchsorted(part, np.arange(P) + 1)
+            v = np.unique(np.concatenate([src, dst]))
+            vpart = (vhash(v) % np.uint64(P)).astype(np.int64)
+            vorder = np.argsort(vpart, kind="stable")
+            v, vpart = v[vorder], vpart[vorder]
+            vlo = np.searchsorted(vpart, np.arange(P))
+            vhi = np.searchsorted(vpart, np.arange(P) + 1)
+            futures = []
+            for p in range(P):
+                if hi[p] == lo[p] and vhi[p] == vlo[p]:
+                    continue
+                sl = slice(lo[p], hi[p])
+                futures.append(shards[p].ingest.remote(
+                    src[sl], dst[sl], w[sl], v[vlo[p]:vhi[p]]))
+            n = np.int64(sum(ray.get(futures))) if futures else np.int64(0)
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        counts = edges.map_batches(push, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
+        n_edges = int(counts["n"].sum()) if len(counts) else 0
+        ray.get([s.finalize.remote() for s in shards])
+
+        eng = cls.__new__(cls)
+        eng.P = P
+        eng.shard_dir = None
+        eng.manifest = {"num_partitions": P, "layout": "streaming",
+                        "symmetrized": symmetrize, "n_edges": n_edges}
+        eng.shards = shards
+        eng._exchange_vocabs()
+        return eng
+
+    def _exchange_vocabs(self):
+        import ray
+
         vocabs = ray.get([s.publish_vocabs.remote() for s in self.shards])
         ray.get([
             self.shards[q].register_incoming.remote(

@@ -46,17 +46,30 @@ def _atomic_write(table: pa.Table, path: str) -> None:
 
 
 def build_shards(edges, num_partitions: int, out_dir: str,
-                 symmetrize: bool = False) -> dict:
+                 symmetrize: bool = False, method: str = "scatter") -> dict:
     """Partition an edge Dataset into CSR shard files + vertex ownership.
 
-    Layout under ``out_dir``:
-      edges/part=<p>.parquet     (src, dst, weight) sorted by src
-      vertices/part=<p>.parquet  (vertex) sorted — owned vertices
-      manifest.json              partition count + per-part row counts
+    Two physical strategies, identical logical result:
+
+    - ``method="scatter"`` (default): map-side shuffle-to-disk. Each
+      map_batches task splits its batch by destination partition and
+      appends one file per touched partition
+      (``edges/part=<p>/<digest>.parquet``); vertex candidates go to
+      ``vertices/part=<q>/...`` the same way (per-batch distinct; the
+      shard loader dedups and sorts). NO all-to-all sort anywhere — the
+      only data movement is a streaming write, which is how external
+      shuffles behave on a real cluster. File names are content digests,
+      so task retries overwrite their own output (idempotent).
+    - ``method="sort"``: classic groupby shuffle producing exactly one
+      sorted file per partition (``edges/part=<p>.parquet``). Fewer,
+      bigger files; two all-to-all sorts.
 
     ``symmetrize=True`` unions both edge directions first (connected
     components / LPA treat the graph as undirected).
     """
+    if method == "scatter":
+        return _build_shards_scatter(edges, num_partitions, out_dir,
+                                     symmetrize)
     P = num_partitions
     os.makedirs(f"{out_dir}/edges", exist_ok=True)
     os.makedirs(f"{out_dir}/vertices", exist_ok=True)
@@ -138,6 +151,7 @@ def build_shards(edges, num_partitions: int, out_dir: str,
 
     manifest = {
         "num_partitions": P,
+        "layout": "sort",
         "symmetrized": symmetrize,
         "n_edges": int(edge_manifest["n_edges"].sum()) if len(edge_manifest) else 0,
         "n_vertices": int(vertex_manifest["n_vertices"].sum()) if len(vertex_manifest) else 0,
@@ -145,6 +159,80 @@ def build_shards(edges, num_partitions: int, out_dir: str,
                                for r in edge_manifest.itertuples()},
         "vertex_rows_per_part": {int(r.part): int(r.n_vertices)
                                  for r in vertex_manifest.itertuples()},
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def _build_shards_scatter(edges, num_partitions: int, out_dir: str,
+                          symmetrize: bool) -> dict:
+    P = num_partitions
+    for p in range(P):
+        os.makedirs(f"{out_dir}/edges/part={p}", exist_ok=True)
+        os.makedirs(f"{out_dir}/vertices/part={p}", exist_ok=True)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        src = np.asarray(batch["src"], dtype=np.int64)
+        dst = np.asarray(batch["dst"], dtype=np.int64)
+        w = np.asarray(batch["weight"], dtype=np.float64)
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            w = np.concatenate([w, w])
+        # deterministic digest of this batch's full content -> idempotent
+        # retries (a retried task rewrites the same paths); distinct
+        # batches with bit-identical (src, dst, weight) content would
+        # collide, which no real edge source produces
+        digest = hashlib.blake2b(
+            src.tobytes() + dst.tobytes() + w.tobytes(),
+            digest_size=10).hexdigest()
+
+        part = (vhash(src) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        src_s, dst_s, w_s, part_s = src[order], dst[order], w[order], part[order]
+        lo = np.searchsorted(part_s, np.arange(P))
+        hi = np.searchsorted(part_s, np.arange(P) + 1)
+        out_part, out_n = [], []
+        for p in range(P):
+            if hi[p] == lo[p]:
+                continue
+            sl = slice(lo[p], hi[p])
+            _atomic_write(
+                pa.table({"src": src_s[sl], "dst": dst_s[sl],
+                          "weight": w_s[sl]}),
+                f"{out_dir}/edges/part={p}/{digest}.parquet")
+            out_part.append(p)
+            out_n.append(hi[p] - lo[p])
+
+        v = np.unique(np.concatenate([src, dst]))
+        vpart = (vhash(v) % np.uint64(P)).astype(np.int64)
+        vorder = np.argsort(vpart, kind="stable")
+        v_s, vp_s = v[vorder], vpart[vorder]
+        vlo = np.searchsorted(vp_s, np.arange(P))
+        vhi = np.searchsorted(vp_s, np.arange(P) + 1)
+        for q in range(P):
+            if vhi[q] == vlo[q]:
+                continue
+            _atomic_write(pa.table({"vertex": v_s[vlo[q]:vhi[q]]}),
+                          f"{out_dir}/vertices/part={q}/{digest}.parquet")
+
+        return pa.table({"part": pa.array(out_part, pa.int64()),
+                         "n_edges": pa.array(out_n, pa.int64())})
+
+    # batch_size=None -> one batch per block -> one file per (block, part)
+    counts = edges.map_batches(scatter, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    per_part = counts.groupby("part")["n_edges"].sum().to_dict() \
+        if len(counts) else {}
+    manifest = {
+        "num_partitions": P,
+        "layout": "scatter",
+        "symmetrized": symmetrize,
+        "n_edges": int(counts["n_edges"].sum()) if len(counts) else 0,
+        "n_vertices": None,   # derived at load (per-shard unique)
+        "edge_rows_per_part": {int(k): int(v) for k, v in per_part.items()},
     }
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2)
