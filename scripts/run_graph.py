@@ -42,6 +42,11 @@ def main() -> None:
                    help="only used when no Ray cluster is reachable")
     args = p.parse_args()
 
+    if not os.path.exists(args.transcripts):
+        print(f"error: --transcripts path not found: {args.transcripts}",
+              file=sys.stderr)
+        sys.exit(2)
+
     import ray
 
     if not ray.is_initialized():

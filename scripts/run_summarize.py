@@ -30,6 +30,10 @@ def main() -> None:
     p.add_argument("--num-cpus", type=int, default=0)
     args = p.parse_args()
 
+    if not os.path.exists(args.input):
+        print(f"error: --input path not found: {args.input}", file=sys.stderr)
+        sys.exit(2)
+
     import ray
 
     if not ray.is_initialized():

@@ -411,6 +411,37 @@ def knn_multi_query(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def sample_docs_25pct(sf_dir: str):
+    """Deterministic content-hash sampling (reproducible across engines):
+    keep docs whose md5 hex starts with 0-3 (~25%). The same rule is
+    exactly expressible in SQL, so the sample SET matches bit-for-bit —
+    the property that makes hash sampling the right tool for resumable
+    pipelines (vs rng-state sampling)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        keep = [hashlib.md5((t or "").encode()).hexdigest()[0] in "0123"
+                for t in texts]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 2 longest docs per language (ties -> doc_id asc)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True]).head(2)
+        return g[["lang", "doc_id", "n_chars"]]
+
+    return ds.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) pipelines
 # ---------------------------------------------------------------------------
@@ -559,6 +590,17 @@ def quality_scores_docs(sf_dir: str):
          "punct_ratio", "digit_ratio", "quality_score"])
 
 
+def curate_documents_pipeline(sf_dir: str):
+    """End-to-end curation: quality gate -> exact dedup -> near dedup ->
+    hash sample (pipelines.curation). Returns the curated id set."""
+    from tldr_ray.pipelines.curation import curate_documents
+
+    curated, _ = curate_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_quality=0.2, near_dup_threshold=0.8)
+    return curated.select_columns(["doc_id"])
+
+
 def media_features_demo(sf_dir: str):
     """Multimodal plumbing demo (synthetic payloads; decode is the
     documented stub — sf_dir unused by design)."""
@@ -590,6 +632,8 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "embedding_top10_cosine": embedding_top10_cosine,
     "knn_multi_query": knn_multi_query,
+    "sample_docs_25pct": sample_docs_25pct,
+    "top_docs_per_lang": top_docs_per_lang,
     # rows-only (iterative / model-like; parity enforced by pytest oracles)
     "summarize_documents_k3": summarize_documents_k3,
     "summarize_centrality_k3": summarize_centrality_k3,
@@ -606,6 +650,7 @@ QUERIES = {
     "language_id_docs": language_id_docs,
     "quality_scores_docs": quality_scores_docs,
     "media_features_demo": media_features_demo,
+    "curate_documents_pipeline": curate_documents_pipeline,
 }
 
 ORACLE_SQL = {
@@ -731,6 +776,18 @@ ORACLE_SQL = {
         GROUP BY user_id
         ORDER BY total_cents DESC, user_id
         LIMIT 10
+    """,
+    "sample_docs_25pct": """
+        SELECT doc_id FROM documents
+        WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+    """,
+    "top_docs_per_lang": """
+        SELECT lang, doc_id, n_chars
+        FROM (SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 2
     """,
     "knn_multi_query": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
