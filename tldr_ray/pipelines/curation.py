@@ -26,11 +26,15 @@ from tldr_ray.stages.text_analysis import quality_scores
 def curate_documents(docs, id_col: str = "doc_id", text_col: str = "text",
                      min_quality: float = 0.3, near_dup_threshold: float = 0.8,
                      sample_hex_prefixes: str = "0123456789abcdef",
+                     quality_concurrency: int = 2,
                      out_dir: str | None = None):
     """Returns (curated Dataset, report dict).
 
     ``sample_hex_prefixes``: md5-first-hex-digit keep set ("0123" = ~25%
     deterministic sample; default keeps everything).
+    ``quality_concurrency``: size of the scoring actor pool — it must
+    leave CPUs for the feeding read tasks or the pipeline deadlocks
+    (a pool that reserves every CPU starves its own input).
     """
     import ray
 
@@ -38,7 +42,7 @@ def curate_documents(docs, id_col: str = "doc_id", text_col: str = "text",
 
     # 1. quality gate (vectorized scoring in an actor pool)
     scored = quality_scores(docs.select_columns([id_col, text_col]),
-                            concurrency=4)
+                            concurrency=quality_concurrency)
 
     def quality_gate(batch: pa.Table) -> pa.Table:
         q = np.asarray(batch["quality_score"], dtype=np.float64)
