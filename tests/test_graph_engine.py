@@ -207,3 +207,19 @@ class TestStarHubSkew:
             np.array([e[1] for e in star]),
             np.array([e[2] for e in star]))
         np.testing.assert_allclose(r8[1], o_scores, atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCentrality:
+    def test_matches_kernel_tie_break(self):
+        from tldr_ray.graph import centrality_ranks
+        from tldr_ray.kernel.lexrank import centrality_rank
+
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, 30, 200)
+        dst = rng.integers(0, 30, 200)
+        w = rng.integers(1, 20, 200).astype(float)
+        out = centrality_ranks(edge_ds(list(zip(src.tolist(), dst.tolist(),
+                                                w.tolist())))).to_pandas()
+        want = centrality_rank(src, dst, w, exact_tie_order=False)
+        assert out["vertex"].tolist() == want.tolist()

@@ -1,8 +1,10 @@
 from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import GraphEngine, pagerank, connected_components, label_propagation
 from tldr_ray.graph.triangles import triangle_counts
+from tldr_ray.graph.centrality import centrality_ranks
 
 __all__ = [
+    "centrality_ranks",
     "vhash",
     "build_shards",
     "GraphEngine",

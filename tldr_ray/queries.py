@@ -519,6 +519,19 @@ def label_propagation_documents(sf_dir: str):
                      "label": pa.array(labels)})
 
 
+def centrality_documents_graph(sf_dir: str):
+    """Distributed O17: max-incident-weight ranking over the documents
+    transcript graph (deterministic engine tie-break)."""
+    from tldr_ray.graph import centrality_ranks
+    from tldr_ray.sources import documents_as_transcripts
+    from tldr_ray.stages.edges import transcript_graph
+
+    edges = transcript_graph(documents_as_transcripts(sf_dir),
+                             presplit_words=12).select_columns(
+        ["src", "dst", "weight"])
+    return centrality_ranks(edges)
+
+
 def triangle_counts_documents(sf_dir: str):
     from tldr_ray.graph import triangle_counts
     from tldr_ray.sources import documents_as_transcripts
@@ -642,6 +655,7 @@ QUERIES = {
     "connected_components_documents": connected_components_documents,
     "label_propagation_documents": label_propagation_documents,
     "triangle_counts_documents": triangle_counts_documents,
+    "centrality_documents_graph": centrality_documents_graph,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
