@@ -337,11 +337,19 @@ def events_hourly(sf_dir: str):
             }
         )
 
+    def recast(batch: pa.Table) -> pa.Table:
+        # Ray's hash aggregation narrows the whole-hour key to timestamp[s];
+        # restore the source table's microsecond unit for oracle parity.
+        return batch.set_column(
+            batch.schema.get_field_index("hour"), "hour",
+            batch["hour"].cast(pa.timestamp("us")))
+
     return (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby("hour")
         .aggregate(Count(alias_name="n_events"),
                    Sum("value_cents", alias_name="total_value_cents"))
+        .map_batches(recast, batch_format="pyarrow")
     )
 
 
@@ -687,13 +695,14 @@ ORACLE_SQL = {
         GROUP BY text
     """,
     "docs_by_lang": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n_events,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
         FROM events
         GROUP BY event_type
     """,
@@ -707,16 +716,16 @@ ORACLE_SQL = {
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_revenue_cents,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_revenue_cents,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
     "revenue_by_nation": """
         SELECT n.n_name AS n_name,
-               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -750,7 +759,7 @@ ORACLE_SQL = {
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour,
                count(*) AS n_events,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
         FROM events
         GROUP BY 1
     """,
@@ -764,8 +773,8 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sessions AS (
             SELECT user_id, ts,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM gaps
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -785,7 +794,7 @@ ORACLE_SQL = {
     """,
     "top_users_by_value": """
         SELECT user_id,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events
         GROUP BY user_id
         ORDER BY total_cents DESC, user_id
