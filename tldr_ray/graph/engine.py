@@ -44,6 +44,7 @@ rank/label vector; updates are deterministic).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time as _time
@@ -120,13 +121,33 @@ def _shard_actor_cls(num_cpus: float = 0):
             self._build(src, dst, w, verts)
 
         # -- push-based streaming ingest (no disk round-trip) ----------
-        def ingest(self, src, dst, w, vert_candidates) -> int:
+        def ingest(self, src, dst, w, vert_candidates,
+                   digest: bytes | None = None) -> int:
             """Accumulate a scatter slice shipped directly from a build
             task (push shuffle). Arrays arrive as zero-copy NumPy views
-            over plasma."""
+            over plasma.
+
+            ``digest`` is a content digest of the WHOLE source batch the
+            slice came from: if Ray retries a push task after some of its
+            ingest() calls already landed (worker died mid-task), the
+            retried calls carry the same digest and are dropped here, so
+            retries are idempotent — mirroring the scatter layout, whose
+            content-digest filenames make file re-writes idempotent. Two
+            *byte-identical distinct* input blocks would collide, but the
+            builder digests the full pre-split batch (src+dst+w bytes),
+            so that requires two entire blocks to be byte-equal.
+            """
             if not hasattr(self, "_chunks"):
                 self._chunks = []
                 self._vchunks = []
+                self._seen_digests = set()
+            if digest is not None:
+                if digest in self._seen_digests:
+                    # duplicate delivery of the same batch slice (task
+                    # retry): count it (the retried task's return value
+                    # replaces the dead task's), but don't re-accumulate
+                    return len(src)
+                self._seen_digests.add(digest)
             self._chunks.append((np.asarray(src), np.asarray(dst),
                                  np.asarray(w)))
             self._vchunks.append(np.asarray(vert_candidates))
@@ -135,6 +156,7 @@ def _shard_actor_cls(num_cpus: float = 0):
         def finalize(self) -> int:
             chunks = getattr(self, "_chunks", [])
             vchunks = getattr(self, "_vchunks", [])
+            self._seen_digests = set()
             if chunks:
                 src = np.concatenate([c[0] for c in chunks])
                 dst = np.concatenate([c[1] for c in chunks])
@@ -397,6 +419,14 @@ class GraphEngine:
             src = np.asarray(batch["src"], dtype=np.int64)
             dst = np.asarray(batch["dst"], dtype=np.int64)
             w = np.asarray(batch["weight"], dtype=np.float64)
+            # Content digest of the whole pre-split batch: shards use it
+            # to drop duplicate deliveries when Ray retries this task
+            # after a partial-success worker failure (see ingest()).
+            h = hashlib.blake2b(digest_size=16)
+            h.update(src.tobytes())
+            h.update(dst.tobytes())
+            h.update(w.tobytes())
+            batch_digest = h.digest()
             if symmetrize:
                 src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
                 w = np.concatenate([w, w])
@@ -417,7 +447,8 @@ class GraphEngine:
                     continue
                 sl = slice(lo[p], hi[p])
                 futures.append(shards[p].ingest.remote(
-                    src[sl], dst[sl], w[sl], v[vlo[p]:vhi[p]]))
+                    src[sl], dst[sl], w[sl], v[vlo[p]:vhi[p]],
+                    digest=batch_digest))
             n = np.int64(sum(ray.get(futures))) if futures else np.int64(0)
             return pa.table({"n": pa.array([n], pa.int64())})
 
@@ -457,7 +488,7 @@ class GraphEngine:
         import ray  # noqa: F401
 
         work_dir = work_dir or f"/tmp/tldr_ray/graph-{uuid.uuid4().hex[:8]}"
-        actor_cls = _shard_actor_cls(0)
+        actor_cls = _shard_actor_cls(cpus_per_shard)
         prestarted = [actor_cls.remote(p, num_partitions)
                       for p in range(num_partitions)]
         build_shards(edges, num_partitions, work_dir, symmetrize=symmetrize)

@@ -560,10 +560,13 @@ def minhash_dedup_docs(sf_dir: str):
 
 
 def simhash_dedup_docs(sf_dir: str):
+    """max_hamming=3 -> 4 LSH tables; the band plan is derived from the
+    distance so the advertised recall contract actually holds (round-1's
+    fixed 4x16 scheme silently missed pairs at distance 4-8)."""
     from tldr_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
-                         max_hamming=8)
+                         max_hamming=3)
 
 
 def ngram_jaccard_docs(sf_dir: str):

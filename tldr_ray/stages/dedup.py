@@ -21,13 +21,49 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
+
+# byte-wise popcount table: hamming of uint64 arrays without Python loops
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain mixing constants) — used to
+    derive band-bucket keys from signature rows without per-row hashing."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def _content_hash_batch(texts: list[str]) -> list[str]:
     return [hashlib.blake2b((t or "").encode("utf-8"),
                             digest_size=16).hexdigest() for t in texts]
+
+
+def _string_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(data, offsets[int64, D+1]) — the raw UTF-8 buffer of an Arrow
+    string column, zero-copy (nulls become empty strings)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array([t or "" for t in texts], pa.string())
+    texts = pc.fill_null(texts, "")
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int32)
+    off = off[texts.offset : texts.offset + len(texts) + 1].astype(np.int64)
+    buf = texts.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.zeros(0, dtype=np.uint8)
+    return data, off
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -83,6 +119,42 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _corpus_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-window FNV-1a hashes for a whole batch of texts in one
+    vectorized pass over the Arrow string buffer (no per-doc Python loop;
+    hash values identical to ``_shingle_hashes`` minus the dedup/sort,
+    which MinHash minima don't need).
+
+    Returns (hashes uint64[W], n_windows int64[D]); every doc has >= 1
+    window (short docs are zero-padded to k bytes, matching
+    ``_shingle_hashes``).
+    """
+    data, off = _string_bytes(texts)
+    lens = np.diff(off)
+    starts = off[:-1].copy()
+    short = lens < k
+    if short.any():
+        # zero-pad short docs into an appendix after the shared buffer
+        idx = np.nonzero(short)[0]
+        app = b"".join(
+            data[off[i] : off[i + 1]].tobytes().ljust(k, b"\x00")
+            for i in idx)
+        starts[idx] = data.size + np.arange(idx.size, dtype=np.int64) * k
+        data = np.concatenate([data, np.frombuffer(app, dtype=np.uint8)])
+        lens = np.where(short, k, lens)
+    n_win = lens - k + 1
+    total = int(n_win.sum())
+    doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), n_win)
+    seg_start = np.cumsum(n_win) - n_win
+    win_pos = starts[doc_of] + (np.arange(total, dtype=np.int64)
+                                - seg_start[doc_of])
+    h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(k):
+        h = (h ^ data[win_pos + j].astype(np.uint64)) * prime
+    return h, n_win
+
+
 def _minhash_params(num_perm: int, seed: int = 1):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
@@ -102,68 +174,163 @@ def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarr
     return prod.min(axis=1)
 
 
+def _minhash_sigs_batch(hashes: np.ndarray, n_win: np.ndarray,
+                        a: np.ndarray, b: np.ndarray,
+                        perm_chunk: int = 16) -> np.ndarray:
+    """Per-doc MinHash signatures (D, num_perm) over the flattened window
+    hashes of a whole batch — segmented minima via ``minimum.reduceat``,
+    chunked over permutations to bound the (chunk, W) intermediate.
+    Identical values to per-doc ``_minhash_sig``."""
+    D, P = n_win.size, a.size
+    if hashes.size == 0:
+        return np.zeros((D, P), dtype=np.uint64)
+    x = hashes % np.uint64(_MERSENNE)
+    seg = np.cumsum(n_win) - n_win        # every segment non-empty
+    sig = np.empty((D, P), dtype=np.uint64)
+    for c in range(0, P, perm_chunk):
+        prod = a[c:c + perm_chunk, None] * x[None, :] + b[c:c + perm_chunk, None]
+        sig[:, c:c + perm_chunk] = np.minimum.reduceat(prod, seg, axis=1).T
+    return sig
+
+
+def _fixed_binary_matrix(arr, itemsize: int) -> np.ndarray:
+    """Zero-copy (n, itemsize//8) uint64 view over an Arrow binary column
+    whose values all have length ``itemsize`` bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    n = len(arr)
+    flat = data[off[0] : off[0] + n * itemsize]
+    return np.ascontiguousarray(flat).reshape(n, itemsize).view(np.uint64)
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangle index pairs (bucket sizes repeat heavily)."""
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        got = _TRIU_CACHE[n] = np.triu_indices(n, 1)
+    return got
+
+
+def _segment_pair_indices(sizes: np.ndarray, starts: np.ndarray,
+                          max_bucket: int):
+    """All within-segment (i, j) global index pairs for segments of the
+    given sizes, truncating each segment at ``max_bucket`` rows. Returns
+    (ia, ib, truncated_sizes) — truncated_sizes lists the ORIGINAL sizes
+    of segments that were cut, so callers can surface them."""
+    ia, ib, trunc = [], [], []
+    for s, st in zip(sizes.tolist(), starts.tolist()):
+        if s < 2:
+            continue
+        if s > max_bucket:
+            trunc.append(s)
+            s = max_bucket
+        ii, jj = _triu_pairs(s)
+        ia.append(ii + st)
+        ib.append(jj + st)
+    if not ia:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, trunc
+    return np.concatenate(ia), np.concatenate(ib), trunc
+
+
 def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.7, max_bucket: int = 200):
+                      threshold: float = 0.7, max_bucket: int = 200,
+                      num_partitions: int = 64):
     """Candidate near-dup pairs with MinHash-estimated Jaccard >= threshold.
 
     Returns Dataset (id_a, id_b, est_jaccard). Buckets larger than
     ``max_bucket`` are truncated deterministically (sorted ids) and
     flagged via a synthetic pair (id_a = id_b = -1, est = bucket size)
     so truncation is observable, never silent.
+
+    The shuffle groups rows by a COARSE partition key (``bucket %
+    num_partitions``), not by individual LSH bucket: most buckets are
+    singletons, and per-group invocation overhead on tens of thousands
+    of micro-groups dwarfs the real work. Each partition task re-sorts
+    its rows and sweeps every contained bucket vectorized.
     """
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm)
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = _minhash_sig(_shingle_hashes(t, shingle_k), a, b)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(band)
-                out_bh.append(bh)
-                out_sig.append(sig.tobytes())
+        """One fully-vectorized pass: corpus-level shingle hashing,
+        segmented-minimum signatures, splitmix-mixed band buckets. Emits
+        one row per (doc, band); the signature bytes ride along for the
+        in-bucket Jaccard estimate."""
+        D = batch.num_rows
+        if D == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h, n_win = _corpus_shingle_hashes(batch[text_col], shingle_k)
+        sig = _minhash_sigs_batch(h, n_win, a, b)          # (D, P)
+        # band buckets: salt each row position, mix, xor-reduce per band
+        sig3 = sig.reshape(D, bands, rows_per_band)
+        salt = (np.arange(rows_per_band, dtype=np.uint64) + np.uint64(1)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        bucket = _mix64(np.bitwise_xor.reduce(
+            _mix64(sig3 ^ salt[None, None, :]), axis=2))    # (D, bands)
+        sig_bytes = [sig[i].tobytes() for i in range(D)]
+        flat_bucket = bucket.reshape(-1)
         return pa.table(
             {
-                "id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bh, pa.string()),
-                "sig": pa.array(out_sig, pa.binary()),
+                "id": pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), D)),
+                "bucket": pa.array(flat_bucket.view(np.int64)),
+                "part": pa.array((flat_bucket % np.uint64(num_partitions))
+                                 .astype(np.int32)),
+                "sig": pa.array([s for s in sig_bytes for _ in range(bands)],
+                                pa.binary()),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id")
-        truncated = len(g) > max_bucket
-        g = g.head(max_bucket)
-        ids = g["id"].to_numpy(np.int64)
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        ra, rb, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                e = float((sigs[i] == sigs[j]).mean())
-                if e >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    est.append(e)
-        if truncated:
-            ra.append(-1)
-            rb.append(-1)
-            est.append(float(len(group)))
-        return pd.DataFrame({"id_a": np.asarray(ra, np.int64),
-                             "id_b": np.asarray(rb, np.int64),
-                             "est_jaccard": np.asarray(est, np.float64)})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """One call per coarse partition: sweep every (band, bucket)
+        segment it contains, fully vectorized."""
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group["id"], dtype=np.int64)
+        band = np.asarray(group["band"], dtype=np.int32)
+        buck = np.asarray(group["bucket"], dtype=np.int64)
+        order = np.lexsort((ids, buck, band))
+        ids, band, buck = ids[order], band[order], buck[order]
+        change = np.flatnonzero((band[1:] != band[:-1])
+                                | (buck[1:] != buck[:-1]))
+        starts = np.concatenate([[0], change + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        ia, ib, trunc = _segment_pair_indices(sizes, starts, max_bucket)
+        if ia.size == 0 and not trunc:
+            return empty
+        sigmat = _fixed_binary_matrix(group["sig"], num_perm * 8)[order]
+        est = (sigmat[ia] == sigmat[ib]).mean(axis=1)
+        keep = est >= threshold
+        ra, rb, re = ids[ia[keep]], ids[ib[keep]], est[keep]
+        if trunc:
+            t = np.asarray(trunc, dtype=np.float64)
+            ra = np.concatenate([ra, np.full(t.size, -1, np.int64)])
+            rb = np.concatenate([rb, np.full(t.size, -1, np.int64)])
+            re = np.concatenate([re, t])
+        return pa.table({"id_a": pa.array(ra), "id_b": pa.array(rb),
+                         "est_jaccard": pa.array(re)})
 
     pairs = (
         ds.select_columns([id_col, text_col])
         .map_batches(signatures, batch_format="pyarrow", batch_size=256)
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
     # a pair can surface from several bands -> dedupe on (id_a, id_b)
     return pairs.groupby(["id_a", "id_b"]).max("est_jaccard").map_batches(
@@ -176,72 +343,154 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _token_hashes(tokens) -> np.ndarray:
+    """uint64 hash per token, vectorized. polars (xxhash-family, fixed
+    seed, cross-process deterministic) when available; blake2b loop as a
+    portable fallback — the two produce DIFFERENT values, but simhash
+    only needs within-run consistency and polars is pinned here."""
+    try:
+        import polars as pl
+
+        return pl.from_arrow(tokens if isinstance(tokens, (pa.Array,
+                                                           pa.ChunkedArray))
+                             else pa.array(tokens, pa.string())) \
+            .hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover - polars is in the container
+        toks = tokens.to_pylist() if hasattr(tokens, "to_pylist") else tokens
+        return np.asarray(
+            [int.from_bytes(hashlib.blake2b((t or "").encode(),
+                                            digest_size=8).digest(), "little")
+             for t in toks], dtype=np.uint64)
+
+
+def _simhash_batch(texts) -> np.ndarray:
+    """SimHash64 per doc, fully vectorized: Arrow lower+whitespace-split,
+    one hash call for every token in the batch, bit-majority via
+    ``unpackbits`` + segmented ``add.reduceat``. Zero-token docs -> 0."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array([t or "" for t in texts], pa.string())
+    D = len(texts)
+    if D == 0:
+        return np.zeros(0, dtype=np.uint64)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # Arrow split emits empty boundary tokens ("  a " -> ['', 'a', '']);
+    # Python .split() doesn't — mask them out of the majority vote
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+    doc_of = doc_of[nonempty]
+    if doc_of.size == 0:
+        return np.zeros(D, dtype=np.uint64)
+    th = _token_hashes(flat.filter(pa.array(nonempty)))
+    bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)     # (T, 64)
+    n_tok = np.bincount(doc_of, minlength=D).astype(np.int64)
+    have = n_tok > 0
+    seg = (np.cumsum(n_tok) - n_tok)[have]
+    ones = np.add.reduceat(bits, seg, axis=0)                    # (D', 64)
+    sig = np.zeros(D, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    maj = (2 * ones > n_tok[have][:, None]).astype(np.uint64)    # strict >
+    sig[have] = np.bitwise_or.reduce(maj << shifts[None, :], axis=1)
+    return sig
+
+
 def _simhash64(text: str) -> int:
-    toks = (text or "").lower().split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                           "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(_simhash_batch([text])[0])
+
+
+def _simhash_band_plan(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per LSH table. ``max_hamming + 1`` tables split the
+    64 signature bits: a pair within hamming d <= max_hamming differs in
+    at most d bands, so it collides in at least one (pigeonhole) —
+    guaranteed recall for the advertised distance, at the cost of wider
+    buckets as max_hamming grows (width = 64 // tables)."""
+    n_tables = max_hamming + 1
+    widths = [64 // n_tables + (1 if i < 64 % n_tables else 0)
+              for i in range(n_tables)]
+    shifts = np.cumsum([0] + widths[:-1])
+    return list(zip(shifts.tolist(), widths))
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, max_bucket: int = 500):
+                  max_hamming: int = 3, max_bucket: int = 500,
+                  num_partitions: int = 64):
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    4-table LSH: any pair within distance 3 shares at least one of four
-    16-bit bands (pigeonhole), so candidates = same (table, band value).
+    Multi-table LSH with the table count DERIVED from ``max_hamming``
+    (max_hamming + 1 tables; pigeonhole guarantees every pair within the
+    advertised distance shares at least one band), so the operator's
+    "distance <= max_hamming" contract holds for any setting — larger
+    distances trade bucket width for that recall. Same coarse-partition
+    sweep as ``minhash_lsh_pairs`` (micro-group overhead dominates
+    otherwise).
     """
+    plan = _simhash_band_plan(max_hamming)
+
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_id, out_tab, out_band, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            s = _simhash64(t)
-            for tab in range(4):
-                out_id.append(i)
-                out_tab.append(tab)
-                out_band.append((s >> (16 * tab)) & 0xFFFF)
-                out_sig.append(s)
+        D = batch.num_rows
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sig = _simhash_batch(batch[text_col])
+        tabs, bands = [], []
+        for t, (shift, width) in enumerate(plan):
+            mask = np.uint64((1 << width) - 1)
+            bands.append((sig >> np.uint64(shift)) & mask)
+            tabs.append(np.full(D, t, dtype=np.int32))
+        T = len(plan)
+        band_flat = np.concatenate(bands)
+        tab_flat = np.concatenate(tabs)
+        part = (_mix64(band_flat ^ (tab_flat.astype(np.uint64)
+                                    * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(num_partitions)).astype(np.int32)
         return pa.table(
             {
-                "id": pa.array(out_id, pa.int64()),
-                "tab": pa.array(out_tab, pa.int32()),
-                "band": pa.array(out_band, pa.int64()),
-                "sig": pa.array(np.asarray(out_sig, dtype=np.uint64)),
+                "id": pa.array(np.tile(ids, T)),
+                "tab": pa.array(tab_flat),
+                "band": pa.array(band_flat.view(np.int64)),
+                "part": pa.array(part),
+                "sig": pa.array(np.tile(sig, T)),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id").head(max_bucket)
-        ids = g["id"].to_numpy(np.int64)
-        sigs = g["sig"].to_numpy(np.uint64)
-        ra, rb, dist = [], [], []
-        for i in range(len(ids)):
-            x = sigs[i] ^ sigs[i + 1 :]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            hit = np.nonzero(ham <= max_hamming)[0]
-            for off in hit:
-                ra.append(ids[i])
-                rb.append(ids[i + 1 + off])
-                dist.append(int(ham[off]))
-        return pd.DataFrame({"id_a": np.asarray(ra, np.int64),
-                             "id_b": np.asarray(rb, np.int64),
-                             "hamming": np.asarray(dist, np.int64)})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group["id"], dtype=np.int64)
+        tab = np.asarray(group["tab"], dtype=np.int32)
+        band = np.asarray(group["band"], dtype=np.int64)
+        sigs = np.asarray(group["sig"]).astype(np.uint64, copy=False)
+        order = np.lexsort((ids, band, tab))
+        ids, tab, band, sigs = ids[order], tab[order], band[order], sigs[order]
+        change = np.flatnonzero((tab[1:] != tab[:-1])
+                                | (band[1:] != band[:-1]))
+        starts = np.concatenate([[0], change + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        ia, ib, _ = _segment_pair_indices(sizes, starts, max_bucket)
+        if ia.size == 0:
+            return empty
+        ham = _popcount64(sigs[ia] ^ sigs[ib])
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[ia[keep]]),
+                         "id_b": pa.array(ids[ib[keep]]),
+                         "hamming": pa.array(ham[keep])})
 
     pairs = (
         ds.select_columns([id_col, text_col])
         .map_batches(signatures, batch_format="pyarrow", batch_size=512)
-        .groupby(["tab", "band"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
     )
     return pairs.groupby(["id_a", "id_b"]).min("hamming").map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
@@ -256,60 +505,127 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16,
-                        max_bucket: int = 200):
+                        max_bucket: int = 200, num_partitions: int = 64):
     """EXACT n-gram Jaccard pairs >= threshold, using MinHash-LSH only as
     the blocking stage (recall filter at a lower estimate cut), then
     re-computing true Jaccard on the shingle sets of surviving pairs.
 
-    Verification joins the candidate pairs back to the shingle sets via
-    a bucketed groupby on id (both sides), so no full text is broadcast.
-    """
-    import ray
+    Verification is fully distributed — no pair list or shingle map ever
+    materializes on the driver:
 
+    1. each candidate pair expands to one row per endpoint;
+    2. a coarse shuffle on ``endpoint id % num_partitions`` co-locates
+       pair rows with their documents' texts; each partition task
+       computes shingle sets ONCE per doc that actually appears in a
+       pair and attaches them (docs with no candidates shuffle their
+       text once and emit nothing — the price of driver-free
+       verification);
+    3. a second coarse shuffle on the pair key brings both endpoints'
+       sets together and computes true Jaccard.
+    """
     cand = minhash_lsh_pairs(ds, id_col, text_col, num_perm, bands, shingle_k,
                              threshold=max(0.3, threshold - 0.2),
-                             max_bucket=max_bucket)
-    cand_df = cand.to_pandas()
-    cand_df = cand_df[cand_df["id_a"] >= 0]
-    need = set(cand_df["id_a"]) | set(cand_df["id_b"])
-    pairs_ref = ray.put(cand_df[["id_a", "id_b"]].to_numpy(np.int64))
-    need_ref = ray.put(need)
+                             max_bucket=max_bucket,
+                             num_partitions=num_partitions)
+    NP = np.uint64(num_partitions)
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        needed = ray.get(need_ref)
-        ids, sets_ = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if i in needed:
-                ids.append(i)
-                sets_.append(_shingle_hashes(t, shingle_k).tobytes())
-        return pa.table({"id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(sets_, pa.binary())})
+    def expand(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0                      # drop truncation sentinels
+        a, b = a[keep], b[keep]
+        jid = np.concatenate([a, b])
+        return pa.table(
+            {
+                "jpart": pa.array((_mix64(jid.view(np.uint64)) % NP)
+                                  .astype(np.int32)),
+                "jid": pa.array(jid),
+                "id_a": pa.array(np.concatenate([a, a])),
+                "id_b": pa.array(np.concatenate([b, b])),
+                "text": pa.nulls(2 * a.size, pa.string()),
+            }
+        )
 
-    sh_df = (
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        jid = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                "jpart": pa.array((_mix64(jid.view(np.uint64)) % NP)
+                                  .astype(np.int32)),
+                "jid": pa.array(jid),
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": batch[text_col].cast(pa.string()),
+            }
+        )
+
+    both = cand.map_batches(expand, batch_format="pyarrow").union(
         ds.select_columns([id_col, text_col])
-        .map_batches(shingle_sets, batch_format="pyarrow")
-        .to_pandas()
-    )
-    sh_map = {i: np.frombuffer(s, dtype=np.uint64)
-              for i, s in zip(sh_df["id"], sh_df["sh"])}
-    pairs = ray.get(pairs_ref)
-    ra, rb, jac = [], [], []
-    for x, y in pairs:
-        sa, sb = sh_map.get(x), sh_map.get(y)
-        if sa is None or sb is None:
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            ra.append(x)
-            rb.append(y)
-            jac.append(j)
-    import ray.data as rd
+        .map_batches(doc_rows, batch_format="pyarrow"))
 
-    return rd.from_arrow(pa.table({"id_a": pa.array(ra, pa.int64()),
-                                   "id_b": pa.array(rb, pa.int64()),
-                                   "jaccard": pa.array(jac, pa.float64())}))
+    _ATT_EMPTY = {"ppart": pd.array([], dtype="int32"),
+                  "id_a": pd.array([], dtype="int64"),
+                  "id_b": pd.array([], dtype="int64"),
+                  "sh": pd.array([], dtype=object)}
+
+    def attach_part(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group[group["id_a"] >= 0]
+        if pairs.empty:
+            return pd.DataFrame(_ATT_EMPTY)
+        docs = group[group["id_a"] < 0]
+        needed = np.unique(pairs["jid"].to_numpy(np.int64))
+        docs = docs[docs["jid"].isin(needed)]
+        sh_map = {int(j): _shingle_hashes(t, shingle_k).tobytes()
+                  for j, t in zip(docs["jid"], docs["text"])}
+        ia = pairs["id_a"].to_numpy(np.int64)
+        ib = pairs["id_b"].to_numpy(np.int64)
+        sh = [sh_map.get(int(j)) for j in pairs["jid"]]
+        have = np.asarray([s is not None for s in sh])
+        ia, ib = ia[have], ib[have]
+        ppart = (_mix64(ia.view(np.uint64)
+                        ^ (ib.view(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))) % NP) \
+            .astype(np.int32)
+        return pd.DataFrame({"ppart": ppart, "id_a": ia, "id_b": ib,
+                             "sh": [s for s in sh if s is not None]})
+
+    def verify_part(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "jaccard": pd.array([], dtype="float64")})
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(["id_a", "id_b"])
+        ia = g["id_a"].to_numpy(np.int64)
+        ib = g["id_b"].to_numpy(np.int64)
+        sh = g["sh"].tolist()
+        change = np.flatnonzero((ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1]))
+        starts = np.concatenate([[0], change + 1])
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ra, rb, jac = [], [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:                     # endpoint text missing
+                continue
+            sa = np.frombuffer(sh[st], dtype=np.uint64)
+            sb = np.frombuffer(sh[st + 1], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                ra.append(ia[st])
+                rb.append(ib[st])
+                jac.append(j)
+        return pd.DataFrame({"id_a": np.asarray(ra, np.int64),
+                             "id_b": np.asarray(rb, np.int64),
+                             "jaccard": np.asarray(jac, np.float64)})
+
+    return (
+        both.groupby("jpart")
+        .map_groups(attach_part, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(verify_part, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -39,32 +39,43 @@ class LanguageId:
     """
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.langs = sorted(_LANG_STOPWORDS)
+        # one Arrow value_set per profile, built once per actor
+        self.profiles = {k: pa.array(sorted(v), pa.string())
+                         for k, v in _LANG_STOPWORDS.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for text in batch["text"]:
-            words = self.word_re.findall((text or "").lower())
-            if not words:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            n = len(words)
-            best_lang, best = "und", 0.0
-            for lang in sorted(self.profiles):
-                prof = self.profiles[lang]
-                hits = sum(1 for w in words if w in prof)
-                score = hits / n
-                if score > best:
-                    best_lang, best = lang, score
-            preds.append(best_lang)
-            scores.append(best)
+        D = len(batch)
+        texts = pa.array(batch["text"].fillna("").tolist(), pa.string())
+        # word extraction ~= re [^\W\d_]+ (unicode letters): split on the
+        # complement — RE2's \W is ASCII-only, so spell out \p{L}
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^\p{L}]+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of = doc_of[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        n_words = np.bincount(doc_of, minlength=D).astype(np.float64)
+        scores = np.zeros((len(self.langs), D), dtype=np.float64)
+        safe = np.where(n_words == 0, 1.0, n_words)
+        for li, lang in enumerate(self.langs):
+            hits = np.asarray(pc.is_in(flat, value_set=self.profiles[lang]))
+            scores[li] = np.bincount(doc_of, weights=hits,
+                                     minlength=D) / safe
+        best = scores.max(axis=0)
+        # ties resolve to the alphabetically-first profile (argmax picks
+        # the first max; self.langs is sorted); all-zero -> 'und'
+        pred_idx = scores.argmax(axis=0)
+        langs_arr = np.asarray(self.langs + ["und"])
+        pred_idx = np.where(best > 0, pred_idx, len(self.langs))
         batch = batch.copy()
-        batch["lang_pred"] = preds
-        batch["lang_score"] = np.asarray(scores, dtype=np.float64)
+        batch["lang_pred"] = langs_arr[pred_idx]
+        batch["lang_score"] = best
         return batch
 
 
@@ -79,22 +90,58 @@ class QualityScore:
     [0, 1]. All string work is vectorized pandas str ops."""
 
     def __init__(self):
-        self.stop = _LANG_STOPWORDS["en"]
+        self.stop_set = pa.array(sorted(_LANG_STOPWORDS["en"]), pa.string())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        D = len(batch)
         text = batch["text"].fillna("")
-        n_chars = text.str.len().astype(np.int64)
-        toks = text.str.lower().str.split()
-        n_tokens = toks.map(len).astype(np.int64)
-        safe_tokens = n_tokens.replace(0, 1)
-        mean_tok = (toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                             if ws else 0.0))
-        stop_ratio = toks.map(
-            lambda ws: sum(1 for w in ws if w in self.stop) / max(1, len(ws)))
-        uniq_ratio = toks.map(
-            lambda ws: len(set(ws)) / max(1, len(ws)))
-        punct_ratio = (text.str.count(r"[^\w\s]") / n_chars.replace(0, 1))
-        digit_ratio = (text.str.count(r"\d") / n_chars.replace(0, 1))
+        texts = pa.array(text.tolist(), pa.string())
+        n_chars = pd.Series(np.asarray(pc.utf8_length(texts),
+                                       dtype=np.int64), index=batch.index)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        tok_len = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        nonempty = tok_len > 0            # Arrow split emits '' at edges
+        doc_of, tok_len = doc_of[nonempty], tok_len[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        n_tok = np.bincount(doc_of, minlength=D).astype(np.int64)
+        safe = np.maximum(n_tok, 1).astype(np.float64)
+        mean_tok = pd.Series(
+            np.bincount(doc_of, weights=tok_len, minlength=D) / safe
+            * (n_tok > 0), index=batch.index)
+        stops = np.asarray(pc.is_in(flat, value_set=self.stop_set))
+        stop_ratio = pd.Series(
+            np.bincount(doc_of, weights=stops, minlength=D) / safe,
+            index=batch.index)
+        # distinct tokens per doc: factorize once, count (doc, code)
+        # boundary changes in sorted order — no per-doc set() loop
+        codes = pd.factorize(pd.Series(np.asarray(flat)))[0]
+        if codes.size:
+            order = np.lexsort((codes, doc_of))
+            dd, cc = doc_of[order], codes[order]
+            first = np.concatenate([[True],
+                                    (dd[1:] != dd[:-1]) | (cc[1:] != cc[:-1])])
+            n_uniq = np.bincount(dd[first], minlength=D).astype(np.float64)
+        else:
+            n_uniq = np.zeros(D)
+        uniq_ratio = pd.Series(n_uniq / safe, index=batch.index)
+        n_tokens = pd.Series(n_tok, index=batch.index)
+        denom = n_chars.replace(0, 1)
+        # RE2's \w and \d are ASCII-only; use unicode property classes to
+        # match the Python-re semantics these ratios were defined with
+        punct_ratio = pd.Series(
+            np.asarray(pc.count_substring_regex(
+                texts, r"[^\p{L}\p{N}_\s]"), dtype=np.float64),
+            index=batch.index) / denom
+        digit_ratio = pd.Series(
+            np.asarray(pc.count_substring_regex(texts, r"\p{Nd}"),
+                       dtype=np.float64), index=batch.index) / denom
 
         # composite: reward sane token length (3-8), some stopwords,
         # lexical diversity; punish punctuation/digit walls
@@ -154,19 +201,28 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
         texts = batch[text_col].to_pylist()
         md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
                 for t in texts]
-        fnv = []
-        for t in texts:
-            h = 0xCBF29CE484222325
-            for tok in (t or "").split():
-                for b_ in tok.encode("utf-8"):
-                    h = ((h ^ b_) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                h = ((h ^ 0x20) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            fnv.append(np.int64(np.uint64(h).astype(np.int64)))
+        # token-stream FNV-1a == FNV-1a over "tok1 tok2 ... tokN " (a
+        # 0x20 separator follows EVERY token) — vectorize by iterating
+        # over byte POSITION with a live-docs mask instead of per-doc
+        # Python byte loops
+        streams = [(" ".join((t or "").split()) + " ").encode("utf-8")
+                   if (t or "").split() else b"" for t in texts]
+        D = len(streams)
+        lens = np.fromiter((len(s) for s in streams), np.int64, D)
+        L = int(lens.max()) if D else 0
+        flat = np.frombuffer(b"".join(streams), np.uint8)
+        starts = np.cumsum(lens) - lens
+        h = np.full(D, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(L):
+            live = np.flatnonzero(lens > j)
+            h[live] = (h[live] ^ flat[starts[live] + j].astype(np.uint64)) \
+                * prime
         return pa.table(
             {
                 id_col: batch[id_col],
                 "md5": pa.array(md5s, pa.string()),
-                "fnv64": pa.array(fnv, pa.int64()),
+                "fnv64": pa.array(h.view(np.int64)),
             }
         )
 

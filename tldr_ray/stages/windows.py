@@ -29,7 +29,9 @@ def assign_tumbling(ds, ts_col: str = "ts", size_s: int = 3600,
     def fn(batch: pa.Table) -> pa.Table:
         us = np.asarray(batch[ts_col].cast(pa.int64()))
         start = (us // size_us) * size_us
-        cols = {c: batch[c] for c in (keep or batch.schema.names)}
+        # keep=[] means "only window_start"; None means "all columns"
+        cols = {c: batch[c]
+                for c in (batch.schema.names if keep is None else keep)}
         cols["window_start"] = pa.array(start).cast(pa.timestamp("us"))
         return pa.table(cols)
 
@@ -49,7 +51,8 @@ def assign_sliding(ds, ts_col: str = "ts", size_s: int = 1800,
         base = us // step_us
         starts = np.concatenate([(base - i) * step_us for i in range(k)])
         cols = {}
-        for c in (keep or batch.schema.names):
+        # keep=[] means "only window_start"; None means "all columns"
+        for c in (batch.schema.names if keep is None else keep):
             col = batch[c]
             cols[c] = pa.concat_arrays([col.combine_chunks()] * k) \
                 if isinstance(col, pa.ChunkedArray) else pa.concat_arrays([col] * k)
