@@ -49,6 +49,35 @@ class TestJoins:
                                default="?").to_pandas()
         assert out.sort_values("k")["v"].tolist() == ["a", "b", "?"]
 
+    def test_bucketed_anti_join(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_anti_join
+
+        rng = np.random.default_rng(7)
+        l = pd.DataFrame({"k": rng.integers(0, 40, 250),
+                          "x": rng.random(250)})
+        r = pd.DataFrame({"k": rng.integers(0, 40, 60)})
+        got = bucketed_anti_join(rd.from_pandas(l), rd.from_pandas(r),
+                                 on="k", num_buckets=8).to_pandas()
+        want = l[~l["k"].isin(set(r["k"]))]
+        key = ["k", "x"]
+        got = got.sort_values(key).reset_index(drop=True)[key]
+        want = want.sort_values(key).reset_index(drop=True)[key]
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_exact_dedup_representatives(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import exact_dedup_representatives
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [3, 1, 2, 0, 4],
+            "text": ["a", "b", "a", "c", "b"],
+        }))
+        out = exact_dedup_representatives(docs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2]
+        assert out["text"].tolist() == ["c", "b", "a"]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSentenceStage:

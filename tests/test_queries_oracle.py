@@ -56,6 +56,16 @@ def test_rows_only_queries_run(name):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_revenue_join_path_matches_broadcast():
+    """The size-gated bucketed-join fallback must produce the same table
+    as the packed-array broadcast path."""
+    a = normalize(to_pandas(q.revenue_by_nation(SF_DIR)))
+    b = normalize(to_pandas(q.revenue_by_nation(SF_DIR,
+                                                broadcast_limit_rows=0)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_entry_smoke():
     import importlib
     import sys

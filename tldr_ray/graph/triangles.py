@@ -26,15 +26,26 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _orient(a, b, da, db):
+    """Orient each undirected edge from the lower (degree, id) endpoint
+    to the higher one."""
+    a_first = (da < db) | ((da == db) & (a < b))
+    return np.where(a_first, a, b), np.where(a_first, b, a)
+
+
 def triangle_counts(edges, broadcast_degrees: bool = True):
     """edges: Dataset (src, dst[, weight]) interpreted as undirected.
 
     Returns (total:int, per_vertex Dataset(vertex:int64, triangles:int64)).
 
-    Degrees are broadcast via ``ray.put`` (one int per vertex — fits
-    comfortably in the object store for billions of vertices per the
-    broadcast-small-side rule; for larger, flip ``broadcast_degrees``
-    off to use a join — not yet needed at our scales).
+    ``broadcast_degrees=True`` ships the degree table to every orient
+    task as a PACKED pair of numpy arrays (sorted vertex ids +
+    degrees; 16 bytes/vertex, looked up via ``searchsorted``) — far
+    denser than a Python dict, but still O(V) per worker: fine up to
+    ~100M vertices. ``broadcast_degrees=False`` replaces the broadcast
+    with two bucketed hash joins of the degree table onto the edge
+    endpoints — two extra shuffles, no per-worker O(V) state; use it
+    when the vertex set itself is too big to broadcast.
     """
     import ray
     import ray.data as rd
@@ -59,30 +70,56 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
         vu, cnt = np.unique(v, return_counts=True)
         return pa.table({"vertex": vu, "n": cnt.astype(np.int64)})
 
-    deg_df = (
+    degrees = (
         und.map_batches(degree_rows, batch_format="pyarrow")
         .groupby("vertex").aggregate(Sum("n", alias_name="degree"))
-        .to_pandas()
     )
-    deg_map = dict(zip(deg_df["vertex"].tolist(), deg_df["degree"].tolist()))
-    deg_ref = ray.put(deg_map)
 
-    class Orient:
-        def __init__(self):
-            self.deg = ray.get(deg_ref)
+    if broadcast_degrees:
+        deg_df = degrees.to_pandas()
+        order = np.argsort(deg_df["vertex"].to_numpy())
+        deg_ref = ray.put((deg_df["vertex"].to_numpy(np.int64)[order],
+                           deg_df["degree"].to_numpy(np.int64)[order]))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+        class Orient:
+            def __init__(self):
+                self.vids, self.degs = ray.get(deg_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = np.asarray(batch["a"], dtype=np.int64)
+                b = np.asarray(batch["b"], dtype=np.int64)
+                da = self.degs[np.searchsorted(self.vids, a)]
+                db = self.degs[np.searchsorted(self.vids, b)]
+                src, dst = _orient(a, b, da, db)
+                return pa.table({"src": src, "dst": dst})
+
+        oriented = und.map_batches(Orient, batch_format="pyarrow",
+                                   concurrency=2)
+    else:
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        def rename_deg(col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns([col, f"deg_{col}"])
+            return fn
+
+        with_da = bucketed_hash_join(
+            und, degrees.map_batches(rename_deg("a"), batch_format="pyarrow"),
+            on="a")
+        with_db = bucketed_hash_join(
+            with_da,
+            degrees.map_batches(rename_deg("b"), batch_format="pyarrow"),
+            on="b")
+
+        def orient_joined(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch["a"], dtype=np.int64)
             b = np.asarray(batch["b"], dtype=np.int64)
-            da = np.fromiter((self.deg[x] for x in a), np.int64, len(a))
-            db = np.fromiter((self.deg[x] for x in b), np.int64, len(b))
-            # orient lower (degree, id) -> higher
-            a_first = (da < db) | ((da == db) & (a < b))
-            src = np.where(a_first, a, b)
-            dst = np.where(a_first, b, a)
+            da = np.asarray(batch["deg_a"], dtype=np.int64)
+            db = np.asarray(batch["deg_b"], dtype=np.int64)
+            src, dst = _orient(a, b, da, db)
             return pa.table({"src": src, "dst": dst})
 
-    oriented = und.map_batches(Orient, batch_format="pyarrow", concurrency=2)
+        oriented = with_db.map_batches(orient_joined, batch_format="pyarrow")
     oriented = oriented.materialize()  # reused: wedge gen + closure probe
 
     def wedges(group: pd.DataFrame) -> pd.DataFrame:

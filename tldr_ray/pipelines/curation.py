@@ -9,7 +9,10 @@ composed from the engine's operators, end to end and streaming:
          -> resumable partitioned parquet (+ curation report)
 
 Every stage is a Ray Data transform; nothing materializes on the
-driver except the (small) near-dup pair set and the final report.
+driver except the (size-gated) near-dup cluster table and the final
+report — exact dedup keeps its surviving rows in-flow and the near-dup
+drop is a bucketed anti-join, so no id-set is ever broadcast as a
+Python set.
 """
 
 from __future__ import annotations
@@ -19,7 +22,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from tldr_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, resolve_clusters
+from tldr_ray.stages.dedup import (exact_dedup_representatives,
+                                   minhash_lsh_pairs, resolve_clusters)
+from tldr_ray.stages.joins import bucketed_anti_join
 from tldr_ray.stages.text_analysis import quality_scores
 
 
@@ -36,8 +41,6 @@ def curate_documents(docs, id_col: str = "doc_id", text_col: str = "text",
     leave CPUs for the feeding read tasks or the pipeline deadlocks
     (a pool that reserves every CPU starves its own input).
     """
-    import ray
-
     report: dict = {"input_rows": docs.count()}
 
     # 1. quality gate (vectorized scoring in an actor pool)
@@ -53,41 +56,28 @@ def curate_documents(docs, id_col: str = "doc_id", text_col: str = "text",
                                 batch_format="pyarrow").materialize()
     report["after_quality"] = kept_q.count()
 
-    # 2. exact dedup: keep each cluster's min id
-    clusters = exact_dedup(kept_q, id_col, text_col)
-
-    def representatives(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col])
-        keep = np.asarray(batch["keep_id"])
-        return batch.filter(pa.array(ids == keep)).select([id_col])
-
-    keep_ids = clusters.map_batches(representatives, batch_format="pyarrow")
-    keep_set = set(keep_ids.to_pandas()[id_col])
-    keep_ref = ray.put(keep_set)
-
-    def keep_exact(batch: pa.Table) -> pa.Table:
-        s = ray.get(keep_ref)
-        mask = [i in s for i in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    deduped = kept_q.map_batches(keep_exact, batch_format="pyarrow") \
+    # 2. exact dedup: keep each cluster's min-id row IN-FLOW (the
+    # surviving text rides the hash shuffle; no driver id-set)
+    deduped = exact_dedup_representatives(kept_q, id_col, text_col) \
         .materialize()
     report["after_exact_dedup"] = deduped.count()
 
-    # 3. near-dedup: MinHash-LSH pairs -> clusters -> keep representatives
+    # 3. near-dedup: MinHash-LSH pairs -> clusters -> drop
+    # non-representatives via a bucketed anti-join (distributed; the
+    # cluster table itself is size-gated inside resolve_clusters)
     pairs = minhash_lsh_pairs(deduped, id_col, text_col,
                               threshold=near_dup_threshold)
     cl = resolve_clusters(pairs)
-    drop = set(cl.loc[cl["id"] != cl["cluster_id"], "id"])
-    drop_ref = ray.put(drop)
+    drop_df = cl.loc[cl["id"] != cl["cluster_id"], ["id"]] \
+        .rename(columns={"id": id_col})
+    report["near_dup_dropped"] = len(drop_df)
+    if len(drop_df):
+        import ray.data as rd
 
-    def drop_near(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = [i not in d for i in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    near = deduped.map_batches(drop_near, batch_format="pyarrow")
-    report["near_dup_dropped"] = len(drop)
+        near = bucketed_anti_join(deduped, rd.from_pandas(drop_df),
+                                  on=id_col)
+    else:
+        near = deduped
 
     # 4. deterministic hash sample
     def sample(batch: pa.Table) -> pa.Table:

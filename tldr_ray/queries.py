@@ -196,57 +196,105 @@ def tpch_q1(sf_dir: str):
     )
 
 
-def revenue_by_nation(sf_dir: str):
-    """lineitem -> orders -> customer -> nation via BROADCAST lookups.
+def revenue_by_nation(sf_dir: str, broadcast_limit_rows: int = 50_000_000):
+    """lineitem -> orders -> customer -> nation, size-gated join strategy.
 
-    The dimension maps ride the object store once (``ray.put``) and every
-    task reads them zero-copy — no shuffle join anywhere (SURVEY.md §2.4
-    broadcast-small-side rule). At 100 TB the orders->cust map outgrows a
-    broadcast and this becomes the bucketed hash join in
-    tldr_ray/stages/joins.py; table sizes here keep the demo honest."""
+    While the orders side fits a broadcast budget (row count read from
+    parquet METADATA, no eager data load), the dimension tables ride the
+    object store once as PACKED sorted numpy arrays (16 B/row, looked up
+    via ``searchsorted`` — no Python dicts, no per-row loop). Past the
+    budget the pipeline flips to two bucketed hash joins
+    (stages.joins.bucketed_hash_join); nation (25 rows) is always a
+    broadcast."""
     import ray
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
+    nkey = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    nation_names = np.empty(nkey.max() + 1, dtype=object)
+    nation_names[nkey] = nation["n_name"].to_pylist()
 
-    order_cust = dict(zip(orders["o_orderkey"].to_pylist(),
-                          orders["o_custkey"].to_pylist()))
-    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
-                           cust["c_nationkey"].to_pylist()))
-    nation_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                           nation["n_name"].to_pylist()))
-    maps_ref = ray.put((order_cust, cust_nation, nation_name))
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+
+    def line_revenue(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "revenue_cents": pa.array(_cents(px * (1.0 - disc)),
+                                          pa.int64()),
+            }
+        )
 
     ds = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_extendedprice", "l_discount"])
+               ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(line_revenue, batch_format="pyarrow")
 
-    class Lookup:
-        def __init__(self):
-            self.order_cust, self.cust_nation, self.nation_name = ray.get(maps_ref)
+    if n_orders <= broadcast_limit_rows:
+        orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        okey = np.asarray(orders["o_orderkey"], dtype=np.int64)
+        ocust = np.asarray(orders["o_custkey"], dtype=np.int64)
+        oo = np.argsort(okey)
+        ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
+        cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+        co = np.argsort(ckey)
+        maps_ref = ray.put((okey[oo], ocust[oo], ckey[co], cnat[co],
+                            nation_names))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
-            disc = np.asarray(batch["l_discount"], dtype=np.float64)
-            names = [
-                self.nation_name[self.cust_nation[self.order_cust[k]]]
-                for k in batch["l_orderkey"].to_pylist()
-            ]
+        class Lookup:
+            def __init__(self):
+                (self.okey, self.ocust, self.ckey, self.cnat,
+                 self.nnames) = ray.get(maps_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+                custkey = self.ocust[np.searchsorted(self.okey, k)]
+                natkey = self.cnat[np.searchsorted(self.ckey, custkey)]
+                return pa.table(
+                    {
+                        "n_name": pa.array(self.nnames[natkey].tolist(),
+                                           pa.string()),
+                        "revenue_cents": batch["revenue_cents"],
+                    }
+                )
+
+        named = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
+    else:
+        import ray.data as rd
+
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        orders_ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                    columns=["o_orderkey", "o_custkey"])
+        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_nationkey"])
+        j1 = bucketed_hash_join(ds, orders_ds, on="o_orderkey") \
+            .map_batches(lambda t: t.select(["revenue_cents", "o_custkey"])
+                         .rename_columns(["revenue_cents", "c_custkey"]),
+                         batch_format="pyarrow")
+        j2 = bucketed_hash_join(j1, cust_ds, on="c_custkey")
+        nn_ref = ray.put(nation_names)
+
+        def add_name(batch: pa.Table) -> pa.Table:
+            nn = ray.get(nn_ref)
+            natkey = np.asarray(batch["c_nationkey"], dtype=np.int64)
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
-                    "revenue_cents": pa.array(_cents(px * (1.0 - disc)), pa.int64()),
+                    "n_name": pa.array(nn[natkey].tolist(), pa.string()),
+                    "revenue_cents": batch["revenue_cents"].cast(pa.int64()),
                 }
             )
 
+        named = j2.map_batches(add_name, batch_format="pyarrow")
+
     return (
-        ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
-        .groupby("n_name")
+        named.groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
 

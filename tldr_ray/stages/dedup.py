@@ -99,6 +99,27 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def exact_dedup_representatives(ds, id_col: str = "doc_id",
+                                text_col: str = "text"):
+    """Exact dedup that keeps the min-id ROW (with its text) per content
+    hash, entirely in-flow — no id-set round-trips back to the driver.
+    The shuffle carries the text once, which is exactly the payload a
+    downstream consumer of the surviving rows needs anyway."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__h", pa.array(_content_hash_batch(batch[text_col].to_pylist()),
+                            pa.string()))
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col).drop(columns="__h")
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

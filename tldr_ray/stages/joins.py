@@ -49,6 +49,25 @@ def _hash_any(values) -> np.ndarray:
                       dtype=np.uint64)
 
 
+def _int_cols(schema) -> list[str]:
+    import pyarrow.types as pat
+
+    # Ray Schema.types may hold non-Arrow entries (e.g. numpy dtypes from
+    # pandas-born blocks); only Arrow DataTypes are inspected
+    return [n for n, t in zip(schema.names, schema.types)
+            if isinstance(t, pa.DataType) and pat.is_integer(t)]
+
+
+def _restore_ints(df: pd.DataFrame, int_cols: list[str]) -> pd.DataFrame:
+    """Undo the int -> float64 promotion the null-filled union schema
+    causes (a float64 join key hashes/merges differently than the int64
+    it started as)."""
+    for c in int_cols:
+        if c in df.columns and df[c].dtype.kind == "f":
+            df[c] = df[c].astype(np.int64)
+    return df
+
+
 def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
                        how: str = "inner", suffixes=("_l", "_r")):
     """Partitioned hash join of two Datasets on one key column.
@@ -60,6 +79,8 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
     """
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
+    lints = _int_cols(left.schema())
+    rints = _int_cols(right.schema())
     shared_extra = (set(lcols) & set(rcols)) - {on}
     all_cols = list(dict.fromkeys(lcols + rcols))
 
@@ -80,10 +101,46 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
         right.map_batches(tag("r", rcols), batch_format="pyarrow"))
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "l"][lcols]
-        r = group[group["__side"] == "r"][rcols]
+        l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
+        r = _restore_ints(group[group["__side"] == "r"][rcols].copy(), rints)
         # columns in shared_extra come out with the pandas suffixes
         return l.merge(r, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
+
+
+def bucketed_anti_join(left, right, on: str, num_buckets: int = 64):
+    """Left rows whose key does NOT appear in ``right`` — one shuffle per
+    side, matching buckets filtered with a vectorized ``isin``; nothing
+    materializes on the driver (the distributed replacement for the
+    "broadcast a Python id-set" anti-join pattern)."""
+    lcols = list(left.schema().names)
+    lints = _int_cols(left.schema())
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {}
+            for c in lcols:
+                out[c] = batch[c] if c in cols else pa.nulls(n)
+            out["__bucket"] = pa.array(
+                (_hash_any(batch[on].to_pylist()) %
+                 np.uint64(num_buckets)).astype(np.int32))
+            out["__side"] = pa.array([side] * n)
+            return pa.table(out)
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(tag("r", [on]),
+                                               batch_format="pyarrow"))
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
+        rkeys = group.loc[group["__side"] == "r", on]
+        if rkeys.empty:
+            return l
+        return l[~l[on].isin(set(rkeys))]
+
+    return both.groupby("__bucket").map_groups(filter_bucket,
                                                batch_format="pandas")
