@@ -575,6 +575,89 @@ def label_propagation_documents(sf_dir: str):
                      "label": pa.array(labels)})
 
 
+# ---------------------------------------------------------------------------
+# hash-generated graph: the SAME deterministic edge table is expressible
+# in ANSI SQL, so the driver can hash-check the graph OPERATORS
+# (triangles, components, centrality) even though the text-similarity
+# graphs those operators usually run on are not SQL-expressible.
+# ---------------------------------------------------------------------------
+
+def _hash_graph_edges(sf_dir: str):
+    """Three pseudo-random outgoing edges per document id over the id
+    space [0, max_id] (self-loops dropped); mirrored 1:1 by the
+    ``*_hashgraph`` oracles."""
+    import pyarrow.parquet as pq
+
+    N = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])["doc_id"]
+            .to_numpy().max()) + 1
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = np.concatenate([d, d, d])
+        # two ring edges (every consecutive triple closes a triangle)
+        # plus one long-range pseudo-random edge
+        dst = np.concatenate([(d + 1) % N, (d + 2) % N,
+                              (d * 7 + 3) % N])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "weight": pa.array(np.ones(src.size))})
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+
+
+def triangle_counts_hashgraph(sf_dir: str):
+    """Per-vertex triangle counts over the hash graph (SQL oracle:
+    3-way self-join of the deduped undirected edge set)."""
+    from tldr_ray.graph import triangle_counts
+
+    _, per_vertex = triangle_counts(_hash_graph_edges(sf_dir))
+    return per_vertex
+
+
+def connected_components_hashgraph(sf_dir: str):
+    """Min-label components over the hash graph (SQL oracle: recursive
+    reachability + min)."""
+    from tldr_ray.graph import connected_components
+
+    ids, labels, _ = connected_components(_hash_graph_edges(sf_dir),
+                                          num_partitions=4)
+    return pa.table({"vertex": pa.array(ids),
+                     "component": pa.array(labels)})
+
+
+def centrality_hashgraph(sf_dir: str):
+    """Max-incident-weight centrality (O17 semantics) over the
+    symmetrized hash graph with deterministic integer-derived weights
+    (SQL oracle: groupby max)."""
+    import pyarrow.parquet as pq
+
+    from tldr_ray.graph import centrality_ranks
+
+    N = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])["doc_id"]
+            .to_numpy().max()) + 1
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        s = np.concatenate([d, d, d])
+        t = np.concatenate([(d + 1) % N, (d + 2) % N,
+                            (d * 7 + 3) % N])
+        keep = s != t
+        s, t = s[keep], t[keep]
+        src = np.concatenate([s, t])
+        dst = np.concatenate([t, s])
+        w = ((src * 31 + dst * 17) % 97 + 1) / 100.0
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "weight": pa.array(w)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    return centrality_ranks(ds)
+
+
 def centrality_documents_graph(sf_dir: str):
     """Distributed O17: max-incident-weight ranking over the documents
     transcript graph (deterministic engine tie-break)."""
@@ -715,6 +798,9 @@ QUERIES = {
     "label_propagation_documents": label_propagation_documents,
     "triangle_counts_documents": triangle_counts_documents,
     "centrality_documents_graph": centrality_documents_graph,
+    "triangle_counts_hashgraph": triangle_counts_hashgraph,
+    "connected_components_hashgraph": connected_components_hashgraph,
+    "centrality_hashgraph": centrality_hashgraph,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -877,3 +963,158 @@ ORACLE_SQL = {
         SELECT query_id, vec_id FROM scored WHERE rn <= 10
     """,
 }
+
+# shared SQL prelude mirroring queries._hash_graph_edges exactly
+_HASHGRAPH_RAW = """
+        nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+        raw AS (
+            SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS t
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn)
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+            FROM documents
+        ),
+        raw2 AS (SELECT s, t FROM raw WHERE s != t)
+"""
+
+ORACLE_SQL["triangle_counts_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    verts AS (
+        SELECT x AS vertex FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS triangles
+    FROM verts GROUP BY vertex
+"""
+
+ORACLE_SQL["connected_components_hashgraph"] = f"""
+    WITH RECURSIVE {_HASHGRAPH_RAW},
+    sym AS (SELECT s, t FROM raw2 UNION SELECT t, s FROM raw2),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.t, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    )
+    SELECT v AS vertex, CAST(min(l) AS BIGINT) AS component
+    FROM reach GROUP BY v
+"""
+
+ORACLE_SQL["centrality_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    sym AS (SELECT s, t FROM raw2 UNION ALL SELECT t, s FROM raw2),
+    w AS (SELECT s AS vertex,
+                 ((s * 31 + t * 17) % 97 + 1) / 100.0 AS weight
+          FROM sym)
+    SELECT vertex, max(weight) AS max_weight
+    FROM w WHERE weight > 0.001 GROUP BY vertex
+"""
+
+
+def _language_id_oracle_sql() -> str:
+    """Mirror stages.text_analysis.LanguageId in SQL: unicode-letter
+    tokenization, stopword-overlap score per profile, strict-max argmax
+    with alphabetical tie-break, 'und' when nothing scores."""
+    from tldr_ray.stages.text_analysis import _LANG_STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_STOPWORDS)
+        for w in sorted(_LANG_STOPWORDS[lang]))
+    return f"""
+    WITH prof(lang, w) AS (VALUES {rows}),
+    words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^\\p{{L}}]+')) AS w
+            FROM documents)
+        WHERE w != ''
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    hits AS (
+        SELECT words.doc_id, prof.lang, count(*) AS h
+        FROM words JOIN prof ON words.w = prof.w
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_id, h.lang, h.h * 1.0 / c.n AS score
+        FROM counts c JOIN hits h ON h.doc_id = c.doc_id
+    ),
+    best AS (
+        SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scored
+    )
+    SELECT d.doc_id,
+           coalesce(CASE WHEN b.score > 0 THEN b.lang END, 'und')
+               AS lang_pred,
+           coalesce(b.score, 0.0) AS lang_score
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+"""
+
+
+ORACLE_SQL["language_id_docs"] = _language_id_oracle_sql()
+
+
+def _quality_scores_oracle_sql() -> str:
+    """Mirror stages.text_analysis.QualityScore op-for-op (same IEEE
+    operation order, so doubles hash-match exactly)."""
+    from tldr_ray.stages.text_analysis import _LANG_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS["en"]))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+        WHERE w != ''
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_tok,
+               sum(length(w)) * 1.0 / count(*) AS mean_tok,
+               sum(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END) * 1.0
+                   / count(*) AS stop_ratio,
+               count(DISTINCT w) * 1.0 / count(*) AS uniq_ratio
+        FROM toks GROUP BY doc_id
+    ),
+    base AS (
+        SELECT d.doc_id,
+               coalesce(a.n_tok, 0) AS n_tokens,
+               coalesce(a.mean_tok, 0.0) AS mean_tok,
+               coalesce(a.stop_ratio, 0.0) AS stopword_ratio,
+               coalesce(a.uniq_ratio, 0.0) AS unique_token_ratio,
+               len(regexp_extract_all(d.text, '[^\\p{{L}}\\p{{N}}_\\s]'))
+                   * 1.0 / greatest(length(d.text), 1) AS punct_ratio,
+               len(regexp_extract_all(d.text, '\\p{{Nd}}')) * 1.0
+                   / greatest(length(d.text), 1) AS digit_ratio
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           stopword_ratio, unique_token_ratio, punct_ratio, digit_ratio,
+           greatest(least(1 - abs(mean_tok - 5.5) / 5.5, 1), 0) * 0.25
+           + greatest(least(stopword_ratio * 4, 1), 0) * 0.25
+           + greatest(least(unique_token_ratio, 1), 0) * 0.30
+           + greatest(least(1 - punct_ratio * 5, 1), 0) * 0.10
+           + greatest(least(1 - digit_ratio * 5, 1), 0) * 0.10
+               AS quality_score
+    FROM base
+"""
+
+
+ORACLE_SQL["quality_scores_docs"] = _quality_scores_oracle_sql()
