@@ -51,6 +51,44 @@ class TestEdgeMaterialization:
         assert len(hot) == 2 * 19        # star over 20 convs, both directions
         assert len(cold) == 2 * 3        # clique over 3 convs (3 pairs)
 
+    def test_entity_mentions_heuristic(self):
+        import ray.data as rd
+        from tldr_ray.stages.edges import entity_mentions
+
+        rows = {
+            "conv_id": ["a", "a", "b"],
+            "text": [
+                "The river meets Atlas near the delta. Canyon walls rise.",
+                "Granite forms near Borealis, always.",
+                "  Atlas appears after leading spaces. But Cascade stays.",
+            ],
+        }
+        out = entity_mentions(rd.from_arrow(pa.table(rows))).to_pandas()
+        got = set(zip(out["entity"], out["conv_id"]))
+        # 'The'/'Canyon'/'Granite'/'But' are sentence-initial or
+        # turn-initial; 'Atlas' after leading whitespace is turn-initial
+        assert got == {("Atlas", "a"), ("Borealis", "a"), ("Cascade", "b")}
+
+    def test_entity_star_clamp(self):
+        import ray.data as rd
+        from tldr_ray.stages.edges import entity_cooccurrence_edges
+
+        rows = []
+        for i in range(20):
+            rows.append({"conv_id": f"c{i:03d}",
+                         "text": "the hub entity Atlas appears here."})
+        for i in range(3):
+            rows.append({"conv_id": f"c{i:03d}",
+                         "text": "a cold entity Lumen appears here."})
+        tab = pa.table({"conv_id": [r["conv_id"] for r in rows],
+                        "text": [r["text"] for r in rows]})
+        out = entity_cooccurrence_edges(rd.from_arrow(tab),
+                                        max_group_size=10).to_pandas()
+        hot = out[out["etype"] == "entity_star"]
+        cold = out[out["etype"] == "entity"]
+        assert len(hot) == 2 * 19        # star over 20 convs
+        assert len(cold) == 2 * 3        # clique over 3 convs
+
     def test_transcript_graph_feeds_pagerank(self):
         import ray.data as rd
         from tldr_ray.stages.edges import transcript_graph
@@ -58,6 +96,11 @@ class TestEdgeMaterialization:
 
         tab = synth_transcripts_table(10, seed=42)
         edges = transcript_graph(rd.from_arrow(tab))
+        df = edges.to_pandas()
+        # all three families present on the synthetic corpus
+        assert {"sim"} <= set(df["etype"])
+        assert set(df["etype"]) & {"tool", "tool_star"}
+        assert set(df["etype"]) & {"entity", "entity_star"}
         ids, scores, info = pagerank(edges.select_columns(
             ["src", "dst", "weight"]), num_partitions=3)
         assert info["converged"]

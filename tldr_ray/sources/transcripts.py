@@ -68,6 +68,35 @@ _WORDS = (
 _QUIRK_WORDS = ["here's", "don't", "well-known", "state-of-the-art",
                 "snake_case", "it's", "o'clock", "re-entry"]
 
+# ~12 entity names with a Zipf-hot head: "Atlas" is the deliberate hub
+# (mirrors the tool hub; exercises the entity-edge star clamp). Mentions
+# are capitalized mid-sentence words — exactly what the extraction
+# heuristic in stages.edges.entity_mentions looks for.
+_ENTITIES = ["Atlas", "Borealis", "Cascade", "Dynamo", "Equinox", "Fjord",
+             "Granite", "Horizon", "Isthmus", "Juniper", "Krypton", "Lumen"]
+_ENTITY_WEIGHTS = np.array([0.42, 0.16, 0.10, 0.08, 0.06, 0.05, 0.04, 0.03,
+                            0.02, 0.02, 0.01, 0.01])
+_ENTITY_WEIGHTS = _ENTITY_WEIGHTS / _ENTITY_WEIGHTS.sum()
+
+
+def _inject_entities(seed: int, conv_id: str, texts: list[str]) -> list[str]:
+    """Deterministically insert entity mentions mid-sentence (position
+    >= 1, so the mention is never sentence-initial). A SEPARATE rng
+    stream keeps the original per-conversation draw sequence intact."""
+    rng = _conv_rng(seed, conv_id + "#entities")
+    out = []
+    for text in texts:
+        if rng.random() < 0.35:
+            words = text.split()
+            if len(words) >= 2:
+                ent = _ENTITIES[int(rng.choice(len(_ENTITIES),
+                                               p=_ENTITY_WEIGHTS))]
+                pos = int(rng.integers(1, len(words)))
+                words.insert(pos, ent)
+                text = " ".join(words)
+        out.append(text)
+    return out
+
 _BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 
@@ -126,6 +155,9 @@ def synth_conversation(seed: int, conv_id: str, conv_index: int):
                 "ts": _BASE_TS_US + conv_index * 3_600_000_000 + turn_idx * 30_000_000,
             }
         )
+    final = _inject_entities(seed, conv_id, [r["text"] for r in rows])
+    for r, t in zip(rows, final):
+        r["text"] = t
     return rows
 
 

@@ -118,6 +118,42 @@ def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
     )
 
 
+def _cooccurrence_pairs_fn(etype: str, etype_star: str, max_group_size: int):
+    """Per-key pair builder shared by the tool and entity edge families:
+    clique below ``max_group_size`` conversations, star through the
+    minimum vertex above it (the documented hub-skew clamp)."""
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        convs = sorted(group["conv_id"].unique())
+        verts = np.asarray([conv_vertex_base(c) for c in convs], dtype=np.int64)
+        k = verts.size
+        if k < 2:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64"),
+                                 "weight": pd.array([], dtype="float64"),
+                                 "etype": pd.array([], dtype=object)})
+        if k > max_group_size:
+            hub = verts.min()
+            others = verts[verts != hub]
+            src = np.concatenate([np.full(others.size, hub), others])
+            dst = np.concatenate([others, np.full(others.size, hub)])
+            et = etype_star
+        else:
+            ii, jj = np.triu_indices(k, 1)
+            src = np.concatenate([verts[ii], verts[jj]])
+            dst = np.concatenate([verts[jj], verts[ii]])
+            et = etype
+        return pd.DataFrame(
+            {
+                "src": src,
+                "dst": dst,
+                "weight": np.ones(src.size),
+                "etype": np.full(src.size, et, dtype=object),
+            }
+        )
+
+    return pairs
+
+
 def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
     """transcripts -> Dataset (src, dst, weight, etype) linking
     conversations that invoke the same tool.
@@ -144,50 +180,97 @@ def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
         .count()
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        convs = sorted(group["conv_id"].unique())
-        verts = np.asarray([conv_vertex_base(c) for c in convs], dtype=np.int64)
-        k = verts.size
-        if k < 2:
-            return pd.DataFrame({"src": pd.array([], dtype="int64"),
-                                 "dst": pd.array([], dtype="int64"),
-                                 "weight": pd.array([], dtype="float64"),
-                                 "etype": pd.array([], dtype=object)})
-        if k > max_group_size:
-            hub = verts.min()
-            others = verts[verts != hub]
-            src = np.concatenate([np.full(others.size, hub), others])
-            dst = np.concatenate([others, np.full(others.size, hub)])
-            et = "tool_star"
-        else:
-            ii, jj = np.triu_indices(k, 1)
-            src = np.concatenate([verts[ii], verts[jj]])
-            dst = np.concatenate([verts[jj], verts[ii]])
-            et = "tool"
-        return pd.DataFrame(
-            {
-                "src": src,
-                "dst": dst,
-                "weight": np.ones(src.size),
-                "etype": np.full(src.size, et, dtype=object),
-            }
-        )
+    return distinct.groupby("tool").map_groups(
+        _cooccurrence_pairs_fn("tool", "tool_star", max_group_size),
+        batch_format="pandas")
 
-    return distinct.groupby("tool").map_groups(pairs, batch_format="pandas")
+
+def entity_mentions(transcripts):
+    """transcripts -> Dataset (entity, conv_id) of per-batch-distinct
+    entity mentions.
+
+    Mention heuristic (deterministic, fully vectorized — the slot a real
+    NER model would occupy as an actor-pool stage): a capitalized word
+    (``[A-Z][a-z]{2,}``, trailing punctuation stripped) that is NOT
+    sentence-initial — i.e. not the first token of a turn and not
+    preceded by a terminator-ending token."""
+    import pyarrow.compute as pc
+
+    def extract(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"entity": pa.array([], pa.string()),
+                          "conv_id": pa.array([], pa.string())})
+        D = batch.num_rows
+        if D == 0:
+            return empty
+        texts = pc.fill_null(batch["text"], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return empty
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        turn_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        stripped = pc.replace_substring_regex(flat, r"[.,;:?!]+$", "")
+        cap = np.asarray(pc.match_substring_regex(stripped,
+                                                  r"^[A-Z][a-z]{2,}$"))
+        ends = np.asarray(pc.match_substring_regex(flat, r"[.?!]$"))
+        # Arrow's split emits '' boundary tokens; treat them as breaks
+        ends |= np.asarray(pc.equal(pc.utf8_length(flat), 0))
+        after_end = np.concatenate([[True], ends[:-1]])
+        after_end[off[:-1][off[:-1] < len(flat)]] = True  # turn-initial
+        mask = cap & ~after_end
+        if not mask.any():
+            return empty
+        ents = stripped.filter(pa.array(mask)).to_pylist()
+        convs = batch["conv_id"].take(pa.array(turn_of[mask])).to_pylist()
+        seen = sorted(set(zip(ents, convs)))
+        e, c = zip(*seen)
+        return pa.table({"entity": pa.array(list(e), pa.string()),
+                         "conv_id": pa.array(list(c), pa.string())})
+
+    return transcripts.select_columns(["conv_id", "text"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
+def entity_cooccurrence_edges(transcripts, max_group_size: int = 64):
+    """transcripts -> Dataset (src, dst, weight, etype) linking
+    conversations that mention the same entity (SURVEY.md §2.4/§7.3's
+    second cross-conversation co-reference family). Same star clamp as
+    the tool family — entity popularity is Zipf-skewed too."""
+    distinct = (
+        entity_mentions(transcripts)
+        .groupby(["entity", "conv_id"])
+        .count()
+    )
+    return distinct.groupby("entity").map_groups(
+        _cooccurrence_pairs_fn("entity", "entity_star", max_group_size),
+        batch_format="pandas")
 
 
 def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
                      max_group_size: int = 64, include_tools: bool = True,
+                     include_entities: bool = True,
                      presplit_words: Optional[int] = None):
-    """Union of both edge families, ready for graph.GraphEngine.
+    """Union of the three edge families, ready for graph.GraphEngine.
 
     Similarity edges anchor each conversation's sentence subgraph; the
-    conversation vertex (local_idx 0) doubles as the tool-co-reference
-    anchor, so tool edges connect conversations' sentence graphs into
-    one global link graph."""
+    conversation vertex (local_idx 0) doubles as the co-reference
+    anchor, so tool and entity edges connect conversations' sentence
+    graphs into one global link graph."""
     sim = similarity_edges(transcripts, cfg, presplit_words).select_columns(
         ["src", "dst", "weight", "etype"])
-    if not include_tools:
-        return sim
-    tools = tool_cooccurrence_edges(transcripts, max_group_size)
-    return sim.union(tools.select_columns(["src", "dst", "weight", "etype"]))
+    out = sim
+    if include_tools:
+        tools = tool_cooccurrence_edges(transcripts, max_group_size)
+        out = out.union(tools.select_columns(["src", "dst", "weight",
+                                              "etype"]))
+    if include_entities:
+        ents = entity_cooccurrence_edges(transcripts, max_group_size)
+        out = out.union(ents.select_columns(["src", "dst", "weight",
+                                             "etype"]))
+    return out
