@@ -61,6 +61,30 @@ class TestPagerank:
         assert np.array_equal(ids, o_ids)
         np.testing.assert_allclose(scores, o_scores, atol=1e-6)
 
+    def test_matches_oracle_ref_exchange(self):
+        """msg_ref_bytes=1 forces every mass array through the
+        actor-to-actor ObjectRef shipping path (the driver only relays
+        refs); scores must be identical to the by-value exchange."""
+        from tldr_ray.graph import GraphEngine
+
+        rng = np.random.default_rng(11)
+        n = 2_000
+        src = np.concatenate([np.arange(n), rng.integers(0, n, 2 * n)])
+        dst = np.concatenate([(np.arange(n) + 1) % n,
+                              rng.integers(0, n, 2 * n)])
+        w = np.ones(src.size)
+        edges = list(zip(src.tolist(), dst.tolist(), w.tolist()))
+        eng = GraphEngine.from_edges(edge_ds(edges), num_partitions=3,
+                                     msg_ref_bytes=1)
+        try:
+            ids, scores, info = eng.pagerank()
+        finally:
+            eng.shutdown()
+        o_ids, o_scores = pagerank_ref(src, dst, w)
+        assert info["converged"]
+        assert np.array_equal(ids, o_ids)
+        np.testing.assert_allclose(scores, o_scores, atol=1e-6)
+
     def test_dangling_vertices(self):
         from tldr_ray.graph import pagerank
 

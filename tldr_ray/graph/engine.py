@@ -56,6 +56,12 @@ import pyarrow.parquet as pq
 
 from tldr_ray.graph.partition import build_shards, vhash
 
+# per-object actor-to-actor shipping gate (see CsrShard._ship); tunable
+# because the break-even moves with cluster topology — lower it on a
+# real multi-node cluster where the driver hop also doubles network cost
+_MSG_REF_BYTES_DEFAULT = int(os.environ.get("TLDR_RAY_MSG_REF_BYTES",
+                                            512 * 1024))
+
 _INT64_MAX = np.iinfo(np.int64).max
 
 
@@ -73,11 +79,14 @@ def _shard_actor_cls(num_cpus: float = 0):
     @ray.remote(num_cpus=num_cpus)
     class CsrShard:
         def __init__(self, part: int, num_partitions: int,
-                     shard_dir: str | None = None):
+                     shard_dir: str | None = None,
+                     msg_ref_bytes: int | None = None):
             """Cheap construction; ``load`` does the heavy lifting so actor
             process spawn can overlap the Ray Data shard build."""
             self.part = part
             self.P = num_partitions
+            self.msg_ref_bytes = msg_ref_bytes if msg_ref_bytes is not None \
+                else _MSG_REF_BYTES_DEFAULT
             if shard_dir is not None:
                 self.load(shard_dir)
 
@@ -203,11 +212,47 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.state = None          # float ranks or int labels
             self.n_total = None
 
+        # -- actor-to-actor message shipping ---------------------------
+        @staticmethod
+        def _msg_nbytes(m) -> int:
+            if isinstance(m, np.ndarray):
+                return m.nbytes
+            if isinstance(m, tuple):
+                return sum(a.nbytes for a in m)
+            return 0
+
+        def _ship(self, msgs: list):
+            """Messages are gated PER OBJECT: an array above
+            ``msg_ref_bytes`` is ray.put() by this (sending) shard and
+            travels plasma-to-plasma to its one receiver — the driver
+            only relays the tiny ObjectRef, so no O(V) floats ever pass
+            through the driver process. Small arrays stay by value:
+            driver-relayed refs carry a fixed ~ms bookkeeping cost per
+            object, which dominates below the gate."""
+            import ray
+
+            return [ray.put(m) if self._msg_nbytes(m) >= self.msg_ref_bytes
+                    else m for m in msgs]
+
+        @staticmethod
+        def _fetch(items: list) -> list:
+            import ray
+
+            idx = [i for i, x in enumerate(items)
+                   if isinstance(x, ray.ObjectRef)]
+            if idx:
+                got = ray.get([items[i] for i in idx])
+                items = list(items)
+                for i, v in zip(idx, got):
+                    items[i] = v
+            return items
+
         # -- setup -----------------------------------------------------
         def publish_vocabs(self):
             """One-time exchange goes through plasma refs so vocab bytes
             flow actor-to-actor, not through the driver (per-iteration
-            mass arrays are smaller and travel by value instead)."""
+            mass arrays use the same path once they outgrow
+            ``_MSG_REF_BYTES``)."""
             import ray
             return [ray.put(dv) for dv in self.dvocabs]
 
@@ -232,10 +277,11 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.n_total = n_total
 
         def pr_messages(self):
-            """Per-destination-partition pre-combined mass arrays, returned
-            BY VALUE: Ray ships small results inline and auto-puts large
-            ones into plasma, so the driver-mediated exchange degrades
-            gracefully with message size."""
+            """Per-destination-partition pre-combined mass arrays. Small
+            message sets travel by value; large ones are ray.put() here
+            so the bytes move plasma-to-plasma between shard actors and
+            the driver only relays ObjectRefs — O(P^2) refs per
+            iteration instead of O(P * V) floats through one process."""
             m = self.state[self.e_src_local] * self.e_wnorm
             masses = []
             for q in range(self.P):
@@ -243,9 +289,10 @@ def _shard_actor_cls(num_cpus: float = 0):
                 masses.append(np.bincount(self.dlocals[q], weights=m[sl],
                                           minlength=self.dvocabs[q].size))
             dangling = float(self.state[self.dangling_mask].sum())
-            return dangling, masses
+            return dangling, self._ship(masses)
 
         def pr_apply(self, masses, dangling_total: float, alpha: float) -> float:
+            masses = self._fetch(masses)
             base = ((1.0 - alpha) + alpha * dangling_total) / self.n_total
             new = np.full(self.verts.size, base)
             for idx, arr in zip(self.incoming_idx, masses):
@@ -277,9 +324,10 @@ def _shard_actor_cls(num_cpus: float = 0):
                 if self.dlocals[q].size:
                     np.minimum.at(acc, self.dlocals[q], lab[sl])
                 out.append(acc)
-            return out
+            return self._ship(out)
 
         def cc_apply(self, mins) -> int:
+            mins = self._fetch(mins)
             new = self.state.copy()
             for idx, arr in zip(self.incoming_idx, mins):
                 arr = np.asarray(arr)
@@ -311,9 +359,10 @@ def _shard_actor_cls(num_cpus: float = 0):
                     trip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
                             np.zeros(0, np.float64))
                 out.append(trip)
-            return out
+            return self._ship(out)
 
         def lpa_apply(self, trips) -> int:
+            trips = self._fetch(trips)
             pos_all, lab_all, w_all = [], [], []
             for idx, (dl, lq, wq) in zip(self.incoming_idx, trips):
                 if len(dl):
@@ -356,6 +405,13 @@ def _shard_actor_cls(num_cpus: float = 0):
         def collect(self):
             return self.verts, self.state
 
+        def collect_table(self, value_name: str = "score") -> pa.Table:
+            """Per-shard result as an Arrow table; the driver consumes
+            only the ObjectRef (ray.data.from_arrow_refs), so no O(V)
+            vertex state is ever concatenated in the driver process."""
+            return pa.table({"vertex": pa.array(self.verts),
+                             value_name: pa.array(self.state)})
+
         def write_state(self, ckpt_dir: str, dtype: str):
             os.makedirs(ckpt_dir, exist_ok=True)
             col = pa.array(self.state.astype(np.float64 if dtype == "f8"
@@ -381,7 +437,8 @@ class GraphEngine:
     """Actor pool over the shard layout of ``build_shards``."""
 
     def __init__(self, shard_dir: str, num_partitions: int | None = None,
-                 cpus_per_shard: float = 0, _prestarted=None):
+                 cpus_per_shard: float = 0, _prestarted=None,
+                 msg_ref_bytes: int | None = None):
         import ray
 
         with open(f"{shard_dir}/manifest.json") as f:
@@ -393,13 +450,15 @@ class GraphEngine:
             ray.get([s.load.remote(shard_dir) for s in self.shards])
         else:
             cls = _shard_actor_cls(cpus_per_shard)
-            self.shards = [cls.remote(p, self.P, shard_dir)
+            self.shards = [cls.remote(p, self.P, shard_dir,
+                                      msg_ref_bytes=msg_ref_bytes)
                            for p in range(self.P)]
         self._exchange_vocabs()
 
     @classmethod
     def from_edges_streaming(cls, edges, num_partitions: int = 8,
-                             symmetrize: bool = False):
+                             symmetrize: bool = False,
+                             msg_ref_bytes: int | None = None):
         """Push-based shuffle straight into the actor pool: the Ray Data
         build tasks scatter each batch by destination partition and ship
         the slices to the shard actors as they stream through — no
@@ -413,7 +472,8 @@ class GraphEngine:
 
         P = num_partitions
         actor_cls = _shard_actor_cls(0)
-        shards = [actor_cls.remote(p, P) for p in range(P)]
+        shards = [actor_cls.remote(p, P, msg_ref_bytes=msg_ref_bytes)
+                  for p in range(P)]
 
         def push(batch: pa.Table) -> pa.Table:
             src = np.asarray(batch["src"], dtype=np.int64)
@@ -480,7 +540,8 @@ class GraphEngine:
     @classmethod
     def from_edges(cls, edges, num_partitions: int = 8,
                    work_dir: str | None = None, symmetrize: bool = False,
-                   cpus_per_shard: float = 0):
+                   cpus_per_shard: float = 0,
+                   msg_ref_bytes: int | None = None):
         """Build shards and the actor pool; actor processes are spawned
         BEFORE the Ray Data shard build so interpreter startup overlaps
         the shuffle (they are num_cpus=0, so they never starve the build
@@ -489,7 +550,8 @@ class GraphEngine:
 
         work_dir = work_dir or f"/tmp/tldr_ray/graph-{uuid.uuid4().hex[:8]}"
         actor_cls = _shard_actor_cls(cpus_per_shard)
-        prestarted = [actor_cls.remote(p, num_partitions)
+        prestarted = [actor_cls.remote(p, num_partitions,
+                                       msg_ref_bytes=msg_ref_bytes)
                       for p in range(num_partitions)]
         build_shards(edges, num_partitions, work_dir, symmetrize=symmetrize)
         return cls(work_dir, num_partitions, _prestarted=prestarted)
@@ -619,12 +681,14 @@ class GraphEngine:
         return ids[order], vals[order]
 
     def to_dataset(self, value_name: str = "score"):
-        """Current state as a Ray Dataset (vertex, <value_name>)."""
+        """Current state as a Ray Dataset (vertex, <value_name>) built
+        from per-shard Arrow-table ObjectRefs — the driver never holds
+        the concatenated vertex state (unlike ``_collect``, which exists
+        for small-result oracle parity)."""
         import ray.data as rd
 
-        ids, vals = self._collect(None)
-        return rd.from_arrow(pa.table({"vertex": pa.array(ids),
-                                       value_name: pa.array(vals)}))
+        refs = [s.collect_table.remote(value_name) for s in self.shards]
+        return rd.from_arrow_refs(refs)
 
     def shutdown(self):
         import ray

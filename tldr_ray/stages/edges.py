@@ -154,40 +154,66 @@ def _cooccurrence_pairs_fn(etype: str, etype_star: str, max_group_size: int):
     return pairs
 
 
-def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
+def cooccurrence_edges(transcripts, max_group_size: int = 64,
+                       include_tools: bool = True,
+                       include_entities: bool = True):
     """transcripts -> Dataset (src, dst, weight, etype) linking
-    conversations that invoke the same tool.
+    conversations that share a co-reference key — the invoked tool
+    and/or a mentioned entity — in ONE pass over the transcripts and one
+    shuffle for both families (keys are namespaced by a ``kind``
+    column).
 
     Conversation-level vertex = conv_vertex_base(conv_id) (local_idx 0
-    slot). Distinct (tool, conv) rows first (bounds hub groups by
-    distinct conversations, not call counts), then per-tool pairs with
-    the star clamp for hub tools."""
+    slot). Distinct (kind, key, conv) rows first (bounds hub groups by
+    distinct conversations, not call counts), then per-key pairs with
+    the star clamp for hub keys."""
     def distinct_rows(batch: pa.Table) -> pa.Table:
-        tools = batch["tool"].to_pylist()
-        convs = batch["conv_id"].to_pylist()
-        seen = {(t, c) for t, c in zip(tools, convs) if t}
-        if not seen:
-            return pa.table({"tool": pa.array([], pa.string()),
-                             "conv_id": pa.array([], pa.string())})
-        t, c = zip(*sorted(seen))
-        return pa.table({"tool": pa.array(list(t), pa.string()),
-                         "conv_id": pa.array(list(c), pa.string())})
+        kinds: list[str] = []
+        keys: list[str] = []
+        convs: list[str] = []
+        if include_tools:
+            seen = {(t, c) for t, c in zip(batch["tool"].to_pylist(),
+                                           batch["conv_id"].to_pylist()) if t}
+            for t, c in sorted(seen):
+                kinds.append("tool")
+                keys.append(t)
+                convs.append(c)
+        if include_entities:
+            ments = _extract_entity_mentions(batch)
+            for e, c in ments:
+                kinds.append("entity")
+                keys.append(e)
+                convs.append(c)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "key": pa.array(keys, pa.string()),
+                         "conv_id": pa.array(convs, pa.string())})
 
+    cols = ["conv_id"] + (["tool"] if include_tools else []) \
+        + (["text"] if include_entities else [])
     distinct = (
-        transcripts.select_columns(["tool", "conv_id"])
+        transcripts.select_columns(cols)
         .map_batches(distinct_rows, batch_format="pyarrow")
-        .groupby(["tool", "conv_id"])
+        .groupby(["kind", "key", "conv_id"])
         .count()
     )
 
-    return distinct.groupby("tool").map_groups(
-        _cooccurrence_pairs_fn("tool", "tool_star", max_group_size),
-        batch_format="pandas")
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        kind = group["kind"].iloc[0]
+        fn = _cooccurrence_pairs_fn(kind, f"{kind}_star", max_group_size)
+        return fn(group)
+
+    return distinct.groupby(["kind", "key"]).map_groups(
+        pairs, batch_format="pandas")
 
 
-def entity_mentions(transcripts):
-    """transcripts -> Dataset (entity, conv_id) of per-batch-distinct
-    entity mentions.
+def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
+    """Tool-only co-reference edges (see ``cooccurrence_edges``)."""
+    return cooccurrence_edges(transcripts, max_group_size,
+                              include_tools=True, include_entities=False)
+
+
+def _extract_entity_mentions(batch: pa.Table) -> list[tuple[str, str]]:
+    """Per-batch-distinct (entity, conv_id) mention pairs.
 
     Mention heuristic (deterministic, fully vectorized — the slot a real
     NER model would occupy as an actor-pool stage): a capitalized word
@@ -196,40 +222,47 @@ def entity_mentions(transcripts):
     preceded by a terminator-ending token."""
     import pyarrow.compute as pc
 
+    D = batch.num_rows
+    if D == 0:
+        return []
+    texts = pc.fill_null(batch["text"], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return []
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    turn_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+    stripped = pc.replace_substring_regex(flat, r"[.,;:?!]+$", "")
+    cap = np.asarray(pc.match_substring_regex(stripped,
+                                              r"^[A-Z][a-z]{2,}$"))
+    ends = np.asarray(pc.match_substring_regex(flat, r"[.?!]$"))
+    # Arrow's split emits '' boundary tokens; treat them as breaks
+    ends |= np.asarray(pc.equal(pc.utf8_length(flat), 0))
+    after_end = np.concatenate([[True], ends[:-1]])
+    after_end[off[:-1][off[:-1] < len(flat)]] = True  # turn-initial
+    mask = cap & ~after_end
+    if not mask.any():
+        return []
+    ents = stripped.filter(pa.array(mask)).to_pylist()
+    convs = batch["conv_id"].take(pa.array(turn_of[mask])).to_pylist()
+    return sorted(set(zip(ents, convs)))
+
+
+def entity_mentions(transcripts):
+    """transcripts -> Dataset (entity, conv_id) of per-batch-distinct
+    entity mentions (see ``_extract_entity_mentions``)."""
     def extract(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"entity": pa.array([], pa.string()),
-                          "conv_id": pa.array([], pa.string())})
-        D = batch.num_rows
-        if D == 0:
-            return empty
-        texts = pc.fill_null(batch["text"], "")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        toks = pc.utf8_split_whitespace(texts)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        if len(flat) == 0:
-            return empty
-        off = np.asarray(toks.offsets, dtype=np.int64)
-        turn_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
-        stripped = pc.replace_substring_regex(flat, r"[.,;:?!]+$", "")
-        cap = np.asarray(pc.match_substring_regex(stripped,
-                                                  r"^[A-Z][a-z]{2,}$"))
-        ends = np.asarray(pc.match_substring_regex(flat, r"[.?!]$"))
-        # Arrow's split emits '' boundary tokens; treat them as breaks
-        ends |= np.asarray(pc.equal(pc.utf8_length(flat), 0))
-        after_end = np.concatenate([[True], ends[:-1]])
-        after_end[off[:-1][off[:-1] < len(flat)]] = True  # turn-initial
-        mask = cap & ~after_end
-        if not mask.any():
-            return empty
-        ents = stripped.filter(pa.array(mask)).to_pylist()
-        convs = batch["conv_id"].take(pa.array(turn_of[mask])).to_pylist()
-        seen = sorted(set(zip(ents, convs)))
-        e, c = zip(*seen)
+        ments = _extract_entity_mentions(batch)
+        if not ments:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "conv_id": pa.array([], pa.string())})
+        e, c = zip(*ments)
         return pa.table({"entity": pa.array(list(e), pa.string()),
                          "conv_id": pa.array(list(c), pa.string())})
 
@@ -238,18 +271,10 @@ def entity_mentions(transcripts):
 
 
 def entity_cooccurrence_edges(transcripts, max_group_size: int = 64):
-    """transcripts -> Dataset (src, dst, weight, etype) linking
-    conversations that mention the same entity (SURVEY.md §2.4/§7.3's
-    second cross-conversation co-reference family). Same star clamp as
-    the tool family — entity popularity is Zipf-skewed too."""
-    distinct = (
-        entity_mentions(transcripts)
-        .groupby(["entity", "conv_id"])
-        .count()
-    )
-    return distinct.groupby("entity").map_groups(
-        _cooccurrence_pairs_fn("entity", "entity_star", max_group_size),
-        batch_format="pandas")
+    """Entity-only co-reference edges (SURVEY.md §2.4/§7.3's second
+    cross-conversation family; see ``cooccurrence_edges``)."""
+    return cooccurrence_edges(transcripts, max_group_size,
+                              include_tools=False, include_entities=True)
 
 
 def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
@@ -264,13 +289,9 @@ def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
     graphs into one global link graph."""
     sim = similarity_edges(transcripts, cfg, presplit_words).select_columns(
         ["src", "dst", "weight", "etype"])
-    out = sim
-    if include_tools:
-        tools = tool_cooccurrence_edges(transcripts, max_group_size)
-        out = out.union(tools.select_columns(["src", "dst", "weight",
-                                              "etype"]))
-    if include_entities:
-        ents = entity_cooccurrence_edges(transcripts, max_group_size)
-        out = out.union(ents.select_columns(["src", "dst", "weight",
-                                             "etype"]))
-    return out
+    if not (include_tools or include_entities):
+        return sim
+    coref = cooccurrence_edges(transcripts, max_group_size,
+                               include_tools=include_tools,
+                               include_entities=include_entities)
+    return sim.union(coref.select_columns(["src", "dst", "weight", "etype"]))
