@@ -420,7 +420,17 @@ def events_sliding_30m(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts"])
     win = assign_sliding(ds, ts_col="ts", size_s=1800, step_s=900,
                          keep=[])
-    return win.groupby("window_start").aggregate(Count(alias_name="n_events"))
+
+    def recast(batch: pa.Table) -> pa.Table:
+        # Ray's hash aggregation narrows the whole-second key to
+        # timestamp[s]; restore microseconds for oracle parity
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(i, "window_start",
+                                batch["window_start"].cast(pa.timestamp("us")))
+
+    return win.groupby("window_start") \
+        .aggregate(Count(alias_name="n_events")) \
+        .map_batches(recast, batch_format="pyarrow")
 
 
 def top_users_by_value(sf_dir: str):
