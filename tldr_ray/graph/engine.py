@@ -56,11 +56,15 @@ import pyarrow.parquet as pq
 
 from tldr_ray.graph.partition import build_shards, vhash
 
-# per-object actor-to-actor shipping gate (see CsrShard._ship); tunable
-# because the break-even moves with cluster topology — lower it on a
-# real multi-node cluster where the driver hop also doubles network cost
+# Per-object actor-to-actor shipping gate (see CsrShard._ship). Each
+# plasma ref carries ~1-5 ms of fixed ownership/refcount bookkeeping
+# (measured: 1024 refs/iter cost more than relaying 80 MB by value on
+# one box), so only messages big enough to amortize that — or to
+# threaten the driver heap / double network hops on a real cluster —
+# are shipped as refs. Lower it on a multi-node cluster where the
+# driver relay also means two network crossings per message.
 _MSG_REF_BYTES_DEFAULT = int(os.environ.get("TLDR_RAY_MSG_REF_BYTES",
-                                            512 * 1024))
+                                            8 * 1024 * 1024))
 
 _INT64_MAX = np.iinfo(np.int64).max
 
