@@ -68,7 +68,14 @@ def bench_headline(results: dict, meta: dict):
     rd.read_parquet(path).count()
 
     t0 = time.time()
-    edges = transcript_graph(rd.read_parquet(path)).select_columns(
+    # The cached corpus is conv-contiguous, so the shuffle-free
+    # similarity path (RAY_GRAFT_CONTIGUOUS=1) applies; measured on this
+    # box it wins stand-alone (-40% on the sim stage) but NOT inside the
+    # overlapped streaming build, where the executor hides the sort
+    # behind the kernel — so the shuffle path stays the bench default.
+    contiguous = os.environ.get("RAY_GRAFT_CONTIGUOUS", "0") == "1"
+    edges = transcript_graph(rd.read_parquet(path),
+                             contiguous=contiguous).select_columns(
         ["src", "dst", "weight"])
     if BUILD_METHOD == "streaming":
         eng = GraphEngine.from_edges_streaming(edges, NPARTS)

@@ -1,6 +1,7 @@
 """Tests: edge materialization, text analysis, ANN, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -50,6 +51,21 @@ class TestEdgeMaterialization:
         cold = out[out["etype"] == "tool"]
         assert len(hot) == 2 * 19        # star over 20 convs, both directions
         assert len(cold) == 2 * 3        # clique over 3 convs (3 pairs)
+
+    def test_contiguous_path_matches_shuffle(self):
+        """The shuffle-free contiguous similarity path must emit exactly
+        the edges of the groupby path on conv-contiguous input."""
+        import ray.data as rd
+        from tldr_ray.stages.edges import similarity_edges
+
+        tab = synth_transcripts_table(30, seed=7)
+        a = similarity_edges(rd.from_arrow(tab)).to_pandas()
+        b = similarity_edges(rd.from_arrow(tab),
+                             contiguous=True).to_pandas()
+        key = ["src", "dst", "weight"]
+        a = a.sort_values(key).reset_index(drop=True)[key]
+        b = b.sort_values(key).reset_index(drop=True)[key]
+        pd.testing.assert_frame_equal(a, b)
 
     def test_entity_mentions_heuristic(self):
         import ray.data as rd

@@ -45,19 +45,76 @@ def conv_vertex_base(conv_id: str) -> int:
     return h << 16
 
 
+def _convs_edges_table(group: pd.DataFrame, cfg: SummarizeConfig,
+                       presplit_words: Optional[int]) -> pa.Table:
+    """Conversations (pandas rows with conv_id/turn_idx/text) -> edge
+    table via the kernel; shared by the shuffle and contiguous paths."""
+    srcs, dsts, ws, etypes, convs = [], [], [], [], []
+    for conv_id, g in group.groupby("conv_id", sort=False):
+        g = g.sort_values("turn_idx")
+        text = " ".join(t for t in g["text"].tolist() if t).strip()
+        presplit = None
+        if presplit_words:
+            from tldr_ray.kernel import tokenize_sentences
+
+            if not tokenize_sentences(text):
+                words = text.split()
+                presplit = [" ".join(words[j : j + presplit_words])
+                            for j in range(0, len(words), presplit_words)] \
+                    or None
+        _, kept_idx, src, dst, w = summarize_to_edges(
+            text, cfg, presplit=presplit)
+        if len(src) == 0:
+            continue
+        base = conv_vertex_base(conv_id)
+        kept = np.asarray(kept_idx, dtype=np.int64)
+        srcs.append(base + kept[src])
+        dsts.append(base + kept[dst])
+        ws.append(w)
+        etypes.extend(["sim"] * len(w))
+        convs.extend([conv_id] * len(w))
+    if not srcs:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.float64()),
+                         "etype": pa.array([], pa.string()),
+                         "conv_id": pa.array([], pa.string())})
+    return pa.table(
+        {
+            "src": np.concatenate(srcs),
+            "dst": np.concatenate(dsts),
+            "weight": np.concatenate(ws),
+            "etype": pa.array(etypes, pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+        }
+    )
+
+
 def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
                      presplit_words: Optional[int] = None,
-                     num_parts: int = 64):
+                     num_parts: int = 64, contiguous: bool = False):
     """transcripts -> Dataset (src, dst, weight, etype='sim', conv_id).
 
-    The shuffle is a hash-partitioned groupby on a SMALL int key
-    (``part = crc32(conv_id) % num_parts``), not on conv_id itself:
-    sorting millions of rows by a 32-value int is far cheaper than by
-    high-cardinality strings, and the per-group task overhead drops from
-    one call per conversation to one per partition (each partition task
-    then iterates its conversations with a local pandas groupby). The
-    quadratic kernel work happens inside each small conversation,
-    vectorized. ``presplit_words`` chunks punctuation-free documents into
+    Default path: the shuffle is a hash-partitioned groupby on a SMALL
+    int key (``part = crc32(conv_id) % num_parts``), not on conv_id
+    itself: sorting millions of rows by a 32-value int is far cheaper
+    than by high-cardinality strings, and the per-group task overhead
+    drops from one call per conversation to one per partition (each
+    partition task then iterates its conversations with a local pandas
+    groupby). The quadratic kernel work happens inside each small
+    conversation, vectorized.
+
+    ``contiguous=True`` (each conversation's turns stored contiguously —
+    the natural layout of a conv-partitioned transcript store) skips the
+    text shuffle entirely: the kernel runs per input block on every
+    conversation that is fully interior to the block, and only the
+    first/last conversation of each block (which may continue in a
+    neighbor) is routed through the shuffle path. Two streaming scans of
+    the (column-pruned) source replace one scan plus a full all-to-all
+    of the text — strictly less data movement, and the boundary shuffle
+    carries ~2 conversations per block.
+
+    ``presplit_words`` chunks punctuation-free documents into
     pseudo-sentences via the reference's pre-split entry point (O28)."""
     cfg = cfg or SummarizeConfig()
 
@@ -70,52 +127,45 @@ def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
         return batch.append_column("part", pa.array(part))
 
     def per_part(group: pd.DataFrame) -> pa.Table:
-        srcs, dsts, ws, etypes, convs = [], [], [], [], []
-        for conv_id, g in group.groupby("conv_id", sort=False):
-            g = g.sort_values("turn_idx")
-            text = " ".join(t for t in g["text"].tolist() if t).strip()
-            presplit = None
-            if presplit_words:
-                from tldr_ray.kernel import tokenize_sentences
+        return _convs_edges_table(group, cfg, presplit_words)
 
-                if not tokenize_sentences(text):
-                    words = text.split()
-                    presplit = [" ".join(words[j : j + presplit_words])
-                                for j in range(0, len(words), presplit_words)] \
-                        or None
-            _, kept_idx, src, dst, w = summarize_to_edges(
-                text, cfg, presplit=presplit)
-            if len(src) == 0:
-                continue
-            base = conv_vertex_base(conv_id)
-            kept = np.asarray(kept_idx, dtype=np.int64)
-            srcs.append(base + kept[src])
-            dsts.append(base + kept[dst])
-            ws.append(w)
-            etypes.extend(["sim"] * len(w))
-            convs.extend([conv_id] * len(w))
-        if not srcs:
-            return pa.table({"src": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64()),
-                             "weight": pa.array([], pa.float64()),
-                             "etype": pa.array([], pa.string()),
-                             "conv_id": pa.array([], pa.string())})
-        return pa.table(
-            {
-                "src": np.concatenate(srcs),
-                "dst": np.concatenate(dsts),
-                "weight": np.concatenate(ws),
-                "etype": pa.array(etypes, pa.string()),
-                "conv_id": pa.array(convs, pa.string()),
-            }
+    pruned = transcripts.select_columns(["conv_id", "turn_idx", "text"])
+
+    if not contiguous:
+        return (
+            pruned.map_batches(assign, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pandas")
         )
 
-    return (
-        transcripts.select_columns(["conv_id", "turn_idx", "text"])
-        .map_batches(assign, batch_format="pyarrow")
+    def _boundary_mask(batch: pa.Table) -> np.ndarray:
+        cids = np.asarray(batch["conv_id"].to_pandas())
+        return (cids == cids[0]) | (cids == cids[-1])
+
+    def interior_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _convs_edges_table(pd.DataFrame(
+                {"conv_id": [], "turn_idx": [], "text": []}), cfg,
+                presplit_words)
+        keep = ~_boundary_mask(batch)
+        return _convs_edges_table(batch.filter(pa.array(keep)).to_pandas(),
+                                  cfg, presplit_words)
+
+    def boundary_turns(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(pa.array(_boundary_mask(batch)))
+
+    interior = pruned.map_batches(interior_edges, batch_format="pyarrow",
+                                  batch_size=None)
+    leftover = pruned.map_batches(boundary_turns, batch_format="pyarrow",
+                                  batch_size=None)
+    boundary = (
+        leftover.map_batches(assign, batch_format="pyarrow")
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+    return interior.union(boundary)
 
 
 def _cooccurrence_pairs_fn(etype: str, etype_star: str, max_group_size: int):
@@ -280,14 +330,17 @@ def entity_cooccurrence_edges(transcripts, max_group_size: int = 64):
 def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
                      max_group_size: int = 64, include_tools: bool = True,
                      include_entities: bool = True,
-                     presplit_words: Optional[int] = None):
+                     presplit_words: Optional[int] = None,
+                     contiguous: bool = False):
     """Union of the three edge families, ready for graph.GraphEngine.
 
     Similarity edges anchor each conversation's sentence subgraph; the
     conversation vertex (local_idx 0) doubles as the co-reference
     anchor, so tool and entity edges connect conversations' sentence
-    graphs into one global link graph."""
-    sim = similarity_edges(transcripts, cfg, presplit_words).select_columns(
+    graphs into one global link graph. ``contiguous=True`` enables the
+    shuffle-free similarity path for conv-partitioned inputs."""
+    sim = similarity_edges(transcripts, cfg, presplit_words,
+                           contiguous=contiguous).select_columns(
         ["src", "dst", "weight", "etype"])
     if not (include_tools or include_entities):
         return sim
