@@ -276,6 +276,76 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             stage(tab)
 
+    def test_builtin_wav_decode_roundtrip(self):
+        import io
+        import wave
+        from tldr_ray.stages.multimodal import decode_wav
+
+        t = np.arange(800) / 8000.0
+        x = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.tobytes())
+        got, rate = decode_wav(buf.getvalue())
+        assert rate == 8000 and got.size == 800
+        np.testing.assert_allclose(got, x / 32768.0, atol=1e-6)
+
+    def test_builtin_ppm_and_bmp_decode(self):
+        from tldr_ray.stages.multimodal import decode_ppm, decode_bmp
+
+        img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+        ppm = b"P6\n# comment\n4 5\n255\n" + img.tobytes()
+        np.testing.assert_array_equal(decode_ppm(ppm), img)
+        # hand-rolled bottom-up 24-bit BMP
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # BGR, flip
+        header = (b"BM" + (54 + rows.size).to_bytes(4, "little")
+                  + b"\x00" * 4 + (54).to_bytes(4, "little")
+                  + (40).to_bytes(4, "little")
+                  + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                  + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                  + b"\x00" * 24)
+        np.testing.assert_array_equal(decode_bmp(header + rows.tobytes()),
+                                      img)
+
+    def test_image_resize_nn(self):
+        from tldr_ray.stages.multimodal import image_resize_nn
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        small = image_resize_nn(img, 2, 2)
+        np.testing.assert_array_equal(small, [[0, 2], [8, 10]])
+        big = image_resize_nn(img, 8, 8)
+        assert big.shape == (8, 8) and big[0, 0] == 0 and big[-1, -1] == 15
+
+    def test_builtin_decoder_real_payloads_and_refusal(self):
+        import ray.data as rd
+        from tldr_ray.stages.multimodal import (MediaFeatureExtractor,
+                                                extract_media_features,
+                                                synth_media_table)
+
+        tab = synth_media_table(12)
+        nonvid = tab.filter(pa.compute.not_equal(tab["kind"], "video"))
+        out = extract_media_features(rd.from_arrow(nonvid), dim=16,
+                                     decoder="builtin").to_pandas()
+        assert len(out) == len(nonvid)
+        assert all(len(f) == 16 for f in out["feature"])
+        # image features carry the true height/width in slots 0-1
+        imgs = tab.to_pandas().query("kind == 'image'").set_index("media_id")
+        feats = out.set_index("media_id")
+        for mid, row in imgs.iterrows():
+            f = feats.loc[mid, "feature"]
+            assert f[0] == row["height"] and f[1] == row["width"]
+        # unsupported mime refuses loudly, never silently fakes
+        stage = MediaFeatureExtractor(decoder="builtin")
+        vid = tab.filter(pa.compute.equal(tab["kind"], "video"))
+        with pytest.raises(NotImplementedError):
+            stage(vid)
+
     def test_frame_sampler(self):
         import ray.data as rd
         from tldr_ray.stages.multimodal import synth_media_table, sample_frames

@@ -767,15 +767,30 @@ def curate_documents_pipeline(sf_dir: str):
 
 
 def media_features_demo(sf_dir: str):
-    """Multimodal plumbing demo (synthetic payloads; decode is the
-    documented stub — sf_dir unused by design)."""
+    """Multimodal pipeline demo (synthetic payloads; sf_dir unused by
+    design): image (PPM) and audio (WAV) rows go through the REAL
+    builtin decoder (numpy/stdlib — FFT band energies, channel stats,
+    NN-resized thumbnail); video rows use the documented stub hook
+    (mp4 codecs absent in this container)."""
     import ray.data as rd
 
     from tldr_ray.stages.multimodal import (extract_media_features,
                                             synth_media_table)
 
-    return extract_media_features(rd.from_arrow(synth_media_table(120)),
-                                  dim=16)
+    media = rd.from_arrow(synth_media_table(120))
+
+    def keep(want_video: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_vid = pc.equal(batch["kind"], "video")
+            return batch.filter(is_vid if want_video
+                                else pc.invert(is_vid))
+        return fn
+
+    decodable = media.map_batches(keep(False), batch_format="pyarrow")
+    video = media.map_batches(keep(True), batch_format="pyarrow")
+    real = extract_media_features(decodable, dim=16, decoder="builtin")
+    stub = extract_media_features(video, dim=16, decoder="fake")
+    return real.union(stub)
 
 
 QUERIES = {

@@ -1,12 +1,21 @@
 """Multimodal column plumbing (images / audio / video as opaque binary).
 
-The decode libraries (PIL, ffmpeg, torchaudio, ...) are NOT in this
-container, so the decode kernels are STUBS behind ``decoder=`` hooks:
-``decoder=None`` raises NotImplementedError at the decode call site
-(clearly marked), ``decoder="fake"`` derives deterministic pseudo
-features from the payload bytes so the Ray-side plumbing — schema,
-actor-pool signature, small-batch sizing, output layout — is real and
-tested end-to-end.
+Decode support is tiered:
+
+- ``decoder="builtin"`` REALLY decodes the formats that need no external
+  library: RIFF/WAVE PCM audio (stdlib ``wave``), binary PPM (P6) and
+  uncompressed 24-bit BMP images (pure numpy header parsing). Features
+  are computed from the decoded samples/pixels (FFT band energies,
+  channel statistics, a nearest-neighbor-resized grayscale thumbnail).
+  Unsupported mimes raise NotImplementedError — never a silent
+  fallback.
+- codec formats (JPEG/PNG/MP4...) need libraries NOT in this container,
+  so they remain STUBS behind the ``decoder=`` hook: ``decoder=None``
+  raises NotImplementedError at the decode call site (clearly marked),
+  ``decoder="fake"`` derives deterministic pseudo features from the
+  payload bytes so the Ray-side plumbing — schema, actor-pool
+  signature, small-batch sizing, output layout — is testable for any
+  mime.
 
 Design points that survive to production unchanged:
 - payloads stay ``binary`` columns in ``batch_format="pyarrow"`` end to
@@ -38,8 +47,34 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _synth_wav(rng: np.random.Generator, ms: int, rate: int = 8000) -> bytes:
+    """Tiny deterministic PCM16 WAV: sine + noise."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * ms / 1000)) / rate
+    f = float(rng.integers(100, 1200))
+    x = 0.6 * np.sin(2 * np.pi * f * t) + 0.1 * rng.standard_normal(t.size)
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _synth_ppm(rng: np.random.Generator, w: int, h: int) -> bytes:
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests/benches."""
+    """Deterministic media rows: REAL decodable payloads for audio (WAV
+    PCM16) and image (binary PPM) so ``decoder='builtin'`` exercises an
+    actual decode; video stays an opaque pseudo-payload (mp4 decode
+    needs codecs absent here)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -47,14 +82,27 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
         kind = kinds[i % 3]
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["payload"].append(rng.integers(0, 256, payload_bytes,
-                                            dtype=np.uint8).tobytes())
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
-        rows["width"].append(int(rng.integers(64, 1920)) if kind != "audio" else -1)
-        rows["height"].append(int(rng.integers(64, 1080)) if kind != "audio" else -1)
-        rows["duration_ms"].append(int(rng.integers(500, 60000))
-                                   if kind != "image" else -1)
+        if kind == "image":
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            rows["payload"].append(_synth_ppm(rng, w, h))
+            rows["mime"].append("image/x-portable-pixmap")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(-1)
+        elif kind == "audio":
+            ms = int(rng.integers(50, 400))
+            rows["payload"].append(_synth_wav(rng, ms))
+            rows["mime"].append("audio/wav")
+            rows["width"].append(-1)
+            rows["height"].append(-1)
+            rows["duration_ms"].append(ms)
+        else:
+            rows["payload"].append(rng.integers(0, 256, payload_bytes,
+                                                dtype=np.uint8).tobytes())
+            rows["mime"].append("video/mp4")
+            rows["width"].append(int(rng.integers(64, 1920)))
+            rows["height"].append(int(rng.integers(64, 1080)))
+            rows["duration_ms"].append(int(rng.integers(500, 60000)))
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -63,6 +111,130 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     h = hashlib.blake2b(payload, digest_size=8).digest()
     rng = np.random.default_rng(int.from_bytes(h, "little"))
     return rng.standard_normal(dim).astype(np.float32)
+
+
+# -- real decoders for library-free formats --------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (mono float32 samples in [-1, 1], sample_rate).
+    Stdlib ``wave`` only; 8/16/32-bit PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, ch, width, rate = (w.getnframes(), w.getnchannels(),
+                              w.getsampwidth(), w.getframerate())
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM width {width}")
+    if ch > 1:
+        x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) is supported")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":          # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                        # single whitespace
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255")
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) -> (H, W, 3) uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0                       # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3          # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]    # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def image_resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (no image library)."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+def _audio_features(payload: bytes, dim: int) -> np.ndarray:
+    x, rate = decode_wav(payload)
+    out = np.zeros(dim, dtype=np.float32)
+    if x.size == 0:
+        return out
+    stats = [x.size / rate, float(np.sqrt(np.mean(x * x))),
+             float(np.abs(x).max()), float(x.mean()), float(x.std()),
+             float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))]
+    spec = np.abs(np.fft.rfft(x))
+    n_bands = max(1, dim - len(stats))
+    bands = [float(b.mean()) if b.size else 0.0
+             for b in np.array_split(spec, n_bands)]
+    vec = np.asarray(stats + bands, dtype=np.float32)[:dim]
+    out[: vec.size] = vec
+    return out
+
+
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    f = img.astype(np.float32)
+    stats = [float(h), float(w),
+             *(float(v) for v in f.mean(axis=(0, 1))),
+             *(float(v) for v in f.std(axis=(0, 1)))]
+    gray = f.mean(axis=2)
+    thumb = image_resize_nn(gray, 4, 4).reshape(-1) / 255.0
+    vec = np.asarray(stats + thumb.tolist(), dtype=np.float32)[:dim]
+    out = np.zeros(dim, dtype=np.float32)
+    out[: vec.size] = vec
+    return out
+
+
+def builtin_decoder(payload: bytes, mime: str, dim: int = 64) -> np.ndarray:
+    """Real decode for library-free formats; everything else raises."""
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _audio_features(payload, dim)
+    if mime == "image/x-portable-pixmap":
+        return _image_features(decode_ppm(payload), dim)
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return _image_features(decode_bmp(payload), dim)
+    raise NotImplementedError(
+        f"builtin decoder has no codec for {mime!r} (JPEG/PNG/MP4 need "
+        "libraries not present in this container); pass decoder=callable "
+        "or decoder='fake'")
 
 
 class MediaFeatureExtractor:
@@ -78,14 +250,17 @@ class MediaFeatureExtractor:
         self.dim = dim
         if decoder == "fake":
             self.decode = lambda payload, mime: _fake_features(payload, dim)
+        elif decoder == "builtin":
+            self.decode = lambda payload, mime: builtin_decoder(payload,
+                                                               mime, dim)
         elif callable(decoder):
             self.decode = decoder
         else:
             def _missing(payload, mime):
                 raise NotImplementedError(
                     "media decode requires an image/audio library not "
-                    "present in this container; pass decoder=callable "
-                    "or decoder='fake'")
+                    "present in this container; pass decoder=callable, "
+                    "decoder='builtin' (wav/ppm/bmp) or decoder='fake'")
             self.decode = _missing
 
     def __call__(self, batch: pa.Table) -> pa.Table:
