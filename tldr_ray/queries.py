@@ -130,29 +130,58 @@ def events_by_type(sf_dir: str):
 def events_cooccurrence_pairs(sf_dir: str):
     """Unordered event-type pairs co-occurring for the same user.
 
-    distinct (user, type) -> per-user pairwise inside map_groups ->
-    partial counts -> groupby sum. This is the cross-conversation
-    co-reference edge build (SURVEY.md §2.4) in miniature; hot keys are
-    bounded because pairs per user are quadratic in its DISTINCT types
-    (small vocabulary), not its event count."""
+    distinct (user, type) -> COARSE partition on user hash (one task
+    sweeps thousands of users vectorized; per-user map_groups pays ~ms
+    of invocation overhead per micro-group) -> per-partition pair
+    counts pre-aggregated -> tiny groupby sum. This is the
+    cross-conversation co-reference edge build (SURVEY.md §2.4) in
+    miniature; hot keys are bounded because pairs per user are
+    quadratic in its DISTINCT types (small vocabulary), not its event
+    count."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    distinct = ds.groupby(["user_id", "event_type"]).count()
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.dedup import _segment_pair_indices
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        types = sorted(group["event_type"].unique())
-        a, b = [], []
-        for i in range(len(types)):
-            for j in range(i + 1, len(types)):
-                a.append(types[i])
-                b.append(types[j])
-        return pd.DataFrame({"type_a": a, "type_b": b,
-                             "n": np.ones(len(a), dtype=np.int64)})
+    NP = 64
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        """Per-batch distinct (the combiner): collapses the event stream
+        to at most |users| x |types| rows BEFORE the only shuffle."""
+        df = pd.DataFrame({"user_id": np.asarray(batch["user_id"],
+                                                 dtype=np.int64),
+                           "event_type": batch["event_type"].to_pandas()})
+        df = df.drop_duplicates()
+        u = df["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_type": pa.array(df["event_type"], pa.string()),
+                "part": pa.array((vhash(u) % np.uint64(NP)).astype(np.int32)),
+            }
+        )
+
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["user_id", "event_type"]) \
+            .sort_values(["user_id", "event_type"])
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        change = np.flatnonzero(u[1:] != u[:-1])
+        starts = np.concatenate([[0], change + 1])
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ia, ib, _ = _segment_pair_indices(sizes, starts,
+                                          max_bucket=1 << 30)
+        out = pd.DataFrame({"type_a": t[ia], "type_b": t[ib]})
+        out = out.groupby(["type_a", "type_b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     return (
-        distinct.groupby("user_id")
-        .map_groups(pairs, batch_format="pandas")
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n", alias_name="n_users"))
     )

@@ -63,26 +63,55 @@ def assign_sliding(ds, ts_col: str = "ts", size_s: int = 1800,
 
 
 def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
-                    gap_s: int = 1800):
+                    gap_s: int = 1800, num_partitions: int = 64):
     """Per-key session assignment: (key, session_id 1-based, n_events,
-    session_start, session_end)."""
-    gap = pd.Timedelta(seconds=gap_s)
+    session_start, session_end).
 
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        sid = (g[ts_col].diff() > gap).cumsum().astype(np.int64) + 1
-        g = g.assign(session_id=sid)
-        out = g.groupby("session_id").agg(
-            n_events=(ts_col, "size"),
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-        ).reset_index()
-        out.insert(0, key_col, g[key_col].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    One COARSE shuffle on ``hash(key) % num_partitions``; each partition
+    task sorts its rows once by (key, ts) and derives every key's
+    sessions vectorized (boundary flags + segment reductions) — no
+    per-key map_groups invocation overhead."""
+    from tldr_ray.graph.partition import vhash
+
+    gap = np.timedelta64(gap_s, "s")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        return batch.append_column(
+            "__part",
+            pa.array((vhash(k) % np.uint64(num_partitions))
+                     .astype(np.int32)))
+
+    def part_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col])
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        n = len(g)
+        new_key = np.concatenate([[True], key[1:] != key[:-1]])
+        gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap])
+        new_sess = new_key | gap_break
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        # 1-based session id per key = running session count since the
+        # key's first session
+        sess_no = np.cumsum(new_sess)                     # global, 1-based
+        key_first_sess = sess_no[starts[new_key[starts]]]  # per key block
+        key_of_sess = np.cumsum(new_key[starts]) - 1
+        sid = sess_no[starts] - key_first_sess[key_of_sess] + 1
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        return pd.DataFrame(
+            {
+                key_col: key[starts],
+                "session_id": sid.astype(np.int64),
+                "n_events": sizes.astype(np.int64),
+                "session_start": ts[starts],
+                "session_end": ts[ends],
+            }
+        )
 
     return (
         ds.select_columns([key_col, ts_col])
-        .groupby(key_col)
-        .map_groups(fn, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_sessions, batch_format="pandas")
     )
