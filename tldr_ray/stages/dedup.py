@@ -66,57 +66,78 @@ def _string_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
     return data, off
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 64):
     """Exact duplicate clusters: (doc_id, keep_id, n_dupes) one row per doc.
 
-    hash-partition + per-group-first (SURVEY.md §2.5): the groupby key is
-    the 128-bit content hash, so the shuffle moves 16 bytes + id per row.
+    hash-partition + per-group-first (SURVEY.md §2.5): the shuffle moves
+    16 bytes + id per row, keyed by a COARSE partition of the 128-bit
+    content hash; each partition task sorts once by (hash, id) and
+    resolves every contained cluster with segment reductions — no
+    per-cluster map_groups invocations.
     """
     def add_hash(batch: pa.Table) -> pa.Table:
+        hs = _content_hash_batch(batch[text_col].to_pylist())
+        part = np.asarray([int(h[:8], 16) % num_partitions for h in hs],
+                          dtype=np.int32)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "h": pa.array(_content_hash_batch(batch[text_col].to_pylist()),
-                              pa.string()),
+                "h": pa.array(hs, pa.string()),
+                "part": pa.array(part),
             }
         )
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
+    def resolve_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", id_col])
+        ids = g[id_col].to_numpy()
+        h = g["h"].to_numpy()
+        new = np.concatenate([[True], h[1:] != h[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        seg_of = np.cumsum(new) - 1
         return pd.DataFrame(
             {
                 id_col: ids,
-                "keep_id": np.full(ids.size, ids[0]),
-                "n_dupes": np.full(ids.size, ids.size, dtype=np.int64),
+                "keep_id": ids[starts][seg_of],
+                "n_dupes": sizes[seg_of].astype(np.int64),
             }
         )
 
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(resolve, batch_format="pandas")
+        .groupby("part")
+        .map_groups(resolve_part, batch_format="pandas")
     )
 
 
 def exact_dedup_representatives(ds, id_col: str = "doc_id",
-                                text_col: str = "text"):
+                                text_col: str = "text",
+                                num_partitions: int = 64):
     """Exact dedup that keeps the min-id ROW (with its text) per content
     hash, entirely in-flow — no id-set round-trips back to the driver.
     The shuffle carries the text once, which is exactly the payload a
-    downstream consumer of the surviving rows needs anyway."""
+    downstream consumer of the surviving rows needs anyway; same coarse
+    partition sweep as ``exact_dedup``."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__h", pa.array(_content_hash_batch(batch[text_col].to_pylist()),
-                            pa.string()))
+        hs = _content_hash_batch(batch[text_col].to_pylist())
+        part = np.asarray([int(h[:8], 16) % num_partitions for h in hs],
+                          dtype=np.int32)
+        return batch.append_column("__h", pa.array(hs, pa.string())) \
+            .append_column("__part", pa.array(part))
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col).drop(columns="__h")
+    def keep_min_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__h", id_col])
+        first = np.concatenate([[True],
+                                g["__h"].to_numpy()[1:]
+                                != g["__h"].to_numpy()[:-1]])
+        return g[first].drop(columns=["__h", "__part"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(keep_min, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(keep_min_part, batch_format="pandas")
     )
 
 
