@@ -25,11 +25,29 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from tldr_ray.config import SummarizeConfig
 from tldr_ray.kernel.lexrank import summarize_with_indices
 from tldr_ray.kernel.text import tokenize_sentences
+
+
+def _with_conv_part(ds, num_parts: int = 64):
+    """Append a coarse int partition key for conv_id (the only shuffle
+    key — per-conversation map_groups pays ~ms of invocation overhead
+    per micro-group; a partition task sweeps its conversations with a
+    local pandas groupby instead)."""
+    def assign(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        part = np.asarray(
+            [zlib.crc32(c.encode()) % num_parts
+             for c in batch["conv_id"].to_pylist()], dtype=np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def _summarize_group_fn(num: int, cfg: Optional[SummarizeConfig],
@@ -61,36 +79,52 @@ def _summarize_group_fn(num: int, cfg: Optional[SummarizeConfig],
 
 def summarize_transcripts(transcripts, num: int = 3,
                           cfg: Optional[SummarizeConfig] = None,
-                          presplit_words: Optional[int] = None):
-    """transcripts Dataset -> summary Dataset (conv_id, rank, local_idx, text)."""
+                          presplit_words: Optional[int] = None,
+                          num_parts: int = 64):
+    """transcripts Dataset -> summary Dataset (conv_id, rank, local_idx,
+    text); one coarse shuffle, conversations swept per partition."""
+    per_conv = _summarize_group_fn(num, cfg, presplit_words=presplit_words)
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_conv(g) for _, g in group.groupby("conv_id", sort=False)]
+        if not outs:
+            return pd.DataFrame({"conv_id": pd.array([], dtype=object),
+                                 "rank": pd.array([], dtype="int32"),
+                                 "local_idx": pd.array([], dtype="int32"),
+                                 "text": pd.array([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
     return (
-        transcripts.select_columns(["conv_id", "turn_idx", "text"])
-        .groupby("conv_id")
-        .map_groups(_summarize_group_fn(num, cfg, presplit_words=presplit_words),
-                    batch_format="pandas")
+        _with_conv_part(
+            transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+            num_parts)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
-def assemble_documents(transcripts):
+def assemble_documents(transcripts, num_parts: int = 64):
     """transcripts -> (conv_id, text) one row per conversation.
 
     Turn texts joined with a single space in turn_idx order — the
     document-assembly contract shared by every per-conversation stage.
     """
 
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("turn_idx")
-        return pd.DataFrame(
-            {
-                "conv_id": [group["conv_id"].iloc[0]],
-                "text": [" ".join(t for t in group["text"].tolist() if t).strip()],
-            }
-        )
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"])
+        convs, texts = [], []
+        for conv_id, sub in g.groupby("conv_id", sort=False):
+            convs.append(conv_id)
+            texts.append(" ".join(t for t in sub["text"].tolist()
+                                  if t).strip())
+        return pd.DataFrame({"conv_id": convs, "text": texts})
 
     return (
-        transcripts.select_columns(["conv_id", "turn_idx", "text"])
-        .groupby("conv_id")
-        .map_groups(fn, batch_format="pandas")
+        _with_conv_part(
+            transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+            num_parts)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
