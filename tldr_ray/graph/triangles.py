@@ -122,52 +122,92 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
         oriented = with_db.map_batches(orient_joined, batch_format="pyarrow")
     oriented = oriented.materialize()  # reused: wedge gen + closure probe
 
-    def wedges(group: pd.DataFrame) -> pd.DataFrame:
-        center = int(group["src"].iloc[0])
-        nb = np.sort(group["dst"].to_numpy(np.int64))
-        k = nb.size
-        if k < 2:
-            return pd.DataFrame({"a": [], "b": [], "center": []}).astype(np.int64)
-        ii, jj = np.triu_indices(k, 1)
-        return pd.DataFrame({"a": nb[ii], "b": nb[jj],
-                             "center": np.full(ii.size, center, np.int64)})
+    # wedge generation and closure both shuffle on COARSE partitions of
+    # their key (per-vertex / per-pair micro-groups would pay ~ms of
+    # map_groups invocation overhead each; a partition task sweeps all
+    # its keys with one sort + segment reductions)
+    from tldr_ray.graph.partition import vhash
 
-    wedge_ds = oriented.groupby("src").map_groups(wedges, batch_format="pandas")
+    NP = np.uint64(64)
+
+    def wedge_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"])
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        new = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ia, ib = [], []
+        for st, k in zip(starts.tolist(), sizes.tolist()):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+        if not ia:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64"),
+                                 "center": pd.array([], dtype="int64")})
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        return pd.DataFrame({"a": dst[ia], "b": dst[ib], "center": src[ia]})
+
+    wedge_ds = (
+        oriented.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(
+                    (vhash(np.asarray(t["src"], dtype=np.int64)) % NP)
+                    .astype(np.int32))),
+            batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedge_part, batch_format="pandas")
+    )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["src"], dtype=np.int64)
         b = np.asarray(batch["dst"], dtype=np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        part = (vhash(lo * np.int64(1_000_003) + hi) % NP).astype(np.int32)
         return pa.table({"a": lo, "b": hi,
-                         "center": np.full(a.size, -1, np.int64)})
+                         "center": np.full(a.size, -1, np.int64),
+                         "part": pa.array(part)})
 
     def tag_wedges(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["a"], dtype=np.int64)
         b = np.asarray(batch["b"], dtype=np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        part = (vhash(lo * np.int64(1_000_003) + hi) % NP).astype(np.int32)
         return pa.table({"a": lo, "b": hi,
-                         "center": np.asarray(batch["center"], dtype=np.int64)})
+                         "center": np.asarray(batch["center"],
+                                              dtype=np.int64),
+                         "part": pa.array(part)})
 
     probe = oriented.map_batches(tag_edges, batch_format="pyarrow").union(
         wedge_ds.map_batches(tag_wedges, batch_format="pyarrow"))
 
-    def close(group: pd.DataFrame) -> pd.DataFrame:
-        centers = group["center"].to_numpy(np.int64)
-        has_edge = (centers == -1).any()
-        w = centers[centers >= 0]
-        if not has_edge or w.size == 0:
+    def close_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["a", "b", "center"])  # -1 edge rows first
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        c = g["center"].to_numpy(np.int64)
+        new = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        seg_of = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # a pair-segment closes its wedges iff it contains the edge row
+        # (center == -1 sorts first within the segment)
+        seg_has_edge = c[starts] == -1
+        is_wedge = c >= 0
+        closed = is_wedge & seg_has_edge[seg_of]
+        if not closed.any():
             return pd.DataFrame({"vertex": pd.array([], dtype="int64"),
                                  "n": pd.array([], dtype="int64")})
-        a = int(group["a"].iloc[0])
-        b = int(group["b"].iloc[0])
-        # each wedge center closes one triangle (a, b, center)
-        verts = np.concatenate([w, np.full(w.size, a), np.full(w.size, b)])
+        verts = np.concatenate([c[closed], a[closed], b[closed]])
         vu, cnt = np.unique(verts, return_counts=True)
         return pd.DataFrame({"vertex": vu, "n": cnt.astype(np.int64)})
 
     per_vertex = (
-        probe.groupby(["a", "b"])
-        .map_groups(close, batch_format="pandas")
+        probe.groupby("part")
+        .map_groups(close_part, batch_format="pandas")
         .groupby("vertex")
         .aggregate(Sum("n", alias_name="triangles"))
     )
