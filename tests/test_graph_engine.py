@@ -85,6 +85,72 @@ class TestPagerank:
         assert np.array_equal(ids, o_ids)
         np.testing.assert_allclose(scores, o_scores, atol=1e-6)
 
+    def test_personalized_matches_dense_oracle(self):
+        """Personalized PageRank vs a dense numpy power iteration with
+        restart to the seed distribution (dangling mass also restarts
+        to the seeds)."""
+        from tldr_ray.graph import GraphEngine
+
+        rng = np.random.default_rng(3)
+        n = 40
+        src = rng.integers(0, n, 300)
+        dst = rng.integers(0, n, 300)
+        w = rng.random(300) + 0.05
+        seeds = np.array([2, 7, 11])
+        seed_w = np.array([0.5, 0.3, 0.2])
+        edges = list(zip(src.tolist(), dst.tolist(), w.tolist()))
+        eng = GraphEngine.from_edges(edge_ds(edges), num_partitions=3)
+        try:
+            ids, scores, info = eng.pagerank(
+                tolerance=1e-12, personalization=(seeds, seed_w))
+        finally:
+            eng.shutdown()
+        assert info["converged"]
+        # dense oracle over the same vertex universe
+        verts = np.unique(np.concatenate([src, dst]))
+        vidx = {v: i for i, v in enumerate(verts)}
+        N = verts.size
+        A = np.zeros((N, N))
+        for s, d, ww in edges:
+            A[vidx[s], vidx[d]] += ww
+        out = A.sum(axis=1)
+        P = np.divide(A, out[:, None], out=np.zeros_like(A),
+                      where=out[:, None] > 0)
+        p = np.zeros(N)
+        for s, ww in zip(seeds, seed_w):
+            p[vidx[s]] = ww
+        p = p / p.sum()
+        alpha = 0.85
+        x = p.copy()
+        for _ in range(10_000):
+            dang = x[out == 0].sum()
+            x_new = (1 - alpha) * p + alpha * (P.T @ x + dang * p)
+            if np.abs(x_new - x).sum() < 1e-13:
+                x = x_new
+                break
+            x = x_new
+        assert np.array_equal(ids, verts)
+        np.testing.assert_allclose(scores, x, atol=1e-8)
+        # mass concentrated near the seeds
+        assert scores[np.searchsorted(ids, 2)] > 1.0 / N
+
+    def test_personalized_then_plain_resets(self):
+        """A reused engine must not leak the restart vector into a later
+        uniform run."""
+        from tldr_ray.graph import GraphEngine
+
+        edges = symmetrized(TWO_TRIANGLES_BRIDGE)
+        eng = GraphEngine.from_edges(edge_ds(edges), num_partitions=2)
+        try:
+            _, plain1, _ = eng.pagerank()
+            _, pers, _ = eng.pagerank(
+                personalization=(np.array([0]), np.array([1.0])))
+            _, plain2, _ = eng.pagerank()
+        finally:
+            eng.shutdown()
+        assert not np.allclose(plain1, pers)
+        np.testing.assert_allclose(plain1, plain2, atol=1e-12)
+
     def test_dangling_vertices(self):
         from tldr_ray.graph import pagerank
 

@@ -280,6 +280,30 @@ def _shard_actor_cls(num_cpus: float = 0):
             """Resume path: restore n_total without resetting state."""
             self.n_total = n_total
 
+        def pr_set_personalization(self, seed):
+            """Personalized restart vector: (sorted seed ids, weights),
+            passed as an ObjectRef that Ray resolves to zero-copy plasma
+            views; each shard keeps only its local slice. None resets to
+            the uniform vector."""
+            if seed is None:
+                self.pvec = None
+                return 0.0
+            seed_ids, seed_w = seed
+            p = np.zeros(self.verts.size)
+            pos = np.searchsorted(seed_ids, self.verts)
+            pos = np.minimum(pos, seed_ids.size - 1)
+            hit = seed_ids[pos] == self.verts
+            p[hit] = seed_w[pos[hit]]
+            self.pvec = p
+            local = float(p.sum())
+            # start from the restart vector itself
+            self.state = p.copy()
+            return local
+
+        def pr_rescale_personalization(self, factor: float):
+            self.pvec = self.pvec * factor
+            self.state = self.state * factor
+
         def pr_messages(self):
             """Per-destination-partition pre-combined mass arrays. Small
             message sets travel by value; large ones are ray.put() here
@@ -297,8 +321,11 @@ def _shard_actor_cls(num_cpus: float = 0):
 
         def pr_apply(self, masses, dangling_total: float, alpha: float) -> float:
             masses = self._fetch(masses)
-            base = ((1.0 - alpha) + alpha * dangling_total) / self.n_total
-            new = np.full(self.verts.size, base)
+            coef = (1.0 - alpha) + alpha * dangling_total
+            if getattr(self, "pvec", None) is not None:
+                new = coef * self.pvec      # personalized restart
+            else:
+                new = np.full(self.verts.size, coef / self.n_total)
             for idx, arr in zip(self.incoming_idx, masses):
                 arr = np.asarray(arr)
                 if arr.size:
@@ -563,12 +590,24 @@ class GraphEngine:
     # -- algorithms ----------------------------------------------------
     def pagerank(self, damping: float = 0.85, tolerance: float = 1e-4,
                  max_iterations: int = 200, checkpoint_every: int = 0,
-                 checkpoint_dir: str | None = None, resume: bool = False):
+                 checkpoint_dir: str | None = None, resume: bool = False,
+                 personalization=None):
         """Returns (vertex_ids, scores, info). alixaxel/pagerank semantics
-        (see kernel.pagerank_ref)."""
+        (see kernel.pagerank_ref).
+
+        ``personalization``: optional (ids, weights) arrays — the restart
+        distribution of personalized PageRank (weights renormalized over
+        the seeds actually present in the graph). The restart vector is
+        broadcast once via plasma; each shard keeps its local slice.
+        """
         import ray
 
         from tldr_ray.state import read_manifest
+
+        if personalization is not None and resume:
+            raise ValueError("personalization cannot be combined with "
+                             "resume (the checkpoint does not record the "
+                             "restart vector)")
 
         start_iter = 0
         ck = read_manifest(checkpoint_dir) if (resume and checkpoint_dir) \
@@ -580,10 +619,30 @@ class GraphEngine:
                     f"(P={ck['num_partitions']}, n={ck['n_total']}) vs engine "
                     f"(P={self.P}, n={self.n_total}) — refusing to resume")
             start_iter = ck["iteration"]
+            ray.get([s.pr_set_personalization.remote(None)
+                     for s in self.shards])   # clear any prior restart vec
             ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
                                          "f8") for s in self.shards])
             ray.get([s.pr_set_total.remote(self.n_total) for s in self.shards])
+        elif personalization is not None:
+            ids, w = personalization
+            ids = np.asarray(ids, dtype=np.int64)
+            w = np.asarray(w, dtype=np.float64)
+            order = np.argsort(ids)
+            seed_ref = ray.put((ids[order], w[order]))
+            ray.get([s.pr_set_total.remote(self.n_total)
+                     for s in self.shards])
+            covered = sum(ray.get(
+                [s.pr_set_personalization.remote(seed_ref)
+                 for s in self.shards]))
+            if covered <= 0:
+                raise ValueError("no personalization seed is present in "
+                                 "the graph")
+            ray.get([s.pr_rescale_personalization.remote(1.0 / covered)
+                     for s in self.shards])
         else:
+            ray.get([s.pr_set_personalization.remote(None)
+                     for s in self.shards])
             ray.get([s.pr_init.remote(self.n_total) for s in self.shards])
 
         if self.n_total == 0:

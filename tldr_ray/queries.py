@@ -697,6 +697,23 @@ def centrality_hashgraph(sf_dir: str):
     return centrality_ranks(ds)
 
 
+def personalized_pagerank_hashgraph(sf_dir: str):
+    """Personalized PageRank over the hash graph with restart mass on
+    seeds {0, 1, 2} (no SQL oracle — iterative float fixpoint; the dense
+    numpy oracle lives in tests/test_graph_engine.py)."""
+    from tldr_ray.graph import GraphEngine
+
+    eng = GraphEngine.from_edges(_hash_graph_edges(sf_dir),
+                                 num_partitions=4)
+    try:
+        ids, scores, _ = eng.pagerank(
+            personalization=(np.array([0, 1, 2]),
+                             np.array([0.5, 0.3, 0.2])))
+    finally:
+        eng.shutdown()
+    return pa.table({"vertex": pa.array(ids), "score": pa.array(scores)})
+
+
 def centrality_documents_graph(sf_dir: str):
     """Distributed O17: max-incident-weight ranking over the documents
     transcript graph (deterministic engine tie-break)."""
@@ -855,6 +872,7 @@ QUERIES = {
     "triangle_counts_hashgraph": triangle_counts_hashgraph,
     "connected_components_hashgraph": connected_components_hashgraph,
     "centrality_hashgraph": centrality_hashgraph,
+    "personalized_pagerank_hashgraph": personalized_pagerank_hashgraph,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
