@@ -697,6 +697,48 @@ def centrality_hashgraph(sf_dir: str):
     return centrality_ranks(ds)
 
 
+def degree_distribution_hashgraph(sf_dir: str):
+    """Undirected-degree histogram of the hash graph: (degree,
+    n_vertices). Partial per-batch degree counts -> one small groupby
+    (combiner pattern); SQL oracle joins the same edge generator."""
+    from ray.data.aggregate import Sum
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)  # pre-combiner
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    def partial_degrees(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch["a"], dtype=np.int64),
+                            np.asarray(batch["b"], dtype=np.int64)])
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(vu),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    degrees = (
+        _hash_graph_edges(sf_dir)
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+        .map_batches(partial_degrees, batch_format="pyarrow")
+        .groupby("vertex")
+        .aggregate(Sum("n", alias_name="degree"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        deg, cnt = np.unique(np.asarray(batch["degree"], dtype=np.int64),
+                             return_counts=True)
+        return pa.table({"degree": pa.array(deg),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (
+        degrees.map_batches(hist, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n", alias_name="n_vertices"))
+    )
+
+
 def personalized_pagerank_hashgraph(sf_dir: str):
     """Personalized PageRank over the hash graph with restart mass on
     seeds {0, 1, 2} (no SQL oracle — iterative float fixpoint; the dense
@@ -873,6 +915,7 @@ QUERIES = {
     "connected_components_hashgraph": connected_components_hashgraph,
     "centrality_hashgraph": centrality_hashgraph,
     "personalized_pagerank_hashgraph": personalized_pagerank_hashgraph,
+    "degree_distribution_hashgraph": degree_distribution_hashgraph,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1082,6 +1125,17 @@ ORACLE_SQL["connected_components_hashgraph"] = f"""
     )
     SELECT v AS vertex, CAST(min(l) AS BIGINT) AS component
     FROM reach GROUP BY v
+"""
+
+ORACLE_SQL["degree_distribution_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT v, count(*) AS degree FROM verts GROUP BY v)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree
 """
 
 ORACLE_SQL["centrality_hashgraph"] = f"""
