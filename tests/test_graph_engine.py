@@ -243,6 +243,62 @@ class TestLabelPropagation:
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.usefixtures("ray_session")
+class TestKCore:
+    @staticmethod
+    def _peel_oracle(edges):
+        """Exact core numbers by sequential min-degree peeling."""
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        alive = set(adj)
+        core: dict[int, int] = {}
+        k = 0
+        while alive:
+            v = min(alive, key=lambda x: deg[x])
+            k = max(k, deg[v])
+            core[v] = k
+            for u in adj[v]:
+                if u in alive and u != v:
+                    deg[u] -= 1
+            alive.remove(v)
+        return core
+
+    def test_matches_peeling_oracle(self):
+        from tldr_ray.graph import k_core
+
+        rng = np.random.default_rng(9)
+        n = 60
+        und = {(int(a), int(b)) for a, b in
+               zip(rng.integers(0, n, 260), rng.integers(0, n, 260))
+               if a != b}
+        # embed a known K5 (core number 4)
+        k5 = [(100, 101), (100, 102), (100, 103), (100, 104), (101, 102),
+              (101, 103), (101, 104), (102, 103), (102, 104), (103, 104)]
+        und |= set(k5)
+        edges = [(a, b, 1.0) for a, b in und]
+        ids, cores, info = k_core(edge_ds(edges), num_partitions=3)
+        assert info["stable"]
+        got = dict(zip(ids.tolist(), cores.tolist()))
+        want = self._peel_oracle(list(und))
+        assert got == want
+        for v in (100, 101, 102, 103, 104):
+            assert got[v] >= 4
+
+    def test_duplicates_and_direction_ignored(self):
+        from tldr_ray.graph import k_core
+
+        tri = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (1, 2, 1.0),
+               (2, 0, 1.0), (0, 0, 9.0)]
+        ids, cores, _ = k_core(edge_ds(tri), num_partitions=2)
+        assert dict(zip(ids.tolist(), cores.tolist())) == {0: 2, 1: 2, 2: 2}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTriangles:
     def test_two_triangles_bridge(self):
         from tldr_ray.graph import triangle_counts

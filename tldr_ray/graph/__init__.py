@@ -1,5 +1,7 @@
 from tldr_ray.graph.partition import vhash, build_shards
-from tldr_ray.graph.engine import GraphEngine, pagerank, connected_components, label_propagation
+from tldr_ray.graph.engine import (GraphEngine, pagerank,
+                                   connected_components, label_propagation,
+                                   k_core)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -11,5 +13,6 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "k_core",
     "triangle_counts",
 ]

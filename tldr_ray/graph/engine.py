@@ -432,6 +432,74 @@ def _shard_actor_cls(num_cpus: float = 0):
             # LPA votes are weighed by RAW edge weight (e_weight_sorted)
             self.state = self.verts.copy()
 
+        # -- k-core decomposition (distributed H-index iteration) ------
+        def kcore_init(self) -> int:
+            """state = undirected degree (assumes symmetrized, deduped
+            weight-1 edges — each neighbor counted once)."""
+            self.state = np.bincount(
+                self.e_src_local, minlength=self.verts.size) \
+                .astype(np.int64)
+            return int(self.state.max()) if self.state.size else 0
+
+        def kcore_messages(self):
+            """Per-destination (dst_local, value, count) triples — the
+            pre-combined histogram a receiver needs to compute the
+            H-index of its neighbors' current values."""
+            val = self.state[self.e_src_local]
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                dl = self.dlocals[q]
+                vq = val[sl]
+                if dl.size:
+                    order = np.lexsort((vq, dl))
+                    dl_s, vq_s = dl[order], vq[order]
+                    bound = np.empty(dl_s.size, dtype=bool)
+                    bound[0] = True
+                    bound[1:] = (dl_s[1:] != dl_s[:-1]) | (vq_s[1:] != vq_s[:-1])
+                    starts = np.nonzero(bound)[0]
+                    cnt = np.diff(np.concatenate([starts, [dl_s.size]]))
+                    trip = (dl_s[starts], vq_s[starts], cnt.astype(np.int64))
+                else:
+                    trip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, np.int64))
+                out.append(trip)
+            return self._ship(out)
+
+        def kcore_apply(self, trips) -> int:
+            """new(v) = min(state(v), H-index of neighbor values):
+            converges exactly to the core number (Lu et al., the
+            H-index fixpoint of networks)."""
+            trips = self._fetch(trips)
+            pos_all, val_all, cnt_all = [], [], []
+            for idx, (dl, vv, cc) in zip(self.incoming_idx, trips):
+                if len(dl):
+                    pos_all.append(idx[np.asarray(dl)])
+                    val_all.append(np.asarray(vv))
+                    cnt_all.append(np.asarray(cc))
+            if not pos_all:
+                return 0
+            pos = np.concatenate(pos_all)
+            val = np.concatenate(val_all)
+            cnt = np.concatenate(cnt_all)
+            # per vertex: sort values desc, running neighbor count,
+            # H = max over rows of min(value, cum_count)
+            order = np.lexsort((-val, pos))
+            pos, val, cnt = pos[order], val[order], cnt[order]
+            cum = np.cumsum(cnt)
+            new_seg = np.concatenate([[True], pos[1:] != pos[:-1]])
+            starts = np.flatnonzero(new_seg)
+            seg_of = np.cumsum(new_seg) - 1
+            base = (cum[starts] - cnt[starts])[seg_of]
+            cand = np.minimum(val, cum - base)
+            h = np.maximum.reduceat(cand, starts)
+            new = self.state.copy()
+            tgt = pos[starts]
+            new[tgt] = np.minimum(new[tgt], h)
+            changed = int((new != self.state).sum())
+            self.state = new
+            return changed
+
         # -- state I/O -------------------------------------------------
         def collect(self):
             return self.verts, self.state
@@ -717,6 +785,28 @@ class GraphEngine:
         ids, labels = self._collect(np.int64)
         return ids, labels, {"rounds": it, "stable": changed == 0}
 
+    def kcore(self, max_rounds: int = 1000):
+        """Core numbers via the distributed H-index fixpoint: start at
+        the undirected degree, repeatedly replace each vertex's value by
+        the H-index of its neighbors' values — converges exactly to the
+        k-core decomposition. Supply SYMMETRIZED, DEDUPED, weight-1
+        edges. Returns (vertex_ids, core_numbers, info)."""
+        import ray
+
+        ray.get([s.kcore_init.remote() for s in self.shards])
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.kcore_messages.remote() for s in self.shards])
+            counts = ray.get([
+                self.shards[q].kcore_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, cores = self._collect(np.int64)
+        return ids, cores, {"rounds": it, "stable": changed == 0}
+
     # -- plumbing ------------------------------------------------------
     def _checkpoint(self, checkpoint_dir: str, iteration: int, dtype: str):
         import ray
@@ -790,5 +880,43 @@ def label_propagation(edges, num_partitions: int = 8, max_rounds: int = 20,
                                  symmetrize=True)
     try:
         return eng.label_propagation(max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def k_core(edges, num_partitions: int = 8, max_rounds: int = 1000,
+           work_dir: str | None = None):
+    """Core numbers of the undirected simple graph underlying ``edges``:
+    self-loops dropped, duplicate/reversed edges collapsed (per-batch
+    pre-combiner + one global pair dedup), then the engine's H-index
+    fixpoint."""
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "weight": pa.array(np.ones(2 * a.size)),
+            }
+        )
+
+    simple = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+        .map_batches(both_dirs, batch_format="pyarrow")
+    )
+    eng = GraphEngine.from_edges(simple, num_partitions, work_dir)
+    try:
+        return eng.kcore(max_rounds)
     finally:
         eng.shutdown()

@@ -739,6 +739,16 @@ def degree_distribution_hashgraph(sf_dir: str):
     )
 
 
+def kcore_hashgraph(sf_dir: str):
+    """Core numbers of the hash graph via the distributed H-index
+    fixpoint (no SQL oracle — iterative peel; the exact sequential
+    peeling oracle lives in tests/test_graph_engine.py)."""
+    from tldr_ray.graph import k_core
+
+    ids, cores, _ = k_core(_hash_graph_edges(sf_dir), num_partitions=4)
+    return pa.table({"vertex": pa.array(ids), "core": pa.array(cores)})
+
+
 def personalized_pagerank_hashgraph(sf_dir: str):
     """Personalized PageRank over the hash graph with restart mass on
     seeds {0, 1, 2} (no SQL oracle — iterative float fixpoint; the dense
@@ -916,6 +926,7 @@ QUERIES = {
     "centrality_hashgraph": centrality_hashgraph,
     "personalized_pagerank_hashgraph": personalized_pagerank_hashgraph,
     "degree_distribution_hashgraph": degree_distribution_hashgraph,
+    "kcore_hashgraph": kcore_hashgraph,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
