@@ -28,7 +28,8 @@ def main() -> None:
     p.add_argument("--transcripts", required=True,
                    help="Parquet file/dir with conv_id,turn_idx,role,text,tool,ts")
     p.add_argument("--algorithm", default="pagerank",
-                   choices=["pagerank", "components", "labelprop", "triangles"])
+                   choices=["pagerank", "components", "labelprop",
+                            "triangles", "kcore"])
     p.add_argument("--partitions", type=int, default=16)
     p.add_argument("--out", required=True)
     p.add_argument("--damping", type=float, default=0.85)
@@ -74,6 +75,16 @@ def main() -> None:
         per_vertex.write_parquet(args.out)
         metrics.update(total_triangles=total,
                        wall_sec=round(time.time() - t0, 2))
+    elif args.algorithm == "kcore":
+        from tldr_ray.graph import k_core
+
+        ids, vals, info = k_core(edges, args.partitions,
+                                 max_rounds=args.max_iterations)
+        rd.from_arrow(pa.table({"vertex": pa.array(ids),
+                                "core": pa.array(vals)})) \
+            .write_parquet(args.out)
+        metrics.update(info)
+        metrics["wall_sec"] = round(time.time() - t0, 2)
     else:
         symmetrize = args.algorithm in ("components", "labelprop")
         eng = GraphEngine.from_edges(edges, args.partitions,
@@ -83,21 +94,24 @@ def main() -> None:
         metrics["n_vertices"] = eng.manifest["n_vertices"]
         t0 = time.time()
         try:
+            # collect=False: results stay sharded; the write consumes
+            # per-shard Arrow refs (no O(V) arrays in this process)
             if args.algorithm == "pagerank":
-                ids, vals, info = eng.pagerank(
+                _, _, info = eng.pagerank(
                     args.damping, args.tolerance, args.max_iterations,
                     checkpoint_every=args.checkpoint_every,
-                    checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+                    checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+                    collect=False)
                 value_name = "score"
             elif args.algorithm == "components":
-                ids, vals, info = eng.connected_components(args.max_iterations)
+                _, _, info = eng.connected_components(args.max_iterations,
+                                                      collect=False)
                 value_name = "component"
             else:
-                ids, vals, info = eng.label_propagation(args.max_iterations)
+                _, _, info = eng.label_propagation(args.max_iterations,
+                                                   collect=False)
                 value_name = "label"
-            rd.from_arrow(pa.table({"vertex": pa.array(ids),
-                                    value_name: pa.array(vals)})) \
-                .write_parquet(args.out)
+            eng.to_dataset(value_name).write_parquet(args.out)
         finally:
             eng.shutdown()
         metrics.update(info)

@@ -659,7 +659,7 @@ class GraphEngine:
     def pagerank(self, damping: float = 0.85, tolerance: float = 1e-4,
                  max_iterations: int = 200, checkpoint_every: int = 0,
                  checkpoint_dir: str | None = None, resume: bool = False,
-                 personalization=None):
+                 personalization=None, collect: bool = True):
         """Returns (vertex_ids, scores, info). alixaxel/pagerank semantics
         (see kernel.pagerank_ref).
 
@@ -740,7 +740,9 @@ class GraphEngine:
             if checkpoint_every and checkpoint_dir and it % checkpoint_every == 0:
                 self._checkpoint(checkpoint_dir, it, "f8")
 
-        ids, scores = self._collect(np.float64)
+        # collect=False leaves the result sharded (consume with
+        # to_dataset / write_parquet — no O(V) arrays on the driver)
+        ids, scores = self._collect(np.float64) if collect else (None, None)
         return ids, scores, {
             "iterations": it,
             "converged": delta <= tolerance,
@@ -749,7 +751,8 @@ class GraphEngine:
             if iter_secs else 0.0,
         }
 
-    def connected_components(self, max_iterations: int = 200):
+    def connected_components(self, max_iterations: int = 200,
+                             collect: bool = True):
         """Min-vertex-id label fixpoint. Supply symmetrized edges for
         undirected semantics. Returns (vertex_ids, component_ids, info)."""
         import ray
@@ -764,10 +767,10 @@ class GraphEngine:
             ])
             changed = sum(counts)
             it += 1
-        ids, labels = self._collect(np.int64)
+        ids, labels = self._collect(np.int64) if collect else (None, None)
         return ids, labels, {"iterations": it, "converged": changed == 0}
 
-    def label_propagation(self, max_rounds: int = 20):
+    def label_propagation(self, max_rounds: int = 20, collect: bool = True):
         """Synchronous weighted LPA, smallest-label tie-break.
         Returns (vertex_ids, labels, info)."""
         import ray
@@ -782,7 +785,7 @@ class GraphEngine:
             ])
             changed = sum(counts)
             it += 1
-        ids, labels = self._collect(np.int64)
+        ids, labels = self._collect(np.int64) if collect else (None, None)
         return ids, labels, {"rounds": it, "stable": changed == 0}
 
     def kcore(self, max_rounds: int = 1000):
