@@ -293,7 +293,7 @@ def run_scaling() -> dict:
     sub(hi, ensure_only=True)   # generate + cache the corpus untimed
 
     lo = 8
-    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
     # min over repetitions: OS page cache / worker churn add 10-30% noise
     runs_lo = [sub(lo) for _ in range(reps)]
     runs_hi = [sub(hi) for _ in range(reps)]
