@@ -696,6 +696,8 @@ class GraphEngine:
             ids, w = personalization
             ids = np.asarray(ids, dtype=np.int64)
             w = np.asarray(w, dtype=np.float64)
+            if ids.size == 0:
+                raise ValueError("personalization needs at least one seed")
             order = np.argsort(ids)
             seed_ref = ray.put((ids[order], w[order]))
             ray.get([s.pr_set_total.remote(self.n_total)
