@@ -44,23 +44,27 @@ def _pairwise_jaro_bound(msens: list[str]) -> np.ndarray:
     """
     n = len(msens)
     lowered = [s.lower().encode("utf-8") for s in msens]
-    lens = np.array([len(b) for b in lowered], dtype=np.float64)
+    int_lens = np.fromiter((len(b) for b in lowered), np.int64, n)
+    lens = int_lens.astype(np.float64)
     is_ascii = np.array([s.lower().isascii() for s in msens])
-    hist = np.zeros((n, 256), dtype=np.int32)
-    for i, b in enumerate(lowered):
-        if len(b):
-            hist[i] = np.bincount(np.frombuffer(b, dtype=np.uint8),
-                                  minlength=256)
+    # one bincount for the whole histogram block (row*256 + byte codes)
+    all_bytes = np.frombuffer(b"".join(lowered), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), int_lens)
+    hist = np.bincount(rows * 256 + all_bytes,
+                       minlength=n * 256).reshape(n, 256).astype(np.int32)
+    # only byte values that actually occur contribute to the min-sum
+    used = np.flatnonzero(hist.any(axis=0))
+    hu = hist[:, used]
     lmin = np.minimum(lens[:, None], lens[None, :])
     lmax = np.maximum(lens[:, None], lens[None, :])
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio_bound = (2.0 + lmin / lmax) / 3.0
         # D[i, j] = sum_c min(h_i(c), 2*h_j(c))  (i in the "short" role)
         d = np.zeros((n, n))
-        for lo in range(0, n, 64):  # row blocks cap the n*n*256 intermediate
+        for lo in range(0, n, 64):  # row blocks cap the n*n*K intermediate
             hi = min(lo + 64, n)
-            d[lo:hi] = np.minimum(hist[lo:hi, None, :],
-                                  2 * hist[None, :, :]).sum(axis=2)
+            d[lo:hi] = np.minimum(hu[lo:hi, None, :],
+                                  2 * hu[None, :, :]).sum(axis=2)
         short_is_row = lens[:, None] <= lens[None, :]
         b = np.where(short_is_row, d, d.T)
         b = np.minimum(b, lmin)

@@ -15,6 +15,8 @@ cleaner deliberately disagree; both are reproduced).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import regex as _re
 
 # util.go:13 — `([\.\?\!])(?:\s|$)`; RE2 \s == [\t\n\f\r ].
@@ -49,8 +51,14 @@ def sanitize_word(word: str) -> str:
 
     util.go:223-228. May return "" for punctuation-only words; the
     reference keeps such empty tokens in the bag (they never hit the
-    dictionary, tldr.go:343).
+    dictionary, tldr.go:343). Pure function; word frequency is Zipfian,
+    so a per-process cache turns most of the regex work into dict hits.
     """
+    return _sanitize_cached(word)
+
+
+@_lru_cache(maxsize=65536)
+def _sanitize_cached(word: str) -> str:
     return _SANITIZE_RE.sub("", word.lower())
 
 
