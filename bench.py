@@ -285,12 +285,15 @@ def run_scaling() -> dict:
     affinity (sched_setaffinity, inherited by the raylet and every
     worker), because Ray's logical num_cpus does not stop oversubscribed
     actors from using all physical cores."""
-    hi = 32
+    hi = int(os.environ.get("RAY_GRAFT_SCALING_HI", "32"))
     # the scaling legs run the compute-bound sort-shuffle configuration:
     # the faster scatter/streaming modes are DRAM-bandwidth-bound on a
     # single box, where adding cores cannot add memory bandwidth (on a
     # real N -> 4N cluster each node brings its own DRAM + NVMe, so
-    # those phases scale with nodes — unmeasurable in one machine)
+    # those phases scale with nodes — unmeasurable in one machine).
+    # RAY_GRAFT_SCALING_LO/HI pick the N and 4N levels: lower pairs
+    # (e.g. 2 vs 8) amortize the box's fixed executor/shuffle latency
+    # the way a long cluster job would, and stay under the DRAM wall.
     scaling_convs = os.environ.get("RAY_GRAFT_SCALING_CONVS", "20000")
     scaling_method = os.environ.get("RAY_GRAFT_SCALING_METHOD", "sort")
 
@@ -311,7 +314,7 @@ def run_scaling() -> dict:
 
     sub(hi, ensure_only=True)   # generate + cache the corpus untimed
 
-    lo = 8
+    lo = int(os.environ.get("RAY_GRAFT_SCALING_LO", "8"))
     reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
     # min over repetitions: OS page cache / worker churn add 10-30% noise
     runs_lo = [sub(lo) for _ in range(reps)]
