@@ -217,7 +217,14 @@ def cooccurrence_edges(transcripts, max_group_size: int = 64,
     slot). Distinct (kind, key, conv) rows first (bounds hub groups by
     distinct conversations, not call counts), then per-key pairs with
     the star clamp for hub keys."""
+    import zlib
+
+    NP = 64
+
     def distinct_rows(batch: pa.Table) -> pa.Table:
+        """Per-batch distinct (kind, key, conv) rows — the combiner
+        before the ONE shuffle, keyed by a coarse partition of (kind,
+        key); global dedup happens inside the partition sweep."""
         kinds: list[str] = []
         keys: list[str] = []
         convs: list[str] = []
@@ -234,26 +241,36 @@ def cooccurrence_edges(transcripts, max_group_size: int = 64,
                 kinds.append("entity")
                 keys.append(e)
                 convs.append(c)
+        part = np.asarray([zlib.crc32(f"{k}\x00{s}".encode()) % NP
+                           for k, s in zip(kinds, keys)], dtype=np.int32)
         return pa.table({"kind": pa.array(kinds, pa.string()),
                          "key": pa.array(keys, pa.string()),
-                         "conv_id": pa.array(convs, pa.string())})
+                         "conv_id": pa.array(convs, pa.string()),
+                         "part": pa.array(part)})
 
     cols = ["conv_id"] + (["tool"] if include_tools else []) \
         + (["text"] if include_entities else [])
-    distinct = (
+
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["kind", "key", "conv_id"])
+        outs = []
+        for (kind, _key), sub in g.groupby(["kind", "key"], sort=False):
+            fn = _cooccurrence_pairs_fn(kind, f"{kind}_star",
+                                        max_group_size)
+            outs.append(fn(sub))
+        if not outs:
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64"),
+                                 "weight": pd.array([], dtype="float64"),
+                                 "etype": pd.array([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
         transcripts.select_columns(cols)
         .map_batches(distinct_rows, batch_format="pyarrow")
-        .groupby(["kind", "key", "conv_id"])
-        .count()
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        kind = group["kind"].iloc[0]
-        fn = _cooccurrence_pairs_fn(kind, f"{kind}_star", max_group_size)
-        return fn(group)
-
-    return distinct.groupby(["kind", "key"]).map_groups(
-        pairs, batch_format="pandas")
 
 
 def tool_cooccurrence_edges(transcripts, max_group_size: int = 64):
