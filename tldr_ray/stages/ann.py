@@ -17,6 +17,19 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n, dim) float32 from a list<float> column — zero-copy through
+    the Arrow child buffer when rows are uniform-width (the embedding
+    case); `to_pylist` only as the ragged fallback."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        off = np.asarray(col.offsets, dtype=np.int64)
+        widths = np.diff(off)
+        if widths.size and (widths == widths[0]).all() and widths[0] > 0:
+            vals = np.asarray(col.values, dtype=np.float32)
+            return vals[off[0] : off[-1]].reshape(len(col), int(widths[0]))
+    except (AttributeError, ValueError):
+        pass
     return np.asarray(col.to_pylist(), dtype=np.float32)
 
 

@@ -681,7 +681,11 @@ def embedding_cosine_pairs(ds, id_col: str = "vec_id",
     """Near-dup pairs by cosine >= threshold via random-hyperplane LSH
     buckets + exact within-bucket verification (numpy matmul)."""
     def signatures(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        from tldr_ray.stages.ann import _as_matrix
+
+        # float32 -> float64 is exact, so this matches the old
+        # to_pylist-of-python-floats path bit-for-bit
+        mat = _as_matrix(batch[emb_col]).astype(np.float64)
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((mat.shape[1], num_planes))
         bits = (mat @ planes) > 0
