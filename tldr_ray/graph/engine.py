@@ -154,11 +154,16 @@ def _shard_actor_cls(num_cpus: float = 0):
                 self._chunks = []
                 self._vchunks = []
                 self._seen_digests = set()
+                self._dup_drops = 0
             if digest is not None:
                 if digest in self._seen_digests:
                     # duplicate delivery of the same batch slice (task
                     # retry): count it (the retried task's return value
-                    # replaces the dead task's), but don't re-accumulate
+                    # replaces the dead task's), but don't re-accumulate.
+                    # Two DISTINCT byte-identical input blocks would
+                    # also land here — observable, never silent: the
+                    # drop is counted and reported loudly at finalize.
+                    self._dup_drops += 1
                     return len(src)
                 self._seen_digests.add(digest)
             self._chunks.append((np.asarray(src), np.asarray(dst),
@@ -169,6 +174,21 @@ def _shard_actor_cls(num_cpus: float = 0):
         def finalize(self) -> int:
             chunks = getattr(self, "_chunks", [])
             vchunks = getattr(self, "_vchunks", [])
+            dup_drops = getattr(self, "_dup_drops", 0)
+            if dup_drops:
+                # loud: a dropped duplicate-content block is either a
+                # harmless task retry or (rarely) a DISTINCT
+                # byte-identical input block whose edges were lost —
+                # surfaced so the caller can compare n_edges vs source
+                import logging
+
+                logging.getLogger("tldr_ray").warning(
+                    "shard %d dropped %d duplicate-digest ingest "
+                    "deliveries (task retries are idempotent; if the "
+                    "edge source can emit byte-identical distinct "
+                    "blocks, verify the built n_edges against the "
+                    "source count)", self.part, dup_drops)
+            self._dup_drops = 0
             self._seen_digests = set()
             if chunks:
                 src = np.concatenate([c[0] for c in chunks])
@@ -643,12 +663,18 @@ class GraphEngine:
                    msg_ref_bytes: int | None = None):
         """Build shards and the actor pool; actor processes are spawned
         BEFORE the Ray Data shard build so interpreter startup overlaps
-        the shuffle (they are num_cpus=0, so they never starve the build
-        tasks; single-threaded shard kernels keep real parallelism == P)."""
+        the shuffle. Prestarted actors are ALWAYS num_cpus=0 regardless
+        of ``cpus_per_shard`` — they hold no work until after the build,
+        and reserving P x cpus_per_shard logical CPUs during the Ray
+        Data shuffle would starve the build tasks and deadlock the
+        streaming executor (the actors-leave-CPUs invariant).
+        ``cpus_per_shard`` is kept for signature compatibility; pass it
+        to ``GraphEngine(shard_dir, cpus_per_shard=...)`` when actors
+        are created AFTER a build instead."""
         import ray  # noqa: F401
 
         work_dir = work_dir or f"/tmp/tldr_ray/graph-{uuid.uuid4().hex[:8]}"
-        actor_cls = _shard_actor_cls(cpus_per_shard)
+        actor_cls = _shard_actor_cls(0)
         prestarted = [actor_cls.remote(p, num_partitions,
                                        msg_ref_bytes=msg_ref_bytes)
                       for p in range(num_partitions)]

@@ -212,6 +212,6 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
         .aggregate(Sum("n", alias_name="triangles"))
     )
     per_vertex = per_vertex.materialize()
-    total = per_vertex.to_pandas()["triangles"].sum() // 3 \
-        if per_vertex.count() else 0
-    return int(total), per_vertex
+    # scalar total via a Dataset aggregate — no O(V) driver pull
+    s = per_vertex.sum("triangles") if per_vertex.count() else 0
+    return int((s or 0) // 3), per_vertex

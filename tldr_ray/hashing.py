@@ -1,0 +1,139 @@
+"""Shared vectorized string hashing for partition keys and sample gates.
+
+Every O(corpus) key-assignment site routes through here instead of
+per-row ``zlib.crc32`` / ``hashlib`` list comprehensions (round-2
+verdict: per-row Python hashing in hot paths is days of aggregate CPU
+at 10^12 rows). Two kernels, picked by string shape:
+
+- ``fnv1a_batch``: position-major FNV-1a — one numpy pass per byte
+  POSITION with a live-rows mask. Ideal for many SHORT strings
+  (conversation ids, co-reference keys, tokens): the loop runs
+  max-length iterations, each a vectorized gather over the rows still
+  live. Portable and deterministic across environments (no third-party
+  hash dependency), unlike polars' version-dependent xxhash.
+- ``poly_hash_batch``: O(total bytes) polynomial rolling hash
+  (mod 2^64) — a single ``add.reduceat`` pass regardless of string
+  length. Ideal for LONG strings (document texts) where position-major
+  iteration would degrade to the longest row. Alignment-independent:
+  per-row values equal ``sum(byte_i * R^i)`` over the row's own bytes
+  (the shared-buffer prefix power is divided back out via the modular
+  inverse of odd R, which ``cumprod``'s natural uint64 wraparound
+  computes exactly).
+
+Both are key/sampling hashes, not content-identity hashes: exact dedup
+keeps its 128-bit blake2b digest (hashlib's C core is the fastest
+whole-text hash available here; only the per-row key DERIVATION was
+Python, and that is vectorized at the call site).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+# odd multiplier (invertible mod 2^64) for the polynomial hash
+_POLY_R = np.uint64(0x9E3779B97F4A7C15)
+
+
+def string_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(data uint8[], offsets int64[n+1]) — the raw UTF-8 buffer of an
+    Arrow string/binary column, zero-copy; nulls become empty strings.
+
+    Handles both 32-bit (string/binary) and 64-bit (large_string /
+    large_binary) offset layouts; anything else raises instead of
+    misparsing the buffers (round-2 advice: a silently-wrong shingle
+    hash is worse than an error)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array([t or "" for t in col], pa.string())
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"expected a (large_)string/binary column, got {t}")
+    col = pc.fill_null(col, "" if pa.types.is_string(t)
+                       or pa.types.is_large_string(t) else b"")
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    off = off[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    buf = col.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
+        else np.zeros(0, dtype=np.uint8)
+    return data, off
+
+
+def fnv1a_batch(col) -> np.ndarray:
+    """uint64 FNV-1a of each string in an Arrow string column,
+    position-major vectorized (loop over byte positions, not rows).
+    Use for short keys; cost is max_len iterations over live rows."""
+    data, off = string_bytes(col)
+    lens = np.diff(off)
+    n = lens.size
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    starts = off[:-1]
+    max_len = int(lens.max())
+    for j in range(max_len):
+        live = np.flatnonzero(lens > j)
+        h[live] = (h[live] ^ data[starts[live] + j].astype(np.uint64)) \
+            * _FNV_PRIME
+    return h
+
+
+def poly_hash_batch(col) -> np.ndarray:
+    """uint64 polynomial rolling hash of each string: one vectorized
+    pass over the whole batch buffer regardless of row length. Mixes
+    the row length in at the end so prefixes don't collide trivially.
+
+    Per-row value is alignment-independent: with R odd (invertible in
+    Z/2^64), sum(byte_i * R^(global_i)) over a row divided by
+    R^(row_start) equals sum(byte_j * R^j) over row-local positions j.
+    """
+    data, off = string_bytes(col)
+    lens = np.diff(off)
+    n = lens.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    if data.size:
+        pows = np.empty(data.size, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if data.size > 1:
+            pows[1:] = _POLY_R
+            np.cumprod(pows, out=pows)          # natural mod-2^64 wrap
+        terms = (data.astype(np.uint64) + np.uint64(1)) * pows
+        csum = np.concatenate([[np.uint64(0)], np.cumsum(terms)])
+        seg = csum[off[1:]] - csum[off[:-1]]
+        # divide out R^start: modular inverse of odd R (exact Python-int
+        # pow, then vectorized square-and-multiply for R^{-start})
+        r_inv = np.uint64(pow(int(_POLY_R), -1, 1 << 64))
+        inv_pows = np.empty(n, dtype=np.uint64)
+        base = off[:-1]
+        inv_pows[:] = np.uint64(1)
+        e = base.astype(np.uint64).copy()
+        b = np.full(1, r_inv, dtype=np.uint64)   # array: wraparound, no warn
+        while e.any():
+            sel = (e & np.uint64(1)).astype(bool)
+            inv_pows[sel] *= b[0]
+            e >>= np.uint64(1)
+            b *= b
+        out = seg * inv_pows
+    # finalize: mix in the length (splitmix64-style avalanche)
+    x = out ^ (lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def part_key(col, num_parts: int, kind: str = "short") -> np.ndarray:
+    """int32 partition key in [0, num_parts) for an Arrow string column.
+    ``kind="short"`` (ids, keys) uses FNV-1a; ``kind="long"`` (document
+    texts) uses the single-pass polynomial hash."""
+    h = fnv1a_batch(col) if kind == "short" else poly_hash_batch(col)
+    return (h % np.uint64(num_parts)).astype(np.int32)

@@ -40,12 +40,10 @@ def _with_conv_part(ds, num_parts: int = 64):
     per micro-group; a partition task sweeps its conversations with a
     local pandas groupby instead)."""
     def assign(batch: pa.Table) -> pa.Table:
-        import zlib
+        from tldr_ray.hashing import part_key
 
-        part = np.asarray(
-            [zlib.crc32(c.encode()) % num_parts
-             for c in batch["conv_id"].to_pylist()], dtype=np.int32)
-        return batch.append_column("__part", pa.array(part))
+        return batch.append_column(
+            "__part", pa.array(part_key(batch["conv_id"], num_parts)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
 

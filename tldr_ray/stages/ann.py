@@ -38,11 +38,26 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1.0, norms)
 
 
+def _pool_size(concurrency: int | None) -> int:
+    """Scoring actor-pool size: caller's value, else ~3/4 of the session
+    CPUs, capped so the feeding read tasks always keep CPUs (an actor
+    pool that reserves every CPU starves its own input and deadlocks
+    the streaming executor)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(cpus - 2, cpus * 3 // 4))
+
+
 def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-              id_col: str = "vec_id", emb_col: str = "embedding"):
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              concurrency: int | None = None):
     """Exact cosine top-k for each query row. Returns a Dataset
     (query_id, vec_id, rank, cosine) with rank 0..k-1 (cosine desc,
-    vec_id asc tie-break)."""
+    vec_id asc tie-break). ``concurrency`` sizes the scoring actor
+    pool (default: derived from the session CPU count)."""
     import ray
 
     q_unit = _unit(np.asarray(queries, dtype=np.float32))
@@ -82,7 +97,8 @@ def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     return (
         ds.select_columns([id_col, emb_col])
-        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .map_batches(Score, batch_format="pyarrow",
+                     concurrency=_pool_size(concurrency))
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
@@ -90,7 +106,8 @@ def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
 def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             id_col: str = "vec_id", emb_col: str = "embedding",
-            num_planes: int = 8, probe_hamming: int = 1, seed: int = 29):
+            num_planes: int = 8, probe_hamming: int = 1, seed: int = 29,
+            concurrency: int | None = None):
     """LSH-bucketed approximate top-k with exact rerank in probed buckets.
 
     Corpus rows land in one bucket each; every query probes all buckets
@@ -166,7 +183,8 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     return (
         ds.select_columns([id_col, emb_col])
-        .map_batches(BucketScore, batch_format="pyarrow", concurrency=2)
+        .map_batches(BucketScore, batch_format="pyarrow",
+                     concurrency=_pool_size(concurrency))
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )

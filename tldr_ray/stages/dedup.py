@@ -23,6 +23,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# zero-copy Arrow string-buffer access lives in the shared hashing
+# module (with large_string/large_binary offset handling)
+from tldr_ray.hashing import string_bytes as _string_bytes
+
 _MERSENNE = (1 << 61) - 1
 
 # byte-wise popcount table: hamming of uint64 arrays without Python loops
@@ -45,25 +49,24 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _content_hash_batch(texts: list[str]) -> list[str]:
-    return [hashlib.blake2b((t or "").encode("utf-8"),
-                            digest_size=16).hexdigest() for t in texts]
-
-
-def _string_bytes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(data, offsets[int64, D+1]) — the raw UTF-8 buffer of an Arrow
-    string column, zero-copy (nulls become empty strings)."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    if not isinstance(texts, pa.Array):
-        texts = pa.array([t or "" for t in texts], pa.string())
-    texts = pc.fill_null(texts, "")
-    off = np.frombuffer(texts.buffers()[1], dtype=np.int32)
-    off = off[texts.offset : texts.offset + len(texts) + 1].astype(np.int64)
-    buf = texts.buffers()[2]
-    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None \
-        else np.zeros(0, dtype=np.uint8)
-    return data, off
+def _content_hash_and_part(texts, num_partitions: int
+                           ) -> tuple[pa.Array, np.ndarray]:
+    """(16-byte blake2b digests as a binary Arrow array, int32 coarse
+    partition key). The digest itself stays hashlib (C core — the
+    fastest whole-text hash available here); the per-row key DERIVATION
+    is vectorized over the concatenated digest buffer instead of
+    ``int(hex[:8], 16)`` per row."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
+    digs = [hashlib.blake2b((t or "").encode("utf-8"),
+                            digest_size=16).digest() for t in texts]
+    if digs:
+        flat = np.frombuffer(b"".join(digs), dtype=np.uint8).reshape(-1, 16)
+        lead = np.ascontiguousarray(flat[:, :8]).view(np.uint64).ravel()
+        part = (lead % np.uint64(num_partitions)).astype(np.int32)
+    else:
+        part = np.zeros(0, dtype=np.int32)
+    return pa.array(digs, pa.binary()), part
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -77,13 +80,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     per-cluster map_groups invocations.
     """
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = _content_hash_batch(batch[text_col].to_pylist())
-        part = np.asarray([int(h[:8], 16) % num_partitions for h in hs],
-                          dtype=np.int32)
+        hs, part = _content_hash_and_part(batch[text_col], num_partitions)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "h": pa.array(hs, pa.string()),
+                "h": hs,
                 "part": pa.array(part),
             }
         )
@@ -114,17 +115,21 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def exact_dedup_representatives(ds, id_col: str = "doc_id",
                                 text_col: str = "text",
-                                num_partitions: int = 64):
+                                num_partitions: int = 64,
+                                with_count: bool = False):
     """Exact dedup that keeps the min-id ROW (with its text) per content
     hash, entirely in-flow — no id-set round-trips back to the driver.
     The shuffle carries the text once, which is exactly the payload a
     downstream consumer of the surviving rows needs anyway; same coarse
-    partition sweep as ``exact_dedup``."""
+    partition sweep as ``exact_dedup``.
+
+    ``with_count=True`` appends ``__n_dupes`` (cluster size) to each
+    kept row, so a consumer can recover the pre-dedup row count as
+    ``sum(__n_dupes)`` without a separate pass (curation uses this to
+    fold its report counts into the one materialized intermediate)."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = _content_hash_batch(batch[text_col].to_pylist())
-        part = np.asarray([int(h[:8], 16) % num_partitions for h in hs],
-                          dtype=np.int32)
-        return batch.append_column("__h", pa.array(hs, pa.string())) \
+        hs, part = _content_hash_and_part(batch[text_col], num_partitions)
+        return batch.append_column("__h", hs) \
             .append_column("__part", pa.array(part))
 
     def keep_min_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -132,7 +137,12 @@ def exact_dedup_representatives(ds, id_col: str = "doc_id",
         first = np.concatenate([[True],
                                 g["__h"].to_numpy()[1:]
                                 != g["__h"].to_numpy()[:-1]])
-        return g[first].drop(columns=["__h", "__part"])
+        out = g[first].drop(columns=["__h", "__part"])
+        if with_count:
+            starts = np.flatnonzero(first)
+            sizes = np.diff(np.concatenate([starts, [len(g)]]))
+            out = out.assign(__n_dupes=sizes.astype(np.int64))
+        return out
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
@@ -237,10 +247,19 @@ def _minhash_sigs_batch(hashes: np.ndarray, n_win: np.ndarray,
 
 def _fixed_binary_matrix(arr, itemsize: int) -> np.ndarray:
     """Zero-copy (n, itemsize//8) uint64 view over an Arrow binary column
-    whose values all have length ``itemsize`` bytes."""
+    whose values all have length ``itemsize`` bytes. Handles both 32-bit
+    (binary) and 64-bit (large_binary) offset layouts; raises on any
+    other type instead of misparsing the buffers."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    t = arr.type
+    if pa.types.is_binary(t) or pa.types.is_string(t):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"expected a (large_)binary column, got {t}")
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     n = len(arr)
@@ -386,23 +405,16 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _token_hashes(tokens) -> np.ndarray:
-    """uint64 hash per token, vectorized. polars (xxhash-family, fixed
-    seed, cross-process deterministic) when available; blake2b loop as a
-    portable fallback — the two produce DIFFERENT values, but simhash
-    only needs within-run consistency and polars is pinned here."""
-    try:
-        import polars as pl
+    """uint64 hash per token via the shared position-major FNV-1a —
+    fully vectorized AND portable: signature bits no longer depend on
+    polars' version-specific hash, so simhash output is reproducible
+    across environments and runs (round-2 advice). Tokens are short, so
+    the position-major loop runs ~word-length iterations per batch."""
+    from tldr_ray.hashing import fnv1a_batch
 
-        return pl.from_arrow(tokens if isinstance(tokens, (pa.Array,
-                                                           pa.ChunkedArray))
-                             else pa.array(tokens, pa.string())) \
-            .hash(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover - polars is in the container
-        toks = tokens.to_pylist() if hasattr(tokens, "to_pylist") else tokens
-        return np.asarray(
-            [int.from_bytes(hashlib.blake2b((t or "").encode(),
-                                            digest_size=8).digest(), "little")
-             for t in toks], dtype=np.uint64)
+    if not isinstance(tokens, (pa.Array, pa.ChunkedArray)):
+        tokens = pa.array([t or "" for t in tokens], pa.string())
+    return fnv1a_batch(tokens)
 
 
 def _simhash_batch(texts) -> np.ndarray:

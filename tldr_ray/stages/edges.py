@@ -96,7 +96,8 @@ def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
     """transcripts -> Dataset (src, dst, weight, etype='sim', conv_id).
 
     Default path: the shuffle is a hash-partitioned groupby on a SMALL
-    int key (``part = crc32(conv_id) % num_parts``), not on conv_id
+    int key (``part = fnv1a(conv_id) % num_parts``, assigned with the
+    shared vectorized kernel in tldr_ray.hashing), not on conv_id
     itself: sorting millions of rows by a 32-value int is far cheaper
     than by high-cardinality strings, and the per-group task overhead
     drops from one call per conversation to one per partition (each
@@ -112,19 +113,22 @@ def similarity_edges(transcripts, cfg: Optional[SummarizeConfig] = None,
     neighbor) is routed through the shuffle path. Two streaming scans of
     the (column-pruned) source replace one scan plus a full all-to-all
     of the text — strictly less data movement, and the boundary shuffle
-    carries ~2 conversations per block.
+    carries ~2 conversations per block. DETERMINISM REQUIREMENT: the
+    two scans must observe identical block boundaries and row order,
+    which holds for file-backed sources (read_parquet) and materialized
+    Datasets but NOT for non-deterministic lazy sources (e.g. an
+    unmaterialized random synthesizer) — those would double-count or
+    drop boundary conversations; materialize such inputs first.
 
     ``presplit_words`` chunks punctuation-free documents into
     pseudo-sentences via the reference's pre-split entry point (O28)."""
     cfg = cfg or SummarizeConfig()
 
     def assign(batch: pa.Table) -> pa.Table:
-        import zlib
+        from tldr_ray.hashing import part_key
 
-        part = np.asarray(
-            [zlib.crc32(c.encode()) % num_parts
-             for c in batch["conv_id"].to_pylist()], dtype=np.int32)
-        return batch.append_column("part", pa.array(part))
+        return batch.append_column(
+            "part", pa.array(part_key(batch["conv_id"], num_parts)))
 
     def per_part(group: pd.DataFrame) -> pa.Table:
         return _convs_edges_table(group, cfg, presplit_words)
@@ -217,35 +221,43 @@ def cooccurrence_edges(transcripts, max_group_size: int = 64,
     slot). Distinct (kind, key, conv) rows first (bounds hub groups by
     distinct conversations, not call counts), then per-key pairs with
     the star clamp for hub keys."""
-    import zlib
-
     NP = 64
 
     def distinct_rows(batch: pa.Table) -> pa.Table:
         """Per-batch distinct (kind, key, conv) rows — the combiner
         before the ONE shuffle, keyed by a coarse partition of (kind,
-        key); global dedup happens inside the partition sweep."""
-        kinds: list[str] = []
-        keys: list[str] = []
-        convs: list[str] = []
+        key) assigned with the shared vectorized FNV (no per-row
+        hashing); global dedup happens inside the partition sweep."""
+        from tldr_ray.hashing import fnv1a_batch
+
+        frames = []
         if include_tools:
-            seen = {(t, c) for t, c in zip(batch["tool"].to_pylist(),
-                                           batch["conv_id"].to_pylist()) if t}
-            for t, c in sorted(seen):
-                kinds.append("tool")
-                keys.append(t)
-                convs.append(c)
+            df = pd.DataFrame({"key": batch["tool"].to_pandas(),
+                               "conv_id": batch["conv_id"].to_pandas()})
+            df = df[df["key"].notna() & (df["key"] != "")].drop_duplicates()
+            df = df.assign(kind="tool")
+            frames.append(df)
         if include_entities:
             ments = _extract_entity_mentions(batch)
-            for e, c in ments:
-                kinds.append("entity")
-                keys.append(e)
-                convs.append(c)
-        part = np.asarray([zlib.crc32(f"{k}\x00{s}".encode()) % NP
-                           for k, s in zip(kinds, keys)], dtype=np.int32)
-        return pa.table({"kind": pa.array(kinds, pa.string()),
-                         "key": pa.array(keys, pa.string()),
-                         "conv_id": pa.array(convs, pa.string()),
+            if ments:
+                e, c = zip(*ments)
+                frames.append(pd.DataFrame({"key": list(e),
+                                            "conv_id": list(c),
+                                            "kind": "entity"}))
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"key": [], "conv_id": [], "kind": []})
+        keys = pa.array(df["key"], pa.string()) if len(df) else \
+            pa.array([], pa.string())
+        kind_code = (df["kind"].to_numpy() == "entity").astype(np.uint64) \
+            if len(df) else np.zeros(0, np.uint64)
+        part = ((fnv1a_batch(keys)
+                 ^ (kind_code * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(NP)).astype(np.int32)
+        return pa.table({"kind": pa.array(df["kind"], pa.string())
+                         if len(df) else pa.array([], pa.string()),
+                         "key": keys,
+                         "conv_id": pa.array(df["conv_id"], pa.string())
+                         if len(df) else pa.array([], pa.string()),
                          "part": pa.array(part)})
 
     cols = ["conv_id"] + (["tool"] if include_tools else []) \

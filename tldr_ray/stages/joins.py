@@ -40,13 +40,18 @@ def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str,
 
 
 def _hash_any(values) -> np.ndarray:
+    """uint64 per value: vhash for integer columns, the shared
+    vectorized FNV-1a for string columns (no per-row Python hashing)."""
+    from tldr_ray.hashing import fnv1a_batch
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(values.type):
+            return vhash(np.asarray(values, dtype=np.int64))
+        return fnv1a_batch(values)
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         return vhash(arr.astype(np.int64))
-    import zlib
-
-    return np.asarray([zlib.crc32(str(v).encode()) for v in values],
-                      dtype=np.uint64)
+    return fnv1a_batch(pa.array([str(v) for v in values], pa.string()))
 
 
 def _int_cols(schema) -> list[str]:
@@ -91,7 +96,7 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
             for c in all_cols:
                 cols[c] = batch[c] if c in have else pa.nulls(n)
             cols["__bucket"] = pa.array(
-                (_hash_any(batch[on].to_pylist()) %
+                (_hash_any(batch[on]) %
                  np.uint64(num_buckets)).astype(np.int32))
             cols["__side"] = pa.array([side] * n)
             return pa.table(cols)
@@ -125,7 +130,7 @@ def bucketed_anti_join(left, right, on: str, num_buckets: int = 64):
             for c in lcols:
                 out[c] = batch[c] if c in cols else pa.nulls(n)
             out["__bucket"] = pa.array(
-                (_hash_any(batch[on].to_pylist()) %
+                (_hash_any(batch[on]) %
                  np.uint64(num_buckets)).astype(np.int32))
             out["__side"] = pa.array([side] * n)
             return pa.table(out)
