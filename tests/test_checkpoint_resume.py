@@ -57,6 +57,47 @@ def test_resume_bit_identical(star_edges, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_personalized_resume_bit_identical(star_edges, tmp_path):
+    """Checkpoints record the restart-vector digest, so personalized
+    runs resume too — with the same seeds, bit-identical; with different
+    seeds (or none), the engine refuses loudly."""
+    from tldr_ray.graph import GraphEngine
+    from tldr_ray.graph.partition import build_shards
+
+    shard_dir = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    build_shards(star_edges, 3, shard_dir)
+    seeds = (np.array([0, 3, 7]), np.array([0.5, 0.3, 0.2]))
+
+    eng = GraphEngine(shard_dir)
+    ids_a, scores_a, info_a = eng.pagerank(tolerance=1e-10,
+                                           max_iterations=50,
+                                           personalization=seeds)
+    eng.shutdown()
+
+    eng = GraphEngine(shard_dir)
+    eng.pagerank(tolerance=1e-10, max_iterations=4, personalization=seeds,
+                 checkpoint_every=1, checkpoint_dir=ckpt)
+    eng.shutdown()
+
+    eng = GraphEngine(shard_dir)
+    with pytest.raises(ValueError, match="restart-vector mismatch"):
+        eng.pagerank(checkpoint_dir=ckpt, resume=True)  # missing seeds
+    with pytest.raises(ValueError, match="restart-vector mismatch"):
+        eng.pagerank(checkpoint_dir=ckpt, resume=True,
+                     personalization=(np.array([1]), np.array([1.0])))
+    ids_b, scores_b, info_b = eng.pagerank(tolerance=1e-10,
+                                           max_iterations=50,
+                                           personalization=seeds,
+                                           checkpoint_dir=ckpt, resume=True)
+    eng.shutdown()
+
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(scores_a, scores_b)   # bitwise, not allclose
+    assert info_b["iterations"] == info_a["iterations"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shard_build_is_resumable_layout(star_edges, tmp_path):
     """Both shard layouts write atomic per-partition output + a manifest
     — the resumable-output contract (no giant single file)."""

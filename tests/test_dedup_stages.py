@@ -82,6 +82,37 @@ class TestNgramJaccard:
         true_j = inter / (sa.size + sb.size - inter)
         assert out["jaccard"].iloc[0] == pytest.approx(true_j)
 
+    def test_semi_join_filters_non_candidate_texts(self):
+        """Only candidate-pair endpoints' texts enter the verify
+        shuffle: with 2 near-dups among many unrelated docs, the
+        filtered doc set == the candidate endpoint set."""
+        from tldr_ray.stages.dedup import (candidate_endpoint_docs,
+                                           minhash_lsh_pairs)
+
+        fillers = [" ".join(f"tok{i}x{j}" for j in range(25))
+                   for i in range(30)]
+        ds = doc_ds([BASE, NEAR] + fillers)
+        cand = minhash_lsh_pairs(ds, threshold=0.4).materialize()
+        docs, used_filter, n_pairs = candidate_endpoint_docs(ds, cand)
+        assert used_filter and n_pairs >= 1
+        got = sorted(docs.to_pandas()["doc_id"])
+        cp = cand.to_pandas()
+        cp = cp[cp["id_a"] >= 0]
+        want = sorted(set(cp["id_a"]) | set(cp["id_b"]))
+        assert got == want              # non-candidates never shuffle
+        assert 0 in got and 1 in got and len(got) < 2 + len(fillers)
+
+    def test_semi_join_gate_falls_back_to_full_corpus(self):
+        from tldr_ray.stages.dedup import (candidate_endpoint_docs,
+                                           minhash_lsh_pairs)
+
+        ds = doc_ds([BASE, NEAR, OTHER])
+        cand = minhash_lsh_pairs(ds, threshold=0.4).materialize()
+        docs, used_filter, _ = candidate_endpoint_docs(
+            ds, cand, broadcast_pairs_limit=0)
+        assert not used_filter
+        assert docs.count() == 3        # full corpus rides the shuffle
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddingCosine:

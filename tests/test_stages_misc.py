@@ -265,6 +265,38 @@ class TestMultimodal:
         b = out2.sort_values("media_id")["feature"].tolist()
         assert all(np.array_equal(x, y) for x, y in zip(a, b))
 
+    def test_external_decoder_callable_contract(self):
+        """Pins the ``decoder=callable`` hook API an external library
+        decoder (PIL, ffmpeg, ...) would plug into: called once per row
+        as fn(payload: bytes, mime: str) -> np.ndarray, result lands in
+        the (media_id, kind, feature list<float32>) output schema —
+        independent of any builtin format support."""
+        import ray.data as rd
+        from tldr_ray.stages.multimodal import (extract_media_features,
+                                                synth_media_table)
+
+        calls = []
+
+        def fake_library_decoder(payload, mime):
+            assert isinstance(payload, bytes) and isinstance(mime, str)
+            calls.append(mime)
+            # deterministic stand-in for a real codec's feature vector
+            return np.asarray([len(payload), hash(mime) % 7, 1.0, 2.0],
+                              dtype=np.float32)
+
+        tab = synth_media_table(12)
+        out = extract_media_features(rd.from_arrow(tab), dim=4,
+                                     decoder=fake_library_decoder,
+                                     concurrency=1).to_pandas()
+        assert sorted(out.columns) == ["feature", "kind", "media_id"]
+        assert len(out) == 12
+        assert all(len(f) == 4 for f in out["feature"])
+        got = out.sort_values("media_id")["feature"].tolist()
+        pay = {int(i): len(p) for i, p in
+               zip(tab["media_id"].to_pylist(), tab["payload"].to_pylist())}
+        for mid, f in zip(sorted(pay), got):
+            assert f[0] == pay[mid]     # the callable's output, verbatim
+
     def test_missing_decoder_raises(self):
         from tldr_ray.stages.multimodal import MediaFeatureExtractor
 

@@ -693,39 +693,30 @@ class GraphEngine:
         distribution of personalized PageRank (weights renormalized over
         the seeds actually present in the graph). The restart vector is
         broadcast once via plasma; each shard keeps its local slice.
+        Checkpoints record a digest of the restart vector, so a
+        personalized run may resume — the caller must pass the SAME
+        personalization (digest-checked; a mismatch refuses loudly).
         """
         import ray
 
         from tldr_ray.state import read_manifest
 
-        if personalization is not None and resume:
-            raise ValueError("personalization cannot be combined with "
-                             "resume (the checkpoint does not record the "
-                             "restart vector)")
-
-        start_iter = 0
-        ck = read_manifest(checkpoint_dir) if (resume and checkpoint_dir) \
-            else None
-        if ck is not None:
-            if ck["num_partitions"] != self.P or ck["n_total"] != self.n_total:
-                raise ValueError(
-                    "checkpoint lineage mismatch: manifest "
-                    f"(P={ck['num_partitions']}, n={ck['n_total']}) vs engine "
-                    f"(P={self.P}, n={self.n_total}) — refusing to resume")
-            start_iter = ck["iteration"]
-            ray.get([s.pr_set_personalization.remote(None)
-                     for s in self.shards])   # clear any prior restart vec
-            ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
-                                         "f8") for s in self.shards])
-            ray.get([s.pr_set_total.remote(self.n_total) for s in self.shards])
-        elif personalization is not None:
-            ids, w = personalization
-            ids = np.asarray(ids, dtype=np.int64)
-            w = np.asarray(w, dtype=np.float64)
-            if ids.size == 0:
+        pers_sorted = None
+        pers_digest = None
+        if personalization is not None:
+            ids0 = np.asarray(personalization[0], dtype=np.int64)
+            w0 = np.asarray(personalization[1], dtype=np.float64)
+            if ids0.size == 0:
                 raise ValueError("personalization needs at least one seed")
-            order = np.argsort(ids)
-            seed_ref = ray.put((ids[order], w[order]))
+            order = np.argsort(ids0)
+            pers_sorted = (ids0[order], w0[order])
+            pers_digest = hashlib.blake2b(
+                pers_sorted[0].tobytes() + pers_sorted[1].tobytes(),
+                digest_size=8).hexdigest()
+        self._pers_digest = pers_digest
+
+        def _apply_personalization():
+            seed_ref = ray.put(pers_sorted)
             ray.get([s.pr_set_total.remote(self.n_total)
                      for s in self.shards])
             covered = sum(ray.get(
@@ -736,6 +727,34 @@ class GraphEngine:
                                  "the graph")
             ray.get([s.pr_rescale_personalization.remote(1.0 / covered)
                      for s in self.shards])
+
+        start_iter = 0
+        ck = read_manifest(checkpoint_dir) if (resume and checkpoint_dir) \
+            else None
+        if ck is not None:
+            if ck["num_partitions"] != self.P or ck["n_total"] != self.n_total:
+                raise ValueError(
+                    "checkpoint lineage mismatch: manifest "
+                    f"(P={ck['num_partitions']}, n={ck['n_total']}) vs engine "
+                    f"(P={self.P}, n={self.n_total}) — refusing to resume")
+            if ck.get("personalization_digest") != pers_digest:
+                raise ValueError(
+                    "checkpoint restart-vector mismatch: manifest digest "
+                    f"{ck.get('personalization_digest')} vs requested "
+                    f"{pers_digest} — resume a personalized run with the "
+                    "same personalization it was started with")
+            start_iter = ck["iteration"]
+            if pers_sorted is not None:
+                _apply_personalization()   # rebuild each shard's pvec
+            else:
+                ray.get([s.pr_set_personalization.remote(None)
+                         for s in self.shards])   # clear prior restart vec
+            # the checkpointed rank state overwrites the init above
+            ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
+                                         "f8") for s in self.shards])
+            ray.get([s.pr_set_total.remote(self.n_total) for s in self.shards])
+        elif pers_sorted is not None:
+            _apply_personalization()
         else:
             ray.get([s.pr_set_personalization.remote(None)
                      for s in self.shards])
@@ -853,6 +872,9 @@ class GraphEngine:
             "rows_per_part": counts,
             "shard_dir": self.shard_dir,
             "n_edges": self.manifest.get("n_edges"),
+            # restart-vector lineage: None for uniform PageRank, the
+            # seed digest for personalized runs (resume digest-checks it)
+            "personalization_digest": getattr(self, "_pers_digest", None),
         })
 
     def _collect(self, dtype):

@@ -741,12 +741,46 @@ def degree_distribution_hashgraph(sf_dir: str):
 
 def kcore_hashgraph(sf_dir: str):
     """Core numbers of the hash graph via the distributed H-index
-    fixpoint (no SQL oracle — iterative peel; the exact sequential
-    peeling oracle lives in tests/test_graph_engine.py)."""
+    fixpoint. SQL oracle: the SAME fixpoint unrolled as chained CTEs
+    (degree init, then rounds of val := min(val, H-index of neighbor
+    vals) via a window row_number) — plus the exact sequential peeling
+    oracle in tests/test_graph_engine.py."""
     from tldr_ray.graph import k_core
 
     ids, cores, _ = k_core(_hash_graph_edges(sf_dir), num_partitions=4)
     return pa.table({"vertex": pa.array(ids), "core": pa.array(cores)})
+
+
+_MINHASH_SIG_PERMS = 8
+
+
+def minhash_signatures_docs(sf_dir: str):
+    """The MinHash signature kernel, driver-hash-checked: per-doc
+    signatures over ``_MINHASH_SIG_PERMS`` permutations (FNV-1a 5-byte
+    shingles, minima of (a*x + b) mod 2^64) as int64 columns, mirrored
+    1:1 by a DuckDB HUGEINT oracle — this converts the deterministic
+    core of ``minhash_dedup_docs`` from pytest-trusted to
+    driver-hash-checked. Docs shorter than the shingle width are
+    excluded on BOTH sides (the operator zero-pads them; SQL windows
+    cannot)."""
+    from tldr_ray.stages.dedup import (_corpus_shingle_hashes,
+                                       _minhash_params, _minhash_sigs_batch)
+
+    a, b = _minhash_params(_MINHASH_SIG_PERMS)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.utf8_length(pc.fill_null(batch["text"], "")), 5)
+        batch = batch.filter(keep)
+        h, n_win = _corpus_shingle_hashes(batch["text"], 5)
+        sig = _minhash_sigs_batch(h, n_win, a, b)
+        cols = {"doc_id": batch["doc_id"]}
+        for p in range(_MINHASH_SIG_PERMS):
+            cols[f"sig_{p}"] = pa.array(sig[:, p].view(np.int64))
+        return pa.table(cols)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(sigs, batch_format="pyarrow")
 
 
 def personalized_pagerank_hashgraph(sf_dir: str):
@@ -927,6 +961,7 @@ QUERIES = {
     "personalized_pagerank_hashgraph": personalized_pagerank_hashgraph,
     "degree_distribution_hashgraph": degree_distribution_hashgraph,
     "kcore_hashgraph": kcore_hashgraph,
+    "minhash_signatures_docs": minhash_signatures_docs,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1255,3 +1290,95 @@ def _quality_scores_oracle_sql() -> str:
 
 
 ORACLE_SQL["quality_scores_docs"] = _quality_scores_oracle_sql()
+
+
+def _kcore_oracle_sql(rounds: int = 12) -> str:
+    """Mirror graph.k_core over the hash graph: the H-index fixpoint
+    (Lu et al.) unrolled as ``rounds`` chained CTEs — st0 = undirected
+    degree, each round val := min(val, max_i min(i-th largest neighbor
+    val, i)). The engine converges in 6 rounds at sf0.01; extra rounds
+    are no-ops at the fixpoint, so the unroll depth only needs to be
+    >= convergence."""
+    # AS MATERIALIZED: without it DuckDB inlines each chained CTE into
+    # its consumers, re-expanding the whole tree (and re-opening the
+    # parquet source) exponentially across rounds
+    ctes = [f"""
+    und AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+                                greatest(s, t) AS b
+            FROM raw2),
+    sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b AS u, a AS v FROM und),
+    st0 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS val
+                         FROM sym GROUP BY u)"""]
+    prev = "st0"
+    for r in range(1, rounds + 1):
+        cur = f"st{r}"
+        ctes.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT d.u, least(d.val, coalesce(h.h, d.val)) AS val
+        FROM {prev} d LEFT JOIN (
+            SELECT nb.u, max(least(nb.nv, nb.rn)) AS h FROM (
+                SELECT sym.u AS u, cur.val AS nv,
+                       row_number() OVER (PARTITION BY sym.u
+                                          ORDER BY cur.val DESC) AS rn
+                FROM sym JOIN {prev} cur ON cur.u = sym.v) nb
+            GROUP BY nb.u) h ON h.u = d.u
+    )""")
+        prev = cur
+    return f"""
+    WITH {_HASHGRAPH_RAW},{",".join(ctes)}
+    SELECT u AS vertex, CAST(val AS BIGINT) AS core FROM {prev}
+"""
+
+
+ORACLE_SQL["kcore_hashgraph"] = _kcore_oracle_sql()
+
+
+def _minhash_signatures_oracle_sql() -> str:
+    """Mirror queries.minhash_signatures_docs bit-for-bit in DuckDB:
+    FNV-1a over every 5-char window (chained CTEs, one per window byte;
+    mod-2^64 arithmetic in HUGEINT, the xor folded into the low byte),
+    then per-permutation minima of (a*x + b) mod 2^64 with the exact
+    (a, b) constants inlined from the seeded kernel rng. Valid because
+    the documents fixture is ASCII (ord(char) == utf-8 byte)."""
+    from tldr_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(_MINHASH_SIG_PERMS)
+    M64 = 1 << 64
+    steps = []
+    prev = "s0"
+    for j in range(5):
+        cur = f"s{j + 1}"
+        steps.append(f""",
+    {cur} AS (
+        SELECT doc_id, text, i,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(text, i + {j}, 1))))
+                * 1099511628211) % {M64} AS h
+        FROM {prev}
+    )""")
+        prev = cur
+    mins = ",\n           ".join(
+        f"min((CAST({int(a[p])} AS HUGEINT) * x + {int(b[p])}) % {M64}) "
+        f"AS m{p}" for p in range(_MINHASH_SIG_PERMS))
+    outs = ",\n       ".join(
+        f"CAST(CASE WHEN m{p} >= {1 << 63} THEN m{p} - {M64} "
+        f"ELSE m{p} END AS BIGINT) AS sig_{p}"
+        for p in range(_MINHASH_SIG_PERMS))
+    return f"""
+    WITH s0 AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i,
+               CAST(14695981039346656037 AS HUGEINT) AS h
+        FROM documents WHERE length(text) >= 5
+    ){"".join(steps)},
+    xx AS (SELECT doc_id, h % 2305843009213693951 AS x FROM {prev}),
+    m AS (SELECT doc_id,
+           {mins}
+          FROM xx GROUP BY doc_id)
+    SELECT doc_id,
+       {outs}
+    FROM m
+"""
+
+
+ORACLE_SQL["minhash_signatures_docs"] = _minhash_signatures_oracle_sql()

@@ -556,31 +556,84 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # exact n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 
+def candidate_endpoint_docs(ds, cand, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            broadcast_pairs_limit: int = 2_000_000):
+    """Restrict a document Dataset to rows whose id appears as an
+    endpoint of ``cand`` (an (id_a, id_b, ...) candidate-pair Dataset).
+
+    The pair set is COUNTED first; while it is provably small (the
+    normal case — candidates are typically <<1% of the corpus) the
+    distinct endpoint ids ride the object store once as a sorted numpy
+    array (8 B/id) and every read task filters its batch with
+    ``searchsorted`` — so non-candidate documents' texts never enter
+    any shuffle. Past the size gate the filter is skipped (returns the
+    full Dataset) and the caller's verify shuffle carries every text —
+    correct, with the gate surfaced in the return flag. Mirrors the
+    counted size gate of ``resolve_clusters``.
+
+    Returns (filtered_docs, used_filter: bool, n_pairs: int).
+    """
+    import ray
+
+    n_pairs = cand.count()
+    if n_pairs > broadcast_pairs_limit:
+        return ds, False, n_pairs
+    chunks = []
+    for batch in cand.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0                       # drop truncation sentinels
+        chunks.append(np.unique(np.concatenate([a[keep], b[keep]])))
+    ids = np.unique(np.concatenate(chunks)) if chunks \
+        else np.zeros(0, dtype=np.int64)
+    ids_ref = ray.put(ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)           # zero-copy plasma view
+        got = np.asarray(batch[id_col], dtype=np.int64)
+        if wanted.size == 0:
+            return batch.slice(0, 0)
+        pos = np.searchsorted(wanted, got)
+        pos = np.minimum(pos, wanted.size - 1)
+        return batch.filter(pa.array(wanted[pos] == got))
+
+    return ds.map_batches(keep_candidates, batch_format="pyarrow"), \
+        True, n_pairs
+
+
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16,
-                        max_bucket: int = 200, num_partitions: int = 64):
+                        max_bucket: int = 200, num_partitions: int = 64,
+                        broadcast_pairs_limit: int = 2_000_000):
     """EXACT n-gram Jaccard pairs >= threshold, using MinHash-LSH only as
     the blocking stage (recall filter at a lower estimate cut), then
     re-computing true Jaccard on the shingle sets of surviving pairs.
 
-    Verification is fully distributed — no pair list or shingle map ever
-    materializes on the driver:
+    Verification is distributed and the verify shuffle is SEMI-JOINED:
 
-    1. each candidate pair expands to one row per endpoint;
-    2. a coarse shuffle on ``endpoint id % num_partitions`` co-locates
-       pair rows with their documents' texts; each partition task
-       computes shingle sets ONCE per doc that actually appears in a
-       pair and attaches them (docs with no candidates shuffle their
-       text once and emit nothing — the price of driver-free
-       verification);
+    1. the candidate pair set is counted; while small (the normal case)
+       the distinct endpoint ids are broadcast once and the document
+       Dataset is filtered BEFORE any text moves — docs with no
+       candidate pair never enter the verify shuffle (round-2 fix: the
+       old path shuffled every document's text to verify <<1% of them).
+       Past the counted size gate the filter is skipped and all texts
+       ride the shuffle (correct, just heavier).
+    2. each candidate pair expands to one row per endpoint; a coarse
+       shuffle on ``endpoint id % num_partitions`` co-locates pair rows
+       with the surviving documents' texts; each partition task computes
+       shingle sets ONCE per doc and attaches them;
     3. a second coarse shuffle on the pair key brings both endpoints'
        sets together and computes true Jaccard.
     """
     cand = minhash_lsh_pairs(ds, id_col, text_col, num_perm, bands, shingle_k,
                              threshold=max(0.3, threshold - 0.2),
                              max_bucket=max_bucket,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions).materialize()
+    docs, _, _ = candidate_endpoint_docs(ds, cand, id_col, text_col,
+                                         broadcast_pairs_limit)
     NP = np.uint64(num_partitions)
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -615,7 +668,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     both = cand.map_batches(expand, batch_format="pyarrow").union(
-        ds.select_columns([id_col, text_col])
+        docs.select_columns([id_col, text_col])
         .map_batches(doc_rows, batch_format="pyarrow"))
 
     _ATT_EMPTY = {"ppart": pd.array([], dtype="int32"),
