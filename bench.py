@@ -296,13 +296,16 @@ def run_scaling() -> dict:
     # the way a long cluster job would, and stay under the DRAM wall.
     scaling_convs = os.environ.get("RAY_GRAFT_SCALING_CONVS", "20000")
     scaling_method = os.environ.get("RAY_GRAFT_SCALING_METHOD", "sort")
+    # the shard layout is a property of the JOB (both legs run the
+    # identical partitioned job); default = the hi leg's core count
+    scaling_parts = os.environ.get("RAY_GRAFT_SCALING_PARTITIONS", str(hi))
 
     def sub(ncpu: int, ensure_only: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_HEADLINE_ONLY="1",
                    RAY_GRAFT_CONVS=scaling_convs,
                    RAY_GRAFT_BUILD_METHOD=scaling_method,
-                   RAY_GRAFT_PARTITIONS=str(hi))
+                   RAY_GRAFT_PARTITIONS=scaling_parts)
         if ensure_only:
             env["RAY_GRAFT_ENSURE_ONLY"] = "1"
         out = subprocess.run(

@@ -120,7 +120,13 @@ def test_shard_build_is_resumable_layout(star_edges, tmp_path):
     assert sorted(os.listdir(f"{d2}/edges")) == [f"part={p}.parquet"
                                                  for p in range(4)]
     assert man2["n_edges"] == 400
-    assert man2["n_vertices"] == 40
+    # vertex candidates scatter from the edge writers (one all-to-all
+    # total); the exact vertex count is derived at shard load
+    assert man2["n_vertices"] is None
+    from tldr_ray.graph import GraphEngine
+    eng = GraphEngine(d2)
+    assert eng.n_total == 40
+    eng.shutdown()
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -67,6 +67,33 @@ class TestEdgeMaterialization:
         b = b.sort_values(key).reset_index(drop=True)[key]
         pd.testing.assert_frame_equal(a, b)
 
+    def test_fused_transcript_graph_matches_unfused_union(self):
+        """transcript_graph routes all three edge families through ONE
+        fused shuffle; the edge multiset must equal the unfused
+        similarity + co-occurrence union, in both shuffle and
+        contiguous layouts."""
+        import ray.data as rd
+        from tldr_ray.stages.edges import (cooccurrence_edges,
+                                           similarity_edges,
+                                           transcript_graph)
+
+        tab = synth_transcripts_table(30, seed=11)
+        key = ["src", "dst", "weight", "etype"]
+
+        def canon(ds):
+            df = ds.to_pandas()[key]
+            return df.sort_values(key).reset_index(drop=True)
+
+        old = canon(similarity_edges(rd.from_arrow(tab))
+                    .select_columns(key)
+                    .union(cooccurrence_edges(rd.from_arrow(tab))
+                           .select_columns(key)))
+        fused = canon(transcript_graph(rd.from_arrow(tab)))
+        pd.testing.assert_frame_equal(fused, old)
+        fused_c = canon(transcript_graph(rd.from_arrow(tab),
+                                         contiguous=True))
+        pd.testing.assert_frame_equal(fused_c, old)
+
     def test_entity_mentions_heuristic(self):
         import ray.data as rd
         from tldr_ray.stages.edges import entity_mentions

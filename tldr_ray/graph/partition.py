@@ -62,7 +62,10 @@ def build_shards(edges, num_partitions: int, out_dir: str,
       so task retries overwrite their own output (idempotent).
     - ``method="sort"``: classic groupby shuffle producing exactly one
       sorted file per partition (``edges/part=<p>.parquet``). Fewer,
-      bigger files; two all-to-all sorts.
+      bigger edge files; ONE all-to-all sort — vertex ownership
+      candidates scatter from inside the edge-group writers
+      (``vertices/part=<q>/<digest>.parquet``, deduped at load), so the
+      round-2 second vertex shuffle is gone.
 
     ``symmetrize=True`` unions both edge directions first (connected
     components / LPA treat the graph as undirected).
@@ -87,16 +90,39 @@ def build_shards(edges, num_partitions: int, out_dir: str,
     parted = edges.map_batches(assign, batch_format="pyarrow")
 
     def write_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+        """One sorted edge file per partition; vertex OWNERSHIP
+        candidates scatter straight from here (content-digest filenames,
+        deduped at shard load) — the round-2 second vertex all-to-all is
+        gone: each Ray shuffle costs ~1-2 s of coordination regardless
+        of size, and vertex candidates never needed a sort."""
+        import hashlib
+
         p = int(g["part"].iloc[0])
         g = g.sort_values(["src", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
         t = pa.table(
             {
-                "src": pa.array(g["src"].to_numpy(np.int64)),
-                "dst": pa.array(g["dst"].to_numpy(np.int64)),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
                 "weight": pa.array(g["weight"].to_numpy(np.float64)),
             }
         )
         _atomic_write(t, f"{out_dir}/edges/part={p}.parquet")
+
+        v = np.unique(np.concatenate([src, dst]))
+        digest = hashlib.blake2b(v.tobytes(), digest_size=10).hexdigest()
+        vpart = (vhash(v) % np.uint64(P)).astype(np.int64)
+        vorder = np.argsort(vpart, kind="stable")
+        v_s, vp_s = v[vorder], vpart[vorder]
+        vlo = np.searchsorted(vp_s, np.arange(P))
+        vhi = np.searchsorted(vp_s, np.arange(P) + 1)
+        for q in range(P):
+            if vhi[q] == vlo[q]:
+                continue
+            os.makedirs(f"{out_dir}/vertices/part={q}", exist_ok=True)
+            _atomic_write(pa.table({"vertex": v_s[vlo[q]:vhi[q]]}),
+                          f"{out_dir}/vertices/part={q}/{digest}.parquet")
         return pd.DataFrame({"part": [p], "n_edges": [len(g)]})
 
     edge_manifest = (
@@ -105,39 +131,8 @@ def build_shards(edges, num_partitions: int, out_dir: str,
         .to_pandas()
     )
 
-    # vertex pass reads the just-written edge shards back from disk so the
-    # (possibly expensive) upstream edge pipeline is not recomputed — a
-    # lazy Dataset re-executes its whole lineage per consumer
-    import ray.data as rd
-
-    edge_files = rd.read_parquet([f"{out_dir}/edges/part={int(p)}.parquet"
-                                  for p in edge_manifest["part"]]) \
-        if len(edge_manifest) else parted
-
-    def vertex_rows(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch["src"], dtype=np.int64)
-        dst = np.asarray(batch["dst"], dtype=np.int64)
-        v = np.unique(np.concatenate([src, dst]))  # per-batch combiner
-        part = (vhash(v) % np.uint64(P)).astype(np.int32)
-        return pa.table({"vertex": v, "part": part})
-
-    def write_vertex_group(g: pd.DataFrame) -> pd.DataFrame:
-        p = int(g["part"].iloc[0])
-        v = np.unique(g["vertex"].to_numpy(np.int64))
-        _atomic_write(pa.table({"vertex": pa.array(v)}),
-                      f"{out_dir}/vertices/part={p}.parquet")
-        return pd.DataFrame({"part": [p], "n_vertices": [len(v)]})
-
-    vertex_manifest = (
-        edge_files.map_batches(vertex_rows, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(write_vertex_group, batch_format="pandas")
-        .to_pandas()
-    )
-
     # partitions with no rows still need (empty) files so shard actors load
     have_e = set(edge_manifest["part"].tolist()) if len(edge_manifest) else set()
-    have_v = set(vertex_manifest["part"].tolist()) if len(vertex_manifest) else set()
     for p in range(P):
         if p not in have_e:
             _atomic_write(
@@ -145,20 +140,15 @@ def build_shards(edges, num_partitions: int, out_dir: str,
                           "dst": pa.array([], pa.int64()),
                           "weight": pa.array([], pa.float64())}),
                 f"{out_dir}/edges/part={p}.parquet")
-        if p not in have_v:
-            _atomic_write(pa.table({"vertex": pa.array([], pa.int64())}),
-                          f"{out_dir}/vertices/part={p}.parquet")
 
     manifest = {
         "num_partitions": P,
         "layout": "sort",
         "symmetrized": symmetrize,
         "n_edges": int(edge_manifest["n_edges"].sum()) if len(edge_manifest) else 0,
-        "n_vertices": int(vertex_manifest["n_vertices"].sum()) if len(vertex_manifest) else 0,
+        "n_vertices": None,   # derived at load (per-shard unique)
         "edge_rows_per_part": {int(r.part): int(r.n_edges)
                                for r in edge_manifest.itertuples()},
-        "vertex_rows_per_part": {int(r.part): int(r.n_vertices)
-                                 for r in vertex_manifest.itertuples()},
     }
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2)

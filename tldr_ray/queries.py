@@ -835,7 +835,15 @@ def minhash_dedup_docs(sf_dir: str):
 def simhash_dedup_docs(sf_dir: str):
     """max_hamming=3 -> 4 LSH tables; the band plan is derived from the
     distance so the advertised recall contract actually holds (round-1's
-    fixed 4x16 scheme silently missed pairs at distance 4-8)."""
+    fixed 4x16 scheme silently missed pairs at distance 4-8).
+
+    SQL oracle (round 3): the pigeonhole band plan makes the LSH output
+    EXACTLY "all pairs with hamming <= max_hamming" (recall is total for
+    the advertised distance; ``max_bucket`` >= corpus size so nothing
+    truncates at oracle scale), and the signature bits are portable
+    FNV-1a token hashes — so DuckDB can mirror the whole operator:
+    recursive-CTE FNV per token, strict-majority bit vote, all-pairs
+    ``bit_count(xor(...))``."""
     from tldr_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -1382,3 +1390,71 @@ def _minhash_signatures_oracle_sql() -> str:
 
 
 ORACLE_SQL["minhash_signatures_docs"] = _minhash_signatures_oracle_sql()
+
+
+def _simhash_dedup_oracle_sql(max_hamming: int = 3) -> str:
+    """Mirror stages.dedup.simhash_pairs bit-for-bit: lowercase
+    whitespace tokens (every occurrence, not distinct), FNV-1a per token
+    via a recursive CTE over character positions (HUGEINT mod-2^64, xor
+    folded into the low byte; valid on the ASCII fixture), strict-
+    majority vote per signature bit, then ALL pairs with
+    bit_count(xor(sig_a, sig_b)) <= max_hamming — exact because the
+    derived band plan guarantees total recall at that distance and
+    max_bucket (500) cannot truncate a <=500-doc corpus."""
+    M64 = 1 << 64
+    return f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents)
+        WHERE tok != ''
+    ),
+    fnv(doc_id, tok, i, h) AS (
+        SELECT doc_id, tok, 0,
+               CAST(14695981039346656037 AS HUGEINT)
+        FROM toks
+        UNION ALL
+        SELECT doc_id, tok, i + 1,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(tok, i + 1, 1))))
+                * 1099511628211) % {M64}
+        FROM fnv WHERE i < length(tok)
+    ),
+    th AS MATERIALIZED (
+        SELECT doc_id, h FROM fnv WHERE i = length(tok)
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               CAST((h // (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)))
+                    % 2 AS BIGINT) AS bit
+        FROM th, (SELECT unnest(range(0, 64)) AS b)
+    ),
+    maj AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS m
+        FROM bits GROUP BY doc_id, b
+    ),
+    sig AS MATERIALIZED (
+        SELECT d.doc_id,
+               coalesce(s.v, CAST(0 AS HUGEINT)) AS sig
+        FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   sum(CAST(m AS HUGEINT)
+                       * (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) AS v
+            FROM maj GROUP BY doc_id) s ON s.doc_id = d.doc_id
+    ),
+    sig64 AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(CASE WHEN sig >= {1 << 63} THEN sig - {M64}
+                    ELSE sig END AS BIGINT) AS s
+        FROM sig
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+ORACLE_SQL["simhash_dedup_docs"] = _simhash_dedup_oracle_sql()

@@ -360,20 +360,160 @@ def transcript_graph(transcripts, cfg: Optional[SummarizeConfig] = None,
                      max_group_size: int = 64, include_tools: bool = True,
                      include_entities: bool = True,
                      presplit_words: Optional[int] = None,
-                     contiguous: bool = False):
-    """Union of the three edge families, ready for graph.GraphEngine.
+                     contiguous: bool = False, num_parts: int = 64):
+    """Union of the three edge families, ready for graph.GraphEngine —
+    built through ONE fused all-to-all.
 
     Similarity edges anchor each conversation's sentence subgraph; the
     conversation vertex (local_idx 0) doubles as the co-reference
     anchor, so tool and entity edges connect conversations' sentence
-    graphs into one global link graph. ``contiguous=True`` enables the
-    shuffle-free similarity path for conv-partitioned inputs."""
-    sim = similarity_edges(transcripts, cfg, presplit_words,
-                           contiguous=contiguous).select_columns(
-        ["src", "dst", "weight", "etype"])
+    graphs into one global link graph.
+
+    Fusion (round-3 scaling fix): one scan of the transcripts emits
+    BOTH row kinds — similarity rows keyed into parts [0, num_parts)
+    by conv hash, co-reference rows keyed into parts [num_parts,
+    2*num_parts) by (kind, key) hash — and a single ``groupby("part")``
+    moves everything; each partition task dispatches on its part range.
+    Every Ray all-to-all costs ~1-2 s of coordination on top of the
+    data movement regardless of size, so collapsing the two family
+    shuffles (and their two source scans) into one halves the fixed
+    latency floor of the headline build. ``contiguous=True`` keeps the
+    shuffle-free interior similarity path and routes only the block-
+    boundary conversations through the fused shuffle alongside the
+    co-reference rows (see ``similarity_edges`` for the determinism
+    requirement of the two-scan contiguous layout)."""
+    cfg = cfg or SummarizeConfig()
     if not (include_tools or include_entities):
-        return sim
-    coref = cooccurrence_edges(transcripts, max_group_size,
-                               include_tools=include_tools,
-                               include_entities=include_entities)
-    return sim.union(coref.select_columns(["src", "dst", "weight", "etype"]))
+        return similarity_edges(transcripts, cfg, presplit_words,
+                                num_parts=num_parts,
+                                contiguous=contiguous).select_columns(
+            ["src", "dst", "weight", "etype"])
+
+    NPU = np.uint64(num_parts)
+    cols = ["conv_id", "turn_idx", "text"] \
+        + (["tool"] if include_tools else [])
+    pruned = transcripts.select_columns(cols)
+
+    def _coref_rows(batch: pa.Table) -> "pd.DataFrame":
+        """Distinct (kind, key, conv) rows of a batch, as in
+        ``cooccurrence_edges.distinct_rows``."""
+        frames = []
+        if include_tools:
+            df = pd.DataFrame({"key": batch["tool"].to_pandas(),
+                               "conv_id": batch["conv_id"].to_pandas()})
+            df = df[df["key"].notna() & (df["key"] != "")].drop_duplicates()
+            frames.append(df.assign(kind="tool"))
+        if include_entities:
+            ments = _extract_entity_mentions(batch)
+            if ments:
+                e, c = zip(*ments)
+                frames.append(pd.DataFrame({"key": list(e),
+                                            "conv_id": list(c),
+                                            "kind": "entity"}))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"key": [], "conv_id": [], "kind": []})
+
+    def _fused_rows(sim_batch: pa.Table | None,
+                    coref_batch: pa.Table) -> pa.Table:
+        """Sim rows (part in [0, NP)) + coref rows (part in [NP, 2NP))
+        with a shared null-padded schema for the one shuffle."""
+        from tldr_ray.hashing import fnv1a_batch, part_key
+
+        tabs = []
+        if sim_batch is not None and sim_batch.num_rows:
+            n = sim_batch.num_rows
+            tabs.append(pa.table(
+                {
+                    "part": pa.array(part_key(sim_batch["conv_id"],
+                                              num_parts)),
+                    "conv_id": sim_batch["conv_id"],
+                    "turn_idx": sim_batch["turn_idx"].cast(pa.int64()),
+                    "text": sim_batch["text"].cast(pa.string()),
+                    "kind": pa.nulls(n, pa.string()),
+                    "key": pa.nulls(n, pa.string()),
+                }
+            ))
+        df = _coref_rows(coref_batch)
+        keys = pa.array(df["key"], pa.string()) if len(df) else \
+            pa.array([], pa.string())
+        kind_code = (df["kind"].to_numpy() == "entity").astype(np.uint64) \
+            if len(df) else np.zeros(0, np.uint64)
+        cpart = (num_parts
+                 + ((fnv1a_batch(keys)
+                     ^ (kind_code * np.uint64(0x9E3779B97F4A7C15)))
+                    % NPU).astype(np.int32)).astype(np.int32)
+        m = len(df)
+        tabs.append(pa.table(
+            {
+                "part": pa.array(cpart),
+                "conv_id": pa.array(df["conv_id"], pa.string()) if m
+                else pa.array([], pa.string()),
+                "turn_idx": pa.nulls(m, pa.int64()),
+                "text": pa.nulls(m, pa.string()),
+                "kind": pa.array(df["kind"], pa.string()) if m
+                else pa.array([], pa.string()),
+                "key": keys,
+            }
+        ))
+        return pa.concat_tables(tabs)
+
+    _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                              ("weight", pa.float64()),
+                              ("etype", pa.string())])
+
+    def dispatch_part(group: pd.DataFrame) -> pa.Table:
+        p = int(group["part"].iloc[0])
+        if p < num_parts:       # similarity family
+            t = _convs_edges_table(group, cfg, presplit_words)
+            return t.select(["src", "dst", "weight", "etype"])
+        # co-reference families: per-(kind, key) pair sweep
+        g = group.drop_duplicates(["kind", "key", "conv_id"])
+        outs = []
+        for (kind, _key), sub in g.groupby(["kind", "key"], sort=False):
+            fn = _cooccurrence_pairs_fn(kind, f"{kind}_star",
+                                        max_group_size)
+            outs.append(fn(sub))
+        df = pd.concat(outs, ignore_index=True) if outs else None
+        if df is None or not len(df):
+            return _EDGE_SCHEMA.empty_table()
+        return pa.table({"src": pa.array(df["src"], pa.int64()),
+                         "dst": pa.array(df["dst"], pa.int64()),
+                         "weight": pa.array(df["weight"], pa.float64()),
+                         "etype": pa.array(df["etype"], pa.string())})
+
+    if not contiguous:
+        fused = pruned.map_batches(
+            lambda b: _fused_rows(b, b), batch_format="pyarrow")
+        return fused.groupby("part").map_groups(dispatch_part,
+                                                batch_format="pandas")
+
+    # contiguous: interior sim edges shuffle-free; boundary sim rows
+    # join the coref rows in the one fused shuffle
+    def _boundary_mask(batch: pa.Table) -> np.ndarray:
+        cids = np.asarray(batch["conv_id"].to_pandas())
+        return (cids == cids[0]) | (cids == cids[-1])
+
+    def interior_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _convs_edges_table(pd.DataFrame(
+                {"conv_id": [], "turn_idx": [], "text": []}), cfg,
+                presplit_words).select(["src", "dst", "weight", "etype"])
+        keep = ~_boundary_mask(batch)
+        return _convs_edges_table(
+            batch.filter(pa.array(keep)).select(
+                ["conv_id", "turn_idx", "text"]).to_pandas(),
+            cfg, presplit_words).select(["src", "dst", "weight", "etype"])
+
+    def boundary_and_coref(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _fused_rows(None, batch)
+        sim_part = batch.filter(pa.array(_boundary_mask(batch)))
+        return _fused_rows(sim_part, batch)
+
+    interior = pruned.map_batches(interior_edges, batch_format="pyarrow",
+                                  batch_size=None)
+    fused = pruned.map_batches(boundary_and_coref, batch_format="pyarrow",
+                               batch_size=None)
+    rest = fused.groupby("part").map_groups(dispatch_part,
+                                            batch_format="pandas")
+    return interior.union(rest)
