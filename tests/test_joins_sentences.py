@@ -118,3 +118,86 @@ class TestSentencesTable:
         out = summarize_sentences_table(rd.from_arrow(tab), num=1).to_pandas()
         assert out["text"].tolist() == ["it's fleece was white as snow,"]
         assert out["local_idx"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def _reference(self, l, r, how="inner"):
+        """Row-wise pandas oracle: latest right ts <= left ts per key,
+        ties broken by max tiebreak value."""
+        rows = []
+        for _, e in l.iterrows():
+            m = r[(r["k"] == e["k"]) & (r["rts"] <= e["ts"])]
+            if m.empty:
+                if how == "left":
+                    rows.append({**e.to_dict(), "rts": pd.NaT,
+                                 "tb": np.nan, "y": np.nan})
+                continue
+            m = m.sort_values(["rts", "tb"]).iloc[-1]
+            rows.append({**e.to_dict(), "rts": m["rts"],
+                         "tb": m["tb"], "y": m["y"]})
+        return pd.DataFrame(rows)
+
+    def _mk(self, seed=3, nl=400, nr=150, nk=25):
+        rng = np.random.default_rng(seed)
+        base = pd.Timestamp("2025-01-01")
+        l = pd.DataFrame({
+            "k": rng.integers(0, nk, nl),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10_000, nl), "s"),
+            "x": rng.random(nl)})
+        # coarse ts grid so (key, ts) ties actually occur
+        r = pd.DataFrame({
+            "k": rng.integers(0, nk, nr),
+            "rts": base + pd.to_timedelta(
+                rng.integers(0, 10, nr) * 1000, "s"),
+            "tb": rng.permutation(nr).astype(np.int64),
+            "y": rng.random(nr)})
+        return l, r
+
+    def test_inner_matches_rowwise_oracle(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import asof_join
+
+        l, r = self._mk()
+        got = asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        left_ts="ts", right_ts="rts", tiebreak="tb",
+                        num_buckets=8).to_pandas()
+        want = self._reference(l, r)
+        key = ["k", "ts", "x"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)[got.columns]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_left_keeps_unmatched(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import asof_join
+
+        l, r = self._mk(seed=9, nk=40, nr=40)   # sparse rights -> misses
+        got = asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        left_ts="ts", right_ts="rts", tiebreak="tb",
+                        num_buckets=8, how="left").to_pandas()
+        assert len(got) == len(l)
+        want = self._reference(l, r, how="left")
+        key = ["k", "ts", "x"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)[got.columns]
+        matched = want["y"].notna()
+        assert (got["y"].notna() == matched).all()
+        pd.testing.assert_frame_equal(got[matched.to_numpy()].reset_index(drop=True),
+                                      want[matched].reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_tiebreak_is_deterministic_across_bucket_counts(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import asof_join
+
+        l, r = self._mk(seed=11)
+        outs = []
+        for nb in (1, 4, 16):
+            o = asof_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                          left_ts="ts", right_ts="rts", tiebreak="tb",
+                          num_buckets=nb).to_pandas()
+            outs.append(o.sort_values(["k", "ts", "x"])
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)

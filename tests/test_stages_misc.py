@@ -273,6 +273,41 @@ class TestAnn:
             recalls.append(len(b & l) / len(b))
         assert np.mean(recalls) >= 0.5   # approximate, multi-probe radius 2
 
+    def test_ivf_recall_and_determinism(self):
+        from tldr_ray.stages.ann import knn_brute, knn_ivf
+
+        q, qids = self._queries(3)
+        brute = knn_brute(self._corpus(), q, qids, k=10).to_pandas()
+        ivf = knn_ivf(self._corpus(), q, qids, k=10, nlist=8,
+                      nprobe=4).to_pandas()
+        recalls = []
+        for qid in qids:
+            b = set(brute[brute["query_id"] == qid]["vec_id"])
+            v = set(ivf[ivf["query_id"] == qid]["vec_id"])
+            recalls.append(len(b & v) / len(b))
+        # half the lists probed -> decent recall on a smooth corpus
+        assert np.mean(recalls) >= 0.5
+        # deterministic across runs (seeded sample + seeded k-means init)
+        ivf2 = knn_ivf(self._corpus(), q, qids, k=10, nlist=8,
+                       nprobe=4).to_pandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            ivf.sort_values(key).reset_index(drop=True),
+            ivf2.sort_values(key).reset_index(drop=True))
+
+    def test_ivf_probes_all_is_exact(self):
+        """nprobe == nlist disables pruning -> identical ids to brute."""
+        from tldr_ray.stages.ann import knn_brute, knn_ivf
+
+        q, qids = self._queries(2)
+        brute = knn_brute(self._corpus(), q, qids, k=10).to_pandas()
+        ivf = knn_ivf(self._corpus(), q, qids, k=10, nlist=8,
+                      nprobe=8).to_pandas()
+        for qid in qids:
+            b = brute[brute["query_id"] == qid].sort_values("rank")
+            v = ivf[ivf["query_id"] == qid].sort_values("rank")
+            assert b["vec_id"].tolist() == v["vec_id"].tolist()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:

@@ -933,6 +933,53 @@ def media_features_demo(sf_dir: str):
     return real.union(stub)
 
 
+def knn_ivf_top10(sf_dir: str):
+    """IVF-pruned approximate top-10 (coarse k-means quantizer trained
+    on a bounded hash-sample; each query scores ~nprobe/nlist of the
+    corpus). Rows-only by nature (iterative training); recall vs brute
+    force is pinned in pytest."""
+    import pyarrow.parquet as pq
+
+    from tldr_ray.stages.ann import knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qmat = np.asarray(t["embedding"].to_pylist()[:4], dtype=np.float32)
+    qids = np.asarray(t["vec_id"].to_pylist()[:4], dtype=np.int64)
+    return knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   qmat, qids, k=10, nlist=16, nprobe=4)
+
+
+def events_last_order_asof(sf_dir: str):
+    """Backward as-of join: each event matched to the user's LATEST order
+    placed at or before the event time (ties on order date broken by max
+    o_orderkey — deterministic under any partitioning). Distributed as a
+    bucketed hash shuffle on the key + one vectorized rank-composite
+    searchsorted per bucket (stages.joins.asof_join)."""
+    from tldr_ray.stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey",
+                    "o_totalprice"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]),
+            batch_format="pyarrow")
+    out = asof_join(events, orders, on="user_id", left_ts="ts",
+                    right_ts="o_orderdate", tiebreak="o_orderkey")
+
+    def recast(batch: pa.Table) -> pa.Table:
+        # pandas map_groups widens timestamps to ns; restore us for
+        # driver dtype parity with the DuckDB oracle
+        for c in ("ts", "o_orderdate"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, batch[c].cast(pa.timestamp("us")))
+        return batch
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
 QUERIES = {
     # SQL-checked
     "doc_token_counts": doc_token_counts,
@@ -954,6 +1001,7 @@ QUERIES = {
     "knn_multi_query": knn_multi_query,
     "sample_docs_25pct": sample_docs_25pct,
     "top_docs_per_lang": top_docs_per_lang,
+    "events_last_order_asof": events_last_order_asof,
     # rows-only (iterative / model-like; parity enforced by pytest oracles)
     "summarize_documents_k3": summarize_documents_k3,
     "summarize_centrality_k3": summarize_centrality_k3,
@@ -975,6 +1023,7 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "knn_lsh_top10": knn_lsh_top10,
+    "knn_ivf_top10": knn_ivf_top10,
     "language_id_docs": language_id_docs,
     "quality_scores_docs": quality_scores_docs,
     "media_features_demo": media_features_demo,
@@ -1458,3 +1507,136 @@ def _simhash_dedup_oracle_sql(max_hamming: int = 3) -> str:
 
 
 ORACLE_SQL["simhash_dedup_docs"] = _simhash_dedup_oracle_sql()
+
+
+def _minhash64_base_cte() -> str:
+    """Shared DuckDB CTE prefix mirroring the FULL 64-permutation MinHash
+    pipeline of ``stages.dedup.minhash_lsh_pairs`` (num_perm=64): chained
+    window FNV-1a over every 5-char shingle (HUGEINT mod-2^64, xor folded
+    into the low byte; exact on the ASCII fixture), then the 64 per-doc
+    minima of (a*x + b) mod 2^64 with x = h mod 2^61-1 and the (a, b)
+    constants inlined from the seeded kernel rng. Exposes ``win``
+    (doc_id, h) for exact-Jaccard verification and ``m`` (doc_id,
+    m0..m63 HUGEINT) for LSH band collisions. Docs shorter than the
+    5-byte shingle are zero-padded by the operator; the fixture's min
+    length is 48, so the >= 5 guard never diverges at oracle scale."""
+    from tldr_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    M64 = 1 << 64
+    steps = []
+    prev = "s0"
+    for j in range(5):
+        cur = f"s{j + 1}"
+        steps.append(f""",
+    {cur} AS (
+        SELECT doc_id, text, i,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(text, i + {j}, 1))))
+                * 1099511628211) % {M64} AS h
+        FROM {prev}
+    )""")
+        prev = cur
+    mins = ",\n           ".join(
+        f"min((CAST({int(a[p])} AS HUGEINT) * x + {int(b[p])}) % {M64}) "
+        f"AS m{p}" for p in range(64))
+    return f"""
+    WITH s0 AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i,
+               CAST(14695981039346656037 AS HUGEINT) AS h
+        FROM documents WHERE length(text) >= 5
+    ){"".join(steps)},
+    win AS MATERIALIZED (SELECT doc_id, h FROM {prev}),
+    xx AS (SELECT doc_id, h % 2305843009213693951 AS x FROM win),
+    m AS MATERIALIZED (SELECT doc_id,
+           {mins}
+          FROM xx GROUP BY doc_id)"""
+
+
+def _lsh_band_collision() -> str:
+    """16 bands x 4 rows: a candidate pair shares at least one band's
+    full signature 4-tuple (equality on raw minima mirrors the
+    operator's mixed bucket key; a 64-bit mix collision between unequal
+    tuples has probability ~2^-51 at fixture scale)."""
+    return " OR ".join(
+        "(" + " AND ".join(f"a.m{4 * i + r} = b.m{4 * i + r}"
+                           for r in range(4)) + ")"
+        for i in range(16))
+
+
+def _sig_match_fraction() -> str:
+    return ("CAST(" + " + ".join(
+        f"CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END"
+        for p in range(64)) + " AS DOUBLE) / 64")
+
+
+def _minhash_dedup_oracle_sql(threshold: float = 0.5) -> str:
+    """Full mirror of queries.minhash_dedup_docs: LSH band collision
+    (any of 16 bands) AND estimated Jaccard (matching-signature
+    fraction, exact k/64 doubles) >= threshold. max_bucket (200) cannot
+    truncate at <= 500 docs unless 200+ docs share a band tuple, which
+    the fixture does not contain (no sentinel rows in the output)."""
+    return _minhash64_base_cte() + f""",
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {_sig_match_fraction()} AS est_jaccard
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE {_lsh_band_collision()}
+    )
+    SELECT id_a, id_b, est_jaccard FROM pairs
+    WHERE est_jaccard >= {threshold}
+"""
+
+
+def _ngram_jaccard_oracle_sql(threshold: float = 0.6,
+                              est_cut: float = 0.4) -> str:
+    """Full mirror of queries.ngram_jaccard_docs: MinHash-LSH blocking at
+    the lowered estimate cut (max(0.3, threshold - 0.2)), then EXACT
+    n-gram Jaccard over the distinct 5-shingle hash sets of surviving
+    pairs — intersection / union as the same exact-int double division
+    the kernel performs."""
+    return _minhash64_base_cte() + f""",
+    cand AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {est_cut}
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM win),
+    cnt AS MATERIALIZED (
+        SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.id_a
+    JOIN cnt cb ON cb.doc_id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= {threshold}
+"""
+
+
+ORACLE_SQL["minhash_dedup_docs"] = _minhash_dedup_oracle_sql()
+ORACLE_SQL["ngram_jaccard_docs"] = _ngram_jaccard_oracle_sql()
+
+
+ORACLE_SQL["events_last_order_asof"] = """
+    WITH j AS (
+        SELECT e.event_id, e.ts, e.user_id,
+               o.o_orderdate, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, ts, user_id, o_orderdate, o_orderkey, o_totalprice
+    FROM j WHERE rn = 1
+"""

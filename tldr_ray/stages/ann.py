@@ -7,6 +7,10 @@
 - ``knn_lsh``: random-hyperplane LSH (signature buckets with multi-probe
   by signature hamming radius) + exact rerank inside candidate buckets —
   the scale path when the corpus outgrows per-batch scans.
+- ``knn_ivf``: IVF coarse quantizer — spherical k-means centroids
+  trained on a bounded hash-sample, inverted-list pruning at query time
+  (each query scores only the vectors assigned to its ``nprobe``
+  nearest centroids, ~nprobe/nlist of the corpus).
 """
 
 from __future__ import annotations
@@ -184,6 +188,122 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return (
         ds.select_columns([id_col, emb_col])
         .map_batches(BucketScore, batch_format="pyarrow",
+                     concurrency=_pool_size(concurrency))
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _train_ivf_centroids(ds, id_col: str, emb_col: str, nlist: int,
+                         sample_size: int, lloyd_iters: int,
+                         seed: int) -> np.ndarray:
+    """Unit-norm (nlist, dim) spherical-k-means centroids from a BOUNDED
+    deterministic sample: rows whose hashed id falls under a threshold
+    sized from the (parquet-metadata-cheap) row count — ~4x sample_size
+    rows ever reach the driver regardless of corpus size, then the
+    lowest-hash sample_size of those train a few Lloyd iterations in
+    numpy. Deterministic for a given (corpus, seed)."""
+    from tldr_ray.graph.partition import vhash
+
+    n = ds.count()
+    frac = min(1.0, (4.0 * sample_size) / max(1, n))
+    cut = np.uint64(int(frac * 2**32))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h = vhash(ids) >> np.uint64(32)
+        keep = h < cut
+        t = batch.filter(pa.array(keep))
+        return pa.table({"__h": pa.array(h[keep].view(np.int64)),
+                         emb_col: t[emb_col]})
+
+    samp = ds.select_columns([id_col, emb_col]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    mat = np.asarray(samp[emb_col].tolist(), dtype=np.float32)
+    order = np.argsort(samp["__h"].to_numpy(), kind="stable")[:sample_size]
+    x = _unit(mat[order])
+    rng = np.random.default_rng(seed)
+    nlist = min(nlist, x.shape[0])
+    cent = x[rng.choice(x.shape[0], nlist, replace=False)]
+    for _ in range(lloyd_iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(nlist):
+            rows = assign == c
+            if rows.any():
+                cent[c] = x[rows].mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def knn_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            nlist: int = 64, nprobe: int = 8, sample_size: int = 4096,
+            lloyd_iters: int = 5, seed: int = 47,
+            concurrency: int | None = None):
+    """IVF approximate cosine top-k (the classic inverted-file scale
+    path): a coarse quantizer is trained once on a bounded sample, the
+    centroid matrix broadcasts once (``ray.put``), and each scoring
+    actor assigns its batch's vectors to their nearest centroid and
+    scores them ONLY against the queries probing that centroid — each
+    query probes its ``nprobe`` nearest centroids, so ~nprobe/nlist of
+    the corpus is scored per query instead of all of it. Same output
+    schema as ``knn_brute``; rank within the probed candidate set."""
+    import ray
+
+    cent = _train_ivf_centroids(ds, id_col, emb_col, nlist, sample_size,
+                                lloyd_iters, seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float32))
+    # per-query probe lists -> centroid -> [query row] inverted map
+    top = np.argsort(-(q_unit @ cent.T), axis=1)[:, :min(nprobe, len(cent))]
+    probe: dict[int, list[int]] = {}
+    for qi in range(q_unit.shape[0]):
+        for c in top[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    pref = ray.put((cent, probe, q_unit,
+                    np.asarray(query_ids, dtype=np.int64)))
+
+    class IVFScore:
+        def __init__(self):
+            self.cent, self.probe, self.q, self.qids = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(batch[emb_col]))
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            assign = (mat @ self.cent.T).argmax(axis=1)
+            out_q, out_v, out_c = [], [], []
+            for b in np.unique(assign):
+                hits = self.probe.get(int(b))
+                if not hits:
+                    continue
+                rows = assign == b
+                sub, sub_ids = mat[rows], ids[rows]
+                cos = sub @ self.q[hits].T
+                kk = min(k, sub_ids.size)
+                for col, qi in enumerate(hits):
+                    c = cos[:, col]
+                    part = np.argpartition(-c, kk - 1)[:kk] \
+                        if sub_ids.size > kk else np.arange(sub_ids.size)
+                    out_q.append(np.full(part.size, self.qids[qi]))
+                    out_v.append(sub_ids[part])
+                    out_c.append(c[part].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({"query_id": np.concatenate(out_q),
+                             "vec_id": np.concatenate(out_v),
+                             "cosine": np.concatenate(out_c)})
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.array(range(len(g)), dtype="int32")
+        return g[["query_id", "vec_id", "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(IVFScore, batch_format="pyarrow",
                      concurrency=_pool_size(concurrency))
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")

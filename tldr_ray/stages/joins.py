@@ -115,6 +115,116 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
                                                batch_format="pandas")
 
 
+def asof_join(left, right, on: str, left_ts: str, right_ts: str,
+              tiebreak: str, num_buckets: int = 64, how: str = "inner",
+              suffixes=("_l", "_r")):
+    """Distributed backward as-of join: for each left row, the single
+    right row with the same ``on`` key and the LARGEST ``right_ts`` <=
+    ``left_ts`` (ties on (key, ts) resolved to the max ``tiebreak``
+    value, so the result is deterministic regardless of partitioning).
+
+    Ray-Data-first plan: both sides are tagged and hash-bucketed on the
+    equality key (one shuffle per side, same shape as
+    ``bucketed_hash_join``); inside each bucket the match is ONE
+    vectorized ``searchsorted`` over a rank-composite (key_code *
+    n_ranks + ts_rank), never a per-key or per-row Python loop. The
+    partitioning assumption is the usual hash-join one: each key's rows
+    co-locate, skew only inflates single buckets (pick num_buckets >>
+    workers).
+
+    ``how``: "inner" drops unmatched lefts; "left" keeps them with
+    nulls in the right columns.
+    """
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    lints = _int_cols(left.schema())
+    rints = _int_cols(right.schema())
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    # typed null-fill so timestamps survive the union schema intact
+    types = {}
+    for sch in (left.schema(), right.schema()):
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                types.setdefault(n, t)
+    out_r = [c for c in rcols if c != on]
+    ren = {c: c + suffixes[1] for c in out_r if c in lcols}
+
+    def tag(side: str, have: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                cols[c] = batch[c] if c in have else \
+                    pa.nulls(n, types.get(c))
+            cols["__bucket"] = pa.array(
+                (_hash_any(batch[on]) %
+                 np.uint64(num_buckets)).astype(np.int32))
+            cols["__side"] = pa.array([side] * n)
+            return pa.table(cols)
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
+        right.map_batches(tag("r", rcols), batch_format="pyarrow"))
+
+    def _ts_i64(s: pd.Series) -> np.ndarray:
+        v = s.to_numpy()
+        if v.dtype.kind == "M":
+            return v.astype("datetime64[ns]").view(np.int64)
+        return v.astype(np.int64)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
+        r = _restore_ints(group[group["__side"] == "r"][rcols].copy(), rints)
+        empty_right = {ren.get(c, c): pd.Series([], dtype=r[c].dtype)
+                       for c in out_r}
+        if not len(l):
+            return pd.concat(
+                [l.reset_index(drop=True), pd.DataFrame(empty_right)],
+                axis=1)
+        if not len(r):
+            if how == "inner":
+                return pd.concat(
+                    [l.iloc[:0].reset_index(drop=True),
+                     pd.DataFrame(empty_right)], axis=1)
+            out = l.reset_index(drop=True)
+            for c in out_r:
+                out[ren.get(c, c)] = pd.Series([pd.NA] * len(out))
+            return out
+        # shared key codes + shared ts ranks -> one global composite
+        codes, _ = pd.factorize(
+            pd.concat([l[on], r[on]], ignore_index=True), sort=False)
+        lk = codes[: len(l)].astype(np.int64)
+        rk = codes[len(l):].astype(np.int64)
+        lt, rt = _ts_i64(l[left_ts]), _ts_i64(r[right_ts])
+        uniq = np.unique(np.concatenate([lt, rt]))
+        U = np.int64(uniq.size + 1)
+        lcomp = lk * U + np.searchsorted(uniq, lt)
+        rcomp = rk * U + np.searchsorted(uniq, rt)
+        # dedupe rights per (key, ts): ascending tiebreak, keep last
+        order = np.lexsort((r[tiebreak].to_numpy(), rcomp))
+        rcomp_s = rcomp[order]
+        last = np.flatnonzero(
+            np.concatenate([rcomp_s[1:] != rcomp_s[:-1], [True]]))
+        ridx, rcomp_u = order[last], rcomp_s[last]
+        pos = np.searchsorted(rcomp_u, lcomp, side="right") - 1
+        ok = pos >= 0
+        safe = np.clip(pos, 0, None)
+        # right composite floor must belong to the SAME key
+        ok &= rk[ridx[safe]] == lk
+        rsel = r.iloc[ridx[safe]][out_r].rename(columns=ren) \
+            .reset_index(drop=True)
+        if how == "inner":
+            hit = np.flatnonzero(ok)
+            return pd.concat(
+                [l.iloc[hit].reset_index(drop=True),
+                 rsel.iloc[hit].reset_index(drop=True)], axis=1)
+        rsel = rsel.where(np.broadcast_to(ok[:, None], rsel.shape))
+        return pd.concat([l.reset_index(drop=True), rsel], axis=1)
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
+
+
 def bucketed_anti_join(left, right, on: str, num_buckets: int = 64):
     """Left rows whose key does NOT appear in ``right`` — one shuffle per
     side, matching buckets filtered with a vectorized ``isin``; nothing
