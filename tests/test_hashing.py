@@ -1,0 +1,105 @@
+"""Unit tests for the shared vectorized hashing kernels
+(tldr_ray/hashing.py) — the key-assignment layer every O(corpus)
+partition/sample site routes through."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tldr_ray.hashing import (fnv1a_batch, part_key, poly_hash_batch,
+                              string_bytes)
+
+
+def _ref_fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+STRINGS = ["", "a", "hello world", "x" * 300, "café ☃",
+           "conv-000123", "\x00\x01\x02", "same", "same"]
+
+
+class TestFnv1aBatch:
+    def test_matches_scalar_reference(self):
+        got = fnv1a_batch(pa.array(STRINGS, pa.string()))
+        want = np.array([_ref_fnv1a(s) for s in STRINGS], dtype=np.uint64)
+        assert (got == want).all()
+
+    def test_large_string_equals_string(self):
+        a = pa.array(STRINGS, pa.string())
+        b = pa.array(STRINGS, pa.large_string())
+        assert (fnv1a_batch(a) == fnv1a_batch(b)).all()
+
+    def test_binary_and_sliced_offsets(self):
+        a = pa.array([s.encode() for s in STRINGS], pa.binary())
+        assert (fnv1a_batch(a) == fnv1a_batch(pa.array(STRINGS))).all()
+        sl = pa.array(STRINGS).slice(3, 4)
+        assert (fnv1a_batch(sl) ==
+                fnv1a_batch(pa.array(STRINGS[3:7]))).all()
+
+    def test_nulls_hash_as_empty(self):
+        a = pa.array(["x", None, ""], pa.string())
+        h = fnv1a_batch(a)
+        assert h[1] == h[2] == _ref_fnv1a("")
+
+    def test_rejects_non_string(self):
+        with pytest.raises(TypeError):
+            string_bytes(pa.array([1, 2, 3]))
+
+
+class TestPolyHashBatch:
+    def test_alignment_independent(self):
+        """Per-row value must not depend on the row's position in the
+        shared buffer (the modular-inverse divide-out)."""
+        a = poly_hash_batch(pa.array(STRINGS))
+        for i, s in enumerate(STRINGS):
+            solo = poly_hash_batch(pa.array([s]))
+            assert solo[0] == a[i], s
+
+    def test_large_string_and_slices(self):
+        a = pa.array(STRINGS, pa.string())
+        b = pa.array(STRINGS, pa.large_string())
+        assert (poly_hash_batch(a) == poly_hash_batch(b)).all()
+        sl = a.slice(2, 5)
+        assert (poly_hash_batch(sl) ==
+                poly_hash_batch(pa.array(STRINGS[2:7]))).all()
+
+    def test_prefix_does_not_collide(self):
+        h = poly_hash_batch(pa.array(["ab", "abc", "abcd", ""]))
+        assert len(set(h.tolist())) == 4
+
+    def test_equal_strings_equal_hashes(self):
+        h = poly_hash_batch(pa.array(STRINGS))
+        assert h[7] == h[8]
+
+
+class TestPartKey:
+    def test_range_and_determinism(self):
+        for kind in ("short", "long"):
+            k = part_key(pa.array(STRINGS), 64, kind=kind)
+            assert k.dtype == np.int32
+            assert ((k >= 0) & (k < 64)).all()
+            k2 = part_key(pa.array(STRINGS), 64, kind=kind)
+            assert (k == k2).all()
+
+    def test_spreads_keys(self):
+        ids = pa.array([f"conv-{i:06d}" for i in range(2000)])
+        k = part_key(ids, 64)
+        counts = np.bincount(k, minlength=64)
+        assert counts.min() > 0 and counts.max() < 3 * counts.mean()
+
+
+class TestShingleHashesLargeTypes:
+    def test_corpus_shingles_large_string_equal(self):
+        """ADVICE (round 2): a large_string text column must shingle
+        identically to string, never silently misparse offsets."""
+        from tldr_ray.stages.dedup import _corpus_shingle_hashes
+
+        texts = ["the quick brown fox", "jumps over", "tiny", ""]
+        h1, n1 = _corpus_shingle_hashes(pa.array(texts, pa.string()), 5)
+        h2, n2 = _corpus_shingle_hashes(
+            pa.array(texts, pa.large_string()), 5)
+        assert (n1 == n2).all()
+        assert (h1 == h2).all()

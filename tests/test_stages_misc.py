@@ -450,3 +450,44 @@ class TestMultimodal:
         want = sum(len(range(0, d, 500)) for d in videos["duration_ms"])
         assert len(out) == want
         assert (out["ts_ms"] % 500 == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketches:
+    def test_hll_estimate_error_bound(self):
+        """HLL standard error is ~1.04/sqrt(m); b=10 -> ~3.3%. Assert a
+        generous 4-sigma envelope over a 20K-distinct synthetic id
+        stream with duplicates."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import approx_distinct
+
+        n_distinct = 20_000
+        ids = np.concatenate([np.arange(n_distinct)] * 3)  # x3 dupes
+        ds = rd.from_arrow(pa.table({"v": ids}))
+        out = approx_distinct(ds, "v", b=10)
+        rel = abs(out["estimate"] - n_distinct) / n_distinct
+        assert rel < 4 * 1.04 / np.sqrt(1 << 10), out
+
+    def test_registers_merge_invariant_to_partitioning(self):
+        """Element-wise-max merge means the register table must not
+        depend on block layout."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import hll_registers
+
+        vals = pa.table({"v": np.arange(5000, dtype=np.int64)})
+        a = hll_registers(rd.from_arrow(vals), "v", b=8).to_pandas()
+        b = hll_registers(
+            rd.from_arrow(vals).repartition(7), "v", b=8).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("bucket").reset_index(drop=True),
+            b.sort_values("bucket").reset_index(drop=True))
+
+    def test_exact_at_tiny_cardinality(self):
+        """Linear-counting branch: tiny distinct sets estimate ~exact."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import approx_distinct
+
+        ds = rd.from_arrow(pa.table(
+            {"v": pa.array(["a", "b", "c", "a", "b"] * 50)}))
+        out = approx_distinct(ds, "v", b=10)
+        assert round(out["estimate"]) == 3

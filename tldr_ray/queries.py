@@ -1640,3 +1640,90 @@ ORACLE_SQL["events_last_order_asof"] = """
     SELECT event_id, ts, user_id, o_orderdate, o_orderkey, o_totalprice
     FROM j WHERE rn = 1
 """
+
+
+def hll_registers_events(sf_dir: str, b: int = 10):
+    """HyperLogLog register table over the events.event_id stream — the
+    mergeable distinct-count sketch (stages.sketches). Hash-checked:
+    FNV-1a over the id's string form, bucket = top b bits, rank =
+    lowest-set-bit position of the remaining word, all exactly
+    mirrorable in integer SQL."""
+    from tldr_ray.stages.sketches import hll_registers
+
+    return hll_registers(_read(sf_dir, "events", ["event_id"]),
+                         "event_id", b)
+
+
+def _hll_registers_oracle_sql(b: int = 10) -> str:
+    """Bit-for-bit DuckDB mirror of queries.hll_registers_events:
+    recursive-CTE FNV-1a per decimal id string (HUGEINT mod-2^64), then
+    the splitmix64 finalizer (xor-shift in signed BIGINT roundtrips;
+    each 64x64 multiply is split into 32-bit halves because the naive
+    HUGEINT product of two ~2^64 operands overflows INT128),
+    bucket = h // 2^(64-b), remainder
+    word w fits BIGINT (64-b <= 63), rank = bit_count((w & -w) - 1) + 1
+    (lowest-set-bit position), empty buckets present with rank 0 via a
+    range() left join."""
+    M64 = 1 << 64
+    wbits = 64 - b
+
+    def s2b(e):
+        return (f"CAST(CASE WHEN {e} >= {1 << 63} THEN {e} - {M64} "
+                f"ELSE {e} END AS BIGINT)")
+
+    def xor_shift(col, sh):
+        x = f"xor({s2b(col)}, {s2b(f'({col} // {1 << sh})')})"
+        return (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {M64} "
+                f"ELSE CAST({x} AS HUGEINT) END)")
+
+    def mul64(col, c):
+        # (x*c) mod 2^64 with every intermediate < 2^65: x = xh*2^32+xl,
+        # c = ch*2^32+cl -> low = xl*cl, cross = (xl*ch + xh*cl) mod 2^32
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        h32 = 1 << 32
+        return (f"((({col} % {h32}) * {cl} "
+                f"+ ((({col} % {h32}) * {ch} "
+                f"+ ({col} // {h32}) * {cl}) % {h32}) * {h32}) % {M64})")
+
+    return f"""
+    WITH RECURSIVE ids AS MATERIALIZED (
+        SELECT CAST(event_id AS VARCHAR) AS s FROM events
+    ),
+    fnv(s, i, h) AS (
+        SELECT s, 0, CAST(14695981039346656037 AS HUGEINT) FROM ids
+        UNION ALL
+        SELECT s, i + 1,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(s, i + 1, 1))))
+                * 1099511628211) % {M64}
+        FROM fnv WHERE i < length(s)
+    ),
+    hh AS MATERIALIZED (
+        SELECT h FROM fnv WHERE i = length(s)
+    ),
+    x1 AS MATERIALIZED (SELECT {xor_shift('h', 30)} AS h FROM hh),
+    m1 AS MATERIALIZED (SELECT {mul64('h', 0xBF58476D1CE4E5B9)} AS h FROM x1),
+    x2 AS MATERIALIZED (SELECT {xor_shift('h', 27)} AS h FROM m1),
+    m2 AS MATERIALIZED (SELECT {mul64('h', 0x94D049BB133111EB)} AS h FROM x2),
+    m3 AS (SELECT {xor_shift('h', 31)} AS h FROM m2),
+    br AS (
+        SELECT CAST(h // {1 << wbits} AS BIGINT) AS bucket,
+               CAST(h % {1 << wbits} AS BIGINT) AS w
+        FROM m3
+    ),
+    rk AS (
+        SELECT bucket,
+               CASE WHEN w = 0 THEN {wbits + 1}
+                    ELSE bit_count((w & (-w)) - 1) + 1 END AS rank
+        FROM br
+    ),
+    agg AS (SELECT bucket, max(rank) AS r FROM rk GROUP BY bucket)
+    SELECT CAST(g.b AS INTEGER) AS bucket,
+           CAST(coalesce(a.r, 0) AS BIGINT) AS max_rank
+    FROM (SELECT unnest(range(0, {1 << b})) AS b) g
+    LEFT JOIN agg a ON a.bucket = g.b
+"""
+
+
+QUERIES["hll_registers_events"] = hll_registers_events
+ORACLE_SQL["hll_registers_events"] = _hll_registers_oracle_sql()

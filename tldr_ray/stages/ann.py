@@ -42,17 +42,56 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1.0, norms)
 
 
-def _pool_size(concurrency: int | None) -> int:
-    """Scoring actor-pool size: caller's value, else ~3/4 of the session
-    CPUs, capped so the feeding read tasks always keep CPUs (an actor
-    pool that reserves every CPU starves its own input and deadlocks
-    the streaming executor)."""
+def _pool_size(concurrency):
+    """Scoring actor-pool sizing: caller's value passes through, else an
+    AUTOSCALING (2, ~3/4-of-session-CPUs) range — small corpora finish
+    before a big pool would even spin up, large corpora scale out under
+    backlog. The max is capped below the session CPU count so the
+    feeding read tasks always keep CPUs (an actor pool that reserves
+    every CPU starves its own input and deadlocks the streaming
+    executor)."""
     if concurrency is not None:
         return concurrency
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, min(cpus - 2, cpus * 3 // 4))
+    return (2, max(2, min(cpus - 2, cpus * 3 // 4)))
+
+
+def _topk_reduce(cands, k: int):
+    """(query_id, vec_id, cosine) candidate stream -> global top-k per
+    query with rank 0..k-1 (cosine desc, vec_id asc tie-break).
+
+    The candidate stream is already per-batch top-k (<= nq*k rows per
+    upstream block), so the global reduce is a funnel, not a shuffle:
+    an intermediate per-batch combiner caps the fan-in multiplicatively
+    (every 32 Ki candidate rows -> nq*k), then ONE coalesce partition
+    finishes — ~1 s cheaper than the sort-based ``groupby(query_id)``
+    this replaces, and the single final task sees at most
+    nq * k * (upstream_blocks / 32Ki-per-batch) rows."""
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, g in batch.groupby("query_id", sort=False):
+            g = g.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = pd.array(range(len(g)), dtype="int32")
+            outs.append(g[["query_id", "vec_id", "rank", "cosine"]])
+        if not outs:
+            return pd.DataFrame({
+                "query_id": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "rank": pd.array([], dtype="int32"),
+                "cosine": pd.array([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        cands.map_batches(combine, batch_format="pandas",
+                          batch_size=32768)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
 
 
 def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -92,20 +131,10 @@ def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                 }
             )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "vec_id"],
-                              ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = pd.array(range(len(g)), dtype="int32")
-        return g[["query_id", "vec_id", "rank", "cosine"]]
-
-    return (
+    return _topk_reduce(
         ds.select_columns([id_col, emb_col])
         .map_batches(Score, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency))
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+                     concurrency=_pool_size(concurrency)), k)
 
 
 def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -178,20 +207,10 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "vec_id": np.concatenate(out_v),
                              "cosine": np.concatenate(out_c)})
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "vec_id"],
-                              ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = pd.array(range(len(g)), dtype="int32")
-        return g[["query_id", "vec_id", "rank", "cosine"]]
-
-    return (
+    return _topk_reduce(
         ds.select_columns([id_col, emb_col])
         .map_batches(BucketScore, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency))
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+                     concurrency=_pool_size(concurrency)), k)
 
 
 def _train_ivf_centroids(ds, id_col: str, emb_col: str, nlist: int,
@@ -294,17 +313,7 @@ def knn_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "vec_id": np.concatenate(out_v),
                              "cosine": np.concatenate(out_c)})
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "vec_id"],
-                              ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = pd.array(range(len(g)), dtype="int32")
-        return g[["query_id", "vec_id", "rank", "cosine"]]
-
-    return (
+    return _topk_reduce(
         ds.select_columns([id_col, emb_col])
         .map_batches(IVFScore, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency))
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+                     concurrency=_pool_size(concurrency)), k)
