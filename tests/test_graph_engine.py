@@ -243,6 +243,59 @@ class TestLabelPropagation:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBfsHops:
+    @staticmethod
+    def _bfs_oracle(edges, seeds):
+        from collections import deque
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        return dist
+
+    def test_matches_sequential_bfs(self):
+        from tldr_ray.graph import bfs_hops
+
+        rng = np.random.default_rng(7)
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (150, 2))
+                 if a != b]
+        ids, dist, info = bfs_hops(
+            edge_ds([(a, b, 1.0) for a, b in edges]), seeds=[0, 17],
+            num_partitions=3)
+        assert info["converged"]
+        want = self._bfs_oracle(edges, [0, 17])
+        imax = np.iinfo(np.int64).max
+        got = {v: (None if d == imax else d)
+               for v, d in zip(ids.tolist(), dist.tolist())}
+        assert got == {v: want.get(v) for v in got}
+        assert set(got) == set(want) | set(got)  # every vertex reported
+
+    def test_unreached_component_keeps_sentinel(self):
+        from tldr_ray.graph import bfs_hops
+
+        ids, dist, _ = bfs_hops(
+            edge_ds([(a, b, 1.0) for a, b in TWO_COMPONENTS]), seeds=[0],
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), dist.tolist()))
+        imax = np.iinfo(np.int64).max
+        assert got == {0: 0, 1: 1, 2: 2, 3: imax, 4: imax, 5: imax}
+
+    def test_missing_seed_raises(self):
+        from tldr_ray.graph import bfs_hops
+
+        with pytest.raises(ValueError, match="no seed"):
+            bfs_hops(edge_ds([(0, 1, 1.0)]), seeds=[99], num_partitions=2)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestKCore:
     @staticmethod

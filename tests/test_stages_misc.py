@@ -491,3 +491,41 @@ class TestSketches:
             {"v": pa.array(["a", "b", "c", "a", "b"] * 50)}))
         out = approx_distinct(ds, "v", b=10)
         assert round(out["estimate"]) == 3
+
+    def test_countmin_never_underestimates_and_merges(self):
+        """CM point estimates >= true counts, partitioning-invariant
+        registers (sum merge), and exact on values with no collisions'
+        worth of background mass."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import cm_estimate, countmin_registers
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([np.repeat("hot", 500),
+                               rng.integers(0, 200, 2000).astype(str)])
+        t = pa.table({"v": pa.array(vals)})
+        a = countmin_registers(rd.from_arrow(t), "v", d=4, w=256).to_pandas()
+        b = countmin_registers(rd.from_arrow(t).repartition(5),
+                               "v", d=4, w=256).to_pandas()
+        key = ["row", "bucket"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True))
+        uniq, true = np.unique(vals, return_counts=True)
+        est = cm_estimate(a, list(uniq), d=4, w=256)
+        assert (est >= true).all()
+        # eps*N = e/256 * 2500 ~ 27; generous envelope
+        assert (est - true).max() <= 4 * int(np.e / 256 * vals.size + 1)
+
+    def test_heavy_hitters_surface_true_top(self):
+        import ray.data as rd
+        from tldr_ray.stages.sketches import heavy_hitters
+
+        rng = np.random.default_rng(11)
+        heavy = np.repeat([f"h{i}" for i in range(5)],
+                          [900, 700, 500, 300, 200])
+        noise = rng.integers(0, 5000, 3000).astype(str)
+        t = pa.table({"v": pa.array(np.concatenate([heavy, noise]))})
+        out = heavy_hitters(rd.from_arrow(t).repartition(4), "v", k=5)
+        assert set(out["value"]) == {f"h{i}" for i in range(5)}
+        # CM never underestimates: h0's estimate >= 900
+        assert out.loc[out["value"] == "h0", "est_count"].iloc[0] >= 900

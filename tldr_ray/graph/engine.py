@@ -388,6 +388,33 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.state = new
             return changed
 
+        # -- BFS hop distance (min-plus over the same min machinery) ---
+        def bfs_init(self, seeds) -> int:
+            """State = 0 at local seed vertices, INT64_MAX elsewhere;
+            returns how many seeds this shard owns (the driver checks
+            the global sum is nonzero before iterating)."""
+            seeds = np.asarray(seeds, dtype=np.int64)
+            self.state = np.where(np.isin(self.verts, seeds),
+                                  0, _INT64_MAX).astype(np.int64)
+            return int((self.state == 0).sum())
+
+        def bfs_messages(self):
+            """Per-destination-shard min(dist[src] + 1) — identical
+            shipping layout to cc_messages, so bfs_apply IS cc_apply
+            (element-wise min merge). Unreached sources propagate
+            INT64_MAX unchanged (no +1 overflow)."""
+            d = self.state[self.e_src_local]
+            nxt = np.where(d == _INT64_MAX, _INT64_MAX, d + 1)
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.full(self.dvocabs[q].size, _INT64_MAX,
+                              dtype=np.int64)
+                if self.dlocals[q].size:
+                    np.minimum.at(acc, self.dlocals[q], nxt[sl])
+                out.append(acc)
+            return self._ship(out)
+
         # -- label propagation (weighted mode, smallest-label ties) ----
         def lpa_messages(self):
             lab = self.state[self.e_src_local]
@@ -817,6 +844,33 @@ class GraphEngine:
         ids, labels = self._collect(np.int64) if collect else (None, None)
         return ids, labels, {"iterations": it, "converged": changed == 0}
 
+    def bfs(self, seeds, max_rounds: int = 10_000, collect: bool = True):
+        """Unweighted hop distance from ``seeds`` (min-plus frontier
+        fixpoint over the CC message plumbing; unreached vertices keep
+        INT64_MAX — callers map those to their own sentinel). Supply
+        symmetrized edges for undirected distance. Returns
+        (vertex_ids, distances, info)."""
+        import ray
+
+        n_seed = sum(ray.get([
+            s.bfs_init.remote([int(x) for x in seeds])
+            for s in self.shards]))
+        if n_seed == 0:
+            raise ValueError("bfs: no seed vertex present in the graph")
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.bfs_messages.remote() for s in self.shards])
+            counts = ray.get([
+                self.shards[q].cc_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, dist = self._collect(np.int64) if collect else (None, None)
+        return ids, dist, {"rounds": it, "converged": changed == 0,
+                           "seeds_found": n_seed}
+
     def label_propagation(self, max_rounds: int = 20, collect: bool = True):
         """Synchronous weighted LPA, smallest-label tie-break.
         Returns (vertex_ids, labels, info)."""
@@ -923,6 +977,19 @@ def connected_components(edges, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.connected_components(max_iterations)
+    finally:
+        eng.shutdown()
+
+
+def bfs_hops(edges, seeds, num_partitions: int = 8,
+             max_rounds: int = 10_000, work_dir: str | None = None):
+    """Undirected hop distance from ``seeds`` (edges are symmetrized
+    like connected_components). Returns (vertex_ids, distances, info);
+    unreached vertices carry INT64_MAX."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.bfs(seeds, max_rounds)
     finally:
         eng.shutdown()
 

@@ -1654,58 +1654,84 @@ def hll_registers_events(sf_dir: str, b: int = 10):
                          "event_id", b)
 
 
-def _hll_registers_oracle_sql(b: int = 10) -> str:
-    """Bit-for-bit DuckDB mirror of queries.hll_registers_events:
-    recursive-CTE FNV-1a per decimal id string (HUGEINT mod-2^64), then
-    the splitmix64 finalizer (xor-shift in signed BIGINT roundtrips;
-    each 64x64 multiply is split into 32-bit halves because the naive
-    HUGEINT product of two ~2^64 operands overflows INT128),
-    bucket = h // 2^(64-b), remainder
-    word w fits BIGINT (64-b <= 63), rank = bit_count((w & -w) - 1) + 1
-    (lowest-set-bit position), empty buckets present with rank 0 via a
-    range() left join."""
-    M64 = 1 << 64
-    wbits = 64 - b
+# -- shared SQL mirrors of the numpy hash kernels -----------------------
+# (fnv1a_batch + splitmix64 _mix64, used by the HLL and Count-Min
+# register oracles; every step stays in HUGEINT mod 2^64)
 
-    def s2b(e):
-        return (f"CAST(CASE WHEN {e} >= {1 << 63} THEN {e} - {M64} "
-                f"ELSE {e} END AS BIGINT)")
+_SQL_M64 = 1 << 64
 
-    def xor_shift(col, sh):
-        x = f"xor({s2b(col)}, {s2b(f'({col} // {1 << sh})')})"
-        return (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {M64} "
-                f"ELSE CAST({x} AS HUGEINT) END)")
 
-    def mul64(col, c):
-        # (x*c) mod 2^64 with every intermediate < 2^65: x = xh*2^32+xl,
-        # c = ch*2^32+cl -> low = xl*cl, cross = (xl*ch + xh*cl) mod 2^32
-        ch, cl = c >> 32, c & 0xFFFFFFFF
-        h32 = 1 << 32
-        return (f"((({col} % {h32}) * {cl} "
-                f"+ ((({col} % {h32}) * {ch} "
-                f"+ ({col} // {h32}) * {cl}) % {h32}) * {h32}) % {M64})")
+def _sql_s2b(e: str) -> str:
+    """Reinterpret a [0, 2^64) HUGEINT expression as signed BIGINT
+    (two's-complement roundtrip) so DuckDB's xor() applies."""
+    return (f"CAST(CASE WHEN {e} >= {1 << 63} THEN {e} - {_SQL_M64} "
+            f"ELSE {e} END AS BIGINT)")
 
-    return f"""
-    WITH RECURSIVE ids AS MATERIALIZED (
-        SELECT CAST(event_id AS VARCHAR) AS s FROM events
-    ),
+
+def _sql_xor_shift(col: str, sh: int) -> str:
+    """x XOR (x >> sh) for a [0, 2^64) HUGEINT column, back to HUGEINT."""
+    x = f"xor({_sql_s2b(col)}, {_sql_s2b(f'({col} // {1 << sh})')})"
+    return (f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_SQL_M64} "
+            f"ELSE CAST({x} AS HUGEINT) END)")
+
+
+def _sql_mul64(col: str, c: int) -> str:
+    """(x*c) mod 2^64 with every intermediate < 2^65 (the naive HUGEINT
+    product of two ~2^64 operands overflows INT128): x = xh*2^32+xl,
+    c = ch*2^32+cl -> low = xl*cl, cross = (xl*ch + xh*cl) mod 2^32."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    h32 = 1 << 32
+    return (f"((({col} % {h32}) * {cl} "
+            f"+ ((({col} % {h32}) * {ch} "
+            f"+ ({col} // {h32}) * {cl}) % {h32}) * {h32}) % {_SQL_M64})")
+
+
+def _sql_fnv_cte(source_expr: str) -> str:
+    """Recursive-CTE FNV-1a over each string of ``source_expr`` (a
+    SELECT yielding column s); terminal hashes land in CTE ``hh(h)``.
+    Requires WITH RECURSIVE on the enclosing statement."""
+    return f"""ids AS MATERIALIZED ({source_expr}),
     fnv(s, i, h) AS (
         SELECT s, 0, CAST(14695981039346656037 AS HUGEINT) FROM ids
         UNION ALL
         SELECT s, i + 1,
                ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
                                    ord(substr(s, i + 1, 1))))
-                * 1099511628211) % {M64}
+                * 1099511628211) % {_SQL_M64}
         FROM fnv WHERE i < length(s)
     ),
     hh AS MATERIALIZED (
         SELECT h FROM fnv WHERE i = length(s)
-    ),
-    x1 AS MATERIALIZED (SELECT {xor_shift('h', 30)} AS h FROM hh),
-    m1 AS MATERIALIZED (SELECT {mul64('h', 0xBF58476D1CE4E5B9)} AS h FROM x1),
-    x2 AS MATERIALIZED (SELECT {xor_shift('h', 27)} AS h FROM m1),
-    m2 AS MATERIALIZED (SELECT {mul64('h', 0x94D049BB133111EB)} AS h FROM x2),
-    m3 AS (SELECT {xor_shift('h', 31)} AS h FROM m2),
+    )"""
+
+
+def _sql_splitmix_ctes(src: str, carry: str = "") -> str:
+    """CTE chain applying the splitmix64 finalizer to column h of CTE
+    ``src``; result lands in CTE ``m3``. ``carry`` = extra columns to
+    thread through (e.g. "rw, ")."""
+    steps = [("x1", src, _sql_xor_shift("h", 30)),
+             ("m1", "x1", _sql_mul64("h", 0xBF58476D1CE4E5B9)),
+             ("x2", "m1", _sql_xor_shift("h", 27)),
+             ("m2", "x2", _sql_mul64("h", 0x94D049BB133111EB)),
+             ("m3", "m2", _sql_xor_shift("h", 31))]
+    return ",\n    ".join(
+        f"{name} AS MATERIALIZED (SELECT {carry}{expr} AS h FROM {prev})"
+        for name, prev, expr in steps)
+
+
+def _hll_registers_oracle_sql(b: int = 10) -> str:
+    """Bit-for-bit DuckDB mirror of queries.hll_registers_events:
+    recursive-CTE FNV-1a per decimal id string, splitmix64 finalizer,
+    bucket = h // 2^(64-b), remainder word w fits BIGINT (64-b <= 63),
+    rank = bit_count((w & -w) - 1) + 1 (lowest-set-bit position), empty
+    buckets present with rank 0 via a range() left join."""
+    M64 = _SQL_M64
+    wbits = 64 - b
+
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT CAST(event_id AS VARCHAR) AS s FROM events")},
+    {_sql_splitmix_ctes("hh")},
     br AS (
         SELECT CAST(h // {1 << wbits} AS BIGINT) AS bucket,
                CAST(h % {1 << wbits} AS BIGINT) AS w
@@ -1727,3 +1753,87 @@ def _hll_registers_oracle_sql(b: int = 10) -> str:
 
 QUERIES["hll_registers_events"] = hll_registers_events
 ORACLE_SQL["hll_registers_events"] = _hll_registers_oracle_sql()
+
+
+def bfs_hops_hashgraph(sf_dir: str):
+    """Hop distance from vertex 0 over the symmetrized hash graph via
+    the BSP min-plus frontier fixpoint (graph.bfs_hops — the CC message
+    plumbing with dist+1 instead of label); unreached vertices -> -1.
+    SQL oracle: recursive frontier CTE with UNION dedup capped at 64
+    rounds — safe because the graph's long-range edge (7i+3 mod N)
+    keeps the diameter ~log N (measured: 6 at sf0.01, 9 at sf0.1)."""
+    from tldr_ray.graph import bfs_hops
+
+    ids, dist, _ = bfs_hops(_hash_graph_edges(sf_dir), seeds=[0],
+                            num_partitions=4)
+    dist = np.where(dist == np.iinfo(np.int64).max, -1, dist)
+    return pa.table({"vertex": pa.array(ids),
+                     "hops": pa.array(dist.astype(np.int64))})
+
+
+def countmin_registers_events(sf_dir: str, d: int = 4, w: int = 256):
+    """Count-Min counter table over the events.user_id stream — the
+    mergeable frequency sketch (stages.sketches): row i buckets a value
+    by splitmix64(fnv1a(str(v)) XOR salt_i) % w, cells are exact
+    integer sums. Bit-for-bit SQL mirror: the shared FNV/splitmix CTEs
+    cross-joined with the fixed salt schedule."""
+    from tldr_ray.stages.sketches import countmin_registers
+
+    return countmin_registers(_read(sf_dir, "events", ["user_id"]),
+                              "user_id", d, w)
+
+
+def _countmin_oracle_sql(d: int = 4, w: int = 256) -> str:
+    from tldr_ray.stages.sketches import CM_SALTS
+
+    salts = ", ".join(
+        f"({i}, CAST({CM_SALTS[i]} AS HUGEINT))" for i in range(d))
+    xor_salt = (
+        f"(CASE WHEN xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) < 0 "
+        f"THEN CAST(xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) "
+        f"AS HUGEINT) + {_SQL_M64} "
+        f"ELSE CAST(xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) "
+        f"AS HUGEINT) END)")
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT CAST(user_id AS VARCHAR) AS s FROM events")},
+    salted AS MATERIALIZED (
+        SELECT sl.rw AS rw, {xor_salt} AS h
+        FROM hh CROSS JOIN (VALUES {salts}) AS sl(rw, salt)
+    ),
+    {_sql_splitmix_ctes("salted", carry="rw, ")},
+    agg AS (
+        SELECT rw, CAST(h % {w} AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM m3 GROUP BY rw, bucket
+    )
+    SELECT CAST(g.rw AS INTEGER) AS "row",
+           CAST(g.bk AS INTEGER) AS bucket,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS count
+    FROM (SELECT r.r AS rw, b.b AS bk
+          FROM (SELECT unnest(range(0, {d})) AS r) r,
+               (SELECT unnest(range(0, {w})) AS b) b) g
+    LEFT JOIN agg a ON a.rw = g.rw AND a.bucket = g.bk
+"""
+
+
+QUERIES["countmin_registers_events"] = countmin_registers_events
+ORACLE_SQL["countmin_registers_events"] = _countmin_oracle_sql()
+
+QUERIES["bfs_hops_hashgraph"] = bfs_hops_hashgraph
+ORACLE_SQL["bfs_hops_hashgraph"] = f"""
+    WITH RECURSIVE {_HASHGRAPH_RAW},
+    sym AS (SELECT s, t FROM raw2 UNION SELECT t, s FROM raw2),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT sym.t, reach.d + 1
+        FROM reach JOIN sym ON sym.s = reach.v
+        WHERE reach.d < 64
+    )
+    SELECT verts.v AS vertex,
+           CAST(coalesce(min(reach.d), -1) AS BIGINT) AS hops
+    FROM verts LEFT JOIN reach ON reach.v = verts.v
+    GROUP BY verts.v
+"""

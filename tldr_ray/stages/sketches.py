@@ -117,3 +117,130 @@ def approx_distinct(ds, col: str, b: int = 10) -> dict:
     """One-call convenience: registers pass + driver estimate."""
     regs = hll_registers(ds, col, b).to_pandas()
     return hll_estimate(regs, b)
+
+
+# -- Count-Min sketch ---------------------------------------------------
+#
+# Same distributed shape as HLL but with + instead of max: a (d x w)
+# counter matrix where row i buckets a value by
+# splitmix64(fnv1a(str(value)) XOR salt_i) % w. Counts are EXACT integer
+# sums (associative, order-free), so the register table is bit-for-bit
+# mirrorable in DuckDB (queries.countmin_registers_events) and merge is
+# retry-safe. Point estimate = min over the d rows (never underestimates).
+
+CM_SALTS = (0, 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _cm_buckets(values, d: int, w: int) -> np.ndarray:
+    """(d, n) int64 bucket ids for one batch of values."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    if not (pa.types.is_string(values.type)
+            or pa.types.is_large_string(values.type)):
+        values = pc.cast(values, pa.string())
+    h = fnv1a_batch(values)
+    return np.stack([
+        (_mix64(h ^ np.uint64(CM_SALTS[i])) % np.uint64(w)).astype(np.int64)
+        for i in range(d)])
+
+
+def countmin_registers(ds, col: str, d: int = 4, w: int = 256):
+    """Dataset of the full d*w-row counter table: (row int32,
+    bucket int32, count int64), zero rows present. Only non-zero
+    partial cells leave a task; a per-batch sum combine plus one
+    coalesce partition finishes — O(d*w) moving data per upstream
+    block, never O(rows)."""
+    if d > len(CM_SALTS):
+        raise ValueError(f"d <= {len(CM_SALTS)} (fixed salt schedule)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _cm_buckets(batch[col], d, w)
+        flat = np.bincount(
+            (np.repeat(np.arange(d, dtype=np.int64), b.shape[1]) * w
+             + b.reshape(-1)), minlength=d * w)
+        nz = np.flatnonzero(flat)
+        return pa.table({"row": pa.array((nz // w).astype(np.int32)),
+                         "bucket": pa.array((nz % w).astype(np.int32)),
+                         "count": pa.array(flat[nz])})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["row", "bucket"], sort=False)["count"].sum()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame({"row": idx["row"].to_numpy(np.int32),
+                             "bucket": idx["bucket"].to_numpy(np.int32),
+                             "count": g.to_numpy(np.int64)})
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(d * w, dtype=np.int64)
+        if len(batch):
+            np.add.at(reg, batch["row"].to_numpy(np.int64) * w
+                      + batch["bucket"].to_numpy(np.int64),
+                      batch["count"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "row": np.repeat(np.arange(d, dtype=np.int32), w),
+            "bucket": np.tile(np.arange(w, dtype=np.int32), d),
+            "count": reg})
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=32768)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
+
+
+def cm_estimate(registers: pd.DataFrame, values, d: int = 4,
+                w: int = 256) -> np.ndarray:
+    """Point-estimate counts for ``values`` (pyarrow array or list) from
+    a register table: min over the d rows. Never underestimates the
+    true count; overestimates by at most eps*N with prob 1-delta
+    (eps = e/w, delta = e^-d)."""
+    mat = np.zeros((d, w), dtype=np.int64)
+    mat[registers["row"].to_numpy(np.int64),
+        registers["bucket"].to_numpy(np.int64)] = \
+        registers["count"].to_numpy(np.int64)
+    vals = values if isinstance(values, pa.Array) else pa.array(values)
+    b = _cm_buckets(vals, d, w)
+    return np.min(mat[np.arange(d)[:, None], b], axis=0)
+
+
+def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 1024,
+                  candidates_per_batch: int = 64) -> pd.DataFrame:
+    """Approximate top-k frequent values without a full groupby: one
+    streaming pass builds the Count-Min registers WHILE each batch
+    nominates its local top ``candidates_per_batch`` values (a true
+    heavy hitter is a local heavy hitter in enough batches to surface);
+    the small candidate union is then point-estimated against the
+    sketch and the top k kept. Returns (value, est_count) sorted by
+    est_count desc, value asc — est_count >= true count always.
+
+    The candidate stream is O(candidates_per_batch) rows per block and
+    the registers are O(d*w): nothing here is O(distinct values), which
+    is the point at 100 TB (an exact groupby top-k is the oracle path
+    at test scale — see queries.top_users_by_value)."""
+
+    def nominate(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if not (pa.types.is_string(vals.type)
+                or pa.types.is_large_string(vals.type)):
+            vals = pc.cast(vals, pa.string())
+        arr = vals.to_pandas()
+        top = arr.value_counts().head(candidates_per_batch)
+        return pa.table({"value": pa.array(top.index.astype(str)),
+                         "n": pa.array(top.to_numpy(np.int64))})
+
+    cand = (
+        ds.select_columns([col])
+        .map_batches(nominate, batch_format="pyarrow")
+        .groupby("value").sum("n")
+        .to_pandas()
+    )
+    regs = countmin_registers(ds, col, d, w).to_pandas()
+    est = cm_estimate(regs, cand["value"].astype(str).tolist(), d, w)
+    out = pd.DataFrame({"value": cand["value"].astype(str),
+                        "est_count": est})
+    out = out.sort_values(["est_count", "value"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
