@@ -297,6 +297,50 @@ class TestBfsHops:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSssp:
+    @staticmethod
+    def _bellman_ford(edges, n, seeds):
+        dist = np.full(n, np.inf)
+        dist[list(seeds)] = 0.0
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        w = np.array([e[2] for e in edges])
+        while True:
+            new = dist.copy()
+            np.minimum.at(new, dst, dist[src] + w)
+            if np.array_equal(new, dist):
+                return dist
+            dist = new
+
+    def test_matches_sequential_bellman_ford(self):
+        from tldr_ray.graph import sssp_distances
+
+        rng = np.random.default_rng(5)
+        n = 50
+        edges = [(int(a), int(b), round(float(w), 2))
+                 for (a, b), w in zip(rng.integers(0, n, (200, 2)),
+                                      rng.uniform(0.1, 2.0, 200))
+                 if a != b]
+        ids, dist, info = sssp_distances(edge_ds(edges), seeds=[0, 3],
+                                         num_partitions=3)
+        assert info["converged"]
+        want = self._bellman_ford(edges, n, [0, 3])
+        got = dict(zip(ids.tolist(), dist.tolist()))
+        for v, d in got.items():
+            assert d == want[v], (v, d, want[v])  # bit-exact, same recurrence
+
+    def test_weighted_beats_hop_path(self):
+        """0->1->2 (0.1 + 0.1) must beat the direct 0->2 edge (1.0)."""
+        from tldr_ray.graph import sssp_distances
+
+        ids, dist, _ = sssp_distances(
+            edge_ds([(0, 1, 0.1), (1, 2, 0.1), (0, 2, 1.0)]),
+            seeds=[0], num_partitions=2)
+        got = dict(zip(ids.tolist(), dist.tolist()))
+        assert abs(got[2] - 0.2) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKCore:
     @staticmethod
     def _peel_oracle(edges):

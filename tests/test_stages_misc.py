@@ -516,6 +516,48 @@ class TestSketches:
         # eps*N = e/256 * 2500 ~ 27; generous envelope
         assert (est - true).max() <= 4 * int(np.e / 256 * vals.size + 1)
 
+    def test_grouped_quantiles_match_pandas(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import grouped_quantiles
+
+        rng = np.random.default_rng(9)
+        keys = rng.choice(["a", "b", "c", "dd"], 3000)
+        vals = rng.normal(size=3000).round(4)
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        out = (grouped_quantiles(rd.from_arrow(t).repartition(5),
+                                 "k", "v", qs=(0.5, 0.9))
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        for _, row in out.iterrows():
+            g = np.sort(vals[keys == row["k"]])
+            for q, col in ((0.5, "p50"), (0.9, "p90")):
+                idx = max(int(np.ceil(np.float64(q) * g.size)), 1) - 1
+                assert row[col] == g[idx], (row["k"], col)
+
+    def test_bottomk_partition_invariant_and_kmv(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import bottomk_sample, kmv_distinct_estimate
+
+        n = 20_000
+        t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+        a = bottomk_sample(rd.from_arrow(t), "id", k=256).to_pandas()
+        b = bottomk_sample(rd.from_arrow(t).repartition(9),
+                           "id", k=256).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("key_hash").reset_index(drop=True),
+            b.sort_values("key_hash").reset_index(drop=True))
+        assert a["id"].dtype == np.int64      # original dtype preserved
+        est = kmv_distinct_estimate(a, 256)
+        assert abs(est - n) / n < 4 / np.sqrt(256)  # ~4 sigma KMV error
+
+    def test_bottomk_exact_below_k(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import bottomk_sample, kmv_distinct_estimate
+
+        t = pa.table({"id": pa.array(["x", "y", "z", "x"] * 10)})
+        out = bottomk_sample(rd.from_arrow(t), "id", k=50).to_pandas()
+        assert sorted(out["id"]) == ["x", "y", "z"]
+        assert kmv_distinct_estimate(out, 50) == 3.0
+
     def test_heavy_hitters_surface_true_top(self):
         import ray.data as rd
         from tldr_ray.stages.sketches import heavy_hitters

@@ -1,7 +1,7 @@
 from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
-                                   k_core, bfs_hops)
+                                   k_core, bfs_hops, sssp_distances)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -15,5 +15,6 @@ __all__ = [
     "label_propagation",
     "k_core",
     "bfs_hops",
+    "sssp_distances",
     "triangle_counts",
 ]

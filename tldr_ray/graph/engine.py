@@ -415,6 +415,28 @@ def _shard_actor_cls(num_cpus: float = 0):
                 out.append(acc)
             return self._ship(out)
 
+        # -- weighted SSSP (Bellman-Ford min-plus, float64 state) ------
+        def sssp_init(self, seeds) -> int:
+            seeds = np.asarray(seeds, dtype=np.int64)
+            self.state = np.where(np.isin(self.verts, seeds),
+                                  0.0, np.inf)
+            return int((self.state == 0.0).sum())
+
+        def sssp_messages(self):
+            """min(dist[src] + w) per destination — distances
+            accumulate seed-outward, so every path sum is associated
+            left-to-right and the float fixpoint is deterministic
+            (message order can't change which IEEE sum wins the min)."""
+            d = self.state[self.e_src_local] + self.e_weight_sorted
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.full(self.dvocabs[q].size, np.inf)
+                if self.dlocals[q].size:
+                    np.minimum.at(acc, self.dlocals[q], d[sl])
+                out.append(acc)
+            return self._ship(out)
+
         # -- label propagation (weighted mode, smallest-label ties) ----
         def lpa_messages(self):
             lab = self.state[self.e_src_local]
@@ -871,6 +893,33 @@ class GraphEngine:
         return ids, dist, {"rounds": it, "converged": changed == 0,
                            "seeds_found": n_seed}
 
+    def sssp(self, seeds, max_rounds: int = 10_000, collect: bool = True):
+        """Weighted single-source shortest path (Bellman-Ford min-plus
+        fixpoint; converges in <= V-1 rounds for non-negative weights —
+        negative edges are the caller's risk and the rounds cap the
+        backstop). Unreached vertices keep +inf. Returns
+        (vertex_ids, distances float64, info)."""
+        import ray
+
+        n_seed = sum(ray.get([
+            s.sssp_init.remote([int(x) for x in seeds])
+            for s in self.shards]))
+        if n_seed == 0:
+            raise ValueError("sssp: no seed vertex present in the graph")
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.sssp_messages.remote() for s in self.shards])
+            counts = ray.get([
+                self.shards[q].cc_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, dist = self._collect(np.float64) if collect else (None, None)
+        return ids, dist, {"rounds": it, "converged": changed == 0,
+                           "seeds_found": n_seed}
+
     def label_propagation(self, max_rounds: int = 20, collect: bool = True):
         """Synchronous weighted LPA, smallest-label tie-break.
         Returns (vertex_ids, labels, info)."""
@@ -977,6 +1026,20 @@ def connected_components(edges, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.connected_components(max_iterations)
+    finally:
+        eng.shutdown()
+
+
+def sssp_distances(edges, seeds, num_partitions: int = 8,
+                   max_rounds: int = 10_000, symmetrize: bool = False,
+                   work_dir: str | None = None):
+    """Weighted shortest-path distance from ``seeds`` over the DIRECTED
+    edge set (pass symmetrize=True for undirected). Returns
+    (vertex_ids, distances, info); unreached vertices carry +inf."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=symmetrize)
+    try:
+        return eng.sssp(seeds, max_rounds)
     finally:
         eng.shutdown()
 

@@ -1701,7 +1701,7 @@ def _sql_fnv_cte(source_expr: str) -> str:
         FROM fnv WHERE i < length(s)
     ),
     hh AS MATERIALIZED (
-        SELECT h FROM fnv WHERE i = length(s)
+        SELECT s, h FROM fnv WHERE i = length(s)
     )"""
 
 
@@ -1819,6 +1819,125 @@ def _countmin_oracle_sql(d: int = 4, w: int = 256) -> str:
 
 QUERIES["countmin_registers_events"] = countmin_registers_events
 ORACLE_SQL["countmin_registers_events"] = _countmin_oracle_sql()
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-event_type p50/p90/p99 of value via the coarse-
+    partition quantile sweep (stages.agg.grouped_quantiles). Discrete
+    quantiles — each result is an actual element, so the float output
+    is hash-stable against DuckDB's quantile_disc."""
+    from tldr_ray.stages.agg import grouped_quantiles
+
+    return grouped_quantiles(_read(sf_dir, "events",
+                                   ["event_type", "value"]),
+                             "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
+QUERIES["events_value_quantiles"] = events_value_quantiles
+ORACLE_SQL["events_value_quantiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+"""
+
+_BOTTOMK_K = 100
+
+
+def bottomk_sample_docs(sf_dir: str):
+    """Deterministic bottom-k sample of doc ids (k smallest
+    splitmix64(fnv1a(str(doc_id))) hashes — the KMV sketch shape;
+    stages.agg.bottomk_sample). Mirrored by the shared FNV/splitmix
+    SQL helpers + ORDER BY unsigned hash LIMIT k."""
+    from tldr_ray.stages.agg import bottomk_sample
+
+    return bottomk_sample(_read(sf_dir, "documents", ["doc_id"]),
+                          "doc_id", k=_BOTTOMK_K)
+
+
+QUERIES["bottomk_sample_docs"] = bottomk_sample_docs
+ORACLE_SQL["bottomk_sample_docs"] = f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS s FROM documents")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    ranked AS (SELECT s, h FROM m3 ORDER BY h, s LIMIT {_BOTTOMK_K})
+    SELECT CAST(s AS BIGINT) AS doc_id,
+           {_sql_s2b('h')} AS key_hash
+    FROM ranked
+"""
+
+def _hash_graph_edges_weighted(sf_dir: str):
+    """The hash graph with the deterministic pseudo-random weight
+    ((src*31 + dst*17) % 97 + 1) / 100 — same convention as the
+    centrality_hashgraph oracle; exact in float64 on both engines."""
+    def weigh(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "weight": pa.array(((s * 31 + d * 17) % 97 + 1)
+                                            / 100.0)})
+
+    return _hash_graph_edges(sf_dir).map_batches(
+        weigh, batch_format="pyarrow")
+
+
+_SSSP_UNROLL = 40
+
+
+def sssp_hashgraph(sf_dir: str):
+    """Weighted shortest-path distance from vertex 0 over the DIRECTED
+    weighted hash graph (graph.sssp_distances — Bellman-Ford min-plus
+    on the BSP shards). Float64 distances are hash-stable: every path
+    sum is associated seed-outward (d_new = d_old + w), the identical
+    recurrence the unrolled SQL oracle computes, so the IEEE bits
+    match. Unreached -> -1.0 (none in this graph)."""
+    from tldr_ray.graph import sssp_distances
+
+    ids, dist, info = sssp_distances(_hash_graph_edges_weighted(sf_dir),
+                                     seeds=[0], num_partitions=4)
+    assert info["converged"], info
+    dist = np.where(np.isinf(dist), -1.0, dist)
+    return pa.table({"vertex": pa.array(ids), "dist": pa.array(dist)})
+
+
+def _sssp_oracle_sql(rounds: int = _SSSP_UNROLL) -> str:
+    """Bellman-Ford unrolled as chained CTEs (the kcore-oracle
+    pattern — DuckDB 1.0 lacks USING KEY recursive CTEs, and a plain
+    UNION recursion over float distances enumerates every distinct
+    path sum). ``rounds`` must exceed the fixpoint round count
+    (measured: 15 at sf0.01, 26 at sf0.1)."""
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""
+    r{i} AS MATERIALIZED (
+        SELECT r.v, least(r.d, coalesce(m.md, 'infinity'::DOUBLE)) AS d
+        FROM {prev} r
+        LEFT JOIN (
+            SELECT e.t AS v, min(p.d + e.w) AS md
+            FROM {prev} p JOIN e ON e.s = p.v
+            WHERE p.d < 'infinity'::DOUBLE
+            GROUP BY e.t
+        ) m ON m.v = r.v
+    )""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    e AS (SELECT s, t, ((s * 31 + t * 17) % 97 + 1) / 100.0 AS w
+          FROM raw2),
+    verts AS (SELECT DISTINCT v FROM
+              (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+    r0 AS (SELECT v, CASE WHEN v = 0 THEN 0.0
+                          ELSE 'infinity'::DOUBLE END AS d FROM verts),
+    {",".join(ctes)}
+    SELECT v AS vertex,
+           CASE WHEN d = 'infinity'::DOUBLE THEN -1.0 ELSE d END AS dist
+    FROM r{rounds}
+"""
+
+
+QUERIES["sssp_hashgraph"] = sssp_hashgraph
+ORACLE_SQL["sssp_hashgraph"] = _sssp_oracle_sql()
 
 QUERIES["bfs_hops_hashgraph"] = bfs_hops_hashgraph
 ORACLE_SQL["bfs_hops_hashgraph"] = f"""

@@ -1,0 +1,132 @@
+"""Distributed aggregation extensions: per-group exact quantiles and
+deterministic bottom-k hash sampling.
+
+Both follow the repo's coarse-partition sweep discipline (CLAUDE.md):
+shuffle on hash(key) % num_parts, then each partition task sorts once
+and walks key segments vectorized — one all-to-all on a small int key,
+no per-group task invocations.
+
+Quantiles are DISCRETE (an actual element of the group, DuckDB
+``quantile_disc`` semantics: 1-based index max(ceil(q*n), 1)), so the
+result is hash-stable — no float interpolation whose rounding could
+diverge between engines.
+
+``bottomk_sample`` is the 100-TB sampling shape: the k keys with the
+smallest splitmix64(fnv1a(key)) hashes. Deterministic (same keys in =
+same sample out, independent of partitioning), mergeable (bottom-k of a
+union = bottom-k of concatenated bottom-ks), and a funnel rather than a
+shuffle: each block forwards at most k rows. The k-th smallest hash
+also yields an unbiased distinct-count estimate ((k-1) * 2^64 / h_k) —
+the KMV sketch for free. Fetch payloads for sampled keys with the
+bucketed semi-join machinery (stages.joins), not by widening this pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _disc_indices(q: float, counts: np.ndarray) -> np.ndarray:
+    """0-based within-group index of the discrete q-quantile for each
+    group size in ``counts`` (DuckDB quantile_disc: 1-based
+    max(ceil(q*n), 1), same double arithmetic)."""
+    idx = np.ceil(np.float64(q) * counts).astype(np.int64)
+    return np.maximum(idx, 1) - 1
+
+
+def grouped_quantiles(ds, key: str, value: str, qs=(0.5, 0.9, 0.99),
+                      num_parts: int = 64):
+    """Dataset of one row per key: (key, p<Q> ... one column per
+    quantile). Each partition task lexsorts its rows by (key, value)
+    once and gathers every quantile for every key segment with pure
+    index arithmetic — no per-group invocations, no Python loop over
+    groups."""
+    from tldr_ray.hashing import part_key
+
+    cols = {float(q): f"p{q * 100:g}".replace(".", "_") for q in qs}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if not (pa.types.is_string(k.type)
+                or pa.types.is_large_string(k.type)):
+            k = pc.cast(k, pa.string())
+        return batch.append_column(
+            "part", pa.array(part_key(k, num_parts)))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(
+                {key: [], **{name: [] for name in cols.values()}})
+        g = group.sort_values([key, value], kind="mergesort")
+        keys = g[key].to_numpy()
+        vals = g[value].to_numpy()
+        new = np.empty(keys.size, dtype=bool)
+        new[0], new[1:] = True, keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, keys.size))
+        out = {key: keys[starts]}
+        for q, name in cols.items():
+            out[name] = vals[starts + _disc_indices(q, counts)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([key, value])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
+def bottomk_sample(ds, key: str, k: int = 100):
+    """Dataset of the k distinct keys with the smallest
+    splitmix64(fnv1a(str(key))) hashes: (key, key_hash int64 — the
+    hash two's-complement-reinterpreted, ordering is by the UNSIGNED
+    value). Per-block partial bottom-k -> combine -> one coalesce
+    partition; at most k rows leave any task."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kcol = batch[key]
+        if not (pa.types.is_string(kcol.type)
+                or pa.types.is_large_string(kcol.type)):
+            kcol = pc.cast(kcol, pa.string())
+        h = _mix64(fnv1a_batch(kcol))           # hash of the STRING form
+        keys = np.asarray(batch[key].to_pandas())  # original dtype out
+        # distinct keys first (duplicates share a hash and would
+        # crowd the sample), then the k smallest by unsigned hash
+        uk, ui = np.unique(keys, return_index=True)
+        uh = h[ui]
+        take = np.argsort(uh, kind="stable")[:k]
+        return pa.table({key: pa.array(uk[take]),
+                         "key_hash": pa.array(uh[take].view(np.int64))})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["key_hash"].to_numpy(np.int64).view(np.uint64)
+        keys = batch[key].to_numpy()
+        uk, ui = np.unique(keys, return_index=True)
+        uh = h[ui]
+        take = np.argsort(uh, kind="stable")[:k]
+        return pd.DataFrame({key: uk[take],
+                             "key_hash": uh[take].view(np.int64)})
+
+    return (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=32768)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )
+
+
+def kmv_distinct_estimate(sample: pd.DataFrame, k: int) -> float:
+    """KMV cardinality estimate from a full bottom-k sample: if fewer
+    than k keys exist the sample IS the distinct set (exact); else
+    (k-1) * 2^64 / h_k with h_k the largest sampled (unsigned) hash."""
+    if len(sample) < k:
+        return float(len(sample))
+    h = sample["key_hash"].to_numpy(np.int64).view(np.uint64)
+    return float((k - 1) * (2.0 ** 64) / float(h.max()))
