@@ -201,3 +201,103 @@ class TestAsofJoin:
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
         pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    @staticmethod
+    def _reference(l, r, before, after, how="inner"):
+        rows = []
+        for _, e in l.iterrows():
+            m = r[(r["k"] == e["k"])
+                  & (r["rts"] >= e["ts"] - before)
+                  & (r["rts"] <= e["ts"] + after)]
+            if m.empty:
+                if how == "left":
+                    rows.append({**e.to_dict(), "rts": pd.NaT,
+                                 "y": np.nan})
+                continue
+            for _, mr in m.iterrows():
+                rows.append({**e.to_dict(), "rts": mr["rts"],
+                             "y": mr["y"]})
+        return pd.DataFrame(rows)
+
+    def _mk(self, seed=3, nl=200, nr=120, nk=15):
+        rng = np.random.default_rng(seed)
+        base = pd.Timestamp("2025-01-01")
+        l = pd.DataFrame({
+            "k": rng.integers(0, nk, nl),
+            "ts": base + pd.to_timedelta(rng.integers(0, 5_000, nl), "s"),
+            "x": rng.random(nl)})
+        r = pd.DataFrame({
+            "k": rng.integers(0, nk, nr),
+            "rts": base + pd.to_timedelta(rng.integers(0, 5_000, nr), "s"),
+            "y": rng.random(nr)})
+        return l, r
+
+    def test_inner_matches_rowwise_oracle(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import range_join
+
+        l, r = self._mk()
+        w = pd.Timedelta("300s")
+        got = range_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                         left_ts="ts", right_ts="rts", before=w, after=w,
+                         num_buckets=8).to_pandas()
+        want = self._reference(l, r, w, w)
+        key = ["k", "ts", "x", "rts", "y"]
+        got = got.sort_values(key).reset_index(drop=True)[want.columns]
+        want = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_inclusive_bounds_exact(self):
+        """Rights exactly AT ts-before and ts+after must both match."""
+        import ray.data as rd
+        from tldr_ray.stages.joins import range_join
+
+        base = pd.Timestamp("2025-01-01")
+        l = pd.DataFrame({"k": [1], "ts": [base + pd.Timedelta("100s")]})
+        r = pd.DataFrame({
+            "k": [1, 1, 1, 1],
+            "rts": [base + pd.Timedelta(s)
+                    for s in ("40s", "41s", "159s", "160s")],
+            "y": [1.0, 2.0, 3.0, 4.0]})
+        got = range_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                         left_ts="ts", right_ts="rts",
+                         before="59s", after="59s",
+                         num_buckets=4).to_pandas()
+        assert sorted(got["y"]) == [2.0, 3.0]
+        got2 = range_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                          left_ts="ts", right_ts="rts",
+                          before="60s", after="60s",
+                          num_buckets=4).to_pandas()
+        assert sorted(got2["y"]) == [1.0, 2.0, 3.0, 4.0]
+
+    def test_left_keeps_windowless(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import range_join
+
+        l, r = self._mk(seed=9, nk=40, nr=25)   # sparse rights -> misses
+        w = pd.Timedelta("60s")
+        got = range_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                         left_ts="ts", right_ts="rts", before=w, after=w,
+                         num_buckets=8, how="left").to_pandas()
+        want = self._reference(l, r, w, w, how="left")
+        assert len(got) == len(want)
+        assert got["y"].notna().sum() == want["y"].notna().sum()
+
+    def test_bucket_count_invariant(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import range_join
+
+        l, r = self._mk(seed=11)
+        w = pd.Timedelta("120s")
+        outs = []
+        for nb in (1, 4, 16):
+            o = range_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                           left_ts="ts", right_ts="rts",
+                           before=w, after=w, num_buckets=nb).to_pandas()
+            outs.append(o.sort_values(["k", "ts", "x", "rts", "y"])
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)

@@ -1939,6 +1939,40 @@ def _sssp_oracle_sql(rounds: int = _SSSP_UNROLL) -> str:
 QUERIES["sssp_hashgraph"] = sssp_hashgraph
 ORACLE_SQL["sssp_hashgraph"] = _sssp_oracle_sql()
 
+
+def events_nearby_pairs(sf_dir: str):
+    """Band (range) join: every pair of DISTINCT events by the same
+    user within +/-10 minutes of each other (stages.joins.range_join —
+    bucketed hash shuffle + two rank-composite searchsorted calls per
+    bucket, cumsum/repeat pair expansion)."""
+    from tldr_ray.stages.joins import range_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = range_join(events, events, on="user_id", left_ts="ts",
+                     right_ts="ts", before="10m", after="10m")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch["event_id"],
+                                          batch["event_id_r"]))
+        for c in ("ts", "ts_r"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, batch[c].cast(pa.timestamp("us")))
+        return batch
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["events_nearby_pairs"] = events_nearby_pairs
+ORACLE_SQL["events_nearby_pairs"] = """
+    SELECT a.event_id, a.ts, a.user_id,
+           b.event_id AS event_id_r, b.ts AS ts_r
+    FROM events a JOIN events b
+    ON b.user_id = a.user_id AND b.event_id <> a.event_id
+    AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE
+                 AND a.ts + INTERVAL 10 MINUTE
+"""
+
 QUERIES["bfs_hops_hashgraph"] = bfs_hops_hashgraph
 ORACLE_SQL["bfs_hops_hashgraph"] = f"""
     WITH RECURSIVE {_HASHGRAPH_RAW},

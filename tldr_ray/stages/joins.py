@@ -259,3 +259,129 @@ def bucketed_anti_join(left, right, on: str, num_buckets: int = 64):
 
     return both.groupby("__bucket").map_groups(filter_bucket,
                                                batch_format="pandas")
+
+
+def range_join(left, right, on: str, left_ts: str, right_ts: str,
+               before, after, num_buckets: int = 64, how: str = "inner",
+               suffixes=("_l", "_r")):
+    """Distributed band (range) join: every (left, right) pair with the
+    same ``on`` key and ``right_ts`` in the INCLUSIVE window
+    [left_ts - before, left_ts + after]. 1:N — one output row per pair.
+
+    Same Ray-Data-first plan as ``asof_join``: both sides tagged and
+    hash-bucketed on the equality key (one shuffle per side); inside
+    each bucket the window endpoints are resolved with TWO vectorized
+    ``searchsorted`` calls over a rank-composite (key_code * n_ranks +
+    ts_rank — ranks, not raw int64 ts, so the composite cannot
+    overflow), and the pair expansion is pure cumsum/repeat index
+    arithmetic. Both window endpoints are injected into the rank
+    vocabulary, so inclusive-bound semantics are exact rather than
+    nearest-rank approximations. Partitioning assumption: each key's
+    rows co-locate (hash-join discipline); window width only affects
+    match counts, never data movement.
+
+    ``before`` / ``after``: numeric (same unit as the ts columns) or
+    anything convertible via ``pd.Timedelta`` for datetime columns
+    (internally everything is compared in int64 nanoseconds).
+    ``how``: "inner" drops windowless lefts; "left" keeps them with
+    nulls in the right columns.
+    """
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    lints = _int_cols(left.schema())
+    rints = _int_cols(right.schema())
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    types = {}
+    for sch in (left.schema(), right.schema()):
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                types.setdefault(n, t)
+    out_r = [c for c in rcols if c != on]
+    ren = {c: c + suffixes[1] for c in out_r if c in lcols}
+
+    def tag(side: str, have: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                cols[c] = batch[c] if c in have else \
+                    pa.nulls(n, types.get(c))
+            cols["__bucket"] = pa.array(
+                (_hash_any(batch[on]) %
+                 np.uint64(num_buckets)).astype(np.int32))
+            cols["__side"] = pa.array([side] * n)
+            return pa.table(cols)
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
+        right.map_batches(tag("r", rcols), batch_format="pyarrow"))
+
+    def _ts_i64(s: pd.Series) -> np.ndarray:
+        v = s.to_numpy()
+        if v.dtype.kind == "M":
+            return v.astype("datetime64[ns]").view(np.int64)
+        return v.astype(np.int64)
+
+    def _delta_i64(x, datetime_like: bool) -> np.int64:
+        if datetime_like and not isinstance(x, (int, np.integer)):
+            return np.int64(pd.Timedelta(x).value)
+        return np.int64(x)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
+        r = _restore_ints(group[group["__side"] == "r"][rcols].copy(), rints)
+        empty_right = {ren.get(c, c): pd.Series([], dtype=r[c].dtype)
+                       for c in out_r}
+        if not len(l):
+            return pd.concat(
+                [l.reset_index(drop=True), pd.DataFrame(empty_right)],
+                axis=1)
+        dt_like = l[left_ts].to_numpy().dtype.kind == "M"
+        b = _delta_i64(before, dt_like)
+        a = _delta_i64(after, dt_like)
+        if not len(r):
+            if how == "inner":
+                return pd.concat(
+                    [l.iloc[:0].reset_index(drop=True),
+                     pd.DataFrame(empty_right)], axis=1)
+            out = l.reset_index(drop=True)
+            for c in out_r:
+                out[ren.get(c, c)] = pd.Series([pd.NA] * len(out))
+            return out
+        codes, _ = pd.factorize(
+            pd.concat([l[on], r[on]], ignore_index=True), sort=False)
+        lk = codes[: len(l)].astype(np.int64)
+        rk = codes[len(l):].astype(np.int64)
+        lt, rt = _ts_i64(l[left_ts]), _ts_i64(r[right_ts])
+        lo_val, hi_val = lt - b, lt + a
+        uniq = np.unique(np.concatenate([rt, lo_val, hi_val]))
+        U = np.int64(uniq.size + 1)
+        rcomp = rk * U + np.searchsorted(uniq, rt)
+        order = np.argsort(rcomp, kind="stable")
+        rcomp_s = rcomp[order]
+        lo = np.searchsorted(
+            rcomp_s, lk * U + np.searchsorted(uniq, lo_val), side="left")
+        hi = np.searchsorted(
+            rcomp_s, lk * U + np.searchsorted(uniq, hi_val), side="right")
+        counts = hi - lo
+        starts = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        out_li = np.repeat(np.arange(len(l)), counts)
+        out_ri = order[np.repeat(lo, counts)
+                       + (np.arange(total) - np.repeat(starts, counts))]
+        matched = pd.concat(
+            [l.iloc[out_li].reset_index(drop=True),
+             r.iloc[out_ri][out_r].rename(columns=ren)
+              .reset_index(drop=True)], axis=1)
+        if how == "inner":
+            return matched
+        miss = np.flatnonzero(counts == 0)
+        if not miss.size:
+            return matched
+        unmatched = l.iloc[miss].reset_index(drop=True)
+        for c in out_r:
+            unmatched[ren.get(c, c)] = pd.Series([pd.NA] * len(unmatched))
+        return pd.concat([matched, unmatched], ignore_index=True)
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
