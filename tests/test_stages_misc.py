@@ -571,3 +571,50 @@ class TestSketches:
         assert set(out["value"]) == {f"h{i}" for i in range(5)}
         # CM never underestimates: h0's estimate >= 900
         assert out.loc[out["value"] == "h0", "est_count"].iloc[0] >= 900
+
+    def test_histogram_counts_exact_and_merge_invariant(self):
+        """Register counts equal an exact bincount regardless of block
+        layout (sum merge); out-of-range values clamp to edge bins."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import histogram_registers
+
+        rng = np.random.default_rng(17)
+        vals = np.concatenate([rng.uniform(0, 100, 4000),
+                               [-5.0, 250.0]])       # clamped outliers
+        t = pa.table({"v": pa.array(vals)})
+        a = histogram_registers(rd.from_arrow(t), "v",
+                                0.0, 100.0, bins=32).to_pandas()
+        b = histogram_registers(rd.from_arrow(t).repartition(7), "v",
+                                0.0, 100.0, bins=32).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("bin").reset_index(drop=True),
+            b.sort_values("bin").reset_index(drop=True))
+        exact = np.bincount(
+            np.clip(np.floor(((vals - 0.0) * np.float64(32)) / 100.0),
+                    0, 31).astype(np.int64), minlength=32)
+        assert (a.sort_values("bin")["count"].to_numpy() == exact).all()
+        assert int(a["count"].sum()) == vals.size   # clamped rows kept
+
+    def test_histogram_grouped_dense_and_quantiles(self):
+        """Grouped registers are dense per observed group; interpolated
+        quantiles land within one bin width of the exact value."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import (
+            approx_quantiles_from_histogram, histogram_registers)
+
+        rng = np.random.default_rng(23)
+        keys = rng.choice(["a", "b"], 6000)
+        vals = rng.uniform(0, 200, 6000)
+        t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        regs = histogram_registers(rd.from_arrow(t).repartition(5), "v",
+                                   0.0, 200.0, bins=64,
+                                   by="k").to_pandas()
+        assert len(regs) == 2 * 64                  # dense grid
+        assert int(regs["count"].sum()) == 6000
+        est = approx_quantiles_from_histogram(
+            regs, 0.0, 200.0, 64, qs=(0.5, 0.9), by="k")
+        width = 200.0 / 64
+        for _, row in est.iterrows():
+            g = vals[keys == row["k"]]
+            for q, col in ((0.5, "p50"), (0.9, "p90")):
+                assert abs(row[col] - np.quantile(g, q)) <= width, row

@@ -1821,6 +1821,50 @@ QUERIES["countmin_registers_events"] = countmin_registers_events
 ORACLE_SQL["countmin_registers_events"] = _countmin_oracle_sql()
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 400.0, 64
+
+
+def value_histogram_events(sf_dir: str):
+    """Dense per-event_type fixed-bin histogram of value — the
+    mergeable approximate-quantile sketch
+    (stages.sketches.histogram_registers). Counts are exact integer
+    sums and the bin expression is op-for-op IEEE double arithmetic,
+    so the full register table hash-matches the SQL mirror; the
+    approximate quantiles read off it are pinned by a pytest
+    bin-width-error oracle instead."""
+    from tldr_ray.stages.sketches import histogram_registers
+
+    return histogram_registers(
+        _read(sf_dir, "events", ["event_type", "value"]), "value",
+        _HIST_LO, _HIST_HI, _HIST_BINS, by="event_type")
+
+
+QUERIES["value_histogram_events"] = value_histogram_events
+ORACLE_SQL["value_histogram_events"] = f"""
+    WITH binned AS (
+        SELECT event_type,
+               least(greatest(CAST(floor(
+                   ((value - {_HIST_LO}) * {float(_HIST_BINS)})
+                   / {_HIST_HI - _HIST_LO}) AS BIGINT),
+                   0), {_HIST_BINS - 1}) AS bin
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, b.b AS bin
+        FROM (SELECT DISTINCT event_type FROM binned) t,
+             (SELECT unnest(range(0, {_HIST_BINS})) AS b) b
+    )
+    SELECT g.event_type, CAST(g.bin AS INTEGER) AS bin,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS count
+    FROM grid g
+    LEFT JOIN agg a ON a.event_type = g.event_type AND a.bin = g.bin
+"""
+
+
 def events_value_quantiles(sf_dir: str):
     """Exact per-event_type p50/p90/p99 of value via the coarse-
     partition quantile sweep (stages.agg.grouped_quantiles). Discrete

@@ -244,3 +244,126 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 1024,
     out = out.sort_values(["est_count", "value"],
                           ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+# -- Mergeable histogram ------------------------------------------------
+#
+# The approximate-quantile shape for 100 TB: a fixed-bin counter table
+# (group, bin, count) where bin = clip(floor(((x-lo)*bins)/(hi-lo)),
+# 0, bins-1). Counts are exact integer sums (order-free, retry-safe,
+# mergeable by +), and the bin expression is plain IEEE double
+# arithmetic mirrored op-for-op in DuckDB, so the register table is a
+# hash-checked driver oracle (queries.value_histogram_events) even
+# though the QUANTILES read off it are approximate. Complements
+# stages.agg.grouped_quantiles (exact, but sorts every row inside a
+# shuffle): the histogram never moves more than O(groups*bins) rows
+# per upstream block, the canonical trade at petabyte scale.
+
+
+def _hist_bins(values, lo: float, hi: float, bins: int) -> np.ndarray:
+    """(n,) int64 bin ids for one batch (nulls must be dropped by the
+    caller). Expression order is load-bearing: ((x - lo) * bins) /
+    (hi - lo), floored then clipped — the SQL mirror repeats it
+    verbatim so float rounding cannot diverge."""
+    v = values.to_numpy(zero_copy_only=False).astype(np.float64)
+    b = np.floor(((v - lo) * np.float64(bins)) / np.float64(hi - lo))
+    return np.clip(b, 0, bins - 1).astype(np.int64)
+
+
+def histogram_registers(ds, col: str, lo: float, hi: float,
+                        bins: int = 64, by: str | None = None):
+    """Dataset of the dense per-group histogram: (by?, bin int32,
+    count int64), every bin present for every OBSERVED group, nulls
+    dropped. Per-batch partial counts (only non-zero cells leave a
+    task) -> sum combine -> one coalesce partition densifies."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        if by is None:
+            b = _hist_bins(batch[col], lo, hi, bins)
+            flat = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(flat)
+            return pa.table({"bin": pa.array(nz.astype(np.int32)),
+                             "count": pa.array(flat[nz])})
+        b = _hist_bins(batch[col], lo, hi, bins)
+        codes, groups = pd.factorize(batch[by].to_pandas(), sort=False)
+        flat = np.bincount(codes * bins + b, minlength=len(groups) * bins)
+        nz = np.flatnonzero(flat)
+        return pa.table({by: pa.array(groups[nz // bins]),
+                         "bin": pa.array((nz % bins).astype(np.int32)),
+                         "count": pa.array(flat[nz])})
+
+    keys = ["bin"] if by is None else [by, "bin"]
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False)["count"].sum()
+        out = g.index.to_frame(index=False)
+        out["count"] = g.to_numpy(np.int64)
+        out["bin"] = out["bin"].astype(np.int32)
+        return out
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        merged = combine(batch) if len(batch) else batch
+        if by is None:
+            reg = np.zeros(bins, dtype=np.int64)
+            if len(merged):
+                np.add.at(reg, merged["bin"].to_numpy(np.int64),
+                          merged["count"].to_numpy(np.int64))
+            return pd.DataFrame({"bin": np.arange(bins, dtype=np.int32),
+                                 "count": reg})
+        groups = np.sort(merged[by].unique()) if len(merged) else []
+        gpos = {g: i for i, g in enumerate(groups)}
+        reg = np.zeros(len(groups) * bins, dtype=np.int64)
+        if len(merged):
+            gi = merged[by].map(gpos).to_numpy(np.int64)
+            np.add.at(reg, gi * bins + merged["bin"].to_numpy(np.int64),
+                      merged["count"].to_numpy(np.int64))
+        return pd.DataFrame({
+            by: np.repeat(np.asarray(groups, dtype=object), bins),
+            "bin": np.tile(np.arange(bins, dtype=np.int32), len(groups)),
+            "count": reg})
+
+    cols = [col] if by is None else [by, col]
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=32768)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
+
+
+def approx_quantiles_from_histogram(registers: pd.DataFrame, lo: float,
+                                    hi: float, bins: int,
+                                    qs=(0.5, 0.9, 0.99),
+                                    by: str | None = None) -> pd.DataFrame:
+    """Linear-interpolated quantile estimates from a dense register
+    table (driver-side float math over O(groups*bins) rows). Error is
+    bounded by one bin width (hi-lo)/bins for any in-range data.
+    Returns one row per group: (by?, p50, p90, ...)."""
+    width = (hi - lo) / bins
+
+    def _one(sub: pd.DataFrame) -> dict:
+        c = np.zeros(bins, dtype=np.int64)
+        c[sub["bin"].to_numpy(np.int64)] = sub["count"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = cum[-1]
+        out = {}
+        for q in qs:
+            name = f"p{q * 100:g}".replace(".", "_")
+            if n == 0:
+                out[name] = float("nan")
+                continue
+            target = q * n
+            b = int(np.searchsorted(cum, target, side="left"))
+            before = cum[b - 1] if b else 0
+            frac = (target - before) / c[b] if c[b] else 0.0
+            out[name] = lo + (b + frac) * width
+        return out
+
+    if by is None:
+        return pd.DataFrame([_one(registers)])
+    rows = []
+    for g, sub in registers.groupby(by, sort=True):
+        rows.append({by: g, **_one(sub)})
+    return pd.DataFrame(rows)
