@@ -55,3 +55,47 @@ class TestWindows:
         assert u1["n_events"].tolist() == [3, 2]
         u2 = out[out["user_id"] == 2]
         assert u2["n_events"].tolist() == [2]
+
+    def test_row_window_matches_pandas(self):
+        """rn/lag/cumsum/delta vs a pandas groupby-apply oracle,
+        partitioning-invariant."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.windows import row_window
+
+        rng = np.random.default_rng(31)
+        n = 2000
+        df = pd.DataFrame({
+            "uid": rng.integers(0, 50, n),
+            "t": rng.permutation(n).astype(np.int64),
+            "amt": rng.integers(0, 1000, n),
+        })
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+        out = (row_window(ds, "uid", ["t"], lag_cols=("amt",),
+                          cumsum_cols=("amt",), delta_col="t")
+               .to_pandas().sort_values(["uid", "t"])
+               .reset_index(drop=True))
+        exp = df.sort_values(["uid", "t"]).reset_index(drop=True)
+        g = exp.groupby("uid", sort=False)
+        exp["rn"] = g.cumcount() + 1
+        exp["lag_amt"] = g["amt"].shift(1).fillna(-1).astype(np.int64)
+        exp["cum_amt"] = g["amt"].cumsum()
+        exp["delta_t"] = g["t"].diff().fillna(-1).astype(np.int64)
+        for c in ["rn", "lag_amt", "cum_amt", "delta_t"]:
+            assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_row_window_rejects_float_cumsum(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from tldr_ray.stages.windows import row_window
+
+        df = pd.DataFrame({"uid": [1, 1], "t": [1, 2], "x": [0.5, 1.5]})
+        ds = rd.from_arrow(pa.Table.from_pandas(df))
+        with pytest.raises(Exception):
+            row_window(ds, "uid", ["t"],
+                       cumsum_cols=("x",)).materialize()

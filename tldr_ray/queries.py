@@ -1839,6 +1839,53 @@ def value_histogram_events(sf_dir: str):
         _HIST_LO, _HIST_HI, _HIST_BINS, by="event_type")
 
 
+def events_user_running(sf_dir: str):
+    """Per-user ordered analytics over the event log — SQL window
+    functions (row_number / lag / running sum / time delta) as ONE
+    coarse shuffle + vectorized segment sweep
+    (stages.windows.row_window). Integer-only outputs (cents, -1
+    first-row sentinels) so the whole frame is hash-stable."""
+    from tldr_ray.stages.windows import row_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value_cents": pa.array(cents),
+        })
+
+    return row_window(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"],
+        lag_cols=("event_id",), cumsum_cols=("value_cents",),
+        delta_col="ts_us")
+
+
+QUERIES["events_user_running"] = events_user_running
+ORACLE_SQL["events_user_running"] = """
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+        FROM events
+    )
+    SELECT user_id, ts_us, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           coalesce(lag(event_id) OVER w, -1) AS lag_event_id,
+           CAST(sum(value_cents) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_value_cents,
+           coalesce(ts_us - lag(ts_us) OVER w, -1) AS delta_ts_us
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 QUERIES["value_histogram_events"] = value_histogram_events
 ORACLE_SQL["value_histogram_events"] = f"""
     WITH binned AS (

@@ -10,6 +10,9 @@ ordered, partitioned log (ray_guide "Streaming-shaped workloads"):
   vectorized per batch, no Python row loop).
 - ``session_windows``: per-key gap-based sessions with incremental
   state inside ordered ``map_groups`` (sorted by ts within the key).
+- ``row_window``: per-key ordered analytic functions (row_number /
+  lag / running integer sum / time delta) as one coarse shuffle +
+  vectorized segment sweep.
 """
 
 from __future__ import annotations
@@ -114,4 +117,94 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(part_sessions, batch_format="pandas")
+    )
+
+
+def row_window(ds, key_col: str, order_cols: list[str],
+               lag_cols: tuple[str, ...] = (),
+               cumsum_cols: tuple[str, ...] = (),
+               delta_col: str | None = None,
+               num_partitions: int = 64):
+    """Per-key ordered analytic functions (SQL ``OVER (PARTITION BY key
+    ORDER BY ...)``) as ONE coarse shuffle + a vectorized segment sweep:
+    shuffle on ``hash(key) % num_partitions``, sort each partition once
+    by (key, *order_cols), then derive every function with boundary
+    flags + index arithmetic — no per-key invocations, no row loop.
+
+    Emits (key, *order_cols, rn int64 1-based, lag_<c> per lag col,
+    cum_<c> per cumsum col, delta_<delta_col>). Null-free by design:
+    first-in-partition lag/delta values are -1 so every output column
+    stays integer-typed and DuckDB-hash-stable (``coalesce(lag(x)
+    OVER w, -1)`` on the oracle side). ``cumsum_cols`` must be integer
+    (running float sums are not association-free; convert money to
+    cents upstream — repo invariant). ``order_cols`` must uniquely
+    order rows within a key or the permutation is undefined.
+
+    Scale note: only key + referenced columns enter the shuffle, and
+    each output row is emitted exactly once — the sweep is O(rows) with
+    a single sort per partition task, the same discipline as
+    ``session_windows``/``grouped_quantiles``."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    need = [key_col, *order_cols,
+            *dict.fromkeys([*lag_cols, *cumsum_cols,
+                            *( [delta_col] if delta_col else [] )])]
+    need = list(dict.fromkeys(need))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(k, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols], kind="mergesort")
+        key = g[key_col].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1                    # segment id per row
+        out = {key_col: key}
+        for c in order_cols:
+            out[c] = g[c].to_numpy()
+        out["rn"] = (np.arange(n, dtype=np.int64)
+                     - starts[seg] + 1) if n else np.array([], np.int64)
+        for c in lag_cols:
+            v = g[c].to_numpy()
+            lag = np.empty_like(v)
+            if n:
+                lag[1:] = v[:-1]
+            lag[new] = -1
+            out[f"lag_{c}"] = lag
+        for c in cumsum_cols:
+            v = g[c].to_numpy()
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"cumsum col {c!r} must be integer (got {v.dtype}); "
+                    "running float sums are not association-free")
+            cum = np.cumsum(v)
+            base = np.where(starts > 0, cum[starts - 1], 0)
+            out[f"cum_{c}"] = cum - base[seg]
+        if delta_col is not None:
+            v = g[delta_col].to_numpy()
+            if np.issubdtype(v.dtype, np.datetime64):
+                v = v.astype("datetime64[us]").astype(np.int64)
+            d = np.empty_like(v)
+            if n:
+                d[1:] = v[1:] - v[:-1]
+            d[new] = -1
+            out[f"delta_{delta_col}"] = d
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns(need)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
     )
