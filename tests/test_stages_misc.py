@@ -214,6 +214,31 @@ class TestTextAnalysis:
             "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id").df()
         assert got["md5"].tolist() == want["md5"].tolist()
 
+    def test_tfidf_broadcast_and_join_paths_equivalent(self):
+        """The size-gated vocab paths must agree bit-for-bit; top term
+        of a hand-built corpus is the document's distinctive word."""
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import tfidf_top_terms
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["the cat sat on the mat",
+                              "the dog ate the bone",
+                              "the cat and the dog met"]),
+        })
+        ds = rd.from_arrow(docs).repartition(3)
+        a = (tfidf_top_terms(ds, k=3).to_pandas()
+             .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+        b = (tfidf_top_terms(ds, k=3, broadcast_vocab_max=0).to_pandas()
+             .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+        # doc 1's unique terms (df=1) outrank shared ones
+        top1 = a[(a["doc_id"] == 1) & (a["rnk"] == 1)]["term"].iloc[0]
+        assert top1 in {"sat", "on", "mat"}       # tf=1, df=1, tie by term
+        assert top1 == "mat"                      # term-asc tiebreak
+        # 'the' (df=3) never ranks first
+        assert not ((a["rnk"] == 1) & (a["term"] == "the")).any()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestAnn:

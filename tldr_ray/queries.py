@@ -1839,6 +1839,49 @@ def value_histogram_events(sf_dir: str):
         _HIST_LO, _HIST_HI, _HIST_BINS, by="event_type")
 
 
+def tfidf_top_terms_docs(sf_dir: str):
+    """Top-5 tf-idf terms per document
+    (stages.text_analysis.tfidf_top_terms, broadcast-vocab path at this
+    scale). Linear rational idf (tf * N / df) keeps the score a pure
+    IEEE expression both engines evaluate identically — see the stage
+    docstring for why not log."""
+    from tldr_ray.stages.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           "doc_id", "text", k=5)
+
+
+QUERIES["tfidf_top_terms_docs"] = tfidf_top_terms_docs
+ORACLE_SQL["tfidf_top_terms_docs"] = """
+    WITH toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+        WHERE w != ''
+    ),
+    tf AS (SELECT doc_id, w AS term, count(*) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) * (SELECT n FROM n) / d.df AS score
+        FROM tf t JOIN df d ON d.term = t.term
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk, score
+    FROM ranked WHERE rnk <= 5
+"""
+
+
 def events_user_running(sf_dir: str):
     """Per-user ordered analytics over the event log — SQL window
     functions (row_number / lag / running sum / time delta) as ONE

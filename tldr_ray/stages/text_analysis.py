@@ -228,3 +228,151 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# -- TF-IDF -------------------------------------------------------------
+#
+# Top-k characteristic terms per document. Shuffle budget is ONE small
+# all-to-all over distinct (term, partial-df) rows — never over tokens:
+# term frequencies are complete inside a batch (one row = one document,
+# Ray never splits a row), so the tf side is stateless map_batches, and
+# the vocabulary table is size-gated: broadcast (ray.put of sorted
+# term/df arrays, searchsorted lookup per batch) when it fits, bucketed
+# hash join + coarse per-doc sweep when it does not — the same
+# two-path discipline as queries.revenue_by_nation.
+#
+# idf is the LINEAR rational N/df (score = CAST(tf AS DOUBLE) * N / df)
+# rather than log(N/df): ranking within a document is identical (log is
+# monotone), and the score stays a pure IEEE expression DuckDB mirrors
+# bit-for-bit — a libm log could differ in the last ulp across engines
+# and break the driver's value hash.
+
+
+def _tf_cells(batch: pa.Table, id_col: str, text_col: str):
+    """Per-(doc, term) counts for one batch: lower + trim + \\s+ split,
+    empty tokens dropped (the word_frequency tokenizer convention).
+    Returns (doc_idx int64, term object, tf int64, uterms) with rows
+    doc-major sorted."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                       np.diff(off))
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    doc_of = doc_of[keep]
+    words = np.asarray(flat)[keep]
+    uterms, t_idx = np.unique(words, return_inverse=True)
+    key = doc_of * np.int64(len(uterms)) + t_idx
+    ukey, counts = np.unique(key, return_counts=True)
+    return (ukey // len(uterms), uterms[ukey % len(uterms)],
+            counts.astype(np.int64), uterms)
+
+
+def _topk_rows(ids, terms, tf, dfs, n_docs: int, k: int):
+    """Vectorized per-doc top-k by (score desc, term asc): one lexsort
+    + segment index arithmetic. ``ids`` must be groupable values (rows
+    for one doc need not be contiguous on input)."""
+    score = (tf.astype(np.float64) * np.float64(n_docs)) / dfs
+    order = np.lexsort((terms, -score, ids))
+    ids, terms = ids[order], terms[order]
+    tf, dfs, score = tf[order], dfs[order], score[order]
+    n = len(ids)
+    new = np.empty(n, dtype=bool)
+    if n:
+        new[0], new[1:] = True, ids[1:] != ids[:-1]
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    rnk = np.arange(n, dtype=np.int64) - starts[seg] + 1
+    m = rnk <= k
+    return (ids[m], terms[m], tf[m], dfs[m], rnk[m], score[m])
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 5, num_partitions: int = 64,
+                    broadcast_vocab_max: int = 2_000_000):
+    """Dataset of each document's k highest-tf-idf terms:
+    (id_col, term, tf, df, rnk, score), rnk 1-based by
+    (score desc, term asc)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = ds.select_columns([id_col, text_col])
+    n_docs = src.count()
+
+    def tf_fn(batch: pa.Table) -> pa.Table:
+        d, t, c, _ = _tf_cells(batch, id_col, text_col)
+        ids = np.asarray(batch[id_col])[d]
+        return pa.table({id_col: pa.array(ids),
+                         "term": pa.array(t.tolist(), pa.string()),
+                         "tf": pa.array(c)})
+
+    def df_fn(batch: pa.Table) -> pa.Table:
+        # each (doc, term) cell is globally unique (docs never span
+        # batches), so per-batch docs-per-term partials sum to df
+        d, t, c, uterms = _tf_cells(batch, id_col, text_col)
+        ti, cnt = np.unique(np.searchsorted(uterms, t),
+                            return_counts=True)
+        return pa.table({"term": pa.array(uterms[ti].tolist(),
+                                          pa.string()),
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    df_tbl = (src.map_batches(df_fn, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df", alias_name="df"))
+              .materialize())
+    vocab_n = df_tbl.count()
+
+    if vocab_n <= broadcast_vocab_max:
+        vdf = df_tbl.to_pandas()
+        vterms = vdf["term"].to_numpy()
+        vorder = np.argsort(vterms, kind="stable")
+        ref = ray.put((vterms[vorder],
+                       vdf["df"].to_numpy(np.int64)[vorder]))
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            vterms_s, vdfs_s = ray.get(ref)
+            d, t, c, _ = _tf_cells(batch, id_col, text_col)
+            ids = np.asarray(batch[id_col])[d]
+            dfs = vdfs_s[np.searchsorted(vterms_s, t)]
+            i, tm, tf, dfo, rnk, sc = _topk_rows(ids, t, c, dfs,
+                                                 n_docs, k)
+            return pa.table({id_col: pa.array(i),
+                             "term": pa.array(tm.tolist(), pa.string()),
+                             "tf": pa.array(tf), "df": pa.array(dfo),
+                             "rnk": pa.array(rnk),
+                             "score": pa.array(sc)})
+
+        return src.map_batches(score_topk, batch_format="pyarrow")
+
+    # large-vocab path: join tf cells against the df table by term,
+    # then a coarse per-doc shuffle ranks each document's terms
+    from tldr_ray.hashing import part_key
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    tf_ds = src.map_batches(tf_fn, batch_format="pyarrow")
+    joined = bucketed_hash_join(tf_ds, df_tbl, on="term",
+                                num_buckets=num_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if not (pa.types.is_string(ids.type)
+                or pa.types.is_large_string(ids.type)):
+            ids = pc.cast(ids, pa.string())
+        return batch.append_column(
+            "__part", pa.array(part_key(ids, num_partitions)))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        i, tm, tf, dfo, rnk, sc = _topk_rows(
+            group[id_col].to_numpy(), group["term"].to_numpy(),
+            group["tf"].to_numpy(np.int64),
+            group["df"].to_numpy(np.int64), n_docs, k)
+        return pd.DataFrame({id_col: i, "term": tm, "tf": tf,
+                             "df": dfo, "rnk": rnk, "score": sc})
+
+    return (joined.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part").map_groups(sweep, batch_format="pandas"))
