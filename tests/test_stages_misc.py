@@ -558,6 +558,30 @@ class TestSketches:
                 idx = max(int(np.ceil(np.float64(q) * g.size)), 1) - 1
                 assert row[col] == g[idx], (row["k"], col)
 
+    def test_pivot_table_counts_sums_and_guard(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import pivot_table
+
+        t = pa.table({
+            "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "p": pa.array(["a", "b", "a", "a", "b"]),
+            "v": pa.array([1.005, 2.0, 0.5, 0.25, 10.0]),
+        })
+        out = (pivot_table(rd.from_arrow(t).repartition(3), "k", "p",
+                           value_col="v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out["n_a"].tolist() == [1, 2]
+        assert out["n_b"].tolist() == [1, 1]
+        # floor(x*100+0.5) cents: 1.005 -> 101 (IEEE 1.005*100=100.49..
+        # +0.5 floors to 100? no: floor(100.49..+0.5)=floor(100.99..)=100)
+        assert out["cents_a"].tolist() == [
+            int(np.floor(1.005 * 100 + 0.5)),
+            int(np.floor(0.5 * 100 + 0.5)) + int(np.floor(0.25 * 100 + 0.5))]
+        assert out["cents_b"].tolist() == [200, 1000]
+        with pytest.raises(ValueError):
+            pivot_table(rd.from_arrow(t), "k", "p",
+                        max_pivot_values=1).materialize()
+
     def test_bottomk_partition_invariant_and_kmv(self):
         import ray.data as rd
         from tldr_ray.stages.agg import bottomk_sample, kmv_distinct_estimate

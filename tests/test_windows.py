@@ -99,3 +99,34 @@ class TestWindows:
         with pytest.raises(Exception):
             row_window(ds, "uid", ["t"],
                        cumsum_cols=("x",)).materialize()
+
+    def test_funnel_order_sensitive(self):
+        """A purchase BEFORE the click must not count; strict-after
+        semantics; keys with zero matches still emitted."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.windows import funnel
+
+        rows = [
+            # u1 completes in order: signup@10, click@20, purchase@30
+            (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: purchase precedes click -> stops after click
+            (2, 10, "signup"), (2, 15, "purchase"), (2, 20, "click"),
+            # u3: click only, never signed up -> 0 stages
+            (3, 5, "click"),
+            # u4: same-ts click as signup -> strict > rejects it
+            (4, 10, "signup"), (4, 10, "click"),
+        ]
+        t = pa.table({
+            "uid": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "et": pa.array([r[2] for r in rows]),
+        })
+        out = (funnel(rd.from_arrow(t).repartition(4), "uid", "ts", "et",
+                      ["signup", "click", "purchase"])
+               .to_pandas().sort_values("uid").reset_index(drop=True))
+        assert out["stage_reached"].tolist() == [3, 2, 0, 1]
+        assert out["ts_purchase"].tolist() == [30, -1, -1, -1]
+        assert out["ts_click"].tolist() == [20, 20, -1, -1]

@@ -1839,6 +1839,72 @@ def value_histogram_events(sf_dir: str):
         _HIST_LO, _HIST_HI, _HIST_BINS, by="event_type")
 
 
+def user_funnel_events(sf_dir: str):
+    """signup -> click -> purchase funnel per user
+    (stages.windows.funnel): each step matches the earliest event
+    strictly after the previous step's timestamp. All-integer output
+    (microsecond timestamps, -1 sentinels) — hash-stable."""
+    from tldr_ray.stages.windows import funnel
+
+    return funnel(_read(sf_dir, "events",
+                        ["user_id", "ts", "event_type"]),
+                  "user_id", "ts", "event_type",
+                  steps=["signup", "click", "purchase"])
+
+
+QUERIES["user_funnel_events"] = user_funnel_events
+ORACLE_SQL["user_funnel_events"] = """
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT k.user_id,
+           coalesce(s1.t1, -1) AS ts_signup,
+           coalesce(s2.t2, -1) AS ts_click,
+           coalesce(s3.t3, -1) AS ts_purchase,
+           CAST((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+                + (s3.t3 IS NOT NULL)::INT AS BIGINT) AS stage_reached
+    FROM (SELECT DISTINCT user_id FROM events) k
+    LEFT JOIN s1 ON s1.user_id = k.user_id
+    LEFT JOIN s2 ON s2.user_id = k.user_id
+    LEFT JOIN s3 ON s3.user_id = k.user_id
+"""
+
+
+def user_event_pivot(sf_dir: str):
+    """Wide per-user pivot over event_type: count + cents-sum columns
+    per type (stages.agg.pivot_table — one wide partial row per key
+    per batch, single groupby shuffle). All-integer, hash-stable."""
+    from tldr_ray.stages.agg import pivot_table
+
+    return pivot_table(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        "user_id", "event_type", value_col="value")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+QUERIES["user_event_pivot"] = user_event_pivot
+ORACLE_SQL["user_event_pivot"] = "SELECT user_id, " + ", ".join(
+    f"CAST(coalesce(count(*) FILTER (event_type = '{t}'), 0) AS BIGINT)"
+    f" AS n_{t}, "
+    f"CAST(coalesce(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) "
+    f"FILTER (event_type = '{t}'), 0) AS BIGINT) AS cents_{t}"
+    for t in _PIVOT_TYPES) + " FROM events GROUP BY user_id"
+
+
 def tfidf_top_terms_docs(sf_dir: str):
     """Top-5 tf-idf terms per document
     (stages.text_analysis.tfidf_top_terms, broadcast-vocab path at this

@@ -122,6 +122,63 @@ def bottomk_sample(ds, key: str, k: int = 100):
     )
 
 
+def pivot_table(ds, key_col: str, pivot_col: str,
+                value_col: str | None = None,
+                max_pivot_values: int = 1000):
+    """Wide pivot: one row per key, a count column ``n_<v>`` per pivot
+    value v (plus ``cents_<v>`` integer sums of value_col*100 when
+    given). The 100-TB pivot shape: a tiny distinct pass discovers the
+    column domain (guarded by ``max_pivot_values`` — a pivot is only
+    meaningful when the domain is small), then each batch folds its
+    rows into ONE wide partial row per key (np.add.at into a
+    keys x domain matrix) so the single ``groupby(key)`` shuffle moves
+    O(keys x domain) cells per block, never O(rows). Money sums are
+    floor(x*100+0.5) cents — integer, association-free, hash-stable
+    (repo invariant)."""
+    from ray.data.aggregate import Sum
+
+    domain = sorted(ds.select_columns([pivot_col]).unique(pivot_col))
+    if len(domain) > max_pivot_values:
+        raise ValueError(
+            f"pivot domain {len(domain)} exceeds max_pivot_values="
+            f"{max_pivot_values}; pivot needs a small column domain")
+    dom_arr = np.asarray(domain, dtype=object)
+    ncols = [f"n_{v}" for v in domain]
+    ccols = [f"cents_{v}" for v in domain] if value_col else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pv = batch[pivot_col]
+        if not (pa.types.is_string(pv.type)
+                or pa.types.is_large_string(pv.type)):
+            pv = pc.cast(pv, pa.string())
+        code = np.searchsorted(dom_arr, np.asarray(pv))
+        keys, kidx = np.unique(np.asarray(batch[key_col]),
+                               return_inverse=True)
+        D = len(dom_arr)
+        cnt = np.zeros((len(keys), D), dtype=np.int64)
+        np.add.at(cnt, (kidx, code), 1)
+        out = {key_col: pa.array(keys)}
+        for j, c in enumerate(ncols):
+            out[c] = pa.array(cnt[:, j])
+        if value_col:
+            cents = np.floor(
+                np.asarray(batch[value_col], dtype=np.float64) * 100.0
+                + 0.5).astype(np.int64)
+            s = np.zeros((len(keys), D), dtype=np.int64)
+            np.add.at(s, (kidx, code), cents)
+            for j, c in enumerate(ccols):
+                out[c] = pa.array(s[:, j])
+        return pa.table(out)
+
+    return (
+        ds.select_columns(
+            [key_col, pivot_col] + ([value_col] if value_col else []))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ncols + ccols])
+    )
+
+
 def kmv_distinct_estimate(sample: pd.DataFrame, k: int) -> float:
     """KMV cardinality estimate from a full bottom-k sample: if fewer
     than k keys exist the sample IS the distinct set (exact); else

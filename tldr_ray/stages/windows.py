@@ -120,6 +120,68 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def funnel(ds, key_col: str, ts_col: str, type_col: str,
+           steps: list[str], num_partitions: int = 64):
+    """Ordered funnel analysis: for each key, walk ``steps`` in
+    sequence — step i matches the EARLIEST event of that type strictly
+    after the matched step i-1 timestamp. Emits one row per distinct
+    key: (key, stage_reached int64, ts_<step> int64 microseconds, -1
+    where the funnel stopped).
+
+    One coarse shuffle on ``hash(key) % num_partitions``; each
+    partition task sorts once by (key, ts) and then runs len(steps)
+    vectorized passes (mask + per-segment ``minimum.reduceat``) — no
+    per-key work, no row loop, O(rows * steps) total."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    _MAX = np.iinfo(np.int64).max
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(k, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        typ = g[type_col].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        nkeys = len(starts)
+        cur = np.full(nkeys, np.iinfo(np.int64).min)
+        out = {key_col: key[starts]}
+        reached = np.zeros(nkeys, dtype=np.int64)
+        for s in steps:
+            cand = np.where((typ == s) & (ts > cur[seg]), ts, _MAX)
+            step_t = (np.minimum.reduceat(cand, starts)
+                      if n else np.array([], np.int64))
+            hit = step_t != _MAX
+            reached += hit
+            out[f"ts_{s}"] = np.where(hit, step_t, -1)
+            cur = np.where(hit, step_t, _MAX)   # _MAX: no later match
+        out["stage_reached"] = reached
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def row_window(ds, key_col: str, order_cols: list[str],
                lag_cols: tuple[str, ...] = (),
                cumsum_cols: tuple[str, ...] = (),
