@@ -582,6 +582,32 @@ class TestSketches:
             pivot_table(rd.from_arrow(t), "k", "p",
                         max_pivot_values=1).materialize()
 
+    def test_rollup_levels_consistent(self):
+        """Level sums must telescope: total == sum of level-1 rows ==
+        sum of level-2 rows; partitioning-invariant."""
+        import ray.data as rd
+        from tldr_ray.stages.agg import rollup_aggregate
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame({
+            "x": rng.choice(["a", "b", "c"], 500),
+            "y": rng.choice(["u", "v"], 500),
+            "val": rng.uniform(0, 10, 500),
+        })
+        out = (rollup_aggregate(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+            ["x", "y"], value_col="val").to_pandas())
+        total = out[(out["x"] == "ALL")]
+        lvl1 = out[(out["x"] != "ALL") & (out["y"] == "ALL")]
+        lvl2 = out[(out["y"] != "ALL")]
+        assert len(total) == 1 and total["n"].iloc[0] == 500
+        assert lvl1["n"].sum() == 500 and lvl2["n"].sum() == 500
+        assert total["cents"].iloc[0] == lvl1["cents"].sum() \
+            == lvl2["cents"].sum()
+        exact = np.floor(df["val"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64).sum()
+        assert total["cents"].iloc[0] == exact
+
     def test_bottomk_partition_invariant_and_kmv(self):
         import ray.data as rd
         from tldr_ray.stages.agg import bottomk_sample, kmv_distinct_estimate

@@ -1839,6 +1839,123 @@ def value_histogram_events(sf_dir: str):
         _HIST_LO, _HIST_HI, _HIST_BINS, by="event_type")
 
 
+def lineitem_rollup(sf_dir: str):
+    """ROLLUP over (l_returnflag, l_linestatus) in one pass
+    (stages.agg.rollup_aggregate): counts + extendedprice cents at all
+    three levels, rolled-up columns = 'ALL'."""
+    from tldr_ray.stages.agg import rollup_aggregate
+
+    return rollup_aggregate(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_extendedprice"]),
+        ["l_returnflag", "l_linestatus"], value_col="l_extendedprice")
+
+
+QUERIES["lineitem_rollup"] = lineitem_rollup
+ORACLE_SQL["lineitem_rollup"] = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((), (l_returnflag),
+                            (l_returnflag, l_linestatus))
+"""
+
+
+def clustering_coeff_hashgraph(sf_dir: str):
+    """Per-vertex local clustering coefficient over the undirected
+    hash graph: cc = 2*T / (deg*(deg-1)), 0.0 when deg < 2. Degrees
+    and triangle counts are both vertex-keyed datasets; tagging each
+    side with the other's zero column and summing through ONE groupby
+    gives the outer join without join machinery. The float division is
+    a single IEEE op on exact integers — hash-stable vs the SQL
+    mirror."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph import triangle_counts
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    def partial_degrees(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch["a"], dtype=np.int64),
+                            np.asarray(batch["b"], dtype=np.int64)])
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(vu),
+                         "degree": pa.array(cnt.astype(np.int64)),
+                         "triangles": pa.array(
+                             np.zeros(vu.size, np.int64))})
+
+    degrees = (
+        _hash_graph_edges(sf_dir)
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+        .map_batches(partial_degrees, batch_format="pyarrow")
+    )
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": batch["vertex"].cast(pa.int64()),
+            "degree": pa.array(np.zeros(len(batch), np.int64)),
+            "triangles": batch["triangles"].cast(pa.int64())})
+
+    _, per_vertex = triangle_counts(_hash_graph_edges(sf_dir))
+    both = degrees.union(
+        per_vertex.map_batches(tag_tri, batch_format="pyarrow"))
+    merged = both.groupby("vertex").aggregate(
+        Sum("degree", alias_name="degree"),
+        Sum("triangles", alias_name="triangles"))
+
+    def cc(batch: pa.Table) -> pa.Table:
+        deg = np.asarray(batch["degree"], dtype=np.int64)
+        tri = np.asarray(batch["triangles"], dtype=np.int64)
+        den = deg * (deg - 1)
+        val = np.where(deg >= 2,
+                       (2 * tri).astype(np.float64)
+                       / np.maximum(den, 1).astype(np.float64), 0.0)
+        return pa.table({"vertex": batch["vertex"],
+                         "degree": pa.array(deg),
+                         "triangles": pa.array(tri),
+                         "clustering": pa.array(val)})
+
+    return merged.map_batches(cc, batch_format="pyarrow")
+
+
+QUERIES["clustering_coeff_hashgraph"] = clustering_coeff_hashgraph
+ORACLE_SQL["clustering_coeff_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT v, count(*) AS degree FROM verts GROUP BY v),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+        SELECT v, count(*) AS t FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY v
+    )
+    SELECT d.v AS vertex, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(tv.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * coalesce(tv.t, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN tv ON tv.v = d.v
+"""
+
+
 def user_funnel_events(sf_dir: str):
     """signup -> click -> purchase funnel per user
     (stages.windows.funnel): each step matches the earliest event

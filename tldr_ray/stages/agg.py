@@ -179,6 +179,52 @@ def pivot_table(ds, key_col: str, pivot_col: str,
     )
 
 
+def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
+                     all_token: str = "ALL"):
+    """ROLLUP in one pass: counts (and integer cents sums of
+    ``value_col``) at every key-prefix level — (), (k1), (k1,k2), ... —
+    with rolled-up columns holding ``all_token``. Each batch emits one
+    partial row per distinct combo per level (len(keys)+1 tiny
+    pre-aggregated frames), then a single ``groupby(keys)`` shuffle
+    finishes — never a second pass over the data, never O(rows) moving.
+    Keys are stringified so the sentinel is type-safe; money is
+    floor(x*100+0.5) cents (hash-stable, association-free)."""
+    from ray.data.aggregate import Sum
+
+    aggs = ["n"] + (["cents"] if value_col else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].astype(str).copy()
+        b["n"] = np.int64(1)
+        if value_col:
+            b["cents"] = np.floor(
+                batch[value_col].to_numpy(np.float64) * 100.0
+                + 0.5).astype(np.int64)
+        frames = []
+        for lvl in range(len(keys) + 1):
+            if lvl == 0:
+                row = {k: [all_token] for k in keys}
+                row["n"] = [np.int64(len(b))]
+                if value_col:
+                    row["cents"] = [b["cents"].sum()]
+                frames.append(pd.DataFrame(row))
+                continue
+            g = b.groupby(keys[:lvl], sort=False)[aggs].sum() \
+                 .reset_index()
+            for k in keys[lvl:]:
+                g[k] = all_token
+            frames.append(g[keys + aggs])
+        return pd.concat(frames, ignore_index=True)
+
+    cols = keys + ([value_col] if value_col else [])
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*[Sum(a, alias_name=a) for a in aggs])
+    )
+
+
 def kmv_distinct_estimate(sample: pd.DataFrame, k: int) -> float:
     """KMV cardinality estimate from a full bottom-k sample: if fewer
     than k keys exist the sample IS the distinct set (exact); else
