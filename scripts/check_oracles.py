@@ -15,6 +15,9 @@ names = sys.argv[1:] or [
     "docs_by_lang", "events_by_type", "events_hourly", "events_sessionize",
     "top_users_by_value", "tpch_q1", "revenue_by_nation",
 ]
+if names == ["--all"]:
+    import __ray_entry__ as _e
+    names = sorted(_e.oracle_sql())
 
 ray.init(address="local", num_cpus=8, include_dashboard=False,
          ignore_reinit_error=True)

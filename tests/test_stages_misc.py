@@ -582,6 +582,32 @@ class TestSketches:
             pivot_table(rd.from_arrow(t), "k", "p",
                         max_pivot_values=1).materialize()
 
+    def test_stratified_sample_rates_and_determinism(self):
+        """Observed keep-rates track the target per stratum; the
+        sample is identical across partitionings; rate 1.0 keeps all,
+        unknown strata default to drop."""
+        import ray.data as rd
+        from tldr_ray.stages.agg import stratified_sample
+
+        n = 8000
+        t = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+        })
+        rates = {"a": 0.25, "b": 1.0}
+        out1 = (stratified_sample(rd.from_arrow(t), "s", "id", rates)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+        out2 = (stratified_sample(rd.from_arrow(t).repartition(7),
+                                  "s", "id", rates)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out1, out2)
+        na = (out1["s"] == "a").sum()
+        assert (out1["s"] == "b").sum() == n // 2          # rate 1.0
+        assert abs(na / (n // 2) - 0.25) < 0.03            # ~4 sigma
+        none = stratified_sample(rd.from_arrow(t), "s", "id",
+                                 {"zzz": 1.0}).to_pandas()
+        assert len(none) == 0                              # default 0.0
+
     def test_rollup_levels_consistent(self):
         """Level sums must telescope: total == sum of level-1 rows ==
         sum of level-2 rows; partitioning-invariant."""

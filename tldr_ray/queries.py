@@ -2065,6 +2065,43 @@ ORACLE_SQL["tfidf_top_terms_docs"] = """
 """
 
 
+_STRATA_RATES = {"purchase": 1.0, "signup": 1.0, "error": 0.5,
+                 "click": 0.25, "view": 0.125}
+
+
+def stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sample of events: keep rate per
+    event_type via splitmix64(fnv1a(str(event_id))) thresholding
+    (stages.agg.stratified_sample — zero shuffle, reproducible).
+    Thresholds are exact integers embedded identically in the SQL
+    mirror."""
+    from tldr_ray.stages.agg import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        "event_type", "event_id", _STRATA_RATES)
+
+
+def _stratified_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({min(int(r * 2.0 ** 64), 1 << 64)} "
+        f"AS HUGEINT)"
+        for s, r in sorted(_STRATA_RATES.items()))
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(event_id AS VARCHAR) AS s FROM events")},
+    {_sql_splitmix_ctes("hh", carry="s, ")}
+    SELECT e.event_id, e.event_type
+    FROM events e JOIN m3 ON m3.s = CAST(e.event_id AS VARCHAR)
+    WHERE m3.h < CASE e.event_type {cases}
+                 ELSE CAST(0 AS HUGEINT) END
+"""
+
+
+QUERIES["stratified_sample_events"] = stratified_sample_events
+ORACLE_SQL["stratified_sample_events"] = _stratified_oracle_sql()
+
+
 def events_user_running(sf_dir: str):
     """Per-user ordered analytics over the event log — SQL window
     functions (row_number / lag / running sum / time delta) as ONE

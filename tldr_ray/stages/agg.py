@@ -225,6 +225,41 @@ def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
     )
 
 
+def stratified_sample(ds, strata_col: str, key_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0):
+    """Deterministic stratified sampling: a row survives iff
+    splitmix64(fnv1a(str(key))) < floor(rate(stratum) * 2^64) — the
+    unsigned hash is uniform on [0, 2^64), so each stratum keeps
+    ~rate of its rows, exactly reproducibly (same keys in = same
+    sample out, independent of partitioning; embarrassingly parallel,
+    zero shuffle). Thresholds are computed ONCE in integer space so
+    the SQL mirror can embed the identical literals."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    thr = {s: min(int(r * 2.0 ** 64), 1 << 64)
+           for s, r in rates.items()}
+    dthr = min(int(default_rate * 2.0 ** 64), 1 << 64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if not (pa.types.is_string(k.type)
+                or pa.types.is_large_string(k.type)):
+            k = pc.cast(k, pa.string())
+        h = _mix64(fnv1a_batch(k))
+        codes, uniq = pd.factorize(np.asarray(batch[strata_col]))
+        tlist = [thr.get(s, dthr) for s in uniq]
+        # exact unsigned compare: thresholds < 2^64 fit uint64; a
+        # rate >= 1.0 (threshold 2^64) keeps everything
+        keep_all = np.array([t >= (1 << 64) for t in tlist], dtype=bool)
+        tu = np.array([min(t, (1 << 64) - 1) for t in tlist],
+                      dtype=np.uint64)
+        m = (h < tu[codes]) | keep_all[codes]
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def kmv_distinct_estimate(sample: pd.DataFrame, k: int) -> float:
     """KMV cardinality estimate from a full bottom-k sample: if fewer
     than k keys exist the sample IS the distinct set (exact); else
