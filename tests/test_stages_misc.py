@@ -517,6 +517,35 @@ class TestSketches:
         out = approx_distinct(ds, "v", b=10)
         assert round(out["estimate"]) == 3
 
+    def test_grouped_hll_estimates_and_merge(self):
+        """Per-group register tables are partition-invariant and the
+        estimates track exact per-group distinct counts."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import (grouped_hll_estimates,
+                                              grouped_hll_registers)
+
+        rng = np.random.default_rng(7)
+        n = 12000
+        t = pa.table({
+            "g": pa.array(np.where(np.arange(n) % 3 == 0, "x", "y")),
+            "v": pa.array(rng.integers(0, 900, n)),
+        })
+        a = grouped_hll_registers(rd.from_arrow(t), "g", "v",
+                                  b=8).to_pandas()
+        bb = grouped_hll_registers(rd.from_arrow(t).repartition(9),
+                                   "g", "v", b=8).to_pandas()
+        key = ["g", "bucket"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            bb.sort_values(key).reset_index(drop=True))
+        est = grouped_hll_estimates(a, "g", b=8).set_index("g")
+        df = pd.DataFrame({"g": np.asarray(t["g"]),
+                           "v": np.asarray(t["v"])})
+        for g, sub in df.groupby("g"):
+            true = sub["v"].nunique()
+            rel = abs(est.loc[g, "estimate"] - true) / true
+            assert rel < 4 * 1.04 / np.sqrt(256), (g, true, est.loc[g])
+
     def test_countmin_never_underestimates_and_merges(self):
         """CM point estimates >= true counts, partitioning-invariant
         registers (sum merge), and exact on values with no collisions'

@@ -1755,6 +1755,54 @@ QUERIES["hll_registers_events"] = hll_registers_events
 ORACLE_SQL["hll_registers_events"] = _hll_registers_oracle_sql()
 
 
+def hll_by_type_events(sf_dir: str, b: int = 6):
+    """Per-event_type HLL registers over user_id — grouped
+    distinct-count sketch (stages.sketches.grouped_hll_registers),
+    bit-exact SQL mirror via the shared FNV/splitmix CTEs."""
+    from tldr_ray.stages.sketches import grouped_hll_registers
+
+    return grouped_hll_registers(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", b)
+
+
+def _grouped_hll_oracle_sql(b: int = 6) -> str:
+    wbits = 64 - b
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    pairs AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s
+        FROM events
+    ),
+    br AS (
+        SELECT p.event_type,
+               CAST(m3.h // {1 << wbits} AS BIGINT) AS bucket,
+               CAST(m3.h % {1 << wbits} AS BIGINT) AS w
+        FROM pairs p JOIN m3 ON m3.s = p.s
+    ),
+    rk AS (
+        SELECT event_type, bucket,
+               CASE WHEN w = 0 THEN {wbits + 1}
+                    ELSE bit_count((w & (-w)) - 1) + 1 END AS rank
+        FROM br
+    ),
+    agg AS (SELECT event_type, bucket, max(rank) AS r
+            FROM rk GROUP BY event_type, bucket)
+    SELECT g.event_type, CAST(g.b AS INTEGER) AS bucket,
+           CAST(coalesce(a.r, 0) AS BIGINT) AS max_rank
+    FROM (SELECT t.event_type, b.b
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               (SELECT unnest(range(0, {1 << b})) AS b) b) g
+    LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.b
+"""
+
+
+QUERIES["hll_by_type_events"] = hll_by_type_events
+ORACLE_SQL["hll_by_type_events"] = _grouped_hll_oracle_sql()
+
+
 def bfs_hops_hashgraph(sf_dir: str):
     """Hop distance from vertex 0 over the symmetrized hash graph via
     the BSP min-plus frontier fixpoint (graph.bfs_hops — the CC message

@@ -119,6 +119,86 @@ def approx_distinct(ds, col: str, b: int = 10) -> dict:
     return hll_estimate(regs, b)
 
 
+def grouped_hll_registers(ds, key_col: str, col: str, b: int = 6):
+    """Per-group HLL register tables: (key, bucket int32, max_rank
+    int64), dense 2^b rows per OBSERVED group. The grouped
+    distinct-count shape ("distinct users per event type") at
+    petabyte scale: per-batch partials are O(groups x 2^b) cells, the
+    single groupby max-merge moves nothing O(rows). Same bit-exact
+    hash/bucket/rank math as ``hll_registers`` (SQL-mirrorable)."""
+    m = 1 << b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, kidx = np.unique(np.asarray(batch[key_col]),
+                               return_inverse=True)
+        values = batch[col]
+        if not (pa.types.is_string(values.type)
+                or pa.types.is_large_string(values.type)):
+            values = pc.cast(values, pa.string())
+        from tldr_ray.hashing import fnv1a_batch
+        from tldr_ray.stages.dedup import _mix64
+
+        h = _mix64(fnv1a_batch(values))
+        wbits = 64 - b
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & np.uint64((1 << wbits) - 1)
+        low = w & (~w + np.uint64(1))
+        rank = np.where(
+            w == 0, wbits + 1,
+            np.log2(np.maximum(low, np.uint64(1)).astype(np.float64))
+            .astype(np.int64) + 1)
+        reg = np.zeros(len(keys) * m, dtype=np.int64)
+        np.maximum.at(reg, kidx * m + bucket, rank)
+        nz = np.flatnonzero(reg)
+        return pa.table({key_col: pa.array(keys[nz // m]),
+                         "bucket": pa.array((nz % m).astype(np.int32)),
+                         "max_rank": pa.array(reg[nz])})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([key_col, "bucket"], sort=False)["max_rank"] \
+                 .max()
+        out = g.index.to_frame(index=False)
+        out["max_rank"] = g.to_numpy(np.int64)
+        out["bucket"] = out["bucket"].astype(np.int32)
+        return out
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        merged = combine(batch) if len(batch) else batch
+        groups = np.sort(merged[key_col].unique()) if len(merged) else []
+        gpos = {g: i for i, g in enumerate(groups)}
+        reg = np.zeros(len(groups) * m, dtype=np.int64)
+        if len(merged):
+            gi = merged[key_col].map(gpos).to_numpy(np.int64)
+            np.maximum.at(reg,
+                          gi * m + merged["bucket"].to_numpy(np.int64),
+                          merged["max_rank"].to_numpy(np.int64))
+        return pd.DataFrame({
+            key_col: np.repeat(np.asarray(groups, dtype=object), m),
+            "bucket": np.tile(np.arange(m, dtype=np.int32),
+                              len(groups)),
+            "max_rank": reg})
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=32768)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
+
+
+def grouped_hll_estimates(registers: pd.DataFrame, key_col: str,
+                          b: int = 6) -> pd.DataFrame:
+    """Per-group cardinality estimates from a dense grouped register
+    table (driver-side float math over O(groups*2^b) rows)."""
+    rows = []
+    for g, sub in registers.groupby(key_col, sort=True):
+        est = hll_estimate(sub, b)
+        rows.append({key_col: g, "estimate": est["estimate"],
+                     "empty_buckets": est["empty_buckets"]})
+    return pd.DataFrame(rows)
+
+
 # -- Count-Min sketch ---------------------------------------------------
 #
 # Same distributed shape as HLL but with + instead of max: a (d x w)
