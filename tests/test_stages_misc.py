@@ -611,6 +611,23 @@ class TestSketches:
             pivot_table(rd.from_arrow(t), "k", "p",
                         max_pivot_values=1).materialize()
 
+    def test_set_op_except_intersect(self):
+        import ray.data as rd
+        from tldr_ray.stages.joins import set_op
+
+        l = rd.from_arrow(pa.table(
+            {"k": pa.array([1, 2, 2, 3, 4], pa.int64())})).repartition(3)
+        r = rd.from_arrow(pa.table(
+            {"k": pa.array([2, 4, 5], pa.int64())})).repartition(2)
+        ex = sorted(set_op(l, r, ["k"], "except")
+                    .to_pandas()["k"].tolist())
+        it = sorted(set_op(l, r, ["k"], "intersect")
+                    .to_pandas()["k"].tolist())
+        assert ex == [1, 3]         # distinct, left-only
+        assert it == [2, 4]
+        with pytest.raises(ValueError):
+            set_op(l, r, ["k"], "union")
+
     def test_stratified_sample_rates_and_determinism(self):
         """Observed keep-rates track the target per stratum; the
         sample is identical across partitionings; rate 1.0 keeps all,

@@ -2113,6 +2113,49 @@ ORACLE_SQL["tfidf_top_terms_docs"] = """
 """
 
 
+def _orders_custkey_as_user(sf_dir: str):
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["o_custkey"]})
+
+    return _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        ren, batch_format="pyarrow")
+
+
+def order_customers_without_events(sf_dir: str):
+    """Distinct order customers who never generated an event —
+    distributed EXCEPT (stages.joins.set_op: per-batch distinct
+    combiner, one co-shuffle, pandas-merge resolve)."""
+    from tldr_ray.stages.joins import set_op
+
+    return set_op(_orders_custkey_as_user(sf_dir),
+                  _read(sf_dir, "events", ["user_id"]),
+                  ["user_id"], "except")
+
+
+def event_users_with_orders(sf_dir: str):
+    """Distinct event users who DID place an order — distributed
+    INTERSECT on the same machinery."""
+    from tldr_ray.stages.joins import set_op
+
+    return set_op(_read(sf_dir, "events", ["user_id"]),
+                  _orders_custkey_as_user(sf_dir),
+                  ["user_id"], "intersect")
+
+
+QUERIES["order_customers_without_events"] = order_customers_without_events
+ORACLE_SQL["order_customers_without_events"] = """
+    SELECT DISTINCT o_custkey AS user_id FROM orders
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+"""
+QUERIES["event_users_with_orders"] = event_users_with_orders
+ORACLE_SQL["event_users_with_orders"] = """
+    SELECT DISTINCT user_id FROM events
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+"""
+
+
 _STRATA_RATES = {"purchase": 1.0, "signup": 1.0, "error": 0.5,
                  "click": 0.25, "view": 0.125}
 

@@ -146,12 +146,15 @@ def pivot_table(ds, key_col: str, pivot_col: str,
     ncols = [f"n_{v}" for v in domain]
     ccols = [f"cents_{v}" for v in domain] if value_col else []
 
+    dom_set = pa.array([str(v) for v in domain], pa.string())
+
     def partial(batch: pa.Table) -> pa.Table:
         pv = batch[pivot_col]
         if not (pa.types.is_string(pv.type)
                 or pa.types.is_large_string(pv.type)):
             pv = pc.cast(pv, pa.string())
-        code = np.searchsorted(dom_arr, np.asarray(pv))
+        # Arrow hash lookup — no per-row Python string compares
+        code = np.asarray(pc.index_in(pv, value_set=dom_set))
         keys, kidx = np.unique(np.asarray(batch[key_col]),
                                return_inverse=True)
         D = len(dom_arr)

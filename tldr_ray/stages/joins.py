@@ -385,3 +385,51 @@ def range_join(left, right, on: str, left_ts: str, right_ts: str,
 
     return both.groupby("__bucket").map_groups(join_bucket,
                                                batch_format="pandas")
+
+
+def set_op(left, right, on: list[str], op: str = "except",
+           num_buckets: int = 64):
+    """Distributed multiset-free set operation on key tuples:
+    ``op='except'`` -> DISTINCT keys of ``left`` absent from ``right``;
+    ``op='intersect'`` -> DISTINCT keys present in both (SQL
+    EXCEPT / INTERSECT semantics). Both sides are projected to ``on``,
+    tagged, pre-deduped per batch (a combiner: at most one row per
+    distinct key per block enters the exchange) and co-shuffled by the
+    same coarse key hash; each partition task resolves membership with
+    one pandas merge — no driver materialization, no per-key work."""
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect': {op!r}")
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in on}
+            t = pa.table(cols)
+            # per-batch combiner: distinct keys only
+            df = t.to_pandas().drop_duplicates(on)
+            h = np.zeros(len(df), dtype=np.uint64)
+            for c in on:
+                h = h * np.uint64(0x100000001B3) \
+                    ^ _hash_any(pa.Array.from_pandas(df[c]))
+            out = pa.Table.from_pandas(df, preserve_index=False)
+            out = out.append_column(
+                "__part", pa.array((h % np.uint64(num_buckets))
+                                   .astype(np.int32)))
+            return out.append_column(
+                "__side", pa.array(np.full(len(df), side, np.int8)))
+        return fn
+
+    both = (left.select_columns(on)
+            .map_batches(project(0), batch_format="pyarrow")
+            .union(right.select_columns(on)
+                   .map_batches(project(1), batch_format="pyarrow")))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0].drop_duplicates(on)[on]
+        r = group[group["__side"] == 1].drop_duplicates(on)[on]
+        m = l.merge(r, on=on, how="left", indicator=True)
+        keep = (m["_merge"] == "left_only") if op == "except" \
+            else (m["_merge"] == "both")
+        return m.loc[keep, on].reset_index(drop=True)
+
+    return (both.groupby("__part")
+            .map_groups(resolve, batch_format="pandas"))

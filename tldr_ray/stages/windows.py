@@ -152,7 +152,10 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str,
         ts = g[ts_col].to_numpy()
         if np.issubdtype(ts.dtype, np.datetime64):
             ts = ts.astype("datetime64[us]").astype(np.int64)
-        typ = g[type_col].to_numpy()
+        # factorize once: step matching below is int-code compares,
+        # not per-row string equality
+        typ_codes, typ_uniq = pd.factorize(g[type_col].to_numpy())
+        step_code = {s: i for i, s in enumerate(typ_uniq)}
         n = len(g)
         new = np.empty(n, dtype=bool)
         if n:
@@ -164,7 +167,9 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str,
         out = {key_col: key[starts]}
         reached = np.zeros(nkeys, dtype=np.int64)
         for s in steps:
-            cand = np.where((typ == s) & (ts > cur[seg]), ts, _MAX)
+            sc = step_code.get(s, -1)
+            cand = np.where((typ_codes == sc) & (ts > cur[seg]), ts,
+                            _MAX)
             step_t = (np.minimum.reduceat(cand, starts)
                       if n else np.array([], np.int64))
             hit = step_t != _MAX
