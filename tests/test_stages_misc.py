@@ -611,6 +611,29 @@ class TestSketches:
             pivot_table(rd.from_arrow(t), "k", "p",
                         max_pivot_values=1).materialize()
 
+    def test_iqr_outliers_match_numpy(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import iqr_outliers
+
+        rng = np.random.default_rng(13)
+        k = rng.choice(["a", "b"], 3000)
+        v = rng.normal(50, 10, 3000).round(3)
+        v[:5] = 500.0                        # planted outliers
+        t = pa.table({"id": pa.array(np.arange(3000, dtype=np.int64)),
+                      "k": pa.array(k), "v": pa.array(v)})
+        out = (iqr_outliers(rd.from_arrow(t).repartition(5), "k", "v")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp_ids = []
+        for g in ["a", "b"]:
+            gv = np.sort(v[k == g])
+            n = gv.size
+            p25 = gv[max(int(np.ceil(0.25 * n)), 1) - 1]
+            p75 = gv[max(int(np.ceil(0.75 * n)), 1) - 1]
+            thr = p75 + 1.5 * (p75 - p25)
+            exp_ids += np.flatnonzero((k == g) & (v > thr)).tolist()
+        assert out["id"].tolist() == sorted(exp_ids)
+        assert set(range(5)) <= set(out["id"])   # planted ones caught
+
     def test_set_op_except_intersect(self):
         import ray.data as rd
         from tldr_ray.stages.joins import set_op

@@ -2278,6 +2278,31 @@ def events_value_quantiles(sf_dir: str):
                              "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def events_value_outliers(sf_dir: str):
+    """Tukey-fence outliers per event_type (stages.agg.iqr_outliers —
+    grouped discrete quantiles -> broadcast thresholds -> vectorized
+    filter). Pure IEEE predicate, hash-stable."""
+    from tldr_ray.stages.agg import iqr_outliers
+
+    return iqr_outliers(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value")
+
+
+QUERIES["events_value_outliers"] = events_value_outliers
+ORACLE_SQL["events_value_outliers"] = """
+    WITH q AS (
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.75) AS p75
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q ON q.event_type = e.event_type
+    WHERE e.value > q.p75 + 1.5 * (q.p75 - q.p25)
+"""
+
+
 QUERIES["events_value_quantiles"] = events_value_quantiles
 ORACLE_SQL["events_value_quantiles"] = """
     SELECT event_type,

@@ -228,6 +228,43 @@ def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
     )
 
 
+def iqr_outliers(ds, key: str, value: str, factor: float = 1.5,
+                 num_parts: int = 64):
+    """Per-group IQR outlier filter: rows with value strictly above
+    p75 + factor*(p75 - p25) of their group (Tukey fence, discrete
+    quantiles so the threshold is exact data elements — the whole
+    predicate is pure IEEE arithmetic, SQL-hash-stable).
+
+    The per-group threshold table is O(groups) — computed by the
+    grouped-quantile sweep, broadcast once via ``ray.put`` and probed
+    with a vectorized searchsorted per batch. Assumes the group count
+    fits comfortably in memory (categorical keys); for key spaces
+    that don't, route the thresholds through
+    ``stages.joins.bucketed_hash_join`` instead of broadcasting."""
+    import ray
+
+    q = grouped_quantiles(ds.select_columns([key, value]), key, value,
+                          qs=(0.25, 0.75),
+                          num_parts=num_parts).to_pandas()
+    keys = q[key].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    hi = (q["p75"].to_numpy(np.float64)
+          + factor * (q["p75"].to_numpy(np.float64)
+                      - q["p25"].to_numpy(np.float64)))
+    ref = ray.put((keys[order], hi[order]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ks, lim = ray.get(ref)
+        kv = np.asarray(batch[key])
+        v = np.asarray(batch[value], dtype=np.float64)
+        pos = np.searchsorted(ks, kv)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        thr = np.where(ks[pos] == kv, lim[pos], np.inf)
+        return batch.filter(pa.array(v > thr))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def stratified_sample(ds, strata_col: str, key_col: str,
                       rates: dict[str, float], default_rate: float = 0.0):
     """Deterministic stratified sampling: a row survives iff
