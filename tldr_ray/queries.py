@@ -2278,6 +2278,33 @@ def events_value_quantiles(sf_dir: str):
                              "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def user_top_event_type(sf_dir: str):
+    """Each user's most frequent event_type (stages.agg.grouped_mode,
+    count-desc value-asc tiebreak)."""
+    from tldr_ray.stages.agg import grouped_mode
+
+    return grouped_mode(_read(sf_dir, "events",
+                              ["user_id", "event_type"]),
+                        "user_id", "event_type")
+
+
+QUERIES["user_top_event_type"] = user_top_event_type
+ORACLE_SQL["user_top_event_type"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n DESC, event_type ASC) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+"""
+
+
 def events_value_outliers(sf_dir: str):
     """Tukey-fence outliers per event_type (stages.agg.iqr_outliers —
     grouped discrete quantiles -> broadcast thresholds -> vectorized

@@ -228,6 +228,60 @@ def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
     )
 
 
+def grouped_mode(ds, key: str, col: str, num_parts: int = 64):
+    """Most frequent ``col`` value per ``key`` (argmax with
+    deterministic count-desc, value-asc tiebreak): per-batch partial
+    (key, value, n) counts -> one groupby sum -> coarse per-key sweep
+    picks rank 1 by lexsort + segment arithmetic. Output
+    (key, mode_value, n). Moving data is O(distinct pairs), never
+    O(rows)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.hashing import part_key
+    from tldr_ray.graph.partition import vhash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key])
+        v = np.asarray(batch[col])
+        uk, ki = np.unique(k, return_inverse=True)
+        uv, vi = np.unique(v, return_inverse=True)
+        code = ki.astype(np.int64) * len(uv) + vi
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({key: pa.array(uk[uc // len(uv)]),
+                         col: pa.array(uv[uc % len(uv)]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_parts)).astype(np.int32)
+        else:
+            p = part_key(k, num_parts)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key].to_numpy()
+        v = group[col].to_numpy()
+        n = group["n"].to_numpy(np.int64)
+        order = np.lexsort((v, -n, k))
+        k, v, n = k[order], v[order], n[order]
+        first = np.empty(len(k), dtype=bool)
+        if len(k):
+            first[0], first[1:] = True, k[1:] != k[:-1]
+        return pd.DataFrame({key: k[first], "mode_value": v[first],
+                             "n": n[first]})
+
+    return (
+        ds.select_columns([key, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key, col]).aggregate(Sum("n", alias_name="n"))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def iqr_outliers(ds, key: str, value: str, factor: float = 1.5,
                  num_parts: int = 64):
     """Per-group IQR outlier filter: rows with value strictly above
