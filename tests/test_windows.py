@@ -74,7 +74,8 @@ class TestWindows:
         })
         ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
         out = (row_window(ds, "uid", ["t"], lag_cols=("amt",),
-                          cumsum_cols=("amt",), delta_col="t")
+                          cumsum_cols=("amt",),
+                          rolling_sums=(("amt", 2),), delta_col="t")
                .to_pandas().sort_values(["uid", "t"])
                .reset_index(drop=True))
         exp = df.sort_values(["uid", "t"]).reset_index(drop=True)
@@ -82,8 +83,12 @@ class TestWindows:
         exp["rn"] = g.cumcount() + 1
         exp["lag_amt"] = g["amt"].shift(1).fillna(-1).astype(np.int64)
         exp["cum_amt"] = g["amt"].cumsum()
+        exp["roll2_amt"] = (g["amt"]
+                            .rolling(3, min_periods=1).sum()
+                            .reset_index(level=0, drop=True)
+                            .astype(np.int64))
         exp["delta_t"] = g["t"].diff().fillna(-1).astype(np.int64)
-        for c in ["rn", "lag_amt", "cum_amt", "delta_t"]:
+        for c in ["rn", "lag_amt", "cum_amt", "roll2_amt", "delta_t"]:
             assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
 
     def test_row_window_rejects_float_cumsum(self):

@@ -2217,6 +2217,7 @@ def events_user_running(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"),
         "user_id", ["ts_us", "event_id"],
         lag_cols=("event_id",), cumsum_cols=("value_cents",),
+        rolling_sums=(("value_cents", 2),),
         delta_col="ts_us")
 
 
@@ -2234,6 +2235,10 @@ ORACLE_SQL["events_user_running"] = """
                PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_value_cents,
+           CAST(sum(value_cents) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS roll2_value_cents,
            coalesce(ts_us - lag(ts_us) OVER w, -1) AS delta_ts_us
     FROM base
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)

@@ -190,6 +190,7 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str,
 def row_window(ds, key_col: str, order_cols: list[str],
                lag_cols: tuple[str, ...] = (),
                cumsum_cols: tuple[str, ...] = (),
+               rolling_sums: tuple[tuple[str, int], ...] = (),
                delta_col: str | None = None,
                num_partitions: int = 64):
     """Per-key ordered analytic functions (SQL ``OVER (PARTITION BY key
@@ -199,7 +200,9 @@ def row_window(ds, key_col: str, order_cols: list[str],
     flags + index arithmetic — no per-key invocations, no row loop.
 
     Emits (key, *order_cols, rn int64 1-based, lag_<c> per lag col,
-    cum_<c> per cumsum col, delta_<delta_col>). Null-free by design:
+    cum_<c> per cumsum col, roll<k>_<c> per (c, k) rolling-sum spec
+    (SQL ``ROWS BETWEEN k PRECEDING AND CURRENT ROW``),
+    delta_<delta_col>). Null-free by design:
     first-in-partition lag/delta values are -1 so every output column
     stays integer-typed and DuckDB-hash-stable (``coalesce(lag(x)
     OVER w, -1)`` on the oracle side). ``cumsum_cols`` must be integer
@@ -216,6 +219,7 @@ def row_window(ds, key_col: str, order_cols: list[str],
 
     need = [key_col, *order_cols,
             *dict.fromkeys([*lag_cols, *cumsum_cols,
+                            *(c for c, _ in rolling_sums),
                             *( [delta_col] if delta_col else [] )])]
     need = list(dict.fromkeys(need))
 
@@ -258,6 +262,20 @@ def row_window(ds, key_col: str, order_cols: list[str],
             cum = np.cumsum(v)
             base = np.where(starts > 0, cum[starts - 1], 0)
             out[f"cum_{c}"] = cum - base[seg]
+        for c, kk in rolling_sums:
+            v = g[c].to_numpy()
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"rolling col {c!r} must be integer (got {v.dtype})")
+            cum = np.cumsum(v)
+            seg_base = np.where(starts > 0, cum[starts - 1], 0)
+            pos = np.arange(n, dtype=np.int64) - starts[seg]
+            prev_idx = np.maximum(np.arange(n, dtype=np.int64)
+                                  - (kk + 1), 0)
+            # window fully inside the segment once pos >= kk+1
+            base = np.where(pos >= kk + 1, cum[prev_idx],
+                            seg_base[seg])
+            out[f"roll{kk}_{c}"] = cum - base
         if delta_col is not None:
             v = g[delta_col].to_numpy()
             if np.issubdtype(v.dtype, np.datetime64):
