@@ -2113,6 +2113,76 @@ ORACLE_SQL["tfidf_top_terms_docs"] = """
 """
 
 
+def customer_order_event_left_join(sf_dir: str):
+    """Per-customer order rollup LEFT-joined to event activity
+    (bucketed_hash_join how='left'): customers with zero events keep
+    their rows, n_events = -1 sentinel (both engines coalesce the
+    same way, so the all-integer frame stays hash-stable)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        u, idx = np.unique(np.asarray(batch["o_custkey"],
+                                      dtype=np.int64),
+                           return_inverse=True)
+        cents = np.floor(np.asarray(batch["o_totalprice"],
+                                    dtype=np.float64) * 100.0
+                         + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "n_orders": pa.array(np.bincount(idx).astype(np.int64)),
+            "order_cents": pa.array(
+                np.bincount(idx, weights=cents).astype(np.int64))})
+
+    def e_partial(batch: pa.Table) -> pa.Table:
+        u, cnt = np.unique(np.asarray(batch["user_id"],
+                                      dtype=np.int64),
+                           return_counts=True)
+        return pa.table({"user_id": pa.array(u),
+                         "n_events": pa.array(cnt.astype(np.int64))})
+
+    o = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+         .map_batches(o_partial, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("n_orders", alias_name="n_orders"),
+                    Sum("order_cents", alias_name="order_cents")))
+    e = (_read(sf_dir, "events", ["user_id"])
+         .map_batches(e_partial, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("n_events", alias_name="n_events")))
+
+    j = bucketed_hash_join(o, e, on="user_id", how="left")
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_events"] = batch["n_events"].fillna(-1).astype(np.int64)
+        for c in ("user_id", "n_orders", "order_cents"):
+            batch[c] = batch[c].astype(np.int64)
+        return batch
+
+    return j.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["customer_order_event_left_join"] = customer_order_event_left_join
+ORACLE_SQL["customer_order_event_left_join"] = """
+    WITH o AS (
+        SELECT o_custkey AS user_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS order_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT o.user_id, o.n_orders, o.order_cents,
+           CAST(coalesce(e.n_events, -1) AS BIGINT) AS n_events
+    FROM o LEFT JOIN e ON e.user_id = o.user_id
+"""
+
+
 def _orders_custkey_as_user(sf_dir: str):
     def ren(batch: pa.Table) -> pa.Table:
         return pa.table({"user_id": batch["o_custkey"]})
