@@ -1241,6 +1241,50 @@ ORACLE_SQL["degree_distribution_hashgraph"] = f"""
     FROM deg GROUP BY degree
 """
 
+def label_propagation_hashgraph(sf_dir: str):
+    """Synchronous weighted LPA over the symmetrized hash graph
+    (graph.label_propagation, smallest-label ties, 10 rounds). The
+    vote weights are exact 1.0 sums (= counts), every update is an
+    argmax with a total-order tiebreak, and symmetrize keeps edge
+    multiplicity — so the whole trajectory is deterministic and the
+    SQL mirror unrolls exactly the same 10 rounds (early convergence
+    is a fixpoint, so extra unrolled rounds are no-ops)."""
+    from tldr_ray.graph import label_propagation
+
+    ids, labels, _ = label_propagation(_hash_graph_edges(sf_dir),
+                                       num_partitions=4, max_rounds=10)
+    return pa.table({"vertex": pa.array(ids),
+                     "label": pa.array(labels)})
+
+
+def _lpa_oracle_sql(rounds: int = 10) -> str:
+    body = [f"WITH {_HASHGRAPH_RAW},",
+            "sym AS MATERIALIZED (SELECT s, t FROM raw2 "
+            "UNION ALL SELECT t, s FROM raw2),",
+            "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym),",
+            "l0 AS MATERIALIZED (SELECT v, v AS label FROM verts),"]
+    for i in range(1, rounds + 1):
+        body.append(f"""v{i} AS MATERIALIZED (
+        SELECT e.t AS v, l.label, count(*) AS w
+        FROM sym e JOIN l{i - 1} l ON l.v = e.s
+        GROUP BY e.t, l.label),
+    l{i} AS MATERIALIZED (
+        SELECT v, label FROM (
+            SELECT v, label, row_number() OVER (
+                PARTITION BY v ORDER BY w DESC, label ASC) AS rn
+            FROM v{i}) WHERE rn = 1),""")
+    body.append(f"SELECT l.v AS vertex, CAST(l.label AS BIGINT) AS label "
+                f"FROM l{rounds} l")
+    sql = "\n    ".join(body)
+    # drop the trailing comma before the final SELECT
+    last_comma = sql.rfind("),")
+    return sql[:last_comma + 1] + sql[last_comma + 2:]
+
+
+QUERIES["label_propagation_hashgraph"] = label_propagation_hashgraph
+ORACLE_SQL["label_propagation_hashgraph"] = _lpa_oracle_sql()
+
+
 ORACLE_SQL["centrality_hashgraph"] = f"""
     WITH {_HASHGRAPH_RAW},
     sym AS (SELECT s, t FROM raw2 UNION ALL SELECT t, s FROM raw2),
