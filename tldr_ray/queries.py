@@ -2397,6 +2397,46 @@ def events_value_quantiles(sf_dir: str):
                              "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def distinct_users_by_type(sf_dir: str):
+    """EXACT distinct users per event_type — two-level groupby (pair
+    distinct, then count), the exact counterpart of the
+    `hll_by_type_events` sketch. Per-batch pair dedup is the combiner;
+    the shuffle moves distinct pairs, never rows."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["event_type"])
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        tu, ti = np.unique(t, return_inverse=True)
+        code = ti.astype(np.int64) * (u.max() + 1 if u.size else 1) + u
+        _, first = np.unique(code, return_index=True)
+        return pa.table({"event_type": pa.array(t[first]),
+                         "user_id": pa.array(u[first])})
+
+    pairs = (_read(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).count()
+             .select_columns(["event_type", "user_id"]))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t, cnt = np.unique(np.asarray(batch["event_type"]),
+                           return_counts=True)
+        return pa.table({"event_type": pa.array(t),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (pairs.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+QUERIES["distinct_users_by_type"] = distinct_users_by_type
+ORACLE_SQL["distinct_users_by_type"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
 def user_top_event_type(sf_dir: str):
     """Each user's most frequent event_type (stages.agg.grouped_mode,
     count-desc value-asc tiebreak)."""
