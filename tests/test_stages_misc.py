@@ -788,3 +788,41 @@ class TestSketches:
             g = vals[keys == row["k"]]
             for q, col in ((0.5, "p50"), (0.9, "p90")):
                 assert abs(row[col] - np.quantile(g, q)) <= width, row
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeans:
+    def test_kmeans_recovers_planted_clusters(self):
+        """Three well-separated planted directions: k-means must put
+        each planted group in one cluster; same-layout rerun is
+        bitwise-identical; intra-cluster cosine beats the global
+        mean."""
+        import ray.data as rd
+        from tldr_ray.stages.ann import kmeans
+
+        rng = np.random.default_rng(3)
+        base = np.eye(3, 16, dtype=np.float32) * 10
+        vecs, labels = [], []
+        for g in range(3):
+            vecs.append(base[g] + rng.normal(0, 0.3, (40, 16)))
+            labels += [g] * 40
+        mat = np.concatenate(vecs).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(120, dtype=np.int64)),
+                      "embedding": pa.array(list(mat))})
+        ds = rd.from_arrow(t)
+        cent, assign = kmeans(ds, k=3, iters=4, sample_size=120)
+        out = assign.to_pandas().sort_values("vec_id")
+        got = out["centroid"].to_numpy()
+        # each planted group maps to exactly one cluster id
+        for g in range(3):
+            ids = got[np.asarray(labels) == g]
+            assert (ids == ids[0]).all(), g
+        assert len(set(got[::40])) == 3          # groups distinct
+        # same layout -> identical result
+        cent2, assign2 = kmeans(ds, k=3, iters=4, sample_size=120)
+        assert np.array_equal(cent, cent2)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True),
+            assign2.to_pandas().sort_values("vec_id")
+            .reset_index(drop=True))
+        assert (out["cosine"] > 0.9).all()       # tight planted clusters

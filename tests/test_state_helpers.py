@@ -1,6 +1,7 @@
 """Unit tests for state helpers and the classic Go sort emulation."""
 
 import numpy as np
+import pytest
 
 from tldr_ray.kernel.go_sort import go_sort, go_sort_classic
 from tldr_ray.state import (write_manifest, read_manifest, latest_checkpoint,
@@ -42,3 +43,39 @@ class TestStateHelpers:
         p2 = tmp_path / "b.parquet"
         p2.write_bytes(b"yyyyyy")
         assert fingerprint_input([str(p1), str(p2)]) != f1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTabularSources:
+    def test_three_formats_identical(self, tmp_path):
+        """parquet / CSV / JSONL of the same logical table produce
+        identical projected Datasets through read_table."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from tldr_ray.sources import read_table
+
+        src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+        pq.write_table(src, str(tmp_path / "t.parquet"))
+        src.to_pandas().to_csv(tmp_path / "t.csv", index=False)
+        src.to_pandas().to_json(tmp_path / "t.json", orient="records",
+                                lines=True)
+        want = (src.select(["event_id", "value"]).to_pandas()
+                .sort_values("event_id").reset_index(drop=True))
+        for fmt, name in [("parquet", "t.parquet"), ("csv", "t.csv"),
+                          ("json", "t.json")]:
+            got = (read_table(str(tmp_path / name), fmt,
+                              columns=["event_id", "value"])
+                   .to_pandas().sort_values("event_id")
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got.astype({"event_id": "int64", "value": "float64"}),
+                want, check_dtype=True), fmt
+
+    def test_rejects_unknown_format(self):
+        from tldr_ray.sources import read_table
+
+        with pytest.raises(ValueError):
+            read_table("/tmp/x", "xml")

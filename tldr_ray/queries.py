@@ -857,6 +857,20 @@ def ngram_jaccard_docs(sf_dir: str):
                                threshold=0.6)
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (stages.ann.kmeans — broadcast centroids, O(k*dim) partials per
+    block, driver reduce). Rows-only by nature (distributed float
+    means are ulp-sensitive to block order); pytest pins same-layout
+    determinism and clustering quality."""
+    from tldr_ray.stages.ann import kmeans
+
+    _, assign = kmeans(_read(sf_dir, "embeddings",
+                             ["vec_id", "embedding"]),
+                       k=8, iters=4)
+    return assign
+
+
 def embedding_dup_pairs(sf_dir: str):
     from tldr_ray.stages.dedup import embedding_cosine_pairs
 
@@ -1022,6 +1036,7 @@ QUERIES = {
     "simhash_dedup_docs": simhash_dedup_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "kmeans_embeddings": kmeans_embeddings,
     "knn_lsh_top10": knn_lsh_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "language_id_docs": language_id_docs,

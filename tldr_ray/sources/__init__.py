@@ -1,3 +1,4 @@
+from tldr_ray.sources.tabular import read_table
 from tldr_ray.sources.transcripts import (
     synth_conversation,
     synth_transcripts_table,
@@ -8,6 +9,7 @@ from tldr_ray.sources.transcripts import (
 )
 
 __all__ = [
+    "read_table",
     "synth_conversation",
     "synth_transcripts_table",
     "transcripts_dataset",

@@ -317,3 +317,76 @@ def knn_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         ds.select_columns([id_col, emb_col])
         .map_batches(IVFScore, batch_format="pyarrow",
                      concurrency=_pool_size(concurrency)), k)
+
+
+def kmeans(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+           k: int = 8, iters: int = 5, sample_size: int = 4096,
+           seed: int = 47, concurrency: int | None = None):
+    """Distributed spherical k-means (Lloyd): centroids broadcast via
+    ``ray.put`` each round, every block folds its vectors into k
+    partial (count, sum-vector) rows — O(k*dim) leaves a task, never
+    O(rows) — and the driver reduces the tiny partial table and
+    renormalizes. Init is the bounded deterministic hash-sample used
+    by the IVF quantizer. Returns ``(centroids (k, dim) float32,
+    assignments Dataset (id_col, centroid int64, cosine float64))``.
+
+    Determinism: fixed for a given (corpus, partitioning, seed);
+    partial-sum ORDER varies across partitionings, so cross-layout
+    runs can differ in float ulps (documented, like every distributed
+    mean) — tests pin same-layout reproducibility and clustering
+    quality, not cross-layout bit-equality."""
+    import ray
+
+    cent = _train_ivf_centroids(ds, id_col, emb_col, k, sample_size,
+                                lloyd_iters=1, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = _unit(_as_matrix(batch[emb_col]))
+            assign = (mat @ c.T).argmax(axis=1)
+            dim = mat.shape[1]
+            sums = np.zeros((c.shape[0], dim), dtype=np.float64)
+            np.add.at(sums, assign, mat.astype(np.float64))
+            cnt = np.bincount(assign, minlength=c.shape[0])
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cid": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+                "vec": pa.array(list(sums[nz])),
+            })
+
+        part = (ds.select_columns([id_col, emb_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .to_pandas())
+        new = cent.astype(np.float64).copy()
+        for cid, sub in part.groupby("cid"):
+            v = np.sum(np.stack(sub["vec"].to_list()), axis=0)
+            n = sub["n"].sum()
+            if n:
+                new[int(cid)] = v / n
+        cent = _unit(new.astype(np.float32))
+
+    cref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(batch[emb_col]))
+            cos = mat @ self.c.T
+            a = cos.argmax(axis=1)
+            return pa.table({
+                id_col: batch[id_col],
+                "centroid": pa.array(a.astype(np.int64)),
+                "cosine": pa.array(
+                    cos[np.arange(len(a)), a].astype(np.float64)),
+            })
+
+    out = ds.select_columns([id_col, emb_col]).map_batches(
+        Assign, batch_format="pyarrow",
+        concurrency=_pool_size(concurrency))
+    return cent, out
