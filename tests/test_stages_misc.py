@@ -826,3 +826,38 @@ class TestKmeans:
             assign2.to_pandas().sort_values("vec_id")
             .reset_index(drop=True))
         assert (out["cosine"] > 0.9).all()       # tight planted clusters
+
+
+class TestPnmDecoders:
+    def test_pgm_roundtrip(self):
+        from tldr_ray.stages.multimodal import builtin_decoder, decode_pgm
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+        payload = b"P5\n# c\n7 9\n255\n" + img.tobytes()
+        assert np.array_equal(decode_pgm(payload), img)
+        feat = builtin_decoder(payload, "image/x-portable-graymap")
+        assert feat.shape == (64,) and feat[0] == 9 and feat[1] == 7
+
+    def test_pbm_bits_and_padding(self):
+        from tldr_ray.stages.multimodal import builtin_decoder, decode_pbm
+
+        # 10x2: rows pack to 2 bytes each (6 pad bits ignored)
+        bits = np.zeros((2, 10), dtype=np.uint8)
+        bits[0, 0] = bits[1, 9] = 1
+        packed = np.packbits(
+            np.pad(bits, ((0, 0), (0, 6))), axis=1).tobytes()
+        payload = b"P4\n10 2\n" + packed
+        img = decode_pbm(payload)
+        assert img.shape == (2, 10)
+        assert img[0, 0] == 0 and img[1, 9] == 0      # set bit = black
+        assert img[0, 1] == 255
+        feat = builtin_decoder(payload, "image/x-portable-bitmap")
+        assert feat.shape == (64,)
+
+    def test_wrong_magic_raises(self):
+        import pytest as _pytest
+        from tldr_ray.stages.multimodal import decode_pgm
+
+        with _pytest.raises(NotImplementedError):
+            decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")

@@ -139,13 +139,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval 255) -> (H, W, 3) uint8."""
-    if not payload.startswith(b"P6"):
-        raise NotImplementedError("only binary PPM (P6) is supported")
-    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
-    pos, fields = 2, []
-    while len(fields) < 3:
+def _parse_pnm_header(payload: bytes, magic: bytes,
+                      nfields: int) -> tuple[list[int], int]:
+    """Shared binary-PNM header scan: ``magic <ws> field...<single ws>
+    data``; '#' comment lines skipped. Returns (fields, data_offset)."""
+    if not payload.startswith(magic):
+        raise NotImplementedError(
+            f"expected {magic.decode()} PNM payload")
+    pos, fields = len(magic), []
+    while len(fields) < nfields:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":          # comment line
@@ -155,13 +157,37 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1                                        # single whitespace
-    w, h, maxval = fields
+    return fields, pos + 1                          # single whitespace
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (H, W, 3) uint8."""
+    (w, h, maxval), pos = _parse_pnm_header(payload, b"P6", 3)
     if maxval != 255:
         raise NotImplementedError("PPM maxval != 255")
     data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
                          offset=pos)
     return data.reshape(h, w, 3)
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5, maxval 255) -> (H, W) uint8 grayscale."""
+    (w, h, maxval), pos = _parse_pnm_header(payload, b"P5", 3)
+    if maxval != 255:
+        raise NotImplementedError("PGM maxval != 255")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w,
+                         offset=pos).reshape(h, w)
+
+
+def decode_pbm(payload: bytes) -> np.ndarray:
+    """Binary PBM (P4) -> (H, W) uint8 in {0, 255} (1 bit = black ->
+    0; rows packed MSB-first, padded to whole bytes)."""
+    (w, h), pos = _parse_pnm_header(payload, b"P4", 2)
+    stride = (w + 7) // 8
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=pos).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :w]
+    return np.where(bits == 1, 0, 255).astype(np.uint8)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -229,6 +255,12 @@ def builtin_decoder(payload: bytes, mime: str, dim: int = 64) -> np.ndarray:
         return _audio_features(payload, dim)
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(payload), dim)
+    if mime == "image/x-portable-graymap":
+        g = decode_pgm(payload)
+        return _image_features(np.repeat(g[..., None], 3, axis=2), dim)
+    if mime == "image/x-portable-bitmap":
+        g = decode_pbm(payload)
+        return _image_features(np.repeat(g[..., None], 3, axis=2), dim)
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return _image_features(decode_bmp(payload), dim)
     raise NotImplementedError(
