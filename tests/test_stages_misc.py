@@ -861,3 +861,30 @@ class TestPnmDecoders:
 
         with _pytest.raises(NotImplementedError):
             decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedSum:
+    def test_salted_equals_plain_on_skew(self):
+        """90%-hot-key dataset: the salted two-phase totals must equal
+        a direct pandas groupby, with either salt source."""
+        import ray.data as rd
+        from tldr_ray.stages.agg import salted_group_sum
+
+        rng = np.random.default_rng(19)
+        n = 5000
+        keys = np.where(rng.uniform(size=n) < 0.9, "hot", "cold")
+        t = pa.table({
+            "k": pa.array(keys),
+            "sid": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        })
+        want = (pd.DataFrame({"k": keys, "x": np.asarray(t["x"])})
+                .groupby("k")["x"].sum())
+        for salt_col in (None, "sid"):
+            out = (salted_group_sum(rd.from_arrow(t).repartition(6),
+                                    "k", ["x"], salt_buckets=8,
+                                    salt_col=salt_col)
+                   .to_pandas().set_index("k")["x"])
+            assert out["hot"] == want["hot"], salt_col
+            assert out["cold"] == want["cold"], salt_col

@@ -2412,6 +2412,38 @@ def events_value_quantiles(sf_dir: str):
                              "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def salted_value_by_type(sf_dir: str):
+    """Per-event_type cents totals through the skew-salted two-phase
+    groupby (stages.agg.salted_group_sum, salt on event_id) — the hot
+    'click' key spreads across 16 reducers in phase 1. Integer sums,
+    so the result is identical to the plain groupby and hash-stable."""
+    from tldr_ray.stages.agg import salted_group_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.floor(np.asarray(batch["value"], dtype=np.float64)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "cents": pa.array(v),
+                         "n": pa.array(np.ones(len(batch), np.int64))})
+
+    return salted_group_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                            "event_type", ["cents", "n"],
+                            salt_buckets=16, salt_col="event_id")
+
+
+QUERIES["salted_value_by_type"] = salted_value_by_type
+ORACLE_SQL["salted_value_by_type"] = """
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+"""
+
+
 def distinct_users_by_type(sf_dir: str):
     """EXACT distinct users per event_type — two-level groupby (pair
     distinct, then count), the exact counterpart of the

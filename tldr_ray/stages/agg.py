@@ -228,6 +228,47 @@ def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
     )
 
 
+def salted_group_sum(ds, key: str, int_cols: list[str],
+                     salt_buckets: int = 16, salt_col: str | None = None):
+    """Skew-resilient integer group-sum: phase 1 groups on
+    (key, salt) so a hot key's rows spread over ``salt_buckets``
+    reducers, phase 2 collapses the ≤ buckets partials per key.
+
+    When to use: a per-batch map-side combiner (the repo default —
+    see `pivot_table`, `word_frequency`) already collapses hot keys to
+    one row per block and beats salting; reach for salting when the
+    combiner can't run (rows arrive pre-reduced per (key, subkey), or
+    the aggregate state is too wide to materialize per batch) and one
+    key dominates the shuffle. ``salt_col`` picks the spreading hash
+    input (defaults to a per-batch row index — uniform but
+    non-deterministic across layouts; pass a stable column for
+    reproducible partials; the FINAL sums are identical either way —
+    integer addition is associative)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    def salt(batch: pa.Table) -> pa.Table:
+        if salt_col is not None:
+            s = (vhash(np.asarray(batch[salt_col]).astype(np.int64))
+                 % np.uint64(salt_buckets)).astype(np.int32)
+        else:
+            s = (np.arange(len(batch)) % salt_buckets).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s))
+
+    phase1 = (
+        ds.select_columns([key] + int_cols
+                          + ([salt_col] if salt_col
+                             and salt_col not in int_cols
+                             and salt_col != key else []))
+        .map_batches(salt, batch_format="pyarrow")
+        .groupby([key, "__salt"])
+        .aggregate(*[Sum(c, alias_name=c) for c in int_cols])
+    )
+    return (phase1.groupby(key)
+            .aggregate(*[Sum(c, alias_name=c) for c in int_cols]))
+
+
 def grouped_mode(ds, key: str, col: str, num_parts: int = 64):
     """Most frequent ``col`` value per ``key`` (argmax with
     deterministic count-desc, value-asc tiebreak): per-batch partial
