@@ -2347,7 +2347,7 @@ def events_user_running(sf_dir: str):
         "user_id", ["ts_us", "event_id"],
         lag_cols=("event_id",), cumsum_cols=("value_cents",),
         rolling_sums=(("value_cents", 2),),
-        delta_col="ts_us")
+        delta_col="ts_us", pct_rank=True)
 
 
 QUERIES["events_user_running"] = events_user_running
@@ -2359,6 +2359,7 @@ ORACLE_SQL["events_user_running"] = """
     )
     SELECT user_id, ts_us, event_id,
            CAST(row_number() OVER w AS BIGINT) AS rn,
+           percent_rank() OVER w AS pct_rank,
            coalesce(lag(event_id) OVER w, -1) AS lag_event_id,
            CAST(sum(value_cents) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id

@@ -191,7 +191,7 @@ def row_window(ds, key_col: str, order_cols: list[str],
                lag_cols: tuple[str, ...] = (),
                cumsum_cols: tuple[str, ...] = (),
                rolling_sums: tuple[tuple[str, int], ...] = (),
-               delta_col: str | None = None,
+               delta_col: str | None = None, pct_rank: bool = False,
                num_partitions: int = 64):
     """Per-key ordered analytic functions (SQL ``OVER (PARTITION BY key
     ORDER BY ...)``) as ONE coarse shuffle + a vectorized segment sweep:
@@ -246,6 +246,15 @@ def row_window(ds, key_col: str, order_cols: list[str],
             out[c] = g[c].to_numpy()
         out["rn"] = (np.arange(n, dtype=np.int64)
                      - starts[seg] + 1) if n else np.array([], np.int64)
+        if pct_rank:
+            # SQL percent_rank(): (rn-1)/(group_n-1), 0.0 for a
+            # single-row group — one IEEE division on exact ints
+            gsize = (np.diff(np.append(starts, n))[seg]
+                     if n else np.array([], np.int64))
+            out["pct_rank"] = np.where(
+                gsize > 1,
+                (out["rn"] - 1).astype(np.float64)
+                / np.maximum(gsize - 1, 1).astype(np.float64), 0.0)
         for c in lag_cols:
             v = g[c].to_numpy()
             lag = np.empty_like(v)
