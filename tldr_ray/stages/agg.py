@@ -124,7 +124,8 @@ def bottomk_sample(ds, key: str, k: int = 100):
 
 def pivot_table(ds, key_col: str, pivot_col: str,
                 value_col: str | None = None,
-                max_pivot_values: int = 1000):
+                max_pivot_values: int = 1000,
+                domain: list | None = None):
     """Wide pivot: one row per key, a count column ``n_<v>`` per pivot
     value v (plus ``cents_<v>`` integer sums of value_col*100 when
     given). The 100-TB pivot shape: a tiny distinct pass discovers the
@@ -137,7 +138,15 @@ def pivot_table(ds, key_col: str, pivot_col: str,
     (repo invariant)."""
     from ray.data.aggregate import Sum
 
-    domain = sorted(ds.select_columns([pivot_col]).unique(pivot_col))
+    # the discovery pass is a full (projected) scan — one extra
+    # dataset execution (~the fixed per-execution floor on one box);
+    # pass ``domain`` when the column's values are known to skip it.
+    # Values outside a caller-supplied domain raise (silent clipping
+    # would corrupt counts).
+    if domain is None:
+        domain = sorted(ds.select_columns([pivot_col]).unique(pivot_col))
+    else:
+        domain = sorted(domain)
     if len(domain) > max_pivot_values:
         raise ValueError(
             f"pivot domain {len(domain)} exceeds max_pivot_values="
@@ -154,7 +163,12 @@ def pivot_table(ds, key_col: str, pivot_col: str,
                 or pa.types.is_large_string(pv.type)):
             pv = pc.cast(pv, pa.string())
         # Arrow hash lookup — no per-row Python string compares
-        code = np.asarray(pc.index_in(pv, value_set=dom_set))
+        idx = pc.index_in(pv, value_set=dom_set)
+        if idx.null_count:
+            raise ValueError(
+                f"{pivot_col} contains values outside the supplied "
+                f"pivot domain")
+        code = np.asarray(idx)
         keys, kidx = np.unique(np.asarray(batch[key_col]),
                                return_inverse=True)
         D = len(dom_arr)

@@ -297,7 +297,13 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
                     broadcast_vocab_max: int = 2_000_000):
     """Dataset of each document's k highest-tf-idf terms:
     (id_col, term, tf, df, rnk, score), rnk 1-based by
-    (score desc, term asc)."""
+    (score desc, term asc).
+
+    Cost note: the source is tokenized twice (df pass + scoring pass)
+    — a deliberate trade: re-tokenizing is pure streaming CPU, while
+    the alternative (materialize tf cells between passes) pins an
+    O(tokens) intermediate in the object store. On the join path the
+    tf cells ARE produced once and shuffled (they must move anyway)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
