@@ -191,6 +191,41 @@ def events_cooccurrence_pairs(sf_dir: str):
 # lineitem/orders: scan-heavy grouped aggregate + multi-way broadcast join
 # ---------------------------------------------------------------------------
 
+def tpch_q6(sf_dir: str):
+    """TPC-H Q6-shaped: predicate-pruned scan + one global exact sum.
+    Revenue = extendedprice * discount summed as an INTEGER product of
+    cents (price_cents * discount_cents, units 10^-4 currency) so
+    partial-sum order cannot perturb the driver hash. Filters run as a
+    vectorized Arrow mask right after the projected read — rows never
+    reach the aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]")
+
+    def fil(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        dc = _cents(disc)
+        m = ((sd >= lo.astype(np.int64)) & (sd < hi.astype(np.int64))
+             & (dc >= 5) & (dc <= 7) & (qty < 24.0))
+        rev = _cents(px)[m] * dc[m]           # 10^-4 units, exact int
+        return pa.table({"revenue_e4": pa.array(rev),
+                         "one": pa.array(np.ones(m.sum(), np.int64))})
+
+    agg = (ds.map_batches(fil, batch_format="pyarrow")
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                      Sum("one", alias_name="n_rows")))
+    return pa.table({
+        "revenue_e4": pa.array([int(agg["revenue_e4"])], pa.int64()),
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
+
+
 def tpch_q1(sf_dir: str):
     """TPC-H Q1-shaped: vectorized derived columns + grouped exact sums."""
     from ray.data.aggregate import Count, Sum
@@ -1010,6 +1045,7 @@ QUERIES = {
     "events_cooccurrence_pairs": events_cooccurrence_pairs,
     "top_users_by_value": top_users_by_value,
     "tpch_q1": tpch_q1,
+    "tpch_q6": tpch_q6,
     "revenue_by_nation": revenue_by_nation,
     "embedding_top10_cosine": embedding_top10_cosine,
     "knn_multi_query": knn_multi_query,
@@ -1083,6 +1119,19 @@ ORACLE_SQL = {
         FROM ut a JOIN ut b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2
+    """,
+    "tpch_q6": """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * CAST(floor(l_discount * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+              BETWEEN 5 AND 7
+          AND l_quantity < 24
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
