@@ -226,6 +226,85 @@ def tpch_q6(sf_dir: str):
         "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
 
 
+def tpch_q3(sf_dir: str):
+    """TPC-H Q3-shaped: segment-filtered customers broadcast as a
+    semi-join key set (classic small-side broadcast; the filtered key
+    list is orders-of-magnitude smaller than the fact tables), orders
+    and lineitem predicate-pruned at the read, ONE bucketed hash join
+    lineitem->orders, grouped exact cents revenue, deterministic
+    total-order top-10 (revenue desc, orderdate asc, orderkey asc)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    cutoff = np.datetime64("1998-01-01").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def ckeys(batch: pa.Table) -> pa.Table:
+        m = np.asarray(pc.equal(batch["c_mktsegment"], "BUILDING"))
+        return pa.table({"c_custkey": pa.array(
+            np.asarray(batch["c_custkey"], dtype=np.int64)[m])})
+
+    # driver-side collect of the FILTERED key set then ray.put — fine
+    # while the segment's custkeys fit one broadcast object (the
+    # revenue_by_nation size-gate pattern); at the scale where a 1/5
+    # customer segment no longer fits, swap this stage for
+    # stages.joins.bucketed_hash_join on o_custkey (same machinery as
+    # the lineitem join below).
+    parts = [np.asarray(b["c_custkey"], dtype=np.int64)
+             for b in cust.map_batches(ckeys, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    keys = np.sort(np.concatenate(parts)) if parts \
+        else np.array([], np.int64)
+    kref = ray.put(keys)
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        pos = np.searchsorted(ks, ck)
+        pos = np.clip(pos, 0, max(len(ks) - 1, 0))
+        m = (od < cutoff) & (len(ks) > 0) & (ks[pos] == ck)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+            "orderdate_us": pa.array(od[m])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofil, batch_format="pyarrow")
+
+    def lfil(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        m = sd > cutoff
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)[m]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[m]
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[m]),
+            "revenue_cents": pa.array(_cents(px * (1.0 - disc)))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]).map_batches(lfil, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+    agg = (joined.groupby(["l_orderkey", "orderdate_us"])
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    top = (agg.sort(["revenue_cents", "orderdate_us", "l_orderkey"],
+                    descending=[True, False, False]).limit(10))
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("l_orderkey", "orderdate_us", "revenue_cents"):
+            batch[c] = batch[c].astype(np.int64)
+        return batch[["l_orderkey", "orderdate_us", "revenue_cents"]]
+
+    return top.map_batches(seal, batch_format="pandas")
+
+
 def tpch_q1(sf_dir: str):
     """TPC-H Q1-shaped: vectorized derived columns + grouped exact sums."""
     from ray.data.aggregate import Count, Sum
@@ -1045,6 +1124,7 @@ QUERIES = {
     "events_cooccurrence_pairs": events_cooccurrence_pairs,
     "top_users_by_value": top_users_by_value,
     "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
     "tpch_q6": tpch_q6,
     "revenue_by_nation": revenue_by_nation,
     "embedding_top10_cosine": embedding_top10_cosine,
@@ -1119,6 +1199,23 @@ ORACLE_SQL = {
         FROM ut a JOIN ut b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2
+    """,
+    "tpch_q3": """
+        SELECT l.l_orderkey,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+               CAST(sum(CAST(floor(l.l_extendedprice
+                                   * (1.0 - l.l_discount) * 100.0
+                                   + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1998-01-01'
+          AND l.l_shipdate > DATE '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_cents DESC, orderdate_us ASC, l_orderkey ASC
+        LIMIT 10
     """,
     "tpch_q6": """
         SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
