@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from tldr_ray.graph.partition import vhash
 
@@ -29,12 +30,19 @@ def broadcast_lookup(ds, mapping: dict, key_col: str, out_col: str,
 
     class Lookup:
         def __init__(self):
-            self.map = ray.get(ref)
+            # dict -> two parallel Arrow arrays ONCE per actor; the
+            # per-batch path is pure C (hash probe + gather), no
+            # per-row Python
+            m = ray.get(ref)
+            self.keys = pa.array(list(m.keys()))
+            self.vals = pa.array(list(m.values()))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = [self.map.get(k, default)
-                    for k in batch[key_col].to_pylist()]
-            return batch.append_column(out_col, pa.array(vals))
+            idx = pc.index_in(batch[key_col], value_set=self.keys)
+            out = pc.take(self.vals, idx)     # null where key missing
+            if default is not None:
+                out = pc.fill_null(out, default)
+            return batch.append_column(out_col, out)
 
     return ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
 
