@@ -478,3 +478,66 @@ class TestDistributedCentrality:
                                                 w.tolist())))).to_pandas()
         want = centrality_rank(src, dst, w, exact_tie_order=False)
         assert out["vertex"].tolist() == want.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWarmStart:
+    def test_warm_start_same_fixpoint_fewer_iterations(self):
+        """Grow the graph, seed from the old scores: the fixpoint must
+        equal a cold run (allclose) and converge in fewer iterations."""
+        from tldr_ray.graph.engine import GraphEngine
+
+        # binary tree: degree-skewed, so the fixpoint is FAR from the
+        # uniform cold init while one extra leaf is a small delta —
+        # the regime warm starting is for (a ring would be useless
+        # here: its fixpoint IS the uniform vector)
+        tree = [(i, i // 2) for i in range(1, 80)]
+        base = symmetrized(tree)
+        grown = base + symmetrized([(80, 40)])
+
+        eng = GraphEngine.from_edges(edge_ds(base), 3)
+        try:
+            ids0, sc0, _ = eng.pagerank(tolerance=1e-10)
+        finally:
+            eng.shutdown()
+
+        eng = GraphEngine.from_edges(edge_ds(grown), 3)
+        try:
+            cold_ids, cold_sc, cold = eng.pagerank(tolerance=1e-10)
+            warm_ids, warm_sc, warm = eng.pagerank(
+                tolerance=1e-10, warm_start=(ids0, sc0))
+        finally:
+            eng.shutdown()
+        assert np.array_equal(cold_ids, warm_ids)
+        np.testing.assert_allclose(warm_sc, cold_sc, atol=1e-8)
+        assert warm["iterations"] < cold["iterations"]
+        assert np.isclose(warm_sc.sum(), 1.0, atol=1e-9)
+
+    def test_warm_start_identical_graph_converges_immediately(self):
+        from tldr_ray.graph.engine import GraphEngine
+
+        edges = symmetrized(TWO_TRIANGLES_BRIDGE)
+        eng = GraphEngine.from_edges(edge_ds(edges), 2)
+        try:
+            ids, sc, info = eng.pagerank(tolerance=1e-10)
+            _, sc2, info2 = eng.pagerank(tolerance=1e-10,
+                                         warm_start=(ids, sc))
+        finally:
+            eng.shutdown()
+        assert info2["iterations"] <= 2
+        np.testing.assert_allclose(sc2, sc, atol=1e-9)
+
+    def test_warm_start_refuses_with_checkpoint_resume(self, tmp_path):
+        from tldr_ray.graph.engine import GraphEngine
+
+        edges = symmetrized(TWO_TRIANGLES_BRIDGE)
+        ck = str(tmp_path / "ck")
+        eng = GraphEngine.from_edges(edge_ds(edges), 2)
+        try:
+            ids, sc, _ = eng.pagerank(checkpoint_every=2,
+                                      checkpoint_dir=ck)
+            with pytest.raises(ValueError):
+                eng.pagerank(checkpoint_dir=ck, resume=True,
+                             warm_start=(ids, sc))
+        finally:
+            eng.shutdown()

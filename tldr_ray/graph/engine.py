@@ -300,6 +300,26 @@ def _shard_actor_cls(num_cpus: float = 0):
             """Resume path: restore n_total without resetting state."""
             self.n_total = n_total
 
+        def pr_warm_start(self, warm, fill: float) -> float:
+            """Seed the rank state from a prior run's (sorted ids,
+            scores): local vertices found in the carry-over keep their
+            old score, new vertices start at ``fill`` (the uniform
+            mass). Returns the local state sum so the driver can
+            renormalize globally (the old graph's mass on vanished
+            vertices must be redistributed)."""
+            ids_sorted, scores = warm
+            st = np.full(self.verts.size, fill)
+            if ids_sorted.size:
+                pos = np.searchsorted(ids_sorted, self.verts)
+                pos = np.minimum(pos, ids_sorted.size - 1)
+                hit = ids_sorted[pos] == self.verts
+                st[hit] = scores[pos[hit]]
+            self.state = st
+            return float(st.sum())
+
+        def pr_scale_state(self, factor: float):
+            self.state = self.state * factor
+
         def pr_set_personalization(self, seed):
             """Personalized restart vector: (sorted seed ids, weights),
             passed as an ObjectRef that Ray resolves to zero-copy plasma
@@ -734,7 +754,8 @@ class GraphEngine:
     def pagerank(self, damping: float = 0.85, tolerance: float = 1e-4,
                  max_iterations: int = 200, checkpoint_every: int = 0,
                  checkpoint_dir: str | None = None, resume: bool = False,
-                 personalization=None, collect: bool = True):
+                 personalization=None, warm_start=None,
+                 collect: bool = True):
         """Returns (vertex_ids, scores, info). alixaxel/pagerank semantics
         (see kernel.pagerank_ref).
 
@@ -745,6 +766,16 @@ class GraphEngine:
         Checkpoints record a digest of the restart vector, so a
         personalized run may resume — the caller must pass the SAME
         personalization (digest-checked; a mismatch refuses loudly).
+
+        ``warm_start``: optional (ids, scores) from a PREVIOUS run on a
+        possibly different edge set — the streaming-link-graph pattern:
+        re-ingest the grown graph, seed each surviving vertex with its
+        old score (new vertices get the uniform mass), renormalize to a
+        distribution, and iterate; near the old fixpoint this converges
+        in a fraction of the cold iterations. The final fixpoint is the
+        SAME as a cold run (power iteration is init-independent) — only
+        the iteration count changes. Mutually exclusive with resuming
+        from a checkpoint (a found checkpoint is a full state restore).
         """
         import ray
 
@@ -780,6 +811,10 @@ class GraphEngine:
         start_iter = 0
         ck = read_manifest(checkpoint_dir) if (resume and checkpoint_dir) \
             else None
+        if ck is not None and warm_start is not None:
+            raise ValueError(
+                "warm_start and a found resume checkpoint are mutually "
+                "exclusive — the checkpoint is a full state restore")
         if ck is not None:
             if ck["num_partitions"] != self.P or ck["n_total"] != self.n_total:
                 raise ValueError(
@@ -802,6 +837,25 @@ class GraphEngine:
             ray.get([s.load_state.remote(f"{checkpoint_dir}/iter={start_iter}",
                                          "f8") for s in self.shards])
             ray.get([s.pr_set_total.remote(self.n_total) for s in self.shards])
+        elif warm_start is not None:
+            if pers_sorted is not None:
+                _apply_personalization()
+            else:
+                ray.get([s.pr_set_personalization.remote(None)
+                         for s in self.shards])
+            ray.get([s.pr_set_total.remote(self.n_total)
+                     for s in self.shards])
+            ids_w = np.asarray(warm_start[0], dtype=np.int64)
+            sc_w = np.asarray(warm_start[1], dtype=np.float64)
+            order = np.argsort(ids_w)
+            wref = ray.put((ids_w[order], sc_w[order]))
+            fill = 1.0 / self.n_total if self.n_total else 0.0
+            sums = ray.get([s.pr_warm_start.remote(wref, fill)
+                            for s in self.shards])
+            total = sum(sums)
+            if total > 0:
+                ray.get([s.pr_scale_state.remote(1.0 / total)
+                         for s in self.shards])
         elif pers_sorted is not None:
             _apply_personalization()
         else:
