@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--warm-start", default=None, metavar="DIR",
+                   help="previous pagerank output dir (vertex,score "
+                        "parquet): seed the rank state from it — the "
+                        "graph-delta fast path (mutually exclusive "
+                        "with --resume)")
     p.add_argument("--presplit-words", type=int, default=0)
     p.add_argument("--num-cpus", type=int, default=0,
                    help="only used when no Ray cluster is reachable")
@@ -99,11 +104,21 @@ def main() -> None:
             # collect=False: results stay sharded; the write consumes
             # per-shard Arrow refs (no O(V) arrays in this process)
             if args.algorithm == "pagerank":
+                warm = None
+                if args.warm_start:
+                    import pyarrow.dataset as pads
+
+                    prev = pads.dataset(
+                        args.warm_start, format="parquet",
+                        exclude_invalid_files=True).to_table(
+                            columns=["vertex", "score"])
+                    warm = (prev["vertex"].to_numpy(),
+                            prev["score"].to_numpy())
                 _, _, info = eng.pagerank(
                     args.damping, args.tolerance, args.max_iterations,
                     checkpoint_every=args.checkpoint_every,
                     checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-                    collect=False)
+                    warm_start=warm, collect=False)
                 value_name = "score"
             elif args.algorithm == "components":
                 _, _, info = eng.connected_components(args.max_iterations,
