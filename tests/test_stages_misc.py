@@ -888,3 +888,32 @@ class TestSaltedSum:
                    .to_pandas().set_index("k")["x"])
             assert out["hot"] == want["hot"], salt_col
             assert out["cold"] == want["cold"], salt_col
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonExtract:
+    def test_extract_fields_and_nulls(self):
+        import ray.data as rd
+        from tldr_ray.stages.semistructured import json_extract
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "j": pa.array(['{"k": 5, "s": "x"}', '{"k": -2}',
+                           None, '{"s": "y"}']),
+        })
+        out = (json_extract(rd.from_arrow(t), "j",
+                            {"k": "$.k", "s": "$.s"},
+                            cast={"k": "int64"})
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert out["k"].tolist()[:2] == [5, -2]
+        assert pd.isna(out["k"].iloc[2]) and pd.isna(out["k"].iloc[3])
+        assert out["s"].tolist()[0] == "x" and out["s"].iloc[3] == "y"
+        assert "j" not in out.columns
+
+    def test_bad_cast_rejected(self):
+        import ray.data as rd
+        from tldr_ray.stages.semistructured import json_extract
+
+        with pytest.raises(ValueError):
+            json_extract(rd.from_arrow(pa.table({"j": ["{}"]})), "j",
+                         {"k": "$.k"}, cast={"k": "bool"})

@@ -2631,6 +2631,26 @@ ORACLE_SQL["distinct_users_by_type"] = """
 """
 
 
+def events_props_extract(sf_dir: str):
+    """Vectorized JSON extraction from the events.props column
+    (stages.semistructured.json_extract, polars JSONPath over the
+    Arrow buffer): per-event integer k, row-for-row hash-checked
+    against DuckDB json_extract_string."""
+    from tldr_ray.stages.semistructured import json_extract
+
+    return json_extract(
+        _read(sf_dir, "events", ["event_id", "props"]),
+        "props", {"k": "$.k"}, cast={"k": "int64"})
+
+
+QUERIES["events_props_extract"] = events_props_extract
+ORACLE_SQL["events_props_extract"] = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+"""
+
+
 def user_top_event_type(sf_dir: str):
     """Each user's most frequent event_type (stages.agg.grouped_mode,
     count-desc value-asc tiebreak)."""
