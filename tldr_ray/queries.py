@@ -2209,6 +2209,38 @@ ORACLE_SQL["clustering_coeff_hashgraph"] = f"""
 """
 
 
+def user_event_pivot_long(sf_dir: str):
+    """Round-trip: the wide pivot melted back to long
+    (stages.agg.unpivot) — dense (user, 'n_<type>', count) rows,
+    hash-checked against the grid LEFT JOIN the pivot implies."""
+    from tldr_ray.stages.agg import pivot_table, unpivot
+
+    wide = pivot_table(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type", domain=list(_PIVOT_TYPES))
+    return unpivot(wide, ["user_id"],
+                   [f"n_{t}" for t in _PIVOT_TYPES])
+
+
+QUERIES["user_event_pivot_long"] = user_event_pivot_long
+ORACLE_SQL["user_event_pivot_long"] = """
+    WITH g AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    grid AS (
+        SELECT u.user_id, t.event_type
+        FROM (SELECT DISTINCT user_id FROM events) u,
+             (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT grid.user_id, 'n_' || grid.event_type AS name,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS value
+    FROM grid
+    LEFT JOIN g ON g.user_id = grid.user_id
+               AND g.event_type = grid.event_type
+"""
+
+
 def user_funnel_events(sf_dir: str):
     """signup -> click -> purchase funnel per user
     (stages.windows.funnel): each step matches the earliest event

@@ -242,6 +242,31 @@ def rollup_aggregate(ds, keys: list[str], value_col: str | None = None,
     )
 
 
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """Wide -> long (melt): each input row becomes len(value_cols)
+    rows (*id_cols, name, value). Stateless vectorized row expansion
+    (repeat/tile + one interleaving stack) — embarrassingly parallel,
+    zero shuffle; value columns must share a castable dtype."""
+
+    k = len(value_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = {}
+        for c in id_cols:
+            out[c] = pa.array(np.repeat(np.asarray(batch[c]), k))
+        out[name_col] = pa.array(
+            np.tile(np.asarray(value_cols, dtype=object), n))
+        mat = np.stack([np.asarray(batch[c]) for c in value_cols],
+                       axis=1)
+        out[value_col] = pa.array(mat.reshape(-1))
+        return pa.table(out)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def salted_group_sum(ds, key: str, int_cols: list[str],
                      salt_buckets: int = 16, salt_col: str | None = None):
     """Skew-resilient integer group-sum: phase 1 groups on
