@@ -56,3 +56,28 @@ def test_streaming_symmetrize_components():
     eng.shutdown()
     got = dict(zip(ids.tolist(), labels.tolist()))
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_ingest_duplicate_digest_dropped_distinct_kept():
+    """Retry idempotency: a second delivery with the SAME content
+    digest is dropped (counted); distinct digests accumulate. Built
+    via the raw shard actor so the dedup path is pinned directly."""
+    import numpy as np
+    import ray
+
+    from tldr_ray.graph.engine import _shard_actor_cls
+
+    actor = _shard_actor_cls(0).remote(0, 1)
+    src = np.array([0, 1], np.int64)
+    dst = np.array([1, 0], np.int64)
+    w = np.ones(2, np.float64)
+    verts = np.array([0, 1], np.int64)
+    n1 = ray.get(actor.ingest.remote(src, dst, w, verts, digest=b"A"))
+    n2 = ray.get(actor.ingest.remote(src, dst, w, verts, digest=b"A"))
+    n3 = ray.get(actor.ingest.remote(src + 2, dst + 2, w,
+                                     verts + 2, digest=b"B"))
+    assert (n1, n2, n3) == (2, 2, 2)      # retry reports success
+    n_edges = ray.get(actor.finalize.remote())
+    # digest A counted once + digest B: 4 edges, not 6
+    assert n_edges == 4
+    ray.kill(actor)

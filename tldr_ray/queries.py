@@ -1924,18 +1924,22 @@ def _sql_splitmix_ctes(src: str, carry: str = "") -> str:
         for name, prev, expr in steps)
 
 
-def _hll_registers_oracle_sql(b: int = 10) -> str:
+def _hll_registers_oracle_sql(
+        b: int = 10,
+        source: str = "SELECT CAST(event_id AS VARCHAR) AS s "
+                      "FROM events") -> str:
     """Bit-for-bit DuckDB mirror of queries.hll_registers_events:
     recursive-CTE FNV-1a per decimal id string, splitmix64 finalizer,
     bucket = h // 2^(64-b), remainder word w fits BIGINT (64-b <= 63),
     rank = bit_count((w & -w) - 1) + 1 (lowest-set-bit position), empty
-    buckets present with rank 0 via a range() left join."""
+    buckets present with rank 0 via a range() left join. ``source``
+    yields the id strings (parameterized so the union-merge query can
+    mirror a multi-table id stream)."""
     M64 = _SQL_M64
     wbits = 64 - b
 
     return f"""
-    WITH RECURSIVE {_sql_fnv_cte(
-        "SELECT CAST(event_id AS VARCHAR) AS s FROM events")},
+    WITH RECURSIVE {_sql_fnv_cte(source)},
     {_sql_splitmix_ctes("hh")},
     br AS (
         SELECT CAST(h // {1 << wbits} AS BIGINT) AS bucket,
@@ -1958,6 +1962,42 @@ def _hll_registers_oracle_sql(b: int = 10) -> str:
 
 QUERIES["hll_registers_events"] = hll_registers_events
 ORACLE_SQL["hll_registers_events"] = _hll_registers_oracle_sql()
+
+
+def hll_union_users_custkeys(sf_dir: str, b: int = 10):
+    """Sketch algebra: distinct |events.user_id ∪ orders.o_custkey|
+    WITHOUT co-shuffling any rows — each table builds its own HLL
+    register table independently, and the union's registers are the
+    elementwise MAX of the two (the HLL merge law). SQL mirror runs
+    the same hash pipeline over the UNIONed id strings — bit-equal
+    registers prove the merge law end to end."""
+    from ray.data.aggregate import Max
+
+    from tldr_ray.stages.sketches import hll_registers
+
+    a = hll_registers(_read(sf_dir, "events", ["user_id"]),
+                      "user_id", b)
+    bb = hll_registers(_read(sf_dir, "orders", ["o_custkey"])
+                       .map_batches(lambda t: pa.table(
+                           {"user_id": t["o_custkey"]}),
+                           batch_format="pyarrow"),
+                       "user_id", b)
+    merged = (a.union(bb).groupby("bucket")
+              .aggregate(Max("max_rank", alias_name="max_rank")))
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = batch["bucket"].astype(np.int32)
+        batch["max_rank"] = batch["max_rank"].astype(np.int64)
+        return batch
+
+    return merged.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["hll_union_users_custkeys"] = hll_union_users_custkeys
+ORACLE_SQL["hll_union_users_custkeys"] = _hll_registers_oracle_sql(
+    source="SELECT CAST(user_id AS VARCHAR) AS s FROM events "
+           "UNION SELECT CAST(o_custkey AS VARCHAR) FROM orders")
 
 
 def hll_by_type_events(sf_dir: str, b: int = 6):
