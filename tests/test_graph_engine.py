@@ -541,3 +541,30 @@ class TestWarmStart:
                              warm_start=(ids, sc))
         finally:
             eng.shutdown()
+
+    def test_cc_warm_start_grown_graph(self):
+        """Components warm-started from a prior run on a grown graph
+        match a cold run, in fewer (or equal) rounds; merging two old
+        components picks the global min label."""
+        from tldr_ray.graph.engine import GraphEngine
+
+        base = symmetrized([(0, 1), (1, 2), (10, 11), (11, 12)])
+        grown = base + symmetrized([(2, 10)])     # merge the two comps
+
+        eng = GraphEngine.from_edges(edge_ds(base), 2)
+        try:
+            ids0, lb0, _ = eng.connected_components()
+        finally:
+            eng.shutdown()
+
+        eng = GraphEngine.from_edges(edge_ds(grown), 2)
+        try:
+            cid, clb, cinfo = eng.connected_components()
+            wid, wlb, winfo = eng.connected_components(
+                warm_start=(ids0, lb0))
+        finally:
+            eng.shutdown()
+        assert np.array_equal(cid, wid)
+        assert np.array_equal(clb, wlb)           # same exact labels
+        assert set(wlb) == {0}                    # merged to global min
+        assert winfo["iterations"] <= cinfo["iterations"]

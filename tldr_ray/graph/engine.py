@@ -386,6 +386,21 @@ def _shard_actor_cls(num_cpus: float = 0):
         def label_init(self):
             self.state = self.verts.copy()
 
+        def label_warm(self, warm):
+            """Seed labels from a prior run's (sorted ids, labels):
+            state = min(own id, carried label). Correct ONLY for
+            edge-ADDITION deltas (see GraphEngine.connected_components
+            docstring for the argument); unknown vertices fall back to
+            their own id."""
+            ids_sorted, labels = warm
+            st = self.verts.copy()
+            if ids_sorted.size:
+                pos = np.searchsorted(ids_sorted, self.verts)
+                pos = np.minimum(pos, ids_sorted.size - 1)
+                hit = ids_sorted[pos] == self.verts
+                st[hit] = np.minimum(st[hit], labels[pos[hit]])
+            self.state = st
+
         def cc_messages(self):
             lab = self.state[self.e_src_local]
             out = []
@@ -902,12 +917,29 @@ class GraphEngine:
         }
 
     def connected_components(self, max_iterations: int = 200,
-                             collect: bool = True):
+                             warm_start=None, collect: bool = True):
         """Min-vertex-id label fixpoint. Supply symmetrized edges for
-        undirected semantics. Returns (vertex_ids, component_ids, info)."""
+        undirected semantics. Returns (vertex_ids, component_ids, info).
+
+        ``warm_start``: optional (ids, labels) from a prior run over a
+        graph this one GREW from (edge additions only — never
+        removals). Valid because min-label updates are monotone
+        decreasing and every carried label is the id of a vertex still
+        connected to its carrier: the fixpoint from this init equals
+        the cold fixpoint, reached in fewer rounds (old intra-component
+        propagation is pre-done; only merge fronts move). Edge
+        REMOVALS break the invariant (a carried label may name a
+        vertex no longer reachable) — rerun cold after removals."""
         import ray
 
-        ray.get([s.label_init.remote() for s in self.shards])
+        if warm_start is not None:
+            ids_w = np.asarray(warm_start[0], dtype=np.int64)
+            lb_w = np.asarray(warm_start[1], dtype=np.int64)
+            order = np.argsort(ids_w)
+            wref = ray.put((ids_w[order], lb_w[order]))
+            ray.get([s.label_warm.remote(wref) for s in self.shards])
+        else:
+            ray.get([s.label_init.remote() for s in self.shards])
         it, changed = 0, 1
         while changed and it < max_iterations:
             outs = ray.get([s.cc_messages.remote() for s in self.shards])
