@@ -917,3 +917,24 @@ class TestJsonExtract:
         with pytest.raises(ValueError):
             json_extract(rd.from_arrow(pa.table({"j": ["{}"]})), "j",
                          {"k": "$.k"}, cast={"k": "bool"})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionScores:
+    def test_duplicate_line_accounting(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import repetition_scores
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "spam\nspam\nspam\nunique",   # 3x 'spam' (4 ch) dup
+                "a\nb\nc",                      # no dups
+                "",                             # no lines at all
+            ]),
+        })
+        out = (repetition_scores(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["n_lines"].tolist() == [4, 3, 0]
+        assert out["n_distinct_lines"].tolist() == [2, 3, 0]
+        assert out["dup_line_chars"].tolist() == [12, 0, 0]

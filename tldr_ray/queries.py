@@ -2347,6 +2347,41 @@ ORACLE_SQL["user_event_pivot"] = "SELECT user_id, " + ", ".join(
     for t in _PIVOT_TYPES) + " FROM events GROUP BY user_id"
 
 
+def repetition_scores_docs(sf_dir: str):
+    """Per-document repetition signals (duplicate-line counts/chars —
+    stages.text_analysis.repetition_scores). All-integer, one
+    vectorized pass; mirrored by an unnest + group SQL."""
+    from tldr_ray.stages.text_analysis import repetition_scores
+
+    return repetition_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+QUERIES["repetition_scores_docs"] = repetition_scores_docs
+ORACLE_SQL["repetition_scores_docs"] = """
+    WITH lines AS (
+        SELECT doc_id, l FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS l
+            FROM documents)
+        WHERE l != ''
+    ),
+    per AS (
+        SELECT doc_id, l, count(*) AS c, length(l) AS len
+        FROM lines GROUP BY doc_id, l
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(p.c), 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(count(p.l), 0) AS BIGINT) AS n_distinct_lines,
+           CAST(coalesce(sum(CASE WHEN p.c > 1 THEN p.c * p.len
+                                  ELSE 0 END), 0) AS BIGINT)
+               AS dup_line_chars
+    FROM documents d
+    LEFT JOIN per p ON p.doc_id = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
 def tfidf_top_terms_docs(sf_dir: str):
     """Top-5 tf-idf terms per document
     (stages.text_analysis.tfidf_top_terms, broadcast-vocab path at this

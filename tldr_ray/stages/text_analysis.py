@@ -382,3 +382,57 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return (joined.map_batches(add_part, batch_format="pyarrow")
             .groupby("__part").map_groups(sweep, batch_format="pandas"))
+
+
+def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Repetition quality signals (the Gopher/RefinedWeb-style rules):
+    per document, over its newline-split non-empty lines —
+    ``n_lines``, ``n_distinct_lines``, and ``dup_line_chars`` (total
+    characters sitting in lines that occur more than once; the mass a
+    dedup-by-line would remove). All integers — hash-stable — and the
+    whole pass is one vectorized batch kernel: Arrow split, offsets ->
+    doc ids, one lexsort over (doc, line) for the distinct/duplicate
+    segmentation. High dup ratios flag boilerplate/spam for the
+    curation gate."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], "\n")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        D = len(batch)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of = doc_of[keep]
+        lines = np.asarray(flat)[keep]
+        lens = np.asarray(pc.utf8_length(flat))[keep].astype(np.int64)
+
+        n_lines = np.bincount(doc_of, minlength=D).astype(np.int64)
+        order = np.lexsort((lines, doc_of))
+        d_s, l_s, len_s = doc_of[order], lines[order], lens[order]
+        n = len(d_s)
+        newgrp = np.empty(n, dtype=bool)
+        if n:
+            newgrp[0] = True
+            newgrp[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(newgrp)
+        counts = np.diff(np.append(starts, n))
+        n_distinct = np.bincount(d_s[starts], minlength=D) \
+            .astype(np.int64)
+        dup = counts > 1
+        dup_chars = np.zeros(D, dtype=np.int64)
+        if dup.any():
+            np.add.at(dup_chars, d_s[starts[dup]],
+                      counts[dup] * len_s[starts[dup]])
+        return pa.table({
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_distinct),
+            "dup_line_chars": pa.array(dup_chars),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
