@@ -938,3 +938,31 @@ class TestRepetitionScores:
         assert out["n_lines"].tolist() == [4, 3, 0]
         assert out["n_distinct_lines"].tolist() == [2, 3, 0]
         assert out["dup_line_chars"].tolist() == [12, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnigramLogprob:
+    def test_matches_numpy_and_flags_gibberish(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import unigram_logprob
+
+        texts = ["the cat sat on the mat",
+                 "the dog sat on the cat",
+                 "zzqx qxzv vvvk wwpq"]           # OOV-ish gibberish
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(texts)})
+        out = (unigram_logprob(rd.from_arrow(t).repartition(2))
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        # numpy oracle: identical formula
+        from collections import Counter
+        toks = [s.lower().split() for s in texts]
+        cnt = Counter(w for ws in toks for w in ws)
+        N, V = sum(cnt.values()), len(cnt)
+        for i, ws in enumerate(toks):
+            lp = np.mean([np.log2((cnt[w] + 1.0) / (N + V + 1.0))
+                          for w in ws])
+            assert abs(out["mean_log2_prob"].iloc[i] - lp) < 1e-12, i
+        # gibberish scores lowest
+        assert out["mean_log2_prob"].idxmin() == 2
+        assert out["n_tokens"].tolist() == [6, 6, 4]

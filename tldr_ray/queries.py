@@ -2357,6 +2357,19 @@ def repetition_scores_docs(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def unigram_logprob_docs(sf_dir: str):
+    """Corpus-unigram LM scoring of documents
+    (stages.text_analysis.unigram_logprob). Rows-only: log2 is libm
+    (oracle rule); pinned by a numpy-identical pytest oracle."""
+    from tldr_ray.stages.text_analysis import unigram_logprob
+
+    return unigram_logprob(_read(sf_dir, "documents",
+                                 ["doc_id", "text"]))
+
+
+QUERIES["unigram_logprob_docs"] = unigram_logprob_docs
+
+
 QUERIES["repetition_scores_docs"] = repetition_scores_docs
 ORACLE_SQL["repetition_scores_docs"] = """
     WITH lines AS (
@@ -2782,6 +2795,23 @@ ORACLE_SQL["user_top_event_type"] = """
     )
     SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
     FROM r WHERE rn = 1
+"""
+
+
+def top_events_by_value(sf_dir: str):
+    """Global top-100 events by value — the native Ray Data sort
+    all-to-all (range-partitioned) + limit, deterministic total order
+    via the event_id tiebreak. Exact float passthrough (no arithmetic)
+    so the driver hash is safe."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return (ds.sort(["value", "event_id"], descending=[True, False])
+            .limit(100))
+
+
+QUERIES["top_events_by_value"] = top_events_by_value
+ORACLE_SQL["top_events_by_value"] = """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 100
 """
 
 

@@ -436,3 +436,82 @@ def repetition_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_vocab_max: int = 2_000_000):
+    """Corpus-unigram language-model scoring: pass 1 builds the corpus
+    word-count table (per-batch distinct combiner -> one small
+    groupby), pass 2 broadcasts the (sorted vocab, counts) arrays and
+    scores each document's mean log2 add-one probability — the classic
+    cheap "does this look like the corpus?" gibberish filter
+    (low mean logprob = OOV-heavy / random strings). Output:
+    (id_col, n_tokens, mean_log2_prob float64).
+
+    Rows-only by nature: log2 is a libm call whose last ulp is not
+    cross-engine stable (repo oracle rule) — the pytest oracle
+    recomputes the identical formula in numpy. The vocab broadcast is
+    size-gated like tfidf's (raise when the corpus vocabulary exceeds
+    ``broadcast_vocab_max``; route through a bucketed join at that
+    scale)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    src = ds.select_columns([id_col, text_col])
+
+    def count_fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])),
+            r"\s+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        words, counts = np.unique(np.asarray(flat)[keep],
+                                  return_counts=True)
+        return pa.table({"word": pa.array(words.tolist(), pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    vocab = (src.map_batches(count_fn, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    V = vocab.count()
+    if V > broadcast_vocab_max:
+        raise ValueError(
+            f"vocabulary {V} exceeds broadcast_vocab_max="
+            f"{broadcast_vocab_max}; use a bucketed-join scorer")
+    vdf = vocab.to_pandas()
+    order = np.argsort(vdf["word"].to_numpy(), kind="stable")
+    words_s = vdf["word"].to_numpy()[order]
+    counts_s = vdf["n"].to_numpy(np.int64)[order]
+    N = int(counts_s.sum())
+    ref = ray.put((words_s, counts_s))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ws, cs = ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        D = len(batch)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of = doc_of[keep]
+        w = np.asarray(flat)[keep]
+        pos = np.searchsorted(ws, w)
+        pos_c = np.clip(pos, 0, max(len(ws) - 1, 0))
+        c = np.where((len(ws) > 0) & (ws[pos_c] == w), cs[pos_c], 0)
+        lp = np.log2((c + 1.0) / (N + len(ws) + 1.0))
+        n_tok = np.bincount(doc_of, minlength=D).astype(np.int64)
+        tot = np.bincount(doc_of, weights=lp, minlength=D)
+        mean = np.where(n_tok > 0, tot / np.maximum(n_tok, 1), 0.0)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(n_tok),
+                         "mean_log2_prob": pa.array(mean)})
+
+    return src.map_batches(score, batch_format="pyarrow")
