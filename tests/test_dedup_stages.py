@@ -168,3 +168,48 @@ class TestResolveClusters:
         pd.testing.assert_frame_equal(
             small.sort_values("id").reset_index(drop=True),
             big.sort_values("id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowing:
+    def test_cover_property_and_determinism(self):
+        """Two docs sharing a substring of length >= k+w-1 must share a
+        fingerprint; disjoint docs share none; partitioning-invariant."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.dedup import winnow_fingerprints
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "AAAA " + shared + " BBBB",
+                "CCCC " + shared + " DDDD",
+                "completely different content here with no overlap!?",
+            ]),
+        })
+        k, w = 8, 4
+        a = (winnow_fingerprints(rd.from_arrow(t), k=k, w=w)
+             .to_pandas())
+        b = (winnow_fingerprints(rd.from_arrow(t).repartition(3),
+                                 k=k, w=w).to_pandas())
+        key = ["doc_id", "fingerprint"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True))
+        fp = {d: set(g["fingerprint"]) for d, g in a.groupby("doc_id")}
+        assert fp[1] & fp[2]                   # cover property
+        assert not (fp[1] & fp[3])
+        assert not (fp[2] & fp[3])
+
+    def test_short_doc_emits_one_fingerprint(self):
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.dedup import winnow_fingerprints
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["tiny"])})
+        out = winnow_fingerprints(rd.from_arrow(t), k=8, w=4).to_pandas()
+        assert len(out) == 1

@@ -2357,6 +2357,66 @@ def repetition_scores_docs(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def winnow_fingerprints_docs(sf_dir: str):
+    """Winnowing (MOSS rolling-hash) fingerprints per document
+    (stages.dedup.winnow_fingerprints, k=8 char-grams, w=4 window).
+    Hash-checked: the chained per-byte FNV CTE pattern (the minhash
+    mirror's) + a sliding window-min + DISTINCT mirrors the whole
+    selection bit-for-bit (ASCII fixture; every doc >= k chars)."""
+    from tldr_ray.stages.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _winnow_oracle_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    M64 = 1 << 64
+    steps = []
+    prev = "s0"
+    for j in range(k):
+        cur = f"s{j + 1}"
+        steps.append(f""",
+    {cur} AS (
+        SELECT doc_id, text, i,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(text, i + {j}, 1))))
+                * 1099511628211) % {M64} AS h
+        FROM {prev}
+    )""")
+        prev = cur
+    return f"""
+    WITH s0 AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {k - 2})) AS i,
+               CAST(14695981039346656037 AS HUGEINT) AS h
+        FROM documents WHERE length(text) >= {k}
+    ){"".join(steps)},
+    slid AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {w - 1} FOLLOWING) AS m,
+               count(*) OVER (PARTITION BY doc_id) AS nw,
+               count(*) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {w - 1} FOLLOWING) AS wsz
+        FROM {prev}
+    )
+    SELECT DISTINCT doc_id,
+           CAST(CASE WHEN m >= {1 << 63} THEN m - {M64} ELSE m END
+                AS BIGINT) AS fingerprint
+    FROM slid WHERE wsz = {w} OR (nw < {w} AND i = 1)
+"""
+
+
+QUERIES["winnow_fingerprints_docs"] = winnow_fingerprints_docs
+ORACLE_SQL["winnow_fingerprints_docs"] = _winnow_oracle_sql()
+
+
 def unigram_logprob_docs(sf_dir: str):
     """Corpus-unigram LM scoring of documents
     (stages.text_analysis.unigram_logprob). Rows-only: log2 is libm

@@ -835,3 +835,47 @@ def resolve_clusters(pairs, small_limit: int = 2_000_000,
         pairs.map_batches(as_edges, batch_format="pyarrow"),
         num_partitions=num_partitions)
     return pd.DataFrame({"id": ids, "cluster_id": labels})
+
+
+def winnow_fingerprints(ds, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    char k-gram FNV-1a hashes (the corpus-vectorized shingle kernel),
+    a w-window sliding MIN over each document's hash sequence, then
+    the DISTINCT selected minima become the document's fingerprint set
+    — any shared substring of length >= k + w - 1 guarantees a shared
+    fingerprint (the winnowing cover property). Output rows
+    (id_col, fingerprint int64 = uint64 hash bit-reinterpreted),
+    ready for a fingerprint-keyed groupby to find near-dup candidates.
+
+    Fully vectorized: the sliding min is w-1 shifted `np.minimum`
+    passes with document-boundary masking — no per-doc loop. Docs
+    shorter than one full window emit the min of their hashes."""
+    _MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h, n_win = _corpus_shingle_hashes(batch[text_col], k)
+        D = len(batch)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), n_win)
+        seg_start = np.cumsum(n_win) - n_win
+        pos = np.arange(h.size, dtype=np.int64) - seg_start[doc_of]
+        nw_row = n_win[doc_of]
+        m = h.copy()
+        for s in range(1, w):
+            cand = np.full_like(h, _MAX)
+            if s < h.size:
+                cand[:-s] = h[s:]
+            m = np.where(pos + s < nw_row, np.minimum(m, cand), m)
+        # keep one selection per window start that fits; short docs
+        # (n_win < w) keep position 0, whose masked min covers them
+        sel = (pos <= nw_row - w) | ((nw_row < w) & (pos == 0))
+        pairs = np.stack([doc_of[sel].astype(np.uint64), m[sel]],
+                         axis=1)
+        uniq = np.unique(pairs, axis=0)
+        ids = np.asarray(batch[id_col])[uniq[:, 0].astype(np.int64)]
+        return pa.table({id_col: pa.array(ids),
+                         "fingerprint": pa.array(
+                             uniq[:, 1].view(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
