@@ -966,3 +966,37 @@ class TestUnigramLogprob:
         # gibberish scores lowest
         assert out["mean_log2_prob"].idxmin() == 2
         assert out["n_tokens"].tolist() == [6, 6, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyInputs:
+    def test_stages_handle_zero_rows(self):
+        """Every vectorized stage must pass 0-row datasets through
+        without crashing (the sweep that found the pivot empty-domain
+        bug)."""
+        import ray.data as rd
+        from tldr_ray.stages.agg import (grouped_mode, grouped_quantiles,
+                                         pivot_table, rollup_aggregate,
+                                         stratified_sample, unpivot)
+        from tldr_ray.stages.sketches import (histogram_registers,
+                                              hll_registers)
+        from tldr_ray.stages.windows import funnel, row_window
+
+        empty = rd.from_arrow(pa.table({
+            "k": pa.array([], pa.string()),
+            "v": pa.array([], pa.float64()),
+            "id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.int64())}))
+        for make in [
+            lambda: grouped_quantiles(empty, "k", "v"),
+            lambda: pivot_table(empty, "id", "k"),
+            lambda: rollup_aggregate(empty, ["k"], value_col="v"),
+            lambda: grouped_mode(empty, "id", "k"),
+            lambda: stratified_sample(empty, "k", "id", {"a": 0.5}),
+            lambda: unpivot(empty, ["id"], ["v"]),
+            lambda: row_window(empty, "id", ["ts"]),
+            lambda: funnel(empty, "id", "ts", "k", ["a"]),
+            lambda: hll_registers(empty, "id"),
+            lambda: histogram_registers(empty, "v", 0.0, 1.0, 8),
+        ]:
+            assert make().count() >= 0

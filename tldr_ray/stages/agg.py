@@ -144,9 +144,14 @@ def pivot_table(ds, key_col: str, pivot_col: str,
     # Values outside a caller-supplied domain raise (silent clipping
     # would corrupt counts).
     if domain is None:
-        domain = sorted(ds.select_columns([pivot_col]).unique(pivot_col))
+        domain = sorted(ds.select_columns([pivot_col])
+                        .unique(pivot_col) or [])
     else:
         domain = sorted(domain)
+    if not domain:
+        # empty input/domain: no value columns exist — emit the empty
+        # key-only frame rather than crash
+        return ds.select_columns([key_col]).limit(0)
     if len(domain) > max_pivot_values:
         raise ValueError(
             f"pivot domain {len(domain)} exceeds max_pivot_values="
