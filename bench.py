@@ -365,6 +365,48 @@ if __name__ == "__main__":
         finally:
             ray.shutdown()
         print(json.dumps(out))
+    elif "--extended" in sys.argv:
+        # round-3 operator walls (sf0.1, min of 2 reps each) — NOT part
+        # of the default suite so BENCH_r{N} stays comparable across
+        # rounds; run on demand (BASELINE.md has the floor accounting)
+        import time as _time
+
+        import ray
+
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from tldr_ray.queries import QUERIES
+
+        names = ["tfidf_top_terms_docs", "user_event_pivot",
+                 "user_funnel_events", "events_user_running",
+                 "lineitem_rollup", "value_histogram_events",
+                 "hll_by_type_events", "stratified_sample_events",
+                 "events_value_outliers", "user_top_event_type",
+                 "winnow_fingerprints_docs", "repetition_scores_docs",
+                 "unigram_logprob_docs", "kmeans_embeddings",
+                 "label_propagation_hashgraph", "tpch_q3", "tpch_q6"]
+        qsec = {}
+        try:
+            for n in names:
+                best = None
+                for _ in range(2):
+                    t0 = _time.perf_counter()
+                    r = QUERIES[n](SF_DIR)
+                    if hasattr(r, "to_pandas"):
+                        r.to_pandas()
+                    dt = _time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                qsec[n] = round(best, 3)
+        finally:
+            ray.shutdown()
+        print(json.dumps({
+            "metric": "extended_ops_total (round-3 operators, min of 2)",
+            "value": round(sum(qsec.values()), 3), "unit": "sec",
+            "queries": qsec, "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "num_cpus": NCPU}))
     else:
         headline_only = os.environ.get("RAY_GRAFT_HEADLINE_ONLY") == "1"
         print(json.dumps(run_once(headline_only)))
