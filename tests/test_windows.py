@@ -135,3 +135,29 @@ class TestWindows:
         assert out["stage_reached"].tolist() == [3, 2, 0, 1]
         assert out["ts_purchase"].tolist() == [30, -1, -1, -1]
         assert out["ts_click"].tolist() == [20, 20, -1, -1]
+
+    def test_cohort_retention_triangle(self):
+        """Hand case: u1 active in buckets 0,1,2 of its cohort; u2
+        joins one bucket later and returns at offset 1; u3 one-shot."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.windows import cohort_retention
+
+        B = 100  # bucket seconds
+        rows = [(1, 10), (1, 110), (1, 250),      # cohort 0, offs 0,1,2
+                (2, 120), (2, 260),               # cohort 1, offs 0,1
+                (3, 50)]                          # cohort 0, off 0
+        t = pa.table({
+            "uid": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.int64()),
+        })
+        out = (cohort_retention(rd.from_arrow(t).repartition(3),
+                                "uid", "ts", bucket_s=B)
+               .to_pandas()
+               .sort_values(["cohort_bucket", "bucket_offset"])
+               .reset_index(drop=True))
+        got = {(r.cohort_bucket, r.bucket_offset): r.n_keys
+               for r in out.itertuples()}
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1,
+                       (1, 0): 1, (1, 1): 1}

@@ -2325,6 +2325,35 @@ ORACLE_SQL["user_funnel_events"] = """
 """
 
 
+def user_retention_weekly(sf_dir: str):
+    """Weekly cohort retention triangle over events
+    (stages.windows.cohort_retention): users bucketed by first-event
+    epoch week, distinct-active counts per week offset."""
+    from tldr_ray.stages.windows import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]),
+                            "user_id", "ts", bucket_s=604800)
+
+
+QUERIES["user_retention_weekly"] = user_retention_weekly
+ORACLE_SQL["user_retention_weekly"] = """
+    WITH f AS (
+        SELECT user_id,
+               min(epoch_us(ts)) // 604800000000 AS cw
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT e.user_id, f.cw,
+               epoch_us(e.ts) // 604800000000 - f.cw AS off
+        FROM events e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cw AS BIGINT) AS cohort_bucket,
+           CAST(off AS BIGINT) AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM a GROUP BY cw, off
+"""
+
+
 def user_event_pivot(sf_dir: str):
     """Wide per-user pivot over event_type: count + cents-sum columns
     per type (stages.agg.pivot_table — one wide partial row per key

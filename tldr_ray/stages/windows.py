@@ -187,6 +187,66 @@ def funnel(ds, key_col: str, ts_col: str, type_col: str,
     )
 
 
+def cohort_retention(ds, key_col: str = "user_id", ts_col: str = "ts",
+                     bucket_s: int = 604800, num_partitions: int = 64):
+    """Cohort retention: bucket each key by its FIRST event
+    (cohort = floor(first_ts / bucket_s)), then count distinct keys
+    active at each bucket offset from their cohort. Output
+    (cohort_bucket int64, bucket_offset int64, n_keys int64) — the
+    classic retention triangle.
+
+    One coarse shuffle on hash(key): each partition task sorts by
+    (key, ts) once, reads the cohort off each segment head, derives
+    (cohort, offset) per row vectorized and emits the partition's
+    DISTINCT (cohort, offset, key) triples (a combiner — at most one
+    row per key per active bucket); a small global groupby count
+    finishes."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+    from ray.data.aggregate import Sum
+
+    div = np.int64(bucket_s) * np.int64(1_000_000)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(k, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        bucket = ts // div
+        cohort = bucket[starts][seg]
+        off = bucket - cohort
+        tri = np.unique(np.stack(
+            [cohort, off, seg.astype(np.int64)], axis=1), axis=0)
+        return pd.DataFrame({"cohort_bucket": tri[:, 0],
+                             "bucket_offset": tri[:, 1],
+                             "n_keys": np.ones(len(tri), np.int64)})
+
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
+        .groupby(["cohort_bucket", "bucket_offset"])
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )
+
+
 def row_window(ds, key_col: str, order_cols: list[str],
                lag_cols: tuple[str, ...] = (),
                cumsum_cols: tuple[str, ...] = (),
