@@ -1000,3 +1000,36 @@ class TestEmptyInputs:
             lambda: histogram_registers(empty, "v", 0.0, 1.0, 8),
         ]:
             assert make().count() >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinearFit:
+    def test_recovers_planted_weights(self):
+        import ray.data as rd
+        from tldr_ray.stages.ann import linear_fit
+
+        rng = np.random.default_rng(29)
+        n, d = 4000, 8
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        w_true = np.arange(1, d + 1, dtype=np.float64)
+        y = X.astype(np.float64) @ w_true + 2.5 \
+            + rng.normal(0, 0.01, n)
+        t = pa.table({"embedding": pa.array(list(X)),
+                      "y": pa.array(y)})
+        ds = rd.from_arrow(t).repartition(7)
+        w, b, nn = linear_fit(ds, "embedding", "y")
+        assert nn == n
+        np.testing.assert_allclose(w, w_true, atol=0.01)
+        assert abs(b - 2.5) < 0.01
+        # same layout -> identical
+        w2, b2, _ = linear_fit(ds, "embedding", "y")
+        assert np.array_equal(w, w2) and b == b2
+
+    def test_empty_raises(self):
+        import ray.data as rd
+        from tldr_ray.stages.ann import linear_fit
+
+        t = pa.table({"embedding": pa.array([], pa.list_(pa.float32())),
+                      "y": pa.array([], pa.float64())})
+        with pytest.raises(ValueError):
+            linear_fit(rd.from_arrow(t))

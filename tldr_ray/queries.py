@@ -985,6 +985,29 @@ def kmeans_embeddings(sf_dir: str):
     return assign
 
 
+def linear_probe_embeddings(sf_dir: str):
+    """Exact closed-form linear probe: fit label ~ embedding over the
+    embeddings table via one-pass distributed normal equations
+    (stages.ann.linear_fit — O(d^2) partials per block). Rows-only
+    (block-order float ulps); pytest pins planted-weight recovery +
+    canonical-reduce determinism. Output: (dim, weight) rows, dim=-1
+    = bias."""
+    from tldr_ray.stages.ann import linear_fit
+
+    def lbl(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "embedding": batch["embedding"],
+            "y": batch["label"].cast(pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"]) \
+        .map_batches(lbl, batch_format="pyarrow")
+    w, b, n = linear_fit(ds, "embedding", "y")
+    return pa.table({
+        "dim": pa.array(np.concatenate([np.arange(w.size),
+                                        [-1]]).astype(np.int64)),
+        "weight": pa.array(np.concatenate([w, [b]]))})
+
+
 def embedding_dup_pairs(sf_dir: str):
     from tldr_ray.stages.dedup import embedding_cosine_pairs
 
@@ -1153,6 +1176,7 @@ QUERIES = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "kmeans_embeddings": kmeans_embeddings,
+    "linear_probe_embeddings": linear_probe_embeddings,
     "knn_lsh_top10": knn_lsh_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "language_id_docs": language_id_docs,

@@ -390,3 +390,49 @@ def kmeans(ds, emb_col: str = "embedding", id_col: str = "vec_id",
         Assign, batch_format="pyarrow",
         concurrency=_pool_size(concurrency))
     return cent, out
+
+
+def linear_fit(ds, emb_col: str = "embedding", target_col: str = "y",
+               ridge: float = 1e-6):
+    """One-pass exact linear probe over an embedding column: every
+    block folds its rows into the (d x d) Gram partial ``X^T X`` and
+    the (d,) moment ``X^T y`` — O(d^2) leaves a task, never O(rows) —
+    and the driver solves the ridge-regularized normal equations. The
+    closed-form fit is EXACT for the full dataset (no SGD, no epochs),
+    which is the right shape for linear probes / quality-regression
+    heads over frozen embeddings at corpus scale.
+
+    Returns (weights (d,) float64, bias float, n_rows). Floats are
+    block-order-sensitive in the last ulps (like every distributed
+    sum) — tests pin same-layout determinism and planted-weight
+    recovery, not cross-layout bit-equality."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch[emb_col]).astype(np.float64)
+        y = np.asarray(batch[target_col], dtype=np.float64)
+        Xb = np.concatenate([X, np.ones((len(y), 1))], axis=1)
+        g = Xb.T @ Xb
+        m = Xb.T @ y
+        return pa.table({"gram": pa.array([g.reshape(-1)]),
+                         "moment": pa.array([m]),
+                         "n": pa.array([np.int64(len(y))])})
+
+    parts = (ds.select_columns([emb_col, target_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if not len(parts):
+        raise ValueError("linear_fit needs at least one row")
+    grams = [np.asarray(g, dtype=np.float64) for g in parts["gram"]]
+    moms = [np.asarray(m, dtype=np.float64) for m in parts["moment"]]
+    # canonical reduce order: partial blocks land on the driver in
+    # task-completion order, so sum them in a content-sorted order to
+    # make repeat runs bit-identical (float addition is not
+    # associative)
+    order = np.argsort([g.tobytes() for g in grams], kind="stable")
+    G = np.sum(np.stack([grams[i] for i in order]), axis=0)
+    M = np.sum(np.stack([moms[i] for i in order]), axis=0)
+    n = int(parts["n"].sum())
+    d1 = M.size
+    G = G.reshape(d1, d1) + ridge * np.eye(d1)
+    wb = np.linalg.solve(G, M)
+    return wb[:-1], float(wb[-1]), n
