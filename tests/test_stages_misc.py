@@ -742,6 +742,33 @@ class TestSketches:
         # CM never underestimates: h0's estimate >= 900
         assert out.loc[out["value"] == "h0", "est_count"].iloc[0] >= 900
 
+    def test_bloom_no_false_negatives_and_fp_bound(self):
+        """Every inserted key probes True; absent-key fp rate stays
+        near the analytic bound; bit table partition-invariant."""
+        import ray.data as rd
+        from tldr_ray.stages.sketches import (bloom_bits,
+                                              bloom_maybe_contains)
+
+        n, m, k = 500, 4096, 3
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"v": pa.array(ids)})
+        a = bloom_bits(rd.from_arrow(t), "v", m=m, k=k).to_pandas()
+        b = bloom_bits(rd.from_arrow(t).repartition(7), "v",
+                       m=m, k=k).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("bit").reset_index(drop=True),
+            b.sort_values("bit").reset_index(drop=True))
+        arr = np.zeros(m, dtype=np.int64)
+        arr[a["bit"].to_numpy(np.int64)] = a["set"].to_numpy(np.int64)
+        present = bloom_maybe_contains(arr, pa.array(ids), m, k)
+        assert present.all()                      # never a false neg
+        absent = bloom_maybe_contains(
+            arr, pa.array(np.arange(10_000, 20_000, dtype=np.int64)),
+            m, k)
+        fp = absent.mean()
+        bound = (1 - np.exp(-k * n / m)) ** k     # ~0.028
+        assert fp < 4 * bound + 0.01, fp
+
     def test_histogram_counts_exact_and_merge_invariant(self):
         """Register counts equal an exact bincount regardless of block
         layout (sum merge); out-of-range values clamp to edge bins."""

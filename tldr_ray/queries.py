@@ -2780,6 +2780,116 @@ ORACLE_SQL["value_histogram_events"] = f"""
 """
 
 
+_BLOOM_M, _BLOOM_K = 2048, 3
+
+
+def bloom_bits_orders(sf_dir: str):
+    """Bloom-filter bit table over orders.o_orderkey
+    (stages.sketches.bloom_bits, m=2048, k=3 fixed salts) — the
+    mergeable membership sketch; SQL mirror reuses the Count-Min
+    FNV/splitmix/salt machinery and emits the same dense 0/1 grid."""
+    from tldr_ray.stages.sketches import bloom_bits
+
+    return bloom_bits(_read(sf_dir, "orders", ["o_orderkey"]),
+                      "o_orderkey", m=_BLOOM_M, k=_BLOOM_K)
+
+
+def _bloom_oracle_sql(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    from tldr_ray.stages.sketches import CM_SALTS
+
+    salts = ", ".join(
+        f"({i}, CAST({CM_SALTS[i]} AS HUGEINT))" for i in range(k))
+    xor_salt = (
+        f"(CASE WHEN xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) < 0 "
+        f"THEN CAST(xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) "
+        f"AS HUGEINT) + {_SQL_M64} "
+        f"ELSE CAST(xor({_sql_s2b('hh.h')}, {_sql_s2b('sl.salt')}) "
+        f"AS HUGEINT) END)")
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s FROM orders")},
+    salted AS MATERIALIZED (
+        SELECT {xor_salt} AS h
+        FROM hh CROSS JOIN (VALUES {salts}) AS sl(rw, salt)
+    ),
+    {_sql_splitmix_ctes("salted")},
+    bits AS (SELECT DISTINCT CAST(h % {m} AS BIGINT) AS bit FROM m3)
+    SELECT CAST(g.b AS INTEGER) AS bit,
+           CAST(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS set
+    FROM (SELECT unnest(range(0, {m})) AS b) g
+    LEFT JOIN bits ON bits.bit = g.b
+"""
+
+
+QUERIES["bloom_bits_orders"] = bloom_bits_orders
+ORACLE_SQL["bloom_bits_orders"] = _bloom_oracle_sql()
+
+
+def bloom_filtered_revenue(sf_dir: str):
+    """Bloom-filtered join: recent orders' keys build a broadcast
+    bloom; lineitem rows that DEFINITELY don't match are dropped
+    before the join shuffle (the classic shuffle-reduction pattern);
+    survivors take the normal bucketed join. Hash-equality with the
+    plain SQL join proves the no-false-negative law end to end."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+    from tldr_ray.stages.sketches import (bloom_bits,
+                                          bloom_maybe_contains)
+
+    cutoff = np.datetime64("2000-01-01").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        m = od >= cutoff
+        return pa.table({"l_orderkey": pa.array(
+            np.asarray(batch["o_orderkey"], dtype=np.int64)[m])})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ofil, batch_format="pyarrow")
+    bits_df = bloom_bits(orders, "l_orderkey",
+                         m=_BLOOM_M, k=_BLOOM_K).to_pandas()
+    arr = np.zeros(_BLOOM_M, dtype=np.int64)
+    arr[bits_df["bit"].to_numpy(np.int64)] = \
+        bits_df["set"].to_numpy(np.int64)
+    bref = ray.put(arr)
+
+    def lfil(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bref)
+        keys = batch["l_orderkey"]
+        keep = bloom_maybe_contains(
+            bits, keys if not isinstance(keys, pa.ChunkedArray)
+            else keys.combine_chunks(), _BLOOM_M, _BLOOM_K)
+        t = batch.filter(pa.array(keep))
+        px = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": pa.array(_cents(px))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice"]) \
+        .map_batches(lfil, batch_format="pyarrow")
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+    agg = joined.aggregate(Sum("cents", alias_name="cents"))
+    n = joined.count()
+    return pa.table({
+        "cents": pa.array([int(agg["cents"] or 0)], pa.int64()),
+        "n_rows": pa.array([int(n)], pa.int64())})
+
+
+QUERIES["bloom_filtered_revenue"] = bloom_filtered_revenue
+ORACLE_SQL["bloom_filtered_revenue"] = """
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= DATE '2000-01-01'
+"""
+
+
 def events_value_quantiles(sf_dir: str):
     """Exact per-event_type p50/p90/p99 of value via the coarse-
     partition quantile sweep (stages.agg.grouped_quantiles). Discrete

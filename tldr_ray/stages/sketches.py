@@ -326,6 +326,63 @@ def heavy_hitters(ds, col: str, k: int = 10, d: int = 4, w: int = 1024,
     return out.reset_index(drop=True)
 
 
+# -- Bloom filter --------------------------------------------------------
+#
+# Mergeable membership sketch: k salted hash positions per value over an
+# m-bit array; merge is elementwise OR (= max over {0,1} — associative,
+# retry-safe), so the bit table follows the same partial -> max-combine
+# -> densify funnel as the HLL registers and is bit-for-bit mirrorable
+# in SQL. No false negatives ever; false-positive rate ~ (1-e^{-kn/m})^k.
+# The headline use is the bloom-filtered join: broadcast the small
+# side's bits once and drop non-matching big-side rows BEFORE the join
+# shuffle (queries.bloom_filtered_revenue hash-checks the end result
+# against the unfiltered join, which also proves no-false-negatives).
+
+
+def bloom_bits(ds, col: str, m: int = 2048, k: int = 3):
+    """Dataset of the dense m-row bit table: (bit int32, set int64
+    0/1). Positions = splitmix64(fnv1a(str(v)) XOR salt_i) % m for the
+    first k fixed Count-Min salts (shared schedule — shared SQL
+    mirror)."""
+    if k > len(CM_SALTS):
+        raise ValueError(f"k <= {len(CM_SALTS)} (fixed salt schedule)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = _cm_buckets(batch[col], k, m).reshape(-1)
+        bits = np.unique(pos)
+        return pa.table({"bit": pa.array(bits.astype(np.int32)),
+                         "set": pa.array(np.ones(bits.size, np.int64))})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unique(batch["bit"].to_numpy(np.int64))
+        return pd.DataFrame({"bit": bits.astype(np.int32),
+                             "set": np.ones(bits.size, np.int64)})
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(m, dtype=np.int64)
+        if len(batch):
+            arr[batch["bit"].to_numpy(np.int64)] = 1
+        return pd.DataFrame({"bit": np.arange(m, dtype=np.int32),
+                             "set": arr})
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas", batch_size=32768)
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
+
+
+def bloom_maybe_contains(bit_array: np.ndarray, values, m: int,
+                         k: int = 3) -> np.ndarray:
+    """Vectorized membership probe against a dense 0/1 bit array:
+    True = maybe present (fp possible), False = DEFINITELY absent."""
+    vals = values if isinstance(values, pa.Array) else pa.array(values)
+    pos = _cm_buckets(vals, k, m)
+    return np.all(bit_array[pos] == 1, axis=0)
+
+
 # -- Mergeable histogram ------------------------------------------------
 #
 # The approximate-quantile shape for 100 TB: a fixed-bin counter table
