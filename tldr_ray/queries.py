@@ -2400,6 +2400,77 @@ ORACLE_SQL["user_event_pivot"] = "SELECT user_id, " + ", ".join(
     for t in _PIVOT_TYPES) + " FROM events GROUP BY user_id"
 
 
+def top_bigrams_docs(sf_dir: str):
+    """Top-100 adjacent word pairs (collocations) across documents:
+    per-batch vectorized pairing (shifted token arrays, same-doc
+    mask) pre-aggregates to distinct (w1, w2, n) rows — the shuffle
+    moves distinct pairs, never tokens — then one groupby + sorted
+    limit. Deterministic tiebreak (n desc, w1 asc, w2 asc)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of, w = doc_of[keep], np.asarray(flat)[keep]
+        if w.size < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = doc_of[1:] == doc_of[:-1]
+        w1, w2 = w[:-1][same], w[1:][same]
+        u1, c1 = np.unique(w1, return_inverse=True)
+        u2, c2 = np.unique(w2, return_inverse=True)
+        key = c1.astype(np.int64) * max(len(u2), 1) + c2
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "w1": pa.array(u1[uk // max(len(u2), 1)].tolist(),
+                           pa.string()),
+            "w2": pa.array(u2[uk % max(len(u2), 1)].tolist(),
+                           pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "w1", "w2"], descending=[True, False, False])
+            .limit(100))
+
+
+QUERIES["top_bigrams_docs"] = top_bigrams_docs
+ORACLE_SQL["top_bigrams_docs"] = """
+    WITH toks AS (
+        SELECT doc_id, i, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w,
+                   generate_subscripts(
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\\s+'), 1) AS i
+            FROM documents)
+        WHERE w != ''
+    ),
+    big AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM big GROUP BY w1, w2
+    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 100
+"""
+
+
 def repetition_scores_docs(sf_dir: str):
     """Per-document repetition signals (duplicate-line counts/chars —
     stages.text_analysis.repetition_scores). All-integer, one
