@@ -417,8 +417,23 @@ def linear_fit(ds, emb_col: str = "embedding", target_col: str = "y",
                          "moment": pa.array([m]),
                          "n": pa.array([np.int64(len(y))])})
 
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        # in-stream funnel: every ~32Ki partial rows collapse to one —
+        # the driver reduce sees O(upstream_blocks / 32Ki) rows, not
+        # one Gram per batch (at corpus scale that difference is the
+        # whole game). Within-combine order is the batch's row order
+        # (deterministic for a fixed layout).
+        g = np.sum(np.stack([np.asarray(x, dtype=np.float64)
+                             for x in batch["gram"]]), axis=0)
+        m = np.sum(np.stack([np.asarray(x, dtype=np.float64)
+                             for x in batch["moment"]]), axis=0)
+        return pd.DataFrame({"gram": [g], "moment": [m],
+                             "n": [np.int64(batch["n"].sum())]})
+
     parts = (ds.select_columns([emb_col, target_col])
              .map_batches(partial, batch_format="pyarrow")
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=32768)
              .to_pandas())
     if not len(parts):
         raise ValueError("linear_fit needs at least one row")
