@@ -2942,12 +2942,14 @@ def bloom_filtered_revenue(sf_dir: str):
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice"]) \
         .map_batches(lfil, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
     joined = bucketed_hash_join(line, orders, on="l_orderkey")
-    agg = joined.aggregate(Sum("cents", alias_name="cents"))
-    n = joined.count()
+    agg = joined.aggregate(Sum("cents", alias_name="cents"),
+                           Count(alias_name="n_rows"))
     return pa.table({
         "cents": pa.array([int(agg["cents"] or 0)], pa.int64()),
-        "n_rows": pa.array([int(n)], pa.int64())})
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
 
 
 QUERIES["bloom_filtered_revenue"] = bloom_filtered_revenue

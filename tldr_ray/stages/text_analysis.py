@@ -366,11 +366,14 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def add_part(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        if not (pa.types.is_string(ids.type)
-                or pa.types.is_large_string(ids.type)):
-            ids = pc.cast(ids, pa.string())
-        return batch.append_column(
-            "__part", pa.array(part_key(ids, num_partitions)))
+        if pa.types.is_integer(ids.type):
+            from tldr_ray.graph.partition import vhash
+
+            p = (vhash(np.asarray(ids, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(ids, num_partitions)
+        return batch.append_column("__part", pa.array(p))
 
     def sweep(group: pd.DataFrame) -> pd.DataFrame:
         i, tm, tf, dfo, rnk, sc = _topk_rows(
