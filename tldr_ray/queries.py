@@ -3293,3 +3293,236 @@ ORACLE_SQL["bfs_hops_hashgraph"] = f"""
     FROM verts LEFT JOIN reach ON reach.v = verts.v
     GROUP BY verts.v
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join breadth: Q5 (six-table star join), Q14 (promo ratio),
+# Q4-shaped (EXISTS semi-join; adapted to the synth schema, which has
+# no l_commitdate/l_receiptdate — the semi-join predicate is
+# "has a returned lineitem" instead)
+# ---------------------------------------------------------------------------
+
+def tpch_q5(sf_dir: str):
+    """TPC-H Q5-shaped: local-supplier revenue by nation for one region
+    and one order year. Join strategy by size class: region/nation
+    (O(10) rows) and the custkey->nationkey / suppkey->nationkey maps
+    ride the object store ONCE as packed sorted numpy arrays
+    (searchsorted lookups inside map_batches — the revenue_by_nation
+    broadcast idiom; at the scale where a full customer map stops
+    fitting, that side flips to stages.joins.bucketed_hash_join exactly
+    like the orders<->lineitem join below, which is bucketed from the
+    start because both sides are fact tables). Revenue is exact integer
+    cents so partial-sum order cannot perturb the driver hash."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = np.asarray(region["r_regionkey"], dtype=np.int64)
+    asia_rkeys = rkey[np.asarray(pc.equal(region["r_name"], "ASIA"))]
+    nkey = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    nreg = np.asarray(nation["n_regionkey"], dtype=np.int64)
+    asia_nations = np.sort(nkey[np.isin(nreg, asia_rkeys)])
+    nation_names = np.empty(int(nkey.max()) + 1, dtype=object)
+    nation_names[nkey] = nation["n_name"].to_pylist()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    co = np.argsort(ckey)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    so = np.argsort(skey)
+    maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so],
+                        asia_nations))
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        ckeys, cnats, _, _, asia = ray.get(maps_ref)
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        nat = cnats[np.searchsorted(ckeys, ck)]
+        pos = np.searchsorted(asia, nat)
+        pos = np.clip(pos, 0, len(asia) - 1)
+        m = (od >= lo) & (od < hi) & (asia[pos] == nat)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+            "cust_nat": pa.array(nat[m])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofil, batch_format="pyarrow")
+
+    def lproj(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "revenue_cents": pa.array(_cents(px * (1.0 - disc)))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]).map_batches(lproj, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+    def local_supplier(batch: pa.Table) -> pa.Table:
+        _, _, skeys, snats, _ = ray.get(maps_ref)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        cn = np.asarray(batch["cust_nat"], dtype=np.int64)
+        m = snats[np.searchsorted(skeys, sk)] == cn
+        names = nation_names[cn[m]].tolist()
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue_cents": pa.array(
+                np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+
+    named = joined.map_batches(local_supplier, batch_format="pyarrow")
+    return named.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+def tpch_q14(sf_dir: str):
+    """TPC-H Q14-shaped: promo revenue share over a quarter. The part
+    promo flag is a broadcast packed bool array (part is a dimension
+    table); both sums are exact integer cents, and the ratio is ONE
+    IEEE division of two exact integers — deterministic regardless of
+    partial-sum order, so the double hash-matches DuckDB."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-07-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1996-10-01").astype("datetime64[us]").astype(np.int64)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkey = np.asarray(part["p_partkey"], dtype=np.int64)
+    promo = np.asarray(pc.starts_with(part["p_type"], "PROMO"))
+    po = np.argsort(pkey)
+    pref = ray.put((pkey[po], promo[po]))
+
+    def fil(batch: pa.Table) -> pa.Table:
+        pkeys, pflag = ray.get(pref)
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        m = (sd >= lo) & (sd < hi)
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)[m]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[m]
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)[m]
+        cents = _cents(px * (1.0 - disc))
+        is_promo = pflag[np.searchsorted(pkeys, pk)]
+        return pa.table({
+            "promo_cents": pa.array(np.where(is_promo, cents, 0)),
+            "total_cents": pa.array(cents)})
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(fil, batch_format="pyarrow")
+    agg = ds.aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                       Sum("total_cents", alias_name="total_cents"))
+    p, t = int(agg["promo_cents"]), int(agg["total_cents"])
+    return pa.table({
+        "promo_cents": pa.array([p], pa.int64()),
+        "total_cents": pa.array([t], pa.int64()),
+        "promo_ratio": pa.array([100.0 * p / t], pa.float64())})
+
+
+def tpch_q4(sf_dir: str):
+    """TPC-H Q4-shaped: order counts by priority for one quarter,
+    restricted to orders with at least one RETURNED lineitem (the synth
+    schema has no l_commitdate/l_receiptdate, so the EXISTS predicate
+    is l_returnflag = 'R'; cited shape: TPC-H Q4's
+    exists-late-lineitem semi-join). The lineitem side is pre-shrunk to
+    DISTINCT orderkeys (per-batch unique, then a grouped count — the
+    pre-aggregate-before-shuffle rule), then ONE bucketed hash join
+    implements the semi-join."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+
+    def rkeys(batch: pa.Table) -> pa.Table:
+        m = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        ok = np.unique(np.asarray(batch["l_orderkey"], dtype=np.int64)[m])
+        return pa.table({"o_orderkey": pa.array(ok)})
+
+    returned = (_read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+                .map_batches(rkeys, batch_format="pyarrow")
+                .groupby("o_orderkey").aggregate(Count(alias_name="_n"))
+                .select_columns(["o_orderkey"]))
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        m = (od >= lo) & (od < hi)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+            "o_orderpriority": batch["o_orderpriority"].filter(
+                pa.array(m))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ofil, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(orders, returned, on="o_orderkey")
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count"))
+
+
+QUERIES["tpch_q5"] = tpch_q5
+ORACLE_SQL["tpch_q5"] = """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+"""
+QUERIES["tpch_q14"] = tpch_q14
+ORACLE_SQL["tpch_q14"] = """
+    WITH f AS (
+        SELECT CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                          * 100.0 + 0.5) AS BIGINT) AS cents,
+               (p.p_type LIKE 'PROMO%') AS is_promo
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= DATE '1996-07-01'
+          AND l.l_shipdate <  DATE '1996-10-01')
+    SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           100.0 * CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+                        AS DOUBLE)
+               / CAST(sum(cents) AS DOUBLE) AS promo_ratio
+    FROM f
+"""
+QUERIES["tpch_q4"] = tpch_q4
+ORACLE_SQL["tpch_q4"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
