@@ -1060,3 +1060,64 @@ class TestLinearFit:
                       "y": pa.array([], pa.float64())})
         with pytest.raises(ValueError):
             linear_fit(rd.from_arrow(t))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRedactAndContamination:
+    def test_redact_emails_and_terms(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import regex_redact
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "write to bob.smith+x@corp-mail.co today",
+                "no pii at all",
+                "a@b.io and c.d@e.org twice"])})
+        pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        out = regex_redact(rd.from_arrow(t), pat).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["n_matches"].tolist() == [1, 0, 2]
+        assert out["redacted"][0] == "write to [REDACTED] today"
+        assert out["redacted"][1] == "no pii at all"
+        assert out["redacted"][2] == "[REDACTED] and [REDACTED] twice"
+
+    def test_contamination_counts(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import ngram_contamination
+
+        bench = pa.table({
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["the quick brown fox jumps over the lazy dog"])})
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                # identical to the benchmark doc: shares every gram
+                "the quick brown fox jumps over the lazy dog",
+                # shares a >=k char substring -> at least one gram
+                "xx the quick brown fox jumps zz",
+                # disjoint text
+                "completely unrelated content with no overlap here",
+                # shorter than k: must report 0, not a padded match
+                "the quick"])})
+        k = 12
+        out = ngram_contamination(rd.from_arrow(docs),
+                                  rd.from_arrow(bench), k=k) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        n_grams_full = len(bench["text"][0].as_py()) - k + 1
+        assert out["n_shared"].tolist()[0] == n_grams_full
+        assert out["n_shared"][1] >= 1
+        assert out["n_shared"][2] == 0
+        assert out["n_shared"][3] == 0
+
+    def test_contamination_empty_bench(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import ngram_contamination
+
+        docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                         "text": pa.array(["some document text here"])})
+        bench = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        out = ngram_contamination(rd.from_arrow(docs),
+                                  rd.from_arrow(bench)).to_pandas()
+        assert out["n_shared"].tolist() == [0]

@@ -3526,3 +3526,98 @@ ORACLE_SQL["tpch_q4"] = """
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
     GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM-curation ops: PII/denylist redaction, benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_REDACT_PATTERN = (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+                   r"|\b(?:customer|supplier)\b")
+
+
+def redact_terms_docs(sf_dir: str):
+    """PII-scrub-shaped redaction (stages.text_analysis.regex_redact):
+    one RE2 pattern covering email-shaped PII plus a project denylist
+    term pair (the synth corpus has no real PII, so the denylist arm is
+    what exercises the rewrite). Hash-checked on the FULL redacted
+    strings — pyarrow and DuckDB share the RE2 dialect."""
+    from tldr_ray.stages.text_analysis import regex_redact
+
+    return regex_redact(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        _REDACT_PATTERN)
+
+
+_CONTAM_K = 20
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (stages.dedup.ngram_contamination):
+    docs with doc_id % 20 == 0 stand in for a held-out eval set; every
+    other doc reports how many DISTINCT char-20-gram FNV hashes it
+    shares with that set (0 = clean; a training pipeline would drop or
+    flag n_shared > 0). Zeros are kept so the result is never empty."""
+    from tldr_ray.stages.dedup import ngram_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_bench = np.asarray(batch["doc_id"], np.int64) % 20 == 0
+            return batch.filter(
+                pa.array(is_bench if keep_bench else ~is_bench))
+        return fn
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    eval_side = docs.map_batches(side(False), batch_format="pyarrow")
+    return ngram_contamination(eval_side, bench, k=_CONTAM_K)
+
+
+def _contamination_oracle_sql(k: int = _CONTAM_K) -> str:
+    M64 = 1 << 64
+    steps = []
+    prev = "g0"
+    for j in range(k):
+        cur = f"g{j + 1}"
+        steps.append(f""",
+    {cur} AS MATERIALIZED (
+        SELECT doc_id, text, i,
+               ((h - h % 256 + xor(CAST(h % 256 AS BIGINT),
+                                   ord(substr(text, i + {j}, 1))))
+                * 1099511628211) % {M64} AS h
+        FROM {prev}
+    )""")
+        prev = cur
+    return f"""
+    WITH g0 AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {k - 2})) AS i,
+               CAST(14695981039346656037 AS HUGEINT) AS h
+        FROM documents WHERE length(text) >= {k}
+    ){"".join(steps)},
+    grams AS MATERIALIZED (SELECT doc_id, h FROM {prev}),
+    bench AS MATERIALIZED (
+        SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+    hits AS (
+        SELECT g.doc_id, count(DISTINCT g.h) AS n_shared
+        FROM grams g JOIN bench b ON b.h = g.h
+        WHERE g.doc_id % 20 <> 0
+        GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared
+    FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    WHERE d.doc_id % 20 <> 0
+"""
+
+
+QUERIES["redact_terms_docs"] = redact_terms_docs
+ORACLE_SQL["redact_terms_docs"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_REDACT_PATTERN}'))
+                AS BIGINT) AS n_matches,
+           regexp_replace(text, '{_REDACT_PATTERN}', '[REDACTED]', 'g')
+               AS redacted
+    FROM documents
+"""
+QUERIES["decontaminate_docs"] = decontaminate_docs
+ORACLE_SQL["decontaminate_docs"] = _contamination_oracle_sql()

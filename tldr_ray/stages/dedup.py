@@ -879,3 +879,66 @@ def winnow_fingerprints(ds, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def ngram_contamination(docs, bench, k: int = 20, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Benchmark decontamination: per document, the number of DISTINCT
+    char k-gram hashes it shares with a benchmark corpus (an eval set
+    a training pipeline must not leak). The benchmark side is reduced
+    to a sorted unique uint64 hash array and broadcast ONCE via
+    ray.put — eval suites are tiny next to a 100 TB corpus; if a
+    benchmark ever outgrows a broadcast object, flip this side to the
+    coarse-partition gram-hash groupby the minhash bucket sweep uses.
+    The corpus side streams: one vectorized shingle pass + searchsorted
+    membership per batch, no shuffle, no driver materialization of doc
+    data.
+
+    Hashes are the corpus-vectorized FNV-1a char grams
+    (``_corpus_shingle_hashes``), mirrored bit-for-bit by the chained
+    per-byte FNV SQL CTEs (the winnowing-oracle pattern), so a DuckDB
+    oracle can hash-check the counts. Docs shorter than ``k`` have no
+    real gram (the shingle kernel zero-pads them) and report 0.
+
+    Output: (id_col, n_shared int64) — one row per input doc,
+    contaminated or not (zeros kept so an all-clean corpus still has a
+    schema)."""
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        h, n_win = _corpus_shingle_hashes(batch[text_col], k)
+        lens = pc.binary_length(batch[text_col]).to_numpy(
+            zero_copy_only=False)
+        real = np.repeat(lens >= k, n_win)
+        return pa.table({"h": pa.array(np.unique(h[real]))})
+
+    parts = [np.asarray(b["h"], dtype=np.uint64)
+             for b in bench.select_columns([text_col])
+             .map_batches(bench_grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    bset = np.unique(np.concatenate(parts)) if parts \
+        else np.array([], np.uint64)
+    bref = ray.put(bset)
+
+    def count_shared(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        ids = np.asarray(batch[id_col])
+        h, n_win = _corpus_shingle_hashes(batch[text_col], k)
+        lens = pc.binary_length(batch[text_col]).to_numpy(
+            zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_win)
+        real = np.repeat(lens >= k, n_win)
+        n_shared = np.zeros(len(batch), np.int64)
+        if bs.size and real.any():
+            pos = np.clip(np.searchsorted(bs, h), 0, bs.size - 1)
+            hit = real & (bs[pos] == h)
+            if hit.any():
+                pairs = np.unique(
+                    np.stack([doc_of[hit].astype(np.uint64), h[hit]],
+                             axis=1), axis=0)
+                np.add.at(n_shared, pairs[:, 0].astype(np.int64), 1)
+        return pa.table({id_col: pa.array(ids),
+                         "n_shared": pa.array(n_shared)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        count_shared, batch_format="pyarrow")

@@ -518,3 +518,28 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
                          "mean_log2_prob": pa.array(mean)})
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+def regex_redact(ds, pattern: str, replacement: str = "[REDACTED]",
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """PII / denylist scrubbing: replace every regex match in
+    ``text_col`` and count the matches per row, fully vectorized
+    (pyarrow's RE2 kernels — the same regex dialect DuckDB uses, so a
+    SQL oracle can mirror the rewrite string-for-string). Stateless
+    map_batches: no shuffle, streams at read speed. Typical patterns:
+    email/phone-shaped PII, project denylist terms.
+
+    Output: (id_col, n_matches int64, redacted string)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_matches": pc.cast(
+                pc.count_substring_regex(txt, pattern), pa.int64()),
+            "redacted": pc.replace_substring_regex(
+                txt, pattern, replacement),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
