@@ -1121,3 +1121,37 @@ class TestRedactAndContamination:
         out = ngram_contamination(rd.from_arrow(docs),
                                   rd.from_arrow(bench)).to_pandas()
         assert out["n_shared"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommonNeighbors:
+    @staticmethod
+    def _run(src, dst, **kw):
+        import ray.data as rd
+        from tldr_ray.graph.triangles import common_neighbors
+
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * len(src))})
+        out = common_neighbors(rd.from_arrow(t), **kw).to_pandas()
+        return {(int(r.u), int(r.v)): int(r.n_common)
+                for r in out.itertuples()}
+
+    def test_square_and_triangle(self):
+        # square 1-2-3-4-1: diagonals share two neighbors each
+        got = self._run([1, 2, 3, 4], [2, 3, 4, 1])
+        assert got == {(1, 3): 2, (2, 4): 2}
+        # triangle: every 2-path endpoint pair is adjacent -> no rows
+        assert self._run([1, 2, 3], [2, 3, 1]) == {}
+
+    def test_path_and_dup_edges(self):
+        # path 1-2-3 (with duplicate + reversed edge noise)
+        got = self._run([1, 2, 2, 3], [2, 3, 1, 2])
+        assert got == {(1, 3): 1}
+
+    def test_max_degree_clamp(self):
+        # star center 0 with 5 leaves: every leaf pair shares center
+        src = [0] * 5
+        dst = [1, 2, 3, 4, 5]
+        assert len(self._run(src, dst)) == 10
+        assert self._run(src, dst, max_degree=4) == {}

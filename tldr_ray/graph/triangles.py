@@ -215,3 +215,120 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
     # scalar total via a Dataset aggregate — no O(V) driver pull
     s = per_vertex.sum("triangles") if per_vertex.count() else 0
     return int((s or 0) // 3), per_vertex
+
+
+def common_neighbors(edges, max_degree: int | None = None):
+    """Link-prediction scores: for every NON-adjacent vertex pair at
+    distance 2, the number of common neighbors (the classic
+    common-neighbors predictor; jaccard/adamic-adar variants divide by
+    degree terms downstream).
+
+    Same coarse-partition discipline as ``triangle_counts``: wedges are
+    generated per CENTER partition (one sort + segment pair expansion
+    per task, counts pre-combined with np.unique before leaving the
+    task), then pair partitions sum counts and drop pairs that carry an
+    edge marker row — two coarse shuffles total, nothing on the driver.
+
+    ``max_degree`` optionally skips centers above a degree cap (the
+    hub-skew clamp: a degree-d center emits d^2/2 wedges; real graphs
+    cap hubs for this predictor). None = exact.
+
+    Returns Dataset (u:int64, v:int64, n_common:int64), u < v, sorted
+    by nothing — callers top-k with a deterministic total order.
+    """
+    import pandas as pd
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+        .materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": src, "dst": dst,
+            "part": pa.array((vhash(src) % NP).astype(np.int32))})
+
+    def wedge_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"])
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        new = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ia, ib = [], []
+        for st, k in zip(starts.tolist(), sizes.tolist()):
+            if k < 2 or (max_degree is not None and k > max_degree):
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+        if not ia:
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        # pre-combine: one row per distinct pair per partition
+        pairs, cnt = np.unique(
+            np.stack([dst[ia], dst[ib]], axis=1), axis=0,
+            return_counts=True)
+        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1],
+                             "n": cnt.astype(np.int64)})
+
+    wedges = und.map_batches(sym, batch_format="pyarrow") \
+        .groupby("part").map_groups(wedge_part, batch_format="pandas")
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"], dtype=np.int64)
+        v = np.asarray(batch["v"], dtype=np.int64)
+        part = (vhash(u * np.int64(1_000_003) + v) % NP).astype(np.int32)
+        return pa.table({"u": batch["u"], "v": batch["v"],
+                         "n": batch["n"], "part": pa.array(part)})
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["a"], dtype=np.int64)
+        v = np.asarray(batch["b"], dtype=np.int64)
+        part = (vhash(u * np.int64(1_000_003) + v) % NP).astype(np.int32)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "n": pa.array(np.full(u.size, -1, np.int64)),
+                         "part": pa.array(part)})
+
+    probe = wedges.map_batches(tag_pairs, batch_format="pyarrow").union(
+        und.map_batches(tag_edges, batch_format="pyarrow"))
+
+    def sum_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["u", "v", "n"])   # edge rows (-1) first
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        new = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+        seg_of = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        seg_is_edge = n[starts] == -1
+        keep_seg = ~seg_is_edge
+        tot = np.zeros(starts.size, np.int64)
+        np.add.at(tot, seg_of, np.maximum(n, 0))
+        m = keep_seg & (tot > 0)
+        if not m.any():
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "n_common": pd.array([], dtype="int64")})
+        return pd.DataFrame({"u": u[starts][m], "v": v[starts][m],
+                             "n_common": tot[m]})
+
+    return probe.groupby("part").map_groups(sum_part,
+                                            batch_format="pandas")

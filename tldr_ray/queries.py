@@ -3621,3 +3621,34 @@ ORACLE_SQL["redact_terms_docs"] = f"""
 """
 QUERIES["decontaminate_docs"] = decontaminate_docs
 ORACLE_SQL["decontaminate_docs"] = _contamination_oracle_sql()
+
+
+def common_neighbors_hashgraph(sf_dir: str):
+    """Link prediction over the hash graph: top-50 NON-adjacent vertex
+    pairs by common-neighbor count (graph.triangles.common_neighbors —
+    the triangle wedge sweep re-targeted at open wedges), deterministic
+    total order (n_common desc, u asc, v asc)."""
+    from tldr_ray.graph.triangles import common_neighbors
+
+    pairs = common_neighbors(_hash_graph_edges(sf_dir))
+    return pairs.sort(["n_common", "u", "v"],
+                      descending=[True, False, False]).limit(50)
+
+
+QUERIES["common_neighbors_hashgraph"] = common_neighbors_hashgraph
+ORACLE_SQL["common_neighbors_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    cn AS (
+        SELECT e1.t AS u, e2.t AS v, count(*) AS n_common
+        FROM sym e1 JOIN sym e2 ON e2.s = e1.s AND e1.t < e2.t
+        GROUP BY 1, 2)
+    SELECT cn.u, cn.v, CAST(cn.n_common AS BIGINT) AS n_common
+    FROM cn LEFT JOIN und ON und.a = cn.u AND und.b = cn.v
+    WHERE und.a IS NULL
+    ORDER BY n_common DESC, u ASC, v ASC
+    LIMIT 50
+"""
