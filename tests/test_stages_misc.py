@@ -1155,3 +1155,49 @@ class TestCommonNeighbors:
         dst = [1, 2, 3, 4, 5]
         assert len(self._run(src, dst)) == 10
         assert self._run(src, dst, max_degree=4) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackAndSink:
+    def test_pack_matches_serial_scan(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import pack_token_shards
+
+        rng = np.random.default_rng(7)
+        n = 400
+        ids = rng.permutation(n).astype(np.int64)   # arrival order != id
+        w = rng.integers(1, 50, n).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(w)})
+        out = pack_token_shards(rd.from_arrow(t).repartition(9),
+                                "doc_id", "n_tokens", budget=100,
+                                num_parts=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        order = np.argsort(ids)
+        before = np.cumsum(w[order]) - w[order]
+        assert out["shard_id"].tolist() == (before // 100).tolist()
+        assert out["n_tokens"].tolist() == w[order].tolist()
+
+    def test_partitioned_write_resume(self, tmp_path):
+        import os
+        import ray.data as rd
+        import pyarrow.parquet as pq
+        from tldr_ray.sinks import write_partitioned_parquet
+
+        out = str(tmp_path / "out")
+        t = pa.table({"k": pa.array(["a", "b", "c"] * 10),
+                      "x": pa.array(range(30))})
+        r1 = write_partitioned_parquet(rd.from_arrow(t), out, by="k")
+        assert sorted(r1["written"]) == ["a", "b", "c"]
+        # simulate a crash: partition b loses its marker (incomplete),
+        # partition c survives complete
+        os.remove(os.path.join(out, "k=b", "_DONE"))
+        import shutil
+        shutil.rmtree(os.path.join(out, "k=a"))
+        r2 = write_partitioned_parquet(rd.from_arrow(t), out, by="k")
+        assert sorted(r2["written"]) == ["a", "b"]
+        assert r2["skipped"] == ["c"]
+        back = pq.read_table(out).to_pandas() \
+            .sort_values(["k", "x"]).reset_index(drop=True)
+        want = t.to_pandas().sort_values(["k", "x"]) \
+            .reset_index(drop=True)
+        assert back["x"].tolist() == want["x"].tolist()

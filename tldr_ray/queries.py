@@ -3652,3 +3652,35 @@ ORACLE_SQL["common_neighbors_hashgraph"] = f"""
     ORDER BY n_common DESC, u ASC, v ASC
     LIMIT 50
 """
+
+
+_PACK_BUDGET = 2000
+
+
+def doc_pack_shards(sf_dir: str):
+    """Sequence packing for training shards: whitespace token counts
+    (the doc_token_counts kernel) fed through the two-pass distributed
+    prefix scan (stages.agg.pack_token_shards) — shard_id =
+    floor(tokens_before_this_doc_in_id_order / budget). Exact integers,
+    independent of block layout; the id range comes from the same
+    dataset (one max() pass) to keep the query self-contained."""
+    from tldr_ray.stages.agg import pack_token_shards
+
+    return pack_token_shards(doc_token_counts(sf_dir), "doc_id",
+                             "n_tokens", budget=_PACK_BUDGET)
+
+
+QUERIES["doc_pack_shards"] = doc_pack_shards
+ORACLE_SQL["doc_pack_shards"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                // {_PACK_BUDGET} AS BIGINT) AS shard_id
+    FROM t
+"""

@@ -1,0 +1,90 @@
+"""Partitioned, resumable parquet output.
+
+The brief's resumable-output rule: write one directory per partition
+key (hive layout, ``key=value/``) so a failed 100-TB run can skip
+finished partitions instead of restarting. Ray Data's native
+``write_parquet(partition_cols=...)`` does the layout; the resume logic
+here is the part it lacks — enumerate the partition values already on
+disk and prune those rows BEFORE the write, so a re-run streams only
+the missing partitions.
+
+Completeness marking: each successful ``write_partitioned_parquet``
+call stamps ``key=value/_DONE`` markers AFTER Ray's write returns.
+A partition directory without its marker (the run died mid-write) is
+treated as incomplete: its files are removed and it is rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+
+def _existing_partitions(out_dir: str, by: str) -> tuple[set, set]:
+    """(complete, partial) partition VALUES (as strings) under out_dir."""
+    complete, partial = set(), set()
+    if not os.path.isdir(out_dir):
+        return complete, partial
+    prefix = f"{by}="
+    for name in os.listdir(out_dir):
+        full = os.path.join(out_dir, name)
+        if not (name.startswith(prefix) and os.path.isdir(full)):
+            continue
+        val = name[len(prefix):]
+        if os.path.exists(os.path.join(full, "_DONE")):
+            complete.add(val)
+        else:
+            partial.add(val)
+    return complete, partial
+
+
+def write_partitioned_parquet(ds, out_dir: str, by: str,
+                              resume: bool = True) -> dict:
+    """Write ``ds`` under ``out_dir/{by}=value/`` and return
+    ``{"written": [...], "skipped": [...]}`` of partition values.
+
+    With ``resume=True``, values whose directory carries a ``_DONE``
+    marker are filtered out of the stream before the write (a cheap
+    vectorized isin per batch — no shuffle); directories without the
+    marker are wiped and rewritten. Values are compared as strings,
+    matching the hive directory encoding."""
+    complete, partial = _existing_partitions(out_dir, by) if resume \
+        else (set(), set())
+    for val in partial:
+        shutil.rmtree(os.path.join(out_dir, f"{by}={val}"),
+                      ignore_errors=True)
+
+    towrite = ds
+    if complete:
+        skip = np.sort(np.array(sorted(complete), dtype=object))
+
+        def prune(batch: pa.Table) -> pa.Table:
+            vals = batch[by].cast(pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            pos = np.clip(np.searchsorted(skip, vals), 0, skip.size - 1)
+            return batch.filter(pa.array(skip[pos] != vals))
+
+        towrite = ds.map_batches(prune, batch_format="pyarrow")
+
+    towrite.write_parquet(out_dir, partition_cols=[by])
+
+    now_complete, _ = _existing_partitions(out_dir, by)
+    written = sorted((now_complete | _partition_dirs(out_dir, by))
+                     - complete)
+    for val in written:
+        d = os.path.join(out_dir, f"{by}={val}")
+        if os.path.isdir(d):
+            open(os.path.join(d, "_DONE"), "w").close()
+    return {"written": written, "skipped": sorted(complete)}
+
+
+def _partition_dirs(out_dir: str, by: str) -> set:
+    if not os.path.isdir(out_dir):
+        return set()
+    prefix = f"{by}="
+    return {n[len(prefix):] for n in os.listdir(out_dir)
+            if n.startswith(prefix)
+            and os.path.isdir(os.path.join(out_dir, n))}

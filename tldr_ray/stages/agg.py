@@ -447,3 +447,59 @@ def kmv_distinct_estimate(sample: pd.DataFrame, k: int) -> float:
         return float(len(sample))
     h = sample["key_hash"].to_numpy(np.int64).view(np.uint64)
     return float((k - 1) * (2.0 ** 64) / float(h.max()))
+
+
+def pack_token_shards(ds, id_col: str, weight_col: str, budget: int,
+                      num_parts: int = 64, id_max: int | None = None):
+    """Sequence packing / token-budget sharding: assign each row the
+    training-shard id ``floor(prefix_sum_before / budget)`` where the
+    prefix runs over ascending ``id_col`` — the deterministic two-pass
+    distributed SCAN:
+
+    pass 1: rows are RANGE-partitioned by id (part = id * P //
+    (id_max + 1), order-preserving across partitions), each partition
+    reduces to one (part, total_weight) row, and the P-row table comes
+    back to the driver for an exclusive prefix — O(P) driver state, not
+    O(rows).
+
+    pass 2: the same range partitioning, one sort + local cumsum per
+    partition, offset by the broadcast pass-1 prefix. Shard ids are
+    exact integers, independent of block layout and execution order.
+
+    ``id_max`` skips the extra max() pass when the caller knows the id
+    range (e.g. from parquet column statistics). Weights must be
+    non-negative integers (token counts)."""
+    from ray.data.aggregate import Sum
+
+    if id_max is None:
+        id_max = int(ds.max(id_col))
+    span = int(id_max) + 1
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        part = (ids * num_parts) // span
+        return pa.table({id_col: pa.array(ids),
+                         weight_col: batch[weight_col].cast(pa.int64()),
+                         "part": pa.array(part.astype(np.int32))})
+
+    parted = ds.map_batches(assign, batch_format="pyarrow")
+
+    totals = parted.groupby("part").aggregate(
+        Sum(weight_col, alias_name="w")).to_pandas()
+    off = np.zeros(num_parts, np.int64)
+    off[totals["part"].to_numpy()] = totals["w"].to_numpy(np.int64)
+    off = np.concatenate([[0], np.cumsum(off)[:-1]])
+    # off is P int64s — it ships in the task closure; ray.put it if P
+    # ever grows past broadcast-trivial size
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        w = g[weight_col].to_numpy(np.int64)
+        before = np.cumsum(w) - w + off[int(g["part"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            weight_col: w,
+            "shard_id": before // budget})
+
+    return parted.groupby("part").map_groups(sweep,
+                                             batch_format="pandas")
