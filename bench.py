@@ -387,7 +387,10 @@ if __name__ == "__main__":
                  "events_value_outliers", "user_top_event_type",
                  "winnow_fingerprints_docs", "repetition_scores_docs",
                  "unigram_logprob_docs", "kmeans_embeddings",
-                 "label_propagation_hashgraph", "tpch_q3", "tpch_q6"]
+                 "label_propagation_hashgraph", "tpch_q3", "tpch_q6",
+                 "tpch_q4", "tpch_q5", "tpch_q14", "redact_terms_docs",
+                 "decontaminate_docs", "doc_pack_shards",
+                 "common_neighbors_hashgraph"]
         qsec = {}
         try:
             for n in names:

@@ -3684,3 +3684,49 @@ ORACLE_SQL["doc_pack_shards"] = f"""
                 // {_PACK_BUDGET} AS BIGINT) AS shard_id
     FROM t
 """
+
+
+def docs_above_lang_median_quality(sf_dir: str):
+    """Curation gate composition: per-language DISCRETE median of the
+    quality composite (stages.agg.grouped_quantiles over
+    stages.text_analysis.quality_scores), then keep docs at or above
+    their language's median. The median table is one row per language —
+    driver-collected and shipped in the filter closure (the classic
+    small-side broadcast); scores and the >= comparison are the already
+    hash-proven IEEE composite, and the discrete median is an actual
+    element, so the whole filter hash-checks."""
+    from tldr_ray.stages.agg import grouped_quantiles
+    from tldr_ray.stages.text_analysis import quality_scores
+
+    q = quality_scores(_read(sf_dir, "documents",
+                             ["doc_id", "text", "lang"]), concurrency=2)
+    scored = q.map_batches(
+        lambda t: t.select(["doc_id", "lang", "quality_score"]),
+        batch_format="pyarrow")
+    med = grouped_quantiles(scored, key="lang", value="quality_score",
+                            qs=(0.5,)).to_pandas()
+    langs = np.sort(med["lang"].to_numpy(dtype=object))
+    meds = med.set_index("lang").loc[langs, "p50"].to_numpy(np.float64)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        lg = batch["lang"].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(langs, lg)
+        keep = np.asarray(batch["quality_score"]) >= meds[pos]
+        return batch.filter(pa.array(keep))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
+QUERIES["docs_above_lang_median_quality"] = docs_above_lang_median_quality
+ORACLE_SQL["docs_above_lang_median_quality"] = f"""
+    WITH q AS ({_quality_scores_oracle_sql()}),
+    base AS (
+        SELECT q.doc_id, d.lang, q.quality_score
+        FROM q JOIN documents d USING (doc_id)),
+    med AS (
+        SELECT lang, quantile_disc(quality_score, 0.5) AS m
+        FROM base GROUP BY lang)
+    SELECT b.doc_id, b.lang, b.quality_score
+    FROM base b JOIN med USING (lang)
+    WHERE b.quality_score >= med.m
+"""
