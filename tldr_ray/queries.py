@@ -3442,26 +3442,20 @@ def tpch_q4(sf_dir: str):
     restricted to orders with at least one RETURNED lineitem (the synth
     schema has no l_commitdate/l_receiptdate, so the EXISTS predicate
     is l_returnflag = 'R'; cited shape: TPC-H Q4's
-    exists-late-lineitem semi-join). The lineitem side is pre-shrunk to
-    DISTINCT orderkeys (per-batch unique, then a grouped count — the
-    pre-aggregate-before-shuffle rule), then ONE bucketed hash join
-    implements the semi-join."""
-    from ray.data.aggregate import Count
-
-    from tldr_ray.stages.joins import bucketed_hash_join
+    exists-late-lineitem semi-join). The quarter-filtered orders are
+    the SMALL side: their (orderkey, priority) map broadcasts as packed
+    sorted arrays (the tpch_q3 idiom — flip to
+    stages.joins.bucketed_hash_join when a quarter of orders outgrows
+    one broadcast object), so lineitem is pruned EXACTLY in its own
+    scan, no join shuffle at all. The only all-to-all is the
+    distinct-pair two-level groupby over surviving (priority, orderkey)
+    pairs (the distinct_users_by_type pattern) — per-batch dedup is the
+    combiner, the shuffle moves distinct pairs, never rows."""
+    import ray
+    from ray.data.aggregate import Sum
 
     lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
     hi = np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
-
-    def rkeys(batch: pa.Table) -> pa.Table:
-        m = np.asarray(pc.equal(batch["l_returnflag"], "R"))
-        ok = np.unique(np.asarray(batch["l_orderkey"], dtype=np.int64)[m])
-        return pa.table({"o_orderkey": pa.array(ok)})
-
-    returned = (_read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
-                .map_batches(rkeys, batch_format="pyarrow")
-                .groupby("o_orderkey").aggregate(Count(alias_name="_n"))
-                .select_columns(["o_orderkey"]))
 
     def ofil(batch: pa.Table) -> pa.Table:
         od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
@@ -3472,13 +3466,49 @@ def tpch_q4(sf_dir: str):
             "o_orderpriority": batch["o_orderpriority"].filter(
                 pa.array(m))})
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .map_batches(ofil, batch_format="pyarrow")
+    parts = list(_read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate", "o_orderpriority"])
+                 .map_batches(ofil, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    okey = np.concatenate([np.asarray(b["o_orderkey"], np.int64)
+                           for b in parts]) if parts \
+        else np.array([], np.int64)
+    prio = np.concatenate([np.asarray(b["o_orderpriority"],
+                                      dtype=object) for b in parts]) \
+        if parts else np.array([], object)
+    oo = np.argsort(okey)
+    mref = ray.put((okey[oo], prio[oo]))
 
-    joined = bucketed_hash_join(orders, returned, on="o_orderkey")
-    return joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="order_count"))
+    def pairs(batch: pa.Table) -> pa.Table:
+        ks, ps = ray.get(mref)
+        m = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        lk = np.asarray(batch["l_orderkey"], dtype=np.int64)[m]
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, lk), 0, ks.size - 1)
+            lk = np.unique(lk[ks[pos] == lk])
+        else:
+            lk = lk[:0]
+        pos = np.searchsorted(ks, lk)
+        return pa.table({
+            "o_orderpriority": pa.array(ps[pos].tolist(), pa.string()),
+            "o_orderkey": pa.array(lk)})
+
+    distinct_pairs = (_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_returnflag"])
+                      .map_batches(pairs, batch_format="pyarrow")
+                      .groupby(["o_orderpriority", "o_orderkey"]).count()
+                      .select_columns(["o_orderpriority", "o_orderkey"]))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t, cnt = np.unique(np.asarray(batch["o_orderpriority"]),
+                           return_counts=True)
+        return pa.table({"o_orderpriority": pa.array(t),
+                         "order_count": pa.array(cnt.astype(np.int64))})
+
+    return (distinct_pairs.map_batches(count_partial,
+                                       batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("order_count", alias_name="order_count")))
 
 
 QUERIES["tpch_q5"] = tpch_q5
