@@ -332,3 +332,69 @@ def common_neighbors(edges, max_degree: int | None = None):
 
     return probe.groupby("part").map_groups(sum_part,
                                             batch_format="pandas")
+
+
+def degree_assortativity(edges):
+    """Degree assortativity coefficient (Pearson correlation of
+    endpoint degrees over the SYMMETRIC directed edge set — Newman
+    2002, public formula) computed from exact integer moment sums:
+    M, S1 = sum(du), S2 = sum(du^2), S11 = sum(du*dv) over both
+    directions of every undirected edge. The coefficient is ONE IEEE
+    division of two exactly-computed integers
+    ((M*S11 - S1^2) / (M*S2 - S1^2), driver-side Python bigints so the
+    products can't overflow), so it hash-matches a SQL mirror. The
+    int64 partial sums bound: sum(du^2) <= 2E * max_deg^2 — beyond
+    ~2^63 of that, move partials to float128 or split the sum.
+
+    Degrees broadcast as packed sorted arrays (the triangle_counts
+    idiom; same flip-to-bucketed-join note applies at O(V) > RAM).
+
+    Returns (m_edges, s1, s2, s11, assortativity float)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+        .materialize()
+
+    def degree_rows(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch["a"]), np.asarray(batch["b"])])
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(vu),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg = und.map_batches(degree_rows, batch_format="pyarrow") \
+        .groupby("vertex").aggregate(Sum("n", alias_name="deg")) \
+        .to_pandas()
+    verts = deg["vertex"].to_numpy(np.int64)
+    ds_ = deg["deg"].to_numpy(np.int64)
+    order = np.argsort(verts)
+    dref = ray.put((verts[order], ds_[order]))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        vs, dg = ray.get(dref)
+        du = dg[np.searchsorted(vs, np.asarray(batch["a"], np.int64))]
+        dv = dg[np.searchsorted(vs, np.asarray(batch["b"], np.int64))]
+        return pa.table({
+            "m": pa.array([2 * len(batch)], pa.int64()),
+            "s1": pa.array([int((du + dv).sum())], pa.int64()),
+            "s2": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
+            "s11": pa.array([int(2 * (du * dv).sum())], pa.int64())})
+
+    agg = und.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("m", alias_name="m"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"), Sum("s11", alias_name="s11"))
+    m, s1, s2, s11 = (int(agg["m"]), int(agg["s1"]),
+                      int(agg["s2"]), int(agg["s11"]))
+    num, den = m * s11 - s1 * s1, m * s2 - s1 * s1
+    r = float(num) / float(den) if den else float("nan")
+    return m, s1, s2, s11, r

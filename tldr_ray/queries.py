@@ -3760,3 +3760,94 @@ ORACLE_SQL["docs_above_lang_median_quality"] = f"""
     FROM base b JOIN med USING (lang)
     WHERE b.quality_score >= med.m
 """
+
+
+def degree_assortativity_hashgraph(sf_dir: str):
+    """Graph-level degree assortativity (graph.triangles.
+    degree_assortativity): exact integer moment sums + one IEEE
+    division, hash-checked against the SQL mirror."""
+    from tldr_ray.graph.triangles import degree_assortativity
+
+    m, s1, s2, s11, r = degree_assortativity(_hash_graph_edges(sf_dir))
+    return pa.table({"m_edges": pa.array([m], pa.int64()),
+                     "s1": pa.array([s1], pa.int64()),
+                     "s2": pa.array([s2], pa.int64()),
+                     "s11": pa.array([s11], pa.int64()),
+                     "assortativity": pa.array([r], pa.float64())})
+
+
+QUERIES["degree_assortativity_hashgraph"] = degree_assortativity_hashgraph
+ORACLE_SQL["degree_assortativity_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT s AS v, count(*) AS d FROM sym GROUP BY s),
+    j AS (SELECT ds.d AS du, dt.d AS dv
+          FROM sym JOIN deg ds ON ds.v = sym.s
+                   JOIN deg dt ON dt.v = sym.t),
+    mom AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                   CAST(sum(du) AS HUGEINT) AS s1,
+                   CAST(sum(du * du) AS HUGEINT) AS s2,
+                   CAST(sum(du * dv) AS HUGEINT) AS s11
+            FROM j)
+    SELECT CAST(m AS BIGINT) AS m_edges, CAST(s1 AS BIGINT) AS s1,
+           CAST(s2 AS BIGINT) AS s2, CAST(s11 AS BIGINT) AS s11,
+           CAST(m * s11 - s1 * s1 AS DOUBLE)
+               / CAST(m * s2 - s1 * s1 AS DOUBLE) AS assortativity
+    FROM mom
+"""
+
+
+def orders_events_daily_outer(sf_dir: str):
+    """FULL OUTER join of two pre-aggregated daily activity tables
+    (bucketed_hash_join how='outer'): days with only orders or only
+    events keep their row, missing side = -1 sentinel (mirrored
+    coalesce keeps the all-integer frame hash-stable)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    DAY = 86_400_000_000
+
+    def daily(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = np.asarray(batch[col].cast(pa.int64())) // DAY
+            du, cnt = np.unique(d, return_counts=True)
+            return pa.table({"day": pa.array(du),
+                             "n": pa.array(cnt.astype(np.int64))})
+        return fn
+
+    o = (_read(sf_dir, "orders", ["o_orderdate"])
+         .map_batches(daily("o_orderdate"), batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("n", alias_name="n_orders")))
+    e = (_read(sf_dir, "events", ["ts"])
+         .map_batches(daily("ts"), batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("n", alias_name="n_events")))
+
+    out = bucketed_hash_join(o, e, on="day", how="outer")
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_orders", "n_events"):
+            batch[c] = batch[c].fillna(-1).astype(np.int64)
+        batch["day"] = batch["day"].astype(np.int64)
+        return batch[["day", "n_orders", "n_events"]]
+
+    return out.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["orders_events_daily_outer"] = orders_events_daily_outer
+ORACLE_SQL["orders_events_daily_outer"] = """
+    WITH o AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                           AS BIGINT) AS day,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1),
+    e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1)
+    SELECT coalesce(o.day, e.day) AS day,
+           coalesce(o.n_orders, -1) AS n_orders,
+           coalesce(e.n_events, -1) AS n_events
+    FROM o FULL OUTER JOIN e ON e.day = o.day
+"""
