@@ -1201,3 +1201,34 @@ class TestPackAndSink:
         want = t.to_pandas().sort_values(["k", "x"]) \
             .reset_index(drop=True)
         assert back["x"].tolist() == want["x"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRandomWalks:
+    def test_walks_follow_edges_and_repeat(self):
+        import ray.data as rd
+        from tldr_ray.graph.walks import random_walks
+
+        # two triangles joined by a bridge
+        src = [0, 1, 2, 2, 3, 4, 5]
+        dst = [1, 2, 0, 3, 4, 5, 3]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * len(src))})
+        ds = rd.from_arrow(t)
+        out = random_walks(ds, walk_len=3).to_pandas()
+        adj = set()
+        for a, b in zip(src, dst):
+            adj.add((a, b)); adj.add((b, a))
+        walks = out.sort_values(["start", "step"]) \
+            .groupby("start")["vertex"].apply(list)
+        assert set(walks.index) == {0, 1, 2, 3, 4, 5}
+        for start, path in walks.items():
+            assert len(path) == 4 and path[0] == start
+            for u, v in zip(path, path[1:]):
+                assert (u, v) in adj
+        # deterministic: a second run is row-for-row identical
+        out2 = random_walks(ds, walk_len=3).to_pandas()
+        a = out.sort_values(["start", "step"]).reset_index(drop=True)
+        b = out2.sort_values(["start", "step"]).reset_index(drop=True)
+        assert a.equals(b)

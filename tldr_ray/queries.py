@@ -3851,3 +3851,67 @@ ORACLE_SQL["orders_events_daily_outer"] = """
            coalesce(e.n_events, -1) AS n_events
     FROM o FULL OUTER JOIN e ON e.day = o.day
 """
+
+
+_WALK_LEN = 4
+
+
+def random_walks_hashgraph(sf_dir: str):
+    """Deterministic hash-driven random walks (graph.walks.
+    random_walks) over the hash graph: one walk per vertex, 4 steps,
+    next hop = sorted-neighbor[splitmix64(v*K + step) % deg(v)].
+    Reproducible across engines, so the full (start, step, vertex)
+    walk corpus hash-checks against the unrolled SQL mirror."""
+    from tldr_ray.graph.walks import random_walks
+
+    return random_walks(_hash_graph_edges(sf_dir), walk_len=_WALK_LEN)
+
+
+def _walks_oracle_sql(walk_len: int = _WALK_LEN) -> str:
+    from tldr_ray.graph.walks import _WALK_K
+
+    M64 = _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    steps, finals = [], ["SELECT start, 0 AS step, start AS vertex FROM w0"]
+    for t in range(1, walk_len + 1):
+        h0 = f"({_sql_mul64('CAST(cur AS HUGEINT)', _WALK_K)} + {t}) % {M64}"
+        steps.append(f""",
+    p{t}0 AS MATERIALIZED (
+        SELECT start, cur, {h0} AS h FROM w{t - 1}),
+    p{t}1 AS MATERIALIZED (
+        SELECT start, cur, {_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM p{t}0),
+    p{t}2 AS MATERIALIZED (
+        SELECT start, cur, {_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM p{t}1),
+    p{t}3 AS MATERIALIZED (
+        SELECT start, cur, {_sql_xor_shift('h', 31)} AS h FROM p{t}2),
+    w{t} AS MATERIALIZED (
+        SELECT p.start, a.nbr AS cur
+        FROM p{t}3 p
+        JOIN deg ON deg.v = p.cur
+        JOIN adj a ON a.v = p.cur
+                  AND a.idx = CAST(p.h % CAST(deg.d AS HUGEINT)
+                                   AS BIGINT))""")
+        finals.append(f"SELECT start, {t} AS step, cur AS vertex FROM w{t}")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT s AS v, count(*) AS d FROM sym GROUP BY s),
+    adj AS (SELECT s AS v, t AS nbr,
+                   row_number() OVER (PARTITION BY s ORDER BY t) - 1
+                       AS idx
+            FROM sym),
+    w0 AS (SELECT DISTINCT s AS start, s AS cur FROM sym)
+    {"".join(steps)}
+    SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+           CAST(vertex AS BIGINT) AS vertex
+    FROM ({" UNION ALL ".join(finals)})
+"""
+
+
+QUERIES["random_walks_hashgraph"] = random_walks_hashgraph
+ORACLE_SQL["random_walks_hashgraph"] = _walks_oracle_sql()
