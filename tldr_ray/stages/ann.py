@@ -337,6 +337,12 @@ def kmeans(ds, emb_col: str = "embedding", id_col: str = "vec_id",
     quality, not cross-layout bit-equality."""
     import ray
 
+    # every Lloyd round is a full pass: pin (id, vector) in the object
+    # store ONCE instead of re-reading + re-decoding parquet per round
+    # (the standard iterate-over-cached-data k-means shape; the store
+    # spills if the projected columns exceed memory)
+    ds = ds.select_columns([id_col, emb_col]).materialize()
+
     cent = _train_ivf_centroids(ds, id_col, emb_col, k, sample_size,
                                 lloyd_iters=1, seed=seed)
 
