@@ -3915,3 +3915,434 @@ def _walks_oracle_sql(walk_len: int = _WALK_LEN) -> str:
 
 QUERIES["random_walks_hashgraph"] = random_walks_hashgraph
 ORACLE_SQL["random_walks_hashgraph"] = _walks_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch 2 — Q10 / Q13 / Q18 / Q7-shaped / Q16-shaped
+# (adapted to the synth schema: no partsupp, no l_shipmode/commitdate,
+# no comment columns; each substitution is noted per query)
+# ---------------------------------------------------------------------------
+
+def tpch_q10(sf_dir: str):
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue over
+    two quarters. Plan by size class: the date-windowed orders are the
+    small side, so their (orderkey -> custkey) map broadcasts ONCE as
+    packed sorted arrays and lineitem is pruned in its own scan (no
+    join shuffle; the tpch_q4 idiom — flip to bucketed_hash_join when a
+    half-year of orders outgrows one broadcast object). The only
+    all-to-all is the grouped revenue over surviving custkeys; the
+    top-20 total order is (revenue desc, custkey asc), and customer /
+    nation attributes are attached to exactly those 20 rows."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-07-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        m = (od >= lo) & (od < hi)
+        return pa.table({
+            "okey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+            "ckey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[m])})
+
+    parts = list(_read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"])
+                 .map_batches(ofil, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    okey = (np.concatenate([np.asarray(b["okey"], np.int64)
+                            for b in parts]) if parts
+            else np.array([], np.int64))
+    ckey = (np.concatenate([np.asarray(b["ckey"], np.int64)
+                            for b in parts]) if parts
+            else np.array([], np.int64))
+    oo = np.argsort(okey)
+    mref = ray.put((okey[oo], ckey[oo]))
+
+    def rfil(batch: pa.Table) -> pa.Table:
+        ks, cs = ray.get(mref)
+        m = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        lk = np.asarray(batch["l_orderkey"], dtype=np.int64)[m]
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)[m]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[m]
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, lk), 0, ks.size - 1)
+            hit = ks[pos] == lk
+        else:
+            hit = np.zeros(lk.shape, bool)
+            pos = np.zeros(lk.shape, np.int64)
+        return pa.table({
+            "o_custkey": pa.array(cs[pos[hit]]),
+            "revenue_cents": pa.array(
+                _cents(px[hit] * (1.0 - disc[hit])))})
+
+    rev = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(rfil, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    top = (rev.sort(["revenue_cents", "o_custkey"],
+                    descending=[True, False]).limit(20).to_pandas())
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(cust, on="c_custkey", how="inner")
+           .merge(nation, left_on="c_nationkey",
+                  right_on="n_nationkey", how="inner"))
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["acctbal_cents"] = np.floor(
+        out["c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["c_custkey", "c_name", "revenue_cents", "acctbal_cents",
+             "n_name"]], preserve_index=False)
+
+
+def tpch_q13(sf_dir: str):
+    """TPC-H Q13-shaped: distribution of per-customer order counts
+    (priority '1-URGENT' excluded, standing in for the reference's
+    comment-pattern exclusion). Two-level aggregate, both levels
+    pre-combined per batch: orders -> per-batch (custkey, n) partials
+    -> groupby sum -> per-batch count-of-count partials -> groupby
+    sum. The zero bucket (customers with no qualifying orders) is
+    total customers minus the distinct custkeys seen — a metadata
+    count plus a sum over the (tiny) count-distribution table, never a
+    row materialization."""
+    from ray.data.aggregate import Sum
+
+    def opart(batch: pa.Table) -> pa.Table:
+        m = np.asarray(pc.not_equal(batch["o_orderpriority"],
+                                    "1-URGENT"))
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)[m]
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"c_custkey": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    per_cust = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+                .map_batches(opart, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("n", alias_name="c_count")))
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["c_count"], dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"c_count": pa.array(u),
+                         "custdist": pa.array(c.astype(np.int64))})
+
+    dist = (per_cust.map_batches(cpart, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))
+            .to_pandas())
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_cust) - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return pa.Table.from_pandas(dist.sort_values("c_count")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
+def tpch_q18(sf_dir: str):
+    """TPC-H Q18-shaped: large-volume orders (total quantity > 250).
+    The HAVING filter runs as a distributed two-level sum (per-batch
+    (orderkey, qty) partials -> groupby sum -> vectorized filter); only
+    the HAVING survivors — a tiny set by construction — are collected
+    and broadcast to prune the orders scan, and customer names attach
+    to the final <=100 rows. Quantities are exact integer cents so the
+    threshold and the hash are partial-sum-order-proof."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def lpart(batch: pa.Table) -> pa.Table:
+        lk = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        q = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        u, inv = np.unique(lk, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(u),
+            "qty_cents": pa.array(np.bincount(inv, weights=q)
+                                  .astype(np.int64))})
+
+    def hav(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["qty_cents"], dtype=np.int64) > 25000
+        return batch.filter(pa.array(m))
+
+    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(lpart, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("qty_cents", alias_name="qty_cents"))
+           .map_batches(hav, batch_format="pyarrow")
+           .to_pandas())
+    bkeys = np.sort(big["l_orderkey"].to_numpy(np.int64))
+    qty = big.set_index("l_orderkey")["qty_cents"]
+    kref = ray.put(bkeys)
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ok = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, ok), 0, ks.size - 1)
+            m = ks[pos] == ok
+        else:
+            m = np.zeros(ok.shape, bool)
+        tp = np.asarray(batch["o_totalprice"], dtype=np.float64)[m]
+        return pa.table({
+            "o_orderkey": pa.array(ok[m]),
+            "c_custkey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[m]),
+            "orderdate_us": pa.array(
+                np.asarray(batch["o_orderdate"].cast(pa.int64()))[m]),
+            "total_cents": pa.array(_cents(tp))})
+
+    hits = (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_totalprice"])
+            .map_batches(ofil, batch_format="pyarrow").to_pandas())
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = hits.merge(cust, on="c_custkey", how="inner")
+    out["qty_cents"] = out["o_orderkey"].map(qty).astype(np.int64)
+    out = (out.sort_values(
+        ["total_cents", "orderdate_us", "o_orderkey"],
+        ascending=[False, True, True]).head(100).reset_index(drop=True))
+    for c in ("c_custkey", "o_orderkey", "orderdate_us", "total_cents"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["c_name", "c_custkey", "o_orderkey", "orderdate_us",
+             "total_cents", "qty_cents"]], preserve_index=False)
+
+
+def tpch_q7_trade_pairs(sf_dir: str):
+    """TPC-H Q7-shaped: 1996 revenue matrix between distinct
+    (customer nation, supplier nation) pairs. Same size-class plan as
+    tpch_q5: custkey->nation / suppkey->nation dimension maps broadcast
+    once as packed sorted arrays; the one all-to-all is the bucketed
+    orders<->lineitem fact join; nation-pair revenue is grouped as
+    exact integer cents (<=625 groups)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkey = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    nation_names = np.empty(int(nkey.max()) + 1, dtype=object)
+    nation_names[nkey] = nation["n_name"].to_pylist()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    co = np.argsort(ckey)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    so = np.argsort(skey)
+    maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so]))
+
+    def oproj(batch: pa.Table) -> pa.Table:
+        ckeys, cnats, _, _ = ray.get(maps_ref)
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "cust_nat": pa.array(cnats[np.searchsorted(ckeys, ck)])})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(oproj, batch_format="pyarrow")
+
+    def lfil(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        m = (sd >= lo) & (sd < hi)
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)[m]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[m]
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[m]),
+            "l_suppkey": pa.array(
+                np.asarray(batch["l_suppkey"], dtype=np.int64)[m]),
+            "revenue_cents": pa.array(_cents(px * (1.0 - disc)))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(lfil, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+    def pair(batch: pa.Table) -> pa.Table:
+        _, _, skeys, snats = ray.get(maps_ref)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        cn = np.asarray(batch["cust_nat"], dtype=np.int64)
+        sn = snats[np.searchsorted(skeys, sk)]
+        m = cn != sn
+        return pa.table({
+            "cust_nation": pa.array(nation_names[cn[m]].tolist(),
+                                    pa.string()),
+            "supp_nation": pa.array(nation_names[sn[m]].tolist(),
+                                    pa.string()),
+            "revenue_cents": pa.array(
+                np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+
+    return (joined.map_batches(pair, batch_format="pyarrow")
+            .groupby(["cust_nation", "supp_nation"])
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+def tpch_q16_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped: distinct suppliers per (brand, type, size)
+    over observed (part, supplier) lineitem pairs (the synth schema
+    has no partsupp, so lineitem IS the part-supplier relation; one
+    brand + one type are excluded, standing in for Q16's NOT-filters).
+    Part attributes ride a broadcast packed map as SMALL INTEGER CODES
+    so the distinct shuffle moves one int64 composite per row —
+    ((attr_code << 32) | suppkey) — never strings; per-batch np.unique
+    is the combiner at both levels, and names decode only on the final
+    <=9600-row table."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pkey = np.asarray(part["p_partkey"], dtype=np.int64)
+    brands, bcode = np.unique(np.asarray(part["p_brand"], dtype=object),
+                              return_inverse=True)
+    types, tcode = np.unique(np.asarray(part["p_type"], dtype=object),
+                             return_inverse=True)
+    size = np.asarray(part["p_size"], dtype=np.int64)
+    excl = (brands[bcode] == "Brand#13") | (types[tcode] == "PROMO")
+    # attr code packs (brand, type, size) into one small int
+    attr = ((bcode.astype(np.int64) * len(types) + tcode) * 64
+            + size).astype(np.int64)
+    attr[excl] = -1
+    po = np.argsort(pkey)
+    mref = ray.put((pkey[po], attr[po]))
+
+    def comp(batch: pa.Table) -> pa.Table:
+        pkeys, attrs = ray.get(mref)
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        a = attrs[np.searchsorted(pkeys, pk)]
+        m = a >= 0
+        c = np.unique((a[m] << np.int64(32)) | sk[m])
+        return pa.table({"comp": pa.array(c)})
+
+    distinct = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+                .map_batches(comp, batch_format="pyarrow")
+                .groupby("comp").count().select_columns(["comp"]))
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["comp"], dtype=np.int64) >> np.int64(32)
+        u, c = np.unique(a, return_counts=True)
+        return pa.table({"attr": pa.array(u),
+                         "supplier_cnt": pa.array(c.astype(np.int64))})
+
+    counts = (distinct.map_batches(cpart, batch_format="pyarrow")
+              .groupby("attr")
+              .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+              .to_pandas())
+    a = counts["attr"].to_numpy(np.int64)
+    counts["p_brand"] = brands[a // 64 // len(types)]
+    counts["p_type"] = types[(a // 64) % len(types)]
+    counts["p_size"] = (a % 64).astype(np.int64)
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype(np.int64)
+    return pa.Table.from_pandas(
+        counts[["p_brand", "p_type", "p_size", "supplier_cnt"]],
+        preserve_index=False)
+
+
+QUERIES["tpch_q10"] = tpch_q10
+ORACLE_SQL["tpch_q10"] = """
+    WITH rev AS (
+        SELECT o.o_custkey AS c_custkey,
+               CAST(sum(CAST(floor(l.l_extendedprice
+                                   * (1.0 - l.l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1996-07-01'
+          AND o.o_orderdate <  DATE '1997-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY o.o_custkey
+        ORDER BY revenue_cents DESC, c_custkey ASC
+        LIMIT 20)
+    SELECT c.c_custkey, c.c_name, r.revenue_cents,
+           CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+               AS acctbal_cents,
+           n.n_name
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.c_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+"""
+QUERIES["tpch_q13"] = tpch_q13
+ORACLE_SQL["tpch_q13"] = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+"""
+QUERIES["tpch_q18"] = tpch_q18
+ORACLE_SQL["tpch_q18"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+               > 25000)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS total_cents,
+           b.qty_cents
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, orderdate_us ASC, o.o_orderkey ASC
+    LIMIT 100
+"""
+QUERIES["tpch_q7_trade_pairs"] = tpch_q7_trade_pairs
+ORACLE_SQL["tpch_q7_trade_pairs"] = """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1997-01-01'
+      AND cn.n_nationkey <> sn.n_nationkey
+    GROUP BY cust_nation, supp_nation
+"""
+QUERIES["tpch_q16_supplier_counts"] = tpch_q16_supplier_counts
+ORACLE_SQL["tpch_q16_supplier_counts"] = """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE NOT (p.p_brand = 'Brand#13' OR p.p_type = 'PROMO')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
