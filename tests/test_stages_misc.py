@@ -1232,3 +1232,39 @@ class TestRandomWalks:
         a = out.sort_values(["start", "step"]).reset_index(drop=True)
         b = out2.sort_values(["start", "step"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestInvertedIndex:
+    def _docs(self):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["apple banana apple", "banana cherry",
+                              "apple cherry banana cherry"])}))
+
+    def test_postings_and_sorted_layout(self):
+        from tldr_ray.stages.text_analysis import build_inverted_index
+
+        idx = build_inverted_index(self._docs()).to_pandas()
+        got = {(r.term, r.doc_id): r.tf for r in idx.itertuples()}
+        assert got == {("apple", 1): 2, ("banana", 1): 1,
+                       ("banana", 2): 1, ("cherry", 2): 1,
+                       ("apple", 3): 1, ("banana", 3): 1,
+                       ("cherry", 3): 2}
+        srt = build_inverted_index(self._docs(),
+                                   sort_by_term=True).to_pandas()
+        assert list(srt[["term", "doc_id"]].itertuples(index=False)) \
+            == sorted(list(srt[["term", "doc_id"]]
+                           .itertuples(index=False)))
+
+    def test_and_search_semantics(self):
+        from tldr_ray.stages.text_analysis import (boolean_and_search,
+                                                   build_inverted_index)
+
+        idx = build_inverted_index(self._docs())
+        out = boolean_and_search(idx, ["apple", "cherry"]).to_pandas()
+        # only doc 3 has both; ranked by total tf
+        assert list(out["doc_id"]) == [3]
+        assert list(out["sum_tf"]) == [3]
+        out2 = boolean_and_search(idx, ["banana"]).to_pandas()
+        assert list(out2["doc_id"]) == [1, 2, 3]

@@ -4346,3 +4346,192 @@ ORACLE_SQL["tpch_q16_supplier_counts"] = """
     WHERE NOT (p.p_brand = 'Brand#13' OR p.p_type = 'PROMO')
     GROUP BY p.p_brand, p.p_type, p.p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Search-tier ops: inverted index, boolean search, lift collocations
+# ---------------------------------------------------------------------------
+
+def inverted_index_stats_docs(sf_dir: str):
+    """Per-term posting-list stats over the shuffle-free inverted
+    index (stages.text_analysis.build_inverted_index): document
+    frequency + corpus tf. The groupby output is vocabulary-sized —
+    tiny by construction — and every count is an exact integer."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.text_analysis import build_inverted_index
+
+    idx = build_inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": batch["term"],
+            "df": batch["df"].cast(pa.int64()),
+            "total_tf": batch["total_tf"].cast(pa.int64())})
+
+    return (idx.groupby("term")
+            .aggregate(Count(alias_name="df"),
+                       Sum("tf", alias_name="total_tf"))
+            .map_batches(seal, batch_format="pyarrow"))
+
+
+_SEARCH_TERMS = ["dup", "join", "scan"]
+
+
+def boolean_search_docs(sf_dir: str):
+    """Top-20 AND-search ('dup' is the rare selective term) over the
+    inverted index — stages.text_analysis.boolean_and_search."""
+    from tldr_ray.stages.text_analysis import (boolean_and_search,
+                                               build_inverted_index)
+
+    idx = build_inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+    return boolean_and_search(idx, _SEARCH_TERMS, k=20)
+
+
+def lift_bigrams_docs(sf_dir: str):
+    """Collocation mining by lift (the PMI exponential up to one
+    constant factor): lift(x,y) = c(xy) * W / (c(x) * c(y)) with W the
+    corpus token count. Bigram counts move as distinct pairs (the
+    top_bigrams combiner); unigram counts are a vocabulary-sized
+    broadcast (size-gated — flip to a bucketed join on w1/w2 when a
+    vocab outgrows one object). All inputs are exact int64 and the
+    score is ONE IEEE division of two exact-below-2^53 products, so
+    the float hash-matches DuckDB. Deterministic top-100
+    (lift desc, w1, w2) over pairs with support >= 5."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def toks(batch: pa.Table):
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(t)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(t.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        return doc_of[keep], np.asarray(flat)[keep]
+
+    def upart(batch: pa.Table) -> pa.Table:
+        _, w = toks(batch)
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"w": pa.array(u.tolist(), pa.string()),
+                         "cw": pa.array(c.astype(np.int64))})
+
+    uni = (docs.map_batches(upart, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("cw", alias_name="cw"))
+           .to_pandas())
+    vocab = np.sort(uni["w"].to_numpy(object))
+    cw = uni.set_index("w")["cw"].loc[vocab].to_numpy(np.int64)
+    W = int(cw.sum())
+    vref = ray.put((vocab, cw))
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        doc_of, w = toks(batch)
+        if w.size < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = doc_of[1:] == doc_of[:-1]
+        w1, w2 = w[:-1][same], w[1:][same]
+        u1, c1 = np.unique(w1, return_inverse=True)
+        u2, c2 = np.unique(w2, return_inverse=True)
+        key = c1.astype(np.int64) * max(len(u2), 1) + c2
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "w1": pa.array(u1[uk // max(len(u2), 1)].tolist(),
+                           pa.string()),
+            "w2": pa.array(u2[uk % max(len(u2), 1)].tolist(),
+                           pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    bg = (docs.map_batches(bpart, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vw, counts = ray.get(vref)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        m = n >= 5
+        w1 = np.asarray(batch["w1"])[m]
+        w2 = np.asarray(batch["w2"])[m]
+        n = n[m]
+        c1 = counts[np.searchsorted(vw, w1)]
+        c2 = counts[np.searchsorted(vw, w2)]
+        lift = (n * np.int64(W)).astype(np.float64) \
+            / (c1 * c2).astype(np.float64)
+        return pa.table({
+            "w1": pa.array(w1.tolist(), pa.string()),
+            "w2": pa.array(w2.tolist(), pa.string()),
+            "n": pa.array(n),
+            "lift": pa.array(lift)})
+
+    return (bg.map_batches(score, batch_format="pyarrow")
+            .sort(["lift", "w1", "w2"], descending=[True, False, False])
+            .limit(100))
+
+
+_SEARCH_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+        WHERE w != '')
+"""
+
+QUERIES["inverted_index_stats_docs"] = inverted_index_stats_docs
+ORACLE_SQL["inverted_index_stats_docs"] = f"""
+    WITH {_SEARCH_TOKS_CTE},
+    post AS (SELECT w, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM post GROUP BY w
+"""
+QUERIES["boolean_search_docs"] = boolean_search_docs
+ORACLE_SQL["boolean_search_docs"] = f"""
+    WITH {_SEARCH_TOKS_CTE},
+    post AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM toks WHERE w IN ('dup', 'join', 'scan')
+             GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
+    FROM post GROUP BY doc_id HAVING count(*) = 3
+    ORDER BY sum_tf DESC, doc_id ASC LIMIT 20
+"""
+QUERIES["lift_bigrams_docs"] = lift_bigrams_docs
+ORACLE_SQL["lift_bigrams_docs"] = """
+    WITH toks AS (
+        SELECT doc_id, i, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w,
+                   generate_subscripts(
+                       regexp_split_to_array(trim(lower(text)),
+                                             '\\s+'), 1) AS i
+            FROM documents)
+        WHERE w != ''),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+            FROM toks GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS W FROM toks),
+    bc AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT bc.w1, bc.w2, bc.n,
+           CAST(bc.n * t.W AS DOUBLE)
+               / CAST(u1.cw * u2.cw AS DOUBLE) AS lift
+    FROM bc
+    CROSS JOIN tot t
+    JOIN uni u1 ON u1.w = bc.w1
+    JOIN uni u2 ON u2.w = bc.w2
+    ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 100
+"""

@@ -543,3 +543,70 @@ def regex_redact(ds, pattern: str, replacement: str = "[REDACTED]",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def build_inverted_index(ds, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         sort_by_term: bool = False):
+    """Postings-table inverted index: one row per (term, doc, tf).
+
+    A document is one input row, so per-doc term frequencies complete
+    inside a single batch — the build is SHUFFLE-FREE (the tfidf
+    ``tf_fn`` argument); posting rows stream straight out of the
+    tokenize kernel. ``sort_by_term=True`` adds the one legitimate
+    all-to-all: a native range-partitioned sort on (term, id) so each
+    output block holds whole contiguous posting lists (the serving
+    layout a search tier would write to parquet).
+
+    Tokenizer = the word_frequency convention (lower + trim + \\s+
+    split, empties dropped), shared with tfidf/bigrams so SQL mirrors
+    stay interchangeable.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        d, t, tf, _ = _tf_cells(batch, id_col, text_col)
+        ids = np.asarray(batch[id_col], dtype=np.int64)[d]
+        return pa.table({
+            "term": pa.array(t.tolist(), pa.string()),
+            id_col: pa.array(ids),
+            "tf": pa.array(tf)})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    if sort_by_term:
+        out = out.sort(["term", id_col])
+    return out
+
+
+def boolean_and_search(index_ds, terms, id_col: str = "doc_id",
+                       k: int = 20):
+    """AND-semantics keyword search over a postings dataset: documents
+    containing EVERY query term, ranked by total tf (desc, id asc).
+
+    The query-term set is tiny and rides inside the closure (a
+    broadcast constant); posting rows stream through one vectorized
+    ``is_in`` filter, then a grouped (rows-matched, sum tf) aggregate —
+    per-batch pre-combining is free because (term, doc) rows are unique
+    by construction, so rows-per-doc counts matched terms exactly.
+    Nothing is ever materialized except the top-k."""
+    from ray.data.aggregate import Count, Sum
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+    nt = len(tset)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=tset))
+
+    def hav(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["n_terms"].cast(pa.int64()),
+                     pa.scalar(nt, pa.int64()))
+        t = batch.filter(m)
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "sum_tf": t["sum_tf"].cast(pa.int64())})
+
+    return (index_ds.map_batches(fil, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Count(alias_name="n_terms"),
+                       Sum("tf", alias_name="sum_tf"))
+            .map_batches(hav, batch_format="pyarrow")
+            .sort(["sum_tf", id_col], descending=[True, False])
+            .limit(k))
