@@ -1268,3 +1268,57 @@ class TestInvertedIndex:
         assert list(out["sum_tf"]) == [3]
         out2 = boolean_and_search(idx, ["banana"]).to_pandas()
         assert list(out2["doc_id"]) == [1, 2, 3]
+
+
+class TestKTruss:
+    @staticmethod
+    def _seq_truss(pairs, k):
+        E = set(pairs)
+        while True:
+            adj = {}
+            for a, b in E:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in E
+                    if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return E
+            E -= drop
+
+    def test_k4_plus_pendant_triangle(self):
+        import ray.data as rd
+        from tldr_ray.graph.triangles import k_truss
+
+        src = [0, 0, 0, 1, 1, 2, 3, 4, 0, 9]
+        dst = [1, 2, 3, 2, 3, 3, 4, 0, 9, 10]
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got4 = set(map(tuple, k_truss(ds, 4).to_pandas()
+                       [["u", "v"]].to_numpy().tolist()))
+        assert got4 == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+        got3 = set(map(tuple, k_truss(ds, 3).to_pandas()
+                       [["u", "v"]].to_numpy().tolist()))
+        assert got3 == got4 | {(0, 4), (3, 4), (0, 3)}
+
+    def test_matches_sequential_peeling_random(self):
+        import ray.data as rd
+        from tldr_ray.graph.triangles import k_truss
+
+        rng = np.random.default_rng(7)
+        m = 220
+        src = rng.integers(0, 40, m)
+        dst = rng.integers(0, 40, m)
+        keep = src != dst
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in zip(src[keep].tolist(), dst[keep].tolist())}
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())}))
+        for k in (3, 4, 5):
+            out = k_truss(ds, k)
+            assert out.schema().names == ["u", "v"]
+            df = out.to_pandas()
+            # Ray's to_pandas drops columns on 0-row datasets
+            got = set() if df.empty else set(
+                map(tuple, df[["u", "v"]].to_numpy().tolist()))
+            assert got == self._seq_truss(pairs, k), f"k={k}"

@@ -398,3 +398,197 @@ def degree_assortativity(edges):
     num, den = m * s11 - s1 * s1, m * s2 - s1 * s1
     r = float(num) / float(den) if den else float("nan")
     return m, s1, s2, s11, r
+
+
+def edge_support(und, broadcast_degrees: bool = True):
+    """Per-edge triangle support of an undirected DISTINCT edge set
+    ``und`` (Dataset (a, b) with a < b): for every edge, how many
+    triangles contain it. Same plan as ``triangle_counts`` (degree
+    orientation -> coarse wedge sweep -> pair-partition closure probe)
+    but each CLOSED wedge emits its three edges, so the grouped sum is
+    keyed on edges, not vertices. Edges in no triangle are absent from
+    the output (support 0) — callers that need zeros outer-join back.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    def degree_rows(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch["a"]),
+                            np.asarray(batch["b"])])
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vertex": vu, "n": cnt.astype(np.int64)})
+
+    degrees = (und.map_batches(degree_rows, batch_format="pyarrow")
+               .groupby("vertex").aggregate(Sum("n", alias_name="degree")))
+    deg_df = degrees.to_pandas()
+    order = np.argsort(deg_df["vertex"].to_numpy())
+    deg_ref = ray.put((deg_df["vertex"].to_numpy(np.int64)[order],
+                       deg_df["degree"].to_numpy(np.int64)[order]))
+
+    class Orient:
+        def __init__(self):
+            self.vids, self.degs = ray.get(deg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"], dtype=np.int64)
+            b = np.asarray(batch["b"], dtype=np.int64)
+            da = self.degs[np.searchsorted(self.vids, a)]
+            db = self.degs[np.searchsorted(self.vids, b)]
+            src, dst = _orient(a, b, da, db)
+            return pa.table({"src": src, "dst": dst})
+
+    oriented = und.map_batches(Orient, batch_format="pyarrow",
+                               concurrency=2).materialize()
+
+    NP = np.uint64(64)
+
+    def wedge_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"])
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        new = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ia, ib = [], []
+        for st, k in zip(starts.tolist(), sizes.tolist()):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+        if not ia:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64"),
+                                 "center": pd.array([], dtype="int64")})
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        return pd.DataFrame({"a": dst[ia], "b": dst[ib],
+                             "center": src[ia]})
+
+    wedge_ds = (oriented.map_batches(
+        lambda t: t.append_column(
+            "part", pa.array((vhash(np.asarray(t["src"], dtype=np.int64))
+                              % NP).astype(np.int32))),
+        batch_format="pyarrow")
+        .groupby("part").map_groups(wedge_part, batch_format="pandas"))
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["src"], dtype=np.int64)
+        b = np.asarray(batch["dst"], dtype=np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        part = (vhash(lo * np.int64(1_000_003) + hi) % NP).astype(np.int32)
+        return pa.table({"a": lo, "b": hi,
+                         "center": np.full(a.size, -1, np.int64),
+                         "part": pa.array(part)})
+
+    def tag_wedges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        part = (vhash(lo * np.int64(1_000_003) + hi) % NP).astype(np.int32)
+        return pa.table({"a": lo, "b": hi,
+                         "center": np.asarray(batch["center"],
+                                              dtype=np.int64),
+                         "part": pa.array(part)})
+
+    probe = oriented.map_batches(tag_edges, batch_format="pyarrow").union(
+        wedge_ds.map_batches(tag_wedges, batch_format="pyarrow"))
+
+    def close_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["a", "b", "center"])
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        c = g["center"].to_numpy(np.int64)
+        new = np.concatenate([[True],
+                              (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        seg_of = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        seg_has_edge = c[starts] == -1
+        is_wedge = c >= 0
+        closed = is_wedge & seg_has_edge[seg_of]
+        if not closed.any():
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        ca, cb, cc = a[closed], b[closed], c[closed]
+        # the 3 edges of each closed triangle, normalized lo<hi
+        e1u, e1v = ca, cb                                  # already lo<hi
+        e2u, e2v = np.minimum(cc, ca), np.maximum(cc, ca)
+        e3u, e3v = np.minimum(cc, cb), np.maximum(cc, cb)
+        u = np.concatenate([e1u, e2u, e3u])
+        v = np.concatenate([e1v, e2v, e3v])
+        dfp = pd.DataFrame({"u": u, "v": v})  # pre-combine per partition
+        out = dfp.groupby(["u", "v"], sort=False).size().reset_index()
+        out.columns = ["u", "v", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (probe.groupby("part")
+            .map_groups(close_part, batch_format="pandas")
+            .groupby(["u", "v"])
+            .aggregate(Sum("n", alias_name="support")))
+
+
+def k_truss(edges, k: int, max_rounds: int = 30):
+    """k-truss decomposition: iteratively delete every edge whose
+    triangle support (within the surviving subgraph) is below k-2
+    until fixpoint (or ``max_rounds``). Returns the surviving
+    undirected distinct edge Dataset (u, v), u < v.
+
+    Each peel round is one full edge-support sweep (``edge_support``)
+    plus a vectorized filter — the standard distributed truss
+    iteration; rounds are bounded and the edge set shrinks
+    monotonically, so a fixed ``max_rounds`` unrolling in SQL is
+    bit-equivalent once the engine has converged (extra rounds are
+    no-ops on a fixpoint)."""
+    import ray.data as rd
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    cur = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).count().select_columns(["a", "b"])
+           .materialize())
+    if k <= 2:
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({"u": batch["a"].cast(pa.int64()),
+                             "v": batch["b"].cast(pa.int64())})
+        return cur.map_batches(rename, batch_format="pyarrow")
+    n_cur = cur.count()
+    thresh = k - 2
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        sup = edge_support(cur)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch["support"], dtype=np.int64) >= thresh
+            return pa.table({
+                "a": pa.array(np.asarray(batch["u"], np.int64)[m]),
+                "b": pa.array(np.asarray(batch["v"], np.int64)[m])})
+
+        nxt = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+
+    if n_cur == 0:
+        # all-empty map outputs lose their schema in Ray — seal one
+        return rd.from_arrow(pa.table({"u": pa.array([], pa.int64()),
+                                       "v": pa.array([], pa.int64())}))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch["a"].cast(pa.int64()),
+                         "v": batch["b"].cast(pa.int64())})
+
+    return cur.map_batches(rename, batch_format="pyarrow")

@@ -4535,3 +4535,51 @@ ORACLE_SQL["lift_bigrams_docs"] = """
     JOIN uni u2 ON u2.w = bc.w2
     ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition over the hash graph
+# ---------------------------------------------------------------------------
+
+_TRUSS_K, _TRUSS_SQL_ROUNDS = 4, 3
+
+
+def ktruss_hashgraph(sf_dir: str):
+    """4-truss of the hash graph (graph.triangles.k_truss): edges kept
+    iff they close >= 2 triangles within the surviving subgraph,
+    peeled to fixpoint. The engine early-stops at the fixpoint; the
+    SQL mirror unrolls 3 peel rounds (one more than the measured
+    fixpoint depth — peeling a fixpoint is a no-op, so the unrolled
+    form is bit-equivalent)."""
+    from tldr_ray.graph.triangles import k_truss
+
+    return k_truss(_hash_graph_edges(sf_dir), _TRUSS_K, max_rounds=10)
+
+
+def _ktruss_oracle_sql(k: int = _TRUSS_K,
+                       rounds: int = _TRUSS_SQL_ROUNDS) -> str:
+    steps = []
+    for r in range(rounds):
+        steps.append(f""",
+    s{r} AS MATERIALIZED (SELECT a AS s, b AS t FROM e{r}
+                          UNION ALL SELECT b, a FROM e{r}),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b
+        FROM e{r} e
+        JOIN s{r} x ON x.s = e.a
+        JOIN s{r} y ON y.s = e.b AND y.t = x.t
+        GROUP BY e.a, e.b
+        HAVING count(*) >= {k - 2})""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw2)
+    {"".join(steps)}
+    SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+    FROM e{rounds}
+"""
+
+
+QUERIES["ktruss_hashgraph"] = ktruss_hashgraph
+ORACLE_SQL["ktruss_hashgraph"] = _ktruss_oracle_sql()
