@@ -4583,3 +4583,69 @@ def _ktruss_oracle_sql(k: int = _TRUSS_K,
 
 QUERIES["ktruss_hashgraph"] = ktruss_hashgraph
 ORACLE_SQL["ktruss_hashgraph"] = _ktruss_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Eccentricity / diameter probing: one CSR build, K BSP BFS sweeps
+# ---------------------------------------------------------------------------
+
+_ECC_SEEDS = [0, 1, 2, 7]
+
+
+def eccentricity_hashgraph(sf_dir: str):
+    """Per-seed eccentricity over the symmetrized hash graph — the
+    multi-probe BFS diameter lower bound (max eccentricity across
+    probes <= true diameter, within 2x of it for connected graphs).
+    The CSR shards build ONCE (GraphEngine.from_edges); each probe is
+    one BSP min-plus BFS reusing the resident shard actors, so K
+    probes cost K iteration loops but zero extra shuffles. Output is
+    K exact-integer rows: (seed, eccentricity over reached vertices,
+    n_reached)."""
+    from tldr_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(_hash_graph_edges(sf_dir),
+                                 num_partitions=4, symmetrize=True)
+    sentinel = np.iinfo(np.int64).max
+    rows = []
+    try:
+        for seed in _ECC_SEEDS:
+            _, dist, _ = eng.bfs([seed])
+            reached = dist[dist != sentinel]
+            rows.append((int(seed), int(reached.max()),
+                         int(reached.size)))
+    finally:
+        eng.shutdown()
+    return pa.table({
+        "seed": pa.array([r[0] for r in rows], pa.int64()),
+        "eccentricity": pa.array([r[1] for r in rows], pa.int64()),
+        "n_reached": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def _ecc_oracle_sql(seeds=tuple(_ECC_SEEDS)) -> str:
+    probes = []
+    for s in seeds:
+        probes.append(f"""
+    reach{s}(v, d) AS (
+        SELECT CAST({s} AS BIGINT), 0
+        UNION
+        SELECT sym.t, r.d + 1
+        FROM reach{s} r JOIN sym ON sym.s = r.v
+        WHERE r.d < 64
+    ),
+    ecc{s} AS (
+        SELECT CAST({s} AS BIGINT) AS seed,
+               CAST(max(md) AS BIGINT) AS eccentricity,
+               CAST(count(*) AS BIGINT) AS n_reached
+        FROM (SELECT v, min(d) AS md FROM reach{s} GROUP BY v))""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM ecc{s}" for s in seeds)
+    return f"""
+    WITH RECURSIVE {_HASHGRAPH_RAW},
+    sym AS (SELECT s, t FROM raw2 UNION SELECT t, s FROM raw2),
+    {",".join(probes)}
+    {finals}
+"""
+
+
+QUERIES["eccentricity_hashgraph"] = eccentricity_hashgraph
+ORACLE_SQL["eccentricity_hashgraph"] = _ecc_oracle_sql()
