@@ -1322,3 +1322,20 @@ class TestKTruss:
             got = set() if df.empty else set(
                 map(tuple, df[["u", "v"]].to_numpy().tolist()))
             assert got == self._seq_truss(pairs, k), f"k={k}"
+
+
+class TestBudgetCap:
+    def test_prefix_within_budget(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import budget_cap
+
+        t = pa.table({
+            "grp": pa.array(["a"] * 4 + ["b"] * 3),
+            "pri": pa.array([1, 2, 3, 4, 1, 2, 3], pa.int64()),
+            "cost": pa.array([5, 5, 5, 5, 9, 9, 9], pa.int64())})
+        out = budget_cap(rd.from_arrow(t), "grp", "cost", ["pri"],
+                         budget=12).to_pandas()
+        got = sorted(map(tuple, out[["grp", "pri"]].to_numpy().tolist()))
+        # a: 5,10 fit, 15 exceeds; b: 9 fits, 18 exceeds
+        assert got == [("a", 1), ("a", 2), ("b", 1)]
+        assert set(out["cum_cost"]) == {5, 10, 9}

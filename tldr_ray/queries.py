@@ -4649,3 +4649,76 @@ def _ecc_oracle_sql(seeds=tuple(_ECC_SEEDS)) -> str:
 
 QUERIES["eccentricity_hashgraph"] = eccentricity_hashgraph
 ORACLE_SQL["eccentricity_hashgraph"] = _ecc_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing: per-language token-budget capping
+# ---------------------------------------------------------------------------
+
+_LANG_TOKEN_BUDGET = 2000
+
+
+def lang_token_budget_docs(sf_dir: str):
+    """Per-language token-budget selection (stages.agg.budget_cap):
+    languages keep their LONGEST documents first (n_tokens desc,
+    doc_id asc) until 2000 tokens are spent — the deterministic
+    data-mixing rule for balancing domains in a training corpus. Token
+    counts are the word_frequency whitespace convention; everything is
+    exact integers so the running sums hash-match SQL windows."""
+    from tldr_ray.stages.agg import budget_cap
+
+    def derive(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        n_tok = np.bincount(doc_of[nonempty],
+                            minlength=len(batch)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "neg_tokens": pa.array(-n_tok),
+            "n_tokens": pa.array(n_tok)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    capped = budget_cap(ds, "lang", "n_tokens",
+                        ["neg_tokens", "doc_id"],
+                        budget=_LANG_TOKEN_BUDGET)
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "n_tokens": batch["n_tokens"].cast(pa.int64()),
+            "cum_tokens": batch["cum_n_tokens"].cast(pa.int64())})
+
+    return capped.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["lang_token_budget_docs"] = lang_token_budget_docs
+ORACLE_SQL["lang_token_budget_docs"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    w AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY -n_tokens ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM d)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM w WHERE cum_tokens <= {_LANG_TOKEN_BUDGET}
+"""

@@ -503,3 +503,36 @@ def pack_token_shards(ds, id_col: str, weight_col: str, budget: int,
 
     return parted.groupby("part").map_groups(sweep,
                                              batch_format="pandas")
+
+
+def budget_cap(ds, group_col: str, cost_col: str, order_cols,
+               budget: int, num_partitions: int = 64):
+    """Per-group budgeted prefix selection — the data-mixing rule
+    "take each domain's rows, best first, until the domain's token
+    budget is spent". Rows are ordered inside each group by
+    ``order_cols`` (must totally order the group); the survivors are
+    the maximal prefix whose running integer ``cost_col`` sum stays
+    <= ``budget``.
+
+    One coarse shuffle end to end: reuses ``stages.windows.row_window``
+    (hash(group) % P partitions, one sort + segment cumsum per
+    partition task) and filters on the emitted running sum — no
+    per-group invocations, no driver state. ``cost_col`` is appended
+    to ``order_cols`` for output visibility; it never changes the
+    permutation when the given columns already order rows uniquely.
+    Emits (group, *order_cols, cost, rn, cum_<cost>)."""
+    from tldr_ray.stages.windows import row_window
+
+    order_cols = list(order_cols)
+    if cost_col not in order_cols:
+        order_cols = order_cols + [cost_col]
+    w = row_window(ds, group_col, order_cols,
+                   cumsum_cols=(cost_col,),
+                   num_partitions=num_partitions)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch[f"cum_{cost_col}"],
+                       dtype=np.int64) <= np.int64(budget)
+        return batch.filter(pa.array(m))
+
+    return w.map_batches(keep, batch_format="pyarrow")
