@@ -1339,3 +1339,45 @@ class TestBudgetCap:
         # a: 5,10 fit, 15 exceeds; b: 9 fits, 18 exceeds
         assert got == [("a", 1), ("a", 2), ("b", 1)]
         assert set(out["cum_cost"]) == {5, 10, 9}
+
+
+class TestSinksSources:
+    def test_write_read_round_trip_three_formats(self, tmp_path):
+        import ray.data as rd
+        from tldr_ray.sinks import write_table
+        from tldr_ray.sources import read_table
+
+        t = pa.table({"k": pa.array([3, 1, 2], pa.int64()),
+                      "s": pa.array(["c", "a", "b"])})
+        for fmt in ("parquet", "csv", "json"):
+            out = str(tmp_path / fmt)
+            write_table(rd.from_arrow(t), out, format=fmt)
+            back = read_table(out, format=fmt).to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            assert back["k"].tolist() == [1, 2, 3]
+            assert back["s"].tolist() == ["a", "b", "c"]
+
+    def test_incremental_ingest_manifest(self, tmp_path):
+        import pyarrow.parquet as pq
+        from tldr_ray.sources import (list_new_files, mark_processed,
+                                      read_new_files)
+
+        data = tmp_path / "landing"
+        data.mkdir()
+        man = str(tmp_path / "manifest.txt")
+        pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}),
+                       str(data / "a.parquet"))
+        ds, new = read_new_files(str(data), man)
+        assert new == ["a.parquet"] and ds.count() == 2
+        mark_processed(man, new)
+        # nothing new -> None
+        ds2, new2 = read_new_files(str(data), man)
+        assert ds2 is None and new2 == []
+        # a second landing file -> only the delta is read
+        pq.write_table(pa.table({"x": pa.array([3], pa.int64())}),
+                       str(data / "b.parquet"))
+        ds3, new3 = read_new_files(str(data), man)
+        assert new3 == ["b.parquet"]
+        assert ds3.to_pandas()["x"].tolist() == [3]
+        mark_processed(man, new3)
+        assert list_new_files(str(data), man) == []

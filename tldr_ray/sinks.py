@@ -88,3 +88,26 @@ def _partition_dirs(out_dir: str, by: str) -> set:
     return {n[len(prefix):] for n in os.listdir(out_dir)
             if n.startswith(prefix)
             and os.path.isdir(os.path.join(out_dir, n))}
+
+
+_WRITERS = {
+    "parquet": "write_parquet",
+    "csv": "write_csv",
+    "json": "write_json",       # newline-delimited JSON
+}
+
+
+def write_table(ds, path: str, format: str = "parquet", **kwargs):
+    """Format-agnostic sink twin of ``sources.read_table``: one entry
+    point for parquet / CSV / JSONL output directories. Parquet is the
+    scale path (columnar, splittable, statistics); the row-major
+    formats exist for interchange. Extra kwargs pass through to the
+    underlying ``ray.data`` writer. Each executing task writes its own
+    file under ``path`` — output stays sharded, never one giant file."""
+    try:
+        writer = _WRITERS[format]
+    except KeyError:
+        raise ValueError(
+            f"format must be one of {sorted(_WRITERS)}: {format!r}")
+    os.makedirs(path, exist_ok=True)
+    return getattr(ds, writer)(path, **kwargs)

@@ -1,4 +1,5 @@
-from tldr_ray.sources.tabular import read_table
+from tldr_ray.sources.tabular import (list_new_files, mark_processed,
+                                      read_new_files, read_table)
 from tldr_ray.sources.transcripts import (
     synth_conversation,
     synth_transcripts_table,
@@ -10,6 +11,9 @@ from tldr_ray.sources.transcripts import (
 
 __all__ = [
     "read_table",
+    "read_new_files",
+    "list_new_files",
+    "mark_processed",
     "synth_conversation",
     "synth_transcripts_table",
     "transcripts_dataset",

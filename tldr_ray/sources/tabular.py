@@ -40,3 +40,61 @@ def read_table(path: str, format: str = "parquet",
         return reader(path, columns=columns, **kwargs)
     ds = reader(path, **kwargs)
     return ds.select_columns(columns) if columns else ds
+
+
+def _manifest_read(manifest_path: str) -> set:
+    import os
+    if not os.path.exists(manifest_path):
+        return set()
+    with open(manifest_path) as f:
+        return {ln.strip() for ln in f if ln.strip()}
+
+
+def list_new_files(data_dir: str, manifest_path: str,
+                   suffix: str = ".parquet") -> list[str]:
+    """Landing-zone delta scan: data files under ``data_dir`` not yet
+    recorded in the manifest, sorted for deterministic processing
+    order. The manifest is a plain newline file of RELATIVE paths —
+    O(files-seen) driver state, nothing proportional to rows."""
+    import os
+    seen = _manifest_read(manifest_path)
+    out = []
+    for root, _, names in os.walk(data_dir):
+        for n in sorted(names):
+            if not n.endswith(suffix) or n.startswith("_"):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), data_dir)
+            if rel not in seen:
+                out.append(rel)
+    return sorted(out)
+
+
+def read_new_files(data_dir: str, manifest_path: str,
+                   format: str = "parquet",
+                   columns: list[str] | None = None, **kwargs):
+    """Incremental ingestion from a landing directory: read ONLY files
+    that a previous run has not marked processed (the streaming-ingest
+    resume pattern — pair with ``mark_processed`` after the downstream
+    write commits, so a crash between read and write re-processes
+    rather than drops). Returns ``(dataset_or_None, new_relative_paths)``;
+    None when there is nothing new."""
+    import os
+    suffix = {"parquet": ".parquet", "csv": ".csv",
+              "json": ".jsonl"}.get(format, f".{format}")
+    new = list_new_files(data_dir, manifest_path, suffix=suffix)
+    if not new:
+        return None, []
+    paths = [os.path.join(data_dir, rel) for rel in new]
+    ds = read_table(paths, format=format, columns=columns, **kwargs)
+    return ds, new
+
+
+def mark_processed(manifest_path: str, rel_paths: list[str]) -> None:
+    """Append processed files to the manifest ATOMICALLY (write temp +
+    rename) so a crash mid-mark never corrupts the ledger."""
+    import os
+    seen = _manifest_read(manifest_path) | set(rel_paths)
+    tmp = f"{manifest_path}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(sorted(seen)) + "\n")
+    os.replace(tmp, manifest_path)
