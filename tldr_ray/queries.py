@@ -4722,3 +4722,75 @@ ORACLE_SQL["lang_token_budget_docs"] = f"""
     SELECT doc_id, lang, n_tokens, cum_tokens
     FROM w WHERE cum_tokens <= {_LANG_TOKEN_BUDGET}
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence mining: per-user transition (Markov) counts
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str):
+    """First-order event-type transition counts over each user's
+    time-ordered stream — the Markov-chain / session-flow mining op.
+    Event types become small integer codes via one tiny distinct pass
+    (the vocabulary is O(types)), the lag pairs come from the SAME
+    one-shuffle row_window sweep as events_user_running, and the pair
+    counts pre-combine per batch before a vocabulary-sized groupby.
+    Names decode only on the final |types|^2-bounded table."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.windows import row_window
+
+    types = sorted(set(
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type").count().to_pandas()["event_type"]))
+    tarr = np.array(types, dtype=object)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        code = np.searchsorted(tarr, np.asarray(batch["event_type"]))
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "type_code": pa.array(code.astype(np.int64))})
+
+    w = row_window(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                 "event_type"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id", "type_code"],
+        lag_cols=("type_code",))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        prev = np.asarray(batch["lag_type_code"], dtype=np.int64)
+        cur = np.asarray(batch["type_code"], dtype=np.int64)
+        m = prev >= 0
+        key = prev[m] * np.int64(len(types)) + cur[m]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (w.map_batches(pairs, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    k = agg["key"].to_numpy(np.int64)
+    return pa.table({
+        "prev_type": pa.array(tarr[k // len(types)].tolist(),
+                              pa.string()),
+        "next_type": pa.array(tarr[k % len(types)].tolist(),
+                              pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+
+QUERIES["event_transitions"] = event_transitions
+ORACLE_SQL["event_transitions"] = """
+    WITH w AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events)
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+"""
