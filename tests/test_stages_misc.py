@@ -1381,3 +1381,35 @@ class TestSinksSources:
         assert ds3.to_pandas()["x"].tolist() == [3]
         mark_processed(man, new3)
         assert list_new_files(str(data), man) == []
+
+
+class TestPerceptualHash:
+    def test_dhash_brightness_invariant_and_noise_robust(self):
+        from tldr_ray.stages.multimodal import (_synth_ppm, decode_ppm,
+                                                dhash64, perturb_ppm)
+
+        rng = np.random.default_rng(3)
+        p = _synth_ppm(rng, 32, 24)
+        img = decode_ppm(p)
+        base = dhash64(img)
+        # global brightness shift preserves adjacent comparisons
+        # (unclipped — saturation at 255 legitimately changes ties)
+        brighter = img.astype(np.int16) + 40
+        assert dhash64(brighter) == base
+        # a few nudged pixels stay within a small hamming ball
+        noisy = decode_ppm(perturb_ppm(p, seed=5))
+        ham = bin(int(base) ^ int(dhash64(noisy))).count("1")
+        assert ham <= 10
+        # a different random image is far away
+        other = decode_ppm(_synth_ppm(np.random.default_rng(4), 32, 24))
+        assert bin(int(base) ^ int(dhash64(other))).count("1") > 10
+
+    def test_planted_pairs_recovered_exactly(self):
+        from tldr_ray.queries import image_phash_dups
+
+        df = image_phash_dups("unused").to_pandas()
+        got = set(zip(df["id_a"], df["id_b"]))
+        want = {(mid, 10_000 + mid) for mid in range(0, 150, 3)
+                if (mid // 3) % 3 == 0}
+        assert got == want
+        assert (df["hamming"] <= 10).all()

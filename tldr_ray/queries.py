@@ -4794,3 +4794,46 @@ ORACLE_SQL["event_transitions"] = """
     FROM w WHERE prev IS NOT NULL
     GROUP BY prev, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup: perceptual dHash + banded hamming pairs
+# ---------------------------------------------------------------------------
+
+def image_phash_dups(sf_dir: str):
+    """Perceptual-hash image dedup over binary media payloads
+    (sf_dir unused by design — payloads are deterministic synthetic
+    PPMs): every third image gets a planted near-duplicate (a few
+    pixels nudged, re-encoded), images decode in an actor pool to
+    64-bit dHash signatures (stages.multimodal.image_dhash), and
+    near-pairs come from the banded hamming sweep
+    (stages.dedup.signature_pairs, pigeonhole recall). Rows-only by
+    nature (binary decode is not SQL-expressible); the pytest oracle
+    asserts exact planted-pair recovery."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import signature_pairs
+    from tldr_ray.stages.multimodal import (image_dhash, perturb_ppm,
+                                            synth_media_table)
+
+    media = synth_media_table(150)
+    imgs = media.filter(pc.equal(media["kind"], "image"))
+    ids = imgs["media_id"].to_pylist()
+    payloads = imgs["payload"].to_pylist()
+    mimes = imgs["mime"].to_pylist()
+    dup_ids, dup_payloads, dup_mimes = [], [], []
+    for i, (mid, p, m) in enumerate(zip(ids, payloads, mimes)):
+        if i % 3 == 0:
+            dup_ids.append(10_000 + mid)
+            dup_payloads.append(perturb_ppm(p, seed=mid))
+            dup_mimes.append(m)
+    tab = pa.table({
+        "media_id": pa.array(ids + dup_ids, pa.int64()),
+        "payload": pa.array(payloads + dup_payloads, pa.binary()),
+        "mime": pa.array(mimes + dup_mimes, pa.string())})
+    sigs = image_dhash(rd.from_arrow(tab))
+    return signature_pairs(sigs, id_col="media_id", sig_col="phash",
+                           max_hamming=10)
+
+
+QUERIES["image_phash_dups"] = image_phash_dups

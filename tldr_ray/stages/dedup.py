@@ -942,3 +942,75 @@ def ngram_contamination(docs, bench, k: int = 20, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         count_shared, batch_format="pyarrow")
+
+
+def signature_pairs(ds, id_col: str = "id", sig_col: str = "sig",
+                    max_hamming: int = 4, max_bucket: int = 500,
+                    num_partitions: int = 64):
+    """Near-dup pairs among PRECOMPUTED 64-bit signatures (perceptual
+    image hashes, simhashes computed elsewhere, any 64-bit sketch):
+    the ``simhash_pairs`` multi-table band plan applied to an existing
+    signature column. max_hamming + 1 tables -> pigeonhole recall
+    guarantee; candidate buckets verify exact hamming vectorized.
+    Returns (id_a, id_b, hamming) with id_a < id_b, deduped across
+    tables by min-hamming (constant by construction)."""
+    plan = _simhash_band_plan(max_hamming)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        D = batch.num_rows
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sig = np.asarray(batch[sig_col], dtype=np.int64) \
+            .view(np.uint64)
+        tabs, vals = [], []
+        for t, (shift, width) in enumerate(plan):
+            mask = np.uint64((1 << width) - 1)
+            vals.append((sig >> np.uint64(shift)) & mask)
+            tabs.append(np.full(D, t, dtype=np.int32))
+        T = len(plan)
+        band_flat = np.concatenate(vals)
+        tab_flat = np.concatenate(tabs)
+        part = (_mix64(band_flat ^ (tab_flat.astype(np.uint64)
+                                    * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            "id": pa.array(np.tile(ids, T)),
+            "tab": pa.array(tab_flat),
+            "band": pa.array(band_flat.view(np.int64)),
+            "part": pa.array(part),
+            "sig": pa.array(np.tile(sig, T).view(np.int64))})
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group["id"], dtype=np.int64)
+        tab = np.asarray(group["tab"], dtype=np.int32)
+        band = np.asarray(group["band"], dtype=np.int64)
+        sigs = np.asarray(group["sig"], dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, band, tab))
+        ids, tab, band, sigs = (ids[order], tab[order], band[order],
+                                sigs[order])
+        change = np.flatnonzero((tab[1:] != tab[:-1])
+                                | (band[1:] != band[:-1]))
+        starts = np.concatenate([[0], change + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        ia, ib, _ = _segment_pair_indices(sizes, starts, max_bucket)
+        if ia.size == 0:
+            return empty
+        ham = _popcount64(sigs[ia] ^ sigs[ib])
+        keep = (ham <= max_hamming) & (ids[ia] != ids[ib])
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "hamming": pa.array(ham[keep])})
+
+    pairs = (ds.select_columns([id_col, sig_col])
+             .map_batches(bands, batch_format="pyarrow", batch_size=512)
+             .groupby("part")
+             .map_groups(partition_pairs, batch_format="pyarrow"))
+    return pairs.groupby(["id_a", "id_b"]).min("hamming").map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
+        batch_format="pyarrow")

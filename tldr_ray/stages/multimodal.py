@@ -353,3 +353,78 @@ def sample_frames(ds, every_ms: int = 1000, batch_size: int = 64):
     sampler = FrameSampler(every_ms=every_ms)
     return ds.map_batches(lambda b: sampler(b), batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Raw (h, w, 3) uint8 decode for the library-free image formats;
+    codec formats raise loudly (same contract as builtin_decoder)."""
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(payload)
+    if mime == "image/x-portable-graymap":
+        return np.repeat(decode_pgm(payload)[..., None], 3, axis=2)
+    if mime == "image/x-portable-bitmap":
+        return np.repeat(decode_pbm(payload)[..., None], 3, axis=2)
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no builtin raw decode for {mime!r} (JPEG/PNG need libraries "
+        "not present in this container); pass a decoder callable")
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Difference-hash perceptual signature: grayscale -> 8x9 NN
+    thumbnail -> 64 adjacent-pixel brightness comparisons packed
+    row-major into one uint64. Invariant to global brightness/contrast
+    shifts (monotone per-pixel transforms preserve the comparisons)
+    and robust to small local noise — the standard cheap image
+    near-dup signature."""
+    gray = img.astype(np.float32).mean(axis=2)
+    t = image_resize_nn(gray, 8, 9)
+    bits = (t[:, 1:] > t[:, :-1]).reshape(-1)
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHasher:
+    """Actor-pool stage: binary image payloads -> 64-bit dHash rows.
+    Setup (decoder resolution) once per actor; per-payload decode in
+    __call__ (decode is inherently per-payload — the batch loop is the
+    honest shape here, payload bytes dominate the cost)."""
+
+    def __init__(self, decoder=None):
+        self.decode = decoder or decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [int(dhash64(self.decode(p, m)))
+                for p, m in zip(batch["payload"].to_pylist(),
+                                batch["mime"].to_pylist())]
+        return pa.table({
+            "media_id": batch["media_id"].cast(pa.int64()),
+            "phash": pa.array(np.asarray(sigs, dtype=np.uint64)
+                              .view(np.int64))})
+
+
+def image_dhash(ds, decoder=None, concurrency: int = 2,
+                batch_size: int = 64):
+    """(media_id, phash int64-viewed-uint64) for every image row."""
+    class _Stage(ImageDHasher):
+        def __init__(self):
+            super().__init__(decoder=decoder)
+
+    return ds.map_batches(_Stage, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size)
+
+
+def perturb_ppm(payload: bytes, seed: int, flips: int = 12) -> bytes:
+    """Deterministically nudge a few pixels of a binary PPM (re-encode
+    valid P6) — the planted near-duplicate generator for tests/demos."""
+    img = decode_ppm(payload).copy()
+    rng = np.random.default_rng(seed)
+    h, w, _ = img.shape
+    ys = rng.integers(0, h, flips)
+    xs = rng.integers(0, w, flips)
+    cs = rng.integers(0, 3, flips)
+    delta = rng.integers(1, 8, flips).astype(np.int16)
+    v = img[ys, xs, cs].astype(np.int16)
+    img[ys, xs, cs] = np.clip(v + delta, 0, 255).astype(np.uint8)
+    head = f"P6\n{w} {h}\n255\n".encode()
+    return head + img.tobytes()
