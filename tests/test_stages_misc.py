@@ -1413,3 +1413,53 @@ class TestPerceptualHash:
                 if (mid // 3) % 3 == 0}
         assert got == want
         assert (df["hamming"] <= 10).all()
+
+
+class TestPCA:
+    def test_matches_numpy_pca(self):
+        import ray.data as rd
+        from tldr_ray.stages.ann import pca_fit, pca_transform
+
+        rng = np.random.default_rng(11)
+        # planted low-rank structure + noise
+        Z = rng.standard_normal((400, 3)) * np.array([9.0, 4.0, 1.5])
+        B = rng.standard_normal((3, 12))
+        X = Z @ B + 0.05 * rng.standard_normal((400, 12)) + 2.0
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array(
+                          [r for r in X.astype(np.float32)],
+                          pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t)
+        mu, comps, ev, n = pca_fit(ds, k=3)
+        assert n == 400
+        X64 = X.astype(np.float32).astype(np.float64)
+        assert np.allclose(mu, X64.mean(axis=0), atol=1e-6)
+        C = np.cov(X64, rowvar=False)
+        w, V = np.linalg.eigh(C)
+        ref = V[:, np.argsort(w)[::-1][:3]].T
+        # eigenvalues match; components match up to sign
+        assert np.allclose(np.sort(ev)[::-1],
+                           np.sort(w)[::-1][:3], rtol=1e-6)
+        for i in range(3):
+            dot = abs(float(ref[i] @ comps[i]))
+            assert dot > 1 - 1e-8, f"component {i} diverged: {dot}"
+        proj = pca_transform(ds, mu, comps).to_pandas()
+        P = np.stack(proj.sort_values("vec_id")["proj"].to_numpy())
+        want = (X64 - mu) @ comps.T
+        assert np.allclose(P, want, atol=1e-4)
+        # projected variance equals the eigenvalues
+        assert np.allclose(P.var(axis=0, ddof=1), ev, rtol=1e-3)
+
+    def test_repeat_determinism_same_layout(self):
+        import ray.data as rd
+        from tldr_ray.stages.ann import pca_fit
+
+        rng = np.random.default_rng(5)
+        X = rng.standard_normal((256, 8)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(256), pa.int64()),
+                      "embedding": pa.array(list(X),
+                                            pa.list_(pa.float32()))})
+        a = pca_fit(rd.from_arrow(t), k=2)
+        b = pca_fit(rd.from_arrow(t), k=2)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])

@@ -4837,3 +4837,20 @@ def image_phash_dups(sf_dir: str):
 
 
 QUERIES["image_phash_dups"] = image_phash_dups
+
+
+def pca_embeddings(sf_dir: str):
+    """Distributed exact PCA (stages.ann.pca_fit/pca_transform): fit
+    top-4 principal components from one-pass (sum, Gram) partials, then
+    project every embedding. Rows-only by nature (eigendecomposition +
+    block-order float sums); the pytest oracle checks subspace
+    agreement with full-matrix numpy PCA."""
+    from tldr_ray.stages.ann import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mu, comps, _, _ = pca_fit(ds, k=4)
+    return pca_transform(_read(sf_dir, "embeddings",
+                               ["vec_id", "embedding"]), mu, comps)
+
+
+QUERIES["pca_embeddings"] = pca_embeddings

@@ -457,3 +457,79 @@ def linear_fit(ds, emb_col: str = "embedding", target_col: str = "y",
     G = G.reshape(d1, d1) + ridge * np.eye(d1)
     wb = np.linalg.solve(G, M)
     return wb[:-1], float(wb[-1]), n
+
+
+def pca_fit(ds, emb_col: str = "embedding", k: int = 4):
+    """One-pass exact PCA over an embedding column: every block folds
+    into (sum, X^T X, n) partials — O(d + d^2) leaves a task, never
+    O(rows) — the driver assembles the covariance C = (G - n mu mu^T)
+    / (n - 1) and eigendecomposes the d x d matrix locally (d is the
+    embedding width, tiny next to the corpus). Component signs are
+    canonicalized (largest-|entry| coordinate positive) so repeat runs
+    agree. Returns (mean (d,), components (k, d) eigenvalue-descending,
+    explained_variance (k,), n_rows). Same float caveat as linear_fit:
+    same-layout-deterministic via the content-sorted driver reduce."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch[emb_col]).astype(np.float64)
+        return pa.table({"gram": pa.array([(X.T @ X).reshape(-1)]),
+                         "s": pa.array([X.sum(axis=0)]),
+                         "n": pa.array([np.int64(len(X))])})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = np.sum(np.stack([np.asarray(x, dtype=np.float64)
+                             for x in batch["gram"]]), axis=0)
+        s = np.sum(np.stack([np.asarray(x, dtype=np.float64)
+                             for x in batch["s"]]), axis=0)
+        return pd.DataFrame({"gram": [g], "s": [s],
+                             "n": [np.int64(batch["n"].sum())]})
+
+    parts = (ds.select_columns([emb_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=32768)
+             .to_pandas())
+    if not len(parts):
+        raise ValueError("pca_fit needs at least one row")
+    grams = [np.asarray(g, dtype=np.float64) for g in parts["gram"]]
+    sums = [np.asarray(s, dtype=np.float64) for s in parts["s"]]
+    order = np.argsort([g.tobytes() for g in grams], kind="stable")
+    G = np.sum(np.stack([grams[i] for i in order]), axis=0)
+    S = np.sum(np.stack([sums[i] for i in order]), axis=0)
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("pca_fit needs at least two rows")
+    d = S.size
+    mu = S / n
+    C = (G.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(C)          # ascending
+    idx = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, idx].T
+    # deterministic sign: the largest-|entry| coordinate is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, evals[idx], n
+
+
+def pca_transform(ds, mean, components, emb_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Project embeddings onto fitted components: (mean, W) broadcast
+    once via the object store, each batch is one matmul. Emits
+    (id_col, proj list<float> of len k)."""
+    import ray
+
+    wref = ray.put((np.asarray(mean, dtype=np.float64),
+                    np.asarray(components, dtype=np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, W = ray.get(wref)
+        X = _as_matrix(batch[emb_col]).astype(np.float64)
+        P = (X - mu) @ W.T
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "proj": pa.array(list(P.astype(np.float32)),
+                             pa.list_(pa.float32()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")
