@@ -69,3 +69,32 @@ class TestPositionalHelpers:
         src = list(range(100))
         dst = [i % 2 for i in range(100)]
         assert intersection(src, dst) == [0, 1]
+
+
+class TestJaroStandard:
+    def test_bit_equal_to_duckdb(self):
+        import duckdb
+        import numpy as np
+        from tldr_ray.kernel.distance import jaro_standard
+
+        con = duckdb.connect()
+        rng = np.random.default_rng(13)
+        vocab = ["scan", "join", "merge", "table", "row", "batch", "a"]
+        cases = [("", ""), ("a", ""), ("abc", "abc"),
+                 ("martha", "marhta"), ("dixon", "dicksonx")]
+        for _ in range(60):
+            a = " ".join(rng.choice(vocab, rng.integers(0, 30)))
+            b = " ".join(rng.choice(vocab, rng.integers(0, 30)))
+            cases.append((a, b))
+        for a, b in cases:
+            d = con.execute("select jaro_similarity(?, ?)",
+                            [a, b]).fetchone()[0]
+            assert jaro_standard(a, b) == d, (a, b)
+
+    def test_known_values(self):
+        from tldr_ray.kernel.distance import jaro_standard
+
+        assert jaro_standard("martha", "marhta") == (
+            (6 / 6 + 6 / 6 + 5 / 6) / 3)
+        assert jaro_standard("abc", "xyz") == 0.0
+        assert jaro_standard("same", "same") == 1.0

@@ -122,3 +122,43 @@ def symmetric_difference(src, dst) -> list[int]:
 def intersection(src, dst) -> list[int]:
     """Indexes where the two equal-length int vectors are equal (util.go:147-157)."""
     return [i for i, v in enumerate(src) if v == dst[i]]
+
+
+def jaro_standard(a: str, b: str) -> float:
+    """TEXTBOOK Jaro similarity (Winkler 1990 base metric) — distinct
+    from the reference's quirky byte/rune variant above (util.go:40-135
+    keeps its bit-parity transliteration in ``distance``). This one is
+    the interoperable formula: match window max(|a|,|b|)/2 - 1,
+    greedy left-to-right flag matching, half-transpositions, score
+    (m/|a| + m/|b| + (m-t)/m) / 3. Verified bit-equal to DuckDB's
+    jaro_similarity, so corpus-scale fuzzy joins built on it are
+    SQL-hash-checkable."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0          # DuckDB convention: empty vs anything = 0
+    if a == b:
+        return 1.0
+    md = max(la, lb) // 2 - 1
+    fa = [False] * la
+    fb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - md), min(lb, i + md + 1)
+        for j in range(lo, hi):
+            if not fb[j] and a[i] == b[j]:
+                fa[i] = fb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if fa[i]:
+            while not fb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0

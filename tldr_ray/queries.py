@@ -4854,3 +4854,42 @@ def pca_embeddings(sf_dir: str):
 
 
 QUERIES["pca_embeddings"] = pca_embeddings
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-similarity dedup: LSH-blocked exact Jaro
+# ---------------------------------------------------------------------------
+
+def jaro_dup_docs(sf_dir: str):
+    """Fuzzy near-dup pairs at textbook Jaro >= 0.9 among MinHash-LSH
+    candidates (stages.dedup.fuzzy_jaro_pairs) — the reference's
+    Distance idea lifted to corpus scale, hash-checked INCLUDING the
+    float scores because kernel.distance.jaro_standard is bit-equal to
+    DuckDB's jaro_similarity."""
+    from tldr_ray.stages.dedup import fuzzy_jaro_pairs
+
+    return fuzzy_jaro_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.9, block_cut=0.4)
+
+
+def _jaro_oracle_sql(threshold: float = 0.9,
+                     block_cut: float = 0.4) -> str:
+    return _minhash64_base_cte() + f""",
+    cand AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {block_cut}
+    )
+    SELECT c.id_a, c.id_b,
+           jaro_similarity(da.text, db.text) AS jaro
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE jaro_similarity(da.text, db.text) >= {threshold}
+"""
+
+
+QUERIES["jaro_dup_docs"] = jaro_dup_docs
+ORACLE_SQL["jaro_dup_docs"] = _jaro_oracle_sql()

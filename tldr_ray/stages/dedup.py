@@ -1014,3 +1014,132 @@ def signature_pairs(ds, id_col: str = "id", sig_col: str = "sig",
     return pairs.groupby(["id_a", "id_b"]).min("hamming").map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "hamming"]),
         batch_format="pyarrow")
+
+
+def fuzzy_jaro_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.9, block_cut: float = 0.4,
+                     shingle_k: int = 5, num_perm: int = 64,
+                     bands: int = 16, max_bucket: int = 200,
+                     num_partitions: int = 64,
+                     broadcast_pairs_limit: int = 2_000_000):
+    """Fuzzy string-similarity pairs: textbook Jaro >= ``threshold``
+    among MinHash-LSH candidates (estimate >= ``block_cut`` — the
+    blocking heuristic; Jaro itself is exact on every candidate).
+    The scale-out twin of the reference's per-sentence Distance
+    operator: same 3-step plan as ``ngram_jaccard_pairs`` (counted
+    endpoint semi-join -> one coarse text-attach shuffle -> one coarse
+    pair shuffle), but the verify kernel is ``kernel.distance
+    .jaro_standard`` on the two raw texts — bit-equal to DuckDB's
+    jaro_similarity, so the whole operator is SQL-hash-checkable.
+    The per-pair Jaro loop is honest O(|a| * window) work on the
+    candidate-sparse survivors only — never the corpus."""
+    from tldr_ray.kernel.distance import jaro_standard
+
+    cand = minhash_lsh_pairs(ds, id_col, text_col, num_perm, bands,
+                             shingle_k, threshold=block_cut,
+                             max_bucket=max_bucket,
+                             num_partitions=num_partitions).materialize()
+    docs, _, _ = candidate_endpoint_docs(ds, cand, id_col, text_col,
+                                         broadcast_pairs_limit)
+    NP = np.uint64(num_partitions)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0                      # drop truncation sentinels
+        a, b = a[keep], b[keep]
+        jid = np.concatenate([a, b])
+        return pa.table({
+            "jpart": pa.array((_mix64(jid.view(np.uint64)) % NP)
+                              .astype(np.int32)),
+            "jid": pa.array(jid),
+            "id_a": pa.array(np.concatenate([a, a])),
+            "id_b": pa.array(np.concatenate([b, b])),
+            "text": pa.nulls(2 * a.size, pa.string())})
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        jid = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table({
+            "jpart": pa.array((_mix64(jid.view(np.uint64)) % NP)
+                              .astype(np.int32)),
+            "jid": pa.array(jid),
+            "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "text": batch[text_col].cast(pa.string())})
+
+    both = cand.map_batches(expand, batch_format="pyarrow").union(
+        docs.select_columns([id_col, text_col])
+        .map_batches(doc_rows, batch_format="pyarrow"))
+
+    _ATT_EMPTY = {"ppart": pd.array([], dtype="int32"),
+                  "id_a": pd.array([], dtype="int64"),
+                  "id_b": pd.array([], dtype="int64"),
+                  "jid": pd.array([], dtype="int64"),
+                  "text": pd.array([], dtype=object)}
+
+    def attach_part(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group[group["id_a"] >= 0]
+        if pairs.empty:
+            return pd.DataFrame(_ATT_EMPTY)
+        docs_g = group[group["id_a"] < 0]
+        needed = np.unique(pairs["jid"].to_numpy(np.int64))
+        docs_g = docs_g[docs_g["jid"].isin(needed)]
+        tmap = dict(zip(docs_g["jid"].to_numpy(np.int64).tolist(),
+                        docs_g["text"].tolist()))
+        ia = pairs["id_a"].to_numpy(np.int64)
+        ib = pairs["id_b"].to_numpy(np.int64)
+        jid = pairs["jid"].to_numpy(np.int64)
+        txt = [tmap.get(int(j)) for j in jid]
+        have = np.asarray([t is not None for t in txt])
+        ia, ib, jid = ia[have], ib[have], jid[have]
+        ppart = (_mix64(ia.view(np.uint64)
+                        ^ (ib.view(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))) % NP) \
+            .astype(np.int32)
+        return pd.DataFrame({"ppart": ppart, "id_a": ia, "id_b": ib,
+                             "jid": jid,
+                             "text": [t for t in txt if t is not None]})
+
+    def verify_part(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "jaro": pd.array([], dtype="float64")})
+        if group.empty:
+            return empty
+        g = group.sort_values(["id_a", "id_b", "jid"])
+        ia = g["id_a"].to_numpy(np.int64)
+        ib = g["id_b"].to_numpy(np.int64)
+        jid = g["jid"].to_numpy(np.int64)
+        txt = g["text"].tolist()
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        n = len(g)
+        while i < n:
+            j = i
+            while j < n and ia[j] == ia[i] and ib[j] == ib[i]:
+                j += 1
+            ta = tb = None
+            for r in range(i, j):
+                if jid[r] == ia[i]:
+                    ta = txt[r]
+                elif jid[r] == ib[i]:
+                    tb = txt[r]
+            if ta is not None and tb is not None:
+                s = jaro_standard(ta, tb)
+                if s >= threshold:
+                    out_a.append(ia[i])
+                    out_b.append(ib[i])
+                    out_j.append(s)
+            i = j
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype=np.int64),
+            "id_b": np.asarray(out_b, dtype=np.int64),
+            "jaro": np.asarray(out_j, dtype=np.float64)})
+
+    return (both.groupby("jpart")
+            .map_groups(attach_part, batch_format="pandas")
+            .groupby("ppart")
+            .map_groups(verify_part, batch_format="pandas"))
