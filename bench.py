@@ -390,7 +390,15 @@ if __name__ == "__main__":
                  "label_propagation_hashgraph", "tpch_q3", "tpch_q6",
                  "tpch_q4", "tpch_q5", "tpch_q14", "redact_terms_docs",
                  "decontaminate_docs", "doc_pack_shards",
-                 "common_neighbors_hashgraph"]
+                 "common_neighbors_hashgraph",
+                 # late round-3 additions
+                 "tpch_q10", "tpch_q13", "tpch_q18",
+                 "tpch_q7_trade_pairs", "tpch_q16_supplier_counts",
+                 "inverted_index_stats_docs", "boolean_search_docs",
+                 "lift_bigrams_docs", "ktruss_hashgraph",
+                 "eccentricity_hashgraph", "lang_token_budget_docs",
+                 "event_transitions", "image_phash_dups",
+                 "pca_embeddings"]
         qsec = {}
         try:
             for n in names:

@@ -301,3 +301,20 @@ class TestRangeJoin:
                         .reset_index(drop=True))
         pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
         pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
+
+
+class TestSemiJoin:
+    def test_exists_semantics(self):
+        import ray.data as rd
+        import pyarrow as pa
+        from tldr_ray.stages.joins import bucketed_semi_join
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"])}))
+        # right has duplicates — left rows must still emit once
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([2, 2, 4, 9], pa.int64())}))
+        out = bucketed_semi_join(left, right, on="k").to_pandas()
+        assert sorted(map(tuple, out[["k", "v"]].to_numpy().tolist())) \
+            == [(2, "b"), (4, "d")]

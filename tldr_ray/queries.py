@@ -4893,3 +4893,141 @@ def _jaro_oracle_sql(threshold: float = 0.9,
 
 QUERIES["jaro_dup_docs"] = jaro_dup_docs
 ORACLE_SQL["jaro_dup_docs"] = _jaro_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Join-family completeness: SEMI join; Q2-shaped argmin; grouped sample
+# ---------------------------------------------------------------------------
+
+def parts_with_returns(sf_dir: str):
+    """Parts with at least one full-quantity RETURNED lineitem — EXISTS via
+    the bucketed SEMI join (stages.joins.bucketed_semi_join): only the
+    right side's key column enters its shuffle, left rows emit at most
+    once regardless of match multiplicity."""
+    from tldr_ray.stages.joins import bucketed_semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+
+    def rfil(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["l_returnflag"], "R"),
+                    pc.greater(batch["l_quantity"], 48.0))
+        t = batch.filter(m)
+        return pa.table({"p_partkey": t["l_partkey"].cast(pa.int64())})
+
+    returned = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_returnflag", "l_quantity"]) \
+        .map_batches(rfil, batch_format="pyarrow")
+
+    out = bucketed_semi_join(part, returned, on="p_partkey")
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["p_partkey"] = batch["p_partkey"].astype(np.int64)
+        return batch[["p_partkey", "p_brand", "p_type"]]
+
+    return out.map_batches(seal, batch_format="pandas")
+
+
+_Q2_SHIFT = np.int64(1 << 20)    # suppkey < 2^20 at any test scale
+
+
+def cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2-shaped correlated argmin without partsupp: for every
+    part, the supplier offering the lowest OBSERVED lineitem price
+    (tiebreak smallest suppkey). The argmin rides ONE grouped Min over
+    an int64 composite (price_cents * 2^20 | suppkey) — per-batch
+    pre-combine, no join until the final part/supplier dimension
+    decode on the vocabulary-sized result."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
+
+    def comp(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        pc_ = _cents(np.asarray(batch["l_extendedprice"],
+                                dtype=np.float64))
+        comp = pc_ * _Q2_SHIFT + sk
+        u, inv = np.unique(pk, return_inverse=True)
+        best = np.full(u.size, np.iinfo(np.int64).max)
+        np.minimum.at(best, inv, comp)
+        return pa.table({"p_partkey": pa.array(u),
+                         "comp": pa.array(best)})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice"])
+           .map_batches(comp, batch_format="pyarrow")
+           .groupby("p_partkey").aggregate(Min("comp", alias_name="comp"))
+           .to_pandas())
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    agg["s_suppkey"] = (agg["comp"].to_numpy(np.int64)
+                        % _Q2_SHIFT).astype(np.int64)
+    agg["price_cents"] = (agg["comp"].to_numpy(np.int64)
+                          // _Q2_SHIFT).astype(np.int64)
+    out = (agg.merge(part, on="p_partkey")
+           .merge(supp, on="s_suppkey"))
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["p_partkey", "p_brand", "s_suppkey", "s_name",
+             "price_cents"]], preserve_index=False)
+
+
+def sample3_docs_per_lang(sf_dir: str):
+    """Per-language deterministic 3-doc hash sample
+    (stages.agg.grouped_bottomk) — bottom-k twin keyed per group,
+    mirrored by the shared FNV/splitmix CTEs + a partitioned
+    row_number."""
+    from tldr_ray.stages.agg import grouped_bottomk
+
+    out = grouped_bottomk(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "lang", "doc_id", k=3)
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "doc_id": pa.array(
+                np.asarray(batch["doc_id"].to_pandas(), np.int64)),
+            "key_hash": batch["key_hash"].cast(pa.int64()),
+            "rn": batch["rn"].cast(pa.int64())})
+
+    return out.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["parts_with_returns"] = parts_with_returns
+ORACLE_SQL["parts_with_returns"] = """
+    SELECT p_partkey, p_brand, p_type FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+                    AND l_quantity > 48.0)
+"""
+QUERIES["cheapest_supplier_per_part"] = cheapest_supplier_per_part
+ORACLE_SQL["cheapest_supplier_per_part"] = f"""
+    WITH c AS (
+        SELECT l_partkey,
+               min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * {int(_Q2_SHIFT)} + l_suppkey) AS comp
+        FROM lineitem GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey, p.p_brand,
+           CAST(c.comp % {int(_Q2_SHIFT)} AS BIGINT) AS s_suppkey,
+           s.s_name,
+           CAST(c.comp // {int(_Q2_SHIFT)} AS BIGINT) AS price_cents
+    FROM c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.comp % {int(_Q2_SHIFT)}
+"""
+QUERIES["sample3_docs_per_lang"] = sample3_docs_per_lang
+ORACLE_SQL["sample3_docs_per_lang"] = f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS s FROM documents")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    r AS (
+        SELECT d.lang, CAST(m3.s AS BIGINT) AS doc_id, m3.h,
+               row_number() OVER (
+                   PARTITION BY d.lang ORDER BY m3.h, m3.s) AS rn
+        FROM m3 JOIN documents d ON d.doc_id = CAST(m3.s AS BIGINT))
+    SELECT lang, doc_id, {_sql_s2b('h')} AS key_hash,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+"""

@@ -536,3 +536,57 @@ def budget_cap(ds, group_col: str, cost_col: str, order_cols,
         return batch.filter(pa.array(m))
 
     return w.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_bottomk(ds, group_col: str, key_col: str, k: int = 3):
+    """Per-group deterministic bottom-k hash sample: inside every group,
+    the k keys with the smallest splitmix64(fnv1a(str(key))) hashes —
+    the per-domain twin of ``bottomk_sample`` (same hash, same unsigned
+    ordering, same SQL mirror helpers). Keys are assumed distinct
+    within a group (dedup upstream otherwise: a repeated key would
+    occupy several ranks).
+
+    Funnel discipline: every batch pre-combines to at most k rows per
+    group it has seen, then ONE coarse shuffle (stages.windows
+    .row_window) ranks the survivors. Emits (group, h_ord, key,
+    key_hash, rn) with rn <= k; ``h_ord`` is the hash with the sign
+    bit flipped so SIGNED int64 ordering equals the mirror's unsigned
+    ordering."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.windows import row_window
+
+    SIGN = np.uint64(1 << 63)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kcol = batch[key_col]
+        if not (pa.types.is_string(kcol.type)
+                or pa.types.is_large_string(kcol.type)):
+            kcol = pc.cast(kcol, pa.string())
+        h = _mix64(fnv1a_batch(kcol))
+        grp = np.asarray(batch[group_col].to_pandas())
+        keys = np.asarray(batch[key_col].to_pandas())
+        order = np.lexsort((keys, (h ^ SIGN).view(np.int64), grp))
+        grp, keys, h = grp[order], keys[order], h[order]
+        new = np.concatenate([[True], grp[1:] != grp[:-1]]) \
+            if len(grp) else np.array([], bool)
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rnk = np.arange(len(grp)) - starts[seg] if len(grp) \
+            else np.array([], np.int64)
+        m = rnk < k
+        return pa.table({
+            group_col: pa.array(grp[m]),
+            key_col: pa.array(keys[m]),
+            "h_ord": pa.array((h[m] ^ SIGN).view(np.int64)),
+            "key_hash": pa.array(h[m].view(np.int64))})
+
+    pre = ds.select_columns([group_col, key_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    w = row_window(pre, group_col, ["h_ord", key_col, "key_hash"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["rn"], dtype=np.int64) <= k
+        return batch.filter(pa.array(m))
+
+    return w.map_batches(keep, batch_format="pyarrow")

@@ -441,3 +441,40 @@ def set_op(left, right, on: list[str], op: str = "except",
 
     return (both.groupby("__part")
             .map_groups(resolve, batch_format="pandas"))
+
+
+def bucketed_semi_join(left, right, on: str, num_buckets: int = 64):
+    """Left rows whose key DOES appear in ``right`` (EXISTS semantics —
+    left rows emit at most once regardless of right-side multiplicity).
+    The mirror image of ``bucketed_anti_join``: one shuffle per side,
+    matching buckets filtered with a vectorized ``isin``; only the key
+    column of the right side ever moves."""
+    lcols = list(left.schema().names)
+    lints = _int_cols(left.schema())
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {}
+            for c in lcols:
+                out[c] = batch[c] if c in cols else pa.nulls(n)
+            out["__bucket"] = pa.array(
+                (_hash_any(batch[on]) %
+                 np.uint64(num_buckets)).astype(np.int32))
+            out["__side"] = pa.array([side] * n)
+            return pa.table(out)
+        return fn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(tag("r", [on]),
+                                               batch_format="pyarrow"))
+
+    def filter_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
+        rkeys = group.loc[group["__side"] == "r", on]
+        if rkeys.empty:
+            return l.iloc[0:0]
+        return l[l[on].isin(set(rkeys))]
+
+    return both.groupby("__bucket").map_groups(filter_bucket,
+                                               batch_format="pandas")
