@@ -5031,3 +5031,130 @@ ORACLE_SQL["sample3_docs_per_lang"] = f"""
            CAST(rn AS BIGINT) AS rn
     FROM r WHERE rn <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11/Q22 shapes — exact-integer global-threshold predicates
+# ---------------------------------------------------------------------------
+
+def tpch_q11_supplier_share(sf_dir: str):
+    """Q11-shaped: suppliers contributing more than 0.1% of total
+    observed revenue. Two grouped passes over lineitem (per-supplier
+    cents + the global scalar); the HAVING predicate is the exact
+    integer cross-multiplication sup_cents * 1000 > total_cents — no
+    float division anywhere, so the threshold can never waver on
+    partial-sum order."""
+    from ray.data.aggregate import Sum
+
+    def proj(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        cents = _cents(px * (1.0 - disc))
+        u, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(u),
+            "revenue_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64))})
+
+    per_supp = (_read(sf_dir, "lineitem",
+                      ["l_suppkey", "l_extendedprice", "l_discount"])
+                .map_batches(proj, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("revenue_cents",
+                               alias_name="revenue_cents"))
+                .materialize())
+    total = int(per_supp.sum("revenue_cents"))
+
+    def hav(batch: pa.Table) -> pa.Table:
+        rc = np.asarray(batch["revenue_cents"], dtype=np.int64)
+        m = rc * np.int64(1000) > np.int64(total)
+        return pa.table({
+            "s_suppkey": pa.array(
+                np.asarray(batch["s_suppkey"], np.int64)[m]),
+            "revenue_cents": pa.array(rc[m])})
+
+    return per_supp.map_batches(hav, batch_format="pyarrow")
+
+
+def tpch_q22_idle_rich_customers(sf_dir: str):
+    """Q22-shaped: customers with above-average account balance and NO
+    activity in the event log (every synth customer has orders, so the
+    idle predicate uses events — same EXISTS shape as Q22's no-orders
+    clause). The average is never materialized as a float: customer c
+    qualifies iff acctbal_cents * n_customers > total_cents (exact
+    int64 cross-multiplication over the positive-balance population,
+    like Q22's). The idle side is the bucketed ANTI join — only
+    user_id ever moves."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_anti_join
+
+    def cproj(batch: pa.Table) -> pa.Table:
+        ab = np.asarray(batch["c_acctbal"], dtype=np.float64)
+        cents = _cents(ab)
+        m = cents > 0
+        return pa.table({
+            "c_custkey": pa.array(
+                np.asarray(batch["c_custkey"], np.int64)[m]),
+            "acctbal_cents": pa.array(cents[m]),
+            "one": pa.array(np.ones(int(m.sum()), np.int64))})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .map_batches(cproj, batch_format="pyarrow")
+            .materialize())
+    agg = cust.aggregate(Sum("acctbal_cents", alias_name="t"),
+                         Sum("one", alias_name="n"))
+    total, n = int(agg["t"]), int(agg["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        ab = np.asarray(batch["acctbal_cents"], dtype=np.int64)
+        m = ab * np.int64(n) > np.int64(total)
+        return pa.table({
+            "c_custkey": pa.array(
+                np.asarray(batch["c_custkey"], np.int64)[m]),
+            "acctbal_cents": pa.array(ab[m])})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+    active = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"c_custkey": t["user_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = bucketed_anti_join(rich_ds, active, on="c_custkey")
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("c_custkey", "acctbal_cents"):
+            batch[c] = batch[c].astype(np.int64)
+        return batch[["c_custkey", "acctbal_cents"]]
+
+    return out.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["tpch_q11_supplier_share"] = tpch_q11_supplier_share
+ORACLE_SQL["tpch_q11_supplier_share"] = """
+    WITH c AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM c)
+    SELECT c.s_suppkey, c.revenue_cents
+    FROM c CROSS JOIN t
+    WHERE c.revenue_cents * 1000 > t.total
+"""
+QUERIES["tpch_q22_idle_rich_customers"] = tpch_q22_idle_rich_customers
+ORACLE_SQL["tpch_q22_idle_rich_customers"] = """
+    WITH pos AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer
+        WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) > 0),
+    t AS (SELECT CAST(sum(acctbal_cents) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n FROM pos)
+    SELECT p.c_custkey, p.acctbal_cents
+    FROM pos p CROSS JOIN t
+    WHERE p.acctbal_cents * t.n > t.total
+      AND NOT EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = p.c_custkey)
+"""
