@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from tldr_ray.config import SummarizeConfig
@@ -568,3 +569,50 @@ class TestWarmStart:
         assert np.array_equal(clb, wlb)           # same exact labels
         assert set(wlb) == {0}                    # merged to global min
         assert winfo["iterations"] <= cinfo["iterations"]
+
+
+class TestEigenvectorCentrality:
+    def test_matches_dense_principal_eigenvector(self):
+        import ray.data as rd
+        from tldr_ray.graph import eigenvector_centrality
+
+        rng = np.random.default_rng(23)
+        n, m = 30, 120
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.uniform(0.5, 2.0, m).round(3)
+        keep = src != dst
+        src, dst, w = src[keep], dst[keep], w[keep]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array(w)})
+        ids, scores, info = eigenvector_centrality(
+            rd.from_arrow(t), num_partitions=4)
+        assert info["converged"]
+        A = np.zeros((n, n))
+        for s, d, ww in zip(src, dst, w):
+            A[s, d] += ww
+            A[d, s] += ww
+        present = np.unique(np.concatenate([src, dst]))
+        M = (A + np.eye(n))[np.ix_(present, present)]
+        evals, V = np.linalg.eigh(M)
+        v = np.abs(V[:, -1])
+        v = v / np.linalg.norm(v)
+        got = scores[np.argsort(ids)]
+        assert np.allclose(got, v, atol=1e-6)
+
+    def test_star_center_dominates(self):
+        import ray.data as rd
+        from tldr_ray.graph import eigenvector_centrality
+
+        src = [0] * 6
+        dst = [1, 2, 3, 4, 5, 6]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * 6)})
+        ids, scores, _ = eigenvector_centrality(rd.from_arrow(t),
+                                                num_partitions=2)
+        center = scores[list(ids).index(0)]
+        assert center == scores.max()
+        leaves = scores[np.asarray(ids) != 0]
+        assert np.allclose(leaves, leaves[0], atol=1e-9)

@@ -1,7 +1,8 @@
 from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
-                                   k_core, bfs_hops, sssp_distances)
+                                   k_core, bfs_hops, sssp_distances,
+                                   eigenvector_centrality)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -16,5 +17,6 @@ __all__ = [
     "k_core",
     "bfs_hops",
     "sssp_distances",
+    "eigenvector_centrality",
     "triangle_counts",
 ]

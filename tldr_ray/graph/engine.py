@@ -536,6 +536,42 @@ def _shard_actor_cls(num_cpus: float = 0):
             # LPA votes are weighed by RAW edge weight (e_weight_sorted)
             self.state = self.verts.copy()
 
+        # -- eigenvector centrality (shifted power iteration) ----------
+        def eig_init(self):
+            self.state = np.ones(self.verts.size)
+            self._eig_prev = self.state.copy()
+
+        def eig_apply(self, masses) -> float:
+            """Consume incoming raw-weight masses and form (A + I) x
+            from the previous NORMALIZED vector (the +I shift makes the
+            iteration converge on bipartite components too). Returns
+            the local sum of squares so the driver can assemble the
+            global L2 norm."""
+            masses = self._fetch(masses)
+            new = self.state.copy()          # the +I shift term
+            for idx, arr in zip(self.incoming_idx, masses):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.add.at(new, idx, arr)
+            self._eig_prev = self.state
+            self.state = new
+            return float((self.state * self.state).sum())
+
+        def eig_scale_emit(self, factor: float):
+            """Normalize by the global L2 factor, then emit next-round
+            messages FROM the normalized vector (fused so one RPC round
+            covers normalize + emit). Returns (l1_delta_vs_prev,
+            masses)."""
+            self.state = self.state * factor
+            d = float(np.abs(self.state - self._eig_prev).sum())
+            m = self.state[self.e_src_local] * self.e_weight_sorted
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                out.append(np.bincount(self.dlocals[q], weights=m[sl],
+                                       minlength=self.dvocabs[q].size))
+            return d, self._ship(out)
+
         # -- k-core decomposition (distributed H-index iteration) ------
         def kcore_init(self) -> int:
             """state = undirected degree (assumes symmetrized, deduped
@@ -1046,6 +1082,47 @@ class GraphEngine:
         ids, cores = self._collect(np.int64)
         return ids, cores, {"rounds": it, "stable": changed == 0}
 
+    def eigenvector_centrality(self, tolerance: float = 1e-10,
+                               max_iterations: int = 500,
+                               collect: bool = True):
+        """Principal-eigenvector centrality by distributed power
+        iteration on (A + I) — the HITS hub==authority case once edges
+        are symmetrized (supply symmetrize=True at build). Per round:
+        one raw-weight SpMV exchange (same pre-combined per-partition
+        masses and plasma-ref gating as PageRank) + one fused
+        normalize-and-emit RPC; the driver only relays the scalar L2
+        factor. Scores are L2-normalized, all non-negative."""
+        import math
+
+        import ray
+
+        ray.get([s.eig_init.remote() for s in self.shards])
+        res = ray.get([s.eig_scale_emit.remote(
+            1.0 / math.sqrt(max(self.n_total, 1)))
+            for s in self.shards])
+        outs = [r[1] for r in res]
+        it, converged = 0, False
+        while it < max_iterations:
+            ss = ray.get([
+                self.shards[q].eig_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            norm = math.sqrt(sum(ss))
+            if norm == 0.0:                    # edgeless graph
+                break
+            res = ray.get([s.eig_scale_emit.remote(1.0 / norm)
+                           for s in self.shards])
+            delta = sum(r[0] for r in res)
+            outs = [r[1] for r in res]
+            it += 1
+            if delta < tolerance * max(self.n_total, 1):
+                converged = True
+                break
+        ids, scores = self._collect(np.float64) if collect \
+            else (None, None)
+        return ids, scores, {"rounds": it, "converged": converged}
+
     # -- plumbing ------------------------------------------------------
     def _checkpoint(self, checkpoint_dir: str, iteration: int, dtype: str):
         import ray
@@ -1187,5 +1264,22 @@ def k_core(edges, num_partitions: int = 8, max_rounds: int = 1000,
     eng = GraphEngine.from_edges(simple, num_partitions, work_dir)
     try:
         return eng.kcore(max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def eigenvector_centrality(edges, num_partitions: int = 8,
+                           max_iterations: int = 500,
+                           tolerance: float = 1e-10,
+                           work_dir: str | None = None):
+    """Eigenvector centrality of the symmetrized weighted graph via
+    distributed shifted power iteration. Returns
+    (vertex_ids, scores, info); scores are the L2-normalized principal
+    eigenvector of (A + I) — same ranking as A's for connected
+    non-negative graphs, convergent on bipartite ones."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.eigenvector_centrality(tolerance, max_iterations)
     finally:
         eng.shutdown()

@@ -5158,3 +5158,20 @@ ORACLE_SQL["tpch_q22_idle_rich_customers"] = """
       AND NOT EXISTS (SELECT 1 FROM events e
                       WHERE e.user_id = p.c_custkey)
 """
+
+
+def eigencentrality_hashgraph(sf_dir: str):
+    """Eigenvector centrality of the weighted hash graph
+    (graph.eigenvector_centrality — distributed shifted power
+    iteration, raw-weight SpMV exchange). Rows-only by nature
+    (iterative float fixpoint); the pytest oracle checks against the
+    dense numpy principal eigenvector to 1e-7."""
+    from tldr_ray.graph import eigenvector_centrality
+
+    ids, scores, _ = eigenvector_centrality(
+        _hash_graph_edges_weighted(sf_dir), num_partitions=4)
+    return pa.table({"vertex": pa.array(ids),
+                     "score": pa.array(scores)})
+
+
+QUERIES["eigencentrality_hashgraph"] = eigencentrality_hashgraph
