@@ -1463,3 +1463,21 @@ class TestPCA:
         b = pca_fit(rd.from_arrow(t), k=2)
         assert np.array_equal(a[0], b[0])
         assert np.array_equal(a[1], b[1])
+
+
+class TestGroupedLinearTrend:
+    def test_hand_case_and_vertical_drop(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import grouped_linear_trend
+
+        # group a: y = 3x + 2 exactly; group b: zero x-variance
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b"]),
+            "x": pa.array([0, 1, 2, 5, 5], pa.int64()),
+            "y": pa.array([2, 5, 8, 7, 9], pa.int64())})
+        out = grouped_linear_trend(rd.from_arrow(t), "g", "x", "y") \
+            .to_pandas()
+        assert list(out["g"]) == ["a"]
+        assert out["slope"].iloc[0] == 3.0
+        assert out["intercept"].iloc[0] == 2.0
+        assert out["n"].iloc[0] == 3

@@ -5175,3 +5175,57 @@ def eigencentrality_hashgraph(sf_dir: str):
 
 
 QUERIES["eigencentrality_hashgraph"] = eigencentrality_hashgraph
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend from exact integer moments
+# ---------------------------------------------------------------------------
+
+_TREND_EPOCH_US = 1_704_067_200_000_000      # 2024-01-01 UTC in us
+
+
+def user_value_trend(sf_dir: str):
+    """Per-user spend trend over time (stages.agg.grouped_linear_trend):
+    x = whole hours since 2024-01-01, y = value cents — both exact
+    integers, so the OLS slope/intercept are single IEEE divisions of
+    exact int64 cross-products and hash-match the SQL moment mirror
+    (DuckDB's builtin regr_slope accumulates in float and would not)."""
+    from tldr_ray.stages.agg import grouped_linear_trend
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "x_hours": pa.array((ts - _TREND_EPOCH_US)
+                                // np.int64(3_600_000_000)),
+            "y_cents": pa.array(_cents(v))})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return grouped_linear_trend(ds, "user_id", "x_hours", "y_cents")
+
+
+QUERIES["user_value_trend"] = user_value_trend
+ORACLE_SQL["user_value_trend"] = f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) - {_TREND_EPOCH_US}) // 3600000000
+                    AS BIGINT) AS x,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+        FROM events),
+    mo AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM b GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+    FROM mo WHERE n * sxx - sx * sx != 0
+"""

@@ -590,3 +590,67 @@ def grouped_bottomk(ds, group_col: str, key_col: str, k: int = 3):
         return batch.filter(pa.array(m))
 
     return w.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_linear_trend(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group ordinary-least-squares trend line from EXACT integer
+    moment sums: each batch folds into (n, Sx, Sy, Sxy, Sxx) partials
+    per group (five int64 columns — never rows), one groupby sums
+    them, and slope / intercept are each ONE IEEE division of exact
+    integer cross-products:
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+
+    so the floats hash-match a SQL mirror computing the same integer
+    moments (DuckDB's own regr_slope accumulates in float and would
+    NOT). ``x_col``/``y_col`` must be pre-scaled integers small enough
+    that every product above fits int64 (hours + cents at corpus scale
+    qualify; the caller owns the scaling). Groups with zero x-variance
+    are dropped (vertical line)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_pandas())
+        x = np.asarray(batch[x_col], dtype=np.int64)
+        y = np.asarray(batch[y_col], dtype=np.int64)
+        u, inv = np.unique(g, return_inverse=True)
+        return pa.table({
+            group_col: pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": pa.array(np.bincount(inv, weights=x).astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=y).astype(np.int64)),
+            "sxy": pa.array(np.bincount(inv, weights=x * y)
+                            .astype(np.int64)),
+            "sxx": pa.array(np.bincount(inv, weights=x * x)
+                            .astype(np.int64))})
+
+    agg = (ds.select_columns([group_col, x_col, y_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        sx = np.asarray(batch["sx"], dtype=np.int64)
+        sy = np.asarray(batch["sy"], dtype=np.int64)
+        sxy = np.asarray(batch["sxy"], dtype=np.int64)
+        sxx = np.asarray(batch["sxx"], dtype=np.int64)
+        den = n * sxx - sx * sx
+        m = den != 0
+        slope = (n[m] * sxy[m] - sx[m] * sy[m]).astype(np.float64) \
+            / den[m].astype(np.float64)
+        icpt = (sy[m] * sxx[m] - sx[m] * sxy[m]).astype(np.float64) \
+            / den[m].astype(np.float64)
+        cols = {group_col: batch[group_col].filter(pa.array(m))}
+        cols.update({
+            "n": pa.array(n[m]),
+            "slope": pa.array(slope),
+            "intercept": pa.array(icpt)})
+        return pa.table(cols)
+
+    return agg.map_batches(seal, batch_format="pyarrow")
