@@ -318,3 +318,20 @@ class TestSemiJoin:
         out = bucketed_semi_join(left, right, on="k").to_pandas()
         assert sorted(map(tuple, out[["k", "v"]].to_numpy().tolist())) \
             == [(2, "b"), (4, "d")]
+
+
+class TestTableDiff:
+    def test_classification(self):
+        import ray.data as rd
+        import pyarrow as pa
+        from tldr_ray.stages.joins import table_diff
+
+        old = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64())}))
+        new = rd.from_arrow(pa.table({
+            "k": pa.array([2, 3, 4, 5], pa.int64()),
+            "v": pa.array([20, 31, 40, 50], pa.int64())}))
+        out = table_diff(old, new, "k", ["v"]).to_pandas()
+        got = sorted(map(tuple, out.to_numpy().tolist()))
+        assert got == [(1, "removed"), (3, "changed"), (5, "added")]

@@ -5229,3 +5229,78 @@ ORACLE_SQL["user_value_trend"] = f"""
                / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
     FROM mo WHERE n * sxx - sx * sx != 0
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------------
+
+def orders_snapshot_diff(sf_dir: str):
+    """Table-versioning diff (stages.joins.table_diff): snapshot B is
+    simulated deterministically from orders — keys % 13 dropped
+    (-> removed), surviving keys % 7 get a one-currency-unit price bump
+    (-> changed), keys % 11 re-inserted shifted by 10M (-> added).
+    Prices compare as exact integer cents. The mirror builds the same
+    snapshot in SQL and classifies with a FULL OUTER JOIN."""
+    from tldr_ray.stages.joins import table_diff
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        cents = _cents(np.asarray(batch["o_totalprice"],
+                                  dtype=np.float64))
+        return pa.table({"o_orderkey": pa.array(k),
+                         "total_cents": pa.array(cents)})
+
+    old = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    def simulate(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        c = np.asarray(batch["total_cents"], dtype=np.int64)
+        keep = k % 13 != 0
+        k2, c2 = k[keep], c[keep].copy()
+        bump = k2 % 7 == 0
+        c2[bump] += 100
+        addm = k % 11 == 0
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate(
+                [k2, k[addm] + 10_000_000])),
+            "total_cents": pa.array(np.concatenate([c2, c[addm]]))})
+
+    new = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .map_batches(simulate, batch_format="pyarrow")
+
+    out = table_diff(old, new, "o_orderkey", ["total_cents"])
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["o_orderkey"] = batch["o_orderkey"].astype(np.int64)
+        batch["change"] = batch["change"].astype(str)
+        return batch[["o_orderkey", "change"]]
+
+    return out.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
+ORACLE_SQL["orders_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS total_cents
+        FROM orders),
+    newt AS (
+        SELECT o_orderkey,
+               total_cents + CASE WHEN o_orderkey % 7 = 0
+                                  THEN 100 ELSE 0 END AS total_cents
+        FROM old WHERE o_orderkey % 13 != 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, total_cents
+        FROM old WHERE o_orderkey % 11 = 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN newt n ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.total_cents != n.total_cents
+"""

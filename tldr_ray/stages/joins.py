@@ -478,3 +478,57 @@ def bucketed_semi_join(left, right, on: str, num_buckets: int = 64):
 
     return both.groupby("__bucket").map_groups(filter_bucket,
                                                batch_format="pandas")
+
+
+def table_diff(old, new, key_col: str, value_cols: list[str],
+               num_buckets: int = 64):
+    """CDC-style snapshot diff: classify every key as 'added' (only in
+    ``new``), 'removed' (only in ``old``) or 'changed' (present in both
+    with any ``value_cols`` differing). Unchanged keys emit nothing.
+    One co-shuffle on hash(key) % num_buckets (the set_op plan); each
+    bucket task resolves with one pandas merge + vectorized compare.
+    Keys must be unique per side (snapshot semantics)."""
+    need = [key_col, *value_cols]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {c: batch[c] for c in need}
+            out["__bucket"] = pa.array(
+                (_hash_any(batch[key_col]) %
+                 np.uint64(num_buckets)).astype(np.int32))
+            out["__side"] = pa.array([side] * len(batch))
+            return pa.table(out)
+        return fn
+
+    both = old.select_columns(need) \
+        .map_batches(tag("o"), batch_format="pyarrow").union(
+            new.select_columns(need)
+            .map_batches(tag("n"), batch_format="pyarrow"))
+
+    def diff_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["__side"] == "o"][need]
+        n = group[group["__side"] == "n"][need]
+        m = o.merge(n, on=key_col, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        added = m["_merge"] == "right_only"
+        removed = m["_merge"] == "left_only"
+        both_m = m["_merge"] == "both"
+        changed = both_m.copy()
+        if value_cols:
+            neq = np.zeros(len(m), dtype=bool)
+            for c in value_cols:
+                a = m[f"{c}_o"]
+                b = m[f"{c}_n"]
+                neq |= ~((a == b) | (a.isna() & b.isna()))
+            changed &= neq
+        keys = m[key_col]
+        out_key = np.concatenate([keys[added], keys[removed],
+                                  keys[changed]])
+        out_chg = np.concatenate([
+            np.full(int(added.sum()), "added", object),
+            np.full(int(removed.sum()), "removed", object),
+            np.full(int(changed.sum()), "changed", object)])
+        return pd.DataFrame({key_col: out_key, "change": out_chg})
+
+    return both.groupby("__bucket").map_groups(diff_bucket,
+                                               batch_format="pandas")
