@@ -1315,13 +1315,18 @@ class TestKTruss:
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(dst, pa.int64())}))
         for k in (3, 4, 5):
-            out = k_truss(ds, k)
+            out = k_truss(ds, k, local_limit=0)   # force distributed
             assert out.schema().names == ["u", "v"]
             df = out.to_pandas()
             # Ray's to_pandas drops columns on 0-row datasets
             got = set() if df.empty else set(
                 map(tuple, df[["u", "v"]].to_numpy().tolist()))
             assert got == self._seq_truss(pairs, k), f"k={k}"
+            # the size-gated local finisher must agree exactly
+            dg = k_truss(ds, k).to_pandas()
+            gated = set() if dg.empty else set(
+                map(tuple, dg[["u", "v"]].to_numpy().tolist()))
+            assert gated == got, f"gate diverged k={k}"
 
 
 class TestBudgetCap:

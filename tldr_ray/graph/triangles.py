@@ -531,7 +531,29 @@ def edge_support(und, broadcast_degrees: bool = True):
             .aggregate(Sum("n", alias_name="support")))
 
 
-def k_truss(edges, k: int, max_rounds: int = 30):
+def _seq_truss_peel(a: np.ndarray, b: np.ndarray, k: int):
+    """Sequential peel to fixpoint on (a < b) distinct edge arrays —
+    the size-gated local finisher for ``k_truss`` (and its pytest
+    oracle's definition). Returns (a, b) of the surviving edges."""
+    E = set(zip(a.tolist(), b.tolist()))
+    while True:
+        adj: dict = {}
+        for x, y in E:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        drop = {(x, y) for x, y in E
+                if len(adj[x] & adj[y]) < k - 2}
+        if not drop:
+            break
+        E -= drop
+    if not E:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    arr = np.asarray(sorted(E), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def k_truss(edges, k: int, max_rounds: int = 30,
+            local_limit: int = 2_000_000):
     """k-truss decomposition: iteratively delete every edge whose
     triangle support (within the surviving subgraph) is below k-2
     until fixpoint (or ``max_rounds``). Returns the surviving
@@ -542,7 +564,14 @@ def k_truss(edges, k: int, max_rounds: int = 30):
     iteration; rounds are bounded and the edge set shrinks
     monotonically, so a fixed ``max_rounds`` unrolling in SQL is
     bit-equivalent once the engine has converged (extra rounds are
-    no-ops on a fixpoint)."""
+    no-ops on a fixpoint).
+
+    Size gate (the resolve_clusters discipline): a peel round costs
+    ~4 small all-to-alls of fixed latency, so once the COUNTED
+    surviving edge set fits ``local_limit`` the remaining rounds run
+    as one driver-local sequential peel — identical fixpoint, none of
+    the per-round coordination. Pass ``local_limit=0`` to force the
+    distributed path end to end (tests do)."""
     import ray.data as rd
 
     def undirect(batch: pa.Table) -> pa.Table:
@@ -567,6 +596,12 @@ def k_truss(edges, k: int, max_rounds: int = 30):
     for _ in range(max_rounds):
         if n_cur == 0:
             break
+        if n_cur <= local_limit:
+            df = cur.to_pandas()
+            ua, ub = _seq_truss_peel(df["a"].to_numpy(np.int64),
+                                     df["b"].to_numpy(np.int64), k)
+            return rd.from_arrow(pa.table({
+                "u": pa.array(ua), "v": pa.array(ub)}))
         sup = edge_support(cur)
 
         def keep(batch: pa.Table) -> pa.Table:
