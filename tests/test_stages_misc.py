@@ -1486,3 +1486,55 @@ class TestGroupedLinearTrend:
         assert out["slope"].iloc[0] == 3.0
         assert out["intercept"].iloc[0] == 2.0
         assert out["n"].iloc[0] == 3
+
+
+class TestBpeMerges:
+    @staticmethod
+    def _seq_bpe(texts, num_merges):
+        from collections import Counter
+        words = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                if w:
+                    words[w] += 1
+        vocab = {w: list(w) + ["</w>"] for w in words}
+        merges = []
+        for _ in range(num_merges):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += words[w]
+            if not pairs:
+                break
+            # max count, lexicographically smallest pair on ties
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges, vocab
+
+    def test_matches_sequential_reference(self):
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import learn_bpe_merges
+
+        texts = ["low lower lowest low low",
+                 "new newer newest new newer",
+                 "wide wider widest low newer"]
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        got, vocab_ds = learn_bpe_merges(ds, num_merges=8)
+        want, want_vocab = self._seq_bpe(texts, 8)
+        assert got == want
+        vd = vocab_ds.to_pandas()
+        got_vocab = {r.word: list(r.symbols)
+                     for r in vd.itertuples()}
+        assert got_vocab == want_vocab

@@ -5304,3 +5304,24 @@ ORACLE_SQL["orders_snapshot_diff"] = """
     WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
        OR o.total_cents != n.total_cents
 """
+
+
+def bpe_merges_docs(sf_dir: str):
+    """Tokenizer training: the first 20 BPE merge rules learned over
+    the document corpus (stages.text_analysis.learn_bpe_merges —
+    corpus collapses once to the word-type table, every merge round
+    moves only distinct symbol pairs). Rows-only by nature (20
+    iterative argmax rounds); the pytest oracle replays a sequential
+    reference BPE and requires exact merge-sequence equality."""
+    from tldr_ray.stages.text_analysis import learn_bpe_merges
+
+    merges, _ = learn_bpe_merges(
+        _read(sf_dir, "documents", ["text"]), num_merges=20)
+    return pa.table({
+        "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64())})
+
+
+QUERIES["bpe_merges_docs"] = bpe_merges_docs

@@ -610,3 +610,106 @@ def boolean_and_search(index_ds, terms, id_col: str = "doc_id",
             .map_batches(hav, batch_format="pyarrow")
             .sort(["sum_tf", id_col], descending=[True, False])
             .limit(k))
+
+
+def learn_bpe_merges(ds, text_col: str = "text", num_merges: int = 20):
+    """Distributed BPE tokenizer training (the Sennrich et al. merge
+    loop): learn ``num_merges`` merge rules over the corpus.
+
+    Scale plan: the corpus collapses ONCE into the word-type table
+    (word -> count; a grouped aggregate — the only pass that touches
+    raw text), and every merge round then runs over that vocabulary
+    table, which stays distributed: per-batch adjacent-symbol-pair
+    partials weighted by type count -> one small groupby -> a
+    deterministic global argmax (count desc, pair asc) -> a streaming
+    rewrite of the symbol sequences. Rounds move O(distinct pairs)
+    rows, never corpus rows. Words carry a '</w>' terminal symbol
+    (standard BPE word-boundary convention).
+
+    Returns (merges, vocab_ds): merges = list of (left, right, count)
+    in learned order; vocab_ds = the symbolized word-type Dataset
+    after all merges (word, symbols list<string>, n)."""
+    from ray.data.aggregate import Sum
+
+    def word_counts(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        w = np.asarray(flat)[keep]
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"word": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    vocab = (ds.map_batches(word_counts, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["word"])
+        syms = [list(w) + ["</w>"] for w in words]
+        return pa.table({
+            "word": batch["word"],
+            "symbols": pa.array(syms, pa.list_(pa.string())),
+            "n": batch["n"].cast(pa.int64())})
+
+    cur = vocab.map_batches(symbolize,
+                            batch_format="pyarrow").materialize()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        syms = batch["symbols"].to_pylist()
+        cnt = np.asarray(batch["n"], dtype=np.int64)
+        acc: dict = {}
+        for s, c in zip(syms, cnt.tolist()):
+            for i in range(len(s) - 1):
+                key = (s[i], s[i + 1])
+                acc[key] = acc.get(key, 0) + c
+        if not acc:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ls, rs = zip(*acc.keys())
+        return pa.table({"left": pa.array(list(ls), pa.string()),
+                         "right": pa.array(list(rs), pa.string()),
+                         "n": pa.array(list(acc.values()), pa.int64())})
+
+    merges = []
+    for _ in range(num_merges):
+        pairs = (cur.map_batches(pair_partials, batch_format="pyarrow")
+                 .groupby(["left", "right"])
+                 .aggregate(Sum("n", alias_name="n"))
+                 .sort(["n", "left", "right"],
+                       descending=[True, False, False])
+                 .limit(1).to_pandas())
+        if pairs.empty or int(pairs["n"].iloc[0]) < 1:
+            break
+        left, right = str(pairs["left"].iloc[0]), \
+            str(pairs["right"].iloc[0])
+        merges.append((left, right, int(pairs["n"].iloc[0])))
+
+        def apply_merge(batch: pa.Table, left=left, right=right):
+            syms = batch["symbols"].to_pylist()
+            out = []
+            for s in syms:
+                r, i = [], 0
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == left
+                            and s[i + 1] == right):
+                        r.append(left + right)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                out.append(r)
+            return pa.table({
+                "word": batch["word"],
+                "symbols": pa.array(out, pa.list_(pa.string())),
+                "n": batch["n"].cast(pa.int64())})
+
+        cur = cur.map_batches(apply_merge,
+                              batch_format="pyarrow").materialize()
+    return merges, cur
