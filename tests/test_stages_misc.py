@@ -1538,3 +1538,28 @@ class TestBpeMerges:
         got_vocab = {r.word: list(r.symbols)
                      for r in vd.itertuples()}
         assert got_vocab == want_vocab
+
+
+class TestCompressionRatio:
+    def test_recompute_and_ordering(self):
+        import zlib
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import compression_ratio
+
+        rep = "spam ham " * 200
+        rng = np.random.default_rng(2)
+        rand = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnop"), 6))
+            for _ in range(200))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([rep, rand])}))
+        out = compression_ratio(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, t in enumerate([rep, rand]):
+            assert out["n_bytes"][i] == len(t.encode())
+            assert out["n_compressed"][i] == \
+                len(zlib.compress(t.encode(), 6))
+        # repetitive text compresses far better than random words
+        assert out["compression_ratio"][0] < \
+            out["compression_ratio"][1] / 3

@@ -79,3 +79,54 @@ class TestTabularSources:
 
         with pytest.raises(ValueError):
             read_table("/tmp/x", "xml")
+
+
+class TestIncrementalAggregate:
+    def test_two_deltas_equal_one_shot(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.state import (read_aggregate_state,
+                                    update_running_aggregate)
+
+        d1 = rd.from_arrow(pa.table({
+            "k": pa.array(["a", "b", "a"]),
+            "cents": pa.array([10, 20, 5], pa.int64())}))
+        d2 = rd.from_arrow(pa.table({
+            "k": pa.array(["b", "c"]),
+            "cents": pa.array([7, 100], pa.int64())}))
+        inc = str(tmp_path / "inc")
+        v1 = update_running_aggregate(inc, d1, ["k"], ["cents"])
+        v2 = update_running_aggregate(inc, d2, ["k"], ["cents"])
+        assert (v1, v2) == (1, 2)
+        got = read_aggregate_state(inc).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        one = str(tmp_path / "one")
+        update_running_aggregate(one, d1.union(d2), ["k"], ["cents"])
+        want = read_aggregate_state(one).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert got.equals(want)
+        assert got.set_index("k")["cents"].to_dict() == \
+            {"a": 15, "b": 27, "c": 100}
+        assert got.set_index("k")["n_rows"].to_dict() == \
+            {"a": 2, "b": 2, "c": 1}
+
+    def test_orphan_version_dir_is_ignored_then_overwritten(
+            self, tmp_path, ray_session):
+        import os
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.state import (read_aggregate_state,
+                                    update_running_aggregate)
+
+        inc = str(tmp_path / "inc")
+        d = rd.from_arrow(pa.table({
+            "k": pa.array(["a"]), "cents": pa.array([1], pa.int64())}))
+        update_running_aggregate(inc, d, ["k"], ["cents"])
+        # simulate a crash: v=2 written but CURRENT never swapped
+        os.makedirs(os.path.join(inc, "v2"))
+        with open(os.path.join(inc, "v2", "junk.parquet"), "wb") as f:
+            f.write(b"corrupt")
+        assert read_aggregate_state(inc).count() == 1   # still v=1
+        update_running_aggregate(inc, d, ["k"], ["cents"])
+        got = read_aggregate_state(inc).to_pandas()
+        assert got["cents"].tolist() == [2]

@@ -5325,3 +5325,104 @@ def bpe_merges_docs(sf_dir: str):
 
 
 QUERIES["bpe_merges_docs"] = bpe_merges_docs
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: referential integrity orphan counts
+# ---------------------------------------------------------------------------
+
+def referential_integrity_audit(sf_dir: str):
+    """One row per foreign-key relation with its orphan count (child
+    keys with no parent) — the load-time data-quality audit. Each
+    relation is a distinct-key two-level groupby on the child side
+    plus a packed broadcast of the parent key set (parents here are
+    dimension-sized; the audit flips to stages.joins.bucketed_anti_join
+    counting when a parent side outgrows one broadcast object). All
+    exact integers."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id",
+         "customer", "c_custkey"),
+    ]
+    names, orphans = [], []
+    for name, child, ckey, parent, pkey in rels:
+        pk = np.sort(np.asarray(
+            pq.read_table(f"{sf_dir}/{parent}.parquet",
+                          columns=[pkey])[pkey], dtype=np.int64))
+        pref = ray.put(pk)
+
+        def miss(batch: pa.Table, _ck=ckey, _pref=pref) -> pa.Table:
+            ks = ray.get(_pref)
+            c = np.unique(np.asarray(batch[_ck], dtype=np.int64))
+            if ks.size:
+                pos = np.clip(np.searchsorted(ks, c), 0, ks.size - 1)
+                c = c[ks[pos] != c]
+            return pa.table({"k": pa.array(c)})
+
+        n = (_read(sf_dir, child, [ckey])
+             .map_batches(miss, batch_format="pyarrow")
+             .groupby("k").count().count())
+        names.append(name)
+        orphans.append(int(n))
+    return pa.table({"relation": pa.array(names, pa.string()),
+                     "n_orphans": pa.array(orphans, pa.int64())})
+
+
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+ORACLE_SQL["referential_integrity_audit"] = """
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem WHERE l_partkey NOT IN
+        (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)
+    FROM lineitem WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(count(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer WHERE c_nationkey NOT IN
+        (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE user_id NOT IN
+        (SELECT c_custkey FROM customer)
+"""
+
+
+def compression_signal_docs(sf_dir: str):
+    """Per-document zlib compressibility
+    (stages.text_analysis.compression_ratio) — rows-only by nature
+    (no SQL zlib); the pytest oracle recomputes ratios directly and
+    pins that repeated text compresses below shuffled text."""
+    from tldr_ray.stages.text_analysis import compression_ratio
+
+    return compression_ratio(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+QUERIES["compression_signal_docs"] = compression_signal_docs

@@ -713,3 +713,32 @@ def learn_bpe_merges(ds, text_col: str = "text", num_merges: int = 20):
         cur = cur.map_batches(apply_merge,
                               batch_format="pyarrow").materialize()
     return merges, cur
+
+
+def compression_ratio(ds, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6):
+    """Compressibility quality signal (the Gopher/FineWeb-style
+    boilerplate heuristic: highly repetitive text compresses far below
+    natural prose): per-document zlib bytes at a FIXED level and the
+    ratio as one IEEE division of the two exact integers. The per-row
+    compress call is C-backed and inherent (zlib is stream-stateful);
+    the stage is a plain stateless map — no shuffle, no state."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        raw = np.asarray([len(t.encode("utf-8")) for t in texts],
+                         dtype=np.int64)
+        comp = np.asarray(
+            [len(zlib.compress(t.encode("utf-8"), level))
+             for t in texts], dtype=np.int64)
+        ratio = comp.astype(np.float64) \
+            / np.maximum(raw, 1).astype(np.float64)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_bytes": pa.array(raw),
+            "n_compressed": pa.array(comp),
+            "compression_ratio": pa.array(ratio)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(fn, batch_format="pyarrow")

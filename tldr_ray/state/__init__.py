@@ -1,3 +1,5 @@
+from tldr_ray.state.incremental import (read_aggregate_state,
+                                        update_running_aggregate)
 from tldr_ray.state.checkpoint import (
     write_manifest,
     read_manifest,
@@ -6,6 +8,8 @@ from tldr_ray.state.checkpoint import (
 )
 
 __all__ = [
+    "read_aggregate_state",
+    "update_running_aggregate",
     "write_manifest",
     "read_manifest",
     "latest_checkpoint",
