@@ -5426,3 +5426,30 @@ def compression_signal_docs(sf_dir: str):
 
 
 QUERIES["compression_signal_docs"] = compression_signal_docs
+
+
+def normalize_text_docs(sf_dir: str):
+    """Canonical text cleanup (the ingest normalization pass): trim,
+    collapse internal whitespace runs, lowercase, Unicode NFC — all
+    vectorized Arrow kernels sharing RE2 semantics with the DuckDB
+    mirror, hash-checked on the FULL normalized strings."""
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_lower(t)
+        t = pc.utf8_normalize(t, form="NFC")
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "text_norm": t})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES["normalize_text_docs"] = normalize_text_docs
+ORACLE_SQL["normalize_text_docs"] = """
+    SELECT doc_id,
+           nfc_normalize(lower(regexp_replace(trim(text),
+                                              '\\s+', ' ', 'g')))
+               AS text_norm
+    FROM documents
+"""
