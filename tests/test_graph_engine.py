@@ -616,3 +616,59 @@ class TestEigenvectorCentrality:
         assert center == scores.max()
         leaves = scores[np.asarray(ids) != 0]
         assert np.allclose(leaves, leaves[0], atol=1e-9)
+
+
+class TestHits:
+    def test_matches_dense_alternating_iteration(self):
+        import ray.data as rd
+        from tldr_ray.graph import hits
+
+        rng = np.random.default_rng(17)
+        n, m = 25, 90
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.uniform(0.5, 2.0, m).round(3)
+        keep = src != dst
+        src, dst, w = src[keep], dst[keep], w[keep]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array(w)})
+        ids, hubs, auth, info = hits(rd.from_arrow(t), num_partitions=3)
+        assert info["converged"]
+        present = np.unique(np.concatenate([src, dst]))
+        idx = {v: i for i, v in enumerate(present)}
+        A = np.zeros((present.size, present.size))
+        for s, d, ww in zip(src, dst, w):
+            A[idx[s], idx[d]] += ww
+        h = np.ones(present.size) / np.sqrt(present.size)
+        for _ in range(1000):
+            a = A.T @ h
+            a /= np.linalg.norm(a)
+            h2 = A @ a
+            h2 /= np.linalg.norm(h2)
+            if np.abs(h2 - h).sum() < 1e-13:
+                h = h2
+                break
+            h = h2
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        order = np.argsort(ids)
+        assert np.allclose(hubs[order], h, atol=1e-6)
+        assert np.allclose(auth[order], a, atol=1e-6)
+
+    def test_pure_hub_and_authority(self):
+        import ray.data as rd
+        from tldr_ray.graph import hits
+
+        # 0 points at 1..4 (pure hub); 1..4 point at nothing else
+        src = [0, 0, 0, 0]
+        dst = [1, 2, 3, 4]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * 4)})
+        ids, hubs, auth, _ = hits(rd.from_arrow(t), num_partitions=2)
+        hub0 = hubs[list(ids).index(0)]
+        assert hub0 == hubs.max() and hub0 > 0.99
+        assert auth[list(ids).index(0)] < 1e-9
+        leaves = auth[np.asarray(ids) != 0]
+        assert np.allclose(leaves, 0.5, atol=1e-9)

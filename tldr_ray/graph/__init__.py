@@ -2,7 +2,7 @@ from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
-                                   eigenvector_centrality)
+                                   eigenvector_centrality, hits)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -18,5 +18,6 @@ __all__ = [
     "bfs_hops",
     "sssp_distances",
     "eigenvector_centrality",
+    "hits",
     "triangle_counts",
 ]

@@ -572,6 +572,62 @@ def _shard_actor_cls(num_cpus: float = 0):
                                        minlength=self.dvocabs[q].size))
             return d, self._ship(out)
 
+        # -- HITS primitives (shared with eigenvector centrality) ------
+        def emit_state_messages(self):
+            """Emit raw-weight SpMV messages from the CURRENT state —
+            no normalization, no delta (the mutual-recursion loops own
+            that sequencing). The emitted vector is stashed (by
+            reference — every update REBINDS state, never mutates) so
+            ``set_state_with_delta`` can measure change across a full
+            mutual-recursion round even though intermediate applies
+            overwrite ``state``."""
+            self._stash = self.state
+            m = self.state[self.e_src_local] * self.e_weight_sorted
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                out.append(np.bincount(self.dlocals[q], weights=m[sl],
+                                       minlength=self.dvocabs[q].size))
+            return self._ship(out)
+
+        def hits_apply(self, masses) -> float:
+            """state = incoming masses only (NO +I shift — A^T A is
+            PSD so the alternating iteration cannot oscillate).
+            Returns the local sum of squares."""
+            masses = self._fetch(masses)
+            new = np.zeros(self.verts.size)
+            for idx, arr in zip(self.incoming_idx, masses):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.add.at(new, idx, arr)
+            self.state = new
+            return float((new * new).sum())
+
+        def scale_and_state_ref(self, factor: float):
+            """Normalize by the global factor and hand the state out as
+            one plasma ref (the cross-pool handoff: the twin engine's
+            same-index shard owns the SAME sorted vertex set, so the
+            array aligns positionally)."""
+            import ray
+
+            self.state = self.state * factor
+            return ray.put(self.state)
+
+        def set_state_with_delta(self, arr) -> float:
+            """Overwrite state with the handed-off array (auto-deref'd
+            zero-copy from plasma); returns the L1 change vs the vector
+            this shard last EMITTED (the stash) — the convergence
+            signal across one full mutual-recursion round."""
+            arr = np.asarray(arr, dtype=np.float64)
+            ref = getattr(self, "_stash", None)
+            if ref is None:
+                ref = self.state
+            d = float(np.abs(arr - ref).sum()) \
+                if ref is not None and ref.shape == arr.shape \
+                else float("inf")
+            self.state = arr.copy()
+            return d
+
         # -- k-core decomposition (distributed H-index iteration) ------
         def kcore_init(self) -> int:
             """state = undirected degree (assumes symmetrized, deduped
@@ -1283,3 +1339,90 @@ def eigenvector_centrality(edges, num_partitions: int = 8,
         return eng.eigenvector_centrality(tolerance, max_iterations)
     finally:
         eng.shutdown()
+
+
+def hits(edges, num_partitions: int = 8, max_iterations: int = 200,
+         tolerance: float = 1e-10, work_dir: str | None = None):
+    """HITS hubs & authorities over the DIRECTED edge set by
+    distributed alternating power iteration (Kleinberg 1999):
+    a = normalize(A^T h), h = normalize(A a) — the principal right /
+    left singular vectors of the weighted adjacency.
+
+    Plan: TWO shard pools over the same vhash(vertex) % P partitioning
+    — one on the edges as-is (its SpMV lands h-mass on in-edges:
+    computes a), one on the reversed edges (computes h). Because the
+    partition function and the endpoint sets coincide, same-index
+    shards own IDENTICAL sorted vertex arrays, so the per-iteration
+    state handoff is P plasma refs moving actor-to-actor — the driver
+    relays refs and scalars only. No +I shift needed: A^T A is PSD,
+    the alternation cannot oscillate.
+
+    Returns (vertex_ids, hubs, authorities, info); both vectors
+    L2-normalized, non-negative."""
+    import math
+
+    import ray
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"],
+                         "weight": batch["weight"]})
+
+    eng_f = GraphEngine.from_edges(edges, num_partitions, work_dir)
+    eng_r = GraphEngine.from_edges(
+        edges.map_batches(rev, batch_format="pyarrow"), num_partitions)
+    try:
+        n = max(eng_f.n_total, 1)
+        ray.get([s.eig_init.remote() for s in eng_f.shards])
+        ray.get([s.pr_scale_state.remote(1.0 / math.sqrt(n))
+                 for s in eng_f.shards])
+        it, converged = 0, False
+        while it < max_iterations:
+            outs = ray.get([s.emit_state_messages.remote()
+                            for s in eng_f.shards])
+            ss = ray.get([
+                eng_f.shards[q].hits_apply.remote(
+                    [outs[p][q] for p in range(eng_f.P)])
+                for q in range(eng_f.P)])
+            na = math.sqrt(sum(ss))
+            if na == 0.0:
+                break
+            arefs = ray.get([s.scale_and_state_ref.remote(1.0 / na)
+                             for s in eng_f.shards])
+            ray.get([r.set_state_with_delta.remote(aref)
+                     for r, aref in zip(eng_r.shards, arefs)])
+            outs = ray.get([s.emit_state_messages.remote()
+                            for s in eng_r.shards])
+            ss = ray.get([
+                eng_r.shards[q].hits_apply.remote(
+                    [outs[p][q] for p in range(eng_r.P)])
+                for q in range(eng_r.P)])
+            nh = math.sqrt(sum(ss))
+            if nh == 0.0:
+                break
+            hrefs = ray.get([s.scale_and_state_ref.remote(1.0 / nh)
+                             for s in eng_r.shards])
+            deltas = ray.get([f.set_state_with_delta.remote(href)
+                              for f, href in zip(eng_f.shards, hrefs)])
+            it += 1
+            if sum(deltas) < tolerance * n:
+                converged = True
+                break
+        # both pools hold h at loop exit (engR computed it, engF
+        # received it) — collect hubs, then ONE extra half-step on
+        # eng_f re-derives the authorities from the final hubs
+        ids, hubs = eng_f._collect(np.float64)
+        outs = ray.get([s.emit_state_messages.remote()
+                        for s in eng_f.shards])
+        ss = ray.get([
+            eng_f.shards[q].hits_apply.remote(
+                [outs[p][q] for p in range(eng_f.P)])
+            for q in range(eng_f.P)])
+        na = math.sqrt(sum(ss))
+        if na > 0.0:
+            ray.get([s.pr_scale_state.remote(1.0 / na)
+                     for s in eng_f.shards])
+        _, auth = eng_f._collect(np.float64)
+        return ids, hubs, auth, {"rounds": it, "converged": converged}
+    finally:
+        eng_f.shutdown()
+        eng_r.shutdown()

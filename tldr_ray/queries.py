@@ -5453,3 +5453,21 @@ ORACLE_SQL["normalize_text_docs"] = """
                AS text_norm
     FROM documents
 """
+
+
+def hits_hashgraph(sf_dir: str):
+    """HITS hubs & authorities over the DIRECTED weighted hash graph
+    (graph.hits — two same-partitioning shard pools over forward and
+    reversed edges, per-round plasma state handoff). Rows-only by
+    nature (alternating float fixpoint); the pytest oracle pins both
+    vectors against dense alternating iteration to 1e-6."""
+    from tldr_ray.graph import hits
+
+    ids, hubs, auth, _ = hits(_hash_graph_edges_weighted(sf_dir),
+                              num_partitions=4)
+    return pa.table({"vertex": pa.array(ids),
+                     "hub": pa.array(hubs),
+                     "authority": pa.array(auth)})
+
+
+QUERIES["hits_hashgraph"] = hits_hashgraph
