@@ -1563,3 +1563,22 @@ class TestCompressionRatio:
         # repetitive text compresses far better than random words
         assert out["compression_ratio"][0] < \
             out["compression_ratio"][1] / 3
+
+
+class TestZOrder:
+    def test_key_interleave_and_locality(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import zorder_key, zorder_sort
+
+        x = np.array([0b101, 0b000, 0b111], dtype=np.int64)
+        y = np.array([0b011, 0b000, 0b111], dtype=np.int64)
+        k = zorder_key([x, y], bits=3)
+        # bit j of x -> position 2j; bit j of y -> 2j+1
+        assert k.tolist() == [0b011011, 0, 0b111111]
+        with np.testing.assert_raises(ValueError):
+            zorder_key([x - 5, y], bits=3)
+        # sorted output is ordered by the interleaved key
+        t = pa.table({"a": pa.array(x), "b": pa.array(y)})
+        out = zorder_sort(rd.from_arrow(t), ["a", "b"], bits=3) \
+            .to_pandas()
+        assert out["zkey"].is_monotonic_increasing

@@ -5471,3 +5471,48 @@ def hits_hashgraph(sf_dir: str):
 
 
 QUERIES["hits_hashgraph"] = hits_hashgraph
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout
+# ---------------------------------------------------------------------------
+
+def events_zorder_layout(sf_dir: str):
+    """Morton (Z-order) clustering key over (user_id, value_cents) +
+    the native range-partitioned sort (stages.agg.zorder_sort) — the
+    OPTIMIZE ZORDER layout move: one shuffle clusters rows in BOTH
+    dimensions so block min/max statistics prune two-predicate scans.
+    The key arithmetic is pure integer bit interleaving, mirrored
+    term-for-term in SQL."""
+    from tldr_ray.stages.agg import zorder_sort
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(v))})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    out = zorder_sort(ds, ["user_id", "value_cents"])
+    return out.select_columns(["event_id", "zkey"])
+
+
+def _zorder_oracle_sql(bits: int = 21) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((user_id >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((cents >> {b}) & 1) << {2 * b + 1})")
+    return f"""
+    WITH b AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id, CAST({" | ".join(terms)} AS BIGINT) AS zkey
+    FROM b
+"""
+
+
+QUERIES["events_zorder_layout"] = events_zorder_layout
+ORACLE_SQL["events_zorder_layout"] = _zorder_oracle_sql()

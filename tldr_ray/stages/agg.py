@@ -654,3 +654,37 @@ def grouped_linear_trend(ds, group_col: str, x_col: str, y_col: str):
         return pa.table(cols)
 
     return agg.map_batches(seal, batch_format="pyarrow")
+
+
+def zorder_key(cols: list[np.ndarray], bits: int = 21) -> np.ndarray:
+    """Interleave the low ``bits`` of each column into one Morton
+    (Z-order) key — vectorized bit arithmetic, no row loop. With c
+    columns, c*bits must fit 63 bits. Columns must be pre-shifted to
+    non-negative ints (the caller owns range reduction)."""
+    c = len(cols)
+    if c * bits > 63:
+        raise ValueError(f"{c} cols x {bits} bits exceeds int64")
+    out = np.zeros(len(cols[0]), dtype=np.int64)
+    for j, col in enumerate(cols):
+        v = np.asarray(col, dtype=np.int64)
+        if (v < 0).any():
+            raise ValueError("zorder_key needs non-negative ints")
+        for b in range(bits):
+            out |= ((v >> np.int64(b)) & np.int64(1)) \
+                << np.int64(b * c + j)
+    return out
+
+
+def zorder_sort(ds, cols: list[str], bits: int = 21):
+    """Multi-dimensional data clustering: append the Morton key over
+    ``cols`` and range-partition-sort by it (Ray Data's native sort
+    all-to-all) — the Delta/Iceberg OPTIMIZE ZORDER layout move. Rows
+    near each other in EVERY dimension land in the same output blocks,
+    so min/max block statistics prune multi-predicate scans; one
+    legitimate shuffle buys locality for every later read."""
+    def add_key(batch: pa.Table) -> pa.Table:
+        arrs = [np.asarray(batch[c], dtype=np.int64) for c in cols]
+        return batch.append_column("zkey",
+                                   pa.array(zorder_key(arrs, bits)))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort("zkey")
