@@ -1582,3 +1582,23 @@ class TestZOrder:
         out = zorder_sort(rd.from_arrow(t), ["a", "b"], bits=3) \
             .to_pandas()
         assert out["zkey"].is_monotonic_increasing
+
+
+class TestKmvOverlap:
+    def test_estimates_known_overlap(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import kmv_overlap_estimate
+
+        # A = 0..999, B = 500..1499 -> true Jaccard = 500/1500 = 1/3
+        a = rd.from_arrow(pa.table({
+            "k": pa.array(np.arange(1000, dtype=np.int64))}))
+        b = rd.from_arrow(pa.table({
+            "k": pa.array(np.arange(500, 1500, dtype=np.int64))}))
+        r = kmv_overlap_estimate(a, b, "k", "k", k=128)
+        assert r["k_eff"] == 128
+        assert abs(r["inter_frac"] - 1 / 3) < 0.12
+        # disjoint sets -> zero overlap, deterministically
+        c = rd.from_arrow(pa.table({
+            "k": pa.array(np.arange(5000, 6000, dtype=np.int64))}))
+        r0 = kmv_overlap_estimate(a, c, "k", "k", k=128)
+        assert r0["n_common"] == 0 and r0["inter_frac"] == 0.0

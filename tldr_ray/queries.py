@@ -5516,3 +5516,61 @@ def _zorder_oracle_sql(bits: int = 21) -> str:
 
 QUERIES["events_zorder_layout"] = events_zorder_layout
 ORACLE_SQL["events_zorder_layout"] = _zorder_oracle_sql()
+
+
+_KMV_OVERLAP_K = 64
+
+
+def kmv_overlap_users_custkeys(sf_dir: str):
+    """Sketch-based join-size statistic (stages.agg
+    .kmv_overlap_estimate): how much the events.user_id and
+    orders.o_custkey key populations overlap, from two bottom-64 KMV
+    sketches — 128 integers decide, neither table rescanned. Mirrored
+    end-to-end in SQL (shared FNV/splitmix hash of the DISTINCT id
+    strings, per-side LIMIT-k sketches, k_eff-th union minimum)."""
+    from tldr_ray.stages.agg import kmv_overlap_estimate
+
+    r = kmv_overlap_estimate(
+        _read(sf_dir, "events", ["user_id"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "user_id", "o_custkey", k=_KMV_OVERLAP_K)
+    return pa.table({
+        "n_common": pa.array([r["n_common"]], pa.int64()),
+        "k_eff": pa.array([r["k_eff"]], pa.int64()),
+        "kth_min": pa.array([r["kth_min"]], pa.int64()),
+        "inter_frac": pa.array([r["inter_frac"]], pa.float64())})
+
+
+QUERIES["kmv_overlap_users_custkeys"] = kmv_overlap_users_custkeys
+ORACLE_SQL["kmv_overlap_users_custkeys"] = f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events "
+        "UNION SELECT DISTINCT CAST(o_custkey AS VARCHAR) FROM orders")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    ka AS MATERIALIZED (
+        SELECT DISTINCT m3.h FROM m3
+        WHERE m3.s IN (SELECT DISTINCT CAST(user_id AS VARCHAR)
+                       FROM events)
+        ORDER BY m3.h LIMIT {_KMV_OVERLAP_K}),
+    kb AS MATERIALIZED (
+        SELECT DISTINCT m3.h FROM m3
+        WHERE m3.s IN (SELECT DISTINCT CAST(o_custkey AS VARCHAR)
+                       FROM orders)
+        ORDER BY m3.h LIMIT {_KMV_OVERLAP_K}),
+    mu AS MATERIALIZED (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM ka UNION SELECT h FROM kb)),
+    keff AS (SELECT least({_KMV_OVERLAP_K},
+                          (SELECT count(*) FROM ka),
+                          (SELECT count(*) FROM kb),
+                          (SELECT count(*) FROM mu)) AS v),
+    m AS (SELECT mu.h AS mh FROM mu, keff WHERE mu.rn = keff.v),
+    c AS (SELECT count(*) AS n FROM
+              (SELECT h FROM ka INTERSECT SELECT h FROM kb) x, m
+          WHERE x.h <= m.mh)
+    SELECT CAST(c.n AS BIGINT) AS n_common,
+           CAST(keff.v AS BIGINT) AS k_eff,
+           {_sql_s2b('m.mh')} AS kth_min,
+           CAST(c.n AS DOUBLE) / CAST(keff.v AS DOUBLE) AS inter_frac
+    FROM c, keff, m
+"""

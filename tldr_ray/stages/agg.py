@@ -688,3 +688,37 @@ def zorder_sort(ds, cols: list[str], bits: int = 21):
                                    pa.array(zorder_key(arrs, bits)))
 
     return ds.map_batches(add_key, batch_format="pyarrow").sort("zkey")
+
+
+def kmv_overlap_estimate(a_ds, b_ds, key_a: str, key_b: str,
+                         k: int = 64) -> dict:
+    """Join-cardinality overlap statistic from two bottom-k (KMV)
+    sketches — the optimizer-style estimate that never scans either
+    side twice: each side funnels to its k smallest distinct key
+    hashes (``bottomk_sample``), and the driver combines 2k numbers:
+
+        k_eff = min(k, |ha|, |hb|, |union|)
+        M     = k_eff-th smallest hash of the sketch union
+        c     = |{hashes <= M present in BOTH sketches}|
+        inter_frac = c / k_eff     (estimates |A ∩ B| / |A ∪ B|)
+
+    Every ingredient is a deterministic integer; the one float is an
+    exact small-int division, so the whole statistic is
+    SQL-hash-checkable."""
+    from tldr_ray.stages.agg import bottomk_sample
+
+    sa = bottomk_sample(a_ds, key_a, k).to_pandas()
+    sb = bottomk_sample(b_ds, key_b, k).to_pandas()
+    ha = np.unique(sa["key_hash"].to_numpy(np.int64).view(np.uint64))
+    hb = np.unique(sb["key_hash"].to_numpy(np.int64).view(np.uint64))
+    merged = np.union1d(ha, hb)
+    keff = int(min(k, ha.size, hb.size, merged.size))
+    if keff == 0:
+        return {"n_common": 0, "k_eff": 0, "kth_min": 0,
+                "inter_frac": 0.0}
+    M = merged[keff - 1]
+    common = np.intersect1d(ha, hb)
+    c = int((common <= M).sum())
+    return {"n_common": c, "k_eff": keff,
+            "kth_min": int(np.int64(M.view(np.int64))),
+            "inter_frac": c / keff}
