@@ -672,3 +672,37 @@ class TestHits:
         assert auth[list(ids).index(0)] < 1e-9
         leaves = auth[np.asarray(ids) != 0]
         assert np.allclose(leaves, 0.5, atol=1e-9)
+
+
+class TestLabelSpread:
+    def test_cliques_adopt_their_seed(self):
+        import ray.data as rd
+        from tldr_ray.graph import label_spread
+
+        src = [0, 0, 1, 3, 3, 4, 2]
+        dst = [1, 2, 2, 4, 5, 5, 3]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * 7)})
+        ids, labels, info = label_spread(
+            rd.from_arrow(t),
+            (np.array([0, 5]), np.array([100, 200])),
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), labels.tolist()))
+        assert got == {0: 100, 1: 100, 2: 100, 3: 200, 4: 200, 5: 200}
+        assert info["stable"] and info["seeds_found"] == 2
+
+    def test_unreached_stay_unlabeled_and_seeds_clamp(self):
+        import ray.data as rd
+        from tldr_ray.graph import label_spread
+
+        # seed 0 inside a triangle; 8-9 is a disconnected edge
+        t = pa.table({"src": pa.array([0, 1, 2, 8], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 9], pa.int64()),
+                      "weight": pa.array([1.0] * 4)})
+        ids, labels, _ = label_spread(
+            rd.from_arrow(t), (np.array([0]), np.array([7])),
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), labels.tolist()))
+        assert got[0] == 7 and got[1] == 7 and got[2] == 7
+        assert got[8] == -1 and got[9] == -1

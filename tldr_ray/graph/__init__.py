@@ -2,7 +2,8 @@ from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
-                                   eigenvector_centrality, hits)
+                                   eigenvector_centrality, hits,
+                                   label_spread)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -19,5 +20,6 @@ __all__ = [
     "sssp_distances",
     "eigenvector_centrality",
     "hits",
+    "label_spread",
     "triangle_counts",
 ]

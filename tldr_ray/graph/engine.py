@@ -536,6 +536,88 @@ def _shard_actor_cls(num_cpus: float = 0):
             # LPA votes are weighed by RAW edge weight (e_weight_sorted)
             self.state = self.verts.copy()
 
+        # -- seeded (semi-supervised) label spreading -------------------
+        def lpa_seed_init(self, seeds) -> int:
+            """Seed-clamped variant: ``seeds`` = (sorted ids, labels).
+            Non-seeds start unlabeled (-1); seeds are clamped for the
+            whole run. Returns how many seeds this shard owns."""
+            ids_sorted, labels = seeds
+            st = np.full(self.verts.size, -1, dtype=np.int64)
+            if ids_sorted.size:
+                pos = np.searchsorted(ids_sorted, self.verts)
+                pos = np.minimum(pos, ids_sorted.size - 1)
+                hit = ids_sorted[pos] == self.verts
+                st[hit] = labels[pos[hit]]
+            self._clamp = st >= 0
+            self.state = st
+            return int(self._clamp.sum())
+
+        def lpa_seed_messages(self):
+            """lpa_messages restricted to LABELED sources — unlabeled
+            vertices don't vote yet."""
+            lab = self.state[self.e_src_local]
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                dl = self.dlocals[q]
+                lq = lab[sl]
+                wq = self.e_weight_sorted[sl]
+                m = lq >= 0
+                dl, lq, wq = dl[m], lq[m], wq[m]
+                if dl.size:
+                    order = np.lexsort((lq, dl))
+                    dl_s, lq_s, wq_s = dl[order], lq[order], wq[order]
+                    bound = np.empty(dl_s.size, dtype=bool)
+                    bound[0] = True
+                    bound[1:] = (dl_s[1:] != dl_s[:-1]) \
+                        | (lq_s[1:] != lq_s[:-1])
+                    starts = np.nonzero(bound)[0]
+                    sums = np.add.reduceat(wq_s, starts)
+                    trip = (dl_s[starts], lq_s[starts], sums)
+                else:
+                    trip = (np.zeros(0, np.int64),
+                            np.zeros(0, np.int64),
+                            np.zeros(0, np.float64))
+                out.append(trip)
+            return self._ship(out)
+
+        def lpa_seed_apply(self, trips) -> int:
+            """lpa_apply with the seed clamp: seeds never change; every
+            voted non-seed adopts argmax (max weight, ties -> smallest
+            label); unvoted vertices keep their state."""
+            trips = self._fetch(trips)
+            pos_all, lab_all, w_all = [], [], []
+            for idx, (dl, lq, wq) in zip(self.incoming_idx, trips):
+                if len(dl):
+                    pos_all.append(idx[dl])
+                    lab_all.append(np.asarray(lq))
+                    w_all.append(np.asarray(wq))
+            if not pos_all:
+                return 0
+            pos = np.concatenate(pos_all)
+            lab = np.concatenate(lab_all)
+            w = np.concatenate(w_all)
+            order = np.lexsort((lab, pos))
+            pos, lab, w = pos[order], lab[order], w[order]
+            bound = np.empty(pos.size, dtype=bool)
+            bound[0] = True
+            bound[1:] = (pos[1:] != pos[:-1]) | (lab[1:] != lab[:-1])
+            starts = np.nonzero(bound)[0]
+            pos_u, lab_u = pos[starts], lab[starts]
+            w_u = np.add.reduceat(w, starts)
+            order2 = np.lexsort((lab_u, -w_u, pos_u))
+            pos_s, lab_s = pos_u[order2], lab_u[order2]
+            first = np.empty(pos_s.size, dtype=bool)
+            first[0] = True
+            first[1:] = pos_s[1:] != pos_s[:-1]
+            tgt, val = pos_s[first], lab_s[first]
+            free = ~self._clamp[tgt]
+            new = self.state.copy()
+            new[tgt[free]] = val[free]
+            changed = int((new != self.state).sum())
+            self.state = new
+            return changed
+
         # -- eigenvector centrality (shifted power iteration) ----------
         def eig_init(self):
             self.state = np.ones(self.verts.size)
@@ -1116,6 +1198,41 @@ class GraphEngine:
         ids, labels = self._collect(np.int64) if collect else (None, None)
         return ids, labels, {"rounds": it, "stable": changed == 0}
 
+    def label_spread(self, seeds, max_rounds: int = 10,
+                     collect: bool = True):
+        """Semi-supervised label spreading: clamped seed labels,
+        synchronous weighted-majority rounds where only LABELED
+        vertices vote (smallest-label ties), unlabeled vertices stay
+        -1 until a labeled neighbor reaches them. Runs EXACTLY
+        ``max_rounds`` rounds unless a true fixpoint lands earlier —
+        the trajectory is deterministic, so a fixed-round SQL
+        unrolling is bit-equivalent. ``seeds`` = (sorted ids, labels
+        int64)."""
+        import ray
+
+        ids = np.asarray(seeds[0], dtype=np.int64)
+        labs = np.asarray(seeds[1], dtype=np.int64)
+        sref = ray.put((ids, labs))
+        n_seed = sum(ray.get([s.lpa_seed_init.remote(sref)
+                              for s in self.shards]))
+        if n_seed == 0:
+            raise ValueError("label_spread: no seed vertex in graph")
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.lpa_seed_messages.remote()
+                            for s in self.shards])
+            counts = ray.get([
+                self.shards[q].lpa_seed_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids_out, labels = self._collect(np.int64) if collect \
+            else (None, None)
+        return ids_out, labels, {"rounds": it, "stable": changed == 0,
+                                 "seeds_found": n_seed}
+
     def kcore(self, max_rounds: int = 1000):
         """Core numbers via the distributed H-index fixpoint: start at
         the undirected degree, repeatedly replace each vertex's value by
@@ -1426,3 +1543,16 @@ def hits(edges, num_partitions: int = 8, max_iterations: int = 200,
     finally:
         eng_f.shutdown()
         eng_r.shutdown()
+
+
+def label_spread(edges, seeds, num_partitions: int = 8,
+                 max_rounds: int = 10, work_dir: str | None = None):
+    """Seed-clamped label spreading over the symmetrized edge set —
+    the semi-supervised node-classification op. Returns
+    (vertex_ids, labels int64 with -1 = never reached, info)."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.label_spread(seeds, max_rounds)
+    finally:
+        eng.shutdown()

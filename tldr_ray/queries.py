@@ -5574,3 +5574,67 @@ ORACLE_SQL["kmv_overlap_users_custkeys"] = f"""
            CAST(c.n AS DOUBLE) / CAST(keff.v AS DOUBLE) AS inter_frac
     FROM c, keff, m
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label spreading over the hash graph
+# ---------------------------------------------------------------------------
+
+_SPREAD_ROUNDS = 10
+
+
+def label_spread_hashgraph(sf_dir: str):
+    """Seed-clamped label spreading (graph.label_spread): vertices
+    v % 50 == 0 carry fixed class labels v % 5; everyone else adopts
+    the weighted-majority label of LABELED neighbors each synchronous
+    round (smallest-label ties), never-reached vertices stay -1. The
+    engine runs exactly the mirror's 10 rounds unless a true fixpoint
+    lands earlier (further rounds are no-ops), so the whole label
+    table hash-matches the unrolled SQL."""
+    from tldr_ray.graph import label_spread
+
+    import pyarrow.parquet as pq
+
+    N = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])["doc_id"]
+            .to_numpy().max()) + 1
+    seed_ids = np.arange(0, N, 50, dtype=np.int64)
+    seed_labs = seed_ids % 5
+    ids, labels, _ = label_spread(
+        _hash_graph_edges(sf_dir), (seed_ids, seed_labs),
+        num_partitions=4, max_rounds=_SPREAD_ROUNDS)
+    return pa.table({"vertex": pa.array(ids),
+                     "label": pa.array(labels.astype(np.int64))})
+
+
+def _label_spread_oracle_sql(rounds: int = _SPREAD_ROUNDS) -> str:
+    body = [f"WITH {_HASHGRAPH_RAW},",
+            "sym AS MATERIALIZED (SELECT s, t FROM raw2 "
+            "UNION ALL SELECT t, s FROM raw2),",
+            "verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym),",
+            "l0 AS MATERIALIZED (SELECT v, v % 5 AS label FROM verts "
+            "WHERE v % 50 = 0),"]
+    for i in range(1, rounds + 1):
+        body.append(f"""v{i} AS MATERIALIZED (
+        SELECT e.t AS v, l.label, count(*) AS w
+        FROM sym e JOIN l{i - 1} l ON l.v = e.s
+        GROUP BY e.t, l.label),
+    l{i} AS MATERIALIZED (
+        SELECT v, label FROM l0
+        UNION ALL
+        SELECT v, label FROM (
+            SELECT v, label, row_number() OVER (
+                PARTITION BY v ORDER BY w DESC, label ASC) AS rn
+            FROM v{i}
+            WHERE v NOT IN (SELECT v FROM l0)) WHERE rn = 1),""")
+    body.append(
+        f"SELECT verts.v AS vertex, "
+        f"CAST(coalesce(l.label, -1) AS BIGINT) AS label "
+        f"FROM verts LEFT JOIN l{rounds} l ON l.v = verts.v")
+    sql = "\n    ".join(body)
+    last_comma = sql.rfind("),")
+    return sql[:last_comma + 1] + sql[last_comma + 2:]
+
+
+QUERIES["label_spread_hashgraph"] = label_spread_hashgraph
+ORACLE_SQL["label_spread_hashgraph"] = _label_spread_oracle_sql()
