@@ -5638,3 +5638,100 @@ def _label_spread_oracle_sql(rounds: int = _SPREAD_ROUNDS) -> str:
 
 QUERIES["label_spread_hashgraph"] = label_spread_hashgraph
 ORACLE_SQL["label_spread_hashgraph"] = _label_spread_oracle_sql()
+
+
+def lang_confusion_docs(sf_dir: str):
+    """Language-ID confusion matrix: stored lang label x predicted
+    language, with exact counts — the model-audit table a curation
+    pipeline reports. Prediction reuses the hash-checked LanguageId
+    actor stage; the matrix is a tiny two-key grouped count."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.text_analysis import language_id
+
+    pred = language_id(_read(sf_dir, "documents",
+                             ["doc_id", "lang", "text"]))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "lang_pred": batch["lang_pred"],
+                         "n": batch["count()"].cast(pa.int64())})
+
+    return (pred.groupby(["lang", "lang_pred"]).count()
+            .map_batches(seal, batch_format="pyarrow"))
+
+
+QUERIES["lang_confusion_docs"] = lang_confusion_docs
+ORACLE_SQL["lang_confusion_docs"] = f"""
+    WITH pred AS ({_language_id_oracle_sql()})
+    SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.lang_pred
+"""
+
+
+def events_hourly_dense(sf_dir: str):
+    """Time-series resampling with zero fill: per (event_type, hour)
+    counts over the DENSE hour grid [min, max] — missing hours emit 0
+    (the gap-filling step before any rolling/forecast op). The sparse
+    counts are one grouped aggregate; the dense grid is
+    types x hours rows generated from two scalars and LEFT-merged as a
+    broadcast (grid size is O(types * hours), never O(events))."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_us": pa.array((ts // 3_600_000_000)
+                                * np.int64(3_600_000_000))})
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"], dtype=object)
+        hr = np.asarray(batch["hour_us"], dtype=np.int64)
+        key = pd.MultiIndex.from_arrays([et, hr])
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array([k[0] for k in u], pa.string()),
+            "hour_us": pa.array([k[1] for k in u], pa.int64()),
+            "n": pa.array(c.astype(np.int64))})
+
+    sparse = (_read(sf_dir, "events", ["event_type", "ts"])
+              .map_batches(prep, batch_format="pyarrow")
+              .map_batches(part, batch_format="pyarrow")
+              .groupby(["event_type", "hour_us"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    hours = np.arange(sparse["hour_us"].min(),
+                      sparse["hour_us"].max() + 1,
+                      3_600_000_000, dtype=np.int64)
+    types = np.sort(sparse["event_type"].unique())
+    grid = pd.DataFrame({
+        "event_type": np.repeat(types, hours.size),
+        "hour_us": np.tile(hours, types.size)})
+    out = grid.merge(sparse, on=["event_type", "hour_us"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES["events_hourly_dense"] = events_hourly_dense
+ORACLE_SQL["events_hourly_dense"] = """
+    WITH b AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+        FROM events),
+    sparse AS (SELECT event_type, hour_us,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, CAST(h.h AS BIGINT) AS hour_us
+        FROM (SELECT DISTINCT event_type FROM b) t
+        CROSS JOIN (SELECT unnest(range((SELECT min(hour_us) FROM b),
+                                        (SELECT max(hour_us) FROM b)
+                                            + 1,
+                                        3600000000)) AS h) h)
+    SELECT g.event_type, g.hour_us,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN sparse s
+      ON s.event_type = g.event_type AND s.hour_us = g.hour_us
+"""
