@@ -1602,3 +1602,59 @@ class TestKmvOverlap:
             "k": pa.array(np.arange(5000, 6000, dtype=np.int64))}))
         r0 = kmv_overlap_estimate(a, c, "k", "k", k=128)
         assert r0["n_common"] == 0 and r0["inter_frac"] == 0.0
+
+
+class TestNode2vecWalks:
+    def test_matches_sequential_rule(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import _mix64
+        from tldr_ray.graph.walks import (node2vec_walks, _WALK_K,
+                                          _N2V_PREV_MIX, N2V_W_RETURN,
+                                          N2V_W_COMMON, N2V_W_EXPLORE)
+
+        src = [0, 1, 2, 2, 3, 4, 5, 0]
+        dst = [1, 2, 0, 3, 4, 5, 3, 4]
+        pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst)}
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        def seq_walk(s, L):
+            path, prev, cur = [s], -1, s
+            for t in range(1, L + 1):
+                nbrs = sorted(adj[cur])
+                ws = []
+                for n in nbrs:
+                    if prev < 0:
+                        ws.append(1)
+                    elif n == prev:
+                        ws.append(N2V_W_RETURN)
+                    elif (min(n, prev), max(n, prev)) in pairs:
+                        ws.append(N2V_W_COMMON)
+                    else:
+                        ws.append(N2V_W_EXPLORE)
+                h = int(_mix64(np.array(
+                    [np.uint64(cur) * np.uint64(_WALK_K)
+                     + np.uint64(t)
+                     + (np.uint64(prev) * np.uint64(_N2V_PREV_MIX)
+                        if prev >= 0 else np.uint64(0))],
+                    dtype=np.uint64))[0])
+                r = h % sum(ws)
+                cum = 0
+                for n, w in zip(nbrs, ws):
+                    cum += w
+                    if r < cum:
+                        prev, cur = cur, n
+                        break
+                path.append(cur)
+            return path
+
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * len(src))})
+        df = node2vec_walks(rd.from_arrow(t), walk_len=3).to_pandas()
+        got = df.sort_values(["start", "step"]) \
+            .groupby("start")["vertex"].apply(list).to_dict()
+        for s in adj:
+            assert got[s] == seq_walk(s, 3), f"start {s}"

@@ -135,3 +135,169 @@ def random_walks(edges, walk_len: int = 4, num_partitions: int = 64):
         out = out.union(frontier.map_batches(stamp(t),
                                              batch_format="pyarrow"))
     return out
+
+
+# node2vec bias weights as INTEGERS (return / common-neighbor /
+# explore) so cumulative selection is exact on both engines: these
+# correspond to p = W_COMMON/W_RETURN = 4, q = W_COMMON/W_EXPLORE = 2.
+N2V_W_RETURN, N2V_W_COMMON, N2V_W_EXPLORE = 1, 4, 2
+_N2V_PREV_MIX = 1_000_003
+
+
+def node2vec_walks(edges, walk_len: int = 3, num_partitions: int = 64):
+    """Second-order (node2vec) biased walks, hash-driven and therefore
+    reproducible / SQL-mirrorable: at step t a walk on ``cur`` that
+    arrived from ``prev`` weighs each neighbor ``nbr`` by the INTEGER
+    bias (return 1, common-neighbor 4, explore 2 — p=4, q=2 in
+    node2vec terms; step 1 is first-order: all weights 1), and picks
+    the neighbor whose cumulative-weight interval contains
+
+        splitmix64(cur * K + t + prev * 1000003) mod total_weight
+
+    (sorted-neighbor order). One walk per vertex, like random_walks.
+
+    Distribution shape: ONE coarse shuffle per step — frontier rows and
+    adjacency rows co-partition on hash(cur), and each partition task
+    does the candidate merge, the common-neighbor membership probe
+    (broadcast sorted edge-composite array — the triangle degree idiom;
+    flip to an edge-marker union join when the edge set outgrows one
+    object), the segment cumsum and the pick, all vectorized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.dedup import _mix64
+
+    NP = np.uint64(num_partitions)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+        .materialize()
+    und_df = und.to_pandas()
+    a_arr = und_df["a"].to_numpy(np.int64)
+    b_arr = und_df["b"].to_numpy(np.int64)
+    maxv = int(max(a_arr.max(initial=0), b_arr.max(initial=0))) + 1
+    eset = np.sort(a_arr * np.int64(maxv) + b_arr)
+    eref = ray.put(eset)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        n = src.size
+        return pa.table({
+            "part": pa.array((vhash(src) % NP).astype(np.int32)),
+            "start": pa.array(np.full(n, -1, np.int64)),
+            "prev": pa.array(src),          # adjacency: prev slot = v
+            "cur": pa.array(dst),           # cur slot = nbr
+            "is_adj": pa.array(np.ones(n, np.int8))})
+
+    adj_rows = und.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        cur = np.asarray(batch["cur"], dtype=np.int64)
+        return pa.table({
+            "part": pa.array((vhash(cur) % NP).astype(np.int32)),
+            "start": batch["start"],
+            "prev": batch["prev"],
+            "cur": batch["cur"],
+            "is_adj": pa.array(np.zeros(len(batch), np.int8))})
+
+    def starts(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.asarray(batch["prev"], dtype=np.int64))
+        return pa.table({"start": pa.array(v),
+                         "prev": pa.array(np.full(v.size, -1, np.int64)),
+                         "cur": pa.array(v)})
+
+    frontier = adj_rows.map_batches(starts, batch_format="pyarrow") \
+        .groupby(["start", "prev", "cur"]).count() \
+        .select_columns(["start", "prev", "cur"]).materialize()
+
+    K = np.uint64(_WALK_K)
+    PM = np.uint64(_N2V_PREV_MIX)
+
+    def step_part(t: int):
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            fr = group[group["is_adj"] == 0]
+            ad = group[group["is_adj"] == 1]
+            empty = pd.DataFrame({
+                "start": pd.array([], dtype="int64"),
+                "prev": pd.array([], dtype="int64"),
+                "cur": pd.array([], dtype="int64")})
+            if fr.empty or ad.empty:
+                return empty
+            cand = fr[["start", "prev", "cur"]].merge(
+                ad[["prev", "cur"]].rename(
+                    columns={"prev": "v", "cur": "nbr"}),
+                left_on="cur", right_on="v")
+            if cand.empty:
+                return empty
+            es = ray.get(eref)
+            start = cand["start"].to_numpy(np.int64)
+            prev = cand["prev"].to_numpy(np.int64)
+            cur = cand["cur"].to_numpy(np.int64)
+            nbr = cand["nbr"].to_numpy(np.int64)
+            lo = np.minimum(nbr, prev)
+            hi = np.maximum(nbr, prev)
+            key = lo * np.int64(maxv) + hi
+            pos = np.clip(np.searchsorted(es, key), 0,
+                          max(es.size - 1, 0))
+            has_edge = es.size > 0
+            is_common = has_edge & (es[pos] == key)
+            w = np.where(prev < 0, 1,
+                         np.where(nbr == prev, N2V_W_RETURN,
+                                  np.where(is_common, N2V_W_COMMON,
+                                           N2V_W_EXPLORE))) \
+                .astype(np.int64)
+            order = np.lexsort((nbr, start))
+            start, prev, cur, nbr, w = (start[order], prev[order],
+                                        cur[order], nbr[order],
+                                        w[order])
+            new = np.concatenate([[True], start[1:] != start[:-1]])
+            seg_start = np.flatnonzero(new)
+            seg = np.cumsum(new) - 1
+            cum = np.cumsum(w)
+            base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+            cum = cum - base[seg]
+            tot = np.add.reduceat(w, seg_start)[seg]
+            hv = _mix64(cur.astype(np.uint64) * K + np.uint64(t)
+                        + np.where(prev >= 0, prev, 0)
+                        .astype(np.uint64) * PM)
+            r = (hv % tot.astype(np.uint64)).astype(np.int64)
+            pick = (r < cum) & (r >= cum - w)
+            return pd.DataFrame({"start": start[pick],
+                                 "prev": cur[pick],
+                                 "cur": nbr[pick]})
+        return fn
+
+    def stamp(step: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table({
+                "start": batch["start"],
+                "step": pa.array(np.full(n, step, np.int64)),
+                "vertex": batch["cur"].cast(pa.int64())})
+        return fn
+
+    out = frontier.map_batches(stamp(0), batch_format="pyarrow")
+    for t in range(1, walk_len + 1):
+        both = frontier.map_batches(tag_frontier,
+                                    batch_format="pyarrow") \
+            .union(adj_rows)
+        frontier = both.groupby("part") \
+            .map_groups(step_part(t), batch_format="pandas") \
+            .materialize()
+        out = out.union(frontier.map_batches(stamp(t),
+                                             batch_format="pyarrow"))
+    return out

@@ -5735,3 +5735,93 @@ ORACLE_SQL["events_hourly_dense"] = """
     FROM grid g LEFT JOIN sparse s
       ON s.event_type = g.event_type AND s.hour_us = g.hour_us
 """
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased walks over the hash graph
+# ---------------------------------------------------------------------------
+
+_N2V_LEN = 3
+
+
+def node2vec_walks_hashgraph(sf_dir: str):
+    """Second-order (node2vec, p=4 q=2 as integer bias weights 1/4/2)
+    hash-driven walks over the hash graph — graph.walks.node2vec_walks.
+    The full walk corpus hash-matches the unrolled SQL mirror: per
+    step, candidate weights via a neighbor-membership LEFT probe,
+    window cumulative sums in sorted-neighbor order, and the shared
+    splitmix64 chain picking the cumulative interval."""
+    from tldr_ray.graph.walks import node2vec_walks
+
+    return node2vec_walks(_hash_graph_edges(sf_dir),
+                          walk_len=_N2V_LEN)
+
+
+def _n2v_oracle_sql(walk_len: int = _N2V_LEN) -> str:
+    from tldr_ray.graph.walks import (_N2V_PREV_MIX, _WALK_K,
+                                      N2V_W_COMMON, N2V_W_EXPLORE,
+                                      N2V_W_RETURN)
+
+    M64 = _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    steps = []
+    finals = ["SELECT start, 0 AS step, start AS vertex FROM w0"]
+    for t in range(1, walk_len + 1):
+        h0 = (f"({_sql_mul64('CAST(cur AS HUGEINT)', _WALK_K)} + {t} + "
+              f"CASE WHEN prev >= 0 THEN "
+              f"{_sql_mul64('CAST(prev AS HUGEINT)', _N2V_PREV_MIX)} "
+              f"ELSE 0 END) % {M64}")
+        steps.append(f""",
+    c{t} AS MATERIALIZED (
+        SELECT f.start, f.prev, f.cur, a.t AS nbr,
+               CASE WHEN f.prev < 0 THEN 1
+                    WHEN a.t = f.prev THEN {N2V_W_RETURN}
+                    WHEN EXISTS (SELECT 1 FROM und u
+                                 WHERE u.a = least(a.t, f.prev)
+                                   AND u.b = greatest(a.t, f.prev))
+                        THEN {N2V_W_COMMON}
+                    ELSE {N2V_W_EXPLORE} END AS w
+        FROM w{t - 1} f JOIN sym a ON a.s = f.cur),
+    s{t} AS MATERIALIZED (
+        SELECT start, prev, cur, nbr, w,
+               SUM(w) OVER (PARTITION BY start ORDER BY nbr
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER (PARTITION BY start) AS tot
+        FROM c{t}),
+    p{t}0 AS MATERIALIZED (
+        SELECT start, {h0} AS h FROM w{t - 1}),
+    p{t}1 AS MATERIALIZED (
+        SELECT start, {_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM p{t}0),
+    p{t}2 AS MATERIALIZED (
+        SELECT start, {_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM p{t}1),
+    p{t}3 AS MATERIALIZED (
+        SELECT start, {_sql_xor_shift('h', 31)} AS h FROM p{t}2),
+    w{t} AS MATERIALIZED (
+        SELECT s.start, s.cur AS prev, s.nbr AS cur
+        FROM s{t} s JOIN p{t}3 p ON p.start = s.start
+        WHERE CAST(p.h % CAST(s.tot AS HUGEINT) AS BIGINT) < s.cum
+          AND CAST(p.h % CAST(s.tot AS HUGEINT) AS BIGINT)
+              >= s.cum - s.w)""")
+        finals.append(f"SELECT start, {t} AS step, cur AS vertex "
+                      f"FROM w{t}")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw2),
+    sym AS MATERIALIZED (SELECT a AS s, b AS t FROM und
+                         UNION ALL SELECT b, a FROM und),
+    w0 AS MATERIALIZED (
+        SELECT DISTINCT s AS start, CAST(-1 AS BIGINT) AS prev,
+               s AS cur FROM sym)
+    {"".join(steps)}
+    SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+           CAST(vertex AS BIGINT) AS vertex
+    FROM ({" UNION ALL ".join(finals)})
+"""
+
+
+QUERIES["node2vec_walks_hashgraph"] = node2vec_walks_hashgraph
+ORACLE_SQL["node2vec_walks_hashgraph"] = _n2v_oracle_sql()
