@@ -1531,13 +1531,17 @@ class TestBpeMerges:
                  "new newer newest new newer",
                  "wide wider widest low newer"]
         ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
-        got, vocab_ds = learn_bpe_merges(ds, num_merges=8)
         want, want_vocab = self._seq_bpe(texts, 8)
-        assert got == want
-        vd = vocab_ds.to_pandas()
-        got_vocab = {r.word: list(r.symbols)
-                     for r in vd.itertuples()}
-        assert got_vocab == want_vocab
+        # distributed path AND the size-gated local finisher must both
+        # match the reference exactly
+        for limit in (0, 200_000):
+            got, vocab_ds = learn_bpe_merges(ds, num_merges=8,
+                                             local_limit=limit)
+            assert got == want, f"local_limit={limit}"
+            vd = vocab_ds.to_pandas()
+            got_vocab = {r.word: list(r.symbols)
+                         for r in vd.itertuples()}
+            assert got_vocab == want_vocab, f"local_limit={limit}"
 
 
 class TestCompressionRatio:

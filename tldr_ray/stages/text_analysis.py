@@ -612,7 +612,38 @@ def boolean_and_search(index_ds, terms, id_col: str = "doc_id",
             .limit(k))
 
 
-def learn_bpe_merges(ds, text_col: str = "text", num_merges: int = 20):
+def _seq_bpe_merges(words, counts, syms, num_merges):
+    """Driver-local merge rounds on the (already distributed-built)
+    word-type table — the size-gated finisher (identical rule:
+    argmax count, ties -> lexicographically smallest pair)."""
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for sm, c in zip(syms, counts):
+            for i in range(len(sm) - 1):
+                k = (sm[i], sm[i + 1])
+                pairs[k] = pairs.get(k, 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, int(c)))
+        for j, sm in enumerate(syms):
+            out, i = [], 0
+            while i < len(sm):
+                if (i + 1 < len(sm) and sm[i] == l
+                        and sm[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sm[i])
+                    i += 1
+            syms[j] = out
+    return merges, syms
+
+
+def learn_bpe_merges(ds, text_col: str = "text", num_merges: int = 20,
+                     local_limit: int = 200_000):
     """Distributed BPE tokenizer training (the Sennrich et al. merge
     loop): learn ``num_merges`` merge rules over the corpus.
 
@@ -659,6 +690,25 @@ def learn_bpe_merges(ds, text_col: str = "text", num_merges: int = 20):
 
     cur = vocab.map_batches(symbolize,
                             batch_format="pyarrow").materialize()
+
+    # size gate (the k_truss discipline): each distributed merge round
+    # costs two small Ray jobs of fixed latency; once the COUNTED
+    # word-type table fits ``local_limit`` the rounds run driver-local
+    # on the same table — identical merges (equality is test-pinned).
+    # local_limit=0 forces the distributed path end to end.
+    if cur.count() <= local_limit:
+        import ray.data as rd
+
+        df = cur.to_pandas()
+        words = df["word"].tolist()
+        counts = df["n"].to_numpy(np.int64).tolist()
+        syms = [list(x) for x in df["symbols"]]
+        merges, syms = _seq_bpe_merges(words, counts, syms, num_merges)
+        out = rd.from_arrow(pa.table({
+            "word": pa.array(words, pa.string()),
+            "symbols": pa.array(syms, pa.list_(pa.string())),
+            "n": pa.array(counts, pa.int64())}))
+        return merges, out
 
     def pair_partials(batch: pa.Table) -> pa.Table:
         syms = batch["symbols"].to_pylist()
