@@ -398,7 +398,19 @@ if __name__ == "__main__":
                  "lift_bigrams_docs", "ktruss_hashgraph",
                  "eccentricity_hashgraph", "lang_token_budget_docs",
                  "event_transitions", "image_phash_dups",
-                 "pca_embeddings"]
+                 "pca_embeddings",
+                 # second late-round-3 wave
+                 "jaro_dup_docs", "parts_with_returns",
+                 "cheapest_supplier_per_part", "sample3_docs_per_lang",
+                 "tpch_q11_supplier_share",
+                 "tpch_q22_idle_rich_customers", "user_value_trend",
+                 "orders_snapshot_diff", "bpe_merges_docs",
+                 "compression_signal_docs",
+                 "referential_integrity_audit", "normalize_text_docs",
+                 "events_zorder_layout", "kmv_overlap_users_custkeys",
+                 "label_spread_hashgraph", "lang_confusion_docs",
+                 "events_hourly_dense", "node2vec_walks_hashgraph",
+                 "eigencentrality_hashgraph", "hits_hashgraph"]
         qsec = {}
         try:
             for n in names:
