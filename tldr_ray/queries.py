@@ -5649,8 +5649,11 @@ def lang_confusion_docs(sf_dir: str):
 
     from tldr_ray.stages.text_analysis import language_id
 
+    # concurrency=2 leaves CPUs for the feeding tasks (repo invariant:
+    # an actor pool sized to the whole session deadlocks the executor)
     pred = language_id(_read(sf_dir, "documents",
-                             ["doc_id", "lang", "text"]))
+                             ["doc_id", "lang", "text"]),
+                       concurrency=2)
 
     def seal(batch: pa.Table) -> pa.Table:
         return pa.table({"lang": batch["lang"],
@@ -5825,3 +5828,67 @@ def _n2v_oracle_sql(walk_len: int = _N2V_LEN) -> str:
 
 QUERIES["node2vec_walks_hashgraph"] = node2vec_walks_hashgraph
 ORACLE_SQL["node2vec_walks_hashgraph"] = _n2v_oracle_sql()
+
+
+def events_value_ntile(sf_dir: str):
+    """Per-type NTILE(4) quartile bucketing of event values — the
+    feature-binning op, exact-integer end to end: row numbers come from
+    the shared row_window sweep (deterministic total order
+    (value_cents, event_id)), group sizes ride a vocabulary-sized
+    broadcast, and the bucket is SQL ntile's exact big-buckets-first
+    arithmetic — so the whole table hash-matches DuckDB's ntile."""
+    import ray
+
+    from tldr_ray.stages.windows import row_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(v))})
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    w = row_window(ds, "event_type", ["value_cents", "event_id"])
+
+    counts = (_read(sf_dir, "events", ["event_type"])
+              .groupby("event_type").count().to_pandas())
+    tarr = np.sort(counts["event_type"].to_numpy(object))
+    narr = counts.set_index("event_type")["count()"] \
+        .loc[tarr].to_numpy(np.int64)
+    cref = ray.put((tarr, narr))
+    K = np.int64(4)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts, ns = ray.get(cref)
+        et = np.asarray(batch["event_type"])
+        rn = np.asarray(batch["rn"], dtype=np.int64)
+        n = ns[np.searchsorted(ts, et)]
+        small = n // K                     # base bucket size
+        extra = n % K                      # first `extra` buckets +1
+        cutoff = extra * (small + 1)
+        in_big = rn <= cutoff
+        b = np.where(in_big,
+                     (rn - 1) // np.maximum(small + 1, 1) + 1,
+                     extra + (rn - 1 - cutoff)
+                     // np.maximum(small, 1) + 1)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_cents": batch["value_cents"].cast(pa.int64()),
+            "quartile": pa.array(b.astype(np.int64))})
+
+    return w.map_batches(bucket, batch_format="pyarrow")
+
+
+QUERIES["events_value_ntile"] = events_value_ntile
+ORACLE_SQL["events_value_ntile"] = """
+    SELECT event_type, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
+           CAST(ntile(4) OVER (
+               PARTITION BY event_type
+               ORDER BY floor(value * 100.0 + 0.5), event_id)
+               AS BIGINT) AS quartile
+    FROM events
+"""
