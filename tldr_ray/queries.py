@@ -5892,3 +5892,51 @@ ORACLE_SQL["events_value_ntile"] = """
                AS BIGINT) AS quartile
     FROM events
 """
+
+
+_DECAY_ANCHOR_US = 1_706_745_600_000_000     # 2024-02-01 UTC (> max ts)
+
+
+def user_decayed_activity(sf_dir: str):
+    """Exponentially decayed per-user activity score (half-life one
+    day, the recency-weighted engagement metric) with EXACT integer
+    arithmetic: weight = 2^(40 - age_days) is a plain int64 power of
+    two, so the per-user sums are partial-sum-order-proof and the
+    whole table hash-matches SQL — no libm exp anywhere. Events older
+    than 40 days floor to weight 0 (documented truncation; the synth
+    window is 30 days)."""
+    from ray.data.aggregate import Sum
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))
+        age_days = (np.int64(_DECAY_ANCHOR_US) - ts) \
+            // np.int64(86_400_000_000)
+        expo = np.int64(40) - age_days
+        w = np.where(expo >= 0, np.int64(1) << np.maximum(expo, 0),
+                     np.int64(0))
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(u),
+            "decayed": pa.array(np.bincount(inv, weights=w)
+                                .astype(np.int64))})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(score, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("decayed", alias_name="decayed")))
+
+
+QUERIES["user_decayed_activity"] = user_decayed_activity
+ORACLE_SQL["user_decayed_activity"] = f"""
+    WITH b AS (
+        SELECT user_id,
+               40 - (({_DECAY_ANCHOR_US} - epoch_us(ts))
+                     // 86400000000) AS expo
+        FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN expo >= 0
+                         THEN CAST(1 AS BIGINT) << CAST(expo AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS decayed
+    FROM b GROUP BY user_id
+"""
