@@ -706,3 +706,48 @@ class TestLabelSpread:
         got = dict(zip(ids.tolist(), labels.tolist()))
         assert got[0] == 7 and got[1] == 7 and got[2] == 7
         assert got[8] == -1 and got[9] == -1
+
+
+class TestMaximalMatching:
+    def test_maximal_symmetric_and_fixture(self):
+        import ray.data as rd
+        from tldr_ray.graph import maximal_matching
+
+        src = [1, 2, 3, 5, 6, 7, 8]
+        dst = [2, 3, 4, 6, 7, 5, 9]
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array([1.0] * 7)})
+        ids, partner, info = maximal_matching(rd.from_arrow(t),
+                                              num_partitions=3)
+        got = dict(zip(ids.tolist(), partner.tolist()))
+        assert info["stable"]
+        adj = set(zip(src, dst)) | set(zip(dst, src))
+        # symmetry
+        assert all(got[p] == v for v, p in got.items() if p != -1)
+        # matched pairs are real edges
+        assert all((v, p) in adj for v, p in got.items() if p != -1)
+        # maximality: no two unmatched vertices are adjacent
+        un = {v for v, p in got.items() if p == -1}
+        assert not any((a, b) in adj for a in un for b in un)
+
+    def test_random_graph_maximality(self):
+        import ray.data as rd
+        from tldr_ray.graph import maximal_matching
+
+        rng = np.random.default_rng(31)
+        src = rng.integers(0, 60, 200)
+        dst = rng.integers(0, 60, 200)
+        keep = src != dst
+        t = pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64()),
+                      "weight": pa.array(np.ones(int(keep.sum())))})
+        ids, partner, info = maximal_matching(rd.from_arrow(t),
+                                              num_partitions=4)
+        got = dict(zip(ids.tolist(), partner.tolist()))
+        adj = set(zip(src[keep].tolist(), dst[keep].tolist()))
+        adj |= {(b, a) for a, b in adj}
+        assert info["stable"]
+        assert all(got[p] == v for v, p in got.items() if p != -1)
+        un = {v for v, p in got.items() if p == -1}
+        assert not any((a, b) in adj for a in un for b in un)

@@ -3,7 +3,7 @@ from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
                                    eigenvector_centrality, hits,
-                                   label_spread)
+                                   label_spread, maximal_matching)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -21,5 +21,6 @@ __all__ = [
     "eigenvector_centrality",
     "hits",
     "label_spread",
+    "maximal_matching",
     "triangle_counts",
 ]

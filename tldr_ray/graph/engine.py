@@ -618,6 +618,103 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.state = new
             return changed
 
+        # -- maximal matching (hashed-priority handshake rounds) -------
+        def match_init(self):
+            self.state = np.full(self.verts.size, -1, dtype=np.int64)
+
+        def match_unmatched_messages(self, r: int):
+            """Per destination partition: for each destination vertex,
+            the unmatched source neighbor with the SMALLEST round-
+            salted priority splitmix64(src * K + r) (ties -> smaller
+            id). The per-round re-salt is what makes the handshake
+            converge in O(log n) expected rounds (Israeli-Itai) —
+            min-by-raw-id serializes on paths/rings. Triples
+            (dst_local, src, key) pre-combine per shard, so a hub
+            receives at most P candidates."""
+            from tldr_ray.stages.dedup import _mix64
+
+            K = np.uint64(0x9E3779B97F4A7C15)
+            src_v = self.verts[self.e_src_local]
+            un = self.state[self.e_src_local] == -1
+            kv = _mix64(src_v.astype(np.uint64) * K + np.uint64(r))
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                m = un[sl]
+                dl = self.dlocals[q][m]
+                sv = src_v[sl][m]
+                kq = kv[sl][m]
+                if dl.size:
+                    order = np.lexsort((sv, kq, dl))
+                    dl, sv, kq = dl[order], sv[order], kq[order]
+                    first = np.empty(dl.size, dtype=bool)
+                    first[0] = True
+                    first[1:] = dl[1:] != dl[:-1]
+                    trip = (dl[first], sv[first],
+                            kq[first].view(np.int64))
+                else:
+                    trip = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, np.int64))
+                out.append(trip)
+            return self._ship(out)
+
+        def match_set_proposals(self, trips):
+            """p(v) = the min-(key, id) unmatched neighbor across all
+            senders, for unmatched local v."""
+            trips = self._fetch(trips)
+            pos_all, sv_all, kq_all = [], [], []
+            for idx, (dl, sv, kq) in zip(self.incoming_idx, trips):
+                if len(dl):
+                    pos_all.append(idx[np.asarray(dl)])
+                    sv_all.append(np.asarray(sv))
+                    kq_all.append(np.asarray(kq).view(np.uint64))
+            p = np.full(self.verts.size, _INT64_MAX, dtype=np.int64)
+            if pos_all:
+                pos = np.concatenate(pos_all)
+                sv = np.concatenate(sv_all)
+                kq = np.concatenate(kq_all)
+                order = np.lexsort((sv, kq, pos))
+                pos, sv = pos[order], sv[order]
+                first = np.empty(pos.size, dtype=bool)
+                first[0] = True
+                first[1:] = pos[1:] != pos[:-1]
+                p[pos[first]] = sv[first]
+            p[self.state != -1] = _INT64_MAX
+            self._prop = p
+
+        def match_propose_messages(self):
+            """Ship (partner, proposer) pairs to the partner's owning
+            partition."""
+            has = self._prop != _INT64_MAX
+            partner = self._prop[has]
+            proposer = self.verts[has]
+            part = (vhash(partner) % np.uint64(self.P)).astype(np.int64)
+            out = []
+            for q in range(self.P):
+                m = part == q
+                out.append((partner[m], proposer[m]))
+            return self._ship(out)
+
+        def match_resolve(self, pairs) -> int:
+            """Match u=partner with v=proposer iff the proposals are
+            mutual (p(u) == v); returns new matches on this shard."""
+            pairs = self._fetch(pairs)
+            new = 0
+            for (partner, proposer) in pairs:
+                partner = np.asarray(partner)
+                proposer = np.asarray(proposer)
+                if not partner.size:
+                    continue
+                pos = np.searchsorted(self.verts, partner)
+                pos = np.minimum(pos, max(self.verts.size - 1, 0))
+                ok = self.verts[pos] == partner
+                pos, v = pos[ok], proposer[ok]
+                mutual = self._prop[pos] == v
+                tgt, val = pos[mutual], v[mutual]
+                self.state[tgt] = val
+                new += int(tgt.size)
+            return new
+
         # -- eigenvector centrality (shifted power iteration) ----------
         def eig_init(self):
             self.state = np.ones(self.verts.size)
@@ -1255,6 +1352,41 @@ class GraphEngine:
         ids, cores = self._collect(np.int64)
         return ids, cores, {"rounds": it, "stable": changed == 0}
 
+    def maximal_matching(self, max_rounds: int = 200,
+                         collect: bool = True):
+        """Deterministic maximal matching by synchronous handshake
+        rounds: every unmatched vertex proposes to the unmatched
+        neighbor with the smallest round-salted hash priority
+        splitmix64(nbr * K + round); mutual proposals match. Each
+        round is two pre-combined exchanges. The globally min-priority
+        vertex with an unmatched neighbor always matches, so a
+        no-progress round proves maximality; the per-round re-salt
+        gives O(log n) expected rounds, and the whole trajectory is
+        deterministic and SQL-mirrorable round for round. Returns
+        (vertex_ids, partner int64 with -1 = unmatched, info)."""
+        import ray
+
+        ray.get([s.match_init.remote() for s in self.shards])
+        it, new = 0, 1
+        while new and it < max_rounds:
+            outs = ray.get([s.match_unmatched_messages.remote(it + 1)
+                            for s in self.shards])
+            ray.get([
+                self.shards[q].match_set_proposals.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)])
+            props = ray.get([s.match_propose_messages.remote()
+                             for s in self.shards])
+            counts = ray.get([
+                self.shards[q].match_resolve.remote(
+                    [props[p][q] for p in range(self.P)])
+                for q in range(self.P)])
+            new = sum(counts)
+            it += 1
+        ids, partner = self._collect(np.int64) if collect \
+            else (None, None)
+        return ids, partner, {"rounds": it, "stable": new == 0}
+
     def eigenvector_centrality(self, tolerance: float = 1e-10,
                                max_iterations: int = 500,
                                collect: bool = True):
@@ -1554,5 +1686,19 @@ def label_spread(edges, seeds, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.label_spread(seeds, max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def maximal_matching(edges, num_partitions: int = 8,
+                     max_rounds: int = 200,
+                     work_dir: str | None = None):
+    """Deterministic distributed maximal matching over the symmetrized
+    simple graph. Returns (vertex_ids, partner, info); partner = -1
+    for unmatched vertices."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.maximal_matching(max_rounds)
     finally:
         eng.shutdown()

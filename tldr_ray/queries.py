@@ -5940,3 +5940,88 @@ ORACLE_SQL["user_decayed_activity"] = f"""
                          ELSE 0 END) AS BIGINT) AS decayed
     FROM b GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed maximal matching over the hash graph
+# ---------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 8
+
+
+def maximal_matching_hashgraph(sf_dir: str):
+    """Deterministic maximal matching (graph.maximal_matching):
+    hashed-priority handshake rounds — every unmatched vertex proposes
+    to the unmatched neighbor with the smallest
+    splitmix64(nbr * K + round), mutual proposals match, a no-progress
+    round proves maximality (measured fixpoint on this graph: 7
+    rounds; the mirror unrolls 8 — post-fixpoint rounds are no-ops).
+    Output: (vertex, partner) with -1 = unmatched, hash-checked."""
+    from tldr_ray.graph import maximal_matching
+
+    ids, partner, _ = maximal_matching(_hash_graph_edges(sf_dir),
+                                       num_partitions=4,
+                                       max_rounds=_MATCH_ROUNDS)
+    return pa.table({"vertex": pa.array(ids),
+                     "partner": pa.array(partner.astype(np.int64))})
+
+
+def _matching_oracle_sql(rounds: int = _MATCH_ROUNDS) -> str:
+    from tldr_ray.graph.walks import _WALK_K
+
+    M64 = _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    steps = []
+    for r in range(1, rounds + 1):
+        h0 = f"({_sql_mul64('CAST(v AS HUGEINT)', _WALK_K)} + {r}) % {M64}"
+        steps.append(f""",
+    un{r} AS MATERIALIZED (
+        SELECT v FROM verts
+        WHERE v NOT IN (SELECT u FROM m{r - 1})),
+    k{r}0 AS MATERIALIZED (SELECT v, {h0} AS h FROM un{r}),
+    k{r}1 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM k{r}0),
+    k{r}2 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM k{r}1),
+    k{r}3 AS MATERIALIZED (
+        SELECT v, {_sql_xor_shift('h', 31)} AS h FROM k{r}2),
+    prop{r} AS MATERIALIZED (
+        SELECT s AS v, t AS p FROM (
+            SELECT e.s, e.t,
+                   row_number() OVER (PARTITION BY e.s
+                                      ORDER BY k.h, e.t) AS rn
+            FROM sym e
+            JOIN un{r} a ON a.v = e.s
+            JOIN un{r} b ON b.v = e.t
+            JOIN k{r}3 k ON k.v = e.t)
+        WHERE rn = 1),
+    mt{r} AS MATERIALIZED (
+        SELECT a.v AS u, a.p AS w
+        FROM prop{r} a JOIN prop{r} b ON b.v = a.p AND b.p = a.v
+        WHERE a.v < a.p),
+    m{r} AS MATERIALIZED (
+        SELECT u, p FROM m{r - 1}
+        UNION ALL SELECT u, w FROM mt{r}
+        UNION ALL SELECT w, u FROM mt{r})""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw2),
+    sym AS MATERIALIZED (SELECT a AS s, b AS t FROM und
+                         UNION ALL SELECT b, a FROM und),
+    verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym),
+    m0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS p
+        WHERE 1 = 0)
+    {"".join(steps)}
+    SELECT verts.v AS vertex,
+           CAST(coalesce(m.p, -1) AS BIGINT) AS partner
+    FROM verts LEFT JOIN m{rounds} m ON m.u = verts.v
+"""
+
+
+QUERIES["maximal_matching_hashgraph"] = maximal_matching_hashgraph
+ORACLE_SQL["maximal_matching_hashgraph"] = _matching_oracle_sql()
