@@ -751,3 +751,30 @@ class TestMaximalMatching:
         assert all(got[p] == v for v, p in got.items() if p != -1)
         un = {v for v, p in got.items() if p == -1}
         assert not any((a, b) in adj for a in un for b in un)
+
+
+class TestMaximalIndependentSet:
+    def test_independence_and_maximality(self):
+        import ray.data as rd
+        from tldr_ray.graph import maximal_independent_set
+
+        rng = np.random.default_rng(41)
+        src = rng.integers(0, 50, 160)
+        dst = rng.integers(0, 50, 160)
+        keep = src != dst
+        t = pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64()),
+                      "weight": pa.array(np.ones(int(keep.sum())))})
+        ids, member, info = maximal_independent_set(
+            rd.from_arrow(t), num_partitions=4)
+        assert info["done"]
+        got = dict(zip(ids.tolist(), member.tolist()))
+        mis = {v for v, m in got.items() if m == 1}
+        adj = set(zip(src[keep].tolist(), dst[keep].tolist()))
+        adj |= {(b, a) for a, b in adj}
+        # independence: no edge inside the set
+        assert not any((a, b) in adj for a in mis for b in mis)
+        # maximality: every non-member has a member neighbor
+        for v, m in got.items():
+            if m != 1:
+                assert any((v, u) in adj for u in mis), v

@@ -3,7 +3,8 @@ from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
                                    eigenvector_centrality, hits,
-                                   label_spread, maximal_matching)
+                                   label_spread, maximal_matching,
+                                   maximal_independent_set)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -22,5 +23,6 @@ __all__ = [
     "hits",
     "label_spread",
     "maximal_matching",
+    "maximal_independent_set",
     "triangle_counts",
 ]

@@ -715,6 +715,79 @@ def _shard_actor_cls(num_cpus: float = 0):
                 new += int(tgt.size)
             return new
 
+        # -- maximal independent set (Luby, hashed priorities) ---------
+        def mis_init(self):
+            self.state = np.full(self.verts.size, -1, dtype=np.int64)
+
+        def mis_decide(self, trips, r: int) -> int:
+            """An ACTIVE vertex joins the MIS iff its own round-salted
+            (priority, id) beats the minimum over its ACTIVE neighbors
+            (delivered pre-combined by match_unmatched_messages, which
+            already filters state == -1 sources and uses the same
+            splitmix64(v*K + r) priorities). No active neighbor ->
+            joins. Returns new members on this shard."""
+            from tldr_ray.stages.dedup import _mix64
+
+            K = np.uint64(0x9E3779B97F4A7C15)
+            trips = self._fetch(trips)
+            pos_all, sv_all, kq_all = [], [], []
+            for idx, (dl, sv, kq) in zip(self.incoming_idx, trips):
+                if len(dl):
+                    pos_all.append(idx[np.asarray(dl)])
+                    sv_all.append(np.asarray(sv))
+                    kq_all.append(np.asarray(kq).view(np.uint64))
+            best_k = np.full(self.verts.size, np.uint64(0xFFFFFFFFFFFFFFFF),
+                             dtype=np.uint64)
+            best_v = np.full(self.verts.size, _INT64_MAX, dtype=np.int64)
+            if pos_all:
+                pos = np.concatenate(pos_all)
+                sv = np.concatenate(sv_all)
+                kq = np.concatenate(kq_all)
+                order = np.lexsort((sv, kq, pos))
+                pos, sv, kq = pos[order], sv[order], kq[order]
+                first = np.empty(pos.size, dtype=bool)
+                first[0] = True
+                first[1:] = pos[1:] != pos[:-1]
+                best_k[pos[first]] = kq[first]
+                best_v[pos[first]] = sv[first]
+            active = self.state == -1
+            own_k = _mix64(self.verts.astype(np.uint64) * K
+                           + np.uint64(r))
+            win = active & ((own_k < best_k)
+                            | ((own_k == best_k)
+                               & (self.verts < best_v)))
+            self._new_mis = win
+            self.state[win] = 1
+            return int(win.sum())
+
+        def mis_notify_messages(self):
+            """Per destination partition: a boolean per destination
+            vertex — does it have a NEW MIS source neighbor? (OR is
+            the combiner.)"""
+            flag = self._new_mis[self.e_src_local]
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.zeros(self.dvocabs[q].size, dtype=bool)
+                dl = self.dlocals[q][flag[sl]]
+                if dl.size:
+                    acc[np.unique(dl)] = True
+                out.append(acc)
+            return self._ship(out)
+
+        def mis_exclude(self, flags) -> int:
+            """Active vertices with a new MIS neighbor leave the game
+            (state 0). Returns the shard's remaining active count."""
+            flags = self._fetch(flags)
+            hit = np.zeros(self.verts.size, dtype=bool)
+            for idx, arr in zip(self.incoming_idx, flags):
+                arr = np.asarray(arr)
+                if arr.size:
+                    hit[idx[np.flatnonzero(arr)]] = True
+            out = (self.state == -1) & hit
+            self.state[out] = 0
+            return int((self.state == -1).sum())
+
         # -- eigenvector centrality (shifted power iteration) ----------
         def eig_init(self):
             self.state = np.ones(self.verts.size)
@@ -1387,6 +1460,38 @@ class GraphEngine:
             else (None, None)
         return ids, partner, {"rounds": it, "stable": new == 0}
 
+    def maximal_independent_set(self, max_rounds: int = 200,
+                                collect: bool = True):
+        """Luby's maximal independent set with deterministic hashed
+        priorities: each round, every undecided vertex whose
+        round-salted (splitmix64 priority, id) beats all undecided
+        neighbors joins the set; its neighbors drop out. Two
+        pre-combined exchanges per round, O(log n) expected rounds,
+        fully deterministic -> SQL-mirrorable. Returns (vertex_ids,
+        membership 1/0, info)."""
+        import ray
+
+        ray.get([s.mis_init.remote() for s in self.shards])
+        it, remaining = 0, 1
+        while remaining and it < max_rounds:
+            outs = ray.get([s.match_unmatched_messages.remote(it + 1)
+                            for s in self.shards])
+            ray.get([
+                self.shards[q].mis_decide.remote(
+                    [outs[p][q] for p in range(self.P)], it + 1)
+                for q in range(self.P)])
+            notes = ray.get([s.mis_notify_messages.remote()
+                             for s in self.shards])
+            counts = ray.get([
+                self.shards[q].mis_exclude.remote(
+                    [notes[p][q] for p in range(self.P)])
+                for q in range(self.P)])
+            remaining = sum(counts)
+            it += 1
+        ids, member = self._collect(np.int64) if collect \
+            else (None, None)
+        return ids, member, {"rounds": it, "done": remaining == 0}
+
     def eigenvector_centrality(self, tolerance: float = 1e-10,
                                max_iterations: int = 500,
                                collect: bool = True):
@@ -1700,5 +1805,18 @@ def maximal_matching(edges, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.maximal_matching(max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def maximal_independent_set(edges, num_partitions: int = 8,
+                            max_rounds: int = 200,
+                            work_dir: str | None = None):
+    """Luby MIS over the symmetrized simple graph. Returns
+    (vertex_ids, membership 1/0, info)."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.maximal_independent_set(max_rounds)
     finally:
         eng.shutdown()

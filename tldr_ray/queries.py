@@ -6025,3 +6025,91 @@ def _matching_oracle_sql(rounds: int = _MATCH_ROUNDS) -> str:
 
 QUERIES["maximal_matching_hashgraph"] = maximal_matching_hashgraph
 ORACLE_SQL["maximal_matching_hashgraph"] = _matching_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set over the hash graph
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 4
+
+
+def mis_hashgraph(sf_dir: str):
+    """Luby's maximal independent set
+    (graph.maximal_independent_set): deterministic hashed priorities,
+    two pre-combined exchanges per round (measured completion on this
+    graph: 3 rounds; the mirror unrolls 4 — post-completion rounds are
+    no-ops). Output (vertex, in_mis 1/0), hash-checked."""
+    from tldr_ray.graph import maximal_independent_set
+
+    ids, member, _ = maximal_independent_set(
+        _hash_graph_edges(sf_dir), num_partitions=4,
+        max_rounds=_MIS_ROUNDS)
+    return pa.table({"vertex": pa.array(ids),
+                     "in_mis": pa.array((member == 1)
+                                        .astype(np.int64))})
+
+
+def _mis_oracle_sql(rounds: int = _MIS_ROUNDS) -> str:
+    from tldr_ray.graph.walks import _WALK_K
+
+    M64 = _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    steps = []
+    for r in range(1, rounds + 1):
+        h0 = f"({_sql_mul64('CAST(v AS HUGEINT)', _WALK_K)} + {r}) % {M64}"
+        steps.append(f""",
+    k{r}0 AS MATERIALIZED (SELECT v, {h0} AS h FROM a{r}),
+    k{r}1 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM k{r}0),
+    k{r}2 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM k{r}1),
+    k{r}3 AS MATERIALIZED (
+        SELECT v, {_sql_xor_shift('h', 31)} AS h FROM k{r}2),
+    nb{r} AS MATERIALIZED (
+        SELECT s AS v, h AS nh, t AS nt FROM (
+            SELECT e.s, e.t, k.h,
+                   row_number() OVER (PARTITION BY e.s
+                                      ORDER BY k.h, e.t) AS rn
+            FROM sym e
+            JOIN a{r} x ON x.v = e.s
+            JOIN a{r} y ON y.v = e.t
+            JOIN k{r}3 k ON k.v = e.t)
+        WHERE rn = 1),
+    mis{r} AS MATERIALIZED (
+        SELECT a.v FROM a{r} a
+        JOIN k{r}3 kk ON kk.v = a.v
+        LEFT JOIN nb{r} n ON n.v = a.v
+        WHERE n.v IS NULL OR kk.h < n.nh
+           OR (kk.h = n.nh AND a.v < n.nt)),
+    ex{r} AS MATERIALIZED (
+        SELECT DISTINCT e.t AS v
+        FROM sym e JOIN mis{r} m ON m.v = e.s),
+    a{r + 1} AS MATERIALIZED (
+        SELECT v FROM a{r}
+        WHERE v NOT IN (SELECT v FROM mis{r})
+          AND v NOT IN (SELECT v FROM ex{r}))""")
+    allmis = " UNION ALL ".join(
+        f"SELECT v FROM mis{r}" for r in range(1, rounds + 1))
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw2),
+    sym AS MATERIALIZED (SELECT a AS s, b AS t FROM und
+                         UNION ALL SELECT b, a FROM und),
+    verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym),
+    a1 AS MATERIALIZED (SELECT v FROM verts)
+    {"".join(steps)},
+    allmis AS ({allmis})
+    SELECT verts.v AS vertex,
+           CAST(CASE WHEN m.v IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_mis
+    FROM verts LEFT JOIN allmis m ON m.v = verts.v
+"""
+
+
+QUERIES["mis_hashgraph"] = mis_hashgraph
+ORACLE_SQL["mis_hashgraph"] = _mis_oracle_sql()
