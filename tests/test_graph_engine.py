@@ -778,3 +778,30 @@ class TestMaximalIndependentSet:
         for v, m in got.items():
             if m != 1:
                 assert any((v, u) in adj for u in mis), v
+
+
+class TestGreedyColoring:
+    def test_proper_coloring_random(self):
+        import ray.data as rd
+        from tldr_ray.graph import greedy_coloring
+
+        rng = np.random.default_rng(51)
+        src = rng.integers(0, 40, 150)
+        dst = rng.integers(0, 40, 150)
+        keep = src != dst
+        t = pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64()),
+                      "weight": pa.array(np.ones(int(keep.sum())))})
+        ids, colors, info = greedy_coloring(rd.from_arrow(t),
+                                            num_partitions=3)
+        assert info["done"]
+        got = dict(zip(ids.tolist(), colors.tolist()))
+        adj = set(zip(src[keep].tolist(), dst[keep].tolist()))
+        adj |= {(b, a) for a, b in adj}
+        assert all(got[a] != got[b] for a, b in adj)
+        assert min(got.values()) >= 0
+        # <= maxdeg + 1 colors
+        deg: dict = {}
+        for a, b in adj:
+            deg[a] = deg.get(a, 0) + 1
+        assert max(got.values()) + 1 <= max(deg.values()) + 1

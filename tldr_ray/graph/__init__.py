@@ -4,7 +4,8 @@ from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    k_core, bfs_hops, sssp_distances,
                                    eigenvector_centrality, hits,
                                    label_spread, maximal_matching,
-                                   maximal_independent_set)
+                                   maximal_independent_set,
+                                   greedy_coloring)
 from tldr_ray.graph.triangles import triangle_counts
 from tldr_ray.graph.centrality import centrality_ranks
 
@@ -24,5 +25,6 @@ __all__ = [
     "label_spread",
     "maximal_matching",
     "maximal_independent_set",
+    "greedy_coloring",
     "triangle_counts",
 ]

@@ -788,6 +788,110 @@ def _shard_actor_cls(num_cpus: float = 0):
             self.state[out] = 0
             return int((self.state == -1).sum())
 
+        # -- Jones-Plassmann greedy coloring ----------------------------
+        def color_init(self):
+            from tldr_ray.stages.dedup import _mix64
+
+            K = np.uint64(0x9E3779B97F4A7C15)
+            self.state = np.full(self.verts.size, -1, dtype=np.int64)
+            self._prio = _mix64(self.verts.astype(np.uint64) * K)
+
+        def color_nbr_max_messages(self):
+            """Per destination: the MAXIMUM (static priority, id) over
+            UNCOLORED source neighbors (pre-combined per shard)."""
+            un = self.state[self.e_src_local] == -1
+            src_v = self.verts[self.e_src_local]
+            kv = self._prio[self.e_src_local]
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                m = un[sl]
+                dl = self.dlocals[q][m]
+                sv = src_v[sl][m]
+                kq = kv[sl][m]
+                if dl.size:
+                    # descending (priority, id): invert for lexsort
+                    order = np.lexsort((-sv, np.invert(kq), dl))
+                    dl, sv, kq = dl[order], sv[order], kq[order]
+                    first = np.empty(dl.size, dtype=bool)
+                    first[0] = True
+                    first[1:] = dl[1:] != dl[:-1]
+                    trip = (dl[first], sv[first],
+                            kq[first].view(np.int64))
+                else:
+                    trip = (np.zeros(0, np.int64),
+                            np.zeros(0, np.int64),
+                            np.zeros(0, np.int64))
+                out.append(trip)
+            return self._ship(out)
+
+        def color_decide(self, trips) -> int:
+            """An uncolored vertex WINS the round iff its own
+            (priority, id) exceeds every uncolored neighbor's — winners
+            form an independent set, so same-round color picks cannot
+            conflict. Returns the shard's winner count."""
+            trips = self._fetch(trips)
+            best_k = np.zeros(self.verts.size, dtype=np.uint64)
+            best_v = np.full(self.verts.size, -1, dtype=np.int64)
+            has = np.zeros(self.verts.size, dtype=bool)
+            for idx, (dl, sv, kq) in zip(self.incoming_idx, trips):
+                if not len(dl):
+                    continue
+                pos = idx[np.asarray(dl)]
+                sv = np.asarray(sv)
+                kq = np.asarray(kq).view(np.uint64)
+                better = (~has[pos]) | (kq > best_k[pos]) \
+                    | ((kq == best_k[pos]) & (sv > best_v[pos]))
+                upd = pos[better]
+                best_k[upd] = kq[better]
+                best_v[upd] = sv[better]
+                has[upd] = True
+            un = self.state == -1
+            win = un & (~has | (self._prio > best_k)
+                        | ((self._prio == best_k)
+                           & (self.verts > best_v)))
+            self._winner = win
+            return int(win.sum())
+
+        def color_mask_messages(self):
+            """Per destination: OR of (1 << color) over COLORED source
+            neighbors (int64 bitmask; JP needs <= maxdeg+1 < 63
+            colors — guarded in color_assign)."""
+            col = self.state[self.e_src_local]
+            m = col >= 0
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                mm = m[sl]
+                dl = self.dlocals[q][mm]
+                bits = (np.int64(1) << col[sl][mm]).astype(np.int64)
+                acc = np.zeros(self.dvocabs[q].size, dtype=np.int64)
+                if dl.size:
+                    np.bitwise_or.at(acc, dl, bits)
+                out.append(acc)
+            return self._ship(out)
+
+        def color_assign(self, masks) -> int:
+            """Winners take the lowest color bit absent from their
+            colored-neighbor mask."""
+            masks = self._fetch(masks)
+            acc = np.zeros(self.verts.size, dtype=np.int64)
+            for idx, arr in zip(self.incoming_idx, masks):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.bitwise_or.at(acc, idx, arr)
+            w = np.flatnonzero(self._winner)
+            if not w.size:
+                return 0
+            inv = ~acc[w].view(np.uint64)
+            low = inv & (~inv + np.uint64(1))      # lowest unset bit
+            c = np.round(np.log2(low.astype(np.float64))).astype(np.int64)
+            if (c >= 62).any():
+                raise ValueError("coloring exceeded the 62-color "
+                                 "bitmask budget")
+            self.state[w] = c
+            return int((self.state == -1).sum())
+
         # -- eigenvector centrality (shifted power iteration) ----------
         def eig_init(self):
             self.state = np.ones(self.verts.size)
@@ -1492,6 +1596,38 @@ class GraphEngine:
             else (None, None)
         return ids, member, {"rounds": it, "done": remaining == 0}
 
+    def greedy_coloring(self, max_rounds: int = 500,
+                        collect: bool = True):
+        """Jones-Plassmann distributed greedy coloring: static hashed
+        priorities; each round every uncolored local-maximum vertex
+        colors itself with the lowest color unused by its colored
+        neighbors (the round's winners are independent, so picks never
+        conflict). Two pre-combined exchanges per round; O(log n)
+        expected rounds; deterministic -> SQL-mirrorable. Returns
+        (vertex_ids, colors int64 >= 0, info)."""
+        import ray
+
+        ray.get([s.color_init.remote() for s in self.shards])
+        it, remaining = 0, 1
+        while remaining and it < max_rounds:
+            outs = ray.get([s.color_nbr_max_messages.remote()
+                            for s in self.shards])
+            ray.get([
+                self.shards[q].color_decide.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)])
+            masks = ray.get([s.color_mask_messages.remote()
+                             for s in self.shards])
+            counts = ray.get([
+                self.shards[q].color_assign.remote(
+                    [masks[p][q] for p in range(self.P)])
+                for q in range(self.P)])
+            remaining = sum(counts)
+            it += 1
+        ids, colors = self._collect(np.int64) if collect \
+            else (None, None)
+        return ids, colors, {"rounds": it, "done": remaining == 0}
+
     def eigenvector_centrality(self, tolerance: float = 1e-10,
                                max_iterations: int = 500,
                                collect: bool = True):
@@ -1818,5 +1954,19 @@ def maximal_independent_set(edges, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.maximal_independent_set(max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def greedy_coloring(edges, num_partitions: int = 8,
+                    max_rounds: int = 500,
+                    work_dir: str | None = None):
+    """Jones-Plassmann coloring of the symmetrized simple graph.
+    Returns (vertex_ids, colors, info); adjacent vertices always get
+    distinct colors, color count <= maxdegree + 1."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.greedy_coloring(max_rounds)
     finally:
         eng.shutdown()

@@ -6113,3 +6113,101 @@ def _mis_oracle_sql(rounds: int = _MIS_ROUNDS) -> str:
 
 QUERIES["mis_hashgraph"] = mis_hashgraph
 ORACLE_SQL["mis_hashgraph"] = _mis_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Jones-Plassmann greedy coloring over the hash graph
+# ---------------------------------------------------------------------------
+
+_COLOR_ROUNDS = 14
+
+
+def coloring_hashgraph(sf_dir: str):
+    """Distributed greedy coloring (graph.greedy_coloring,
+    Jones-Plassmann with static splitmix priorities): adjacent
+    vertices always differ, <= maxdeg+1 colors (measured completion
+    on this graph: 12 rounds; the mirror unrolls 14 — post-completion
+    rounds are no-ops). Output (vertex, color), hash-checked."""
+    from tldr_ray.graph import greedy_coloring
+
+    ids, colors, _ = greedy_coloring(_hash_graph_edges(sf_dir),
+                                     num_partitions=4,
+                                     max_rounds=_COLOR_ROUNDS)
+    return pa.table({"vertex": pa.array(ids),
+                     "color": pa.array(colors.astype(np.int64))})
+
+
+def _coloring_oracle_sql(rounds: int = _COLOR_ROUNDS,
+                         max_colors: int = 12) -> str:
+    from tldr_ray.graph.walks import _WALK_K
+
+    M64 = _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    pick = "CASE " + " ".join(
+        f"WHEN (mask & {1 << c}) = 0 THEN {c}"
+        for c in range(max_colors)) + " END"
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+    un{r} AS MATERIALIZED (
+        SELECT v FROM verts
+        WHERE v NOT IN (SELECT v FROM col{r - 1})),
+    nbmax{r} AS MATERIALIZED (
+        SELECT s AS v, h AS nh, t AS nt FROM (
+            SELECT e.s, e.t, k.h,
+                   row_number() OVER (PARTITION BY e.s
+                                      ORDER BY k.h DESC, e.t DESC)
+                       AS rn
+            FROM sym e
+            JOIN un{r} x ON x.v = e.s
+            JOIN un{r} y ON y.v = e.t
+            JOIN pr k ON k.v = e.t)
+        WHERE rn = 1),
+    win{r} AS MATERIALIZED (
+        SELECT a.v FROM un{r} a
+        JOIN pr kk ON kk.v = a.v
+        LEFT JOIN nbmax{r} n ON n.v = a.v
+        WHERE n.v IS NULL OR kk.h > n.nh
+           OR (kk.h = n.nh AND a.v > n.nt)),
+    mk{r} AS MATERIALIZED (
+        SELECT w.v,
+               coalesce(bit_or(CAST(1 AS BIGINT) << CAST(c.c AS INTEGER)),
+                        0) AS mask
+        FROM win{r} w
+        LEFT JOIN sym e ON e.s = w.v
+        LEFT JOIN col{r - 1} c ON c.v = e.t
+        GROUP BY w.v),
+    col{r} AS MATERIALIZED (
+        SELECT v, c FROM col{r - 1}
+        UNION ALL
+        SELECT v, {pick} AS c FROM mk{r})""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw2),
+    sym AS MATERIALIZED (SELECT a AS s, b AS t FROM und
+                         UNION ALL SELECT b, a FROM und),
+    verts AS MATERIALIZED (SELECT DISTINCT s AS v FROM sym),
+    q0 AS MATERIALIZED (
+        SELECT v, {_sql_mul64('CAST(v AS HUGEINT)', _WALK_K)} AS h
+        FROM verts),
+    q1 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM q0),
+    q2 AS MATERIALIZED (
+        SELECT v, {_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM q1),
+    pr AS MATERIALIZED (
+        SELECT v, {_sql_xor_shift('h', 31)} AS h FROM q2),
+    col0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c
+        WHERE 1 = 0)
+    {"".join(steps)}
+    SELECT c.v AS vertex, CAST(c.c AS BIGINT) AS color
+    FROM col{rounds} c
+"""
+
+
+QUERIES["coloring_hashgraph"] = coloring_hashgraph
+ORACLE_SQL["coloring_hashgraph"] = _coloring_oracle_sql()
