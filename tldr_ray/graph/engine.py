@@ -882,7 +882,9 @@ def _shard_actor_cls(num_cpus: float = 0):
                     np.bitwise_or.at(acc, idx, arr)
             w = np.flatnonzero(self._winner)
             if not w.size:
-                return 0
+                # no winners here this round — but the shard may still
+                # hold uncolored vertices waiting on remote neighbors
+                return int((self.state == -1).sum())
             inv = ~acc[w].view(np.uint64)
             low = inv & (~inv + np.uint64(1))      # lowest unset bit
             c = np.round(np.log2(low.astype(np.float64))).astype(np.int64)
