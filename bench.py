@@ -410,7 +410,10 @@ if __name__ == "__main__":
                  "events_zorder_layout", "kmv_overlap_users_custkeys",
                  "label_spread_hashgraph", "lang_confusion_docs",
                  "events_hourly_dense", "node2vec_walks_hashgraph",
-                 "eigencentrality_hashgraph", "hits_hashgraph"]
+                 "eigencentrality_hashgraph", "hits_hashgraph",
+                 "events_value_ntile", "user_decayed_activity",
+                 "maximal_matching_hashgraph", "mis_hashgraph",
+                 "coloring_hashgraph"]
         qsec = {}
         try:
             for n in names:
