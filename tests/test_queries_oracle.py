@@ -76,3 +76,17 @@ def test_entry_smoke():
     df = to_pandas(out)
     assert len(df) >= 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_tpch_q3_join_path_matches_broadcast():
+    """The size-gated broadcast path and the bucketed-join fallback
+    must produce identical Q3 results."""
+    import pandas as pd
+
+    from tldr_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    a = q.tpch_q3(sf).to_pandas().reset_index(drop=True)
+    b = q.tpch_q3(sf, broadcast_limit_rows=0) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1028,6 +1028,43 @@ class TestEmptyInputs:
         ]:
             assert make().count() >= 0
 
+    def test_late_round3_stages_handle_zero_rows(self):
+        import ray.data as rd
+        from tldr_ray.stages.agg import (budget_cap, grouped_bottomk,
+                                         grouped_linear_trend,
+                                         zorder_sort)
+        from tldr_ray.stages.dedup import signature_pairs
+        from tldr_ray.stages.joins import (bucketed_semi_join,
+                                           table_diff)
+        from tldr_ray.stages.text_analysis import (build_inverted_index,
+                                                   compression_ratio)
+
+        empty = rd.from_arrow(pa.table({
+            "k": pa.array([], pa.string()),
+            "id": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "sig": pa.array([], pa.int64())}))
+        one = rd.from_arrow(pa.table({
+            "k": pa.array(["a"]), "id": pa.array([1], pa.int64()),
+            "v": pa.array([2], pa.int64()),
+            "text": pa.array(["x y"]),
+            "sig": pa.array([7], pa.int64())}))
+        for make in [
+            lambda: budget_cap(empty, "k", "v", ["id"], budget=10),
+            lambda: grouped_bottomk(empty, "k", "id", k=2),
+            lambda: grouped_linear_trend(empty, "k", "id", "v"),
+            lambda: zorder_sort(empty, ["id", "v"]),
+            lambda: signature_pairs(empty, "id", "sig"),
+            lambda: bucketed_semi_join(empty, one, on="id"),
+            lambda: bucketed_semi_join(one, empty, on="id"),
+            lambda: table_diff(empty, one, "id", ["v"]),
+            lambda: table_diff(one, empty, "id", ["v"]),
+            lambda: build_inverted_index(empty, "id", "text"),
+            lambda: compression_ratio(empty, "id", "text"),
+        ]:
+            assert make().count() >= 0
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestLinearFit:

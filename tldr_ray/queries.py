@@ -226,13 +226,17 @@ def tpch_q6(sf_dir: str):
         "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
 
 
-def tpch_q3(sf_dir: str):
+def tpch_q3(sf_dir: str, broadcast_limit_rows: int = 50_000_000):
     """TPC-H Q3-shaped: segment-filtered customers broadcast as a
     semi-join key set (classic small-side broadcast; the filtered key
     list is orders-of-magnitude smaller than the fact tables), orders
-    and lineitem predicate-pruned at the read, ONE bucketed hash join
-    lineitem->orders, grouped exact cents revenue, deterministic
-    total-order top-10 (revenue desc, orderdate asc, orderkey asc)."""
+    and lineitem predicate-pruned at the read, then a SIZE-GATED join
+    strategy (the revenue_by_nation pattern): while the filtered
+    (orderkey -> orderdate) map fits one broadcast object, lineitem is
+    pruned and annotated in its own scan — no join shuffle at all;
+    past the counted gate it falls back to the bucketed hash join.
+    Grouped exact cents revenue, deterministic total-order top-10
+    (revenue desc, orderdate asc, orderkey asc)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -291,7 +295,36 @@ def tpch_q3(sf_dir: str):
                  ["l_orderkey", "l_shipdate", "l_extendedprice",
                   "l_discount"]).map_batches(lfil, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+    orders = orders.materialize()
+    if orders.count() <= broadcast_limit_rows:
+        parts = list(orders.iter_batches(batch_format="pyarrow"))
+        ok = (np.concatenate([np.asarray(b["l_orderkey"], np.int64)
+                              for b in parts]) if parts
+              else np.array([], np.int64))
+        od = (np.concatenate([np.asarray(b["orderdate_us"], np.int64)
+                              for b in parts]) if parts
+              else np.array([], np.int64))
+        oo = np.argsort(ok)
+        omref = ray.put((ok[oo], od[oo]))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            ks, ds_ = ray.get(omref)
+            lk = np.asarray(batch["l_orderkey"], dtype=np.int64)
+            if ks.size:
+                pos = np.clip(np.searchsorted(ks, lk), 0, ks.size - 1)
+                m = ks[pos] == lk
+            else:
+                m = np.zeros(lk.shape, bool)
+                pos = np.zeros(lk.shape, np.int64)
+            return pa.table({
+                "l_orderkey": pa.array(lk[m]),
+                "orderdate_us": pa.array(ds_[pos[m]]),
+                "revenue_cents": pa.array(
+                    np.asarray(batch["revenue_cents"], np.int64)[m])})
+
+        joined = line.map_batches(annotate, batch_format="pyarrow")
+    else:
+        joined = bucketed_hash_join(line, orders, on="l_orderkey")
     agg = (joined.groupby(["l_orderkey", "orderdate_us"])
            .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
     top = (agg.sort(["revenue_cents", "orderdate_us", "l_orderkey"],
