@@ -1,3 +1,4 @@
+from tldr_ray.pipelines.pretrain import prepare_pretraining_mix
 from tldr_ray.pipelines.summarize import (
     summarize_transcripts,
     summarize_documents,
@@ -5,6 +6,7 @@ from tldr_ray.pipelines.summarize import (
 )
 
 __all__ = [
+    "prepare_pretraining_mix",
     "summarize_transcripts",
     "summarize_documents",
     "assemble_documents",

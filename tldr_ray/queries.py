@@ -6244,3 +6244,20 @@ def _coloring_oracle_sql(rounds: int = _COLOR_ROUNDS,
 
 QUERIES["coloring_hashgraph"] = coloring_hashgraph
 ORACLE_SQL["coloring_hashgraph"] = _coloring_oracle_sql()
+
+
+def pretraining_mix_pipeline(sf_dir: str):
+    """Composed pretraining-mix preparation
+    (pipelines.prepare_pretraining_mix): normalize -> per-language
+    median quality gate -> per-language token budget (longest first)
+    -> deterministic token-budget shard packing. Rows-only by nature
+    (composed pipeline); the pytest oracle pins monotone stage counts
+    and the packing invariants."""
+    from tldr_ray.pipelines import prepare_pretraining_mix
+
+    packed, _ = prepare_pretraining_mix(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]))
+    return packed
+
+
+QUERIES["pretraining_mix_pipeline"] = pretraining_mix_pipeline
