@@ -6261,3 +6261,92 @@ def pretraining_mix_pipeline(sf_dir: str):
 
 
 QUERIES["pretraining_mix_pipeline"] = pretraining_mix_pipeline
+
+
+def events_value_mad_outliers(sf_dir: str):
+    """Per-type MAD (median-absolute-deviation) outliers
+    (stages.agg.mad_outliers, k=3): two grouped discrete-quantile
+    passes, per-row IEEE deviations mirrored op-for-op — the robust
+    twin of the IQR filter, hash-checked incl. the float predicate."""
+    from tldr_ray.stages.agg import mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", k=3.0)
+
+
+QUERIES["events_value_mad_outliers"] = events_value_mad_outliers
+ORACLE_SQL["events_value_mad_outliers"] = """
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS m
+        FROM events GROUP BY event_type),
+    mad AS (
+        SELECT e.event_type,
+               quantile_disc(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med ON med.event_type = e.event_type
+        GROUP BY e.event_type),
+    t AS (SELECT med.event_type, med.m, mad.d
+          FROM med JOIN mad ON mad.event_type = med.event_type)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN t ON t.event_type = e.event_type
+    WHERE abs(e.value - t.m) > 3.0 * t.d
+"""
+
+
+def daily_new_users(sf_dir: str):
+    """Cumulative-adoption curve: per day, how many users appeared
+    that day for the FIRST time plus the running total so far. First
+    seen = one grouped Min over day buckets (per-batch pre-combined);
+    the day table is tiny, so the cumulative sum is a driver-side
+    exact-integer scan over O(days) rows."""
+    from ray.data.aggregate import Min
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))
+        day = (ts // np.int64(86_400_000_000)) \
+            * np.int64(86_400_000_000)
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        first = np.full(u.size, np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, day)
+        return pa.table({"user_id": pa.array(u),
+                         "first_day_us": pa.array(first)})
+
+    per_user = (_read(sf_dir, "events", ["user_id", "ts"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Min("first_day_us",
+                               alias_name="first_day_us")))
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        d, c = np.unique(np.asarray(batch["first_day_us"], np.int64),
+                         return_counts=True)
+        return pa.table({"day_us": pa.array(d),
+                         "new_users": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    daily = (per_user.map_batches(cnt, batch_format="pyarrow")
+             .groupby("day_us")
+             .aggregate(Sum("new_users", alias_name="new_users"))
+             .to_pandas().sort_values("day_us").reset_index(drop=True))
+    daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
+    daily["day_us"] = daily["day_us"].astype(np.int64)
+    daily["new_users"] = daily["new_users"].astype(np.int64)
+    return pa.Table.from_pandas(daily, preserve_index=False)
+
+
+QUERIES["daily_new_users"] = daily_new_users
+ORACLE_SQL["daily_new_users"] = """
+    WITH f AS (
+        SELECT user_id,
+               min((epoch_us(ts) // 86400000000) * 86400000000)
+                   AS day_us
+        FROM events GROUP BY user_id),
+    d AS (SELECT day_us, CAST(count(*) AS BIGINT) AS new_users
+          FROM f GROUP BY day_us)
+    SELECT day_us, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day_us
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d
+"""

@@ -722,3 +722,46 @@ def kmv_overlap_estimate(a_ds, b_ds, key_a: str, key_b: str,
     return {"n_common": c, "k_eff": keff,
             "kth_min": int(np.int64(M.view(np.int64))),
             "inter_frac": c / keff}
+
+
+def mad_outliers(ds, key: str, value: str, k: float = 3.0,
+                 num_parts: int = 64):
+    """Per-group robust outliers by Median Absolute Deviation: keep
+    rows with |x - median| > k * MAD, where both the median and
+    MAD = median(|x - median|) are DISCRETE grouped quantiles (actual
+    elements — hash-stable), computed in two coarse-shuffle passes;
+    the per-row deviation and the k*MAD threshold are single IEEE ops
+    mirrored op-for-op in SQL. The robust twin of ``iqr_outliers``
+    (50% breakdown point vs 25%)."""
+    import ray
+
+    med = grouped_quantiles(ds.select_columns([key, value]),
+                            key, value, qs=(0.5,),
+                            num_parts=num_parts).to_pandas()
+    keys = np.sort(med[key].to_numpy(object))
+    meds = med.set_index(key)["p50"].loc[keys].to_numpy(np.float64)
+    mref = ray.put((keys, meds))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        ks, ms = ray.get(mref)
+        kv = np.asarray(batch[key])
+        xv = np.asarray(batch[value], dtype=np.float64)
+        d = np.abs(xv - ms[np.searchsorted(ks, kv)])
+        return pa.table({key: batch[key], "absdev": pa.array(d)})
+
+    mad = grouped_quantiles(
+        ds.select_columns([key, value])
+        .map_batches(dev, batch_format="pyarrow"),
+        key, "absdev", qs=(0.5,), num_parts=num_parts).to_pandas()
+    mads = mad.set_index(key)["p50"].loc[keys].to_numpy(np.float64)
+    tref = ray.put((keys, meds, mads))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks, ms, ds_ = ray.get(tref)
+        kv = np.asarray(batch[key])
+        xv = np.asarray(batch[value], dtype=np.float64)
+        pos = np.searchsorted(ks, kv)
+        m = np.abs(xv - ms[pos]) > k * ds_[pos]
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
