@@ -6350,3 +6350,119 @@ ORACLE_SQL["daily_new_users"] = """
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
     FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: co-purchased part pairs + confidence
+# ---------------------------------------------------------------------------
+
+def copurchase_pairs(sf_dir: str):
+    """Association mining over order baskets: distinct part pairs
+    co-occurring in an order (the apriori level-2 itemsets), with
+    support and directed confidence n_ab / n_a — one IEEE division of
+    exact integers. Baskets pre-combine per batch to distinct
+    (order, part) pairs; the pair expansion runs inside coarse order
+    partitions (the events_cooccurrence shape) so the shuffle moves
+    pairs, never baskets; the part-support map is vocabulary-sized and
+    broadcasts. Top-100 by (support desc, a, b)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def op_pairs(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        pk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        key = np.unique(ok * np.int64(1) * np.int64(1 << 21) + pk)
+        return pa.table({
+            "o": pa.array(key >> np.int64(21)),
+            "p": pa.array(key & np.int64((1 << 21) - 1)),
+            "part": pa.array((vhash(key >> np.int64(21)) % NP)
+                             .astype(np.int32))})
+
+    op = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+          .map_batches(op_pairs, batch_format="pyarrow"))
+
+    def pair_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o", "p"])
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        # drop duplicate (o, p) across batches
+        keep = np.concatenate([[True],
+                               (o[1:] != o[:-1]) | (p[1:] != p[:-1])])
+        o, p = o[keep], p[keep]
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [o.size]]))
+        ia, ib = [], []
+        for st, k in zip(starts.tolist(), sizes.tolist()):
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+        if not ia:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        df = pd.DataFrame({"a": p[ia], "b": p[ib]})
+        out = df.groupby(["a", "b"], sort=False).size().reset_index()
+        out.columns = ["a", "b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = (op.groupby("part")
+             .map_groups(pair_part, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")))
+
+    def supp_part(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["p"], dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"p": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    # global (o, p) distinct first — per-batch dedup cannot kill
+    # cross-batch duplicates, and inflated supports skew confidence
+    supp = (op.groupby(["o", "p"]).count().select_columns(["o", "p"])
+            .map_batches(supp_part, batch_format="pyarrow")
+            .groupby("p").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    sp = np.sort(supp["p"].to_numpy(np.int64))
+    sn = supp.set_index("p")["n"].loc[sp].to_numpy(np.int64)
+    sref = ray.put((sp, sn))
+
+    def conf(batch: pa.Table) -> pa.Table:
+        ks, ns = ray.get(sref)
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        na = ns[np.searchsorted(ks, a)]
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b), "n": pa.array(n),
+            "conf_a_to_b": pa.array(n.astype(np.float64)
+                                    / na.astype(np.float64))})
+
+    return (pairs.map_batches(conf, batch_format="pyarrow")
+            .sort(["n", "a", "b"], descending=[True, False, False])
+            .limit(100))
+
+
+QUERIES["copurchase_pairs"] = copurchase_pairs
+ORACLE_SQL["copurchase_pairs"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    supp AS (SELECT p, CAST(count(*) AS BIGINT) AS n
+             FROM op GROUP BY p),
+    pr AS (
+        SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n
+        FROM op x JOIN op y ON y.o = x.o AND y.p > x.p
+        GROUP BY x.p, y.p)
+    SELECT pr.a, pr.b, pr.n,
+           CAST(pr.n AS DOUBLE) / CAST(sa.n AS DOUBLE) AS conf_a_to_b
+    FROM pr JOIN supp sa ON sa.p = pr.a
+    ORDER BY pr.n DESC, pr.a ASC, pr.b ASC LIMIT 100
+"""
