@@ -6466,3 +6466,53 @@ ORACLE_SQL["copurchase_pairs"] = """
     FROM pr JOIN supp sa ON sa.p = pr.a
     ORDER BY pr.n DESC, pr.a ASC, pr.b ASC LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution, end-to-end hash-checked
+# ---------------------------------------------------------------------------
+
+def dup_clusters_docs(sf_dir: str):
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the MinHash-LSH pair set (threshold 0.5 — the
+    minhash_dedup_docs parameters), cluster id = component minimum
+    (stages.dedup.resolve_clusters: counted size-gated union-find <->
+    distributed min-label CC, equal fixpoints). The mirror replays the
+    full 64-permutation MinHash pipeline in SQL and resolves
+    components with a recursive min-reachability CTE — so the whole
+    dedup-resolution path is hash-checked end to end."""
+    from tldr_ray.stages.dedup import minhash_lsh_pairs, resolve_clusters
+
+    pairs = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    df = resolve_clusters(pairs)
+    df = df.rename(columns={"id": "doc_id"})
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["cluster_id"] = df["cluster_id"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    return ("WITH RECURSIVE " + _minhash64_base_cte().split("WITH", 1)[1]
+            + f""",
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {threshold}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS t FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.t, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    )
+    SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+""")
+
+
+QUERIES["dup_clusters_docs"] = dup_clusters_docs
+ORACLE_SQL["dup_clusters_docs"] = _dup_clusters_oracle_sql()
