@@ -6516,3 +6516,146 @@ def _dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
 
 QUERIES["dup_clusters_docs"] = dup_clusters_docs
 ORACLE_SQL["dup_clusters_docs"] = _dup_clusters_oracle_sql()
+
+
+def lang_vocab_richness(sf_dir: str):
+    """Type-token ratio per language (lexical-diversity signal for
+    corpus balance audits): distinct tokens / total tokens, both exact
+    integers from the two-level distinct pattern, ratio = one IEEE
+    division. Token shuffle moves distinct (lang, token) pairs after
+    per-batch dedup — never tokens."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def toks(batch: pa.Table):
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(t)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(t.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        lang = np.asarray(batch["lang"], dtype=object)[doc_of[keep]]
+        return lang, np.asarray(flat)[keep]
+
+    def totals(batch: pa.Table) -> pa.Table:
+        lang, _ = toks(batch)
+        u, c = np.unique(lang, return_counts=True)
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "n_tokens": pa.array(c.astype(np.int64))})
+
+    tot = (docs.map_batches(totals, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n_tokens",
+                                          alias_name="n_tokens")))
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        lang, w = toks(batch)
+        key = pd.MultiIndex.from_arrays([lang, w])
+        u = np.unique(key)
+        return pa.table({
+            "lang": pa.array([k[0] for k in u], pa.string()),
+            "w": pa.array([k[1] for k in u], pa.string())})
+
+    def vocab_count(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(batch["lang"]), return_counts=True)
+        return pa.table({"lang": pa.array(u.tolist(), pa.string()),
+                         "n_types": pa.array(c.astype(np.int64))})
+
+    voc = (docs.map_batches(distinct_pairs, batch_format="pyarrow")
+           .groupby(["lang", "w"]).count().select_columns(["lang", "w"])
+           .map_batches(vocab_count, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n_types",
+                                          alias_name="n_types")))
+
+    t = tot.to_pandas().merge(voc.to_pandas(), on="lang")
+    t["type_token_ratio"] = t["n_types"].to_numpy(np.float64) \
+        / t["n_tokens"].to_numpy(np.float64)
+    for c in ("n_tokens", "n_types"):
+        t[c] = t[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        t[["lang", "n_tokens", "n_types", "type_token_ratio"]],
+        preserve_index=False)
+
+
+QUERIES["lang_vocab_richness"] = lang_vocab_richness
+ORACLE_SQL["lang_vocab_richness"] = """
+    WITH t AS (
+        SELECT lang, w FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+        WHERE w != '')
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT w) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS type_token_ratio
+    FROM t GROUP BY lang
+"""
+
+
+def reciprocity_hashgraph(sf_dir: str):
+    """Directed-graph reciprocity: the share of distinct directed
+    edges whose reverse also exists — exact integer counts (distinct
+    directed edges vs mutual edges via one composite-key membership
+    probe), one IEEE division. The canonical directed-structure audit
+    (link graphs: how much of the web links back)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = _hash_graph_edges(sf_dir)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        N = np.int64(1 << 21)
+        key = np.unique(s * N + d)
+        return pa.table({"key": pa.array(key)})
+
+    distinct = edges.map_batches(dedup, batch_format="pyarrow") \
+        .groupby("key").count().select_columns(["key"]).materialize()
+    keys = np.sort(distinct.to_pandas()["key"].to_numpy(np.int64))
+    kref = ray.put(keys)
+    N = np.int64(1 << 21)
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        k = np.asarray(batch["key"], dtype=np.int64)
+        rev = (k % N) * N + (k // N)
+        pos = np.clip(np.searchsorted(ks, rev), 0, max(ks.size - 1, 0))
+        m = ks.size > 0
+        hit = (ks[pos] == rev) if m else np.zeros(k.shape, bool)
+        return pa.table({
+            "n_mutual": pa.array(np.array([int(hit.sum())], np.int64)),
+            "n_edges": pa.array(np.array([k.size], np.int64))})
+
+    agg = distinct.map_batches(mutual, batch_format="pyarrow") \
+        .aggregate(Sum("n_mutual", alias_name="n_mutual"),
+                   Sum("n_edges", alias_name="n_edges"))
+    nm, ne = int(agg["n_mutual"]), int(agg["n_edges"])
+    return pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "n_mutual": pa.array([nm], pa.int64()),
+        "reciprocity": pa.array([nm / ne], pa.float64())})
+
+
+QUERIES["reciprocity_hashgraph"] = reciprocity_hashgraph
+ORACLE_SQL["reciprocity_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    e AS (SELECT DISTINCT s, t FROM raw2)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                      WHERE r.s = e.t AND r.t = e.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                      WHERE r.s = e.t AND r.t = e.s)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS reciprocity
+    FROM e
+"""
