@@ -413,7 +413,10 @@ if __name__ == "__main__":
                  "eigencentrality_hashgraph", "hits_hashgraph",
                  "events_value_ntile", "user_decayed_activity",
                  "maximal_matching_hashgraph", "mis_hashgraph",
-                 "coloring_hashgraph"]
+                 "coloring_hashgraph", "events_value_mad_outliers",
+                 "daily_new_users", "copurchase_pairs",
+                 "dup_clusters_docs", "lang_vocab_richness",
+                 "reciprocity_hashgraph", "pretraining_mix_pipeline"]
         qsec = {}
         try:
             for n in names:
