@@ -1699,3 +1699,23 @@ class TestNode2vecWalks:
             .groupby("start")["vertex"].apply(list).to_dict()
         for s in adj:
             assert got[s] == seq_walk(s, 3), f"start {s}"
+
+
+class TestCompaction:
+    def test_compact_many_small_files(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from tldr_ray.sinks import compact_parquet
+
+        d = tmp_path / "tbl"
+        d.mkdir()
+        for i in range(12):
+            pq.write_table(pa.table({
+                "k": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+                str(d / f"f{i:02d}.parquet"))
+        rep = compact_parquet(str(d), target_rows_per_file=60)
+        assert rep["files_before"] == 12
+        assert rep["rows"] == 120
+        assert rep["files_after"] <= 3
+        back = rd.read_parquet(str(d)).to_pandas()["k"]
+        assert sorted(back.tolist()) == list(range(120))

