@@ -6659,3 +6659,87 @@ ORACLE_SQL["reciprocity_hashgraph"] = f"""
                / CAST(count(*) AS DOUBLE) AS reciprocity
     FROM e
 """
+
+
+def lang_simpson_diversity(sf_dir: str):
+    """Simpson diversity index per language — the entropy-free
+    lexical-concentration metric: D = sum n_w(n_w-1) / (N(N-1)) over
+    token counts (the probability two random tokens coincide). Both
+    moments are exact integers from one grouped (lang, token) count,
+    the index is ONE IEEE division — no logarithms anywhere, so the
+    float hash-matches SQL."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(t)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(t.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        lang = np.asarray(batch["lang"], dtype=object)[doc_of[keep]]
+        w = np.asarray(flat)[keep]
+        key = pd.MultiIndex.from_arrays([lang, w])
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array([k[0] for k in u], pa.string()),
+            "w": pa.array([k[1] for k in u], pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    per_token = (docs.map_batches(pairs, batch_format="pyarrow")
+                 .groupby(["lang", "w"])
+                 .aggregate(Sum("n", alias_name="n")))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"], dtype=object)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        u, inv = np.unique(lang, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(u.tolist(), pa.string()),
+            "coincide": pa.array(np.bincount(
+                inv, weights=n * (n - 1)).astype(np.int64)),
+            "total": pa.array(np.bincount(inv, weights=n)
+                              .astype(np.int64))})
+
+    agg = (per_token.map_batches(moments, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("coincide", alias_name="coincide"),
+                      Sum("total", alias_name="total"))
+           .to_pandas())
+    co = agg["coincide"].to_numpy(np.int64)
+    tot = agg["total"].to_numpy(np.int64)
+    agg["simpson"] = co.astype(np.float64) \
+        / (tot * (tot - 1)).astype(np.float64)
+    for c in ("coincide", "total"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["lang", "total", "coincide", "simpson"]],
+        preserve_index=False)
+
+
+QUERIES["lang_simpson_diversity"] = lang_simpson_diversity
+ORACLE_SQL["lang_simpson_diversity"] = """
+    WITH t AS (
+        SELECT lang, w FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+        WHERE w != ''),
+    c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY lang, w)
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(sum(n * (n - 1)) AS BIGINT) AS coincide,
+           CAST(sum(n * (n - 1)) AS DOUBLE)
+               / CAST(sum(n) * (sum(n) - 1) AS DOUBLE) AS simpson
+    FROM c GROUP BY lang
+"""
