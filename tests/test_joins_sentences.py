@@ -335,3 +335,29 @@ class TestTableDiff:
         out = table_diff(old, new, "k", ["v"]).to_pandas()
         got = sorted(map(tuple, out.to_numpy().tolist()))
         assert got == [(1, "removed"), (3, "changed"), (5, "added")]
+
+
+class TestForwardAsof:
+    def test_earliest_at_or_after_with_ties(self):
+        import ray.data as rd
+        import pyarrow as pa
+        from tldr_ray.stages.joins import asof_join_forward
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "lts": pa.array([10, 25, 5], pa.int64()),
+            "lid": pa.array([100, 101, 102], pa.int64())}))
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rts": pa.array([12, 12, 30, 3], pa.int64()),
+            "rid": pa.array([7, 9, 8, 5], pa.int64())}))
+        out = asof_join_forward(left, right, on="k", left_ts="lts",
+                                right_ts="rts", tiebreak="rid") \
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        # lid 100 @10 -> earliest rts>=10 is 12 (tie -> max rid = 9)
+        # lid 101 @25 -> rts 30, rid 8; lid 102 @5 -> no rts>=5 for
+        # k=2 except 3 < 5 -> dropped (inner)
+        assert out["lid"].tolist() == [100, 101]
+        assert out["rid"].tolist() == [9, 8]
+        assert out["rts"].tolist() == [12, 30]
+        assert out["lts"].tolist() == [10, 25]

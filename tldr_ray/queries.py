@@ -6743,3 +6743,53 @@ ORACLE_SQL["lang_simpson_diversity"] = """
                / CAST(sum(n) * (sum(n) - 1) AS DOUBLE) AS simpson
     FROM c GROUP BY lang
 """
+
+
+def orders_next_event_asof(sf_dir: str):
+    """FORWARD as-of join (stages.joins.asof_join_forward): each order
+    matched to the customer's EARLIEST event at or after the order
+    date (time-to-first-activity attribution; ties on timestamp ->
+    max event_id). Timestamp negation reuses the proven backward
+    rank-composite machinery; timestamps emit as int64
+    microseconds."""
+    from tldr_ray.stages.joins import asof_join_forward
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "user_id", "o_orderdate"]),
+            batch_format="pyarrow")
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = asof_join_forward(orders, events, on="user_id",
+                            left_ts="o_orderdate", right_ts="ts",
+                            tiebreak="event_id")
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("o_orderkey", "user_id", "o_orderdate", "ts",
+                  "event_id"):
+            batch[c] = batch[c].astype(np.int64)
+        batch = batch.rename(columns={"o_orderdate": "orderdate_us",
+                                      "ts": "event_ts_us"})
+        return batch[["o_orderkey", "user_id", "orderdate_us",
+                      "event_id", "event_ts_us"]]
+
+    return out.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["orders_next_event_asof"] = orders_next_event_asof
+ORACLE_SQL["orders_next_event_asof"] = """
+    WITH j AS (
+        SELECT o.o_orderkey, o.o_custkey AS user_id,
+               CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+               e.event_id,
+               CAST(epoch_us(e.ts) AS BIGINT) AS event_ts_us,
+               row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        FROM orders o
+        JOIN events e
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT o_orderkey, user_id, orderdate_us, event_id, event_ts_us
+    FROM j WHERE rn = 1
+"""

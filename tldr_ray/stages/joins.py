@@ -532,3 +532,42 @@ def table_diff(old, new, key_col: str, value_cols: list[str],
 
     return both.groupby("__bucket").map_groups(diff_bucket,
                                                batch_format="pandas")
+
+
+def asof_join_forward(left, right, on: str, left_ts: str,
+                      right_ts: str, tiebreak: str,
+                      num_buckets: int = 64, how: str = "inner",
+                      suffixes=("_l", "_r")):
+    """Forward as-of join: for each left row, the single right row with
+    the same key and the SMALLEST ``right_ts`` >= ``left_ts`` (ties
+    still resolve to the max ``tiebreak`` — deterministic). Implemented
+    by int64 timestamp NEGATION over the backward machinery (order
+    reverses exactly; the tie contract is unaffected because ties are
+    equal-ts rows on the same key). Both ts columns come back as
+    negated-then-restored int64 microseconds — callers needing Arrow
+    timestamps cast on the way out."""
+    def neg(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch[col].cast(pa.int64()))
+            i = batch.schema.get_field_index(col)
+            return batch.set_column(i, col, pa.array(-v))
+        return fn
+
+    out = asof_join(left.map_batches(neg(left_ts),
+                                     batch_format="pyarrow"),
+                    right.map_batches(neg(right_ts),
+                                      batch_format="pyarrow"),
+                    on=on, left_ts=left_ts, right_ts=right_ts,
+                    tiebreak=tiebreak, num_buckets=num_buckets,
+                    how=how, suffixes=suffixes)
+
+    def unneg(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in {left_ts, right_ts}:
+            if c in batch.columns:
+                v = batch[c].to_numpy()
+                if v.dtype.kind == "M":
+                    v = v.astype("datetime64[us]").view(np.int64)
+                batch[c] = -v.astype(np.int64)
+        return batch
+
+    return out.map_batches(unneg, batch_format="pandas")
