@@ -6793,3 +6793,57 @@ ORACLE_SQL["orders_next_event_asof"] = """
     SELECT o_orderkey, user_id, orderdate_us, event_id, event_ts_us
     FROM j WHERE rn = 1
 """
+
+
+def user_event_gap_median(sf_dir: str):
+    """Median inter-event gap per user (engagement-cadence signal):
+    per-user ordered time deltas from the shared row_window sweep
+    (-1 first-row sentinels dropped), then one grouped DISCRETE
+    quantile — all exact integers end to end."""
+    from tldr_ray.stages.agg import grouped_quantiles
+    from tldr_ray.stages.windows import row_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64())})
+
+    w = row_window(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts_us", "event_id"], delta_col="ts_us")
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["delta_ts_us"], dtype=np.int64)
+        m = d >= 0                      # drop first-in-partition rows
+        return pa.table({
+            "user_id": batch["user_id"].filter(pa.array(m))
+            .cast(pa.int64()),
+            "gap_us": pa.array(d[m])})
+
+    out = grouped_quantiles(
+        w.map_batches(gaps, batch_format="pyarrow"),
+        "user_id", "gap_us", qs=(0.5,))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "median_gap_us": batch["p50"].cast(pa.int64())})
+
+    return out.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["user_event_gap_median"] = user_event_gap_median
+ORACLE_SQL["user_event_gap_median"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events)
+    SELECT user_id,
+           CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""
