@@ -6847,3 +6847,81 @@ ORACLE_SQL["user_event_gap_median"] = """
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id
 """
+
+
+def revenue_pareto_top_decile(sf_dir: str):
+    """Revenue concentration (the 80/20 audit): the share of total
+    lineitem revenue attributable to the top 10% of customers by
+    revenue. Per-customer cents via the orders broadcast map idiom +
+    one grouped sum; the top decile is an exact-integer count
+    (ceil(n/10)) over a deterministic total order (revenue desc,
+    custkey asc); the share is ONE IEEE division of exact ints."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    ok = np.asarray(orders["o_orderkey"], dtype=np.int64)
+    ck = np.asarray(orders["o_custkey"], dtype=np.int64)
+    oo = np.argsort(ok)
+    mref = ray.put((ok[oo], ck[oo]))
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ks, cs = ray.get(mref)
+        lk = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        cust = cs[np.searchsorted(ks, lk)]
+        cents = _cents(px * (1.0 - disc))
+        u, inv = np.unique(cust, return_inverse=True)
+        return pa.table({
+            "c_custkey": pa.array(u),
+            "revenue_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64))})
+
+    per_cust = (_read(sf_dir, "lineitem",
+                      ["l_orderkey", "l_extendedprice", "l_discount"])
+                .map_batches(rev, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("revenue_cents",
+                               alias_name="revenue_cents"))
+                .materialize())
+    n = per_cust.count()
+    k = -(-n // 10)                          # ceil(n/10)
+    top = (per_cust.sort(["revenue_cents", "c_custkey"],
+                         descending=[True, False])
+           .limit(int(k)))
+    top_cents = int(top.sum("revenue_cents"))
+    total_cents = int(per_cust.sum("revenue_cents"))
+    return pa.table({
+        "n_customers": pa.array([int(n)], pa.int64()),
+        "top_n": pa.array([int(k)], pa.int64()),
+        "top_cents": pa.array([top_cents], pa.int64()),
+        "total_cents": pa.array([total_cents], pa.int64()),
+        "share": pa.array([top_cents / total_cents], pa.float64())})
+
+
+QUERIES["revenue_pareto_top_decile"] = revenue_pareto_top_decile
+ORACLE_SQL["revenue_pareto_top_decile"] = """
+    WITH r AS (
+        SELECT o.o_custkey AS c_custkey,
+               CAST(sum(CAST(floor(l.l_extendedprice
+                                   * (1.0 - l.l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey),
+    k AS (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS n FROM r),
+    top AS (
+        SELECT CAST(sum(revenue_cents) AS BIGINT) AS tc FROM (
+            SELECT revenue_cents,
+                   row_number() OVER (ORDER BY revenue_cents DESC,
+                                      c_custkey ASC) AS rn
+            FROM r) x, k WHERE x.rn <= k.v),
+    tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS c FROM r)
+    SELECT k.n AS n_customers, k.v AS top_n, top.tc AS top_cents,
+           tot.c AS total_cents,
+           CAST(top.tc AS DOUBLE) / CAST(tot.c AS DOUBLE) AS share
+    FROM k, top, tot
+"""
