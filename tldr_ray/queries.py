@@ -6925,3 +6925,71 @@ ORACLE_SQL["revenue_pareto_top_decile"] = """
            CAST(top.tc AS DOUBLE) / CAST(tot.c AS DOUBLE) AS share
     FROM k, top, tot
 """
+
+
+def source_quality_audit(sf_dir: str):
+    """Per-source quality audit over the documents' ``source`` column:
+    the share of each source's documents scoring at or above the
+    GLOBAL discrete median quality — the drift monitor a curation
+    pipeline alarms on. Counts are exact integers; the share is one
+    IEEE division; the median is an actual element (grouped_quantiles
+    on a constant key), so everything hash-checks."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.agg import grouped_quantiles
+    from tldr_ray.stages.text_analysis import quality_scores
+
+    scored = quality_scores(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        concurrency=2).materialize()
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(np.zeros(len(batch), np.int64)),
+            "quality_score": batch["quality_score"]})
+
+    med = grouped_quantiles(
+        scored.map_batches(const_key, batch_format="pyarrow"),
+        "k", "quality_score", qs=(0.5,)).to_pandas()["p50"].iloc[0]
+
+    def counts(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"], dtype=object)
+        q = np.asarray(batch["quality_score"], dtype=np.float64)
+        u, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(u.tolist(), pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_above": pa.array(np.bincount(
+                inv, weights=(q >= med)).astype(np.int64))})
+
+    agg = (scored.map_batches(counts, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_above", alias_name="n_above"))
+           .to_pandas())
+    agg["share_above_median"] = \
+        agg["n_above"].to_numpy(np.float64) \
+        / agg["n_docs"].to_numpy(np.float64)
+    for c in ("n_docs", "n_above"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["source", "n_docs", "n_above", "share_above_median"]],
+        preserve_index=False)
+
+
+QUERIES["source_quality_audit"] = source_quality_audit
+ORACLE_SQL["source_quality_audit"] = f"""
+    WITH q AS ({_quality_scores_oracle_sql()}),
+    d AS (SELECT doc.source, q.quality_score
+          FROM q JOIN documents doc ON doc.doc_id = q.doc_id),
+    m AS (SELECT quantile_disc(quality_score, 0.5) AS med FROM d)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.quality_score >= m.med
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN d.quality_score >= m.med
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS share_above_median
+    FROM d CROSS JOIN m
+    GROUP BY d.source
+"""
