@@ -6993,3 +6993,62 @@ ORACLE_SQL["source_quality_audit"] = f"""
     FROM d CROSS JOIN m
     GROUP BY d.source
 """
+
+
+def part_return_rates(sf_dir: str):
+    """Return-rate league table per part brand: returned lineitems /
+    total lineitems for every brand (exact integer counts via the
+    broadcast part-attribute map, one IEEE division), with the brand's
+    total volume for support. The product-quality audit shape."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    brands, bcode = np.unique(np.asarray(part["p_brand"], dtype=object),
+                              return_inverse=True)
+    po = np.argsort(pk)
+    mref = ray.put((pk[po], bcode.astype(np.int64)[po]))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ks, bc = ray.get(mref)
+        lk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        ret = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        b = bc[np.searchsorted(ks, lk)]
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "brand_code": pa.array(u),
+            "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_returned": pa.array(np.bincount(
+                inv, weights=ret).astype(np.int64))})
+
+    agg = (_read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby("brand_code")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("n_returned", alias_name="n_returned"))
+           .to_pandas())
+    agg["p_brand"] = brands[agg["brand_code"].to_numpy(np.int64)]
+    agg["return_rate"] = agg["n_returned"].to_numpy(np.float64) \
+        / agg["n_items"].to_numpy(np.float64)
+    for c in ("n_items", "n_returned"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["p_brand", "n_items", "n_returned", "return_rate"]],
+        preserve_index=False)
+
+
+QUERIES["part_return_rates"] = part_return_rates
+ORACLE_SQL["part_return_rates"] = """
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS return_rate
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+"""
