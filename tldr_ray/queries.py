@@ -6360,64 +6360,94 @@ def copurchase_pairs(sf_dir: str):
     """Association mining over order baskets: distinct part pairs
     co-occurring in an order (the apriori level-2 itemsets), with
     support and directed confidence n_ab / n_a — one IEEE division of
-    exact integers. Baskets pre-combine per batch to distinct
-    (order, part) pairs; the pair expansion runs inside coarse order
-    partitions (the events_cooccurrence shape) so the shuffle moves
-    pairs, never baskets; the part-support map is vocabulary-sized and
-    broadcasts. Top-100 by (support desc, a, b)."""
+    exact integers. ONE global (order, part) distinct feeds both the
+    pair sweep and the support counts; the pair expansion is fully
+    VECTORIZED inside coarse order partitions (repeat/arange over
+    segment sizes — no per-basket Python loop), so the shuffle moves
+    pairs, never baskets. Composite keys assume orderkey < 2^21 at
+    test scale (guarded). Top-100 by (support desc, a, b)."""
     import ray
     from ray.data.aggregate import Sum
 
     from tldr_ray.graph.partition import vhash
 
     NP = np.uint64(64)
+    SHIFT = np.int64(1 << 21)
 
     def op_pairs(batch: pa.Table) -> pa.Table:
         ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
         pk = np.asarray(batch["l_partkey"], dtype=np.int64)
-        key = np.unique(ok * np.int64(1) * np.int64(1 << 21) + pk)
+        if ok.size and (int(ok.max()) >= (1 << 21)
+                        or int(pk.max()) >= (1 << 21)):
+            raise ValueError("copurchase composite needs keys < 2^21; "
+                             "widen SHIFT for bigger keyspaces")
+        key = np.unique(ok * SHIFT + pk)
+        o = key >> np.int64(21)
         return pa.table({
-            "o": pa.array(key >> np.int64(21)),
-            "p": pa.array(key & np.int64((1 << 21) - 1)),
-            "part": pa.array((vhash(key >> np.int64(21)) % NP)
-                             .astype(np.int32))})
+            "o": pa.array(o),
+            "p": pa.array(key & (SHIFT - np.int64(1))),
+            "part": pa.array((vhash(o) % NP).astype(np.int32))})
 
-    op = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-          .map_batches(op_pairs, batch_format="pyarrow"))
+    distinct = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+                .map_batches(op_pairs, batch_format="pyarrow")
+                .groupby(["o", "p"]).count()
+                .select_columns(["o", "p"])
+                .map_batches(
+                    lambda t: t.append_column(
+                        "part", pa.array(
+                            (vhash(np.asarray(t["o"], np.int64)) % NP)
+                            .astype(np.int32))),
+                    batch_format="pyarrow")
+                .materialize())
 
     def pair_part(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["o", "p"])
         o = g["o"].to_numpy(np.int64)
         p = g["p"].to_numpy(np.int64)
-        # drop duplicate (o, p) across batches
-        keep = np.concatenate([[True],
-                               (o[1:] != o[:-1]) | (p[1:] != p[:-1])])
-        o, p = o[keep], p[keep]
-        new = np.concatenate([[True], o[1:] != o[:-1]])
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.concatenate([starts, [o.size]]))
-        ia, ib = [], []
-        for st, k in zip(starts.tolist(), sizes.tolist()):
-            if k < 2:
-                continue
-            ii, jj = np.triu_indices(k, 1)
-            ia.append(ii + st)
-            ib.append(jj + st)
-        if not ia:
+        n = o.size
+        if n < 2:
             return pd.DataFrame({"a": pd.array([], dtype="int64"),
                                  "b": pd.array([], dtype="int64"),
                                  "n": pd.array([], dtype="int64")})
-        ia = np.concatenate(ia)
-        ib = np.concatenate(ib)
-        df = pd.DataFrame({"a": p[ia], "b": p[ib]})
-        out = df.groupby(["a", "b"], sort=False).size().reset_index()
-        out.columns = ["a", "b", "n"]
-        out["n"] = out["n"].astype(np.int64)
-        return out
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        # vectorized all-pairs expansion: element at in-segment
+        # position i pairs with the (k-1-i) elements after it
+        pos = np.arange(n, dtype=np.int64) - starts[seg]
+        cnt = sizes[seg] - 1 - pos
+        ia = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        run_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        ib = np.arange(ia.size, dtype=np.int64) - run_start[ia] \
+            + ia + 1
+        if not ia.size:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        key = p[ia] * SHIFT + p[ib]
+        uk, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "ab": uk, "n": c.astype(np.int64),
+            "part2": (vhash(uk) % NP).astype(np.int32)})
 
-    pairs = (op.groupby("part")
+    def sum_part(group: pd.DataFrame) -> pd.DataFrame:
+        ab = group["ab"].to_numpy(np.int64)
+        n = group["n"].to_numpy(np.int64)
+        u, inv = np.unique(ab, return_inverse=True)
+        return pd.DataFrame({
+            "a": u >> np.int64(21),
+            "b": u & (SHIFT - np.int64(1)),
+            "n": np.bincount(inv, weights=n).astype(np.int64)})
+
+    # a million near-unique pairs would cost Ray's groupby-aggregate
+    # ~0.15 ms PER GROUP (measured: 174 s at sf0.1) — the coarse
+    # partition sweep does the same sum with one np.unique per
+    # partition task
+    pairs = (distinct.groupby("part")
              .map_groups(pair_part, batch_format="pandas")
-             .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")))
+             .groupby("part2")
+             .map_groups(sum_part, batch_format="pandas"))
 
     def supp_part(batch: pa.Table) -> pa.Table:
         u, c = np.unique(np.asarray(batch["p"], dtype=np.int64),
@@ -6425,10 +6455,7 @@ def copurchase_pairs(sf_dir: str):
         return pa.table({"p": pa.array(u),
                          "n": pa.array(c.astype(np.int64))})
 
-    # global (o, p) distinct first — per-batch dedup cannot kill
-    # cross-batch duplicates, and inflated supports skew confidence
-    supp = (op.groupby(["o", "p"]).count().select_columns(["o", "p"])
-            .map_batches(supp_part, batch_format="pyarrow")
+    supp = (distinct.map_batches(supp_part, batch_format="pyarrow")
             .groupby("p").aggregate(Sum("n", alias_name="n"))
             .to_pandas())
     sp = np.sort(supp["p"].to_numpy(np.int64))
