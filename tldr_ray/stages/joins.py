@@ -81,14 +81,73 @@ def _restore_ints(df: pd.DataFrame, int_cols: list[str]) -> pd.DataFrame:
     return df
 
 
+def detect_hot_keys(ds, on: str, num_buckets: int = 64,
+                    hot_factor: float = 1.0, max_hot: int = 64,
+                    candidates_per_batch: int = 8) -> list:
+    """One cheap streaming pass over the key column that surfaces keys
+    whose row count alone exceeds ``hot_factor`` × a bucket's fair
+    share (total / num_buckets) — the keys a hash-bucket exchange
+    cannot spread no matter how large ``num_buckets`` is.
+
+    Per-batch each block nominates its local top
+    ``candidates_per_batch`` values plus its row count (a key holding
+    ≥ 1/num_buckets of the corpus is a local heavy hitter in nearly
+    every block, so the nomination stream catches it); the tiny
+    candidate union is summed with one small groupby. Only
+    O(candidates_per_batch) rows per block move — never the key
+    column itself. Missing a marginal key is harmless (that bucket is
+    merely slow); a false positive only costs a few replicated rows.
+    """
+    def nominate(batch: pa.Table) -> pa.Table:
+        vc = batch[on].to_pandas().value_counts()
+        top = vc.head(candidates_per_batch)
+        k = pa.array(top.index, type=batch[on].type)
+        tot = np.zeros(len(top), np.int64)
+        if len(tot):
+            tot[0] = len(batch)
+        return pa.table({"__k": k,
+                         "__n": pa.array(top.to_numpy(np.int64)),
+                         "__tot": pa.array(tot)})
+
+    cand = (ds.select_columns([on])
+            .map_batches(nominate, batch_format="pyarrow")
+            .groupby("__k").sum(["__n", "__tot"]).to_pandas())
+    if not len(cand):
+        return []
+    total = int(cand["sum(__tot)"].sum())
+    thresh = max(1.0, hot_factor * total / num_buckets)
+    hot = cand[cand["sum(__n)"] > thresh]
+    hot = hot.sort_values("sum(__n)", ascending=False).head(max_hot)
+    return hot["__k"].tolist()
+
+
 def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
-                       how: str = "inner", suffixes=("_l", "_r")):
+                       how: str = "inner", suffixes=("_l", "_r"),
+                       skew=False, salt_buckets: int = 16):
     """Partitioned hash join of two Datasets on one key column.
 
     The two sides are aligned to a common superset schema (missing
     columns null-filled) so they can be unioned into one shuffle; each
     bucket group splits back into sides by provenance and merges with
     pandas. Column lists are captured up front — no all-null guessing.
+
+    ``skew`` — hot-KEY handling (a single Zipf-head key lands in one
+    bucket task however large ``num_buckets`` is):
+
+    - ``False`` (default): plain hash buckets.
+    - ``True``: run :func:`detect_hot_keys` over the LEFT key column
+      first (one extra cheap pass — note a *derived* left Dataset
+      re-executes its lineage for that pass; pre-``materialize()`` or
+      pass explicit keys if that lineage is expensive).
+    - a list of key values: treat exactly those as hot, no extra pass.
+
+    Hot keys take the replicate-right / salted-left path: each hot
+    LEFT row is salted across ``salt_buckets`` consecutive buckets
+    while the hot keys' RIGHT rows are replicated into all of them, so
+    every left row still sees its key's full right side exactly once.
+    Exact for ``how`` in ("inner", "left"); keys hot on the RIGHT side
+    make the replication itself the cost — this path targets the
+    fact⋈dimension shape where the hot key's right side is small.
     """
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
@@ -97,17 +156,62 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
     shared_extra = (set(lcols) & set(rcols)) - {on}
     all_cols = list(dict.fromkeys(lcols + rcols))
 
+    hot_keys = []
+    if skew is True:
+        hot_keys = detect_hot_keys(left, on, num_buckets=num_buckets)
+    elif skew:
+        hot_keys = list(skew)
+    if hot_keys and how not in ("inner", "left"):
+        raise ValueError(
+            f"skew handling supports how='inner'/'left', not {how!r}")
+    S = max(1, min(int(salt_buckets), num_buckets))
+    hot_set = tuple(hot_keys)
+
+    def _buckets(batch: pa.Table, salt: np.ndarray | None):
+        base = _hash_any(batch[on]) % np.uint64(num_buckets)
+        if not hot_set or salt is None:
+            return base.astype(np.int32), None
+        vset = pa.array(hot_set, type=batch[on].type)
+        is_hot = np.asarray(
+            pc.is_valid(pc.index_in(batch[on], value_set=vset)))
+        b = np.where(is_hot,
+                     (base + salt.astype(np.uint64))
+                     % np.uint64(num_buckets),
+                     base)
+        return b.astype(np.int32), is_hot
+
     def tag(side: str, have: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {}
             for c in all_cols:
                 cols[c] = batch[c] if c in have else pa.nulls(n)
-            cols["__bucket"] = pa.array(
-                (_hash_any(batch[on]) %
-                 np.uint64(num_buckets)).astype(np.int32))
-            cols["__side"] = pa.array([side] * n)
-            return pa.table(cols)
+            if side == "l":
+                b, _ = _buckets(batch,
+                                np.arange(n) % S if hot_set else None)
+                cols["__bucket"] = pa.array(b)
+                cols["__side"] = pa.array([side] * n)
+                return pa.table(cols)
+            # right side: cold rows once; hot rows replicated into all
+            # S salted buckets so every salted left row finds them
+            base, is_hot = _buckets(batch, np.zeros(n, np.int64))
+            t = pa.table(cols)
+            if not hot_set or not is_hot.any():
+                t = t.append_column("__bucket", pa.array(base))
+                return t.append_column("__side", pa.array([side] * n))
+            cold_i = np.flatnonzero(~is_hot)
+            hot_i = np.flatnonzero(is_hot)
+            parts, bks = [t.take(pa.array(cold_i))], [base[cold_i]]
+            hot_t = t.take(pa.array(hot_i))
+            hb = base[hot_i].astype(np.int64)
+            for j in range(S):
+                parts.append(hot_t)
+                bks.append(((hb + j) % num_buckets).astype(np.int32))
+            out = pa.concat_tables(parts)
+            out = out.append_column(
+                "__bucket", pa.array(np.concatenate(bks)))
+            return out.append_column(
+                "__side", pa.array(["r"] * len(out)))
         return fn
 
     both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
