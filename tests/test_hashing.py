@@ -103,3 +103,41 @@ class TestShingleHashesLargeTypes:
             pa.array(texts, pa.large_string()), 5)
         assert (n1 == n2).all()
         assert (h1 == h2).all()
+
+
+class TestContentHash128:
+    """Round-3 verdict item 5: the exact-dedup content identity is now a
+    vectorized two-lane 128-bit hash, not a per-row hashlib loop."""
+
+    def test_lanes_independent_and_deterministic(self):
+        from tldr_ray.hashing import content_hash128_batch
+
+        texts = ["alpha", "beta", "alpha", "", "a" * 5000, "alpha "]
+        h1, h2 = content_hash128_batch(pa.array(texts))
+        # identical texts agree on BOTH lanes
+        assert h1[0] == h1[2] and h2[0] == h2[2]
+        # distinct texts differ (on at least one lane — here both)
+        assert h1[0] != h1[1] and h2[0] != h2[1]
+        assert h1[0] != h1[5]            # trailing space matters
+        # lanes are genuinely different hash functions
+        assert (h1 != h2).any()
+        r1, r2 = content_hash128_batch(pa.array(texts))
+        assert (h1 == r1).all() and (h2 == r2).all()
+
+    def test_list_input_and_alignment(self):
+        from tldr_ray.hashing import content_hash128_batch
+
+        texts = ["doc one", "doc two", None]
+        a1, a2 = content_hash128_batch(texts)
+        # sliced column (nonzero Arrow offset) hashes identically
+        col = pa.array(["pad"] + ["doc one", "doc two", ""]).slice(1, 3)
+        b1, b2 = content_hash128_batch(col)
+        assert (a1 == b1).all() and (a2 == b2).all()
+
+    def test_no_birthday_collisions_at_batch_scale(self):
+        from tldr_ray.hashing import content_hash128_batch
+
+        texts = pa.array([f"synthetic document {i}" for i in range(20000)])
+        h1, h2 = content_hash128_batch(texts)
+        pairs = (h1.astype(np.uint64) << np.uint64(1)) ^ h2
+        assert np.unique(pairs).size == 20000

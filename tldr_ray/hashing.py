@@ -20,10 +20,14 @@ at 10^12 rows). Two kernels, picked by string shape:
   inverse of odd R, which ``cumprod``'s natural uint64 wraparound
   computes exactly).
 
-Both are key/sampling hashes, not content-identity hashes: exact dedup
-keeps its 128-bit blake2b digest (hashlib's C core is the fastest
-whole-text hash available here; only the per-row key DERIVATION was
-Python, and that is vectorized at the call site).
+``content_hash128_batch`` layers two INDEPENDENT polynomial hashes
+(different odd multipliers + finalizer salts) into an effectively
+128-bit content identity for exact dedup — O(total bytes) vectorized,
+replacing the former per-row ``hashlib.blake2b`` loop (round-3 verdict
+item 5: even a C-core digest costs ~µs/row of interpreter dispatch on a
+stage that touches every document). Non-cryptographic but 128 bits
+against non-adversarial data: birthday collision odds at 10^12 docs are
+~10^-15.
 """
 
 from __future__ import annotations
@@ -34,8 +38,10 @@ import pyarrow.compute as pc
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
-# odd multiplier (invertible mod 2^64) for the polynomial hash
+# odd multipliers (invertible mod 2^64) for the polynomial hash; the
+# second drives the independent lane of content_hash128_batch
 _POLY_R = np.uint64(0x9E3779B97F4A7C15)
+_POLY_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def string_bytes(col) -> tuple[np.ndarray, np.ndarray]:
@@ -86,7 +92,8 @@ def fnv1a_batch(col) -> np.ndarray:
     return h
 
 
-def poly_hash_batch(col) -> np.ndarray:
+def poly_hash_batch(col, r: np.uint64 = _POLY_R,
+                    salt: int = 0) -> np.ndarray:
     """uint64 polynomial rolling hash of each string: one vectorized
     pass over the whole batch buffer regardless of row length. Mixes
     the row length in at the end so prefixes don't collide trivially.
@@ -94,6 +101,7 @@ def poly_hash_batch(col) -> np.ndarray:
     Per-row value is alignment-independent: with R odd (invertible in
     Z/2^64), sum(byte_i * R^(global_i)) over a row divided by
     R^(row_start) equals sum(byte_j * R^j) over row-local positions j.
+    ``r``/``salt`` select an independent hash lane (content_hash128).
     """
     data, off = string_bytes(col)
     lens = np.diff(off)
@@ -105,14 +113,14 @@ def poly_hash_batch(col) -> np.ndarray:
         pows = np.empty(data.size, dtype=np.uint64)
         pows[0] = np.uint64(1)
         if data.size > 1:
-            pows[1:] = _POLY_R
+            pows[1:] = r
             np.cumprod(pows, out=pows)          # natural mod-2^64 wrap
         terms = (data.astype(np.uint64) + np.uint64(1)) * pows
         csum = np.concatenate([[np.uint64(0)], np.cumsum(terms)])
         seg = csum[off[1:]] - csum[off[:-1]]
         # divide out R^start: modular inverse of odd R (exact Python-int
         # pow, then vectorized square-and-multiply for R^{-start})
-        r_inv = np.uint64(pow(int(_POLY_R), -1, 1 << 64))
+        r_inv = np.uint64(pow(int(r), -1, 1 << 64))
         inv_pows = np.empty(n, dtype=np.uint64)
         base = off[:-1]
         inv_pows[:] = np.uint64(1)
@@ -124,11 +132,26 @@ def poly_hash_batch(col) -> np.ndarray:
             e >>= np.uint64(1)
             b *= b
         out = seg * inv_pows
-    # finalize: mix in the length (splitmix64-style avalanche)
-    x = out ^ (lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD))
+    # finalize: mix in the length + lane salt (splitmix64-style avalanche)
+    x = out ^ (lens.astype(np.uint64) * np.uint64(0xFF51AFD7ED558CCD)) \
+        ^ np.uint64(salt)
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return x ^ (x >> np.uint64(31))
+
+
+def content_hash128_batch(col) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 lanes — an effectively 128-bit content identity
+    per string, fully vectorized (two O(total bytes) passes, zero
+    per-row Python). The lanes use different odd multipliers AND
+    different finalizer salts, so a collision requires two independent
+    64-bit polynomial hashes to collide simultaneously."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array([t or "" for t in col], pa.string())
+    return (poly_hash_batch(col),
+            poly_hash_batch(col, r=_POLY_R2, salt=0x5851F42D4C957F2D))
 
 
 def part_key(col, num_parts: int, kind: str = "short") -> np.ndarray:

@@ -20,9 +20,18 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Projected parquet read with an explicit metadata-free schema —
+    the pandas metadata in the driver's files makes pyarrow-16 schemas
+    unhashable, which spams Ray's schema-dedup warning and disables its
+    fast path (round-3 verdict item 6); stripping via the ``schema``
+    argument keeps the pure-read plan (metadata count() stays free)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from tldr_ray.sources.tabular import hashable_parquet_schema
+
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           schema=hashable_parquet_schema(path, columns))
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -442,14 +451,10 @@ def revenue_by_nation(sf_dir: str, broadcast_limit_rows: int = 50_000_000):
 
         named = ds.map_batches(Lookup, batch_format="pyarrow", concurrency=2)
     else:
-        import ray.data as rd
-
         from tldr_ray.stages.joins import bucketed_hash_join
 
-        orders_ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                                    columns=["o_orderkey", "o_custkey"])
-        cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                                  columns=["c_custkey", "c_nationkey"])
+        orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         j1 = bucketed_hash_join(ds, orders_ds, on="o_orderkey") \
             .map_batches(lambda t: t.select(["revenue_cents", "o_custkey"])
                          .rename_columns(["revenue_cents", "c_custkey"]),

@@ -13,6 +13,8 @@ formats produce identical Datasets for the same logical table.
 
 from __future__ import annotations
 
+import os
+
 import ray.data as rd
 
 _READERS = {
@@ -20,6 +22,36 @@ _READERS = {
     "csv": rd.read_csv,
     "json": rd.read_json,       # newline-delimited JSON
 }
+
+
+def hashable_parquet_schema(path: str, columns=None):
+    """Metadata-free (projected) schema for a parquet file or directory.
+
+    pandas-written parquet carries a ``b'pandas'`` schema-metadata dict,
+    and pyarrow-16 schemas WITH metadata are unhashable — Ray's
+    schema-dedup then logs ``Failed to hash the schemas (for
+    deduplication)`` on every unify and falls back to its slow path
+    (round-3 verdict item 6). Passing an explicit stripped schema to
+    ``read_parquet`` keeps blocks metadata-free while PRESERVING the
+    pure-read plan (metadata ``count()`` fast path, unlike a strip
+    ``map_batches``). Returns None when the schema can't be determined
+    (caller falls back to inference)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            import pyarrow.dataset as pads
+
+            full = pads.dataset(path, format="parquet").schema
+        else:
+            full = pq.read_schema(path)
+        full = full.remove_metadata()
+        if columns:
+            full = pa.schema([full.field(c) for c in columns])
+        return full
+    except Exception:
+        return None
 
 
 def read_table(path: str, format: str = "parquet",
@@ -37,6 +69,10 @@ def read_table(path: str, format: str = "parquet",
         raise ValueError(
             f"format must be one of {sorted(_READERS)}: {format!r}")
     if format == "parquet":
+        if "schema" not in kwargs:
+            sch = hashable_parquet_schema(path, columns)
+            if sch is not None:
+                kwargs["schema"] = sch
         return reader(path, columns=columns, **kwargs)
     ds = reader(path, **kwargs)
     return ds.select_columns(columns) if columns else ds

@@ -254,6 +254,10 @@ def documents_as_transcripts(sf_dir: str):
                 )
         return _rows_to_table(rows)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "source"])
+    from tldr_ray.sources.tabular import hashable_parquet_schema
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text", "source"]
+    ds = rd.read_parquet(path, columns=cols,
+                         schema=hashable_parquet_schema(path, cols))
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=512)

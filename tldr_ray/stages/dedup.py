@@ -16,7 +16,6 @@ shuffle never carries full texts (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -50,23 +49,17 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _content_hash_and_part(texts, num_partitions: int
-                           ) -> tuple[pa.Array, np.ndarray]:
-    """(16-byte blake2b digests as a binary Arrow array, int32 coarse
-    partition key). The digest itself stays hashlib (C core — the
-    fastest whole-text hash available here); the per-row key DERIVATION
-    is vectorized over the concatenated digest buffer instead of
-    ``int(hex[:8], 16)`` per row."""
-    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = texts.to_pylist()
-    digs = [hashlib.blake2b((t or "").encode("utf-8"),
-                            digest_size=16).digest() for t in texts]
-    if digs:
-        flat = np.frombuffer(b"".join(digs), dtype=np.uint8).reshape(-1, 16)
-        lead = np.ascontiguousarray(flat[:, :8]).view(np.uint64).ravel()
-        part = (lead % np.uint64(num_partitions)).astype(np.int32)
-    else:
-        part = np.zeros(0, dtype=np.int32)
-    return pa.array(digs, pa.binary()), part
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2 uint64 lanes — an effectively 128-bit content identity —
+    plus int32 coarse partition key), all vectorized over the batch's
+    Arrow byte buffer via hashing.content_hash128_batch. Round-3 verdict
+    item 5: the former per-row ``hashlib.blake2b`` loop cost ~µs/row of
+    interpreter dispatch on a stage that touches every document."""
+    from tldr_ray.hashing import content_hash128_batch
+
+    h1, h2 = content_hash128_batch(texts)
+    part = (h1 % np.uint64(max(num_partitions, 1))).astype(np.int32)
+    return h1, h2, part
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -80,20 +73,24 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     per-cluster map_groups invocations.
     """
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs, part = _content_hash_and_part(batch[text_col], num_partitions)
+        h1, h2, part = _content_hash_and_part(batch[text_col],
+                                              num_partitions)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "h": hs,
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
                 "part": pa.array(part),
             }
         )
 
     def resolve_part(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["h", id_col])
+        g = group.sort_values(["h1", "h2", id_col])
         ids = g[id_col].to_numpy()
-        h = g["h"].to_numpy()
-        new = np.concatenate([[True], h[1:] != h[:-1]])
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        new = np.concatenate([[True],
+                              (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [len(g)]]))
         seg_of = np.cumsum(new) - 1
@@ -128,16 +125,19 @@ def exact_dedup_representatives(ds, id_col: str = "doc_id",
     ``sum(__n_dupes)`` without a separate pass (curation uses this to
     fold its report counts into the one materialized intermediate)."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs, part = _content_hash_and_part(batch[text_col], num_partitions)
-        return batch.append_column("__h", hs) \
+        h1, h2, part = _content_hash_and_part(batch[text_col],
+                                              num_partitions)
+        return batch.append_column("__h1", pa.array(h1)) \
+            .append_column("__h2", pa.array(h2)) \
             .append_column("__part", pa.array(part))
 
     def keep_min_part(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["__h", id_col])
+        g = group.sort_values(["__h1", "__h2", id_col])
+        h1 = g["__h1"].to_numpy()
+        h2 = g["__h2"].to_numpy()
         first = np.concatenate([[True],
-                                g["__h"].to_numpy()[1:]
-                                != g["__h"].to_numpy()[:-1]])
-        out = g[first].drop(columns=["__h", "__part"])
+                                (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        out = g[first].drop(columns=["__h1", "__h2", "__part"])
         if with_count:
             starts = np.flatnonzero(first)
             sizes = np.diff(np.concatenate([starts, [len(g)]]))
