@@ -26,12 +26,11 @@ def entry() -> Any:
     sentence punctuation, so 12-word pseudo-sentences feed the
     reference's O28 path).
     """
-    import ray.data as rd
-
     from tldr_ray.pipelines import summarize_documents
+    from tldr_ray.sources import read_table
 
-    docs = rd.read_parquet(f"{SF0001}/documents.parquet",
-                           columns=["doc_id", "text"])
+    docs = read_table(f"{SF0001}/documents.parquet",
+                      columns=["doc_id", "text"])
     return summarize_documents(docs, num=3, presplit_words=12)
 
 

