@@ -1810,7 +1810,7 @@ def _simhash_dedup_oracle_sql(max_hamming: int = 3) -> str:
 ORACLE_SQL["simhash_dedup_docs"] = _simhash_dedup_oracle_sql()
 
 
-def _minhash64_base_cte() -> str:
+def _minhash64_base_cte(src: str = "documents") -> str:
     """Shared DuckDB CTE prefix mirroring the FULL 64-permutation MinHash
     pipeline of ``stages.dedup.minhash_lsh_pairs`` (num_perm=64): chained
     window FNV-1a over every 5-char shingle (HUGEINT mod-2^64, xor folded
@@ -1845,7 +1845,7 @@ def _minhash64_base_cte() -> str:
     WITH s0 AS (
         SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i,
                CAST(14695981039346656037 AS HUGEINT) AS h
-        FROM documents WHERE length(text) >= 5
+        FROM {src} WHERE length(text) >= 5
     ){"".join(steps)},
     win AS MATERIALIZED (SELECT doc_id, h FROM {prev}),
     xx AS (SELECT doc_id, h % 2305843009213693951 AS x FROM win),
@@ -6708,6 +6708,49 @@ def _dup_clusters_oracle_sql(threshold: float = 0.5) -> str:
 
 QUERIES["dup_clusters_docs"] = dup_clusters_docs
 ORACLE_SQL["dup_clusters_docs"] = _dup_clusters_oracle_sql()
+
+
+def _curation_pipeline_oracle_sql(min_quality: float = 0.2,
+                                  threshold: float = 0.8) -> str:
+    """End-to-end mirror of queries.curate_documents_pipeline (round-3
+    verdict item 4): composes the already-hash-proven stage CTEs —
+    quality score (op-for-op IEEE), quality gate, exact dedup (min id
+    per text), the full 64-permutation MinHash over the SURVIVING
+    subset, LSH band collision + estimated-Jaccard threshold, recursive
+    min-reachability cluster resolution — and keeps representatives
+    (sample_fraction=1.0 in the registered query, so no sample CTE)."""
+    mh = _minhash64_base_cte(src="ded").split("WITH", 1)[1]
+    return (f"""WITH RECURSIVE qs AS ({_quality_scores_oracle_sql()}),
+    gate AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN qs USING (doc_id)
+        WHERE qs.quality_score >= {min_quality}),
+    ded AS MATERIALIZED (
+        SELECT min(doc_id) AS doc_id, text FROM gate GROUP BY text),
+    """ + mh + f""",
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {threshold}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS t FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.t, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cl AS (SELECT v AS doc_id, min(l) AS cluster_id
+           FROM reach GROUP BY v),
+    dropped AS (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+    SELECT ded.doc_id FROM ded
+    WHERE ded.doc_id NOT IN (SELECT doc_id FROM dropped)
+""")
+
+
+ORACLE_SQL["curate_documents_pipeline"] = _curation_pipeline_oracle_sql()
 
 
 def lang_vocab_richness(sf_dir: str):
