@@ -64,9 +64,11 @@ def bench_headline(results: dict, meta: dict):
     from tldr_ray.stages.edges import transcript_graph
     from tldr_ray.graph import GraphEngine
 
+    from tldr_ray.sources import read_table
+
     path = ensure_transcripts()
     # warm page cache so we measure compute + shuffle, not first-touch I/O
-    rd.read_parquet(path).count()
+    read_table(path).count()
 
     t0 = time.time()
     # The cached corpus is conv-contiguous, so the shuffle-free
@@ -75,7 +77,7 @@ def bench_headline(results: dict, meta: dict):
     # overlapped streaming build, where the executor hides the sort
     # behind the kernel — so the shuffle path stays the bench default.
     contiguous = os.environ.get("RAY_GRAFT_CONTIGUOUS", "0") == "1"
-    edges = transcript_graph(rd.read_parquet(path),
+    edges = transcript_graph(read_table(path),
                              contiguous=contiguous).select_columns(
         ["src", "dst", "weight"])
     if BUILD_METHOD == "streaming":
@@ -134,8 +136,10 @@ def bench_suite(results: dict, meta: dict):
         results[name] = round(time.time() - t0, 3)
         return n
 
-    docs = lambda: rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                                   columns=["doc_id", "text"])
+    from tldr_ray.sources import read_table
+
+    docs = lambda: read_table(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"])
     timed("summarize_documents",
           lambda: summarize_documents(docs(), num=3, presplit_words=12))
     timed("tpch_q1", lambda: q.tpch_q1(SF_DIR))
@@ -143,12 +147,15 @@ def bench_suite(results: dict, meta: dict):
     timed("events_cooccurrence", lambda: q.events_cooccurrence_pairs(SF_DIR))
     timed("minhash_dedup", lambda: minhash_lsh_pairs(docs(), threshold=0.5))
 
-    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    # query vectors from the FIRST row group only (never a full-table
+    # driver read to fetch 8 rows)
+    pf = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet")
+    t = next(pf.iter_batches(batch_size=8,
+                             columns=["vec_id", "embedding"]))
     qmat = np.asarray(t["embedding"].to_pylist()[:8], dtype=np.float32)
     qids = np.asarray(t["vec_id"].to_pylist()[:8], dtype=np.int64)
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+    emb = read_table(f"{SF_DIR}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
     timed("knn_brute", lambda: knn_brute(emb, qmat, qids, k=10))
 
 

@@ -42,22 +42,6 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1.0, norms)
 
 
-def _pool_size(concurrency):
-    """Scoring actor-pool sizing: caller's value passes through, else an
-    AUTOSCALING (2, ~3/4-of-session-CPUs) range — small corpora finish
-    before a big pool would even spin up, large corpora scale out under
-    backlog. The max is capped below the session CPU count so the
-    feeding read tasks always keep CPUs (an actor pool that reserves
-    every CPU starves its own input and deadlocks the streaming
-    executor)."""
-    if concurrency is not None:
-        return concurrency
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (2, max(2, min(cpus - 2, cpus * 3 // 4)))
-
-
 def _topk_reduce(cands, k: int):
     """(query_id, vec_id, cosine) candidate stream -> global top-k per
     query with rank 0..k-1 (cosine desc, vec_id asc tie-break).
@@ -99,42 +83,46 @@ def knn_brute(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
               concurrency: int | None = None):
     """Exact cosine top-k for each query row. Returns a Dataset
     (query_id, vec_id, rank, cosine) with rank 0..k-1 (cosine desc,
-    vec_id asc tie-break). ``concurrency`` sizes the scoring actor
-    pool (default: derived from the session CPU count)."""
+    vec_id asc tie-break).
+
+    Scoring runs as plain TASKS, not an actor pool (round-3 verdict
+    item 7): the only per-worker state is a ``ray.get`` of the
+    broadcast query matrix, which is a zero-copy local plasma read per
+    task — while a fresh actor pool costs ~1.8 s of spin-up per
+    execution, which dominated the whole query on corpora that scan in
+    under a second. ``concurrency`` (optional) caps concurrent score
+    tasks."""
     import ray
 
     q_unit = _unit(np.asarray(queries, dtype=np.float32))
     qref = ray.put((q_unit, np.asarray(query_ids, dtype=np.int64)))
 
-    class Score:
-        def __init__(self):
-            self.q, self.qids = ray.get(qref)
+    def score(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)               # zero-copy plasma read
+        mat = _unit(_as_matrix(batch[emb_col]))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        cos = mat @ q.T                       # (n, nq)
+        out_q, out_v, out_c = [], [], []
+        kk = min(k, ids.size)
+        for qi in range(q.shape[0]):
+            c = cos[:, qi]
+            part = np.argpartition(-c, kk - 1)[:kk] if ids.size > kk \
+                else np.arange(ids.size)
+            out_q.append(np.full(part.size, qids[qi]))
+            out_v.append(ids[part])
+            out_c.append(c[part].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _unit(_as_matrix(batch[emb_col]))
-            ids = np.asarray(batch[id_col], dtype=np.int64)
-            cos = mat @ self.q.T                      # (n, nq)
-            out_q, out_v, out_c = [], [], []
-            kk = min(k, ids.size)
-            for qi in range(self.q.shape[0]):
-                c = cos[:, qi]
-                part = np.argpartition(-c, kk - 1)[:kk] if ids.size > kk \
-                    else np.arange(ids.size)
-                out_q.append(np.full(part.size, self.qids[qi]))
-                out_v.append(ids[part])
-                out_c.append(c[part].astype(np.float64))
-            return pa.table(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
-
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return _topk_reduce(
         ds.select_columns([id_col, emb_col])
-        .map_batches(Score, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency)), k)
+        .map_batches(score, batch_format="pyarrow", **kwargs), k)
 
 
 def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -175,42 +163,42 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             probe.setdefault(int(s) ^ m, []).append(qi)
     pref = ray.put((probe, _unit(q), np.asarray(query_ids, dtype=np.int64)))
 
-    class BucketScore:
-        def __init__(self):
-            self.probe, self.q, self.qids = ray.get(pref)
+    # plain tasks, not an actor pool: the only "state" is a zero-copy
+    # plasma read of the probe map, while a fresh pool costs ~1.8 s of
+    # spin-up per execution (round-3 verdict item 7)
+    def bucket_score(batch: pa.Table) -> pa.Table:
+        probe_m, qm, qids = ray.get(pref)
+        mat = _unit(_as_matrix(batch[emb_col]))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sigs = sig(mat)
+        out_q, out_v, out_c = [], [], []
+        for b in np.unique(sigs):
+            hits = probe_m.get(int(b))
+            if not hits:
+                continue
+            rows = sigs == b
+            sub, sub_ids = mat[rows], ids[rows]
+            cos = sub @ qm[hits].T
+            for col, qi in enumerate(hits):
+                c = cos[:, col]
+                kk = min(k, sub_ids.size)
+                part = np.argpartition(-c, kk - 1)[:kk] \
+                    if sub_ids.size > kk else np.arange(sub_ids.size)
+                out_q.append(np.full(part.size, qids[qi]))
+                out_v.append(sub_ids[part])
+                out_c.append(c[part].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "cosine": np.concatenate(out_c)})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _unit(_as_matrix(batch[emb_col]))
-            ids = np.asarray(batch[id_col], dtype=np.int64)
-            sigs = sig(mat)
-            out_q, out_v, out_c = [], [], []
-            for b in np.unique(sigs):
-                hits = self.probe.get(int(b))
-                if not hits:
-                    continue
-                rows = sigs == b
-                sub, sub_ids = mat[rows], ids[rows]
-                cos = sub @ self.q[hits].T
-                for col, qi in enumerate(hits):
-                    c = cos[:, col]
-                    kk = min(k, sub_ids.size)
-                    part = np.argpartition(-c, kk - 1)[:kk] \
-                        if sub_ids.size > kk else np.arange(sub_ids.size)
-                    out_q.append(np.full(part.size, self.qids[qi]))
-                    out_v.append(sub_ids[part])
-                    out_c.append(c[part].astype(np.float64))
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.table({"query_id": np.concatenate(out_q),
-                             "vec_id": np.concatenate(out_v),
-                             "cosine": np.concatenate(out_c)})
-
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return _topk_reduce(
         ds.select_columns([id_col, emb_col])
-        .map_batches(BucketScore, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency)), k)
+        .map_batches(bucket_score, batch_format="pyarrow", **kwargs), k)
 
 
 def _train_ivf_centroids(ds, id_col: str, emb_col: str, nlist: int,
@@ -281,42 +269,41 @@ def knn_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     pref = ray.put((cent, probe, q_unit,
                     np.asarray(query_ids, dtype=np.int64)))
 
-    class IVFScore:
-        def __init__(self):
-            self.cent, self.probe, self.q, self.qids = ray.get(pref)
+    # plain tasks (see knn_brute/knn_lsh): the centroid+probe state is a
+    # zero-copy plasma read per task; a pool's spin-up dwarfs the scan
+    def ivf_score(batch: pa.Table) -> pa.Table:
+        cent_m, probe_m, qm, qids = ray.get(pref)
+        mat = _unit(_as_matrix(batch[emb_col]))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        assign = (mat @ cent_m.T).argmax(axis=1)
+        out_q, out_v, out_c = [], [], []
+        for b in np.unique(assign):
+            hits = probe_m.get(int(b))
+            if not hits:
+                continue
+            rows = assign == b
+            sub, sub_ids = mat[rows], ids[rows]
+            cos = sub @ qm[hits].T
+            kk = min(k, sub_ids.size)
+            for col, qi in enumerate(hits):
+                c = cos[:, col]
+                part = np.argpartition(-c, kk - 1)[:kk] \
+                    if sub_ids.size > kk else np.arange(sub_ids.size)
+                out_q.append(np.full(part.size, qids[qi]))
+                out_v.append(sub_ids[part])
+                out_c.append(c[part].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "cosine": np.concatenate(out_c)})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _unit(_as_matrix(batch[emb_col]))
-            ids = np.asarray(batch[id_col], dtype=np.int64)
-            assign = (mat @ self.cent.T).argmax(axis=1)
-            out_q, out_v, out_c = [], [], []
-            for b in np.unique(assign):
-                hits = self.probe.get(int(b))
-                if not hits:
-                    continue
-                rows = assign == b
-                sub, sub_ids = mat[rows], ids[rows]
-                cos = sub @ self.q[hits].T
-                kk = min(k, sub_ids.size)
-                for col, qi in enumerate(hits):
-                    c = cos[:, col]
-                    part = np.argpartition(-c, kk - 1)[:kk] \
-                        if sub_ids.size > kk else np.arange(sub_ids.size)
-                    out_q.append(np.full(part.size, self.qids[qi]))
-                    out_v.append(sub_ids[part])
-                    out_c.append(c[part].astype(np.float64))
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.table({"query_id": np.concatenate(out_q),
-                             "vec_id": np.concatenate(out_v),
-                             "cosine": np.concatenate(out_c)})
-
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return _topk_reduce(
         ds.select_columns([id_col, emb_col])
-        .map_batches(IVFScore, batch_format="pyarrow",
-                     concurrency=_pool_size(concurrency)), k)
+        .map_batches(ivf_score, batch_format="pyarrow", **kwargs), k)
 
 
 def kmeans(ds, emb_col: str = "embedding", id_col: str = "vec_id",
@@ -377,24 +364,23 @@ def kmeans(ds, emb_col: str = "embedding", id_col: str = "vec_id",
 
     cref = ray.put(cent)
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(cref)
+    # plain tasks (see knn_brute): the centroid matrix is a zero-copy
+    # plasma read per task; a fresh pool would cost more than the scan
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _unit(_as_matrix(batch[emb_col]))
+        cos = mat @ c.T
+        a = cos.argmax(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "centroid": pa.array(a.astype(np.int64)),
+            "cosine": pa.array(
+                cos[np.arange(len(a)), a].astype(np.float64)),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _unit(_as_matrix(batch[emb_col]))
-            cos = mat @ self.c.T
-            a = cos.argmax(axis=1)
-            return pa.table({
-                id_col: batch[id_col],
-                "centroid": pa.array(a.astype(np.int64)),
-                "cosine": pa.array(
-                    cos[np.arange(len(a)), a].astype(np.float64)),
-            })
-
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     out = ds.select_columns([id_col, emb_col]).map_batches(
-        Assign, batch_format="pyarrow",
-        concurrency=_pool_size(concurrency))
+        assign_fn, batch_format="pyarrow", **kwargs)
     return cent, out
 
 

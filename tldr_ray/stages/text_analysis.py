@@ -303,13 +303,18 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
     — a deliberate trade: re-tokenizing is pure streaming CPU, while
     the alternative (materialize tf cells between passes) pins an
     O(tokens) intermediate in the object store. On the join path the
-    tf cells ARE produced once and shuffled (they must move anyway)."""
+    tf cells ARE produced once and shuffled (they must move anyway).
+    The corpus doc count rides the df pass as a sentinel vocab row
+    (term ``"\\x00#docs"``, which no tokenizer output can collide
+    with) instead of a separate full-corpus ``count()`` execution
+    (round-3 verdict item 9: that third pass was a third read+decode
+    of the whole corpus)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    _NDOCS_SENTINEL = "\x00#docs"
     src = ds.select_columns([id_col, text_col])
-    n_docs = src.count()
 
     def tf_fn(batch: pa.Table) -> pa.Table:
         d, t, c, _ = _tf_cells(batch, id_col, text_col)
@@ -320,18 +325,33 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def df_fn(batch: pa.Table) -> pa.Table:
         # each (doc, term) cell is globally unique (docs never span
-        # batches), so per-batch docs-per-term partials sum to df
+        # batches), so per-batch docs-per-term partials sum to df;
+        # the sentinel row folds the batch's doc count into the same
+        # aggregate (no separate corpus count() pass)
         d, t, c, uterms = _tf_cells(batch, id_col, text_col)
         ti, cnt = np.unique(np.searchsorted(uterms, t),
                             return_counts=True)
-        return pa.table({"term": pa.array(uterms[ti].tolist(),
+        return pa.table({"term": pa.array(uterms[ti].tolist()
+                                          + [_NDOCS_SENTINEL],
                                           pa.string()),
-                         "df": pa.array(cnt.astype(np.int64))})
+                         "df": pa.array(np.concatenate(
+                             [cnt.astype(np.int64),
+                              [np.int64(len(batch))]]))})
 
-    df_tbl = (src.map_batches(df_fn, batch_format="pyarrow")
+    df_all = (src.map_batches(df_fn, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("df", alias_name="df"))
               .materialize())
-    vocab_n = df_tbl.count()
+
+    def drop_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["term"], _NDOCS_SENTINEL))
+
+    def only_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["term"], _NDOCS_SENTINEL))
+
+    n_docs = int(df_all.map_batches(only_sentinel, batch_format="pyarrow")
+                 .to_pandas()["df"].sum())
+    df_tbl = df_all.map_batches(drop_sentinel, batch_format="pyarrow")
+    vocab_n = max(df_all.count() - 1, 0)
 
     if vocab_n <= broadcast_vocab_max:
         vdf = df_tbl.to_pandas()
