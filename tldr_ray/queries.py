@@ -63,6 +63,52 @@ def _semi_filter_keys(ds, col: str, keys):
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
+def _dim_decorate(ds, sf_dir: str, table: str, dim_key: str,
+                  dim_val: str, on: str, out_col: str,
+                  broadcast_limit_rows: int = 50_000_000):
+    """Attach ``dim_val`` (as ``out_col``) to ``ds[on]`` from a
+    dimension parquet, SIZE-GATED on the file's metadata row count
+    (the tpch_q3/q5 pattern as a reusable helper): within the budget
+    the (key, value) map rides the object store once as packed sorted
+    int64 arrays and every task decorates via searchsorted; past it
+    the decoration becomes a stages.joins.bucketed_hash_join. INNER
+    semantics — rows whose key misses the dimension are dropped."""
+    import ray
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    if pq.ParquetFile(path).metadata.num_rows <= broadcast_limit_rows:
+        dim = pq.read_table(path, columns=[dim_key, dim_val])
+        k = np.asarray(dim[dim_key], dtype=np.int64)
+        v = np.asarray(dim[dim_val], dtype=np.int64)
+        order = np.argsort(k)
+        ref = ray.put((k[order], v[order]))
+
+        def deco(batch: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            key = np.asarray(batch[on], dtype=np.int64)
+            if ks.size:
+                pos = np.clip(np.searchsorted(ks, key), 0, ks.size - 1)
+                m = ks[pos] == key
+            else:
+                m = np.zeros(key.shape, bool)
+                pos = np.zeros(key.shape, np.int64)
+            out = batch.filter(pa.array(m))
+            return out.append_column(out_col, pa.array(vs[pos[m]]))
+
+        return ds.map_batches(deco, batch_format="pyarrow")
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({on: batch[dim_key].cast(pa.int64()),
+                         out_col: batch[dim_val].cast(pa.int64())})
+
+    dim_ds = _read(sf_dir, table, [dim_key, dim_val]) \
+        .map_batches(proj, batch_format="pyarrow")
+    return bucketed_hash_join(ds, dim_ds, on=on)
+
+
 # ---------------------------------------------------------------------------
 # documents: token counts, word frequency, dedup, per-lang stats
 # ---------------------------------------------------------------------------
@@ -7286,4 +7332,574 @@ ORACLE_SQL["part_return_rates"] = """
                / CAST(count(*) AS DOUBLE) AS return_rate
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17/Q19 shapes (round 4)
+# ---------------------------------------------------------------------------
+
+def tpch_q17_small_quantity(sf_dir: str):
+    """TPC-H Q17-shaped: revenue locked in small-quantity lines of one
+    brand (l_quantity < 0.2 * the part's average quantity). Two
+    distributed passes over lineitem pruned to the brand's partkeys
+    (broadcast filtered key set — 1/25 of a dimension; past a budget it
+    flips to the bucketed join like every decorated map here): pass 1
+    builds per-part (sum_qty, count) moments via per-batch np.unique
+    partials; pass 2 re-filters with the EXACT-INT cross-multiplied
+    threshold 5*qty*count < sum_qty (the tpch_q11/q22 trick — no float
+    average can perturb the hash) and sums exact cents."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum, Count
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = np.sort(np.asarray(
+        part["p_partkey"], dtype=np.int64)[
+            np.asarray(pc.equal(part["p_brand"], "Brand#23"))])
+    kref = ray.put(keys)
+
+    def lq(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        lk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, lk), 0, ks.size - 1)
+            m = ks[pos] == lk
+        else:
+            m = np.zeros(lk.shape, bool)
+        qc = _cents(np.asarray(batch["l_quantity"], dtype=np.float64)[m])
+        u, inv = np.unique(lk[m], return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(u),
+            "sq": pa.array(np.bincount(inv, weights=qc).astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64))})
+
+    st = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+          .map_batches(lq, batch_format="pyarrow")
+          .groupby("l_partkey")
+          .aggregate(Sum("sq", alias_name="sq"),
+                     Sum("n", alias_name="n")).to_pandas())
+    sp = np.sort(st["l_partkey"].to_numpy(np.int64))
+    order = np.argsort(st["l_partkey"].to_numpy(np.int64))
+    sq = st["sq"].to_numpy(np.int64)[order]
+    nn = st["n"].to_numpy(np.int64)[order]
+    sref = ray.put((sp, sq, nn))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ks, sqs, ns = ray.get(sref)
+        lk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        if ks.size:
+            pos = np.clip(np.searchsorted(ks, lk), 0, ks.size - 1)
+            m = ks[pos] == lk
+        else:
+            m = np.zeros(lk.shape, bool)
+            pos = np.zeros(lk.shape, np.int64)
+        qc = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        pcents = _cents(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64))
+        small = m & (5 * qc * ns[pos] < sqs[pos])
+        return pa.table({
+            "total_price_cents": pa.array(
+                [np.int64(pcents[small].sum())]),
+            "n_lines": pa.array([np.int64(small.sum())])})
+
+    # one partial row per batch -> O(blocks) driver reduce
+    parts_df = (_read(sf_dir, "lineitem",
+                      ["l_partkey", "l_quantity", "l_extendedprice"])
+                .map_batches(pick, batch_format="pyarrow").to_pandas())
+    return pa.table({
+        "brand": pa.array(["Brand#23"], pa.string()),
+        "total_price_cents": pa.array(
+            [np.int64(parts_df["total_price_cents"].sum())]),
+        "n_lines": pa.array([np.int64(parts_df["n_lines"].sum())])})
+
+
+QUERIES["tpch_q17_small_quantity"] = tpch_q17_small_quantity
+ORACLE_SQL["tpch_q17_small_quantity"] = """
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    lq AS (
+        SELECT l_partkey,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        FROM lineitem JOIN bp ON l_partkey = p_partkey),
+    st AS (SELECT l_partkey, sum(qc) AS sq, count(*) AS n
+           FROM lq GROUP BY l_partkey)
+    SELECT 'Brand#23' AS brand,
+           CAST(coalesce(sum(l.pc), 0) AS BIGINT) AS total_price_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lq l JOIN st USING (l_partkey)
+    WHERE 5 * l.qc * st.n < st.sq
+"""
+
+
+def tpch_q19_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19-shaped: revenue under three (brand, size-range,
+    quantity-range) disjuncts, reported per disjunct brand. Part
+    attributes broadcast once as packed small-int codes (the tpch_q16
+    idiom; flips to a bucketed join past a dimension budget); one
+    vectorized lineitem pass evaluates all three disjuncts and emits
+    per-batch (brand_code, revenue, n) partials. Exact integer cents."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    rules = [("Brand#12", 1, 15, 100, 1100),
+             ("Brand#23", 1, 25, 1000, 2000),
+             ("Brand#34", 1, 35, 2000, 3000)]   # qty bounds in cents
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    psize = np.asarray(part["p_size"], dtype=np.int64)
+    pbrand = np.asarray(part["p_brand"], dtype=object)
+    # rule id per part (-1 = no rule's brand+size matches; brands are
+    # disjoint across rules so one id suffices)
+    rule = np.full(pk.size, -1, dtype=np.int64)
+    for ri, (b, lo_s, hi_s, _, _) in enumerate(rules):
+        rule[(pbrand == b) & (psize >= lo_s) & (psize <= hi_s)] = ri
+    order = np.argsort(pk)
+    mref = ray.put((pk[order], rule[order]))
+    qlo = np.asarray([r[3] for r in rules], dtype=np.int64)
+    qhi = np.asarray([r[4] for r in rules], dtype=np.int64)
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ks, rl = ray.get(mref)
+        lk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        r = rl[np.searchsorted(ks, lk)]
+        qc = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        rc = _cents(px * (1.0 - disc))
+        rr = np.where(r >= 0, r, 0)
+        m = (r >= 0) & (qc >= qlo[rr]) & (qc <= qhi[rr])
+        u, inv = np.unique(r[m], return_inverse=True)
+        return pa.table({
+            "rule": pa.array(u),
+            "revenue_cents": pa.array(
+                np.bincount(inv, weights=rc[m]).astype(np.int64)),
+            "n_lines": pa.array(np.bincount(inv).astype(np.int64))})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(rev, batch_format="pyarrow")
+           .groupby("rule")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_lines", alias_name="n_lines"))
+           .to_pandas())
+    agg["p_brand"] = np.asarray([rules[int(r)][0] for r in agg["rule"]],
+                                dtype=object)
+    for c in ("revenue_cents", "n_lines"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["p_brand", "revenue_cents", "n_lines"]],
+        preserve_index=False)
+
+
+QUERIES["tpch_q19_disjunct_revenue"] = tpch_q19_disjunct_revenue
+ORACLE_SQL["tpch_q19_disjunct_revenue"] = """
+    WITH lx AS (
+        SELECT p.p_brand, p.p_size,
+               CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS rc
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    hit AS (
+        SELECT p_brand, rc FROM lx
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND qc BETWEEN 100 AND 1100)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND qc BETWEEN 1000 AND 2000)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND qc BETWEEN 2000 AND 3000))
+    SELECT p_brand, CAST(sum(rc) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM hit GROUP BY p_brand
+"""
+
+
+def tpch_q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9-shaped: profit (exact cents revenue; the synth schema
+    has no partsupp cost) by (supplier nation, order year) for parts
+    whose name contains 'red'. Red partkeys ride a broadcast semi
+    filter (1/8 of one dimension); supplier nation attaches via the
+    size-gated _dim_decorate; the order year comes through the
+    bucketed fact join on l_orderkey (both sides fact-sized, the
+    tpch_q5 idiom). Nation names decode on the final <=175-row table."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    red = np.asarray(part["p_partkey"], dtype=np.int64)[
+        np.asarray(pc.match_substring(part["p_name"], "red"))]
+
+    def lproj(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "profit_cents": pa.array(_cents(px * (1.0 - disc)))})
+
+    line = _semi_filter_keys(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+        .map_batches(lproj, batch_format="pyarrow"), "l_partkey", red)
+    line = _dim_decorate(line, sf_dir, "supplier", "s_suppkey",
+                         "s_nationkey", on="l_suppkey", out_col="s_nat")
+
+    def oproj(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        yr = od.astype("datetime64[us]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_year": pa.array(yr)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(oproj, batch_format="pyarrow")
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+    agg = (joined.groupby(["s_nat", "o_year"])
+           .aggregate(Sum("profit_cents", alias_name="profit_cents"))
+           .to_pandas())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nkey = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    names = np.empty(int(nkey.max()) + 1, dtype=object)
+    names[nkey] = nation["n_name"].to_pylist()
+    agg["n_name"] = names[agg["s_nat"].to_numpy(np.int64)]
+    for c in ("o_year", "profit_cents"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["n_name", "o_year", "profit_cents"]], preserve_index=False)
+
+
+QUERIES["tpch_q9_profit_by_nation_year"] = tpch_q9_profit_by_nation_year
+ORACLE_SQL["tpch_q9_profit_by_nation_year"] = """
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+def tpch_q8_market_share(sf_dir: str):
+    """TPC-H Q8-shaped: NATION_3's share of ASIA-market revenue per
+    order year (1996-1997). ASIA customer nations prune the orders
+    scan (customer nation via the size-gated _dim_decorate, region
+    membership a tiny broadcast); supplier nation decorates lineitem
+    the same way; the one all-to-all is the bucketed fact join. The
+    share is a single double division of two exact-int cent sums per
+    year, so it hash-matches."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1998-01-01").astype("datetime64[us]").astype(np.int64)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = np.asarray(region["r_regionkey"], dtype=np.int64)
+    asia_rk = rk[np.asarray(pc.equal(region["r_name"], "ASIA"))]
+    nk = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    nr = np.asarray(nation["n_regionkey"], dtype=np.int64)
+    asia_nations = np.sort(nk[np.isin(nr, asia_rk)])
+    target = int(nk[np.asarray(
+        pc.equal(nation["n_name"], "NATION_3"))][0])
+
+    def ofil(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        m = (od >= lo) & (od < hi)
+        yr = od[m].astype("datetime64[us]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[m]),
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[m]),
+            "o_year": pa.array(yr)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofil, batch_format="pyarrow")
+    orders = _dim_decorate(orders, sf_dir, "customer", "c_custkey",
+                           "c_nationkey", on="o_custkey",
+                           out_col="c_nat")
+
+    def asia_only(batch: pa.Table) -> pa.Table:
+        cn = np.asarray(batch["c_nat"], dtype=np.int64)
+        if asia_nations.size:
+            pos = np.clip(np.searchsorted(asia_nations, cn), 0,
+                          asia_nations.size - 1)
+            m = asia_nations[pos] == cn
+        else:
+            m = np.zeros(cn.shape, bool)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[m]),
+            "o_year": pa.array(
+                np.asarray(batch["o_year"], dtype=np.int64)[m])})
+
+    orders = orders.map_batches(asia_only, batch_format="pyarrow")
+
+    def lproj(batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "revenue_cents": pa.array(_cents(px * (1.0 - disc)))})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]).map_batches(lproj,
+                                             batch_format="pyarrow")
+    line = _dim_decorate(line, sf_dir, "supplier", "s_suppkey",
+                         "s_nationkey", on="l_suppkey",
+                         out_col="s_nat")
+    joined = bucketed_hash_join(line, orders, on="l_orderkey")
+
+    def split(batch: pa.Table) -> pa.Table:
+        rc = np.asarray(batch["revenue_cents"], dtype=np.int64)
+        sn = np.asarray(batch["s_nat"], dtype=np.int64)
+        yr = np.asarray(batch["o_year"], dtype=np.int64)
+        u, inv = np.unique(yr, return_inverse=True)
+        tot = np.bincount(inv, weights=rc).astype(np.int64)
+        nat = np.bincount(inv, weights=np.where(sn == target, rc, 0)) \
+            .astype(np.int64)
+        return pa.table({"o_year": pa.array(u),
+                         "total_cents": pa.array(tot),
+                         "nation_cents": pa.array(nat)})
+
+    agg = (joined.map_batches(split, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("total_cents", alias_name="total_cents"),
+                      Sum("nation_cents", alias_name="nation_cents"))
+           .to_pandas())
+    agg["mkt_share"] = agg["nation_cents"].to_numpy(np.float64) \
+        / agg["total_cents"].to_numpy(np.float64)
+    for c in ("o_year", "total_cents", "nation_cents"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        agg[["o_year", "total_cents", "nation_cents", "mkt_share"]],
+        preserve_index=False)
+
+
+QUERIES["tpch_q8_market_share"] = tpch_q8_market_share
+ORACLE_SQL["tpch_q8_market_share"] = """
+    WITH j AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS rc,
+               s.s_nationkey AS s_nat
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+                     AND r.r_name = 'ASIA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+    tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+    SELECT o_year,
+           CAST(sum(rc) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN s_nat = (SELECT n_nationkey FROM tgt)
+                         THEN rc ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(CASE WHEN s_nat = (SELECT n_nationkey FROM tgt)
+                         THEN rc ELSE 0 END) AS DOUBLE)
+               / CAST(sum(rc) AS DOUBLE) AS mkt_share
+    FROM j GROUP BY o_year
+"""
+
+
+def knn_graph_embeddings(sf_dir: str, k: int = 3,
+                         broadcast_limit_rows: int = 2_000_000):
+    """Exact k-nearest-neighbor GRAPH over the embeddings table (each
+    vector's top-k cosine neighbors, self excluded — the building
+    block for embedding near-dup clustering and graph-based curation).
+    Within the broadcast budget the UNIT-NORMALIZED corpus matrix
+    rides the object store once and every batch does one float32
+    matmul against it (blockwise exact nested-loop, zero shuffle);
+    past the budget, callers should use stages.ann.knn_lsh/knn_ivf
+    (approximate) — an exact all-pairs at 10^9 rows is not a thing any
+    engine should stream. Ties break (cosine desc, vec_id asc)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n > broadcast_limit_rows:
+        raise ValueError(
+            f"exact knn-graph gated at {broadcast_limit_rows} rows "
+            f"(got {n}); use stages.ann.knn_lsh / knn_ivf at scale")
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ids_all = np.asarray(corpus["vec_id"], dtype=np.int64)
+    from tldr_ray.stages.ann import _as_matrix, _unit
+
+    mat_all = _unit(_as_matrix(corpus["embedding"]))
+    ref = ray.put((ids_all, mat_all))
+
+    def neigh(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        mat = _unit(_as_matrix(batch["embedding"]))
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        cos = mat @ cmat.T                       # (b, n)
+        # exclude self matches by id (not by row position)
+        cos[ids[:, None] == cids[None, :]] = -np.inf
+        # top-k with (cosine desc, vec_id asc) ties: lexsort per row
+        kk = min(k, cmat.shape[0] - 1)
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk + 8]
+        out_src, out_dst, out_rank, out_cos = [], [], [], []
+        for i in range(ids.size):
+            cand = part[i]
+            order = np.lexsort((cids[cand], -cos[i, cand]))[:kk]
+            sel = cand[order]
+            out_src.append(np.full(kk, ids[i]))
+            out_dst.append(cids[sel])
+            out_rank.append(np.arange(1, kk + 1, dtype=np.int64))
+            out_cos.append(cos[i, sel].astype(np.float64))
+        if not out_src:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"vec_id": np.concatenate(out_src),
+                         "nbr_id": np.concatenate(out_dst),
+                         "rnk": np.concatenate(out_rank),
+                         "cosine": np.concatenate(out_cos)})
+
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(neigh, batch_format="pyarrow")
+            .select_columns(["vec_id", "nbr_id", "rnk"]))
+
+
+QUERIES["knn_graph_embeddings"] = knn_graph_embeddings
+ORACLE_SQL["knn_graph_embeddings"] = """
+    WITH sc AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               list_cosine_similarity(a.embedding, b.embedding) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+    rk AS (
+        SELECT vec_id, nbr_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, nbr_id ASC) AS rnk
+        FROM sc)
+    SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 3
+"""
+
+
+def tpch_q21_sole_failing_supplier(sf_dir: str):
+    """TPC-H Q21-shaped (the synth schema has no commit/receipt dates,
+    so 'failed' = returnflag R): suppliers who were the ONLY failing
+    supplier on a multi-supplier order, counted over their qualifying
+    orders, top-100 by (numwait desc, suppkey asc). One shuffle: the
+    (orderkey, suppkey, any_R) relation is pre-combined per batch with
+    np.unique composites, then a coarse hash(orderkey) partition sweep
+    resolves every order locally (n_supp >= 2, n_fail == 1 — the
+    EXISTS / NOT-EXISTS pair collapses to two segment reductions).
+    Names decorate only the <=100 winners."""
+    from ray.data.aggregate import Max, Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    P = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        r = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        comp = (ok << np.int64(32)) | sk      # suppkey < 2^32; orderkey
+        # < 2^31 even at sf100, so the composite stays inside int64
+        u, inv = np.unique(comp, return_inverse=True)
+        has_r = np.zeros(u.size, dtype=np.int64)
+        np.maximum.at(has_r, inv, r.astype(np.int64))
+        uo = (u >> np.int64(32)).astype(np.int64)
+        us = (u & np.int64((1 << 32) - 1)).astype(np.int64)
+        return pa.table({
+            "o": pa.array(uo), "s": pa.array(us),
+            "has_r": pa.array(has_r),
+            "part": pa.array((vhash(uo) % np.uint64(P)).astype(np.int32)),
+        })
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o", "s"])
+        o = g["o"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        # re-combine per-batch partials: same (o, s) may arrive twice
+        hr = g["has_r"].to_numpy(np.int64)
+        key_new = np.concatenate([[True], (o[1:] != o[:-1])
+                                  | (s[1:] != s[:-1])])
+        seg = np.cumsum(key_new) - 1
+        hr2 = np.zeros(seg[-1] + 1 if len(g) else 0, dtype=np.int64)
+        np.maximum.at(hr2, seg, hr)
+        o2 = o[key_new]
+        s2 = s[key_new]
+        # per-order stats
+        onew = np.concatenate([[True], o2[1:] != o2[:-1]])
+        oseg = np.cumsum(onew) - 1
+        n_supp = np.bincount(oseg)
+        n_fail = np.bincount(oseg, weights=hr2).astype(np.int64)
+        q = (hr2 == 1) & (n_supp[oseg] >= 2) & (n_fail[oseg] == 1)
+        us, cnt = np.unique(s2[q], return_counts=True)
+        return pd.DataFrame({"s_suppkey": us,
+                             "numwait": cnt.astype(np.int64)})
+
+    counts = (_read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_returnflag"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(sweep, batch_format="pandas")
+              .groupby("s_suppkey")
+              .aggregate(Sum("numwait", alias_name="numwait")))
+    top = (counts.sort(["numwait", "s_suppkey"],
+                       descending=[True, False]).limit(100).to_pandas())
+    names = _semi_filter_keys(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        "s_suppkey", top["s_suppkey"].to_numpy(np.int64)).to_pandas()
+    out = top.merge(names, on="s_suppkey", how="inner")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["s_suppkey", "s_name", "numwait"]], preserve_index=False)
+
+
+QUERIES["tpch_q21_sole_failing_supplier"] = tpch_q21_sole_failing_supplier
+ORACLE_SQL["tpch_q21_sole_failing_supplier"] = """
+    WITH osr AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS has_r
+        FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    ord AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_fail
+        FROM osr GROUP BY l_orderkey),
+    q AS (
+        SELECT osr.l_suppkey
+        FROM osr JOIN ord USING (l_orderkey)
+        WHERE osr.has_r = 1 AND ord.n_supp >= 2 AND ord.n_fail = 1),
+    cnt AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM q GROUP BY l_suppkey
+        ORDER BY numwait DESC, s_suppkey ASC LIMIT 100)
+    SELECT c.s_suppkey, s.s_name, c.numwait
+    FROM cnt c JOIN supplier s ON s.s_suppkey = c.s_suppkey
 """
