@@ -7903,3 +7903,161 @@ ORACLE_SQL["tpch_q21_sole_failing_supplier"] = """
     SELECT c.s_suppkey, s.s_name, c.numwait
     FROM cnt c JOIN supplier s ON s.s_suppkey = c.s_suppkey
 """
+
+
+def temperature_mix_docs(sf_dir: str, alpha: float = 0.5):
+    """Temperature-rebalanced language mix (the classic multilingual
+    pretraining reweighting): per-language keep rate
+    r_l = (n_min / n_l)^(1-alpha) — alpha=0.5 -> sqrt — so kept counts
+    scale as n_l^alpha and the rarest language keeps everything. The
+    gate is deterministic: splitmix64(doc_id) as a double vs
+    r_l * 2^64, mirrored op-for-op in SQL (IEEE sqrt and division are
+    correctly rounded, so the float threshold hash-matches — unlike
+    log/exp this is bit-portable). Language counts are one tiny
+    distributed aggregate; the corpus streams through the gate once."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.dedup import _mix64
+
+    counts = (_read(sf_dir, "documents", ["lang"])
+              .groupby("lang").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    langs = counts["lang"].to_numpy(object)
+    n = counts["n"].to_numpy(np.float64)
+    nmin = float(n.min())
+    thr = np.sqrt(nmin / n) * 18446744073709551616.0
+    order = np.argsort(langs)
+    lref = ray.put((langs[order].astype(str).tolist(), thr[order]))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ls, ts = ray.get(lref)
+        lut = pa.array(ls, pa.string())
+        idx = np.asarray(pc.index_in(batch["lang"], value_set=lut)
+                         .fill_null(-1))
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        h = _mix64(did.astype(np.uint64)).astype(np.float64)
+        ok = (idx >= 0) & (h <= ts[np.where(idx >= 0, idx, 0)])
+        return pa.table({
+            "doc_id": pa.array(did[ok]),
+            "lang": pc.take(batch["lang"], pa.array(
+                np.flatnonzero(ok)))})
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(gate, batch_format="pyarrow"))
+
+
+QUERIES["temperature_mix_docs"] = temperature_mix_docs
+ORACLE_SQL["temperature_mix_docs"] = f"""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+                 GROUP BY lang),
+    mn AS (SELECT min(n) AS nmin FROM cnt),
+    rate AS (SELECT lang,
+                    sqrt(CAST((SELECT nmin FROM mn) AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    * 18446744073709551616.0 AS thr
+             FROM cnt),
+    src AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS h
+            FROM documents),
+    {_sql_splitmix_ctes("src", carry="doc_id, lang, ")}
+    SELECT m3.doc_id, m3.lang
+    FROM m3 JOIN rate USING (lang)
+    WHERE CAST(m3.h AS DOUBLE) <= rate.thr
+"""
+
+
+def paragraph_dedup_docs(sf_dir: str, window_words: int = 12):
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup
+    shape): every doc splits into 12-word chunks, each chunk survives
+    only at its FIRST global occurrence (min (doc_id, idx)), and docs
+    are reassembled from their surviving chunks in order. Fully
+    vectorized chunking (Arrow split_whitespace + offset arithmetic +
+    binary_join — no per-doc Python); two content-sized shuffles, the
+    theoretical minimum (chunks must co-locate once by content to
+    dedup and once by doc to reassemble). SQL mirror: list slicing +
+    row_number + ordered string_agg."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    P = 64
+    W = window_words
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(batch["text"])
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = np.asarray(words.offsets, dtype=np.int64)
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        nwords = np.diff(off)
+        nchunks = (nwords + W - 1) // W
+        total = int(nchunks.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int32())})
+        doc_rep = np.repeat(np.arange(did.size), nchunks)
+        idx_in_doc = np.arange(total) \
+            - np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+        starts = off[doc_rep] + W * idx_in_doc
+        # chunk boundaries are contiguous over the flattened word
+        # buffer (end of each chunk == start of the next), so ONE
+        # offsets vector rebuilds a list array zero-copy
+        offsets = np.concatenate([starts, off[-1:]])
+        chunks_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), words.values)
+        chunk_str = pc.binary_join(chunks_list, " ")
+        return pa.table({
+            "doc_id": pa.array(did[doc_rep]),
+            "idx": pa.array(idx_in_doc),
+            "chunk": chunk_str,
+            "part": pa.array(part_key(chunk_str, P, kind="long"))})
+
+    def dedup_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["chunk", "doc_id", "idx"])
+        ch = g["chunk"].to_numpy(object)
+        first = np.concatenate([[True], ch[1:] != ch[:-1]])
+        out = g[first]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "idx": out["idx"].to_numpy(np.int64),
+            "chunk": out["chunk"].to_numpy(object),
+            "part2": (vhash(out["doc_id"].to_numpy(np.int64))
+                      % np.uint64(P)).astype(np.int32)})
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "idx"])
+        agg = g.groupby("doc_id", sort=True)["chunk"] \
+            .agg(" ".join).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "text": agg["chunk"].to_numpy(object)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(chunk, batch_format="pyarrow")
+            .groupby("part").map_groups(dedup_part,
+                                        batch_format="pandas")
+            .groupby("part2").map_groups(reassemble,
+                                         batch_format="pandas"))
+
+
+QUERIES["paragraph_dedup_docs"] = paragraph_dedup_docs
+ORACLE_SQL["paragraph_dedup_docs"] = """
+    WITH wd AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+        FROM documents),
+    ch AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(ws[(i * 12 + 1):(i * 12 + 12)], ' ')
+                   AS chunk
+        FROM wd,
+             unnest(range(CAST(ceil(len(ws) / 12.0) AS BIGINT)))
+                 AS t(i)),
+    rk AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, idx) AS rn
+        FROM ch)
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text
+    FROM rk WHERE rn = 1 GROUP BY doc_id
+"""
