@@ -1969,8 +1969,54 @@ def _ngram_jaccard_oracle_sql(threshold: float = 0.6,
 """
 
 
+def _ngram_containment_oracle_sql(threshold: float = 0.6,
+                                  est_cut: float = 0.4) -> str:
+    """Mirror of queries.ngram_containment_docs: same MinHash-LSH
+    blocking as the Jaccard verify, but the exact score is the
+    asymmetric containment |A∩B| / |A| (A = the pair's id_a side)."""
+    return _minhash64_base_cte() + f""",
+    cand AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {est_cut}
+    ),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM win),
+    cnt AS MATERIALIZED (
+        SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.i AS DOUBLE) / CAST(ca.c AS DOUBLE) AS containment
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.id_a
+    WHERE CAST(i.i AS DOUBLE) / CAST(ca.c AS DOUBLE) >= {threshold}
+"""
+
+
 ORACLE_SQL["minhash_dedup_docs"] = _minhash_dedup_oracle_sql()
 ORACLE_SQL["ngram_jaccard_docs"] = _ngram_jaccard_oracle_sql()
+
+
+def ngram_containment_docs(sf_dir: str):
+    """Asymmetric n-gram containment |A∩B|/|A| over LSH-blocked pairs
+    (the small-doc-inside-big-doc near-dup signal; same distributed
+    blocking + semi-joined verify shuffle as ngram_jaccard_docs)."""
+    from tldr_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.6, metric="containment")
+
+
+QUERIES["ngram_containment_docs"] = ngram_containment_docs
+ORACLE_SQL["ngram_containment_docs"] = _ngram_containment_oracle_sql()
 
 
 ORACLE_SQL["events_last_order_asof"] = """
@@ -8060,4 +8106,138 @@ ORACLE_SQL["paragraph_dedup_docs"] = """
         FROM ch)
     SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text
     FROM rk WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def merge_customer_balances(sf_dir: str):
+    """Delta-style MERGE INTO (stages.joins.merge_upsert): the order
+    stream is replayed as a change log onto the customer snapshot —
+    per customer the latest order (by (day, orderkey) composite) wins;
+    status 'F' deletes the customer, anything else upserts the balance
+    to that order's total and stamps the segment 'UPDATED'. One
+    bucketed co-shuffle resolves everything locally."""
+    from tldr_ray.stages.joins import merge_upsert
+
+    def snap(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "acctbal_cents": pa.array(_cents(np.asarray(
+                batch["c_acctbal"], dtype=np.float64))),
+            "c_mktsegment": batch["c_mktsegment"]})
+
+    snapshot = _read(sf_dir, "customer",
+                     ["c_custkey", "c_acctbal", "c_mktsegment"]) \
+        .map_batches(snap, batch_format="pyarrow")
+
+    def ch(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"].cast(pa.int64()))
+        ok = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        day = od // 86_400_000_000
+        is_f = np.asarray(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({
+            "c_custkey": batch["o_custkey"].cast(pa.int64()),
+            "acctbal_cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64))),
+            "c_mktsegment": pa.array(
+                np.full(len(batch), "UPDATED").tolist(), pa.string()),
+            "op": pa.array(np.where(is_f, "D", "U").tolist(),
+                           pa.string()),
+            "ord": pa.array((day << np.int64(32)) | ok)})
+
+    changes = _read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice", "o_orderstatus"]) \
+        .map_batches(ch, batch_format="pyarrow")
+    return merge_upsert(snapshot, changes, key_col="c_custkey")
+
+
+QUERIES["merge_customer_balances"] = merge_customer_balances
+ORACLE_SQL["merge_customer_balances"] = """
+    WITH ch AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS acctbal_cents,
+               'UPDATED' AS c_mktsegment,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               (CAST(epoch(o_orderdate) // 86400 AS BIGINT) * 4294967296)
+                   + o_orderkey AS ord
+        FROM orders),
+    w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY ord DESC) AS rn
+          FROM ch),
+    last AS (SELECT * FROM w WHERE rn = 1),
+    snap AS (SELECT c_custkey,
+                    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                        AS acctbal_cents,
+                    c_mktsegment
+             FROM customer)
+    SELECT s.c_custkey, s.acctbal_cents, s.c_mktsegment
+    FROM snap s LEFT JOIN last l USING (c_custkey)
+    WHERE l.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, acctbal_cents, c_mktsegment
+    FROM last WHERE op = 'U'
+"""
+
+
+def chunk_docs_sliding(sf_dir: str, window: int = 12, stride: int = 6):
+    """RAG-style sliding-window chunking: every doc becomes overlapping
+    12-word chunks at stride 6 (chunk i covers words
+    [i*stride, i*stride+window); one final partial chunk once the tail
+    is shorter than a window). Fully vectorized: Arrow whitespace
+    split, repeat/cumsum index arithmetic to gather the (overlapping)
+    word ranges, one pc.take + binary_join per batch — no per-doc
+    Python. Embarrassingly parallel (no shuffle)."""
+    W, S = window, stride
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(batch["text"])
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = np.asarray(words.offsets, dtype=np.int64)
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        nw = np.diff(off)
+        nchunks = 1 + (np.maximum(nw - W, 0) + S - 1) // S
+        total = int(nchunks.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64())})
+        doc_rep = np.repeat(np.arange(did.size), nchunks)
+        idx = np.arange(total) \
+            - np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+        starts = off[doc_rep] + S * idx
+        lens = np.minimum(starts + W, off[doc_rep + 1]) - starts
+        # flat gather indices: one contiguous range per chunk
+        flat_total = int(lens.sum())
+        bounds = np.cumsum(lens) - lens
+        flat = np.arange(flat_total) - np.repeat(bounds, lens) \
+            + np.repeat(starts, lens)
+        gathered = pc.take(words.values, pa.array(flat, pa.int64()))
+        offsets = np.concatenate([bounds, [flat_total]])
+        chunks_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), gathered)
+        return pa.table({
+            "doc_id": pa.array(did[doc_rep]),
+            "idx": pa.array(idx),
+            "chunk": pc.binary_join(chunks_list, " "),
+            "n_words": pa.array(lens)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(chunk, batch_format="pyarrow"))
+
+
+QUERIES["chunk_docs_sliding"] = chunk_docs_sliding
+ORACLE_SQL["chunk_docs_sliding"] = """
+    WITH wd AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+        FROM documents)
+    SELECT doc_id, i AS idx,
+           array_to_string(ws[(i * 6 + 1):(i * 6 + 12)], ' ') AS chunk,
+           CAST(least(i * 6 + 12, len(ws)) - i * 6 AS BIGINT)
+               AS n_words
+    FROM wd,
+         unnest(range(CAST(1 + ceil(greatest(len(ws) - 12, 0) / 6.0)
+                           AS BIGINT))) AS t(i)
 """

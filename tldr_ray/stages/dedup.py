@@ -607,10 +607,17 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         shingle_k: int = 5, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16,
                         max_bucket: int = 200, num_partitions: int = 64,
-                        broadcast_pairs_limit: int = 2_000_000):
+                        broadcast_pairs_limit: int = 2_000_000,
+                        metric: str = "jaccard"):
     """EXACT n-gram Jaccard pairs >= threshold, using MinHash-LSH only as
     the blocking stage (recall filter at a lower estimate cut), then
     re-computing true Jaccard on the shingle sets of surviving pairs.
+
+    ``metric="containment"`` scores |A∩B| / |A| instead (the asymmetric
+    near-dup signal for small-doc-inside-big-doc; output column is named
+    after the metric). Blocking stays MinHash-Jaccard either way, so
+    high-containment / low-Jaccard pairs outside the LSH recall band are
+    not candidates — callers wanting those need a different blocker.
 
     Verification is distributed and the verify shuffle is SEMI-JOINED:
 
@@ -674,7 +681,9 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     _ATT_EMPTY = {"ppart": pd.array([], dtype="int32"),
                   "id_a": pd.array([], dtype="int64"),
                   "id_b": pd.array([], dtype="int64"),
+                  "jid": pd.array([], dtype="int64"),
                   "sh": pd.array([], dtype=object)}
+    score_col = "jaccard" if metric == "jaccard" else "containment"
 
     def attach_part(group: pd.DataFrame) -> pd.DataFrame:
         pairs = group[group["id_a"] >= 0]
@@ -689,23 +698,26 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         ib = pairs["id_b"].to_numpy(np.int64)
         sh = [sh_map.get(int(j)) for j in pairs["jid"]]
         have = np.asarray([s is not None for s in sh])
+        jid = pairs["jid"].to_numpy(np.int64)[have]
         ia, ib = ia[have], ib[have]
         ppart = (_mix64(ia.view(np.uint64)
                         ^ (ib.view(np.uint64)
                            * np.uint64(0x9E3779B97F4A7C15))) % NP) \
             .astype(np.int32)
         return pd.DataFrame({"ppart": ppart, "id_a": ia, "id_b": ib,
+                             "jid": jid,
                              "sh": [s for s in sh if s is not None]})
 
     def verify_part(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                               "id_b": pd.array([], dtype="int64"),
-                              "jaccard": pd.array([], dtype="float64")})
+                              score_col: pd.array([], dtype="float64")})
         if len(group) < 2:
             return empty
         g = group.sort_values(["id_a", "id_b"])
         ia = g["id_a"].to_numpy(np.int64)
         ib = g["id_b"].to_numpy(np.int64)
+        jid = g["jid"].to_numpy(np.int64)
         sh = g["sh"].tolist()
         change = np.flatnonzero((ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1]))
         starts = np.concatenate([[0], change + 1])
@@ -714,18 +726,27 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz < 2:                     # endpoint text missing
                 continue
-            sa = np.frombuffer(sh[st], dtype=np.uint64)
-            sb = np.frombuffer(sh[st + 1], dtype=np.uint64)
+            # orient: sa = endpoint id_a's shingles (containment is
+            # asymmetric; jaccard doesn't care but uses the same path)
+            if jid[st] == ia[st]:
+                sa = np.frombuffer(sh[st], dtype=np.uint64)
+                sb = np.frombuffer(sh[st + 1], dtype=np.uint64)
+            else:
+                sa = np.frombuffer(sh[st + 1], dtype=np.uint64)
+                sb = np.frombuffer(sh[st], dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
+            if metric == "jaccard":
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 0.0
+            else:
+                j = inter / sa.size if sa.size else 0.0
             if j >= threshold:
                 ra.append(ia[st])
                 rb.append(ib[st])
                 jac.append(j)
         return pd.DataFrame({"id_a": np.asarray(ra, np.int64),
                              "id_b": np.asarray(rb, np.int64),
-                             "jaccard": np.asarray(jac, np.float64)})
+                             score_col: np.asarray(jac, np.float64)})
 
     return (
         both.groupby("jpart")

@@ -675,3 +675,59 @@ def asof_join_forward(left, right, on: str, left_ts: str,
         return batch
 
     return out.map_batches(unneg, batch_format="pandas")
+
+
+def merge_upsert(snapshot, changes, key_col: str, order_col: str = "ord",
+                 op_col: str = "op", num_buckets: int = 64):
+    """Delta-style MERGE INTO: apply a change stream onto a keyed
+    snapshot — per key the LATEST change (max ``order_col``) wins;
+    op 'U' replaces/inserts the row, op 'D' deletes it; keys without
+    changes pass through untouched.
+
+    Schema contract: ``changes`` carries the snapshot's full column
+    set (the upsert payload) plus ``op_col`` + ``order_col``. Plan:
+    both sides tagged and hash-bucketed on the key (one shuffle per
+    side, the bucketed_hash_join machinery); each bucket resolves
+    latest-change-per-key and merges locally — nothing reaches the
+    driver. Determinism: change rows sort by (key, order, op, payload)
+    so equal-order ties resolve identically on any partitioning."""
+    scols = list(snapshot.schema().names)
+    sints = _int_cols(snapshot.schema())
+    ccols = scols + [op_col, order_col]
+    all_cols = list(dict.fromkeys(scols + [op_col, order_col]))
+
+    def tag(side: str, have: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {}
+            for c in all_cols:
+                out[c] = batch[c] if c in have else pa.nulls(n)
+            out["__bucket"] = pa.array(
+                (_hash_any(batch[key_col])
+                 % np.uint64(num_buckets)).astype(np.int32))
+            out["__side"] = pa.array([side] * n)
+            return pa.table(out)
+        return fn
+
+    both = snapshot.map_batches(tag("s", scols),
+                                batch_format="pyarrow").union(
+        changes.map_batches(tag("c", ccols), batch_format="pyarrow"))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        snap = _restore_ints(
+            group[group["__side"] == "s"][scols].copy(), sints)
+        ch = group[group["__side"] == "c"][ccols].copy()
+        if not len(ch):
+            return snap
+        ch = ch.sort_values(ccols[::-1]).sort_values(
+            [key_col, order_col], kind="stable")
+        last = ch.groupby(key_col, sort=False).tail(1)
+        changed = set(last[key_col])
+        keep = snap[~snap[key_col].isin(changed)]
+        ups = _restore_ints(
+            last.loc[last[op_col] == "U", scols].copy(), sints)
+        out = pd.concat([keep, ups], ignore_index=True)
+        return _restore_ints(out, sints)
+
+    return both.groupby("__bucket").map_groups(resolve,
+                                               batch_format="pandas")
