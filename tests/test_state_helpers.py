@@ -130,3 +130,50 @@ class TestIncrementalAggregate:
         update_running_aggregate(inc, d, ["k"], ["cents"])
         got = read_aggregate_state(inc).to_pandas()
         assert got["cents"].tolist() == [2]
+
+
+class TestIncrementalExactDedup:
+    def _docs(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    def test_dedups_against_history_and_itself(self, tmp_path,
+                                               ray_session):
+        from tldr_ray.state import incremental_exact_dedup
+
+        sd = str(tmp_path / "fp")
+        # batch 1: one internal dup (id 2 == id 0)
+        b1 = self._docs([(0, "alpha doc"), (1, "beta doc"),
+                         (2, "alpha doc")])
+        fresh1, v1 = incremental_exact_dedup(sd, b1)
+        df1 = fresh1.to_pandas().sort_values("doc_id")
+        assert df1["doc_id"].tolist() == [0, 1]
+        assert v1 == 1
+
+        # batch 2: one cross-batch dup, one internal dup, one new
+        b2 = self._docs([(10, "beta doc"), (11, "gamma doc"),
+                         (12, "gamma doc"), (13, "delta doc")])
+        fresh2, v2 = incremental_exact_dedup(sd, b2)
+        df2 = fresh2.to_pandas().sort_values("doc_id")
+        assert df2["doc_id"].tolist() == [11, 13]
+        assert v2 == 2
+
+        # idempotence: re-ingesting batch 2 yields nothing new
+        fresh3, v3 = incremental_exact_dedup(sd, b2)
+        assert fresh3.count() == 0
+        assert v3 == 3
+
+    def test_state_holds_fingerprints_not_text(self, tmp_path,
+                                               ray_session):
+        from tldr_ray.state import (incremental_exact_dedup,
+                                    read_aggregate_state)
+
+        sd = str(tmp_path / "fp")
+        incremental_exact_dedup(sd, self._docs([(0, "only doc")]))
+        state = read_aggregate_state(sd)
+        assert sorted(state.schema().names) == ["h1", "h2"]
+        assert state.count() == 1

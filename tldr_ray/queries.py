@@ -8241,3 +8241,45 @@ ORACLE_SQL["chunk_docs_sliding"] = """
          unnest(range(CAST(1 + ceil(greatest(len(ws) - 12, 0) / 6.0)
                            AS BIGINT))) AS t(i)
 """
+
+
+def incremental_dedup_docs(sf_dir: str):
+    """Stateful landing-zone dedup replayed over two synthetic deltas
+    (state.incremental_exact_dedup): even-id docs ingest first and
+    commit their 16-byte content fingerprints; odd-id docs then dedup
+    against that state AND themselves. Returns the second delta's
+    truly-new rows — SQL-expressible as a window + NOT EXISTS, so the
+    whole versioned-state path is hash-checked."""
+    import tempfile
+
+    from tldr_ray.state import incremental_exact_dedup
+
+    def half(even: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            did = np.asarray(batch["doc_id"], dtype=np.int64)
+            m = (did % 2 == 0) if even else (did % 2 == 1)
+            return batch.filter(pa.array(m))
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sd = tempfile.mkdtemp(prefix="tldr_ray_incdedup_", dir="/tmp")
+    incremental_exact_dedup(sd, docs.map_batches(
+        half(True), batch_format="pyarrow"))
+    fresh, _ = incremental_exact_dedup(sd, docs.map_batches(
+        half(False), batch_format="pyarrow"))
+    return fresh
+
+
+QUERIES["incremental_dedup_docs"] = incremental_dedup_docs
+ORACLE_SQL["incremental_dedup_docs"] = """
+    WITH h1 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0),
+    h2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    w AS (SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY text
+                                    ORDER BY doc_id) AS rn
+          FROM h2)
+    SELECT w.doc_id, w.text FROM w
+    WHERE rn = 1
+      AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.text = w.text)
+"""

@@ -1,4 +1,5 @@
-from tldr_ray.state.incremental import (read_aggregate_state,
+from tldr_ray.state.incremental import (incremental_exact_dedup,
+                                        read_aggregate_state,
                                         update_running_aggregate)
 from tldr_ray.state.checkpoint import (
     write_manifest,
@@ -8,6 +9,7 @@ from tldr_ray.state.checkpoint import (
 )
 
 __all__ = [
+    "incremental_exact_dedup",
     "read_aggregate_state",
     "update_running_aggregate",
     "write_manifest",

@@ -44,10 +44,13 @@ def read_aggregate_state(state_dir: str):
     commit."""
     import ray.data as rd
 
+    from tldr_ray.sources.tabular import hashable_parquet_schema
+
     v = _current_version(state_dir)
     if v == 0:
         return None
-    return rd.read_parquet(os.path.join(state_dir, f"v{v}"))
+    vdir = os.path.join(state_dir, f"v{v}")
+    return rd.read_parquet(vdir, schema=hashable_parquet_schema(vdir))
 
 
 def update_running_aggregate(state_dir: str, delta_ds, key_cols,
@@ -79,14 +82,89 @@ def update_running_aggregate(state_dir: str, delta_ds, key_cols,
     out = merged.groupby(key_cols[0] if len(key_cols) == 1
                          else key_cols).aggregate(*aggs)
 
+    return _commit_version(state_dir, out)
+
+
+def _commit_version(state_dir: str, ds) -> int:
+    """Write ``ds`` as the next immutable version directory, then swap
+    CURRENT atomically (temp + rename). Crash-safe: an orphan v-dir is
+    overwritten by the next run; readers never see a partial state."""
     v = _current_version(state_dir) + 1
     vdir = os.path.join(state_dir, f"v{v}")
     os.makedirs(vdir, exist_ok=True)
     for name in os.listdir(vdir):          # orphan from a prior crash
         os.remove(os.path.join(vdir, name))
-    out.write_parquet(vdir)
+    ds.write_parquet(vdir)
     tmp = os.path.join(state_dir, "CURRENT.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(v))
     os.replace(tmp, os.path.join(state_dir, "CURRENT"))
     return v
+
+
+def incremental_exact_dedup(state_dir: str, new_docs,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_partitions: int = 64):
+    """Dedup an incoming batch of docs against EVERY previously
+    committed content fingerprint AND itself, then fold the survivors'
+    fingerprints into the state — the landing-zone companion to
+    ``sources.read_new_files`` (history is never re-scanned as text:
+    the state holds only the 16-byte (h1, h2) content identities from
+    hashing.content_hash128_batch).
+
+    Returns ``(fresh, version)``: ``fresh`` is a materialized Dataset
+    of the truly-new rows (id + text), ``version`` the newly committed
+    fingerprint-state version. Re-ingesting the same batch yields 0
+    rows (idempotence); the CURRENT swap protocol makes a crash replay
+    the delta instead of dropping it."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import _content_hash_and_part
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2, part = _content_hash_and_part(batch[text_col],
+                                              num_partitions)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            text_col: batch[text_col],
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "part": pa.array(part),
+            "is_new": pa.array(np.ones(len(batch), bool))})
+
+    new = new_docs.select_columns([id_col, text_col]) \
+        .map_batches(add_hash, batch_format="pyarrow")
+
+    old = read_aggregate_state(state_dir)   # (h1, h2) rows or None
+    if old is not None:
+        def seen(batch: pa.Table) -> pa.Table:
+            h1 = np.asarray(batch["h1"]).astype(np.uint64)
+            n = len(batch)
+            return pa.table({
+                id_col: pa.array(np.full(n, -1, np.int64)),
+                text_col: pa.nulls(n, pa.string()),
+                "h1": batch["h1"], "h2": batch["h2"],
+                "part": pa.array(
+                    (h1 % np.uint64(num_partitions)).astype(np.int32)),
+                "is_new": pa.array(np.zeros(n, bool))})
+
+        new = new.union(old.map_batches(seen, batch_format="pyarrow"))
+
+    import pandas as pd
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h1", "h2", "is_new", id_col])
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        first = np.concatenate([[True],
+                                (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        out = g[first & g["is_new"].to_numpy()]
+        return out[[id_col, text_col, "h1", "h2"]]
+
+    fresh = (new.groupby("part")
+             .map_groups(resolve, batch_format="pandas").materialize())
+    fps = fresh.select_columns(["h1", "h2"])
+    if old is not None:
+        fps = fps.union(old)
+    version = _commit_version(state_dir, fps)
+    return fresh.drop_columns(["h1", "h2"]), version
