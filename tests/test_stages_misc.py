@@ -1719,3 +1719,36 @@ class TestCompaction:
         assert rep["files_after"] <= 3
         back = rd.read_parquet(str(d)).to_pandas()["k"]
         assert sorted(back.tolist()) == list(range(120))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncode:
+    def test_pieces_equal_trained_vocab_symbols(self):
+        """Encoding a word with the learned merges must reproduce the
+        trained vocab table's symbol sequence verbatim (same rewrite
+        rule as training), and doc pieces are the concatenation over
+        its words."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tldr_ray.stages.text_analysis import (bpe_encode,
+                                                   learn_bpe_merges)
+
+        texts = ["the cat sat on the mat", "the bat and the cat",
+                 "a mat and a bat", "the the the cat cat"]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        merges, vocab = learn_bpe_merges(ds, num_merges=10)
+        assert merges
+
+        sym_of = {row["word"]: list(row["symbols"])
+                  for row in vocab.to_pandas().to_dict("records")}
+        out = bpe_encode(ds, merges).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, t in enumerate(texts):
+            want = []
+            for w in t.lower().split():
+                want.extend(sym_of[w])
+            assert list(out["pieces"][i]) == want
+            assert out["n_pieces"][i] == len(want)

@@ -8283,3 +8283,21 @@ ORACLE_SQL["incremental_dedup_docs"] = """
     WHERE rn = 1
       AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.text = w.text)
 """
+
+
+def bpe_encode_docs(sf_dir: str):
+    """Train 20 BPE merges on the corpus (distributed word-type table,
+    size-gated merge rounds), then ENCODE every doc with them in a
+    genuinely stateful actor pool (merge table built once per actor,
+    word-type pieces cached across batches). Rows-only by nature (the
+    merge loop is not SQL); pytest pins pieces == trained vocab
+    symbols verbatim."""
+    from tldr_ray.stages.text_analysis import bpe_encode, learn_bpe_merges
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges, _ = learn_bpe_merges(docs, num_merges=20)
+    out = bpe_encode(docs, merges)
+    return out.select_columns(["doc_id", "n_pieces"])
+
+
+QUERIES["bpe_encode_docs"] = bpe_encode_docs
