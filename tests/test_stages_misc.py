@@ -1752,3 +1752,30 @@ class TestBpeEncode:
                 want.extend(sym_of[w])
             assert list(out["pieces"][i]) == want
             assert out["n_pieces"][i] == len(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOrcFeatherRoundTrip:
+    def test_orc_and_feather_round_trip(self, tmp_path):
+        """ORC and Arrow-IPC (feather) land as blob-decoded sources —
+        reading back what write_table wrote must equal the original."""
+        import pandas as pd
+
+        from tldr_ray.sinks import write_table
+        from tldr_ray.sources import read_table
+
+        src = read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+        want = src.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        for fmt in ("orc", "feather"):
+            out = str(tmp_path / fmt)
+            stats = write_table(src, out, format=fmt)
+            assert stats["rows"] == len(want)
+            got = read_table(out, format=fmt).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want)
+        # column projection applies after decode
+        got2 = read_table(str(tmp_path / "orc"), format="orc",
+                          columns=["doc_id"]).to_pandas()
+        assert list(got2.columns) == ["doc_id"]

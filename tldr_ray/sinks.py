@@ -99,18 +99,53 @@ _WRITERS = {
 
 def write_table(ds, path: str, format: str = "parquet", **kwargs):
     """Format-agnostic sink twin of ``sources.read_table``: one entry
-    point for parquet / CSV / JSONL output directories. Parquet is the
-    scale path (columnar, splittable, statistics); the row-major
-    formats exist for interchange. Extra kwargs pass through to the
-    underlying ``ray.data`` writer. Each executing task writes its own
-    file under ``path`` — output stays sharded, never one giant file."""
+    point for parquet / CSV / JSONL / ORC / feather(arrow) output
+    directories. Parquet is the scale path (columnar, splittable,
+    statistics); the others exist for interchange. Extra kwargs pass
+    through to the underlying writer. Each executing task writes its
+    own file under ``path`` — output stays sharded, never one giant
+    file."""
+    if format in ("orc", "feather", "arrow"):
+        return _write_blob_format(ds, path, format, **kwargs)
     try:
         writer = _WRITERS[format]
     except KeyError:
         raise ValueError(
-            f"format must be one of {sorted(_WRITERS)}: {format!r}")
+            f"format must be one of "
+            f"{sorted(_WRITERS) + ['orc', 'feather', 'arrow']}: "
+            f"{format!r}")
     os.makedirs(path, exist_ok=True)
     return getattr(ds, writer)(path, **kwargs)
+
+
+def _write_blob_format(ds, path: str, format: str,
+                       rows_per_file: int = 1_000_000):
+    """Sharded ORC / Arrow-IPC writer: every block writes its own file
+    (pyarrow built-in encoders; Ray has no native writer for these) —
+    the same one-file-per-task layout as the native sinks."""
+    import uuid
+
+    import pyarrow as pa
+
+    ext = "orc" if format == "orc" else "arrow"
+    os.makedirs(path, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        fname = os.path.join(
+            path, f"part-{uuid.uuid4().hex}.{ext}")
+        if format == "orc":
+            import pyarrow.orc as po
+
+            po.write_table(batch, fname)
+        else:
+            with pa.ipc.new_file(fname, batch.schema) as w:
+                w.write_table(batch)
+        return pa.table({"path": pa.array([fname]),
+                         "rows": pa.array([len(batch)], pa.int64())})
+
+    manifest = ds.map_batches(write, batch_format="pyarrow",
+                              batch_size=rows_per_file).to_pandas()
+    return {"files": len(manifest), "rows": int(manifest["rows"].sum())}
 
 
 def compact_parquet(path: str, target_rows_per_file: int = 1_000_000,

@@ -23,6 +23,57 @@ _READERS = {
     "json": rd.read_json,       # newline-delimited JSON
 }
 
+# blob-decoded columnar formats: Ray has no native reader, but both are
+# pyarrow built-ins — read_binary_files gives one task per file and the
+# decode map returns the file's Arrow table as the block (ORC stripes /
+# IPC record batches are file-contained, so per-file parallelism is the
+# natural split; convert to parquet for row-group-level splitting at
+# real scale)
+_BLOB_DECODERS = {}
+
+
+def _register_blob_formats():
+    def _orc(buf):
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        return po.ORCFile(pa.BufferReader(buf)).read()
+
+    def _feather(buf):
+        import pyarrow as pa
+
+        return pa.ipc.open_file(pa.BufferReader(buf)).read_all()
+
+    _BLOB_DECODERS["orc"] = _orc
+    _BLOB_DECODERS["feather"] = _feather
+    _BLOB_DECODERS["arrow"] = _feather     # alias: Arrow IPC file
+
+
+_register_blob_formats()
+
+
+def _read_blob_format(path: str, format: str, columns=None, **kwargs):
+    decode_file = _BLOB_DECODERS[format]
+
+    def decode(batch):
+        import pyarrow as pa
+
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # zero-copy buffer view per blob (no bytes() materialization)
+        tabs = [decode_file(col[i].as_buffer()) for i in range(len(col))]
+        out = pa.concat_tables(tabs) if tabs else None
+        if out is None:
+            return pa.table({})
+        if columns:
+            out = out.select(columns)
+        return out.replace_schema_metadata(None)
+
+    blobs = rd.read_binary_files(path, **kwargs)
+    return blobs.map_batches(decode, batch_format="pyarrow",
+                             batch_size=1)
+
 
 def hashable_parquet_schema(path: str, columns=None):
     """Metadata-free (projected) schema for a parquet file or directory.
@@ -63,11 +114,14 @@ def read_table(path: str, format: str = "parquet",
     footprint, higher decode cost — see module docstring).
     Extra kwargs pass through to the underlying ``ray.data`` reader
     (e.g. ``override_num_blocks``)."""
+    if format in _BLOB_DECODERS:
+        return _read_blob_format(path, format, columns, **kwargs)
     try:
         reader = _READERS[format]
     except KeyError:
         raise ValueError(
-            f"format must be one of {sorted(_READERS)}: {format!r}")
+            f"format must be one of "
+            f"{sorted(set(_READERS) | set(_BLOB_DECODERS))}: {format!r}")
     if format == "parquet":
         if "schema" not in kwargs:
             sch = hashable_parquet_schema(path, columns)
