@@ -80,3 +80,22 @@ class TestPrunedDriverReads:
         assert 0 < len(out) <= 100
         assert out["o_orderkey"].is_unique
         assert (out["qty_cents"] > 25000).all()
+
+
+class TestDimDecorate:
+    def test_broadcast_and_bucketed_paths_equal(self):
+        """_dim_decorate (the reusable size-gated decoration) must
+        produce identical rows on both sides of its gate."""
+        from tldr_ray.queries import _dim_decorate, _read
+
+        line = _read(SF, "lineitem", ["l_orderkey", "l_suppkey"])
+        a = _norm(_dim_decorate(
+            line, SF, "supplier", "s_suppkey", "s_nationkey",
+            on="l_suppkey", out_col="s_nat").to_pandas())
+        b = _norm(_dim_decorate(
+            line, SF, "supplier", "s_suppkey", "s_nationkey",
+            on="l_suppkey", out_col="s_nat",
+            broadcast_limit_rows=0).to_pandas())
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(
+            a, b.astype(a.dtypes.to_dict()))

@@ -7806,7 +7806,10 @@ def knn_graph_embeddings(sf_dir: str, k: int = 3,
         cids, cmat = ray.get(ref)
         mat = _unit(_as_matrix(batch["embedding"]))
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        cos = mat @ cmat.T                       # (b, n)
+        # float64 scoring: rank order must agree with the float64 SQL
+        # oracle even for near-tied neighbors (float32 matmul error
+        # ~1e-7 could flip an ordering the hash check would catch)
+        cos = mat.astype(np.float64) @ cmat.astype(np.float64).T
         # exclude self matches by id (not by row position)
         cos[ids[:, None] == cids[None, :]] = -np.inf
         # top-k with (cosine desc, vec_id asc) ties: lexsort per row
