@@ -8304,3 +8304,83 @@ def bpe_encode_docs(sf_dir: str):
 
 
 QUERIES["bpe_encode_docs"] = bpe_encode_docs
+
+
+def hll_daily_rollup_events(sf_dir: str, b: int = 6):
+    """Hierarchical sketch rollup — the property that makes mergeable
+    sketches THE 100-TB shape: per-HOUR HLL register tables over
+    user_id merge into per-DAY registers with a plain grouped max,
+    never touching raw rows again. The oracle computes the DAILY
+    registers directly from the rows, so the hash check proves the
+    merge law (max over hour sketches == sketch of the day) end to
+    end, bit for bit."""
+    from ray.data.aggregate import Max
+
+    from tldr_ray.stages.sketches import grouped_hll_registers
+
+    def hourkey(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()))
+        return pa.table({
+            "hourkey": pa.array(us // 3_600_000_000),
+            "user_id": batch["user_id"]})
+
+    hourly = grouped_hll_registers(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(hourkey, batch_format="pyarrow"),
+        "hourkey", "user_id", b)
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        hk = np.asarray(batch["hourkey"], dtype=np.int64)
+        return pa.table({"day": pa.array(hk // 24),
+                         "bucket": batch["bucket"],
+                         "max_rank": batch["max_rank"]})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day"].cast(pa.int64()),
+            "bucket": batch["bucket"].cast(pa.int32()),
+            "max_rank": batch["max_rank"].cast(pa.int64())})
+
+    return (hourly.map_batches(to_day, batch_format="pyarrow")
+            .groupby(["day", "bucket"])
+            .aggregate(Max("max_rank", alias_name="max_rank"))
+            .map_batches(seal, batch_format="pyarrow"))
+
+
+def _hll_daily_oracle_sql(b: int = 6) -> str:
+    wbits = 64 - b
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    pairs AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+               CAST(user_id AS VARCHAR) AS s
+        FROM events
+    ),
+    br AS (
+        SELECT p.day,
+               CAST(m3.h // {1 << wbits} AS BIGINT) AS bucket,
+               CAST(m3.h % {1 << wbits} AS BIGINT) AS w
+        FROM pairs p JOIN m3 ON m3.s = p.s
+    ),
+    rk AS (
+        SELECT day, bucket,
+               CASE WHEN w = 0 THEN {wbits + 1}
+                    ELSE bit_count((w & (-w)) - 1) + 1 END AS rank
+        FROM br
+    ),
+    agg AS (SELECT day, bucket, max(rank) AS r
+            FROM rk GROUP BY day, bucket)
+    SELECT g.day, CAST(g.b AS INTEGER) AS bucket,
+           CAST(coalesce(a.r, 0) AS BIGINT) AS max_rank
+    FROM (SELECT t.day, b.b
+          FROM (SELECT DISTINCT epoch_us(ts) // 86400000000
+                    AS day FROM events) t,
+               (SELECT unnest(range(0, {1 << b})) AS b) b) g
+    LEFT JOIN agg a ON a.day = g.day AND a.bucket = g.b
+"""
+
+
+QUERIES["hll_daily_rollup_events"] = hll_daily_rollup_events
+ORACLE_SQL["hll_daily_rollup_events"] = _hll_daily_oracle_sql()
