@@ -213,3 +213,33 @@ class TestWinnowing:
                       "text": pa.array(["tiny"])})
         out = winnow_fingerprints(rd.from_arrow(t), k=8, w=4).to_pandas()
         assert len(out) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticDedup:
+    def test_planted_near_dup_removed(self, tmp_path):
+        """A planted near-identical vector must lose to its lower-id
+        twin; everything else survives."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        # vec 40 = tiny perturbation of vec 7 -> cosine ~ 1
+        twin = base[7] + rng.standard_normal(16).astype(np.float32) * 1e-3
+        mat = np.vstack([base, twin[None, :]])
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(41), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32()))}),
+            str(sf / "embeddings.parquet"))
+
+        from tldr_ray.queries import semantic_dedup_embeddings
+
+        kept = sorted(semantic_dedup_embeddings(str(sf), threshold=0.99)
+                      .to_pandas()["vec_id"])
+        assert 40 not in kept and 7 in kept
+        assert len(kept) == 40

@@ -8384,3 +8384,29 @@ def _hll_daily_oracle_sql(b: int = 6) -> str:
 
 QUERIES["hll_daily_rollup_events"] = hll_daily_rollup_events
 ORACLE_SQL["hll_daily_rollup_events"] = _hll_daily_oracle_sql()
+
+
+def semantic_dedup_embeddings(sf_dir: str, threshold: float = 0.9):
+    """Semantic (embedding-space) dedup end to end: LSH-bucketed
+    cosine near-dup pairs -> connected components (size-gated
+    union-find <-> distributed CC) -> keep each cluster's min-id
+    representative. Rows-only by nature (random-hyperplane LSH); the
+    planted-pair pytest pins recovery and representative choice."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import (embedding_cosine_pairs,
+                                       resolve_clusters)
+    from tldr_ray.stages.joins import bucketed_anti_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_cosine_pairs(ds, threshold=threshold)
+    cl = resolve_clusters(pairs)
+    ids = ds.select_columns(["vec_id"])
+    drop = cl.loc[cl["id"] != cl["cluster_id"], ["id"]] \
+        .rename(columns={"id": "vec_id"})
+    if len(drop):
+        ids = bucketed_anti_join(ids, rd.from_pandas(drop), on="vec_id")
+    return ids
+
+
+QUERIES["semantic_dedup_embeddings"] = semantic_dedup_embeddings
