@@ -8410,3 +8410,63 @@ def semantic_dedup_embeddings(sf_dir: str, threshold: float = 0.9):
 
 
 QUERIES["semantic_dedup_embeddings"] = semantic_dedup_embeddings
+
+
+def harmonic_closeness_sampled(sf_dir: str):
+    """Sampled harmonic closeness centrality over the hash graph: BFS
+    from 4 fixed pivot seeds on ONE resident shard engine (the shards
+    build once; each pass is the BSP frontier fixpoint), score(v) =
+    sum over seeds of 1/d(s, v) accumulated in fixed seed order —
+    integer distances + a fixed-order IEEE sum of 4 exactly-rounded
+    divisions, so the float hash-matches the 4 unrolled recursive-CTE
+    mirrors. The classic sampled stand-in for exact closeness at
+    graph scales where all-pairs BFS is off the table."""
+    from tldr_ray.graph import GraphEngine
+
+    seeds = [0, 1, 2, 3]
+    eng = GraphEngine.from_edges(_hash_graph_edges(sf_dir),
+                                 num_partitions=4, symmetrize=True)
+    try:
+        score = None
+        for s in seeds:
+            ids, dist, _ = eng.bfs([s])
+            d = dist.astype(np.float64)
+            term = np.where((dist > 0) & (dist < np.iinfo(np.int64).max),
+                            1.0 / np.where(dist > 0, d, 1.0), 0.0)
+            score = term if score is None else score + term
+    finally:
+        eng.shutdown()
+    return pa.table({"vertex": pa.array(ids.astype(np.int64)),
+                     "closeness": pa.array(score)})
+
+
+def _harmonic_closeness_oracle_sql() -> str:
+    reaches = []
+    for i, s in enumerate([0, 1, 2, 3]):
+        reaches.append(f"""
+    reach{i}(v, d) AS (
+        SELECT CAST({s} AS BIGINT), 0
+        UNION
+        SELECT sym.t, reach{i}.d + 1
+        FROM reach{i} JOIN sym ON sym.s = reach{i}.v
+        WHERE reach{i}.d < 64
+    ),
+    d{i} AS (SELECT v, min(d) AS d FROM reach{i} GROUP BY v)""")
+    terms = " + ".join(
+        f"(CASE WHEN d{i}.d IS NULL OR d{i}.d = 0 THEN 0.0 "
+        f"ELSE 1.0 / CAST(d{i}.d AS DOUBLE) END)" for i in range(4))
+    joins = "\n    ".join(
+        f"LEFT JOIN d{i} ON d{i}.v = verts.v" for i in range(4))
+    return f"""
+    WITH RECURSIVE {{raw}},
+    sym AS (SELECT s, t FROM raw2 UNION SELECT t, s FROM raw2),
+    verts AS (SELECT DISTINCT s AS v FROM sym),{",".join(reaches)}
+    SELECT verts.v AS vertex, {terms} AS closeness
+    FROM verts
+    {joins}
+"""
+
+
+QUERIES["harmonic_closeness_sampled"] = harmonic_closeness_sampled
+ORACLE_SQL["harmonic_closeness_sampled"] = \
+    _harmonic_closeness_oracle_sql().format(raw=_HASHGRAPH_RAW)
