@@ -8470,3 +8470,94 @@ def _harmonic_closeness_oracle_sql() -> str:
 QUERIES["harmonic_closeness_sampled"] = harmonic_closeness_sampled
 ORACLE_SQL["harmonic_closeness_sampled"] = \
     _harmonic_closeness_oracle_sql().format(raw=_HASHGRAPH_RAW)
+
+
+def event_value_drift(sf_dir: str):
+    """Distribution-drift monitor (the data-quality gate a production
+    ingest runs per partition): chi-square distance between the first
+    half of January and the rest, per event_type, over 10 fixed $50
+    value bins. Counts are exact integers from per-batch np.unique
+    partials + one tiny groupby; the statistic composes the 10 bin
+    terms in FIXED bin order with exactly-rounded conversions, so the
+    float hash-matches the SQL's explicit term chain (a SUM() over
+    rows would have engine-dependent order — the pivot-then-chain is
+    the mirrorable form)."""
+    from ray.data.aggregate import Sum
+
+    split_day = np.datetime64("2024-01-16").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()))
+        win = (us >= split_day).astype(np.int64)
+        vc = _cents(np.asarray(batch["value"], dtype=np.float64))
+        b = np.clip(vc // 5000, 0, 9)
+        et, ei = np.unique(np.asarray(batch["event_type"]),
+                           return_inverse=True)
+        comp = (ei.astype(np.int64) * 20) + win * 10 + b
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(et[u // 20].tolist(), pa.string()),
+            "win": pa.array((u % 20) // 10),
+            "bin": pa.array(u % 10),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (_read(sf_dir, "events", ["ts", "event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "win", "bin"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+
+    out_rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        a = np.zeros(10, np.int64)
+        b = np.zeros(10, np.int64)
+        for _, r in g.iterrows():
+            (a if r["win"] == 0 else b)[int(r["bin"])] = r["n"]
+        chi = 0.0
+        for i in range(10):          # fixed-order left-assoc chain
+            tot = int(a[i] + b[i])
+            if tot:
+                d = int(a[i] - b[i])
+                chi = chi + float(d * d) / float(tot)
+        out_rows.append((et, int(a.sum()), int(b.sum()), chi))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+        "n_before": pa.array([r[1] for r in out_rows], pa.int64()),
+        "n_after": pa.array([r[2] for r in out_rows], pa.int64()),
+        "chi_square": pa.array([r[3] for r in out_rows], pa.float64())})
+
+
+def _drift_oracle_sql() -> str:
+    cols = []
+    for w, pre in ((0, "a"), (1, "b")):
+        for i in range(10):
+            cols.append(
+                f"sum(CASE WHEN win = {w} AND bin = {i} THEN 1 ELSE 0 "
+                f"END) AS {pre}{i}")
+    terms = " + ".join(
+        f"(CASE WHEN a{i} + b{i} = 0 THEN 0.0 ELSE "
+        f"CAST((a{i} - b{i}) * (a{i} - b{i}) AS DOUBLE) "
+        f"/ CAST(a{i} + b{i} AS DOUBLE) END)" for i in range(10))
+    asum = " + ".join(f"a{i}" for i in range(10))
+    bsum = " + ".join(f"b{i}" for i in range(10))
+    return f"""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                   AS win,
+               least(greatest(
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000,
+                   0), 9) AS bin
+        FROM events),
+    p AS (SELECT event_type, {", ".join(cols)}
+          FROM e GROUP BY event_type)
+    SELECT event_type,
+           CAST({asum} AS BIGINT) AS n_before,
+           CAST({bsum} AS BIGINT) AS n_after,
+           {terms} AS chi_square
+    FROM p
+"""
+
+
+QUERIES["event_value_drift"] = event_value_drift
+ORACLE_SQL["event_value_drift"] = _drift_oracle_sql()
