@@ -8561,3 +8561,71 @@ def _drift_oracle_sql() -> str:
 
 QUERIES["event_value_drift"] = event_value_drift
 ORACLE_SQL["event_value_drift"] = _drift_oracle_sql()
+
+
+def dedup_rates_by_source(sf_dir: str):
+    """Pipeline observability: per-source duplicate rate (1 -
+    distinct_texts / docs) — the metric a curation run reports per
+    upstream feed. Doc counts are a text-free aggregate; distinct
+    texts go through the exact grouped-distinct sweep over 128-bit
+    content hashes (per-batch uniques -> one coarse groupby); the
+    rate is one IEEE division of exact counts."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _content_hash_and_part
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        src_, cnt = np.unique(np.asarray(batch["source"]),
+                              return_counts=True)
+        return pa.table({"source": pa.array(src_.tolist(), pa.string()),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    counts = (_read(sf_dir, "documents", ["source"])
+              .map_batches(count_part, batch_format="pyarrow")
+              .groupby("source")
+              .aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas())
+
+    def hash_part(batch: pa.Table) -> pa.Table:
+        h1, h2, _ = _content_hash_and_part(batch["text"], 1)
+        src_, si = np.unique(np.asarray(batch["source"]),
+                             return_inverse=True)
+        comp = np.stack([si.astype(np.uint64), h1, h2], axis=1)
+        uniq = np.unique(comp, axis=0)
+        return pa.table({
+            "source": pa.array(
+                src_[uniq[:, 0].astype(np.int64)].tolist(), pa.string()),
+            "h1": pa.array(uniq[:, 1]),
+            "h2": pa.array(uniq[:, 2])})
+
+    def dedup_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["source", "h1", "h2"])
+        out = g.groupby("source", sort=False).size().reset_index()
+        out.columns = ["source", "n_distinct"]
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    dist = (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(hash_part, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(dedup_part, batch_format="pandas")
+            .to_pandas())
+    out = counts.merge(dist, on="source", how="inner") \
+        .sort_values("source").reset_index(drop=True)
+    out["dup_rate"] = 1.0 - (out["n_distinct"].to_numpy(np.float64)
+                             / out["n_docs"].to_numpy(np.float64))
+    for c in ("n_docs", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "n_distinct", "dup_rate"]],
+        preserve_index=False)
+
+
+QUERIES["dedup_rates_by_source"] = dedup_rates_by_source
+ORACLE_SQL["dedup_rates_by_source"] = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           1.0 - (CAST(count(DISTINCT text) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS dup_rate
+    FROM documents GROUP BY source
+"""
