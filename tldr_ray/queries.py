@@ -8629,3 +8629,109 @@ ORACLE_SQL["dedup_rates_by_source"] = """
                   / CAST(count(*) AS DOUBLE)) AS dup_rate
     FROM documents GROUP BY source
 """
+
+
+def profile_documents(sf_dir: str):
+    """One-pass table profiler (the ingest-time data-quality report):
+    per column of ``documents`` — row count, null count, EXACT distinct
+    count, min and max (typed reduction, stringified only at the end;
+    swap the exact distinct for the HLL registers at corpus scale).
+    Two streams: O(columns) stats partials per batch, and per-batch
+    unique 128-bit value hashes for the distinct sweep."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.hashing import content_hash128_batch
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    int_cols = {"doc_id", "n_chars"}
+
+    def stats_part(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = batch[c]
+            nulls = int(col.null_count)
+            if c in int_cols:
+                v = np.asarray(col, dtype=np.int64)
+                rows.append((c, len(batch), nulls,
+                             int(v.min()) if v.size else None,
+                             int(v.max()) if v.size else None,
+                             None, None))
+            else:
+                v = np.asarray(col)
+                rows.append((c, len(batch), nulls, None, None,
+                             str(v.min()) if v.size else None,
+                             str(v.max()) if v.size else None))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "imin": pa.array([r[3] for r in rows], pa.int64()),
+            "imax": pa.array([r[4] for r in rows], pa.int64()),
+            "smin": pa.array([r[5] for r in rows], pa.string()),
+            "smax": pa.array([r[6] for r in rows], pa.string())})
+
+    def hash_part(batch: pa.Table) -> pa.Table:
+        outs_c, outs_1, outs_2 = [], [], []
+        for c in cols:
+            if c in int_cols:
+                v = np.unique(np.asarray(batch[c], dtype=np.int64))
+                h1 = v.view(np.uint64)
+                h2 = np.zeros_like(h1)
+            else:
+                a, b = content_hash128_batch(batch[c])
+                comp = np.unique(np.stack([a, b], axis=1), axis=0)
+                h1, h2 = comp[:, 0], comp[:, 1]
+            outs_c.append(np.full(h1.size, c, dtype=object))
+            outs_1.append(h1)
+            outs_2.append(h2)
+        return pa.table({
+            "column": pa.array(np.concatenate(outs_c).tolist(),
+                               pa.string()),
+            "h1": pa.array(np.concatenate(outs_1)),
+            "h2": pa.array(np.concatenate(outs_2))})
+
+    def distinct_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["column", "h1", "h2"])
+        out = g.groupby("column", sort=False).size().reset_index()
+        out.columns = ["column", "n_distinct"]
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    ds = _read(sf_dir, "documents", cols)
+    stats = (ds.map_batches(stats_part, batch_format="pyarrow")
+             .to_pandas())
+    dist = (ds.map_batches(hash_part, batch_format="pyarrow")
+            .groupby("column")
+            .map_groups(distinct_part, batch_format="pandas")
+            .to_pandas())
+
+    rows = []
+    for c in cols:
+        g = stats[stats["column"] == c]
+        if c in int_cols:
+            mn = str(int(g["imin"].min()))
+            mx = str(int(g["imax"].max()))
+        else:
+            mn = str(g["smin"].min())
+            mx = str(g["smax"].max())
+        nd = int(dist.loc[dist["column"] == c, "n_distinct"].iloc[0])
+        rows.append((c, int(g["n"].sum()), int(g["nulls"].sum()),
+                     nd, mn, mx))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.int64()),
+        "min_v": pa.array([r[4] for r in rows], pa.string()),
+        "max_v": pa.array([r[5] for r in rows], pa.string())})
+
+
+QUERIES["profile_documents"] = profile_documents
+ORACLE_SQL["profile_documents"] = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(min({c}) AS VARCHAR) AS min_v,
+        CAST(max({c}) AS VARCHAR) AS max_v
+        FROM documents"""
+    for c in ["doc_id", "text", "lang", "source", "n_chars"])
