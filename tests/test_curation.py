@@ -76,3 +76,59 @@ class TestPretrainingMix:
         prefix = np.concatenate(
             [[0], np.cumsum(d2["n_tokens"].to_numpy())[:-1]])
         assert (d2["shard_id"].to_numpy() == prefix // 64).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportTrainingShards:
+    def _docs(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng_words = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng_words[(i * 7) % 25:(i * 7) % 25 + 5 + i % 9])
+                 for i in range(60)]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_export_and_resume(self, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from tldr_ray.pipelines import export_training_shards
+
+        out = str(tmp_path / "shards")
+        rep = export_training_shards(self._docs(), out, budget=40)
+        assert rep["n_shards"] >= 3 and not rep["skipped"]
+
+        # every shard dir is _DONE-marked; shard token sums stay under
+        # budget + max doc (packing can overshoot by at most one doc)
+        dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+        assert len(dirs) == rep["n_shards"]
+        tok_by_shard = {}
+        for d in dirs:
+            assert os.path.exists(os.path.join(d, "_DONE"))
+            t = pq.read_table(d)
+            sid = int(d.rsplit("=", 1)[1])
+            tok_by_shard[sid] = int(
+                sum(t["n_tokens"].to_pylist()))
+        max_doc = 13
+        assert all(v <= 40 + max_doc for v in tok_by_shard.values())
+        # contiguous shard ids, all docs present exactly once
+        assert sorted(tok_by_shard) == list(range(len(dirs)))
+        total = sum(pq.read_table(d).num_rows for d in dirs)
+        assert total == 60
+
+        # resume: drop one marker -> only that shard rewrites
+        victim = dirs[1]
+        os.remove(os.path.join(victim, "_DONE"))
+        rep2 = export_training_shards(self._docs(), out, budget=40)
+        assert rep2["written"] == [victim.rsplit("=", 1)[1]]
+        assert len(rep2["skipped"]) == len(dirs) - 1
+        # deterministic re-pack: rewritten shard equals its first run
+        t2 = pq.read_table(victim)
+        assert sorted(t2["doc_id"].to_pylist()) == sorted(
+            pq.read_table(victim)["doc_id"].to_pylist())
+        assert int(sum(t2["n_tokens"].to_pylist())) == tok_by_shard[1]

@@ -1,3 +1,4 @@
+from tldr_ray.pipelines.export import export_training_shards
 from tldr_ray.pipelines.pretrain import prepare_pretraining_mix
 from tldr_ray.pipelines.summarize import (
     summarize_transcripts,
@@ -6,6 +7,7 @@ from tldr_ray.pipelines.summarize import (
 )
 
 __all__ = [
+    "export_training_shards",
     "prepare_pretraining_mix",
     "summarize_transcripts",
     "summarize_documents",
