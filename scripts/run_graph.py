@@ -29,7 +29,10 @@ def main() -> None:
                    help="Parquet file/dir with conv_id,turn_idx,role,text,tool,ts")
     p.add_argument("--algorithm", default="pagerank",
                    choices=["pagerank", "components", "labelprop",
-                            "triangles", "kcore"])
+                            "triangles", "kcore", "betweenness"])
+    p.add_argument("--pivots", default="",
+                   help="comma-separated pivot vertex ids for "
+                        "--algorithm betweenness (default: 4 sampled)")
     p.add_argument("--partitions", type=int, default=16)
     p.add_argument("--out", required=True)
     p.add_argument("--damping", type=float, default=0.85)
@@ -91,7 +94,8 @@ def main() -> None:
         metrics.update(info)
         metrics["wall_sec"] = round(time.time() - t0, 2)
     else:
-        symmetrize = args.algorithm in ("components", "labelprop")
+        symmetrize = args.algorithm in ("components", "labelprop",
+                                        "betweenness")
         eng = GraphEngine.from_edges(edges, args.partitions,
                                      symmetrize=symmetrize)
         metrics["build_sec"] = round(time.time() - t0, 2)
@@ -124,6 +128,15 @@ def main() -> None:
                 _, _, info = eng.connected_components(args.max_iterations,
                                                       collect=False)
                 value_name = "component"
+            elif args.algorithm == "betweenness":
+                if args.pivots:
+                    pivots = [int(x) for x in args.pivots.split(",")]
+                else:
+                    pivots = ray.get(
+                        eng.shards[0].sample_verts.remote(4))
+                _, _, info = eng.betweenness_sampled(pivots,
+                                                     collect=False)
+                value_name = "betweenness"
             else:
                 _, _, info = eng.label_propagation(args.max_iterations,
                                                    collect=False)

@@ -834,3 +834,78 @@ class TestPagerankDocumentsGraphOracle:
         assert np.array_equal(np.sort(ids), o_ids)
         order = np.argsort(ids)
         np.testing.assert_allclose(scores[order], o_scores, atol=1e-6)
+
+
+def _brandes_ref(edges, n, pivots):
+    """Sequential Brandes dependency accumulation (Brandes 2001, the
+    textbook queue/stack form) restricted to the given pivots."""
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    bc = np.zeros(n)
+    for s in pivots:
+        dist = np.full(n, -1)
+        sigma = np.zeros(n)
+        dist[s], sigma[s] = 0, 1.0
+        order, queue = [], [s]
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+    return bc
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBetweennessSampled:
+    def test_matches_brandes_reference(self):
+        from tldr_ray.graph import betweenness_sampled
+
+        rng = np.random.default_rng(11)
+        n = 50
+        raw = {(int(a), int(b)) for a, b in
+               zip(rng.integers(0, n, 160), rng.integers(0, n, 160))
+               if a != b}
+        # ensure connectivity spine so every pivot reaches most nodes
+        raw |= {(i, i + 1) for i in range(n - 1)}
+        edges = sorted(raw)
+        pivots = [0, 7, 23, 41]
+        ids, scores, info = betweenness_sampled(
+            edge_ds(symmetrized(edges)), seeds=pivots,
+            num_partitions=3)
+        ref = _brandes_ref(edges, n, pivots)
+        assert info["pivots"] == 4
+        order = np.argsort(ids)
+        np.testing.assert_allclose(scores[order], ref[np.sort(ids)],
+                                   atol=1e-9)
+
+    def test_bridge_vertex_dominates(self):
+        """On two cliques joined by one bridge vertex, the bridge has
+        the highest dependency score from any pivot set."""
+        from tldr_ray.graph import betweenness_sampled
+
+        cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        cl2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+        bridge = [(3, 4), (4, 5)]
+        edges = cl1 + cl2 + bridge
+        ids, scores, _ = betweenness_sampled(
+            edge_ds(symmetrized(edges)), seeds=[0, 8],
+            num_partitions=2)
+        # with symmetric pivots {0, 8} the bridge path 3-4-5 ties
+        # exactly (each covers the same crossing pairs); the bridge
+        # must sit in that top tie and beat every clique-interior node
+        top = scores.max()
+        tied = set(ids[np.isclose(scores, top)].tolist())
+        assert 4 in tied and tied <= {3, 4, 5}

@@ -2,6 +2,7 @@ from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
+                                   betweenness_sampled,
                                    eigenvector_centrality, hits,
                                    label_spread, maximal_matching,
                                    maximal_independent_set,
@@ -19,6 +20,7 @@ __all__ = [
     "label_propagation",
     "k_core",
     "bfs_hops",
+    "betweenness_sampled",
     "sssp_distances",
     "eigenvector_centrality",
     "hits",

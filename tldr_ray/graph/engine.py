@@ -290,6 +290,11 @@ def _shard_actor_cls(num_cpus: float = 0):
         def n_local(self) -> int:
             return int(self.verts.size)
 
+        def sample_verts(self, k: int):
+            """First k local vertex ids — cheap pivot seeds for the
+            sampled-betweenness CLI (no O(V) collect)."""
+            return self.verts[:k].tolist()
+
         # -- pagerank --------------------------------------------------
         def pr_init(self, n_total: int):
             self.n_total = n_total
@@ -449,6 +454,94 @@ def _shard_actor_cls(num_cpus: float = 0):
                     np.minimum.at(acc, self.dlocals[q], nxt[sl])
                 out.append(acc)
             return self._ship(out)
+
+        # -- sampled Brandes betweenness (forward sigma BFS + level-
+        #    synchronous backward dependency accumulation). Sigma stays
+        #    EXACT: path counts are integer-valued float64 sums (exact
+        #    to 2^53); only delta is genuinely float, and its per-shard
+        #    np.add.at order + fixed sender loop make the fixpoint
+        #    deterministic for a given layout. --------------------------
+        def bc_begin(self):
+            self.bc_acc = np.zeros(self.verts.size)
+
+        def bc_fwd_init(self, seeds) -> int:
+            seeds = np.asarray(seeds, dtype=np.int64)
+            self.bc_dist = np.where(np.isin(self.verts, seeds),
+                                    0, _INT64_MAX).astype(np.int64)
+            self.bc_sigma = (self.bc_dist == 0).astype(np.float64)
+            return int((self.bc_dist == 0).sum())
+
+        def bc_fwd_messages(self, level: int):
+            d = self.bc_dist[self.e_src_local]
+            sig = np.where(d == level,
+                           self.bc_sigma[self.e_src_local], 0.0)
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.zeros(self.dvocabs[q].size)
+                if self.dlocals[q].size:
+                    np.add.at(acc, self.dlocals[q], sig[sl])
+                out.append(acc)
+            return self._ship(out)
+
+        def bc_fwd_apply(self, sums, level: int) -> int:
+            sums = self._fetch(sums)
+            inc = np.zeros(self.verts.size)
+            for idx, arr in zip(self.incoming_idx, sums):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.add.at(inc, idx, arr)
+            newly = (self.bc_dist == _INT64_MAX) & (inc > 0.0)
+            self.bc_dist[newly] = level + 1
+            self.bc_sigma[newly] = inc[newly]
+            return int(newly.sum())
+
+        def bc_max_level(self) -> int:
+            m = self.bc_dist[self.bc_dist != _INT64_MAX]
+            return int(m.max()) if m.size else 0
+
+        def bc_bwd_init(self):
+            self.bc_delta = np.zeros(self.verts.size)
+
+        def bc_bwd_messages(self, level: int):
+            """Level-k vertices send (1 + delta)/sigma over every
+            out-edge; a receiver at level k-1 is NECESSARILY a
+            predecessor on some shortest path (BFS level property), so
+            multiplying the received sum by its own sigma is exactly
+            Brandes' dependency accumulation."""
+            d = self.bc_dist[self.e_src_local]
+            sig = np.where(self.bc_sigma[self.e_src_local] > 0.0,
+                           self.bc_sigma[self.e_src_local], 1.0)
+            contrib = np.where(
+                d == level,
+                (1.0 + self.bc_delta[self.e_src_local]) / sig, 0.0)
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.zeros(self.dvocabs[q].size)
+                if self.dlocals[q].size:
+                    np.add.at(acc, self.dlocals[q], contrib[sl])
+                out.append(acc)
+            return self._ship(out)
+
+        def bc_bwd_apply(self, sums, level: int):
+            sums = self._fetch(sums)
+            inc = np.zeros(self.verts.size)
+            for idx, arr in zip(self.incoming_idx, sums):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.add.at(inc, idx, arr)
+            mask = self.bc_dist == (level - 1)
+            self.bc_delta[mask] += self.bc_sigma[mask] * inc[mask]
+
+        def bc_accumulate(self, seed) -> None:
+            acc = self.bc_delta.copy()
+            acc[np.isin(self.verts,
+                        np.asarray(seed, dtype=np.int64))] = 0.0
+            self.bc_acc += acc
+
+        def bc_finish(self):
+            self.state = self.bc_acc
 
         # -- weighted SSSP (Bellman-Ford min-plus, float64 state) ------
         def sssp_init(self, seeds) -> int:
@@ -1429,6 +1522,55 @@ class GraphEngine:
         return ids, dist, {"rounds": it, "converged": changed == 0,
                            "seeds_found": n_seed}
 
+    def betweenness_sampled(self, seeds, max_rounds: int = 10_000,
+                            collect: bool = True):
+        """Sampled Brandes betweenness: for each pivot seed, one
+        forward sigma-BFS (level-synchronous path counting) and one
+        backward dependency sweep over the SAME resident shards; the
+        per-vertex result is the summed dependency score delta_s(v)
+        over the pivots (the classic unbiased estimator scales it by
+        n/k — callers needing absolute betweenness apply that). Every
+        round is two pre-combined exchanges; per-pivot cost is
+        O(2 * eccentricity) rounds. Returns (ids, scores, info)."""
+        import ray
+
+        ray.get([s.bc_begin.remote() for s in self.shards])
+        total_rounds = 0
+        for s0 in seeds:
+            n_seed = sum(ray.get([
+                s.bc_fwd_init.remote([int(s0)]) for s in self.shards]))
+            if n_seed == 0:
+                raise ValueError(
+                    f"betweenness: pivot {s0} not in the graph")
+            level, changed = 0, 1
+            while changed and level < max_rounds:
+                outs = ray.get([s.bc_fwd_messages.remote(level)
+                                for s in self.shards])
+                counts = ray.get([
+                    self.shards[q].bc_fwd_apply.remote(
+                        [outs[p][q] for p in range(self.P)], level)
+                    for q in range(self.P)])
+                changed = sum(counts)
+                level += 1
+                total_rounds += 1
+            maxlev = max(ray.get([s.bc_max_level.remote()
+                                  for s in self.shards]))
+            ray.get([s.bc_bwd_init.remote() for s in self.shards])
+            for lev in range(maxlev, 0, -1):
+                outs = ray.get([s.bc_bwd_messages.remote(lev)
+                                for s in self.shards])
+                ray.get([
+                    self.shards[q].bc_bwd_apply.remote(
+                        [outs[p][q] for p in range(self.P)], lev)
+                    for q in range(self.P)])
+                total_rounds += 1
+            ray.get([s.bc_accumulate.remote([int(s0)])
+                     for s in self.shards])
+        ray.get([s.bc_finish.remote() for s in self.shards])
+        ids, bc = self._collect(np.float64) if collect else (None, None)
+        return ids, bc, {"rounds": total_rounds,
+                         "pivots": len(list(seeds))}
+
     def sssp(self, seeds, max_rounds: int = 10_000, collect: bool = True):
         """Weighted single-source shortest path (Bellman-Ford min-plus
         fixpoint; converges in <= V-1 rounds for non-negative weights —
@@ -1764,6 +1906,20 @@ def bfs_hops(edges, seeds, num_partitions: int = 8,
                                  symmetrize=True)
     try:
         return eng.bfs(seeds, max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def betweenness_sampled(edges, seeds, num_partitions: int = 8,
+                        max_rounds: int = 10_000,
+                        work_dir: str | None = None):
+    """Sampled Brandes betweenness over the undirected simple graph
+    underlying ``edges`` (symmetrized like connected_components).
+    Returns (vertex_ids, dependency scores, info)."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=True)
+    try:
+        return eng.betweenness_sampled(seeds, max_rounds)
     finally:
         eng.shutdown()
 

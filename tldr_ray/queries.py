@@ -8735,3 +8735,22 @@ ORACLE_SQL["profile_documents"] = " UNION ALL ".join(
         CAST(max({c}) AS VARCHAR) AS max_v
         FROM documents"""
     for c in ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def betweenness_hashgraph(sf_dir: str):
+    """Sampled Brandes betweenness over the hash graph (4 pivots,
+    graph.betweenness_sampled: forward sigma-BFS + level-synchronous
+    backward dependency sweep on resident shards). Rows-only by nature
+    (delta accumulation order is a float fixpoint); the pytest oracle
+    pins the engine against the sequential Brandes reference at
+    1e-9."""
+    from tldr_ray.graph import betweenness_sampled
+
+    ids, scores, _ = betweenness_sampled(
+        _hash_graph_edges(sf_dir), seeds=[0, 1, 2, 3],
+        num_partitions=4)
+    return pa.table({"vertex": pa.array(ids.astype(np.int64)),
+                     "betweenness": pa.array(scores)})
+
+
+QUERIES["betweenness_hashgraph"] = betweenness_hashgraph
