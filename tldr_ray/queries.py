@@ -8754,3 +8754,78 @@ def betweenness_hashgraph(sf_dir: str):
 
 
 QUERIES["betweenness_hashgraph"] = betweenness_hashgraph
+
+
+def langid_prf_docs(sf_dir: str):
+    """Model-eval metrics for the language-ID stage: per true
+    language, tp/fp/fn + precision/recall/F1 derived from the (tiny)
+    confusion table — exact integer counts and op-for-op mirrored
+    float expressions, so the metric floats hash-match. The pattern
+    for evaluating ANY classifier stage the pipeline runs at scale:
+    the corpus pass is the already-hash-proven predictor; the metric
+    algebra happens on an O(classes^2) table."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.text_analysis import language_id
+
+    pred = language_id(_read(sf_dir, "documents",
+                             ["doc_id", "lang", "text"]),
+                       concurrency=2)
+    conf = (pred.groupby(["lang", "lang_pred"]).count().to_pandas())
+    conf["n"] = conf["count()"].astype(np.int64)
+    langs = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    rows = []
+    for lg in langs:
+        tp = int(conf.loc[(conf["lang"] == lg)
+                          & (conf["lang_pred"] == lg), "n"].sum())
+        fn = int(conf.loc[conf["lang"] == lg, "n"].sum()) - tp
+        fp = int(conf.loc[conf["lang_pred"] == lg, "n"].sum()) - tp
+        p = float(tp) / float(tp + fp) if tp + fp else 0.0
+        r = float(tp) / float(tp + fn) if tp + fn else 0.0
+        f1 = 2.0 * p * r / (p + r) if p + r else 0.0
+        rows.append((lg, tp, fp, fn, p, r, f1))
+    return pa.table({
+        "lang": pa.array([x[0] for x in rows], pa.string()),
+        "tp": pa.array([x[1] for x in rows], pa.int64()),
+        "fp": pa.array([x[2] for x in rows], pa.int64()),
+        "fn": pa.array([x[3] for x in rows], pa.int64()),
+        "precision": pa.array([x[4] for x in rows], pa.float64()),
+        "recall": pa.array([x[5] for x in rows], pa.float64()),
+        "f1": pa.array([x[6] for x in rows], pa.float64())})
+
+
+QUERIES["langid_prf_docs"] = langid_prf_docs
+ORACLE_SQL["langid_prf_docs"] = f"""
+    WITH pred AS ({_language_id_oracle_sql()}),
+    conf AS (
+        SELECT d.lang, p.lang_pred, count(*) AS n
+        FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.lang, p.lang_pred),
+    langs AS (SELECT DISTINCT lang AS lg FROM conf
+              UNION SELECT DISTINCT lang_pred FROM conf),
+    m AS (
+        SELECT lg,
+               coalesce((SELECT sum(n) FROM conf
+                         WHERE lang = lg AND lang_pred = lg), 0) AS tp,
+               coalesce((SELECT sum(n) FROM conf
+                         WHERE lang_pred = lg AND lang != lg), 0) AS fp,
+               coalesce((SELECT sum(n) FROM conf
+                         WHERE lang = lg AND lang_pred != lg), 0) AS fn
+        FROM langs),
+    pr AS (
+        SELECT lg, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+               END AS precision,
+               CASE WHEN tp + fn = 0 THEN 0.0
+                    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+               END AS recall
+        FROM m)
+    SELECT lg AS lang, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           precision, recall,
+           CASE WHEN precision + recall = 0 THEN 0.0
+                ELSE 2.0 * precision * recall / (precision + recall)
+           END AS f1
+    FROM pr
+"""
