@@ -8829,3 +8829,83 @@ ORACLE_SQL["langid_prf_docs"] = f"""
            END AS f1
     FROM pr
 """
+
+
+def user_active_time(sf_dir: str, window_us: int = 300_000_000):
+    """Interval-union coverage per user (gaps-and-islands): each event
+    opens a 5-minute activity window; overlapping windows merge and
+    the per-user total covered time + island count come out in exact
+    int64 microseconds. One coarse hash(user) shuffle; inside each
+    partition the sweep is sort + segmented running-max + segment
+    reductions (no per-user tasks)."""
+    from tldr_ray.graph.partition import vhash
+
+    P = 64
+
+    def part(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        s = np.asarray(batch["ts"].cast(pa.int64()))
+        return pa.table({
+            "user_id": pa.array(u),
+            "s": pa.array(s),
+            "part": pa.array((vhash(u) % np.uint64(P)).astype(np.int32))})
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "s"])
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = s + window_us
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        seg = np.cumsum(new_user) - 1
+        # exclusive running max of interval ends per user segment
+        # (pandas' C-level groupby cummax, shifted by one row)
+        pmax = pd.Series(e).groupby(pd.Series(seg)).cummax() \
+            .shift(1).to_numpy()
+        new_isl = new_user | (s > np.where(np.isnan(pmax),
+                                           -np.inf, pmax))
+        isl = np.cumsum(new_isl) - 1
+        n_isl = int(isl[-1] + 1) if len(g) else 0
+        ms = np.full(n_isl, np.iinfo(np.int64).max, np.int64)
+        me = np.zeros(n_isl, np.int64)
+        np.minimum.at(ms, isl, s)
+        np.maximum.at(me, isl, e)
+        owner = np.zeros(n_isl, np.int64)
+        owner[isl] = u
+        uu, ui = np.unique(owner, return_inverse=True)
+        cov = np.zeros(uu.size, np.int64)
+        np.add.at(cov, ui, me - ms)
+        cnt = np.bincount(ui).astype(np.int64)
+        return pd.DataFrame({"user_id": uu, "covered_us": cov,
+                             "n_islands": cnt})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["user_active_time"] = user_active_time
+ORACLE_SQL["user_active_time"] = """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e
+        FROM events),
+    w AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pmax
+        FROM iv),
+    fl AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                          THEN 1 ELSE 0 END AS newisl
+           FROM w),
+    isl AS (SELECT *, sum(newisl) OVER (PARTITION BY user_id
+                                        ORDER BY s, e
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS iid
+            FROM fl),
+    g AS (SELECT user_id, iid, min(s) AS ms, max(e) AS me
+          FROM isl GROUP BY user_id, iid)
+    SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM g GROUP BY user_id
+"""
