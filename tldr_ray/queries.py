@@ -8909,3 +8909,67 @@ ORACLE_SQL["user_active_time"] = """
            CAST(count(*) AS BIGINT) AS n_islands
     FROM g GROUP BY user_id
 """
+
+
+def scc_of_vertex_hashgraph(sf_dir: str, pivot: int = 0):
+    """Strongly connected component containing the pivot, on the
+    DIRECTED hash graph — the FW-BW kernel (Fleischer et al.): forward
+    BFS reachability on the edges as stored, backward reachability on
+    the reversed edges (second engine build on swapped src/dst), SCC =
+    the intersection. This is the pivot step of the classic
+    divide-and-conquer distributed SCC decomposition; membership is
+    integally SQL-expressible, so it hash-checks."""
+    from tldr_ray.graph import GraphEngine
+
+    def prune(batch: pa.Table) -> pa.Table:
+        # make vertices ~1 (mod 3) pure sinks (drop their out-edges)
+        # so the graph is NOT strongly connected and the FW/BW
+        # intersection is discriminative (the full hash graph is one
+        # giant SCC)
+        s = np.asarray(batch["src"], dtype=np.int64)
+        return batch.filter(pa.array(s % 3 != 1))
+
+    edges = _hash_graph_edges(sf_dir) \
+        .map_batches(prune, batch_format="pyarrow").materialize()
+
+    def reach(swap: bool) -> np.ndarray:
+        e = edges
+        if swap:
+            def rev(batch: pa.Table) -> pa.Table:
+                return pa.table({"src": batch["dst"],
+                                 "dst": batch["src"],
+                                 "weight": batch["weight"]})
+            e = edges.map_batches(rev, batch_format="pyarrow")
+        eng = GraphEngine.from_edges(e, num_partitions=4,
+                                     symmetrize=False)
+        try:
+            ids, dist, _ = eng.bfs([pivot])
+        finally:
+            eng.shutdown()
+        return ids[dist != np.iinfo(np.int64).max]
+
+    fwd = reach(False)
+    bwd = reach(True)
+    member = np.intersect1d(fwd, bwd)
+    return pa.table({"vertex": pa.array(np.sort(member)
+                                        .astype(np.int64))})
+
+
+QUERIES["scc_of_vertex_hashgraph"] = scc_of_vertex_hashgraph
+ORACLE_SQL["scc_of_vertex_hashgraph"] = f"""
+    WITH RECURSIVE {{raw}},
+    raw3 AS (SELECT s, t FROM raw2 WHERE s % 3 != 1),
+    fwd(v) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION
+        SELECT raw3.t FROM fwd JOIN raw3 ON raw3.s = fwd.v
+    ),
+    bwd(v) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION
+        SELECT raw3.s FROM bwd JOIN raw3 ON raw3.t = bwd.v
+    )
+    SELECT v AS vertex FROM fwd
+    INTERSECT
+    SELECT v FROM bwd
+""".format(raw=_HASHGRAPH_RAW)
