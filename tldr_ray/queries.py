@@ -39,12 +39,28 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _read_rows_by_keys(sf_dir: str, table: str, key_col: str, keys,
+                       columns):
+    """Fetch the dimension rows for a BOUNDED key set (top-k
+    decorations) via parquet predicate pushdown: only row groups whose
+    stats admit the keys are decoded and the filter is applied exactly
+    — bounded I/O and memory, no Ray execution (which costs a fixed
+    ~1.5 s per job that dominates a <=100-row lookup)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{sf_dir}/{table}.parquet", columns=columns,
+        filters=[(key_col, "in", [int(k) for k in keys])]).to_pandas()
+
+
 def _semi_filter_keys(ds, col: str, keys):
     """Semi-join a Dataset against a small broadcast key set (sorted
     array + searchsorted membership inside map_batches). This is the
     decoration path for bounded top-k outputs: the surviving <=k keys
     ride the object store once and the dimension table streams through
-    its own scan — it never reaches the driver (round-3 verdict item 3)."""
+    its own scan — it never reaches the driver (round-3 verdict item 3).
+    For key sets <= a few hundred, prefer _read_rows_by_keys (parquet
+    predicate pushdown beats a whole Ray execution)."""
     import ray
 
     ks_sorted = np.sort(np.asarray(keys, dtype=np.int64))
@@ -4215,13 +4231,13 @@ def tpch_q10(sf_dir: str):
     top = (rev.sort(["revenue_cents", "o_custkey"],
                     descending=[True, False]).limit(20).to_pandas())
 
-    # decorate ONLY the <=20 surviving keys: broadcast them and filter
-    # customer inside its own scan — a bounded output never pulls an
-    # unbounded dimension to the driver (round-3 verdict item 3)
-    cust = _semi_filter_keys(
-        _read(sf_dir, "customer",
-              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
-        "c_custkey", top["o_custkey"].to_numpy(np.int64)).to_pandas()
+    # decorate ONLY the <=20 surviving keys via parquet predicate
+    # pushdown — a bounded output never pulls an unbounded dimension
+    # to the driver (round-3 verdict item 3)
+    cust = _read_rows_by_keys(
+        sf_dir, "customer", "c_custkey",
+        top["o_custkey"].to_numpy(np.int64),
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"]).to_pandas()
     out = (top.rename(columns={"o_custkey": "c_custkey"})
@@ -4341,11 +4357,12 @@ def tpch_q18(sf_dir: str):
                   ["o_orderkey", "o_custkey", "o_orderdate",
                    "o_totalprice"])
             .map_batches(ofil, batch_format="pyarrow").to_pandas())
-    # customer names for ONLY the surviving custkeys (broadcast key set,
-    # dimension streams through its own scan — round-3 verdict item 3)
-    cust = _semi_filter_keys(
-        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
-        "c_custkey", hits["c_custkey"].to_numpy(np.int64)).to_pandas()
+    # customer names for ONLY the surviving custkeys via parquet
+    # predicate pushdown (round-3 verdict item 3)
+    cust = _read_rows_by_keys(
+        sf_dir, "customer", "c_custkey",
+        np.unique(hits["c_custkey"].to_numpy(np.int64)),
+        ["c_custkey", "c_name"])
     out = hits.merge(cust, on="c_custkey", how="inner")
     out["qty_cents"] = out["o_orderkey"].map(qty).astype(np.int64)
     out = (out.sort_values(
@@ -7920,9 +7937,9 @@ def tpch_q21_sole_failing_supplier(sf_dir: str):
               .aggregate(Sum("numwait", alias_name="numwait")))
     top = (counts.sort(["numwait", "s_suppkey"],
                        descending=[True, False]).limit(100).to_pandas())
-    names = _semi_filter_keys(
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
-        "s_suppkey", top["s_suppkey"].to_numpy(np.int64)).to_pandas()
+    names = _read_rows_by_keys(
+        sf_dir, "supplier", "s_suppkey",
+        top["s_suppkey"].to_numpy(np.int64), ["s_suppkey", "s_name"])
     out = top.merge(names, on="s_suppkey", how="inner")
     out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
     out["numwait"] = out["numwait"].astype(np.int64)
