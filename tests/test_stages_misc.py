@@ -1779,3 +1779,28 @@ class TestOrcFeatherRoundTrip:
         got2 = read_table(str(tmp_path / "orc"), format="orc",
                           columns=["doc_id"]).to_pandas()
         assert list(got2.columns) == ["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioFingerprintDedup:
+    def test_planted_pairs_recovered_no_fp(self):
+        from tldr_ray.queries import audio_phash_dups
+
+        df = audio_phash_dups("unused").to_pandas()
+        got = {(int(a), int(b)) for a, b in
+               zip(df["id_a"], df["id_b"])}
+        # planted pairs: (mid, 10000+mid) for every third audio clip
+        from tldr_ray.stages.multimodal import synth_media_table
+        import pyarrow.compute as pc
+
+        media = synth_media_table(150)
+        ids = media.filter(
+            pc.equal(media["kind"], "audio"))["media_id"].to_pylist()
+        want = {(mid, 10_000 + mid) for i, mid in enumerate(ids)
+                if i % 3 == 0}
+        assert want <= got
+        # no cross-clip false positives (distinct tones are ~30 bits
+        # apart; anything extra would be a real near-match, which the
+        # synth generator does not plant)
+        extras = got - want
+        assert not extras

@@ -5146,6 +5146,42 @@ def image_phash_dups(sf_dir: str):
 QUERIES["image_phash_dups"] = image_phash_dups
 
 
+def audio_phash_dups(sf_dir: str):
+    """Perceptual audio dedup over binary WAV payloads (sf_dir unused
+    by design — deterministic synthetic tones): every third clip gets
+    a planted near-duplicate (tiny sample noise, re-encoded), clips
+    decode in an actor pool to 64-bit spectral difference-hash
+    fingerprints (stages.multimodal.audio_fingerprints), and
+    near-pairs come from the same banded hamming sweep as images.
+    Rows-only (binary decode); pytest asserts planted-pair recovery
+    with zero false positives."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import signature_pairs
+    from tldr_ray.stages.multimodal import (audio_fingerprints,
+                                            perturb_wav,
+                                            synth_media_table)
+
+    media = synth_media_table(150)
+    auds = media.filter(pc.equal(media["kind"], "audio"))
+    ids = auds["media_id"].to_pylist()
+    payloads = auds["payload"].to_pylist()
+    dup_ids, dup_payloads = [], []
+    for i, (mid, p) in enumerate(zip(ids, payloads)):
+        if i % 3 == 0:
+            dup_ids.append(10_000 + mid)
+            dup_payloads.append(perturb_wav(p, seed=mid))
+    tab = pa.table({
+        "media_id": pa.array(ids + dup_ids, pa.int64()),
+        "payload": pa.array(payloads + dup_payloads, pa.binary())})
+    sigs = audio_fingerprints(rd.from_arrow(tab))
+    return signature_pairs(sigs, id_col="media_id", sig_col="phash",
+                           max_hamming=4)
+
+
+QUERIES["audio_phash_dups"] = audio_phash_dups
+
+
 def pca_embeddings(sf_dir: str):
     """Distributed exact PCA (stages.ann.pca_fit/pca_transform): fit
     top-4 principal components from one-pass (sum, Gram) partials, then

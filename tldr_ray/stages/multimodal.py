@@ -428,3 +428,60 @@ def perturb_ppm(payload: bytes, seed: int, flips: int = 12) -> bytes:
     img[ys, xs, cs] = np.clip(v + delta, 0, 255).astype(np.uint8)
     head = f"P6\n{w} {h}\n255\n".encode()
     return head + img.tobytes()
+
+
+def audio_phash64(payload: bytes) -> np.uint64:
+    """64-bit perceptual audio fingerprint (the dHash idea on the
+    FREQUENCY axis): decode WAV, take the magnitude spectrum, pool it
+    into 65 bands, bit i = band[i+1] > band[i]. Difference coding of
+    the spectral envelope is invariant to amplitude scaling and robust
+    to small additive noise (a tiny perturbation can't reorder bands
+    that differ materially), while different tones/envelopes flip many
+    bits — unlike time-slice energies, which are FLAT for steady tones
+    and would hash to noise."""
+    x, _ = decode_wav(payload)
+    x = x.astype(np.float64)
+    if x.size < 130:
+        x = np.pad(x, (0, 130 - x.size))
+    spec = np.abs(np.fft.rfft(x))
+    n = spec.size - (spec.size % 65)
+    bands = spec[:n].reshape(65, -1).mean(axis=1)
+    bits = bands[1:] > bands[:-1]
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payloads -> 64-bit perceptual fingerprint
+    rows (same shape as ImageDHasher; decode is per-payload)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [int(audio_phash64(p))
+                for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"].cast(pa.int64()),
+            "phash": pa.array(np.asarray(sigs, dtype=np.uint64)
+                              .view(np.int64))})
+
+
+def audio_fingerprints(ds, concurrency: int = 2, batch_size: int = 64):
+    """(media_id, phash int64-viewed-uint64) for every audio row."""
+    return ds.map_batches(AudioFingerprinter, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          batch_size=batch_size)
+
+
+def perturb_wav(payload: bytes, seed: int, noise: float = 1e-3) -> bytes:
+    """Deterministically add tiny sample noise to a PCM16 WAV
+    (re-encode keeps the header) — the planted-near-dup generator for
+    fingerprint tests."""
+    import struct
+
+    x, rate = decode_wav(payload)          # normalized float32
+    rng = np.random.default_rng(seed)
+    y = x.astype(np.float64) + rng.standard_normal(x.size) * noise
+    y = (np.clip(y, -1.0, 1.0) * 32767).astype("<i2")
+    data = y.tobytes()
+    hdr = payload[:44]
+    # patch the data-chunk + RIFF sizes for the (same-length) body
+    return (hdr[:4] + struct.pack("<I", 36 + len(data)) + hdr[8:40]
+            + struct.pack("<I", len(data)) + data)
