@@ -423,7 +423,21 @@ if __name__ == "__main__":
                  "coloring_hashgraph", "events_value_mad_outliers",
                  "daily_new_users", "copurchase_pairs",
                  "dup_clusters_docs", "lang_vocab_richness",
-                 "reciprocity_hashgraph", "pretraining_mix_pipeline"]
+                 "reciprocity_hashgraph", "pretraining_mix_pipeline",
+                 # round-4 wave
+                 "tpch_q8_market_share", "tpch_q9_profit_by_nation_year",
+                 "tpch_q17_small_quantity", "tpch_q19_disjunct_revenue",
+                 "tpch_q21_sole_failing_supplier",
+                 "knn_graph_embeddings", "temperature_mix_docs",
+                 "paragraph_dedup_docs", "chunk_docs_sliding",
+                 "merge_customer_balances", "ngram_containment_docs",
+                 "incremental_dedup_docs", "hll_daily_rollup_events",
+                 "harmonic_closeness_sampled", "event_value_drift",
+                 "dedup_rates_by_source", "profile_documents",
+                 "langid_prf_docs", "user_active_time",
+                 "scc_of_vertex_hashgraph", "betweenness_hashgraph",
+                 "semantic_dedup_embeddings", "bpe_encode_docs",
+                 "audio_phash_dups", "curate_documents_pipeline"]
         qsec = {}
         try:
             for n in names:
