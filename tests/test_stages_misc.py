@@ -1804,3 +1804,49 @@ class TestAudioFingerprintDedup:
         # synth generator does not plant)
         extras = got - want
         assert not extras
+
+
+class TestGopherRules:
+    def _ds(self, texts):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}))
+
+    def test_rules_fire_individually(self):
+        from tldr_ray.stages.text_analysis import gopher_rules
+
+        good = ("the quick brown foxes jump over a lazy sleeping dog "
+                "and then they running back home in the darkest "
+                "coldest night with some more happy words here")
+        # 27 words, total length 118 -> mean 4.37 (inside [4.2, 4.8])
+        texts = [
+            good,                          # passes all four
+            "too few words here",          # R1: under 20 words
+            good.replace("quick", "q"),    # still passes (mean in band)
+            " ".join(["the"] * 30),        # R3: TTR 1/30
+            ("aa " * 30).strip(),          # R4: no stopwords; R2 short
+        ]
+        out = gopher_rules(self._ds(texts)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert bool(out.loc[0, "keep"])
+        assert not bool(out.loc[1, "pass_word_count"])
+        assert not bool(out.loc[3, "pass_ttr"])
+        assert not bool(out.loc[4, "pass_stopwords"])
+        assert not bool(out.loc[4, "pass_mean_len"])
+        assert not out.loc[[1, 3, 4], "keep"].any()
+
+    def test_exact_integer_signals(self):
+        from tldr_ray.stages.text_analysis import gopher_rules
+
+        out = gopher_rules(self._ds(["the cat  sat", ""])).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # double space must not create a phantom empty word
+        assert out.loc[0, "n_words"] == 3
+        assert out.loc[0, "total_word_len"] == 9
+        assert out.loc[0, "n_distinct"] == 3
+        assert out.loc[0, "n_stopwords"] == 1
+        # empty doc: all-zero signals, rejected, no crash
+        assert out.loc[1, "n_words"] == 0
+        assert not bool(out.loc[1, "keep"])

@@ -9026,3 +9026,113 @@ ORACLE_SQL["scc_of_vertex_hashgraph"] = f"""
     INTERSECT
     SELECT v FROM bwd
 """.format(raw=_HASHGRAPH_RAW)
+
+
+def gopher_filter_docs(sf_dir: str):
+    """Gopher-style rule-based quality gate (the rule-filter stage of a
+    pretraining curation pipeline): per-doc exact-integer signals + the
+    four rule booleans, keep = all pass. One shuffle-free vectorized
+    pass (stages.text_analysis.gopher_rules); every signal is an exact
+    integer and every rule an integer cross-multiplication, so the full
+    row (including the booleans) hash-checks against SQL."""
+    from tldr_ray.stages.text_analysis import gopher_rules
+
+    out = gopher_rules(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        keep = batch["keep"]
+        return batch.drop_columns(["keep"]).filter(keep)
+
+    return out.map_batches(seal, batch_format="pyarrow")
+
+
+_GOPHER_SIGNALS = """
+    w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+        len(ws) AS n_words,
+        COALESCE(list_aggregate(list_transform(ws, x -> length(x)),
+                                'sum'), 0) AS total_word_len,
+        len(list_distinct(ws)) AS n_distinct,
+        COALESCE(list_aggregate(list_transform(ws,
+            x -> CASE WHEN lower(x) IN ('a','and','in','of','the','to')
+                 THEN 1 ELSE 0 END), 'sum'), 0) AS n_stopwords
+      FROM w),
+    rules AS (
+      SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        CAST(total_word_len AS BIGINT) AS total_word_len,
+        CAST(n_distinct AS BIGINT) AS n_distinct,
+        CAST(n_stopwords AS BIGINT) AS n_stopwords,
+        (n_words BETWEEN 20 AND 80) AS pass_word_count,
+        (21*n_words <= 5*total_word_len
+         AND 5*total_word_len <= 24*n_words) AS pass_mean_len,
+        (2*n_distinct >= n_words) AS pass_ttr,
+        (n_stopwords >= 2) AS pass_stopwords
+      FROM sig)
+"""
+
+QUERIES["gopher_filter_docs"] = gopher_filter_docs
+ORACLE_SQL["gopher_filter_docs"] = f"""
+    WITH {_GOPHER_SIGNALS}
+    SELECT doc_id, n_words, total_word_len, n_distinct, n_stopwords,
+           pass_word_count, pass_mean_len, pass_ttr, pass_stopwords
+    FROM rules
+    WHERE pass_word_count AND pass_mean_len AND pass_ttr
+      AND pass_stopwords
+"""
+
+
+def gopher_rule_report(sf_dir: str):
+    """Observability companion to gopher_filter_docs: ONE row of
+    per-rule reject counts + total and kept counts (what a curation run
+    logs per shard so threshold drift is visible). Per-batch boolean
+    partials -> one tiny global sum; nothing but 6 integers leaves any
+    task."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.text_analysis import gopher_rules
+
+    out = gopher_rules(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def rejects(col):
+            return np.int64(
+                len(batch) - pc.sum(batch[col]).as_py())
+        return pa.table({
+            "n_docs": pa.array([np.int64(len(batch))]),
+            "reject_word_count": pa.array([rejects("pass_word_count")]),
+            "reject_mean_len": pa.array([rejects("pass_mean_len")]),
+            "reject_ttr": pa.array([rejects("pass_ttr")]),
+            "reject_stopwords": pa.array([rejects("pass_stopwords")]),
+            "kept": pa.array(
+                [np.int64(pc.sum(batch["keep"]).as_py() or 0)])})
+
+    cols = ["n_docs", "reject_word_count", "reject_mean_len",
+            "reject_ttr", "reject_stopwords", "kept"]
+    agg = out.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    return pa.table({c: pa.array([np.int64(agg[c])]) for c in cols})
+
+
+QUERIES["gopher_rule_report"] = gopher_rule_report
+ORACLE_SQL["gopher_rule_report"] = f"""
+    WITH {_GOPHER_SIGNALS}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pass_word_count THEN 0 ELSE 1 END)
+                AS BIGINT) AS reject_word_count,
+           CAST(sum(CASE WHEN pass_mean_len THEN 0 ELSE 1 END)
+                AS BIGINT) AS reject_mean_len,
+           CAST(sum(CASE WHEN pass_ttr THEN 0 ELSE 1 END)
+                AS BIGINT) AS reject_ttr,
+           CAST(sum(CASE WHEN pass_stopwords THEN 0 ELSE 1 END)
+                AS BIGINT) AS reject_stopwords,
+           CAST(sum(CASE WHEN pass_word_count AND pass_mean_len
+                    AND pass_ttr AND pass_stopwords
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM rules
+"""

@@ -879,3 +879,78 @@ def bpe_encode(ds, merges, text_col: str = "text",
     return ds.select_columns([id_col, text_col]).map_batches(
         Encode, batch_format="pyarrow", concurrency=concurrency,
         batch_size=batch_size)
+
+
+GOPHER_STOPWORDS = ("a", "and", "in", "of", "the", "to")
+
+
+def gopher_rules(ds, id_col: str = "doc_id", text_col: str = "text",
+                 min_words: int = 20, max_words: int = 80,
+                 mean_len_num: tuple[int, int] = (21, 24),
+                 ttr_half: bool = True, min_stopwords: int = 2):
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    shape, thresholds re-fit to this corpus): per-document EXACT-integer
+    signals and one boolean per rule, all computed in a single
+    shuffle-free vectorized pass —
+
+    - R1 word count in [min_words, max_words]
+    - R2 mean word length in [4.2, 4.8], tested as the integer
+      cross-multiplication 21*n_words <= 5*total_word_len <= 24*n_words
+      (no float division anywhere, so the oracle hash can't drift)
+    - R3 type-token ratio >= 0.5: 2*n_distinct >= n_words
+    - R4 at least ``min_stopwords`` occurrences of the 6-word stopword
+      probe set (the classic "symbol soup" rejector)
+
+    Words = whitespace split, empty tokens dropped (bit-compatible with
+    DuckDB ``list_filter(regexp_split_to_array(t,'\\s+'), x -> x<>'')``
+    — the same pinned equivalence paragraph_dedup relies on). Output:
+    (id, n_words, total_word_len, n_distinct, n_stopwords,
+    pass_word_count, pass_mean_len, pass_ttr, pass_stopwords, keep).
+    No shuffle: a pure per-batch transform; callers aggregate the
+    booleans for the observability report."""
+    lo_num, hi_num = mean_len_num
+    stop_set = pa.array(GOPHER_STOPWORDS, pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        D = len(batch)
+        toks = pc.utf8_split_whitespace(batch[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(D, dtype=np.int64), np.diff(off))
+        wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        ne = wlen > 0                       # drop empty split artifacts
+        doc_of, wlen = doc_of[ne], wlen[ne]
+        flat = flat.filter(pa.array(ne))
+        nw = np.bincount(doc_of, minlength=D).astype(np.int64)
+        twl = np.bincount(doc_of, weights=wlen,
+                          minlength=D).astype(np.int64)
+        stops = np.asarray(pc.is_in(pc.utf8_lower(flat),
+                                    value_set=stop_set))
+        nstop = np.bincount(doc_of[stops], minlength=D).astype(np.int64)
+        # per-doc distinct words: factorize once, count unique
+        # (doc, code) pairs — no Python loop, batch-local
+        codes, uniq = pd.factorize(flat.to_pandas())
+        ncodes = max(1, len(uniq))
+        pair = doc_of * np.int64(ncodes) + codes
+        updoc = np.unique(pair) // np.int64(ncodes)
+        nd = np.bincount(updoc, minlength=D).astype(np.int64)
+        r1 = (nw >= min_words) & (nw <= max_words)
+        r2 = (lo_num * nw <= 5 * twl) & (5 * twl <= hi_num * nw)
+        r3 = (2 * nd >= nw) if ttr_half else np.ones(D, bool)
+        r4 = nstop >= min_stopwords
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_words": pa.array(nw),
+            "total_word_len": pa.array(twl),
+            "n_distinct": pa.array(nd),
+            "n_stopwords": pa.array(nstop),
+            "pass_word_count": pa.array(r1),
+            "pass_mean_len": pa.array(r2),
+            "pass_ttr": pa.array(r3),
+            "pass_stopwords": pa.array(r4),
+            "keep": pa.array(r1 & r2 & r3 & r4)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow")
