@@ -1850,3 +1850,84 @@ class TestGopherRules:
         # empty doc: all-zero signals, rejected, no crash
         assert out.loc[1, "n_words"] == 0
         assert not bool(out.loc[1, "keep"])
+
+
+class TestProductQuantization:
+    def _planted(self, n=240, m=4, ksub=5, dsub=4, seed=7):
+        """Corpus whose subvectors sit EXACTLY on ksub shared UNIT
+        subvector values per subspace — every full vector then has norm
+        sqrt(m), so unit-normalization keeps subvectors on a finite
+        codebook (vocab/sqrt(m)) and PQ encoding is lossless."""
+        rng = np.random.default_rng(seed)
+        vocab = rng.normal(size=(m, ksub, dsub)).astype(np.float32)
+        vocab /= np.linalg.norm(vocab, axis=2, keepdims=True)
+        picks = rng.integers(0, ksub, size=(n, m))
+        mat = np.concatenate(
+            [vocab[j, picks[:, j]] for j in range(m)], axis=1)
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float32()))}))
+        return ds, mat, vocab
+
+    def test_adc_exact_when_on_codebook(self):
+        """The ADC law: when every (normalized) subvector IS a codebook
+        entry, approximate cosine == exact cosine and the top-k equals
+        brute force (incl. the vec_id-asc tie order)."""
+        from tldr_ray.stages.ann import (knn_brute, knn_pq_codes,
+                                         pq_encode)
+
+        ds, mat, vocab = self._planted()
+        books = (vocab / np.sqrt(vocab.shape[0])).astype(np.float32)
+        q = mat[:3]
+        qids = np.arange(3, dtype=np.int64)
+        br = knn_brute(ds, q, qids, k=8).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        ap = knn_pq_codes(pq_encode(ds, books), books, q, qids,
+                          k=8).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert ap["vec_id"].tolist() == br["vec_id"].tolist()
+        assert np.allclose(ap["cosine"], br["cosine"], atol=1e-5)
+
+    def test_codes_shape_and_determinism(self):
+        from tldr_ray.stages.ann import _train_pq_codebooks, pq_encode
+
+        ds, _, _ = self._planted()
+        books = _train_pq_codebooks(ds, "vec_id", "embedding", m=4,
+                                    ksub=8, sample_size=128,
+                                    lloyd_iters=3, seed=11)
+        assert books.shape == (4, 8, 4) and books.dtype == np.float32
+        c1 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+        c2 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+        assert (np.vstack(c1["code"]) == np.vstack(c2["code"])).all()
+        assert np.vstack(c1["code"]).shape == (240, 4)
+        assert np.vstack(c1["code"]).dtype == np.uint8
+
+    def test_rerank_recall_on_corpus(self):
+        """Shortlist+exact-rerank recovers most brute-force neighbors
+        on the real synthetic embeddings (and beats raw ADC)."""
+        import ray.data as rd
+
+        from tldr_ray.stages.ann import knn_brute, knn_pq, knn_pq_rerank
+
+        t = pa.parquet.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"])
+        ds = rd.from_arrow(t)
+        mat = np.asarray(t["embedding"].to_pylist()[:3], np.float32)
+        qids = np.asarray(t["vec_id"].to_pylist()[:3], np.int64)
+
+        def recall(res):
+            got = 0
+            for qid in qids:
+                b = set(br[br.query_id == qid]["vec_id"])
+                got += len(b & set(res[res.query_id == qid]["vec_id"]))
+            return got / (10 * len(qids))
+
+        br = knn_brute(ds, mat, qids, k=10).to_pandas()
+        adc = recall(knn_pq(ds, mat, qids, k=10).to_pandas())
+        rr = recall(knn_pq_rerank(ds, mat, qids, k=10).to_pandas())
+        assert rr >= adc
+        assert rr >= 0.6

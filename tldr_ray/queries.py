@@ -1150,14 +1150,10 @@ def embedding_dup_pairs(sf_dir: str):
 
 
 def knn_lsh_top10(sf_dir: str):
-    import pyarrow.parquet as pq
-
     from tldr_ray.stages.ann import knn_lsh
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    qmat = np.asarray(t["embedding"].to_pylist()[:4], dtype=np.float32)
-    qids = np.asarray(t["vec_id"].to_pylist()[:4], dtype=np.int64)
+    qids = np.arange(4, dtype=np.int64)
+    qmat = _fetch_query_vecs(sf_dir, qids.tolist())
     return knn_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    qmat, qids, k=10, probe_hamming=2)
 
@@ -1223,14 +1219,10 @@ def knn_ivf_top10(sf_dir: str):
     on a bounded hash-sample; each query scores ~nprobe/nlist of the
     corpus). Rows-only by nature (iterative training); recall vs brute
     force is pinned in pytest."""
-    import pyarrow.parquet as pq
-
     from tldr_ray.stages.ann import knn_ivf
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    qmat = np.asarray(t["embedding"].to_pylist()[:4], dtype=np.float32)
-    qids = np.asarray(t["vec_id"].to_pylist()[:4], dtype=np.int64)
+    qids = np.arange(4, dtype=np.int64)
+    qmat = _fetch_query_vecs(sf_dir, qids.tolist())
     return knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    qmat, qids, k=10, nlist=16, nprobe=4)
 
@@ -9136,3 +9128,24 @@ ORACLE_SQL["gopher_rule_report"] = f"""
                     THEN 1 ELSE 0 END) AS BIGINT) AS kept
     FROM rules
 """
+
+
+def knn_pq_top10(sf_dir: str):
+    """Product-quantization ANN, the full production pattern: codebooks
+    trained on a bounded hash-sample, corpus encoded to m=8 uint8 codes
+    (32x smaller than the dim-64 float vectors — the form a 100-TB
+    embedding corpus is actually served from), ADC table-lookup
+    shortlist, then ONE filtered exact-rerank pass over just the
+    shortlist ids. Rows-only by nature (Lloyd training + approximate
+    recall); recall-vs-brute and the ADC exactness law are pinned in
+    pytest."""
+    from tldr_ray.stages.ann import knn_pq_rerank
+
+    qids = np.arange(4, dtype=np.int64)
+    qmat = _fetch_query_vecs(sf_dir, qids.tolist())
+    return knn_pq_rerank(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        qmat, qids, k=10)
+
+
+QUERIES["knn_pq_top10"] = knn_pq_top10

@@ -519,3 +519,198 @@ def pca_transform(ds, mean, components, emb_col: str = "embedding",
                              pa.list_(pa.float32()))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _train_pq_codebooks(ds, id_col: str, emb_col: str, m: int, ksub: int,
+                        sample_size: int, lloyd_iters: int,
+                        seed: int) -> np.ndarray:
+    """(m, ksub, dim/m) float32 product-quantizer codebooks trained on
+    the same BOUNDED deterministic hash-sample as the IVF quantizer:
+    unit-normalize the sample (cosine semantics downstream), slice into
+    m subspaces, run a few plain-L2 Lloyd iterations per subspace in
+    numpy. O(sample_size * dim) driver work regardless of corpus size;
+    deterministic for a given (corpus, seed)."""
+    from tldr_ray.graph.partition import vhash
+
+    n = ds.count()
+    frac = min(1.0, (4.0 * sample_size) / max(1, n))
+    cut = np.uint64(int(frac * 2**32))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h = vhash(ids) >> np.uint64(32)
+        keep = h < cut
+        t = batch.filter(pa.array(keep))
+        return pa.table({"__h": pa.array(h[keep].view(np.int64)),
+                         emb_col: t[emb_col]})
+
+    samp = ds.select_columns([id_col, emb_col]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    mat = np.asarray(samp[emb_col].tolist(), dtype=np.float32)
+    order = np.argsort(samp["__h"].to_numpy(), kind="stable")[:sample_size]
+    x = _unit(mat[order])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    ksub = min(ksub, x.shape[0])
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(xs.shape[0], ksub, replace=False)].copy()
+        for _ in range(lloyd_iters):
+            # L2 assignment: argmin ||x-c||^2 = argmax(x.c - ||c||^2/2)
+            d = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = d.argmax(axis=1)
+            for c in range(ksub):
+                rows = assign == c
+                if rows.any():
+                    cent[c] = xs[rows].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per-subspace L2-nearest codebook entry for
+    unit-normalized rows (ksub <= 256)."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        xs = mat[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        d = xs @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        codes[:, j] = d.argmax(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Corpus -> (id, code list<uint8> of length m): the stored-index
+    form of PQ. dim*4 bytes/vector become m bytes (64-float dim at
+    m=8 = 32x smaller), which is what lets a 100-TB embedding corpus
+    serve ANN from memory; scoring needs ONLY this codes table plus the
+    (m, ksub, dsub) codebooks."""
+    import ray
+
+    bref = ray.put(np.ascontiguousarray(books))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bk = ray.get(bref)
+        mat = _unit(_as_matrix(batch[emb_col]))
+        codes = _pq_assign(mat, bk)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "code": pa.array(list(codes), pa.list_(pa.uint8(), bk.shape[0]))})
+
+    return ds.select_columns([id_col, emb_col]) \
+        .map_batches(enc, batch_format="pyarrow")
+
+
+def knn_pq_codes(codes_ds, books: np.ndarray, queries: np.ndarray,
+                 query_ids: np.ndarray, k: int = 10,
+                 id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over a STORED code table: each
+    query precomputes one (m, ksub) dot-product table against the
+    codebooks; scoring a vector is m uint8 table lookups + adds — no
+    float reconstruction, no original vectors read. Candidate stream
+    enters the same funnel reduce as knn_brute; approximate cosine =
+    sum_j q_sub_j . codebook[j, code_j] (exact when a vector's
+    subvectors sit on codebook entries)."""
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float32))
+    m, ksub, dsub = books.shape
+    # (nq, m, ksub) ADC tables, built once, broadcast once
+    tables = np.einsum("qmd,mkd->qmk",
+                       q_unit.reshape(-1, m, dsub), books,
+                       optimize=True).astype(np.float32)
+    pref = ray.put((tables, np.asarray(query_ids, dtype=np.int64)))
+
+    def adc_score(batch: pa.Table) -> pa.Table:
+        tabs, qids = ray.get(pref)
+        col = batch["code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.asarray(col.values, dtype=np.uint8) \
+            .reshape(len(col), tabs.shape[1])
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        nq = tabs.shape[0]
+        scores = np.zeros((nq, codes.shape[0]), dtype=np.float32)
+        for j in range(tabs.shape[1]):
+            scores += tabs[:, j, :][:, codes[:, j]]
+        kk = min(k, ids.size)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(nq):
+            s = scores[qi]
+            part = np.argpartition(-s, kk - 1)[:kk] \
+                if ids.size > kk else np.arange(ids.size)
+            out_q.append(np.full(part.size, qids[qi]))
+            out_v.append(ids[part])
+            out_c.append(s[part].astype(np.float64))
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "vec_id": np.concatenate(out_v),
+                         "cosine": np.concatenate(out_c)})
+
+    return _topk_reduce(
+        codes_ds.map_batches(adc_score, batch_format="pyarrow"), k)
+
+
+def knn_pq(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+           id_col: str = "vec_id", emb_col: str = "embedding",
+           m: int = 8, ksub: int = 32, sample_size: int = 4096,
+           lloyd_iters: int = 5, seed: int = 53):
+    """Train -> encode -> ADC search in one streamed pipeline (the
+    one-shot form; at scale you persist pq_encode's output once and
+    serve many queries from knn_pq_codes). Same output schema as
+    knn_brute."""
+    books = _train_pq_codebooks(ds, id_col, emb_col, m, ksub,
+                                sample_size, lloyd_iters, seed)
+    return knn_pq_codes(pq_encode(ds, books, id_col, emb_col), books,
+                        queries, query_ids, k, id_col)
+
+
+def knn_pq_rerank(ds, queries: np.ndarray, query_ids: np.ndarray,
+                  k: int = 10, shortlist: int = 4,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  m: int = 8, ksub: int = 32, sample_size: int = 4096,
+                  lloyd_iters: int = 5, seed: int = 53):
+    """The production PQ pattern: ADC over the compressed codes
+    produces a per-query shortlist of ``shortlist``*k candidates, then
+    ONE filtered streaming pass over the original vectors exact-reranks
+    just those ids (candidate set broadcasts once; ~shortlist*k*nq rows
+    of float work total, not corpus-sized). Recovers most of the recall
+    ADC loses while still never scanning raw floats for the bulk —
+    at scale the ADC leg runs over the m-bytes/vector codes table."""
+    import ray
+
+    books = _train_pq_codebooks(ds, id_col, emb_col, m, ksub,
+                                sample_size, lloyd_iters, seed)
+    short = knn_pq_codes(pq_encode(ds, books, id_col, emb_col), books,
+                         queries, query_ids, k * shortlist,
+                         id_col).to_pandas()
+    cand = np.unique(short["vec_id"].to_numpy(np.int64))
+    q_unit = _unit(np.asarray(queries, dtype=np.float32))
+    pref = ray.put((cand, q_unit,
+                    np.asarray(query_ids, dtype=np.int64)))
+
+    def exact_on_cands(batch: pa.Table) -> pa.Table:
+        cids, qm, qids = ray.get(pref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keep = np.isin(ids, cids)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        mat = _unit(_as_matrix(batch[emb_col]))[keep]
+        ids = ids[keep]
+        cos = mat @ qm.T
+        nq = qm.shape[0]
+        return pa.table({
+            "query_id": np.repeat(qids, ids.size),
+            "vec_id": np.tile(ids, nq),
+            "cosine": cos.T.reshape(-1).astype(np.float64)})
+
+    return _topk_reduce(
+        ds.select_columns([id_col, emb_col])
+        .map_batches(exact_on_cands, batch_format="pyarrow"), k)
