@@ -1931,3 +1931,27 @@ class TestProductQuantization:
         rr = recall(knn_pq_rerank(ds, mat, qids, k=10).to_pandas())
         assert rr >= adc
         assert rr >= 0.6
+
+
+class TestEpochShuffle:
+    def test_permutation_and_epoch_variation(self):
+        import ray.data as rd
+
+        from tldr_ray.stages.agg import epoch_shuffle
+
+        ids = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+        ds = rd.from_arrow(ids).repartition(7)
+        p1 = epoch_shuffle(ds, "doc_id", epoch=1).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # positions are exactly 0..n-1
+        assert sorted(p1["epoch_pos"]) == list(range(500))
+        # a different epoch is a different permutation
+        p2 = epoch_shuffle(ds, "doc_id", epoch=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert (p1["epoch_pos"] != p2["epoch_pos"]).any()
+        # layout-independent: same permutation from a different
+        # partitioning and a different num_parts
+        q1 = epoch_shuffle(rd.from_arrow(ids).repartition(3),
+                           "doc_id", epoch=1, num_parts=17) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (q1["epoch_pos"] == p1["epoch_pos"]).all()

@@ -9149,3 +9149,30 @@ def knn_pq_top10(sf_dir: str):
 
 
 QUERIES["knn_pq_top10"] = knn_pq_top10
+
+
+def epoch_shuffle_docs(sf_dir: str, epoch: int = 1):
+    """Deterministic epoch-1 reshuffle of the documents corpus: global
+    position per doc under the splitmix64(doc_id*1000003+epoch) order
+    (stages.agg.epoch_shuffle) — the reproducible-training-order
+    primitive. Position is layout-independent, so the full (doc_id,
+    epoch_pos) permutation hash-checks against a SQL row_number over
+    the mirrored splitmix chain."""
+    from tldr_ray.stages.agg import epoch_shuffle
+
+    return epoch_shuffle(_read(sf_dir, "documents", ["doc_id"]),
+                         "doc_id", epoch)
+
+
+QUERIES["epoch_shuffle_docs"] = epoch_shuffle_docs
+ORACLE_SQL["epoch_shuffle_docs"] = f"""
+    WITH src AS (SELECT doc_id,
+                        (CAST(doc_id AS HUGEINT) * 1000003 + 1)
+                        % {1 << 64} AS h
+                 FROM documents),
+    {_sql_splitmix_ctes("src", carry="doc_id, ")}
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT)
+           AS epoch_pos
+    FROM m3
+"""

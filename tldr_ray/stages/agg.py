@@ -765,3 +765,55 @@ def mad_outliers(ds, key: str, value: str, k: float = 3.0,
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def epoch_shuffle(ds, id_col: str, epoch: int, num_parts: int = 64):
+    """Deterministic training-epoch reshuffle: every row gets a GLOBAL
+    position 0..n-1 in ascending unsigned splitmix64(id*1000003+epoch)
+    order — a different, reproducible permutation per epoch that is
+    independent of block layout and execution order (what makes a
+    pretraining run resumable/replayable, unlike ``random_shuffle``).
+    splitmix64 is a bijection and the inputs are distinct per id, so
+    the order is total with no tie-break needed.
+
+    Same two-pass distributed scan as ``pack_token_shards``, but RANGE-
+    partitioned on the hash itself (part = h*P >> 64, order-preserving):
+    pass 1 reduces each partition to one count (O(P) driver state),
+    pass 2 sorts each partition locally and offsets by the broadcast
+    exclusive prefix. Output: (id, epoch_pos int64)."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.dedup import _mix64
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h = _mix64(ids.astype(np.uint64) * np.uint64(1000003)
+                   + np.uint64(epoch))
+        # monotone coarse range partition: floor((h>>32) * P / 2^32)
+        # stays in uint64 for any P < 2^32 and is non-decreasing in h
+        part = ((h >> np.uint64(32)) * np.uint64(num_parts)) \
+            >> np.uint64(32)
+        return pa.table({
+            id_col: pa.array(ids),
+            "__h": pa.array(h.view(np.int64)),
+            "part": pa.array(np.asarray(part, dtype=np.int32))})
+
+    parted = ds.select_columns([id_col]) \
+        .map_batches(hashed, batch_format="pyarrow")
+
+    totals = parted.groupby("part").aggregate(
+        Count(alias_name="n")).to_pandas()
+    off = np.zeros(num_parts, np.int64)
+    off[totals["part"].to_numpy()] = totals["n"].to_numpy(np.int64)
+    off = np.concatenate([[0], np.cumsum(off)[:-1]])
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        h = group["__h"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(h, kind="stable")
+        base = off[int(group["part"].iloc[0])]
+        return pd.DataFrame({
+            id_col: group[id_col].to_numpy(np.int64)[order],
+            "epoch_pos": base + np.arange(order.size, dtype=np.int64)})
+
+    return parted.groupby("part").map_groups(sweep,
+                                             batch_format="pandas")
