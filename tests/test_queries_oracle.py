@@ -90,3 +90,19 @@ def test_tpch_q3_join_path_matches_broadcast():
     b = q.tpch_q3(sf, broadcast_limit_rows=0) \
         .to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestInterleaveMix:
+    def test_schedule_proportions(self):
+        """A prefix of the stride schedule carries languages in
+        ~weight proportion (en weight 4 vs fr weight 1)."""
+        from tldr_ray.queries import interleave_mix_docs
+
+        df = interleave_mix_docs("/root/testdata/sf0.001") \
+            .to_pandas().sort_values(["sched_key", "lang", "rn"])
+        head = df.head(60)
+        counts = head["lang"].value_counts()
+        assert counts.get("en", 0) >= 2 * max(counts.get("fr", 0), 1)
+        # deterministic: ranks within a language are 1..n_l
+        g = df[df["lang"] == "en"].sort_values("rn")
+        assert g["rn"].tolist() == list(range(1, len(g) + 1))

@@ -9176,3 +9176,64 @@ ORACLE_SQL["epoch_shuffle_docs"] = f"""
            AS epoch_pos
     FROM m3
 """
+
+
+def interleave_mix_docs(sf_dir: str):
+    """Weighted-interleave mixing SCHEDULE (the ordering half of data
+    mixing — temperature_mix decides HOW MUCH of each source, this
+    decides WHEN): docs are ranked inside each language by the
+    deterministic splitmix order, then stride-scheduled with integer
+    weights en=4, es=de=2, fr=zh=1 — doc i of a weight-w language gets
+    sched_key = i * (LCM/w), so sorting by (sched_key, lang, rn) yields
+    a stream where every window of the schedule carries the languages
+    in ~weight proportion (classic stride scheduling, exact integers
+    end to end). One coarse row_window shuffle; the full (doc, rank,
+    key) table hash-checks against a partitioned row_number mirror."""
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.windows import row_window
+
+    strides = {"en": 1, "es": 2, "de": 2, "fr": 4, "zh": 4}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        h = _mix64(did.astype(np.uint64))
+        # flip the sign bit so int64 order == unsigned hash order
+        return pa.table({
+            "lang": batch["lang"],
+            "h_ord": pa.array((h ^ np.uint64(1 << 63)).view(np.int64)),
+            "doc_id": pa.array(did)})
+
+    w = row_window(
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "lang", ["h_ord", "doc_id"])
+
+    def sched(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pandas(), dtype=object)
+        rn = np.asarray(batch["rn"], dtype=np.int64)
+        stride = np.array([strides.get(l, 4) for l in langs],
+                          dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "rn": pa.array(rn),
+            "sched_key": pa.array(rn * stride)})
+
+    return w.map_batches(sched, batch_format="pyarrow")
+
+
+QUERIES["interleave_mix_docs"] = interleave_mix_docs
+ORACLE_SQL["interleave_mix_docs"] = f"""
+    WITH src AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS h
+                 FROM documents),
+    {_sql_splitmix_ctes("src", carry="doc_id, lang, ")},
+    rn AS (SELECT doc_id, lang,
+                  CAST(row_number() OVER (
+                      PARTITION BY lang ORDER BY h, doc_id)
+                   AS BIGINT) AS rn
+           FROM m3)
+    SELECT doc_id, lang, rn,
+           rn * (CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 2
+                 WHEN 'de' THEN 2 ELSE 4 END) AS sched_key
+    FROM rn
+"""
