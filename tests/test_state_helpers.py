@@ -177,3 +177,42 @@ class TestIncrementalExactDedup:
         state = read_aggregate_state(sd)
         assert sorted(state.schema().names) == ["h1", "h2"]
         assert state.count() == 1
+
+
+class TestTimeTravel:
+    def test_time_travel_and_vacuum(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        import pytest
+        from tldr_ray.state import (list_versions, read_aggregate_state,
+                                    update_running_aggregate,
+                                    vacuum_state)
+
+        d1 = rd.from_arrow(pa.table({
+            "k": pa.array(["a"]), "cents": pa.array([10], pa.int64())}))
+        d2 = rd.from_arrow(pa.table({
+            "k": pa.array(["a"]), "cents": pa.array([5], pa.int64())}))
+        d3 = rd.from_arrow(pa.table({
+            "k": pa.array(["b"]), "cents": pa.array([1], pa.int64())}))
+        sd = str(tmp_path / "st")
+        for d in (d1, d2, d3):
+            update_running_aggregate(sd, d, ["k"], ["cents"])
+        assert list_versions(sd) == [1, 2, 3]
+        # time travel: v1 sees only the first delta
+        old = read_aggregate_state(sd, version=1).to_pandas()
+        assert old.set_index("k")["cents"].to_dict() == {"a": 10}
+        mid = read_aggregate_state(sd, version=2).to_pandas()
+        assert mid.set_index("k")["cents"].to_dict() == {"a": 15}
+        # bad versions raise
+        with pytest.raises(ValueError):
+            read_aggregate_state(sd, version=4)
+        with pytest.raises(ValueError):
+            read_aggregate_state(sd, version=0)
+        # vacuum keeps the newest two; v1 becomes unreadable
+        assert vacuum_state(sd, keep_last=2) == [1]
+        assert list_versions(sd) == [2, 3]
+        with pytest.raises(FileNotFoundError):
+            read_aggregate_state(sd, version=1)
+        # CURRENT unaffected
+        cur = read_aggregate_state(sd).to_pandas().sort_values("k")
+        assert cur.set_index("k")["cents"].to_dict() == {"a": 15, "b": 1}

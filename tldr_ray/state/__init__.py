@@ -1,6 +1,8 @@
 from tldr_ray.state.incremental import (incremental_exact_dedup,
+                                        list_versions,
                                         read_aggregate_state,
-                                        update_running_aggregate)
+                                        update_running_aggregate,
+                                        vacuum_state)
 from tldr_ray.state.checkpoint import (
     write_manifest,
     read_manifest,
@@ -10,6 +12,8 @@ from tldr_ray.state.checkpoint import (
 
 __all__ = [
     "incremental_exact_dedup",
+    "list_versions",
+    "vacuum_state",
     "read_aggregate_state",
     "update_running_aggregate",
     "write_manifest",

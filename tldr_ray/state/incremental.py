@@ -39,18 +39,57 @@ def _current_version(state_dir: str) -> int:
         return int(fh.read().strip() or 0)
 
 
-def read_aggregate_state(state_dir: str):
+def read_aggregate_state(state_dir: str, version: int | None = None):
     """The committed state as a Dataset, or None before the first
-    commit."""
+    commit. ``version`` time-travels to an older committed version
+    (immutable v-dirs make every historical state readable until
+    ``vacuum_state`` reclaims it); reading past CURRENT or a vacuumed
+    version raises."""
     import ray.data as rd
 
     from tldr_ray.sources.tabular import hashable_parquet_schema
 
-    v = _current_version(state_dir)
-    if v == 0:
+    cur = _current_version(state_dir)
+    if cur == 0:
         return None
+    v = cur if version is None else int(version)
+    if v < 1 or v > cur:
+        raise ValueError(f"version {v} not committed (CURRENT={cur})")
     vdir = os.path.join(state_dir, f"v{v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {v} was vacuumed (earliest retained: "
+            f"{min(list_versions(state_dir), default=cur)})")
     return rd.read_parquet(vdir, schema=hashable_parquet_schema(vdir))
+
+
+def list_versions(state_dir: str) -> list[int]:
+    """Committed, still-readable version numbers, ascending (orphan
+    dirs above CURRENT — a crash mid-commit — are excluded)."""
+    cur = _current_version(state_dir)
+    out = []
+    for name in os.listdir(state_dir) if os.path.isdir(state_dir) else []:
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            if 1 <= v <= cur:
+                out.append(v)
+    return sorted(out)
+
+
+def vacuum_state(state_dir: str, keep_last: int = 2) -> list[int]:
+    """Reclaim old committed versions, keeping the newest ``keep_last``
+    (CURRENT always survives). Returns the versions removed. Safe
+    against concurrent readers of CURRENT (only strictly-older dirs
+    are deleted); time travel to a vacuumed version raises thereafter."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(state_dir)
+    drop = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in drop:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    return drop
 
 
 def update_running_aggregate(state_dir: str, delta_ds, key_cols,
