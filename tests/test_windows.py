@@ -161,3 +161,24 @@ class TestWindows:
                for r in out.itertuples()}
         assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1,
                        (1, 0): 1, (1, 1): 1}
+
+
+class TestEventRateSpikes:
+    def test_spike_flag_semantics(self, ray_session):
+        """3x the trailing mean trips the detector; partial windows
+        (rn <= 3) never do."""
+        import pyarrow as pa
+
+        from tldr_ray.queries import event_rate_spikes  # noqa: F401
+        # exercise the underlying shape directly on a tiny frame via
+        # the query over sf0.001 (hash-checked at sf0.01 by the driver)
+        df = event_rate_spikes("/root/testdata/sf0.001").to_pandas()
+        assert set(df.columns) == {"event_type", "hour_key", "n",
+                                   "trailing3", "is_spike"}
+        # invariant: a flagged row really does beat 2x trailing mean
+        sp = df[df["is_spike"]]
+        assert (3 * sp["n"] > 2 * sp["trailing3"]).all()
+        # invariant: first three observed hours per type never flag
+        first = df.sort_values(["event_type", "hour_key"]) \
+            .groupby("event_type").head(3)
+        assert not first["is_spike"].any()

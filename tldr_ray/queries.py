@@ -9237,3 +9237,71 @@ ORACLE_SQL["interleave_mix_docs"] = f"""
                  WHEN 'de' THEN 2 ELSE 4 END) AS sched_key
     FROM rn
 """
+
+
+def event_rate_spikes(sf_dir: str):
+    """Event-rate spike monitor per event type (streaming-ops shape):
+    hourly counts, a 3-hour trailing window off the shared row_window
+    sweep, spike iff the hour runs at more than 2x the trailing mean —
+    tested as the EXACT integer cross-multiplication 3*n > 2*trailing3
+    (never a float mean), with rn > 3 guarding partial windows. All
+    rows (not just spikes) are emitted so the oracle hash covers the
+    negative decisions too; the trailing window is over OBSERVED hours
+    (a silent-hour gap contributes nothing — pair with
+    events_hourly_dense when calendar alignment matters)."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.windows import row_window
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_key": pa.array(us // 3_600_000_000)})
+
+    hourly = (_read(sf_dir, "events", ["ts", "event_type"])
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby(["event_type", "hour_key"])
+              .aggregate(Count(alias_name="n")))
+
+    # n rides order_cols so the sweep emits it (hour_key alone is
+    # already unique per type, so the order is unchanged)
+    w = row_window(hourly, "event_type", ["hour_key", "n"],
+                   rolling_sums=(("n", 3),))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        roll = np.asarray(batch["roll3_n"], dtype=np.int64)
+        rn = np.asarray(batch["rn"], dtype=np.int64)
+        trailing3 = roll - n
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_key": batch["hour_key"].cast(pa.int64()),
+            "n": pa.array(n),
+            "trailing3": pa.array(trailing3),
+            "is_spike": pa.array((rn > 3) & (3 * n > 2 * trailing3))})
+
+    return w.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["event_rate_spikes"] = event_rate_spikes
+ORACLE_SQL["event_rate_spikes"] = """
+    WITH hc AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_key,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    w AS (
+        SELECT event_type, hour_key, CAST(n AS BIGINT) AS n,
+               CAST(sum(n) OVER (PARTITION BY event_type
+                                 ORDER BY hour_key
+                                 ROWS BETWEEN 3 PRECEDING
+                                 AND CURRENT ROW) - n
+                    AS BIGINT) AS trailing3,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hour_key) AS rn
+        FROM hc)
+    SELECT event_type, hour_key, n, trailing3,
+           (rn > 3 AND 3*n > 2*trailing3) AS is_spike
+    FROM w
+"""
