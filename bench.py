@@ -437,7 +437,11 @@ if __name__ == "__main__":
                  "langid_prf_docs", "user_active_time",
                  "scc_of_vertex_hashgraph", "betweenness_hashgraph",
                  "semantic_dedup_embeddings", "bpe_encode_docs",
-                 "audio_phash_dups", "curate_documents_pipeline"]
+                 "audio_phash_dups", "curate_documents_pipeline",
+                 # round-4 second wave
+                 "gopher_filter_docs", "gopher_rule_report",
+                 "epoch_shuffle_docs", "interleave_mix_docs",
+                 "event_rate_spikes", "knn_pq_top10"]
         qsec = {}
         try:
             for n in names:
