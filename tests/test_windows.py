@@ -182,3 +182,36 @@ class TestEventRateSpikes:
         first = df.sort_values(["event_type", "hour_key"]) \
             .groupby("event_type").head(3)
         assert not first["is_spike"].any()
+
+
+class TestTimeRollingSum:
+    def test_range_semantics_with_peers(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from tldr_ray.stages.windows import time_rolling_sum
+
+        t = pa.table({
+            "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 10, 10, 25, 5, 100], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32], pa.int64())})
+        out = time_rolling_sum(rd.from_arrow(t).repartition(3),
+                               "u", "ts", "v", window_us=15) \
+            .to_pandas().sort_values(["u", "ts", "v"])
+        # ts=10 peers BOTH see 1+2+4 (SQL RANGE includes peers);
+        # ts=25 window [10,25] inclusive = 2+4+8; key isolation holds
+        assert out["rolling_sum"].tolist() == [1, 7, 7, 14, 16, 32]
+
+    def test_rejects_float_values(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from tldr_ray.stages.windows import time_rolling_sum
+
+        t = pa.table({"u": pa.array([1], pa.int64()),
+                      "ts": pa.array([0], pa.int64()),
+                      "v": pa.array([1.5], pa.float64())})
+        with pytest.raises(Exception):
+            time_rolling_sum(rd.from_arrow(t), "u", "ts", "v",
+                             window_us=10).to_pandas()

@@ -9305,3 +9305,41 @@ ORACLE_SQL["event_rate_spikes"] = """
            (rn > 3 AND 3*n > 2*trailing3) AS is_spike
     FROM w
 """
+
+
+def user_value_30min_rolling(sf_dir: str):
+    """Per-user 30-minute TRAILING spend (time-RANGE window, the
+    complement of the ROWS-based rolling suite): exact-cent sums over
+    stages.windows.time_rolling_sum — one coarse shuffle, two global
+    searchsorteds per partition, SQL RANGE peer semantics (equal-ts
+    rows share the window) included. event_id rides along so the
+    mirror's sort can't be perturbed by duplicate timestamps."""
+    from tldr_ray.stages.windows import time_rolling_sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    return time_rolling_sum(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ts", "value_cents", window_us=30 * 60 * 1_000_000,
+        extra_cols=("event_id",))
+
+
+QUERIES["user_value_30min_rolling"] = user_value_30min_rolling
+ORACLE_SQL["user_value_30min_rolling"] = """
+    SELECT user_id, ts, value_cents, event_id,
+           CAST(sum(value_cents) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS rolling_sum
+    FROM (SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events)
+"""

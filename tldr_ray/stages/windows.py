@@ -362,3 +362,85 @@ def row_window(ds, key_col: str, order_cols: list[str],
         .groupby("__part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def time_rolling_sum(ds, key_col: str, ts_col: str, value_col: str,
+                     window_us: int, extra_cols: tuple[str, ...] = (),
+                     num_partitions: int = 64):
+    """Per-key TIME-RANGE trailing sum — SQL ``sum(v) OVER (PARTITION
+    BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT
+    ROW)`` — the complement of ``row_window``'s ROWS-based rolling
+    sums. One coarse shuffle on hash(key), one sort per partition,
+    then two vectorized searchsorteds per segment give each row's
+    window bounds:
+
+    - start = first index with ts >= ts_i - window (LEFT bisect), so
+      the bound row is INCLUDED, matching SQL RANGE semantics;
+    - end   = last index with ts == ts_i (RIGHT bisect): SQL RANGE
+      windows include the current row's PEERS (equal-ts rows later in
+      the sort), which a naive cumsum-to-self would miss.
+
+    Segments are isolated by offsetting each key's timestamps into a
+    disjoint numeric band before one GLOBAL pair of searchsorteds — no
+    per-key Python loop. ``value_col`` must be integer (exact-cents
+    rule: a running float sum is not association-free).
+    Emits (key, ts, value, *extra_cols, rolling_sum int64)."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    need = list(dict.fromkeys(
+        [key_col, ts_col, value_col, *extra_cols]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(k, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="mergesort")
+        n = len(g)
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        v = g[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"value col {value_col!r} must be integer "
+                "(exact-cents rule)")
+        key = g[key_col].to_numpy()
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1                 # segment id per row
+        # place each segment in a disjoint band so ONE global
+        # searchsorted respects key boundaries; spans are per-key so
+        # bands never collide
+        base = ts - np.repeat(ts[new], np.bincount(seg))   # >= 0
+        span = np.int64(2) * (window_us + 1) + \
+            (base.max() if n else 0)
+        if n and int(seg[-1]) * int(span) >= (1 << 62):
+            raise OverflowError(
+                "segment banding would overflow int64 — shrink "
+                "num_partitions or the per-key time span")
+        banded = seg * span + base + window_us + 1
+        start = np.searchsorted(banded, banded - window_us, side="left")
+        end = np.searchsorted(banded, banded, side="right")
+        cum = np.concatenate([[0], np.cumsum(v.astype(np.int64))])
+        out = {key_col: key, ts_col: g[ts_col].to_numpy(),
+               value_col: v}
+        for c in extra_cols:
+            out[c] = g[c].to_numpy()
+        out["rolling_sum"] = cum[end] - cum[start]
+        return pd.DataFrame(out)
+
+    return (ds.select_columns(need)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
