@@ -1955,3 +1955,25 @@ class TestEpochShuffle:
                            "doc_id", epoch=1, num_parts=17) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert (q1["epoch_pos"] == p1["epoch_pos"]).all()
+
+
+class TestPairwisePearson:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data as rd
+
+        from tldr_ray.stages.agg import pairwise_pearson
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 1000, 500)
+        b = 2 * a + rng.integers(0, 50, 500)       # strongly correlated
+        c = rng.integers(0, 1000, 500)             # independent
+        t = pa.table({"a": pa.array(a * 1.0), "b": pa.array(b * 1.0),
+                      "c": pa.array(c * 1.0)})
+        out = pairwise_pearson(rd.from_arrow(t).repartition(5),
+                               ["a", "b", "c"]).to_pandas()
+        want = np.corrcoef(np.vstack([a * 100, b * 100, c * 100]))
+        got = {(r.col_x, r.col_y): r.corr for r in out.itertuples()}
+        assert abs(got[("a", "b")] - want[0, 1]) < 1e-9
+        assert abs(got[("a", "c")] - want[0, 2]) < 1e-9
+        assert abs(got[("b", "c")] - want[1, 2]) < 1e-9
+        assert got[("a", "b")] > 0.99

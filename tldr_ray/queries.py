@@ -9343,3 +9343,50 @@ ORACLE_SQL["user_value_30min_rolling"] = """
                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
           FROM events)
 """
+
+
+def lineitem_correlations(sf_dir: str):
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    columns (profiling / feature-audit shape) from EXACT integer cent
+    moments (stages.agg.pairwise_pearson): two-lane int64 moment sums
+    travel through the one global aggregate, the driver recombines
+    lanes into arbitrary-precision ints, and the only float math is one
+    cast+divide+sqrt chain per pair, mirrored op-for-op in SQL — so
+    even the correlation DOUBLES hash-match."""
+    from tldr_ray.stages.agg import pairwise_pearson
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return pairwise_pearson(_read(sf_dir, "lineitem", cols), cols)
+
+
+QUERIES["lineitem_correlations"] = lineitem_correlations
+
+
+def _corr_pair_sql(i, j, names):
+    return f"""
+    SELECT '{names[i]}' AS col_x, '{names[j]}' AS col_y,
+           CAST(n*p{i}{j} - s{i}*s{j} AS DOUBLE)
+           / (sqrt(CAST(n*q{i} - s{i}*s{i} AS DOUBLE))
+              * sqrt(CAST(n*q{j} - s{j}*s{j} AS DOUBLE))) AS corr
+    FROM m"""
+
+
+ORACLE_SQL["lineitem_correlations"] = """
+    WITH c AS (
+      SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS v0,
+             CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v1,
+             CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS v2,
+             CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS v3
+      FROM lineitem),
+    m AS (
+      SELECT count(*) AS n,
+             sum(v0) AS s0, sum(v1) AS s1, sum(v2) AS s2, sum(v3) AS s3,
+             sum(v0*v0) AS q0, sum(v1*v1) AS q1,
+             sum(v2*v2) AS q2, sum(v3*v3) AS q3,
+             sum(v0*v1) AS p01, sum(v0*v2) AS p02, sum(v0*v3) AS p03,
+             sum(v1*v2) AS p12, sum(v1*v3) AS p13, sum(v2*v3) AS p23
+      FROM c)
+""" + " UNION ALL ".join(
+    _corr_pair_sql(i, j, ["l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax"])
+    for i in range(4) for j in range(i + 1, 4))

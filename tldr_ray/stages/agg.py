@@ -817,3 +817,79 @@ def epoch_shuffle(ds, id_col: str, epoch: int, num_parts: int = 64):
 
     return parted.groupby("part").map_groups(sweep,
                                              batch_format="pandas")
+
+
+def pairwise_pearson(ds, cols: list[str], to_int=None):
+    """Pairwise Pearson correlation matrix over integer-valued columns
+    via EXACT moment sums: per batch, every moment (S_i, S_ii, S_ij)
+    accumulates in TWO int64 lanes — sum(p >> 30) and sum(p & 2^30-1)
+    — so products up to ~2^60 per row sum exactly through the global
+    Sum aggregate (lane bound: ~2^33 rows before the low lane could
+    saturate; add a third lane past that). The driver recombines lanes
+    into arbitrary-precision Python ints and performs the ONLY float
+    math once per pair:
+
+        corr = double(n*Sxy - Sx*Sy)
+               / (sqrt(double(n*Sxx - Sx^2)) * sqrt(double(n*Syy - Sy^2)))
+
+    — castings and operation order chosen to mirror op-for-op in SQL
+    (int->double casts, IEEE division and sqrt are correctly rounded).
+    ``to_int(batch, col) -> np.int64 array`` converts raw columns
+    (default: exact cents floor(x*100+0.5)). Returns a pyarrow Table
+    (col_x, col_y, corr) over all unordered pairs, col order as given.
+    O(len(cols)^2) values leave each task; nothing row-sized moves."""
+    from ray.data.aggregate import Count, Sum
+
+    if to_int is None:
+        def to_int(batch, c):
+            x = np.asarray(batch[c], dtype=np.float64)
+            return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+    MASK = np.int64((1 << 30) - 1)
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+
+    def lanes(name, p, out):
+        out[f"{name}_hi"] = pa.array([int(np.sum(p >> 30))], pa.int64())
+        out[f"{name}_lo"] = pa.array([int(np.sum(p & MASK))], pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = [to_int(batch, c) for c in cols]
+        out = {"n": pa.array([len(batch)], pa.int64())}
+        for i, c in enumerate(cols):
+            lanes(f"s{i}", vals[i], out)
+            lanes(f"q{i}", vals[i] * vals[i], out)
+        for i, j in pairs:
+            lanes(f"p{i}_{j}", vals[i] * vals[j], out)
+        return pa.table(out)
+
+    part = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow")
+    names = ["n"] + [f"{t}_{l}" for t in
+                     ([f"s{i}" for i in range(len(cols))]
+                      + [f"q{i}" for i in range(len(cols))]
+                      + [f"p{i}_{j}" for i, j in pairs])
+                     for l in ("hi", "lo")]
+    agg = part.aggregate(*[Sum(c, alias_name=c) for c in names])
+
+    def val(name):
+        return (int(agg[f"{name}_hi"]) << 30) + int(agg[f"{name}_lo"])
+
+    n = int(agg["n"])
+    s = [val(f"s{i}") for i in range(len(cols))]
+    q = [val(f"q{i}") for i in range(len(cols))]
+    import math
+
+    rows_x, rows_y, rows_c = [], [], []
+    for i, j in pairs:
+        num = n * val(f"p{i}_{j}") - s[i] * s[j]
+        dxx = n * q[i] - s[i] * s[i]
+        dyy = n * q[j] - s[j] * s[j]
+        corr = float(num) / (math.sqrt(float(dxx))
+                             * math.sqrt(float(dyy)))
+        rows_x.append(cols[i])
+        rows_y.append(cols[j])
+        rows_c.append(corr)
+    return pa.table({"col_x": pa.array(rows_x, pa.string()),
+                     "col_y": pa.array(rows_y, pa.string()),
+                     "corr": pa.array(rows_c, pa.float64())})
