@@ -909,3 +909,25 @@ class TestBetweennessSampled:
         top = scores.max()
         tied = set(ids[np.isclose(scores, top)].tolist())
         assert 4 in tied and tied <= {3, 4, 5}
+
+
+class TestFeaturePropagation:
+    def test_two_rounds_equal_dense_reference(self, ray_session):
+        """h2 == (I + A^T)^2 f computed densely on the same graph."""
+        import numpy as np
+
+        from tldr_ray.queries import feature_propagation_hashgraph
+
+        out = feature_propagation_hashgraph("/root/testdata/sf0.001") \
+            .to_pandas().sort_values("vertex").reset_index(drop=True)
+        N = len(out)
+        A = np.zeros((N, N), np.int64)
+        d = np.arange(N)
+        for dst in [(d + 1) % N, (d + 2) % N, (d * 7 + 3) % N]:
+            keep = dst != d
+            A[d[keep], dst[keep]] += 1
+        f = np.stack([(d * (k + 3)) % 97 for k in range(4)], axis=1)
+        h = f + A.T @ f
+        h = h + A.T @ h
+        got = out[["f0", "f1", "f2", "f3"]].to_numpy()
+        assert (got == h).all()

@@ -9417,3 +9417,114 @@ ORACLE_SQL["lineitem_correlations"] = """
     _corr_pair_sql(i, j, ["l_quantity", "l_extendedprice",
                           "l_discount", "l_tax"])
     for i in range(4) for j in range(i + 1, 4))
+
+
+def feature_propagation_hashgraph(sf_dir: str):
+    """GNN-style feature propagation (the GraphSAGE/GCN data-prep
+    primitive) over the hash graph: 4 integer features per vertex
+    (f_d(v) = v*(d+3) mod 97), two synchronous rounds of
+    h'(v) = h(v) + sum over in-edges (u->v) of h(u) — SUM aggregation
+    keeps every round in exact int64, so unlike mean/normalized GCN the
+    two-round result is order-free and hash-checks. Round 1 needs NO
+    join (features are id-derived, computed inline at the edge writer);
+    round 2 is ONE bucketed join of the round-1 state on src. Messages
+    pre-combine per batch (np.add.at on unique dst) before each
+    aggregate — the same discipline as the engine's SpMV exchanges."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    D = 4
+
+    def feats(v: np.ndarray) -> list[np.ndarray]:
+        return [(v * (d + 3)) % 97 for d in range(D)]
+
+    fcols = [f"f{d}" for d in range(D)]
+
+    def precombine(batch: pa.Table, vcol: str,
+                   cols: list[str]) -> pa.Table:
+        dst = np.asarray(batch[vcol], dtype=np.int64)
+        u, inv = np.unique(dst, return_inverse=True)
+        out = {"v": pa.array(u)}
+        for c in cols:
+            s = np.zeros(u.size, np.int64)
+            np.add.at(s, inv, np.asarray(batch[c], dtype=np.int64))
+            out[c] = pa.array(s)
+        return pa.table(out)
+
+    edges = _hash_graph_edges(sf_dir)
+
+    def r1_msgs(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"], dtype=np.int64)
+        t = pa.table({"dst": batch["dst"],
+                      **{c: pa.array(f) for c, f in
+                         zip(fcols, feats(src))}})
+        return precombine(t, "dst", fcols)
+
+    def self_msgs(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table({"v": pa.array(v),
+                         **{c: pa.array(f) for c, f in
+                            zip(fcols, feats(v))}})
+
+    sums = [Sum(c, alias_name=c) for c in fcols]
+    h1 = (_read(sf_dir, "documents", ["doc_id"])
+          .map_batches(self_msgs, batch_format="pyarrow")
+          .union(edges.map_batches(r1_msgs, batch_format="pyarrow"))
+          .groupby("v").aggregate(*sums)).materialize()
+
+    # round 2: the state is data-dependent now — ONE bucketed join on
+    # src decorates each edge with h1(src), then the same
+    # precombine -> union(self) -> aggregate
+    e2 = bucketed_hash_join(
+        edges.select_columns(["src", "dst"]),
+        h1.map_batches(lambda t: t.rename_columns(["src", *fcols]),
+                       batch_format="pyarrow"),
+        on="src", how="inner")
+
+    h2 = (h1.map_batches(lambda t: t, batch_format="pyarrow")
+          .union(e2.map_batches(
+              lambda b: precombine(b, "dst", fcols),
+              batch_format="pyarrow"))
+          .groupby("v").aggregate(*sums))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": batch["v"].cast(pa.int64()),
+                         **{c: batch[c].cast(pa.int64())
+                            for c in fcols}})
+
+    return h2.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["feature_propagation_hashgraph"] = feature_propagation_hashgraph
+ORACLE_SQL["feature_propagation_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    f AS (SELECT doc_id AS v,
+                 CAST((doc_id*3) % 97 AS BIGINT) AS f0,
+                 CAST((doc_id*4) % 97 AS BIGINT) AS f1,
+                 CAST((doc_id*5) % 97 AS BIGINT) AS f2,
+                 CAST((doc_id*6) % 97 AS BIGINT) AS f3
+          FROM documents),
+    a1 AS (SELECT r.t AS v, sum(f.f0) AS s0, sum(f.f1) AS s1,
+                  sum(f.f2) AS s2, sum(f.f3) AS s3
+           FROM raw2 r JOIN f ON f.v = r.s GROUP BY r.t),
+    h1 AS (SELECT f.v,
+                  f.f0 + COALESCE(a1.s0, 0) AS f0,
+                  f.f1 + COALESCE(a1.s1, 0) AS f1,
+                  f.f2 + COALESCE(a1.s2, 0) AS f2,
+                  f.f3 + COALESCE(a1.s3, 0) AS f3
+           FROM f LEFT JOIN a1 USING (v)),
+    a2 AS (SELECT r.t AS v, sum(h1.f0) AS s0, sum(h1.f1) AS s1,
+                  sum(h1.f2) AS s2, sum(h1.f3) AS s3
+           FROM raw2 r JOIN h1 ON h1.v = r.s GROUP BY r.t),
+    h2 AS (SELECT h1.v,
+                  h1.f0 + COALESCE(a2.s0, 0) AS f0,
+                  h1.f1 + COALESCE(a2.s1, 0) AS f1,
+                  h1.f2 + COALESCE(a2.s2, 0) AS f2,
+                  h1.f3 + COALESCE(a2.s3, 0) AS f3
+           FROM h1 LEFT JOIN a2 USING (v))
+    SELECT CAST(v AS BIGINT) AS vertex,
+           CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+    FROM h2
+"""
