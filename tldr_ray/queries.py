@@ -9528,3 +9528,43 @@ ORACLE_SQL["feature_propagation_hashgraph"] = f"""
            CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
     FROM h2
 """
+
+
+def importance_sample_docs(sf_dir: str):
+    """Quality-weighted importance sampling (keep probability = the
+    doc's composite quality score): deterministic gate
+    splitmix64(doc_id) <= score * 2^64 — the per-DOC companion of the
+    per-LANGUAGE temperature mix, and the downsampling rule that keeps
+    a corpus's best material without a global sort. The quality score
+    is the hash-proven float composite (quality_scores_docs), the
+    threshold multiply is one IEEE op mirrored verbatim, so the kept
+    set hash-checks end to end."""
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.text_analysis import quality_scores
+
+    out = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         concurrency=2)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        score = np.asarray(batch["quality_score"], dtype=np.float64)
+        h = _mix64(did.astype(np.uint64)).astype(np.float64)
+        ok = h <= score * 18446744073709551616.0
+        return pa.table({
+            "doc_id": pa.array(did[ok]),
+            "quality_score": pa.array(score[ok])})
+
+    return out.map_batches(gate, batch_format="pyarrow")
+
+
+QUERIES["importance_sample_docs"] = importance_sample_docs
+ORACLE_SQL["importance_sample_docs"] = f"""
+    WITH q AS ({_quality_scores_oracle_sql()}),
+    src AS (SELECT doc_id, quality_score,
+                   CAST(doc_id AS HUGEINT) AS h
+            FROM q),
+    {_sql_splitmix_ctes("src", carry="doc_id, quality_score, ")}
+    SELECT doc_id, quality_score
+    FROM m3
+    WHERE CAST(h AS DOUBLE) <= quality_score * 18446744073709551616.0
+"""
