@@ -9568,3 +9568,63 @@ ORACLE_SQL["importance_sample_docs"] = f"""
     FROM m3
     WHERE CAST(h AS DOUBLE) <= quality_score * 18446744073709551616.0
 """
+
+
+def suppliers_high_return_share(sf_dir: str):
+    """TPC-H Q20-shaped nested aggregate reshaped to the synth schema
+    (no partsupp table): suppliers whose RETURNED lineitem volume
+    exceeds a THIRD of their total volume (the synth corpus tops out
+    at 38% returned share, so a half threshold would be vacuous) —
+    per-supplier (total_qty, returned_qty) moments pre-combined per
+    batch, ONE grouped sum, and the excess predicate as the exact-int
+    cross-multiplication 3*returned > total (no float share). Output includes both moments
+    so the hash covers the aggregates, not just the id set."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        qty = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        ret = np.asarray(pc.equal(batch["l_returnflag"], "R"))
+        u, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(u.size, np.int64)
+        rq = np.zeros(u.size, np.int64)
+        np.add.at(tot, inv, qty)
+        np.add.at(rq, inv, np.where(ret, qty, 0))
+        return pa.table({"l_suppkey": pa.array(u),
+                         "total_qty_cents": pa.array(tot),
+                         "returned_qty_cents": pa.array(rq)})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_quantity", "l_returnflag"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("total_qty_cents", alias_name="total_qty_cents"),
+                      Sum("returned_qty_cents",
+                          alias_name="returned_qty_cents")))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        tot = np.asarray(batch["total_qty_cents"], dtype=np.int64)
+        rq = np.asarray(batch["returned_qty_cents"], dtype=np.int64)
+        keep = 3 * rq > tot
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64())
+            .filter(pa.array(keep)),
+            "total_qty_cents": pa.array(tot[keep]),
+            "returned_qty_cents": pa.array(rq[keep])})
+
+    return agg.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["suppliers_high_return_share"] = suppliers_high_return_share
+ORACLE_SQL["suppliers_high_return_share"] = """
+    WITH s AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_qty_cents,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS returned_qty_cents
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, total_qty_cents, returned_qty_cents
+    FROM s WHERE 3*returned_qty_cents > total_qty_cents
+"""
