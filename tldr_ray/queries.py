@@ -9628,3 +9628,158 @@ ORACLE_SQL["suppliers_high_return_share"] = """
     SELECT l_suppkey, total_qty_cents, returned_qty_cents
     FROM s WHERE 3*returned_qty_cents > total_qty_cents
 """
+
+
+def tpch_q15(sf_dir: str):
+    """TPC-H Q15-shaped: top supplier(s) by revenue in a quarter
+    (reference Q15's revenue view + MAX subquery, reshaped to the
+    synth schema). Revenue is the exact-int product
+    cents(extendedprice) * (100 - cents(discount)) in 10^-4 currency
+    units, pre-combined per batch by supplier, ONE grouped sum; the
+    grouped result (O(#suppliers), dimension-sized) is materialized
+    once so the global max and the tie filter reuse it without
+    re-scanning lineitem. Decoration (s_name) fetches ONLY the <=few
+    winning keys via parquet predicate pushdown — the supplier table
+    never reaches the driver (round-3 verdict item 3 pattern)."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        m = (sd >= lo) & (sd < hi)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)[m]
+        px = _cents(np.asarray(batch["l_extendedprice"],
+                               dtype=np.float64)[m])
+        dc = _cents(np.asarray(batch["l_discount"], dtype=np.float64)[m])
+        rev = px * (100 - dc)
+        u, inv = np.unique(sk, return_inverse=True)
+        tot = np.zeros(u.size, np.int64)
+        np.add.at(tot, inv, rev)
+        return pa.table({"l_suppkey": pa.array(u),
+                         "total_revenue_e4": pa.array(tot)})
+
+    per_supp = (_read(sf_dir, "lineitem",
+                      ["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("total_revenue_e4",
+                               alias_name="total_revenue_e4"))
+                .materialize())
+    mx = per_supp.max("total_revenue_e4")
+
+    def winners(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch["total_revenue_e4"], dtype=np.int64)
+        keep = pa.array(rev == mx)
+        return pa.table({
+            "s_suppkey": batch["l_suppkey"].cast(pa.int64()).filter(keep),
+            "total_revenue_e4": batch["total_revenue_e4"]
+            .cast(pa.int64()).filter(keep)})
+
+    win = per_supp.map_batches(winners, batch_format="pyarrow").to_pandas()
+    names = _read_rows_by_keys(sf_dir, "supplier", "s_suppkey",
+                               win["s_suppkey"].tolist(),
+                               ["s_suppkey", "s_name"])
+    out = win.merge(names, on="s_suppkey", how="left")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]]
+
+
+QUERIES["tpch_q15"] = tpch_q15
+ORACLE_SQL["tpch_q15"] = """
+    WITH r AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount*100 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue_e4
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+"""
+
+
+def tpch_q12(sf_dir: str):
+    """TPC-H Q12-shaped: priority mix of shipped lines per line status
+    (the synth schema has no l_shipmode/l_receiptdate, so l_linestatus
+    stands in for the mode dimension and the window predicate runs on
+    l_shipdate; cited shape: TPC-H Q12's lineitem JOIN orders with the
+    2-way CASE priority counts). Unlike Q3/Q4/Q5 there is NO selective
+    filter on orders — both sides are fact-sized — so this is the
+    query that exercises stages.joins.bucketed_hash_join as a true
+    large-large partitioned join (orderkey is uniform; no skew path
+    needed). Lineitem pre-combines to per-(orderkey, status) line
+    counts inside each batch BEFORE the join, so the shuffle moves
+    ~one row per order, not one per line; the final groupby is over 2
+    statuses x orders and pre-combines the CASE products per batch."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def lpart(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+        m = (sd >= lo) & (sd < hi)
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)[m]
+        st = np.asarray(pc.equal(batch["l_linestatus"], "O"))[m]
+        key = ok * 2 + st                     # (orderkey, status) packed
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "l_orderkey": pa.array(u >> 1),
+            "is_open": pa.array((u & 1).astype(np.int64)),
+            "n_lines": pa.array(cnt.astype(np.int64))})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linestatus", "l_shipdate"])
+            .map_batches(lpart, batch_format="pyarrow"))
+
+    def opart(batch: pa.Table) -> pa.Table:
+        hi_p = np.asarray(
+            pc.is_in(batch["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])))
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "is_high": pa.array(hi_p.astype(np.int64))})
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+              .map_batches(opart, batch_format="pyarrow"))
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+    j = bucketed_hash_join(line, orders, on="l_orderkey")
+
+    def cases(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch["is_open"], dtype=np.int64)
+        n = np.asarray(batch["n_lines"], dtype=np.int64)
+        h = np.asarray(batch["is_high"], dtype=np.int64)
+        out = np.zeros((2, 2), np.int64)      # [status][high/low]
+        np.add.at(out, (st, 1 - h), n)
+        nz = out.sum(axis=1) > 0
+        labels = np.array(["F", "O"])
+        return pa.table({
+            "l_linestatus": pa.array(labels[nz]),
+            "high_line_count": pa.array(out[nz, 0]),
+            "low_line_count": pa.array(out[nz, 1])})
+
+    return (j.map_batches(cases, batch_format="pyarrow")
+            .groupby("l_linestatus")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count")))
+
+
+QUERIES["tpch_q12"] = tpch_q12
+ORACLE_SQL["tpch_q12"] = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+"""
