@@ -243,3 +243,44 @@ class TestSemanticDedup:
                       .to_pandas()["vec_id"])
         assert 40 not in kept and 7 in kept
         assert len(kept) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEditDistancePairs:
+    def test_is_edit1_kernel(self):
+        from tldr_ray.stages.dedup import _is_edit1
+
+        assert _is_edit1("cat", "cut")          # substitution
+        assert _is_edit1("cut", "cuts")         # append
+        assert _is_edit1("dg", "dog")           # interior insert
+        assert _is_edit1("dog", "dg")           # symmetric
+        assert not _is_edit1("cat", "cat")      # equal -> not distance 1
+        assert not _is_edit1("cat", "dog")
+        assert not _is_edit1("dg", "dogs")      # distance 2 via length
+        assert not _is_edit1("abXc", "aYbc")    # shared deletion, dist 2
+
+    def test_fastss_pairs_exact(self):
+        import ray.data as rd
+        from tldr_ray.stages.dedup import edit_distance_pairs
+
+        vocab = ["cat", "cut", "cuts", "dog", "dogs", "dg", "xyz",
+                 "aab", "ab"]
+        ds = rd.from_arrow(pa.table({"w": pa.array(vocab)}))
+        got = {tuple(r) for r in
+               edit_distance_pairs(ds, col="w").to_pandas().to_numpy()}
+        # brute-force oracle
+        def lev1(a, b):
+            if abs(len(a) - len(b)) > 1 or a == b:
+                return False
+            la, lb = sorted((a, b), key=len)
+            if len(la) == len(lb):
+                return sum(x != y for x, y in zip(la, lb)) == 1
+            i = 0
+            while i < len(la) and la[i] == lb[i]:
+                i += 1
+            return la[i:] == lb[i + 1:]
+        want = {(a, b) for i, a in enumerate(vocab)
+                for b in vocab[i + 1:] if lev1(a, b)}
+        want = {tuple(sorted(p)) for p in want}
+        assert got == want
+        assert ("aab", "ab") in got             # duplicate-variant word

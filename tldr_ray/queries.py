@@ -9783,3 +9783,86 @@ ORACLE_SQL["tpch_q12"] = """
       AND l_shipdate <  TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus
 """
+
+
+def exact_median_price_by_flag(sf_dir: str):
+    """Exact distributed median WITHOUT a global sort: per-batch
+    (flag, value) counts via pyarrow's C++ group_by (the combiner),
+    ONE grouped sum over the (flag, value_cents) pairs — the shuffle
+    moves #distinct-values rows (dimension-sized: price cents have a
+    bounded domain), never the fact rows — then an O(#distinct)
+    per-flag cumulative-count selection picks the two middle order
+    statistics. Median of an even count is (a+b)/2.0: both middles are
+    exact int cents, the sum stays < 2^53, so the one IEEE division
+    hash-matches DuckDB's median() bit for bit. At 100x, a value
+    domain too large for one selection group would refine through a
+    first-pass range histogram (two counting passes) — documented, not
+    needed for a cents domain."""
+    from ray.data.aggregate import Sum
+
+    def vc(batch: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(batch["l_extendedprice"],
+                                  dtype=np.float64))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "value_cents": pa.array(cents)})
+        return (t.group_by(["l_returnflag", "value_cents"])
+                .aggregate([("value_cents", "count")])
+                .rename_columns(["l_returnflag", "value_cents", "n"]))
+
+    counts = (_read(sf_dir, "lineitem",
+                    ["l_returnflag", "l_extendedprice"])
+              .map_batches(vc, batch_format="pyarrow")
+              .groupby(["l_returnflag", "value_cents"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_cents")
+        n = np.asarray(g["n"], dtype=np.int64)
+        v = np.asarray(g["value_cents"], dtype=np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        lo_i = int(np.searchsorted(cum, (total - 1) // 2 + 1))
+        hi_i = int(np.searchsorted(cum, total // 2 + 1))
+        med = (int(v[lo_i]) + int(v[hi_i])) / 2.0
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "med": [med],
+                             "n_rows": [np.int64(total)]})
+
+    return counts.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas")
+
+
+QUERIES["exact_median_price_by_flag"] = exact_median_price_by_flag
+ORACLE_SQL["exact_median_price_by_flag"] = """
+    SELECT l_returnflag,
+           median(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+               AS med,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def edit1_name_pairs(sf_dir: str):
+    """Spell-variant similarity join: all customer-name pairs at
+    Levenshtein distance exactly 1, via the FastSS k=1
+    deletion-neighborhood blocking stage (stages.dedup.
+    edit_distance_pairs) — the only shuffle moves (variant, word)
+    keys, candidate groups are tiny by construction, verification is
+    exact, so the result hash-checks against DuckDB's levenshtein()
+    self-join. Names are distinct already; a token vocabulary would
+    run its distinct groupby first."""
+    from tldr_ray.stages.dedup import edit_distance_pairs
+
+    vocab = _read(sf_dir, "customer", ["c_name"])
+    return edit_distance_pairs(vocab, col="c_name")
+
+
+QUERIES["edit1_name_pairs"] = edit1_name_pairs
+ORACLE_SQL["edit1_name_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+    SELECT a.w AS w1, b.w AS w2
+    FROM v a JOIN v b
+      ON a.w < b.w
+     AND abs(length(a.w) - length(b.w)) <= 1
+     AND levenshtein(a.w, b.w) = 1
+"""

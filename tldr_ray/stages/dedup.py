@@ -1164,3 +1164,122 @@ def fuzzy_jaro_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             .map_groups(attach_part, batch_format="pandas")
             .groupby("ppart")
             .map_groups(verify_part, batch_format="pandas"))
+
+
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance==1 check for a candidate pair (a != b)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(vocab, col: str = "w"):
+    """FastSS k=1 similarity join: all UNORDERED pairs of distinct
+    strings at Levenshtein distance exactly 1 (Bocek et al., "Fast
+    Similarity Search in Large Dictionaries", 2007 — public
+    algorithm). Each string emits its 1-deletion neighborhood plus
+    itself as blocking keys; two strings are within distance 1 iff
+    they share a key (substitution -> same deletion; insert/delete ->
+    the shorter string IS a deletion of the longer), so the ONLY
+    shuffle moves (variant, word) pairs — never all-pairs. Variant
+    generation is fully vectorized per length class (numpy '<U1' char
+    matrix, one column-drop view per position, no per-row Python);
+    candidate groups are tiny by construction (strings sharing one
+    deletion), verified exactly, and a pair found under several shared
+    variants dedups in ONE final distinct groupby.
+
+    ``vocab``: Dataset with a DISTINCT string column ``col`` (run the
+    distinct upstream — dictionary keys, names, tokens).
+    Returns a Dataset of (w1, w2) with w1 < w2.
+    """
+    def variants(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch[col], dtype=object)
+        if words.size == 0:
+            return pa.table({"variant": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string())})
+        lens = np.fromiter((len(w) for w in words), np.int64,
+                           count=words.size)
+        out_v = [words]                      # the word itself is a key
+        out_w = [words]
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            sub = words[lens == L].astype(f"<U{L}")
+            chars = sub.view("<U1").reshape(sub.size, int(L))
+            for i in range(int(L)):
+                keep = np.ascontiguousarray(
+                    np.concatenate([chars[:, :i], chars[:, i + 1:]],
+                                   axis=1))
+                out_v.append(keep.view(f"<U{int(L) - 1}").ravel()
+                             .astype(object))
+                out_w.append(sub.astype(object))
+        return pa.table({
+            "variant": pa.array(np.concatenate(out_v), pa.string()),
+            "w": pa.array(np.concatenate(out_w), pa.string())})
+
+    from tldr_ray.hashing import part_key
+
+    num_parts = 64
+
+    def with_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(part_key(batch["variant"], num_parts)))
+
+    keyed = (vocab.map_batches(variants, batch_format="pyarrow")
+             .map_batches(with_part, batch_format="pyarrow"))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        """One call per COARSE partition (hash(variant) % P, not per
+        variant — Ray charges ~ms per micro-group invocation): sort by
+        variant, walk the variant segments, pair-verify inside each."""
+        v = np.asarray(g["variant"], dtype=object)
+        w = np.asarray(g["w"], dtype=object)
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        seen: set = set()
+        a_out: list = []
+        b_out: list = []
+        start = 0
+        n = len(v)
+        for end in range(1, n + 1):
+            if end < n and v[end] == v[start]:
+                continue
+            if end - start >= 2:
+                ws = w[start:end]
+                for i in range(len(ws)):
+                    wi = ws[i]
+                    for j in range(i + 1, len(ws)):
+                        p = (wi, ws[j]) if wi < ws[j] else (ws[j], wi)
+                        if p not in seen and _is_edit1(*p):
+                            seen.add(p)
+                            a_out.append(p[0])
+                            b_out.append(p[1])
+            start = end
+        return pd.DataFrame({"w1": pd.Series(a_out, dtype=object),
+                             "w2": pd.Series(b_out, dtype=object)})
+
+    pairs = keyed.groupby("part").map_groups(sweep, batch_format="pandas")
+
+    # Cross-partition duplicates (the same pair reachable through
+    # variants that hash to different coarse partitions) dedup in a
+    # SECOND coarse sweep — a per-pair groupby().aggregate() here costs
+    # Ray's ~0.15 ms/micro-group on tens of thousands of string-pair
+    # keys (measured 13 s at sf0.01); 64 drop_duplicates tasks cost ms.
+    def with_part2(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part2", pa.array(part_key(batch["w1"], num_parts)))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["w1", "w2"])[["w1", "w2"]]
+
+    return (pairs.map_batches(with_part2, batch_format="pyarrow")
+            .groupby("part2")
+            .map_groups(distinct, batch_format="pandas"))
