@@ -703,6 +703,36 @@ class TestSketches:
             np.int64).sum()
         assert total["cents"].iloc[0] == exact
 
+    def test_cube_matches_pandas(self):
+        """CUBE output must equal the four pandas groupby results;
+        partitioning-invariant."""
+        import ray.data as rd
+        from tldr_ray.stages.agg import cube_aggregate
+
+        rng = np.random.default_rng(42)
+        df = pd.DataFrame({
+            "x": rng.choice(["a", "b", "c"], 400),
+            "y": rng.choice(["u", "v"], 400),
+            "val": rng.uniform(0, 10, 400),
+        })
+        out = (cube_aggregate(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+            ["x", "y"], value_col="val").to_pandas())
+        assert len(out) == 1 + 3 + 2 + 6
+        cents = np.floor(df["val"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64)
+        # the (y)-only set: rolled x, grouped y
+        yonly = out[(out["x"] == "ALL") & (out["y"] != "ALL")] \
+            .set_index("y")
+        for yv in ("u", "v"):
+            m = df["y"].to_numpy() == yv
+            assert yonly.loc[yv, "n"] == m.sum()
+            assert yonly.loc[yv, "cents"] == cents[m].sum()
+        # grand total row telescopes
+        tot = out[(out["x"] == "ALL") & (out["y"] == "ALL")]
+        assert tot["n"].iloc[0] == 400 and \
+            tot["cents"].iloc[0] == cents.sum()
+
     def test_bottomk_partition_invariant_and_kmv(self):
         import ray.data as rd
         from tldr_ray.stages.agg import bottomk_sample, kmv_distinct_estimate

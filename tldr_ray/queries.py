@@ -9866,3 +9866,30 @@ ORACLE_SQL["edit1_name_pairs"] = """
      AND abs(length(a.w) - length(b.w)) <= 1
      AND levenshtein(a.w, b.w) = 1
 """
+
+
+def orders_cube(sf_dir: str):
+    """CUBE over (o_orderstatus, o_orderpriority) in one pass
+    (stages.agg.cube_aggregate -> grouping_sets_aggregate, the
+    generalized rollup): counts + totalprice cents at all four
+    grouping sets, rolled-up columns = 'ALL'. Same map-side combiner
+    contract as the rollup — the shuffle moves one row per combo per
+    set per block."""
+    from tldr_ray.stages.agg import cube_aggregate
+
+    return cube_aggregate(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        ["o_orderstatus", "o_orderpriority"], value_col="o_totalprice")
+
+
+QUERIES["orders_cube"] = orders_cube
+ORACLE_SQL["orders_cube"] = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""

@@ -893,3 +893,66 @@ def pairwise_pearson(ds, cols: list[str], to_int=None):
     return pa.table({"col_x": pa.array(rows_x, pa.string()),
                      "col_y": pa.array(rows_y, pa.string()),
                      "corr": pa.array(rows_c, pa.float64())})
+
+
+def grouping_sets_aggregate(ds, keys: list[str], sets: list[tuple],
+                            value_col: str | None = None,
+                            all_token: str = "ALL"):
+    """GROUPING SETS / CUBE in ONE pass (generalizes
+    ``rollup_aggregate``, whose sets are the key prefixes): counts
+    (and integer cents sums of ``value_col``) at every requested
+    grouping set, rolled-up columns holding ``all_token``. Each batch
+    pre-aggregates one tiny frame per set (map-side combiner — the
+    shuffle moves one row per distinct combo per set per block, never
+    O(rows)); a single ``groupby(keys)`` finishes. ``sets`` entries
+    are tuples of key names (subsets of ``keys``); pass all 2^k
+    subsets for CUBE via :func:`cube_aggregate`."""
+    from ray.data.aggregate import Sum
+
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys}")
+    aggs = ["n"] + (["cents"] if value_col else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[keys].astype(str).copy()
+        b["n"] = np.int64(1)
+        if value_col:
+            b["cents"] = np.floor(
+                batch[value_col].to_numpy(np.float64) * 100.0
+                + 0.5).astype(np.int64)
+        frames = []
+        for s in sets:
+            if not s:
+                row = {k: [all_token] for k in keys}
+                row["n"] = [np.int64(len(b))]
+                if value_col:
+                    row["cents"] = [b["cents"].sum()]
+                frames.append(pd.DataFrame(row)[keys + aggs])
+                continue
+            g = b.groupby(list(s), sort=False)[aggs].sum().reset_index()
+            for k in keys:
+                if k not in s:
+                    g[k] = all_token
+            frames.append(g[keys + aggs])
+        return pd.concat(frames, ignore_index=True)
+
+    cols = keys + ([value_col] if value_col else [])
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*[Sum(a, alias_name=a) for a in aggs])
+    )
+
+
+def cube_aggregate(ds, keys: list[str], value_col: str | None = None,
+                   all_token: str = "ALL"):
+    """CUBE: every subset of ``keys`` as a grouping set, one pass."""
+    from itertools import combinations
+
+    sets = [c for r in range(len(keys) + 1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, value_col=value_col,
+                                   all_token=all_token)
