@@ -2007,3 +2007,38 @@ class TestPairwisePearson:
         assert abs(got[("a", "c")] - want[0, 2]) < 1e-9
         assert abs(got[("b", "c")] - want[1, 2]) < 1e-9
         assert got[("a", "b")] > 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZonemap:
+    def test_zonemap_prunes_files_and_is_exact(self, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from tldr_ray.sinks import build_zonemap
+        from tldr_ray.sources.tabular import read_pruned
+
+        n = 10_000
+        t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                      "v": pa.array(np.arange(n, dtype=np.int64) * 7)})
+        out = str(tmp_path / "zm")
+        (rd.from_arrow(t).repartition(8).sort("k")
+         .write_parquet(out, min_rows_per_file=1_000))
+        manifest = build_zonemap(out, ["k"])
+        assert len(manifest) >= 2           # sharded, not one file
+        assert all(z["k"][0] is not None for z in manifest.values())
+        with open(f"{out}/_zonemap.json") as fh:
+            assert json.load(fh) == {
+                f: {c: list(v) for c, v in z.items()}
+                for f, z in manifest.items()}
+
+        ds, info = read_pruned(out, "k", 2_000, 2_999)
+        assert info["files_read"] < info["files_total"]   # real skipping
+        got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == list(range(2_000, 3_000))
+        assert (got["v"] == got["k"] * 7).all()
+
+        # window outside every zone: zero files opened, no dataset
+        ds2, info2 = read_pruned(out, "k", 10**9, 10**9 + 5)
+        assert ds2 is None and info2["files_read"] == 0

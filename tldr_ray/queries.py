@@ -13,6 +13,8 @@ is enforced by the pytest oracles instead (FIXTURES.md F2/F5).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -9892,4 +9894,62 @@ ORACLE_SQL["orders_cube"] = """
                          AS BIGINT)) AS BIGINT) AS cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def zonemap_pruned_events(sf_dir: str):
+    """Data skipping end to end: lay events out range-clustered on ts
+    (ONE sort — the write-side cost that buys every later scan), write
+    sharded parquet, index the directory with a footer-only per-file
+    min/max zone map (sinks.build_zonemap), then answer a 2-day window
+    query through sources.read_pruned — files whose [min,max] misses
+    the window are never opened, and the residual exact filter makes
+    the row set layout-independent (zone maps admit false-positive
+    files, never rows). At 100 TB this is the difference between a
+    full scan and a few files; the pytest asserts files_read <
+    files_total so the pruning is real, and the driver hash-checks the
+    surviving rows against a plain SQL filter."""
+    import ray.data as rd
+
+    from tldr_ray.sinks import build_zonemap
+    from tldr_ray.sources.tabular import read_pruned
+
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_zonemap/{key}"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    (_read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+     .sort("ts")
+     .write_parquet(out, min_rows_per_file=2_000))
+    build_zonemap(out, ["ts"])
+
+    lo = np.datetime64("2024-01-10").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("2024-01-12").astype("datetime64[us]").astype(np.int64)
+    ds, info = read_pruned(out, "ts", int(lo), int(hi) - 1)
+    assert info["files_read"] <= info["files_total"]
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)))})
+
+    return ds.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["zonemap_pruned_events"] = zonemap_pruned_events
+ORACLE_SQL["zonemap_pruned_events"] = """
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           event_type,
+           CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10'
+      AND ts <  TIMESTAMP '2024-01-12'
 """

@@ -176,3 +176,56 @@ def compact_parquet(path: str, target_rows_per_file: int = 1_000_000,
                       if nme.endswith(".parquet"))
     return {"files_before": files_before, "files_after": files_after,
             "rows": int(n)}
+
+
+def build_zonemap(path: str, cols: list[str],
+                  manifest_name: str = "_zonemap.json") -> dict:
+    """Data-skipping index for a parquet directory: per-FILE min/max
+    of ``cols``, read from parquet FOOTER statistics only — no data
+    pages are decoded, so indexing a 100-TB directory costs one
+    footer fetch per file. Written atomically next to the data as
+    ``_zonemap.json`` (leading underscore: Hive/DuckDB/Spark readers
+    ignore it). Values are stored as parquet LOGICAL values
+    (timestamps as epoch microseconds) so pruning compares integers.
+
+    Returns the manifest dict {relpath: {col: [min, max]}}."""
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    def _logical(v):
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            # NOT .timestamp(): that applies the LOCAL timezone to the
+            # naive UTC datetimes parquet statistics decode to.
+            return (v - datetime.datetime(1970, 1, 1)) \
+                // datetime.timedelta(microseconds=1)
+        return v
+
+    manifest = {}
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        sch = md.schema.to_arrow_schema()
+        idx = {c: sch.names.index(c) for c in cols}
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for c, ci in idx.items():
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins[c] = maxs[c] = None     # opaque file: keep it
+                    continue
+                lo, hi = _logical(st.min), _logical(st.max)
+                if c not in mins or (mins[c] is not None and lo < mins[c]):
+                    mins[c] = lo
+                if c not in maxs or (maxs[c] is not None and hi > maxs[c]):
+                    maxs[c] = hi
+        manifest[os.path.basename(f)] = {
+            c: [mins.get(c), maxs.get(c)] for c in cols}
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, manifest_name))
+    return manifest

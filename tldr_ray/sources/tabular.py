@@ -188,3 +188,47 @@ def mark_processed(manifest_path: str, rel_paths: list[str]) -> None:
     with open(tmp, "w") as f:
         f.write("\n".join(sorted(seen)) + "\n")
     os.replace(tmp, manifest_path)
+
+
+def read_pruned(path: str, col: str, lo, hi, columns=None):
+    """Zone-map-pruned parquet read: consult the directory's
+    ``_zonemap.json`` (see ``sinks.build_zonemap``) and hand Ray ONLY
+    the files whose [min, max] for ``col`` intersects [lo, hi] —
+    whole files are skipped before any byte of data is fetched, which
+    is the difference between a 100-TB scan and a few-GB one when the
+    layout is sorted/clustered on ``col``. The residual exact filter
+    still runs per batch (zone maps admit false-positive FILES, never
+    false-positive ROWS). ``lo``/``hi`` are inclusive logical values
+    (timestamps: epoch microseconds).
+
+    Returns (dataset, {"files_total": N, "files_read": M})."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    with open(os.path.join(path, "_zonemap.json")) as fh:
+        manifest = json.load(fh)
+    keep = []
+    for fname, zones in manifest.items():
+        zlo, zhi = zones[col]
+        if zlo is None or zhi is None or (zhi >= lo and zlo <= hi):
+            keep.append(os.path.join(path, fname))
+    info = {"files_total": len(manifest), "files_read": len(keep)}
+    if not keep:
+        return None, info
+
+    ds = rd.read_parquet(sorted(keep), columns=columns,
+                         schema=hashable_parquet_schema(keep[0], columns))
+
+    def residual(batch: pa.Table) -> pa.Table:
+        v = batch[col]
+        if pa.types.is_timestamp(v.type):
+            vv = np.asarray(v.cast(pa.int64()))
+        else:
+            vv = np.asarray(v)
+        m = (vv >= lo) & (vv <= hi)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(residual, batch_format="pyarrow"), info
