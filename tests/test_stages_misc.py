@@ -2042,3 +2042,24 @@ class TestZonemap:
         # window outside every zone: zero files opened, no dataset
         ds2, info2 = read_pruned(out, "k", 10**9, 10**9 + 5)
         assert ds2 is None and info2["files_read"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkyline:
+    def test_skyline_matches_bruteforce(self):
+        import ray.data as rd
+
+        from tldr_ray.stages.agg import skyline2d
+
+        rng = np.random.default_rng(7)
+        p = rng.integers(0, 1_000_000, 400).astype(np.int64)
+        q = rng.integers(0, 1_000_000, 400).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"p": pa.array(p),
+                                     "q": pa.array(q)})).repartition(6)
+        got = {tuple(r) for r in
+               skyline2d(ds, "p", "q").to_pandas().to_numpy()}
+        pairs = set(zip(p.tolist(), q.tolist()))
+        want = {(a, b) for (a, b) in pairs
+                if not any((c <= a and d >= b and (c, d) != (a, b))
+                           for (c, d) in pairs)}
+        assert got == want and len(want) > 1

@@ -9953,3 +9953,46 @@ ORACLE_SQL["zonemap_pruned_events"] = """
     WHERE ts >= TIMESTAMP '2024-01-10'
       AND ts <  TIMESTAMP '2024-01-12'
 """
+
+
+def price_quantity_skyline(sf_dir: str):
+    """Pareto frontier of lineitem value: the distinct (price, qty)
+    pairs not dominated by any cheaper-and-larger pair (MINIMIZE
+    extendedprice, MAXIMIZE quantity, exact cents) via the two-level
+    distributed skyline (stages.agg.skyline2d: per-block local
+    skyline -> one frontier-sized merge). Hash-checks against the
+    linear window-function mirror (per-price max qty, strict
+    running-max sweep)."""
+    from tldr_ray.stages.agg import skyline2d
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_cents": pa.array(_cents(np.asarray(
+                batch["l_extendedprice"], dtype=np.float64))),
+            "qty_cents": pa.array(_cents(np.asarray(
+                batch["l_quantity"], dtype=np.float64)))})
+
+    ds = (_read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return skyline2d(ds, "price_cents", "qty_cents")
+
+
+QUERIES["price_quantity_skyline"] = price_quantity_skyline
+ORACLE_SQL["price_quantity_skyline"] = """
+    WITH d AS (
+        SELECT DISTINCT
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty_cents
+        FROM lineitem),
+    m AS (SELECT price_cents, max(qty_cents) AS qty_cents
+          FROM d GROUP BY price_cents),
+    s AS (SELECT price_cents, qty_cents,
+                 max(qty_cents) OVER (
+                     ORDER BY price_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM m)
+    SELECT price_cents, qty_cents FROM s
+    WHERE prev_max IS NULL OR qty_cents > prev_max
+"""

@@ -956,3 +956,46 @@ def cube_aggregate(ds, keys: list[str], value_col: str | None = None,
             for c in combinations(keys, r)]
     return grouping_sets_aggregate(ds, keys, sets, value_col=value_col,
                                    all_token=all_token)
+
+
+def _skyline2d_local(p: np.ndarray, q: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact 2D skyline (minimize p, maximize q) of distinct (p, q)
+    pairs, vectorized: lexsort by (p asc, q desc), keep the max-q pair
+    per p, then a strict running-max sweep over q. O(n log n), no
+    Python loop."""
+    if p.size == 0:
+        return p, q
+    order = np.lexsort((-q, p))
+    p, q = p[order], q[order]
+    first = np.concatenate([[True], p[1:] != p[:-1]])
+    p, q = p[first], q[first]
+    run = np.maximum.accumulate(q)
+    keep = np.concatenate([[True], q[1:] > run[:-1]])
+    return p[keep], q[keep]
+
+
+def skyline2d(ds, min_col: str, max_col: str):
+    """Distributed Pareto frontier over two criteria (MINIMIZE
+    ``min_col``, MAXIMIZE ``max_col``): each block reduces to its
+    LOCAL skyline first (a local skyline is a superset filter — a
+    globally non-dominated pair is non-dominated in its block, so no
+    candidate is lost and each block forwards frontier-sized output,
+    not its rows), then one frontier-sized merge task finishes. The
+    union of local skylines is tiny for any realistic value
+    distribution; a pathological anti-correlated 100-TB frontier
+    would recurse the same local/merge split once more. Inputs are
+    taken as already-integer columns (exactness is the caller's
+    contract: cents, counts)."""
+    def local(batch: pa.Table) -> pa.Table:
+        pq_ = np.stack([np.asarray(batch[min_col], dtype=np.int64),
+                        np.asarray(batch[max_col], dtype=np.int64)],
+                       axis=1)
+        pq_ = np.unique(pq_, axis=0)
+        p, q = _skyline2d_local(pq_[:, 0], pq_[:, 1])
+        return pa.table({min_col: pa.array(p), max_col: pa.array(q)})
+
+    return (ds.select_columns([min_col, max_col])
+            .map_batches(local, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local, batch_format="pyarrow"))
