@@ -2063,3 +2063,30 @@ class TestSkyline:
                 if not any((c <= a and d >= b and (c, d) != (a, b))
                            for (c, d) in pairs)}
         assert got == want and len(want) > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExpectations:
+    def test_planted_violations_counted(self):
+        import ray.data as rd
+
+        from tldr_ray.stages.agg import validate_expectations
+
+        t = pa.table({
+            "id": pa.array([1, 2, 2, 3, 3, 3, 4], pa.int64()),
+            "v": pa.array([5.0, None, -1.0, 50.0, 200.0, 7.0, 3.0]),
+            "s": pa.array(["a", "b", "zz", None, "a", "b", "a"]),
+        })
+        rep = (validate_expectations(
+            rd.from_arrow(t).repartition(3), [
+                {"kind": "not_null", "col": "v"},
+                {"kind": "range", "col": "v", "lo": 0.0, "hi": 100.0},
+                {"kind": "in_set", "col": "s", "values": ["a", "b"]},
+                {"kind": "unique", "col": "id"},
+            ]).to_pandas().set_index("check_name"))
+        assert rep.loc["not_null:v", "n_violations"] == 1
+        # null, -1, 200 are all outside [0, 100]
+        assert rep.loc["range:v", "n_violations"] == 3
+        assert rep.loc["in_set:s", "n_violations"] == 2   # "zz" + null
+        assert rep.loc["unique:id", "n_violations"] == 3  # 2x2 + 3x3
+        assert (rep["n_rows"] == 7).all()

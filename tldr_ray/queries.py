@@ -9996,3 +9996,54 @@ ORACLE_SQL["price_quantity_skyline"] = """
     SELECT price_cents, qty_cents FROM s
     WHERE prev_max IS NULL OR qty_cents > prev_max
 """
+
+
+def orders_expectations(sf_dir: str):
+    """Declarative data-quality report over orders
+    (stages.agg.validate_expectations): null / range / value-set /
+    uniqueness expectations, each a (check_name, n_rows,
+    n_violations) row, all scalar checks in ONE streaming pass and the
+    uniqueness check as a value-count exchange. Hash-checks against a
+    UNION ALL of the equivalent SQL counters."""
+    from tldr_ray.stages.agg import validate_expectations
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice"])
+    return validate_expectations(ds, [
+        {"kind": "not_null", "col": "o_custkey"},
+        {"kind": "range", "col": "o_totalprice", "lo": 0.0,
+         "hi": 300_000.0},
+        {"kind": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"kind": "unique", "col": "o_orderkey"},
+    ])
+
+
+QUERIES["orders_expectations"] = orders_expectations
+ORACLE_SQL["orders_expectations"] = """
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                                 OR o_totalprice < 0.0
+                                 OR o_totalprice > 300000.0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_set:o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+                                 OR o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+"""

@@ -999,3 +999,100 @@ def skyline2d(ds, min_col: str, max_col: str):
             .map_batches(local, batch_format="pyarrow")
             .repartition(1)
             .map_batches(local, batch_format="pyarrow"))
+
+
+def validate_expectations(ds, checks: list[dict]):
+    """Data-quality gate: declarative column expectations evaluated in
+    ONE streaming pass (plus one value-count shuffle per ``unique``
+    check). Each check is a dict:
+
+        {"kind": "not_null",  "col": c}
+        {"kind": "range",     "col": c, "lo": x, "hi": y}   # inclusive
+        {"kind": "in_set",    "col": c, "values": [...]}
+        {"kind": "min_len",   "col": c, "n": k}             # strings
+        {"kind": "unique",    "col": c}
+
+    Returns a Dataset of (check_name, n_rows, n_violations) — one row
+    per check. Per-batch counters are vectorized Arrow kernels and
+    pre-combined (the shuffle moves len(checks) rows per block);
+    ``unique`` counts duplicates as rows-minus-distinct through a
+    per-batch pyarrow group_by combiner, so the exchange moves value
+    counts, never rows. Violation ROWS (not counts) are a filter the
+    caller already knows how to write; this stage is the cheap
+    always-on report."""
+    from ray.data.aggregate import Sum
+
+    scalar = [c for c in checks if c["kind"] != "unique"]
+    uniq = [c for c in checks if c["kind"] == "unique"]
+
+    def _name(c: dict) -> str:
+        return f"{c['kind']}:{c['col']}"
+
+    out = []
+
+    if scalar:
+        def partial(batch: pa.Table) -> pa.Table:
+            names, rows, viol = [], [], []
+            n = len(batch)
+            for c in scalar:
+                col = batch[c["col"]]
+                k = c["kind"]
+                if k == "not_null":
+                    bad = pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0
+                elif k == "range":
+                    good = pc.and_(pc.greater_equal(col, c["lo"]),
+                                   pc.less_equal(col, c["hi"]))
+                    ok = pc.sum(pc.and_(pc.is_valid(col),
+                                        pc.fill_null(good, False))
+                                .cast(pa.int64())).as_py() or 0
+                    bad = n - ok
+                elif k == "in_set":
+                    good = pc.is_in(col, value_set=pa.array(c["values"]))
+                    ok = pc.sum(pc.fill_null(good, False)
+                                .cast(pa.int64())).as_py() or 0
+                    bad = n - ok
+                elif k == "min_len":
+                    good = pc.greater_equal(pc.utf8_length(col), c["n"])
+                    ok = pc.sum(pc.fill_null(good, False)
+                                .cast(pa.int64())).as_py() or 0
+                    bad = n - ok
+                else:
+                    raise ValueError(f"unknown expectation kind {k!r}")
+                names.append(_name(c))
+                rows.append(n)
+                viol.append(int(bad))
+            return pa.table({
+                "check_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "n_violations": pa.array(viol, pa.int64())})
+
+        out.append(ds.map_batches(partial, batch_format="pyarrow"))
+
+    for c in uniq:
+        col = c["col"]
+
+        def vc(batch: pa.Table, _c=col) -> pa.Table:
+            return (batch.select([_c]).group_by([_c])
+                    .aggregate([(_c, "count")])
+                    .rename_columns([_c, "n"]))
+
+        def dups(batch: pa.Table, _c=c) -> pa.Table:
+            n = np.asarray(batch["n"], dtype=np.int64)
+            return pa.table({
+                "check_name": pa.array([_name(_c)] * len(batch),
+                                       pa.string()),
+                "n_rows": pa.array(n),
+                "n_violations": pa.array(n - 1)})
+
+        out.append(ds.select_columns([col])
+                   .map_batches(vc, batch_format="pyarrow")
+                   .groupby(col)
+                   .aggregate(Sum("n", alias_name="n"))
+                   .map_batches(dups, batch_format="pyarrow"))
+
+    report = out[0]
+    for o in out[1:]:
+        report = report.union(o)
+    return (report.groupby("check_name")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_violations", alias_name="n_violations")))
