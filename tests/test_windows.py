@@ -215,3 +215,30 @@ class TestTimeRollingSum:
         with pytest.raises(Exception):
             time_rolling_sum(rd.from_arrow(t), "u", "ts", "v",
                              window_us=10).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermark:
+    def test_watermark_matches_sequential_replay(self):
+        import ray.data as rd
+
+        from tldr_ray.stages.windows import watermark_filter
+
+        rng = np.random.default_rng(11)
+        n = 5_000
+        arrival = rng.permutation(n).astype(np.int64)
+        ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+        t = pa.table({"arrival": pa.array(arrival),
+                      "ts": pa.array(ts)})
+        out = (watermark_filter(
+            rd.from_arrow(t).repartition(5), "arrival", "ts",
+            lateness_us=50_000_000, num_parts=16, id_max=n - 1)
+            .to_pandas().sort_values("arrival"))
+        # sequential replay oracle
+        order = np.argsort(arrival)
+        run = np.maximum.accumulate(ts[order])
+        late = ts[order] < run - 50_000_000
+        want = dict(zip(arrival[order].tolist(), late.tolist()))
+        got = dict(zip(out["arrival"].tolist(), out["__late"].tolist()))
+        assert got == want
+        assert 0 < sum(late) < n          # both classes exercised

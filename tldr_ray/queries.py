@@ -10047,3 +10047,145 @@ ORACLE_SQL["orders_expectations"] = """
            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
     FROM orders
 """
+
+
+def weighted_median_price_by_flag(sf_dir: str):
+    """Exact WEIGHTED (lower) median per group, no global sort: same
+    value-counts plan as exact_median_price_by_flag but the count is
+    sum of integer weights (quantity cents), and the selection picks
+    the smallest value whose doubled cumulative weight reaches the
+    total — all integer comparisons, no interpolation, so the result
+    hash-checks against the cumulative-window SQL mirror."""
+    from ray.data.aggregate import Sum
+
+    def vc(batch: pa.Table) -> pa.Table:
+        price = _cents(np.asarray(batch["l_extendedprice"],
+                                  dtype=np.float64))
+        w = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "price_cents": pa.array(price),
+                      "w": pa.array(w)})
+        return (t.group_by(["l_returnflag", "price_cents"])
+                .aggregate([("w", "sum")])
+                .rename_columns(["l_returnflag", "price_cents", "w"]))
+
+    counts = (_read(sf_dir, "lineitem",
+                    ["l_returnflag", "l_extendedprice", "l_quantity"])
+              .map_batches(vc, batch_format="pyarrow")
+              .groupby(["l_returnflag", "price_cents"])
+              .aggregate(Sum("w", alias_name="w")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_cents")
+        w = np.asarray(g["w"], dtype=np.int64)
+        v = np.asarray(g["price_cents"], dtype=np.int64)
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, total))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "wmedian_cents": [np.int64(v[i])],
+            "total_weight": [np.int64(total)]})
+
+    return counts.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas")
+
+
+QUERIES["weighted_median_price_by_flag"] = weighted_median_price_by_flag
+ORACLE_SQL["weighted_median_price_by_flag"] = """
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS w
+        FROM lineitem),
+    g AS (SELECT l_returnflag, price_cents, sum(w) AS w
+          FROM d GROUP BY 1, 2),
+    c AS (SELECT l_returnflag, price_cents,
+                 sum(w) OVER (PARTITION BY l_returnflag
+                              ORDER BY price_cents) AS cum,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM g)
+    SELECT l_returnflag,
+           CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
+           CAST(min(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2*cum >= tot GROUP BY l_returnflag
+"""
+
+
+def watermark_hourly_events(sf_dir: str):
+    """Streaming-semantics windowed aggregate with an event-time
+    WATERMARK and allowed lateness (stages.windows.watermark_filter):
+    arrival order is the deterministic shuffle splitmix64(event_id)
+    >> 1 (the log's ts order is monotone, so replaying in a hashed
+    order is what actually exercises lateness), watermark = max event
+    time seen so far minus 10 minutes, late rows are DROPPED before
+    the tumbling 1-hour aggregate — the rule a streaming engine
+    applies when closing windows. The running max over the arrival
+    order is the two-pass distributed scan (O(P) driver state);
+    outputs (hour_id, n, cents) for ACCEPTED rows plus the dropped
+    count as hour_id = -1, so the hash covers the drop decision
+    itself. SQL mirror: the shared splitmix CTE chain + one window
+    max OVER the same order."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.windows import watermark_filter
+
+    late_us = 10 * 60 * 1_000_000
+
+    def arrive(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        arr = (_mix64(eid.astype(np.uint64)) >> np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({
+            "arrival": pa.array(arr),
+            "ts": batch["ts"],
+            "value": batch["value"]})
+
+    ds = (_read(sf_dir, "events", ["event_id", "ts", "value"])
+          .map_batches(arrive, batch_format="pyarrow"))
+    marked = watermark_filter(ds, "arrival", "ts", late_us,
+                              id_max=(1 << 63) - 1)
+
+    def to_hours(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy(np.int64)
+        late = batch["__late"].to_numpy(bool)
+        hour = np.where(late, np.int64(-1), ts // 3_600_000_000)
+        cents = np.where(late, 0, _cents(
+            batch["value"].to_numpy(np.float64)))
+        return pd.DataFrame({"hour_id": hour.astype(np.int64),
+                             "n": np.ones(len(batch), np.int64),
+                             "cents": cents.astype(np.int64)})
+
+    return (marked.map_batches(to_hours, batch_format="pandas")
+            .groupby("hour_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+
+QUERIES["watermark_hourly_events"] = watermark_hourly_events
+ORACLE_SQL["watermark_hourly_events"] = f"""
+    WITH RECURSIVE
+    src AS MATERIALIZED (
+        SELECT CAST(event_id AS HUGEINT) AS h,
+               epoch_us(ts) AS tus, value
+        FROM events),
+    {_sql_splitmix_ctes("src", carry="tus, value, ")},
+    arr AS MATERIALIZED (
+        SELECT CAST(h // 2 AS BIGINT) AS arrival, tus, value FROM m3),
+    wm AS (
+        SELECT tus, value,
+               max(tus) OVER (ORDER BY arrival
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS w
+        FROM arr)
+    SELECT CASE WHEN tus < w - {10 * 60 * 1_000_000}
+                THEN CAST(-1 AS BIGINT)
+                ELSE tus // 3600000000 END AS hour_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN tus < w - {10 * 60 * 1_000_000} THEN 0
+                    ELSE CAST(floor(value*100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS cents
+    FROM wm GROUP BY 1
+"""

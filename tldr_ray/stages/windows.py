@@ -444,3 +444,60 @@ def time_rolling_sum(ds, key_col: str, ts_col: str, value_col: str,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def watermark_filter(ds, id_col: str, ts_col: str, lateness_us: int,
+                     num_parts: int = 64, id_max: int | None = None):
+    """Event-time WATERMARK with allowed lateness over a replayed log:
+    rows arrive in ``id_col`` order (the deterministic stand-in for a
+    stream's arrival order), the watermark after each arrival is
+    ``max(ts so far) - lateness``, and a row is DROPPED iff its ts has
+    already fallen behind the watermark — exactly the rule a streaming
+    engine applies before closing an event-time window. The running
+    max over a global order is the same two-pass distributed scan as
+    ``agg.pack_token_shards``: range-partition by id (order-preserving
+    across partitions), per-partition ts max -> O(P) driver exclusive
+    prefix-max -> per-partition sort + vectorized running max seeded
+    with the prefix. Adds ``__late`` (bool); downstream filters it and
+    windows as usual. Deterministic, layout-independent, and
+    SQL-mirrorable as a window function (max ts OVER id order)."""
+    from ray.data.aggregate import Max
+
+    if id_max is None:
+        id_max = int(ds.max(id_col))
+    span = int(id_max) + 1
+
+    # part = id // ceil(span/P), not id*P//span: the latter overflows
+    # int64 when the order key uses the full 63-bit hash range
+    width = (span + num_parts - 1) // num_parts
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        part = (ids // width).astype(np.int32)
+        b = batch
+        if pa.types.is_timestamp(b[ts_col].type):
+            b = b.set_column(b.schema.get_field_index(ts_col), ts_col,
+                             b[ts_col].cast(pa.int64()))
+        return b.append_column("__part", pa.array(part))
+
+    parted = ds.map_batches(assign, batch_format="pyarrow")
+
+    totals = parted.groupby("__part").aggregate(
+        Max(ts_col, alias_name="mx")).to_pandas()
+    pmax = np.full(num_parts, np.iinfo(np.int64).min, np.int64)
+    pmax[totals["__part"].to_numpy()] = totals["mx"].to_numpy(np.int64)
+    prefix = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(pmax)[:-1]])
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        ts = g[ts_col].to_numpy(np.int64)
+        seed = prefix[int(g["__part"].iloc[0])]
+        run = np.maximum.accumulate(np.maximum(ts, seed))
+        late = ts < run - np.int64(lateness_us)
+        out = g.drop(columns=["__part"]).copy()
+        out["__late"] = late
+        return out
+
+    return parted.groupby("__part").map_groups(sweep,
+                                               batch_format="pandas")
