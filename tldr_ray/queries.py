@@ -10189,3 +10189,168 @@ ORACLE_SQL["watermark_hourly_events"] = f"""
                 AS BIGINT) AS cents
     FROM wm GROUP BY 1
 """
+
+
+def quantiles_price_by_flag(sf_dir: str):
+    """Exact grouped PERCENTILE_DISC vector (p25/p50/p75/p87.5) — the
+    general form of exact_median_price_by_flag: same value-counts plan
+    (per-batch pyarrow group_by combiner, one dimension-sized grouped
+    sum), then each requested quantile is the order statistic at index
+    ceil(p*n)-1 picked from the cumulative counts. The p values are
+    DYADIC rationals (exactly representable doubles), so ceil(p*n) is
+    exact regardless of how the oracle's float path rounds — a 0.99
+    here would gamble on DuckDB's internal double multiply."""
+    from ray.data.aggregate import Sum
+
+    ps = [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.875, "q875")]
+
+    def vc(batch: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(batch["l_extendedprice"],
+                                  dtype=np.float64))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "value_cents": pa.array(cents)})
+        return (t.group_by(["l_returnflag", "value_cents"])
+                .aggregate([("value_cents", "count")])
+                .rename_columns(["l_returnflag", "value_cents", "n"]))
+
+    counts = (_read(sf_dir, "lineitem",
+                    ["l_returnflag", "l_extendedprice"])
+              .map_batches(vc, batch_format="pyarrow")
+              .groupby(["l_returnflag", "value_cents"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_cents")
+        n = np.asarray(g["n"], dtype=np.int64)
+        v = np.asarray(g["value_cents"], dtype=np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        row = {"l_returnflag": [g["l_returnflag"].iloc[0]],
+               "n_rows": [np.int64(total)]}
+        for p, name in ps:
+            idx = max(0, int(np.ceil(np.float64(p) * total)) - 1)
+            row[name] = [np.int64(v[np.searchsorted(cum, idx + 1)])]
+        return pd.DataFrame(row)
+
+    return counts.groupby("l_returnflag").map_groups(
+        pick, batch_format="pandas")
+
+
+QUERIES["quantiles_price_by_flag"] = quantiles_price_by_flag
+ORACLE_SQL["quantiles_price_by_flag"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           quantile_disc(CAST(floor(l_extendedprice*100 + 0.5)
+                              AS BIGINT), 0.25)  AS q25,
+           quantile_disc(CAST(floor(l_extendedprice*100 + 0.5)
+                              AS BIGINT), 0.5)   AS q50,
+           quantile_disc(CAST(floor(l_extendedprice*100 + 0.5)
+                              AS BIGINT), 0.75)  AS q75,
+           quantile_disc(CAST(floor(l_extendedprice*100 + 0.5)
+                              AS BIGINT), 0.875) AS q875
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def events_hourly_interpolated(sf_dir: str):
+    """Time-series gap fill by LINEAR INTERPOLATION: per (event_type,
+    hour) cents sums on the dense per-type [first, last] hour grid,
+    missing hours filled with the line between their neighboring
+    observations. The interpolation arithmetic is an exact BIGINT
+    numerator (values x hour-INDEX distances, both small ints — never
+    epoch-us, whose products would leave the 2^53-exact range) and ONE
+    IEEE double division, mirrored op-for-op in SQL (last_value IGNORE
+    NULLS both directions), so the float column hash-checks. Sparse
+    aggregation is the usual pre-combined groupby; the per-type fill
+    is O(hours) driver-free map_groups over #types groups."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()))
+        hr = ts // 3_600_000_000
+        cents = _cents(np.asarray(batch["value"], dtype=np.float64))
+        et = np.asarray(batch["event_type"], dtype=object)
+        key = pd.MultiIndex.from_arrays([et, hr])
+        u, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({
+            "event_type": pa.array([k[0] for k in u], pa.string()),
+            "hour_id": pa.array([k[1] for k in u], pa.int64()),
+            "cents": pa.array(acc)})
+
+    sparse = (_read(sf_dir, "events", ["event_type", "ts", "value"])
+              .map_batches(prep, batch_format="pyarrow")
+              .groupby(["event_type", "hour_id"])
+              .aggregate(Sum("cents", alias_name="cents")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_id")
+        h = g["hour_id"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        grid = np.arange(h[0], h[-1] + 1, dtype=np.int64)
+        pos = np.searchsorted(h, grid, side="right") - 1   # prev obs
+        nxt = np.searchsorted(h, grid, side="left")        # next obs
+        observed = h[pos] == grid
+        nxt = np.where(observed, pos, nxt)
+        ph, pv = h[pos], v[pos]
+        nh, nv = h[nxt], v[nxt]
+        numer = pv * (nh - grid) + nv * (grid - ph)
+        denom = nh - ph
+        val = np.where(observed, v[pos].astype(np.float64),
+                       numer.astype(np.float64)
+                       / np.maximum(denom, 1).astype(np.float64))
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "hour_id": grid,
+            "v": val,
+            "observed": observed})
+
+    return sparse.groupby("event_type").map_groups(
+        fill, batch_format="pandas")
+
+
+QUERIES["events_hourly_interpolated"] = events_hourly_interpolated
+ORACLE_SQL["events_hourly_interpolated"] = """
+    WITH sparse AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_id,
+               sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi
+               FROM sparse GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(range(lo, hi + 1)) AS hour_id
+             FROM bounds),
+    j AS (SELECT g.event_type, g.hour_id, s.cents
+          FROM grid g LEFT JOIN sparse s
+            ON g.event_type = s.event_type AND g.hour_id = s.hour_id),
+    w AS (SELECT event_type, hour_id, cents,
+                 last_value(cents IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 last_value(CASE WHEN cents IS NOT NULL
+                            THEN hour_id END IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS ph,
+                 first_value(cents IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 first_value(CASE WHEN cents IS NOT NULL
+                             THEN hour_id END IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nh
+          FROM j)
+    SELECT event_type,
+           CAST(hour_id AS BIGINT) AS hour_id,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE CAST(pv*(nh - hour_id) + nv*(hour_id - ph)
+                          AS DOUBLE)
+                     / CAST(nh - ph AS DOUBLE) END AS v,
+           cents IS NOT NULL AS observed
+    FROM w
+"""
