@@ -10354,3 +10354,124 @@ ORACLE_SQL["events_hourly_interpolated"] = """
            cents IS NOT NULL AS observed
     FROM w
 """
+
+
+def user_type_gini(sf_dir: str):
+    """Behavioral diversity per user: GINI IMPURITY of each user's
+    event-type distribution, 1 - sum(n_i^2)/n^2 — the entropy-style
+    diversity metric that stays EXACT-RATIONAL (Shannon entropy needs
+    libm log, which never hash-matches across engines; impurity is
+    integer squares and one IEEE division). Per-batch (user, type)
+    counts pre-combine via pyarrow group_by; one grouped sum; the
+    per-user reduce is a coarse-partition sweep (user count is
+    fact-scaled — per-user map_groups would pay Ray's micro-group
+    tax). Only users with >= 5 events, so the report is the
+    engaged-user diversity curve."""
+    from ray.data.aggregate import Sum
+
+    def vc(batch: pa.Table) -> pa.Table:
+        return (batch.select(["user_id", "event_type"])
+                .group_by(["user_id", "event_type"])
+                .aggregate([("event_type", "count")])
+                .rename_columns(["user_id", "event_type", "n"]))
+
+    counts = (_read(sf_dir, "events", ["user_id", "event_type"])
+              .map_batches(vc, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((uid % 64).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        new = np.concatenate([[True], uid[1:] != uid[:-1]])
+        seg = np.cumsum(new) - 1
+        tot = np.zeros(seg[-1] + 1, np.int64)
+        sq = np.zeros(seg[-1] + 1, np.int64)
+        np.add.at(tot, seg, n)
+        np.add.at(sq, seg, n * n)
+        keep = tot >= 5
+        u = uid[new][keep]
+        tot, sq = tot[keep], sq[keep]
+        gini = 1.0 - sq.astype(np.float64) / (tot * tot).astype(np.float64)
+        return pd.DataFrame({"user_id": u,
+                             "n_events": tot,
+                             "gini": gini})
+
+    return (counts.map_batches(part, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["user_type_gini"] = user_type_gini
+ORACLE_SQL["user_type_gini"] = """
+    WITH c AS (SELECT user_id, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id,
+                 sum(n) AS tot,
+                 sum(n*n) AS sq
+          FROM c GROUP BY 1)
+    SELECT user_id,
+           CAST(tot AS BIGINT) AS n_events,
+           1.0 - CAST(sq AS DOUBLE) / CAST(tot*tot AS DOUBLE) AS gini
+    FROM s WHERE tot >= 5
+"""
+
+
+def zorder_zonemap_events(sf_dir: str):
+    """The layout pieces COMPOSED: OPTIMIZE ZORDER + zone-map skipping
+    on TWO dimensions at once. Events are clustered by the Morton key
+    over (user_id, value_cents) (stages.agg.zorder_sort — one
+    legitimate shuffle buys locality in BOTH dimensions), written
+    sharded, indexed with the footer-only zone map on both columns,
+    and a conjunctive (user range AND value range) predicate is
+    answered opening only files whose boxes intersect — the 2-D
+    pruning a single-column sort cannot give. Residual exact filter
+    keeps the row set layout-independent; hash-checks vs the plain
+    SQL conjunction."""
+    import hashlib
+    import shutil
+
+    from tldr_ray.sinks import build_zonemap
+    from tldr_ray.sources.tabular import read_pruned
+    from tldr_ray.stages.agg import zorder_sort
+
+    key = hashlib.md5((sf_dir + ":zz").encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_zonemap/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    (zorder_sort(_read(sf_dir, "events",
+                       ["event_id", "user_id", "value"])
+                 .map_batches(prep, batch_format="pyarrow"),
+                 ["user_id", "value_cents"])
+     .drop_columns(["zkey"])
+     .write_parquet(out, min_rows_per_file=1_000))
+    build_zonemap(out, ["user_id", "value_cents"])
+
+    ds, info = read_pruned(out, preds=[("user_id", 100, 199),
+                                       ("value_cents", 2000, 4000)])
+    assert ds is not None and info["files_read"] <= info["files_total"]
+    return ds
+
+
+QUERIES["zorder_zonemap_events"] = zorder_zonemap_events
+ORACLE_SQL["zorder_zonemap_events"] = """
+    SELECT event_id, user_id,
+           CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id BETWEEN 100 AND 199
+      AND CAST(floor(value*100 + 0.5) AS BIGINT) BETWEEN 2000 AND 4000
+"""

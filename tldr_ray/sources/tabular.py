@@ -190,16 +190,20 @@ def mark_processed(manifest_path: str, rel_paths: list[str]) -> None:
     os.replace(tmp, manifest_path)
 
 
-def read_pruned(path: str, col: str, lo, hi, columns=None):
+def read_pruned(path: str, col: str = None, lo=None, hi=None,
+                columns=None, preds: list[tuple] | None = None):
     """Zone-map-pruned parquet read: consult the directory's
     ``_zonemap.json`` (see ``sinks.build_zonemap``) and hand Ray ONLY
-    the files whose [min, max] for ``col`` intersects [lo, hi] —
+    the files whose [min, max] box intersects EVERY predicate —
     whole files are skipped before any byte of data is fetched, which
     is the difference between a 100-TB scan and a few-GB one when the
-    layout is sorted/clustered on ``col``. The residual exact filter
-    still runs per batch (zone maps admit false-positive FILES, never
-    false-positive ROWS). ``lo``/``hi`` are inclusive logical values
-    (timestamps: epoch microseconds).
+    layout is sorted/clustered on the predicate columns (a Z-ORDER
+    layout makes the conjunctive multi-column case prune in every
+    dimension at once). The residual exact filter still runs per
+    batch (zone maps admit false-positive FILES, never false-positive
+    ROWS). Bounds are inclusive logical values (timestamps: epoch
+    microseconds). Pass either (col, lo, hi) or
+    ``preds=[(col, lo, hi), ...]`` (ANDed).
 
     Returns (dataset, {"files_total": N, "files_read": M})."""
     import json
@@ -208,12 +212,21 @@ def read_pruned(path: str, col: str, lo, hi, columns=None):
     import pyarrow as pa
     import ray.data as rd
 
+    if preds is None:
+        preds = [(col, lo, hi)]
+
     with open(os.path.join(path, "_zonemap.json")) as fh:
         manifest = json.load(fh)
     keep = []
     for fname, zones in manifest.items():
-        zlo, zhi = zones[col]
-        if zlo is None or zhi is None or (zhi >= lo and zlo <= hi):
+        hit = True
+        for c, plo, phi in preds:
+            zlo, zhi = zones[c]
+            if zlo is not None and zhi is not None \
+                    and (zhi < plo or zlo > phi):
+                hit = False
+                break
+        if hit:
             keep.append(os.path.join(path, fname))
     info = {"files_total": len(manifest), "files_read": len(keep)}
     if not keep:
@@ -223,12 +236,15 @@ def read_pruned(path: str, col: str, lo, hi, columns=None):
                          schema=hashable_parquet_schema(keep[0], columns))
 
     def residual(batch: pa.Table) -> pa.Table:
-        v = batch[col]
-        if pa.types.is_timestamp(v.type):
-            vv = np.asarray(v.cast(pa.int64()))
-        else:
-            vv = np.asarray(v)
-        m = (vv >= lo) & (vv <= hi)
+        m = None
+        for c, plo, phi in preds:
+            v = batch[c]
+            if pa.types.is_timestamp(v.type):
+                vv = np.asarray(v.cast(pa.int64()))
+            else:
+                vv = np.asarray(v)
+            mm = (vv >= plo) & (vv <= phi)
+            m = mm if m is None else (m & mm)
         return batch.filter(pa.array(m))
 
     return ds.map_batches(residual, batch_format="pyarrow"), info
