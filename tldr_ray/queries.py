@@ -10475,3 +10475,68 @@ ORACLE_SQL["zorder_zonemap_events"] = """
     WHERE user_id BETWEEN 100 AND 199
       AND CAST(floor(value*100 + 0.5) AS BIGINT) BETWEEN 2000 AND 4000
 """
+
+
+def top_orders_per_customer_ranked(sf_dir: str):
+    """Grouped TOP-K WITH TIES (SQL RANK() <= 2, the tie-aware cousin
+    of the repo's row_number / bottom-k ops): per customer, every
+    order whose total ranks in the top 2 by exact cents — equal
+    amounts share a rank and ALL qualify, which row_number would
+    arbitrarily cut. One coarse hash(cust)%64 shuffle, one sort per
+    partition task, and rank falls out of two boundary-flag
+    propagations (segment start + first-occurrence-of-value index) —
+    no per-customer invocations."""
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "price_cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)))})
+
+    def part(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["o_custkey"], dtype=np.int64)
+        return batch.append_column(
+            "part", pa.array((c % 64).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["o_orderkey"].to_numpy(np.int64),
+                            -g["price_cents"].to_numpy(np.int64),
+                            g["o_custkey"].to_numpy(np.int64)))
+        c = g["o_custkey"].to_numpy(np.int64)[order]
+        v = g["price_cents"].to_numpy(np.int64)[order]
+        k = g["o_orderkey"].to_numpy(np.int64)[order]
+        n = c.size
+        idx = np.arange(n, dtype=np.int64)
+        seg_new = np.concatenate([[True], c[1:] != c[:-1]])
+        val_new = seg_new | np.concatenate([[True], v[1:] != v[:-1]])
+        seg_start = np.maximum.accumulate(np.where(seg_new, idx, 0))
+        val_start = np.maximum.accumulate(np.where(val_new, idx, 0))
+        rnk = val_start - seg_start + 1
+        keep = rnk <= 2
+        return pd.DataFrame({"o_custkey": c[keep],
+                             "o_orderkey": k[keep],
+                             "price_cents": v[keep],
+                             "rnk": rnk[keep]})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["top_orders_per_customer_ranked"] = top_orders_per_customer_ranked
+ORACLE_SQL["top_orders_per_customer_ranked"] = """
+    WITH r AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(floor(o_totalprice*100 + 0.5)
+                                          AS BIGINT) DESC) AS rnk
+        FROM orders)
+    SELECT o_custkey, o_orderkey, price_cents,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2
+"""
