@@ -441,7 +441,18 @@ if __name__ == "__main__":
                  # round-4 second wave
                  "gopher_filter_docs", "gopher_rule_report",
                  "epoch_shuffle_docs", "interleave_mix_docs",
-                 "event_rate_spikes", "knn_pq_top10"]
+                 "event_rate_spikes", "knn_pq_top10",
+                 # round-4 third wave
+                 "importance_sample_docs", "feature_propagation_hashgraph",
+                 "suppliers_high_return_share", "tpch_q15", "tpch_q12",
+                 "exact_median_price_by_flag",
+                 "weighted_median_price_by_flag",
+                 "quantiles_price_by_flag", "edit1_name_pairs",
+                 "orders_cube", "zonemap_pruned_events",
+                 "zorder_zonemap_events", "price_quantity_skyline",
+                 "orders_expectations", "watermark_hourly_events",
+                 "events_hourly_interpolated", "user_type_gini",
+                 "top_orders_per_customer_ranked"]
         qsec = {}
         try:
             for n in names:
