@@ -931,3 +931,59 @@ class TestFeaturePropagation:
         h = h + A.T @ h
         got = out[["f0", "f1", "f2", "f3"]].to_numpy()
         assert (got == h).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullSCC:
+    def _write_docs(self, tmp_path, n):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64())}),
+            str(sf / "documents.parquet"))
+        return str(sf)
+
+    def _oracle(self, sf):
+        """Sequential Tarjan over the SAME pruned edge construction."""
+        import numpy as np
+
+        from tldr_ray.queries import _hash_graph_edges, _tarjan_scc
+
+        t = _hash_graph_edges(sf).to_pandas()
+        s = t["src"].to_numpy(np.int64)
+        d = t["dst"].to_numpy(np.int64)
+        keep = s % 3 != 1
+        s, d = s[keep], d[keep]
+        verts = np.union1d(np.unique(s), np.unique(d))
+        return _tarjan_scc(s, d, verts)
+
+    def test_scc_local_gate_matches_tarjan(self, tmp_path):
+        from tldr_ray.queries import scc_hashgraph
+
+        sf = self._write_docs(tmp_path, 120)
+        got = scc_hashgraph(sf).to_pandas()
+        want = self._oracle(sf)
+        assert dict(zip(got["vertex"], got["scc_id"])) == want
+        # every scc_id is its component's min member
+        assert (got.groupby("scc_id")["vertex"].min()
+                == got.groupby("scc_id")["vertex"].min().index).all()
+
+    def test_scc_fwbw_round_then_local_finisher(self, tmp_path):
+        """Force ONE distributed FW-BW pivot round (gate below the full
+        edge count) and check the hybrid equals the pure-local answer."""
+        from tldr_ray.queries import _hash_graph_edges, scc_hashgraph
+
+        sf = self._write_docs(tmp_path, 120)
+        n_edges = _hash_graph_edges(sf).count()
+        # prune keeps ~2/3; gate just under that forces round 1 FW-BW
+        gate = int(n_edges * 2 / 3) - 20
+        got = scc_hashgraph(sf, gate_edges=gate).to_pandas()
+        want = self._oracle(sf)
+        assert dict(zip(got["vertex"], got["scc_id"])) == want
