@@ -10716,3 +10716,80 @@ def scc_hashgraph(sf_dir: str, gate_edges: int = 2_000_000,
 
 
 QUERIES["scc_hashgraph"] = scc_hashgraph
+
+
+def event_trigram_paths(sf_dir: str):
+    """Second-order session-path mining: counts of (prev2, prev1,
+    next) event-type TRIGRAMS over each user's time-ordered stream —
+    the order-2 Markov table behind next-action prediction. Same
+    discipline as event_transitions one order up: types code to small
+    ints via the O(types) distinct pass, ONE coarse hash(user)%64
+    shuffle + per-partition sort, both lags fall out of index shifts
+    against the segment-start flags (no second window pass), packed
+    trigram codes pre-combine per batch before a |types|^3-bounded
+    groupby, names decode on the final table only."""
+    from ray.data.aggregate import Sum
+
+    types = sorted(set(
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type").count().to_pandas()["event_type"]))
+    tarr = np.array(types, dtype=object)
+    T = np.int64(len(types))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        code = np.searchsorted(tarr, np.asarray(batch["event_type"]))
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "part": pa.array((uid % 64).astype(np.int32)),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "type_code": pa.array(code.astype(np.int64))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts_us"].to_numpy(np.int64),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = g["type_code"].to_numpy(np.int64)[order]
+        n = c.size
+        if n < 3:
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        same1 = u[1:] == u[:-1]                     # i shares user with i-1
+        ok = same1[1:] & same1[:-1]                 # i-2, i-1, i same user
+        key = c[:-2] * T * T + c[1:-1] * T + c[2:]
+        uk, cnt = np.unique(key[ok], return_counts=True)
+        return pd.DataFrame({"key": uk, "n": cnt.astype(np.int64)})
+
+    agg = (_read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                    "event_type"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(sweep, batch_format="pandas")
+           .groupby("key").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    k = agg["key"].to_numpy(np.int64)
+    return pa.table({
+        "t1": pa.array(tarr[k // (T * T)].tolist(), pa.string()),
+        "t2": pa.array(tarr[(k // T) % T].tolist(), pa.string()),
+        "t3": pa.array(tarr[k % T].tolist(), pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64))})
+
+
+QUERIES["event_trigram_paths"] = event_trigram_paths
+ORACLE_SQL["event_trigram_paths"] = """
+    WITH w AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS p1,
+               lag(event_type, 2) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS p2
+        FROM events)
+    SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+    GROUP BY p2, p1, event_type
+"""
