@@ -10793,3 +10793,88 @@ ORACLE_SQL["event_trigram_paths"] = """
     FROM w WHERE p1 IS NOT NULL AND p2 IS NOT NULL
     GROUP BY p2, p1, event_type
 """
+
+
+def fd_audit_lineitem(sf_dir: str):
+    """Functional-dependency discovery (profiling / schema inference):
+    does column A determine column B? A -> B holds iff
+    |distinct(A)| == |distinct(A, B)|. Each candidate FD costs two
+    exact distinct counts, both as per-batch unique pre-combines (the
+    shuffle moves distinct keys, never rows) + a tiny count; report =
+    (lhs, rhs, n_lhs, n_pairs, holds). Probes a true FD (orderkey ->
+    orderkey%10 — derived, always holds), a key-like near-FD and a
+    false one, so both outcomes appear in the hash."""
+    from ray.data.aggregate import Count
+
+    cases = [
+        ("l_orderkey", "l_returnflag"),     # false: flags vary per order?
+        ("l_partkey", "l_suppkey"),         # false in synth
+        ("l_orderkey", "derived_decile"),   # true by construction
+    ]
+
+    def distinct_count(cols, derive=False):
+        def uniq(batch: pa.Table) -> pa.Table:
+            arrs = []
+            for c in cols:
+                if c == "derived_decile":
+                    v = np.asarray(batch["l_orderkey"],
+                                   dtype=np.int64) % 10
+                    arrs.append(v.astype(str).astype(object))
+                else:
+                    # type-agnostic: distinct cardinality is preserved
+                    # under the injective str() of ints/strings
+                    arrs.append(np.asarray(batch[c]).astype(str)
+                                .astype(object))
+            if len(arrs) == 1:
+                u = np.unique(arrs[0])
+                return pa.table({"k1": pa.array(u, pa.string())})
+            u = np.unique(pd.MultiIndex.from_arrays(arrs))
+            return pa.table({
+                "k1": pa.array([x[0] for x in u], pa.string()),
+                "k2": pa.array([x[1] for x in u], pa.string())})
+
+        read_cols = sorted({("l_orderkey" if c == "derived_decile"
+                             else c) for c in cols})
+        keys = ["k1"] if len(cols) == 1 else ["k1", "k2"]
+        return int(_read(sf_dir, "lineitem", read_cols)
+                   .map_batches(uniq, batch_format="pyarrow")
+                   .groupby(keys).count().count())
+
+    rows = []
+    for lhs, rhs in cases:
+        n_lhs = distinct_count([lhs])
+        n_pairs = distinct_count([lhs, rhs])
+        rows.append((lhs, rhs, n_lhs, n_pairs, n_lhs == n_pairs))
+    return pa.table({
+        "lhs": pa.array([r[0] for r in rows], pa.string()),
+        "rhs": pa.array([r[1] for r in rows], pa.string()),
+        "n_lhs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[3] for r in rows], pa.int64()),
+        "holds": pa.array([r[4] for r in rows], pa.bool_())})
+
+
+QUERIES["fd_audit_lineitem"] = fd_audit_lineitem
+ORACLE_SQL["fd_audit_lineitem"] = """
+    SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (l_orderkey, l_returnflag)) AS BIGINT)
+               AS n_pairs,
+           count(DISTINCT l_orderkey)
+               = count(DISTINCT (l_orderkey, l_returnflag)) AS holds
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', 'l_suppkey',
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
+           count(DISTINCT l_partkey)
+               = count(DISTINCT (l_partkey, l_suppkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', 'derived_decile',
+           CAST(count(DISTINCT l_orderkey) AS BIGINT),
+           CAST(count(DISTINCT (l_orderkey, l_orderkey % 10))
+                AS BIGINT),
+           count(DISTINCT l_orderkey)
+               = count(DISTINCT (l_orderkey, l_orderkey % 10))
+    FROM lineitem
+"""
