@@ -361,3 +361,37 @@ class TestForwardAsof:
         assert out["rid"].tolist() == [9, 8]
         assert out["rts"].tolist() == [12, 30]
         assert out["lts"].tolist() == [10, 25]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCogroup:
+    def test_cogroup_full_outer_semantics(self):
+        import ray.data as rd
+
+        from tldr_ray.stages.joins import cogroup
+
+        l = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 2, 4], pa.int64()),
+            "a": pa.array([10, 20, 30, 40], pa.int64())})).repartition(2)
+        r = rd.from_arrow(pa.table({
+            "k": pa.array([2, 3, 3], pa.int64()),
+            "b": pa.array([5, 6, 7], pa.int64())})).repartition(2)
+
+        def fn(key, lrows, rrows):
+            return pd.DataFrame({
+                "k": [np.int64(key)],
+                "na": [np.int64(len(lrows))],
+                "sa": [np.int64(lrows["a"].sum()) if len(lrows)
+                       else np.int64(0)],
+                "nb": [np.int64(len(rrows))],
+                "sb": [np.int64(rrows["b"].sum()) if len(rrows)
+                       else np.int64(0)]})
+
+        out = (cogroup(l, r, "k", fn).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        # keys from either side; left-only (1, 4), both (2), right-only (3)
+        assert out["k"].tolist() == [1, 2, 3, 4]
+        assert out["na"].tolist() == [2, 1, 0, 1]
+        assert out["sa"].tolist() == [30, 30, 0, 40]
+        assert out["nb"].tolist() == [0, 1, 2, 0]
+        assert out["sb"].tolist() == [0, 5, 13, 0]

@@ -10878,3 +10878,72 @@ ORACLE_SQL["fd_audit_lineitem"] = """
                = count(DISTINCT (l_orderkey, l_orderkey % 10))
     FROM lineitem
 """
+
+
+def cogroup_orders_events(sf_dir: str):
+    """Generic CO-GROUP showcase (stages.joins.cogroup — the
+    Spark/Beam primitive): orders and events co-located per key in ONE
+    exchange, the per-key callback seeing BOTH complete row sets —
+    here a full-outer reconciliation (order count + cents vs event
+    count + cents per id, keys present on either side) that a join
+    would need outer machinery and two grouped aggregates for. Counts
+    and cents are exact ints; hash-checks vs the FULL OUTER JOIN of
+    two grouped aggregates."""
+    from tldr_ray.stages.joins import cogroup
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["o_custkey"].cast(pa.int64()),
+            "ocents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)))})
+
+    def e_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["user_id"].cast(pa.int64()),
+            "ecents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .map_batches(o_prep, batch_format="pyarrow"))
+    events = (_read(sf_dir, "events", ["user_id", "value"])
+              .map_batches(e_prep, batch_format="pyarrow"))
+
+    def reconcile(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if key is None:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype=np.int64),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "order_cents": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "event_cents": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "k": [np.int64(key)],
+            "n_orders": [np.int64(len(l))],
+            "order_cents": [np.int64(l["ocents"].sum()) if len(l)
+                            else np.int64(0)],
+            "n_events": [np.int64(len(r))],
+            "event_cents": [np.int64(r["ecents"].sum()) if len(r)
+                            else np.int64(0)]})
+
+    return cogroup(orders, events, "k", reconcile)
+
+
+QUERIES["cogroup_orders_events"] = cogroup_orders_events
+ORACLE_SQL["cogroup_orders_events"] = """
+    WITH o AS (SELECT o_custkey AS k,
+                      CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(sum(CAST(floor(o_totalprice*100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS order_cents
+               FROM orders GROUP BY 1),
+    e AS (SELECT user_id AS k,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS event_cents
+          FROM events GROUP BY 1)
+    SELECT coalesce(o.k, e.k) AS k,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(order_cents, 0) AS order_cents,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(event_cents, 0) AS event_cents
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+"""

@@ -731,3 +731,62 @@ def merge_upsert(snapshot, changes, key_col: str, order_col: str = "ord",
 
     return both.groupby("__bucket").map_groups(resolve,
                                                batch_format="pandas")
+
+
+def cogroup(left, right, on: str, fn, num_buckets: int = 64,
+            batch_format: str = "pandas"):
+    """Generic CO-GROUP (the Spark/Beam primitive Ray Data lacks):
+    align BOTH datasets on ``on`` and call ``fn(key, left_rows,
+    right_rows)`` once per key with the complete row sets from each
+    side — the shape joins, as-of merges, per-key reconciliation and
+    custom aggregations all reduce to. Same single-shuffle plan as
+    ``bucketed_hash_join``: both sides are tagged to a common superset
+    schema and unioned, so ONE exchange co-locates every key, and the
+    per-bucket task sweeps its keys in sorted order (segment slices,
+    no per-key map_groups invocations). ``fn`` returns a DataFrame
+    (empty allowed; keep column set stable across calls).
+
+    This is the LARGE-LARGE path: neither side broadcasts, both
+    stream. Key skew concentrates one key's rows in one task — for a
+    Zipf head key pre-aggregate that side upstream or use
+    ``bucketed_hash_join(skew=True)`` when the logic is a join."""
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str, have: list[str]):
+        def tfn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                cols[c] = batch[c] if c in have else pa.nulls(n)
+            t = pa.table(cols)
+            b = (_hash_any(batch[on])
+                 % np.uint64(num_buckets)).astype(np.int32)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * n))
+        return tfn
+
+    both = left.map_batches(tag("l", lcols), batch_format="pyarrow") \
+        .union(right.map_batches(tag("r", rcols),
+                                 batch_format="pyarrow"))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(on, kind="stable")
+        keys = g[on].to_numpy()
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(g)]])
+        is_l = (g["__side"] == "l").to_numpy()
+        outs = []
+        for s, e in zip(starts, ends):
+            seg = g.iloc[s:e]
+            sl = seg[is_l[s:e]][lcols]
+            sr = seg[~is_l[s:e]][rcols]
+            outs.append(fn(keys[s], sl, sr))
+        if not outs:
+            return fn(None, g.iloc[0:0][lcols], g.iloc[0:0][rcols])
+        return pd.concat(outs, ignore_index=True)
+
+    return both.groupby("__bucket").map_groups(sweep,
+                                               batch_format=batch_format)
