@@ -10461,8 +10461,8 @@ def zorder_zonemap_events(sf_dir: str):
      .write_parquet(out, min_rows_per_file=1_000))
     build_zonemap(out, ["user_id", "value_cents"])
 
-    ds, info = read_pruned(out, preds=[("user_id", 100, 199),
-                                       ("value_cents", 2000, 4000)])
+    ds, info = read_pruned(out, preds=[("user_id", 2, 9),
+                                       ("value_cents", 1000, 5000)])
     assert ds is not None and info["files_read"] <= info["files_total"]
     return ds
 
@@ -10472,8 +10472,8 @@ ORACLE_SQL["zorder_zonemap_events"] = """
     SELECT event_id, user_id,
            CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
     FROM events
-    WHERE user_id BETWEEN 100 AND 199
-      AND CAST(floor(value*100 + 0.5) AS BIGINT) BETWEEN 2000 AND 4000
+    WHERE user_id BETWEEN 2 AND 9
+      AND CAST(floor(value*100 + 0.5) AS BIGINT) BETWEEN 1000 AND 5000
 """
 
 
