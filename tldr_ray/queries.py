@@ -10835,10 +10835,30 @@ def fd_audit_lineitem(sf_dir: str):
 
         read_cols = sorted({("l_orderkey" if c == "derived_decile"
                              else c) for c in cols})
-        keys = ["k1"] if len(cols) == 1 else ["k1", "k2"]
-        return int(_read(sf_dir, "lineitem", read_cols)
-                   .map_batches(uniq, batch_format="pyarrow")
-                   .groupby(keys).count().count())
+
+        # coarse-sweep exact distinct: a per-key groupby here pays
+        # Ray's micro-group tax on 10^5 string keys; 64 partition
+        # tasks each dedup their slice and emit ONE count
+        from tldr_ray.hashing import part_key
+
+        def with_part(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "part", pa.array(part_key(batch["k1"], 64)))
+
+        def count_part(g: pd.DataFrame) -> pd.DataFrame:
+            cols_ = [c for c in ("k1", "k2") if c in g.columns]
+            return pd.DataFrame({
+                "n": [np.int64(len(g.drop_duplicates(cols_)))]})
+
+        from ray.data.aggregate import Sum
+
+        agg = (_read(sf_dir, "lineitem", read_cols)
+               .map_batches(uniq, batch_format="pyarrow")
+               .map_batches(with_part, batch_format="pyarrow")
+               .groupby("part")
+               .map_groups(count_part, batch_format="pandas")
+               .aggregate(Sum("n", alias_name="n")))
+        return int(agg["n"])
 
     rows = []
     for lhs, rhs in cases:
