@@ -395,3 +395,44 @@ class TestCogroup:
         assert out["sa"].tolist() == [30, 30, 0, 40]
         assert out["nb"].tolist() == [0, 1, 2, 0]
         assert out["sb"].tolist() == [0, 5, 13, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_matches_bruteforce():
+    """Every overlapping pair exactly once (incl. spans crossing many
+    buckets and touching endpoints), non-overlaps rejected."""
+    import ray.data as rd
+
+    from tldr_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r, W = 200, 60, 100
+    llo = rng.integers(0, 5000, n_l)
+    lhi = llo + rng.integers(0, 400, n_l)          # up to 5 buckets
+    rlo = rng.integers(0, 5000, n_r)
+    rhi = rlo + rng.integers(0, 250, n_r)
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "lo": pa.array(llo, pa.int64()),
+        "hi": pa.array(lhi, pa.int64())})).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n_r), pa.int64()),
+        "rlo": pa.array(rlo, pa.int64()),
+        "rhi": pa.array(rhi, pa.int64())})).repartition(3)
+    got = interval_join(left, right, "lo", "hi", "rlo", "rhi",
+                        bucket_width=W).to_pandas()
+    got_pairs = sorted(zip(got["lid"], got["rid"]))
+    want = sorted((int(i), int(j))
+                  for i in range(n_l) for j in range(n_r)
+                  if llo[i] <= rhi[j] and rlo[j] <= lhi[i])
+    assert got_pairs == want           # exactly-once incl. duplicates
+    # touching endpoints count as overlap (inclusive semantics)
+    l1 = rd.from_arrow(pa.table({"lid": pa.array([0], pa.int64()),
+                                 "lo": pa.array([0], pa.int64()),
+                                 "hi": pa.array([99], pa.int64())}))
+    r1 = rd.from_arrow(pa.table({"rid": pa.array([0, 1], pa.int64()),
+                                 "rlo": pa.array([99, 100], pa.int64()),
+                                 "rhi": pa.array([150, 150], pa.int64())}))
+    out = interval_join(l1, r1, "lo", "hi", "rlo", "rhi",
+                        bucket_width=10).to_pandas()
+    assert out["rid"].tolist() == [0]

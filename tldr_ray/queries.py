@@ -10967,3 +10967,100 @@ ORACLE_SQL["cogroup_orders_events"] = """
            coalesce(event_cents, 0) AS event_cents
     FROM o FULL OUTER JOIN e ON o.k = e.k
 """
+
+
+def scd2_user_values(sf_dir: str):
+    """Slowly-changing-dimension TYPE-2 build (stages.windows.
+    scd2_intervals): the events log as a per-user change stream, each
+    change carrying a validity interval [eff_from, eff_to) with the
+    latest change per user flagged is_current and left open (null
+    eff_to). Interval endpoints are raw column values (no arithmetic),
+    so the hash is exact; event_id tie-breaks same-microsecond changes
+    deterministically on both sides."""
+    from tldr_ray.stages.windows import scd2_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return scd2_intervals(ds, "user_id", "ts", "event_id",
+                          keep=["event_id", "value"])
+
+
+QUERIES["scd2_user_values"] = scd2_user_values
+ORACLE_SQL["scd2_user_values"] = """
+    SELECT user_id, event_id, value, ts AS eff_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS eff_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+"""
+
+
+def user_day_busy_hours(sf_dir: str):
+    """Interval-OVERLAP join showcase (stages.joins.interval_join —
+    the bucket-replication plan): each user's daily activity span
+    [first event, last event] joined to every busier-than-average hour
+    window it overlaps. Busy = hour count >= global mean, decided by
+    exact integer cross-multiplication (c * n_hours >= n_events).
+    Right intervals are hour-aligned so they replicate to exactly one
+    bucket; left spans replicate to <= 25. Hash-checks the full
+    overlap pair set vs the plain inequality join."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from tldr_ray.stages.joins import interval_join
+
+    HOUR = np.int64(3_600_000_000)
+    DAY = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "us": pa.array(us),
+            "day": pa.array(us // DAY),
+            "hour": pa.array(us // HOUR)})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    ud = (base.groupby(["user_id", "day"])
+          .aggregate(Min("us", alias_name="lo"),
+                     Max("us", alias_name="hi")))
+    hours = (base.groupby("hour")
+             .aggregate(Count(alias_name="hour_events")))
+    n_events = ds.count()
+    n_hours = hours.count()
+
+    def busy_intervals(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["hour"], dtype=np.int64)
+        c = np.asarray(batch["hour_events"], dtype=np.int64)
+        keep = c * np.int64(n_hours) >= np.int64(n_events)
+        h, c = h[keep], c[keep]
+        return pa.table({
+            "hour": pa.array(h), "hour_events": pa.array(c),
+            "blo": pa.array(h * HOUR),
+            "bhi": pa.array(h * HOUR + HOUR - 1)})
+
+    busy = hours.map_batches(busy_intervals, batch_format="pyarrow")
+    out = interval_join(ud, busy, "lo", "hi", "blo", "bhi",
+                        bucket_width=int(HOUR))
+    return out.select_columns(
+        ["user_id", "day", "lo", "hi", "hour", "hour_events"])
+
+
+QUERIES["user_day_busy_hours"] = user_day_busy_hours
+ORACLE_SQL["user_day_busy_hours"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    ud AS (SELECT user_id, us // 86400000000 AS day,
+                  min(us) AS lo, max(us) AS hi
+           FROM e GROUP BY 1, 2),
+    h AS (SELECT us // 3600000000 AS hour,
+                 CAST(count(*) AS BIGINT) AS hour_events
+          FROM e GROUP BY 1),
+    busy AS (SELECT hour, hour_events,
+                    hour * 3600000000 AS blo,
+                    hour * 3600000000 + 3599999999 AS bhi
+             FROM h
+             WHERE hour_events * (SELECT count(*) FROM h)
+                   >= (SELECT count(*) FROM e))
+    SELECT user_id, day, lo, hi, hour, hour_events
+    FROM ud JOIN busy ON lo <= bhi AND blo <= hi
+"""

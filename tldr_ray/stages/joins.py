@@ -790,3 +790,110 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
 
     return both.groupby("__bucket").map_groups(sweep,
                                                batch_format=batch_format)
+
+
+def interval_join(left, right, l_lo: str, l_hi: str, r_lo: str,
+                  r_hi: str, bucket_width: int,
+                  num_partitions: int = 64):
+    """Distributed interval-OVERLAP join: all (left, right) pairs with
+    ``l_lo <= r_hi AND r_lo <= l_hi`` (inclusive int64 endpoints —
+    epoch-us in practice). The bucket-replication plan Ray Data lacks
+    natively: each interval replicates to every ``bucket_width``-wide
+    bucket it covers, candidates meet inside their bucket (zero-filled
+    tagged union — NOT null-filled, so int64 epoch values never take
+    pandas' lossy float64 promotion — through ONE all-to-all on
+    hash(bucket)), and each genuinely overlapping pair is emitted by
+    EXACTLY ONE bucket: the one containing max(l_lo, r_lo), the
+    overlap's left edge — no distinct pass. Replication factor =
+    interval span / bucket_width; pick the width near the typical
+    interval length. Column names must be disjoint (caller renames).
+    """
+    from tldr_ray.graph.partition import vhash
+
+    W = np.int64(bucket_width)
+    NP = np.uint64(num_partitions)
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    dup = set(lcols) & set(rcols)
+    if dup:
+        raise ValueError(f"overlapping column names: {sorted(dup)}")
+    types = {}
+    for sch in (left.schema(), right.schema()):
+        for n, t in zip(sch.names, sch.types):
+            types[n] = t
+
+    def _filler(t: pa.DataType, n: int):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array(np.full(n, "", dtype=object), type=t)
+        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()), type=t)
+
+    def expand(side: int, mine: list[str], lo_col: str, hi_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            lo = np.asarray(batch[lo_col], dtype=np.int64)
+            hi = np.asarray(batch[hi_col], dtype=np.int64)
+            k = (hi // W - lo // W + 1).astype(np.int64)
+            idx = np.repeat(np.arange(lo.size, dtype=np.int64), k)
+            off = (np.arange(idx.size, dtype=np.int64)
+                   - np.repeat(np.cumsum(k) - k, k))
+            bucket = lo[idx] // W + off
+            out = {}
+            for c in lcols + rcols:
+                out[c] = (batch[c].take(pa.array(idx)) if c in mine
+                          else _filler(types[c], idx.size))
+            out["__b"] = pa.array(bucket)
+            out["__part"] = pa.array(
+                (vhash(bucket) % NP).astype(np.int32))
+            out["__side"] = pa.array(
+                np.full(idx.size, side, dtype=np.int8))
+            return pa.table(out)
+        return fn
+
+    both = left.map_batches(expand(0, lcols, l_lo, l_hi),
+                            batch_format="pyarrow").union(
+        right.map_batches(expand(1, rcols, r_lo, r_hi),
+                          batch_format="pyarrow"))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"], dtype=np.int8)
+        b = np.asarray(group["__b"], dtype=np.int64)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        empty = pa.table({c: pa.array([], type=types[c])
+                          for c in lcols + rcols})
+        if li.size == 0 or ri.size == 0:
+            return empty
+        lb, rb = b[li], b[ri]
+        lo_ = np.argsort(lb, kind="stable")
+        ro_ = np.argsort(rb, kind="stable")
+        li, lb = li[lo_], lb[lo_]
+        ri, rb = ri[ro_], rb[ro_]
+        common = np.intersect1d(np.unique(lb), np.unique(rb))
+        ia, ib, bb = [], [], []
+        for bk in common.tolist():
+            ls, le = np.searchsorted(lb, [bk, bk + 1])
+            rs, re = np.searchsorted(rb, [bk, bk + 1])
+            nl, nr = le - ls, re - rs
+            ia.append(np.repeat(li[ls:le], nr))
+            ib.append(np.tile(ri[rs:re], nl))
+            bb.append(np.full(nl * nr, bk, dtype=np.int64))
+        if not ia:
+            return empty
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        bb = np.concatenate(bb)
+        llo = np.asarray(group[l_lo], dtype=np.int64)[ia]
+        lhi = np.asarray(group[l_hi], dtype=np.int64)[ia]
+        rlo = np.asarray(group[r_lo], dtype=np.int64)[ib]
+        rhi = np.asarray(group[r_hi], dtype=np.int64)[ib]
+        keep = ((llo <= rhi) & (rlo <= lhi)
+                & (np.maximum(llo, rlo) // W == bb))
+        ia, ib = ia[keep], ib[keep]
+        cols = {}
+        for c in lcols:
+            cols[c] = group[c].take(pa.array(ia))
+        for c in rcols:
+            cols[c] = group[c].take(pa.array(ib))
+        return pa.table(cols)
+
+    return both.groupby("__part").map_groups(sweep,
+                                             batch_format="pyarrow")

@@ -501,3 +501,56 @@ def watermark_filter(ds, id_col: str, ts_col: str, lateness_us: int,
 
     return parted.groupby("__part").map_groups(sweep,
                                                batch_format="pandas")
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, tie_col: str,
+                   keep: list[str], num_partitions: int = 64):
+    """Slowly-changing-dimension TYPE-2 build from a change log: each
+    change row becomes one validity interval — ``eff_from`` = its own
+    timestamp, ``eff_to`` = the key's NEXT change (null on the latest
+    change), ``is_current`` on the latest change per key.
+
+    One coarse shuffle on ``hash(key) % num_partitions``; each
+    partition task sorts (key, ts, tie) once and derives ``eff_to`` as
+    an index shift against segment-end flags — no per-key invocations,
+    no window engine. ``tie_col`` (a unique id) makes the order — and
+    therefore the interval endpoints — deterministic when a key changes
+    twice in the same microsecond. 100-TB shape: rows move exactly
+    once, partition tasks hold one coarse slice each, output streams.
+    """
+    from tldr_ray.graph.partition import vhash
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        return batch.append_column(
+            "__part",
+            pa.array((vhash(k) % np.uint64(num_partitions))
+                     .astype(np.int32)))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, tie_col],
+                              kind="mergesort")
+        key = g[key_col].to_numpy()
+        last = np.empty(len(g), dtype=bool)
+        if len(g):
+            last[:-1] = key[1:] != key[:-1]
+            last[-1] = True
+        eff_to = g[ts_col].shift(-1)
+        eff_to[last] = pd.NaT
+        out = pd.DataFrame({key_col: key})
+        for c in keep:
+            out[c] = g[c].to_numpy()
+        out["eff_from"] = g[ts_col].to_numpy()
+        out["eff_to"] = eff_to.to_numpy()
+        out["is_current"] = last
+        return out
+
+    cols = [key_col, ts_col, tie_col] + [c for c in keep
+                                         if c not in (key_col, ts_col,
+                                                      tie_col)]
+    return (
+        ds.select_columns(list(dict.fromkeys(cols)))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
+    )
