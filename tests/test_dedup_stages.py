@@ -284,3 +284,43 @@ class TestEditDistancePairs:
         want = {tuple(sorted(p)) for p in want}
         assert got == want
         assert ("aab", "ab") in got             # duplicate-variant word
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_similarity_join_lossless_vs_bruteforce():
+    """Prefix-filter blocking is LOSSLESS: output == brute-force
+    all-pairs word-trigram Jaccard >= 1/2, incl. docs below k words,
+    empty docs, and identical twins."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import (_word_shingle_hashes,
+                                       set_similarity_join)
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(60)]
+    texts += [texts[0],                          # identical twin
+              texts[1] + " extra tail words here",  # near dup
+              "one two",                         # < k words
+              "",                                # empty
+              "   "]                             # whitespace only
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(texts, pa.string())})).repartition(5)
+    got = set_similarity_join(ds, k=3, threshold_num=1,
+                              threshold_den=2).to_pandas()
+    got_pairs = {(int(a), int(b)): float(j) for a, b, j in
+                 zip(got["id_a"], got["id_b"], got["jaccard"])}
+    sets = {int(i): set(_word_shingle_hashes(t, 3).tolist())
+            for i, t in zip(ids, texts)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sets[i], sets[j]
+            u = len(a | b)
+            if u and len(a & b) / u >= 0.5:
+                want[(i, j)] = len(a & b) / u
+    assert got_pairs == want
+    assert (0, 60) in got_pairs and got_pairs[(0, 60)] == 1.0

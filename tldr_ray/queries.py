@@ -11064,3 +11064,57 @@ ORACLE_SQL["user_day_busy_hours"] = """
     SELECT user_id, day, lo, hi, hour, hour_events
     FROM ud JOIN busy ON lo <= bhi AND blo <= hi
 """
+
+
+def setsim_prefix_docs(sf_dir: str):
+    """EXACT all-pairs set-similarity join, word-trigram Jaccard >= 1/2
+    (stages.dedup.set_similarity_join — lossless PREFIX-FILTER
+    blocking, Bayardo AllPairs / PPJoin): unlike the MinHash-LSH
+    family this has NO recall loss, so the oracle needs no blocking
+    mirror — any lossless candidate plan yields the same pair set.
+    The SQL side runs the same prefix filter (rarest-first order,
+    exact-integer ceil) for tractability; candidates are 977 of the
+    124,750 possible pairs at sf0.01, verified pairs 25."""
+    from tldr_ray.stages.dedup import set_similarity_join
+
+    return set_similarity_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=3, threshold_num=1, threshold_den=2)
+
+
+QUERIES["setsim_prefix_docs"] = setsim_prefix_docs
+ORACLE_SQL["setsim_prefix_docs"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS a
+        FROM documents),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+        FROM t, unnest(generate_series(1, len(a) - 2)) AS u(i)),
+    cnt AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    df AS MATERIALIZED (SELECT s, count(*) AS d FROM sh GROUP BY s),
+    rk AS (SELECT sh.doc_id, sh.s, cnt.n,
+                  row_number() OVER (PARTITION BY sh.doc_id
+                                     ORDER BY df.d, sh.s) AS r
+           FROM sh JOIN df USING (s) JOIN cnt USING (doc_id)),
+    pref AS MATERIALIZED (
+        SELECT doc_id, s FROM rk WHERE r <= n - (n + 1) // 2 + 1),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+        GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.id_a
+    JOIN cnt cb ON cb.doc_id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
+"""

@@ -639,6 +639,21 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                              threshold=max(0.3, threshold - 0.2),
                              max_bucket=max_bucket,
                              num_partitions=num_partitions).materialize()
+    return _verify_pairs(ds, cand, id_col, text_col,
+                         lambda t: _shingle_hashes(t, shingle_k),
+                         threshold, num_partitions, metric,
+                         broadcast_pairs_limit)
+
+
+def _verify_pairs(ds, cand, id_col: str, text_col: str, shingle_fn,
+                  threshold: float, num_partitions: int, metric: str,
+                  broadcast_pairs_limit: int):
+    """The semi-joined distributed verify shuffle shared by every
+    exact-set-similarity path (LSH-blocked n-gram Jaccard, prefix-
+    filtered set-similarity join): given a candidate pair Dataset
+    (id_a, id_b, ...), recompute the TRUE score on the shingle sets
+    ``shingle_fn(text) -> sorted unique uint64[]`` of the surviving
+    pairs — steps 1-3 of the ngram_jaccard_pairs docstring."""
     docs, _, _ = candidate_endpoint_docs(ds, cand, id_col, text_col,
                                          broadcast_pairs_limit)
     NP = np.uint64(num_partitions)
@@ -692,7 +707,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         docs = group[group["id_a"] < 0]
         needed = np.unique(pairs["jid"].to_numpy(np.int64))
         docs = docs[docs["jid"].isin(needed)]
-        sh_map = {int(j): _shingle_hashes(t, shingle_k).tobytes()
+        sh_map = {int(j): shingle_fn(t).tobytes()
                   for j, t in zip(docs["jid"], docs["text"])}
         ia = pairs["id_a"].to_numpy(np.int64)
         ib = pairs["id_b"].to_numpy(np.int64)
@@ -1283,3 +1298,195 @@ def edit_distance_pairs(vocab, col: str = "w"):
     return (pairs.map_batches(with_part2, batch_format="pyarrow")
             .groupby("part2")
             .map_groups(distinct, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered EXACT set-similarity join (AllPairs / PPJoin blocking)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET64 = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME64 = np.uint64(0x100000001B3)
+
+
+def _word_shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct k-WORD-shingle hashes of one text as sorted uint64:
+    whitespace tokens (empties dropped — identical to DuckDB
+    regexp_split_to_array + filter, the pinned equivalence), per-token
+    FNV-1a (hashing.fnv1a_batch), windows chained with the same FNV
+    fold over the k token hashes. The single-doc mirror of the
+    vectorized corpus pass in set_similarity_join — same kernels, so
+    blocking and verify see identical shingle identities."""
+    from tldr_ray.hashing import fnv1a_batch
+
+    toks = (text or "").split()
+    if len(toks) < k:
+        return np.zeros(0, dtype=np.uint64)
+    th = fnv1a_batch(pa.array(toks, pa.string()))
+    n = th.size - k + 1
+    h = np.full(n, _FNV_OFFSET64, dtype=np.uint64)
+    for i in range(k):
+        h = (h ^ th[i:i + n]) * _FNV_PRIME64
+    return np.unique(h)
+
+
+def set_similarity_join(ds, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold_num: int = 1, threshold_den: int = 2,
+                        num_partitions: int = 64,
+                        max_bucket: int = 10_000,
+                        broadcast_pairs_limit: int = 2_000_000):
+    """EXACT all-pairs set-similarity join: every document pair whose
+    k-word-shingle sets have Jaccard >= threshold_num/threshold_den —
+    no LSH, no recall loss. Blocking is the lossless PREFIX FILTER
+    (Chaudhuri 2006 / Bayardo AllPairs): under ANY consistent global
+    token order, a pair with |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|)
+    shares its FIRST common token inside both prefixes of length
+    |x| - ceil(t·|x|) + 1 (if the intersection avoided the prefix it
+    would fit in the ceil(t·|x|)-1 suffix — too small). Ordering by
+    (global df ASC, hash) makes prefixes favor RARE shingles, so
+    candidate buckets stay tiny.
+
+    Distributed plan — four coarse exchanges, each moving id+hash rows
+    (16-24 B), never texts:
+      1. corpus-vectorized shingling (one pass over the Arrow string
+         buffer) -> distinct (doc, shingle, set_size) rows;
+      2. shuffle on hash(shingle): df = segment size (all of a
+         shingle's rows co-locate), rows come back (doc, sh, n, df);
+      3. shuffle on hash(doc): per-doc prefix selection — sort
+         (doc, df, sh), keep rank <= n - ceil-int(t·n) + 1, the ceil
+         in EXACT integer arithmetic ((num·n + den - 1) // den);
+      4. shuffle on hash(shingle): within-shingle candidate pairs,
+         then a pair-keyed sweep dedupes (a pair can share several
+         prefix shingles);
+    then the shared semi-joined verify shuffle (_verify_pairs)
+    recomputes TRUE Jaccard on full shingle sets of candidate
+    endpoints only. Output (id_a, id_b, jaccard).
+    """
+    import pyarrow.compute as pc
+
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import fnv1a_batch
+
+    NP = np.uint64(num_partitions)
+    kk = int(k)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.cast(batch[text_col],
+                                            pa.string())))
+        counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = pc.list_flatten(split)
+        # after trim the ONLY possible empty token is the single ['']
+        # an empty/all-whitespace doc splits to — drop it to mirror
+        # str.split() (and the oracle's list_filter)
+        tl = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        th_all = fnv1a_batch(flat)
+        keep = tl > 0
+        if not keep.all():
+            th_all = th_all[keep]
+            starts0 = np.cumsum(counts) - counts
+            empty_doc = (counts == 1) & ~keep[np.minimum(
+                starts0, max(keep.size - 1, 0))]
+            counts = counts - empty_doc.astype(np.int64)
+        w = np.maximum(counts - kk + 1, 0)
+        starts = np.cumsum(counts) - counts
+        widx = (np.repeat(starts, w)
+                + (np.arange(int(w.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(w) - w, w)))
+        h = np.full(widx.size, _FNV_OFFSET64, dtype=np.uint64)
+        for i in range(kk):
+            h = (h ^ th_all[widx + i]) * _FNV_PRIME64
+        doc = np.repeat(ids, w)
+        order = np.lexsort((h, doc))
+        doc, h = doc[order], h[order]
+        first = np.empty(doc.size, dtype=bool)
+        if doc.size:
+            first[0] = True
+            first[1:] = (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])
+        doc, h = doc[first], h[first]
+        seg = np.empty(doc.size, dtype=bool)
+        if doc.size:
+            seg[0] = True
+            seg[1:] = doc[1:] != doc[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(seg), doc.size))
+        n = np.repeat(sizes, sizes)
+        return pa.table({
+            "doc": pa.array(doc), "h": pa.array(h),
+            "n": pa.array(n.astype(np.int64)),
+            "part": pa.array((vhash(h.view(np.int64)) % NP)
+                             .astype(np.int32))})
+
+    def df_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("h", kind="mergesort")
+        h = g["h"].to_numpy()
+        seg = np.empty(len(g), dtype=bool)
+        if len(g):
+            seg[0] = True
+            seg[1:] = h[1:] != h[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(seg), len(g)))
+        doc = g["doc"].to_numpy()
+        return pd.DataFrame({
+            "doc": doc, "h": h, "n": g["n"].to_numpy(),
+            "df": np.repeat(sizes, sizes).astype(np.int64),
+            "part": (vhash(doc) % NP).astype(np.int32)})
+
+    num, den = np.int64(threshold_num), np.int64(threshold_den)
+
+    def prefix_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].to_numpy()
+        df = g["df"].to_numpy()
+        h = g["h"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((h, df, doc))
+        doc, h, n = doc[order], h[order], n[order]
+        seg = np.empty(doc.size, dtype=bool)
+        if doc.size:
+            seg[0] = True
+            seg[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(seg)
+        sizes = np.diff(np.append(starts, doc.size))
+        rank = np.arange(doc.size) - np.repeat(starts, sizes)
+        p = n - (num * n + den - 1) // den + 1
+        keep = rank < p
+        doc, h = doc[keep], h[keep]
+        return pd.DataFrame({
+            "doc": doc, "h": h,
+            "part": (vhash(h.view(np.int64)) % NP).astype(np.int32)})
+
+    def pair_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc"], kind="mergesort")
+        h = g["h"].to_numpy()
+        doc = g["doc"].to_numpy()
+        seg = np.empty(len(g), dtype=bool)
+        if len(g):
+            seg[0] = True
+            seg[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(seg)
+        sizes = np.diff(np.append(starts, len(g)))
+        ia, ib, _ = _segment_pair_indices(sizes, starts, max_bucket)
+        a, b = doc[ia], doc[ib]
+        key = _mix64(a.view(np.uint64)
+                     ^ (b.view(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)))
+        return pd.DataFrame({
+            "id_a": a, "id_b": b,
+            "part": (key % NP).astype(np.int32)})
+
+    def dedup_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part").map_groups(df_sweep, batch_format="pandas")
+        .groupby("part").map_groups(prefix_sweep, batch_format="pandas")
+        .groupby("part").map_groups(pair_sweep, batch_format="pandas")
+        .groupby("part").map_groups(dedup_sweep, batch_format="pandas")
+    ).materialize()
+
+    return _verify_pairs(ds, cand, id_col, text_col,
+                         lambda t: _word_shingle_hashes(t, kk),
+                         float(threshold_num) / float(threshold_den),
+                         num_partitions, "jaccard",
+                         broadcast_pairs_limit)
