@@ -2090,3 +2090,31 @@ class TestExpectations:
         assert rep.loc["in_set:s", "n_violations"] == 2   # "zz" + null
         assert rep.loc["unique:id", "n_violations"] == 3  # 2x2 + 3x3
         assert (rep["n_rows"] == 7).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashIndex:
+    def test_point_lookup_reads_only_probed_buckets(self, tmp_path):
+        import ray.data as rd
+
+        from tldr_ray.sinks import build_hash_index
+        from tldr_ray.sources.tabular import read_point_lookup
+
+        n = 5000
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(np.arange(n) * 10, pa.int64())}))
+        out = str(tmp_path / "idx")
+        manifest = build_hash_index(ds, out, "k", num_buckets=16)
+        assert sum(manifest["buckets"].values()) == n
+        tab, info = read_point_lookup(out, [5, 17, 4999])
+        assert info["files_read"] <= 3 < info["files_total"]
+        got = dict(zip(tab["k"].to_pylist(), tab["v"].to_pylist()))
+        assert got == {5: 50, 17: 170, 4999: 49990}
+        # missing keys: 0 rows, schema intact
+        empty, _ = read_point_lookup(out, [n + 1, n + 2])
+        assert empty.num_rows == 0
+        assert empty.schema.names == ["k", "v"]
+        # mixed present/missing
+        tab2, _ = read_point_lookup(out, [7, n + 50])
+        assert tab2["k"].to_pylist() == [7]

@@ -11118,3 +11118,60 @@ ORACLE_SQL["setsim_prefix_docs"] = """
     JOIN cnt cb ON cb.doc_id = i.id_b
     WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= 0.5
 """
+
+
+def quantiles_cont_value_by_type(sf_dir: str):
+    """Grouped percentile_CONT vector (stages.agg.grouped_quantiles_
+    cont — the interpolated complement of the discrete value-counts
+    plan): rn = q*(n-1), x[lo]*(1-frac) + x[hi]*frac, the formula
+    DuckDB's quantile_cont evaluates (fuzz-pinned bit-for-bit), so raw
+    double inputs hash-match with no integer-cents detour."""
+    from tldr_ray.stages.agg import grouped_quantiles_cont
+
+    return grouped_quantiles_cont(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", qs=(0.25, 0.5, 0.9))
+
+
+QUERIES["quantiles_cont_value_by_type"] = quantiles_cont_value_by_type
+ORACLE_SQL["quantiles_cont_value_by_type"] = """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+"""
+
+
+def hash_index_lookup_orders(sf_dir: str):
+    """Point-lookup storage path end to end (sinks.build_hash_index +
+    sources.tabular.read_point_lookup): lay orders out hash-bucketed
+    on o_orderkey — the write-side cost that buys O(1)-file key
+    probes forever after — then answer a 5-key probe opening <= 5 of
+    the 32 bucket files (asserted), the hash complement of the zone
+    map's range pruning. Surviving rows hash-check vs the plain IN
+    filter; timestamps and prices pass through raw (no arithmetic)."""
+    import hashlib
+    import shutil
+
+    from tldr_ray.sinks import build_hash_index
+    from tldr_ray.sources.tabular import read_point_lookup
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_hashidx/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    build_hash_index(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]),
+        out, "o_orderkey", num_buckets=32)
+    probe = [3, 77, 500, 1234, 1499]
+    tab, info = read_point_lookup(out, probe)
+    assert info["files_read"] <= len(probe) < info["files_total"]
+    return tab
+
+
+QUERIES["hash_index_lookup_orders"] = hash_index_lookup_orders
+ORACLE_SQL["hash_index_lookup_orders"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey IN (3, 77, 500, 1234, 1499)
+"""

@@ -229,3 +229,55 @@ def build_zonemap(path: str, cols: list[str],
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(path, manifest_name))
     return manifest
+
+
+def build_hash_index(ds, path: str, key_col: str,
+                     num_buckets: int = 64,
+                     manifest_name: str = "_hashindex.json") -> dict:
+    """POINT-lookup layout, the hash complement of the zone map's
+    range path: one all-to-all on ``vhash(key) % num_buckets`` lands
+    every row in its bucket file ``bucket_%05d.parquet`` (written
+    atomically by the bucket's own task — tmp + rename, so a crashed
+    build never leaves a torn file), plus an atomic ``_hashindex.json``
+    manifest recording key_col / num_buckets / per-bucket row counts.
+    A key probe then opens exactly ONE file however large the table is
+    (sources.tabular.read_point_lookup). Underscore-prefixed manifest:
+    Hive/Spark/DuckDB directory readers ignore it; bucket files avoid
+    ``=`` so nothing hive-infers phantom columns."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from tldr_ray.graph.partition import vhash
+
+    os.makedirs(path, exist_ok=True)
+    B = np.uint64(num_buckets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        return batch.append_column(
+            "__bucket", pa.array((vhash(k) % B).astype(np.int32)))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__bucket"][0].as_py())
+        t = g.drop_columns(["__bucket"])
+        tmp = os.path.join(path, f".bucket_{b:05d}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(path, f"bucket_{b:05d}.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    counts = (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(write_bucket, batch_format="pyarrow")
+              .to_pandas())
+    manifest = {
+        "key_col": key_col,
+        "num_buckets": int(num_buckets),
+        "buckets": {int(b): int(n) for b, n in
+                    zip(counts["bucket"], counts["n_rows"])}}
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, manifest_name))
+    return manifest

@@ -248,3 +248,53 @@ def read_pruned(path: str, col: str = None, lo=None, hi=None,
         return batch.filter(pa.array(m))
 
     return ds.map_batches(residual, batch_format="pyarrow"), info
+
+
+def read_point_lookup(path: str, keys,
+                      manifest_name: str = "_hashindex.json"):
+    """Point lookup against a sinks.build_hash_index layout: hash each
+    probed key, open ONLY the bucket files the keys land in (absent
+    buckets held no rows at build time and are skipped for free), and
+    apply the exact ``key IN keys`` residual via parquet predicate
+    pushdown. Returns (pyarrow.Table, info) where info counts the
+    files actually opened — a probe of k keys reads <= k of the
+    num_buckets files no matter how large the indexed table is."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tldr_ray.graph.partition import vhash
+
+    with open(os.path.join(path, manifest_name)) as fh:
+        manifest = json.load(fh)
+    key_col = manifest["key_col"]
+    B = np.uint64(manifest["num_buckets"])
+    ks = np.asarray(sorted({int(k) for k in keys}), dtype=np.int64)
+    want = np.unique((vhash(ks) % B).astype(np.int64))
+    present = {int(b) for b in manifest["buckets"]}
+    tabs = []
+    opened = 0
+    for b in want.tolist():
+        if b not in present:
+            continue
+        opened += 1
+        tabs.append(pq.read_table(
+            os.path.join(path, f"bucket_{b:05d}.parquet"),
+            filters=[(key_col, "in", ks.tolist())]))
+    import pyarrow as pa
+
+    if tabs:
+        out = pa.concat_tables(tabs)
+    else:
+        # schema-stable empty result: borrow any bucket's schema
+        any_b = min(present) if present else None
+        if any_b is None:
+            raise FileNotFoundError(f"hash index at {path} is empty")
+        out = pq.read_schema(
+            os.path.join(path, f"bucket_{any_b:05d}.parquet")) \
+            .empty_table()
+    info = {"files_read": opened,
+            "files_total": int(manifest["num_buckets"]),
+            "buckets_present": len(present)}
+    return out, info
