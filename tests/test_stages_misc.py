@@ -2118,3 +2118,30 @@ class TestHashIndex:
         # mixed present/missing
         tab2, _ = read_point_lookup(out, [7, n + 50])
         assert tab2["k"].to_pylist() == [7]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_misra_gries_bounds_and_presence():
+    """est <= true and true - est <= n/(k+1) for every reported value;
+    every value with true frequency > n/(k+1) is present — across a
+    layout the summary was NOT built on (mergeability)."""
+    import ray.data as rd
+
+    from tldr_ray.stages.sketches import misra_gries
+
+    rng = np.random.default_rng(11)
+    zipf = np.clip(rng.zipf(1.5, 20000), 0, 500).astype(np.int64)
+    k = 24
+    for parts in (3, 17):
+        ds = rd.from_arrow(pa.table({"u": pa.array(zipf)})) \
+            .repartition(parts)
+        got = misra_gries(ds, "u", k=k)
+        true = pd.Series(zipf).value_counts()
+        n = zipf.size
+        assert len(got) <= k
+        for v, est in zip(got["value"], got["est"]):
+            t = int(true[v])
+            assert est <= t
+            assert t - est <= n // (k + 1) + 1
+        must = set(true[true > n / (k + 1)].index)
+        assert must <= set(got["value"])

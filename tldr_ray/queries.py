@@ -11175,3 +11175,139 @@ ORACLE_SQL["hash_index_lookup_orders"] = """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
     FROM orders WHERE o_orderkey IN (3, 77, 500, 1234, 1499)
 """
+
+
+def heavy_users_misra_gries(sf_dir: str):
+    """Misra-Gries mergeable heavy hitters over events.user_id
+    (stages.sketches.misra_gries — the deterministic-bound counter
+    sketch: every user with frequency > n/(k+1) is guaranteed
+    present, estimates never exceed truth). Rows-only by nature (the
+    summary content depends on block boundaries); the pytest pins the
+    two-sided bound and guaranteed presence on planted-skew data."""
+    from tldr_ray.stages.sketches import misra_gries
+
+    return misra_gries(_read(sf_dir, "events", ["user_id"]),
+                       "user_id", k=16)
+
+
+QUERIES["heavy_users_misra_gries"] = heavy_users_misra_gries
+
+
+def table_checksum_orders(sf_dir: str):
+    """Order-independent distributed TABLE CHECKSUM — the
+    reconciliation primitive for verifying two pipelines / two
+    engines / a migration produced the same rows without moving them:
+    one streaming pass hashes each row's canonical string
+    (key|key|cents, vectorized FNV-1a + splitmix64) and wrap-sums the
+    digests mod 2^64, a commutative fold, so block order / layout /
+    partitioning can't change the answer. Each block forwards ONE
+    uint64 partial; the driver folds python ints. Hash-checked
+    bit-for-bit vs the recursive-FNV + splitmix + HUGEINT-sum mirror."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(batch["o_orderkey"], pa.string()),
+            pc.cast(batch["o_custkey"], pa.string()),
+            pc.cast(pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64))), pa.string()),
+            "|")
+        h = _mix64(fnv1a_batch(s))
+        return pa.table({
+            "part_sum": pa.array([h.sum(dtype=np.uint64)],
+                                 pa.uint64()),
+            "part_n": pa.array([len(h)], pa.int64())})
+
+    parts = (_read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    total = sum(int(x) for x in parts["part_sum"]) % (1 << 64)
+    return pa.table({
+        "checksum": pa.array([str(total)], pa.string()),
+        "n_rows": pa.array([int(parts["part_n"].sum())], pa.int64())})
+
+
+QUERIES["table_checksum_orders"] = table_checksum_orders
+ORACLE_SQL["table_checksum_orders"] = f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT CAST(o_orderkey AS VARCHAR) || '|' || "
+        "CAST(o_custkey AS VARCHAR) || '|' || "
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        "AS VARCHAR) AS s FROM orders")},
+    {_sql_splitmix_ctes("hh")}
+    SELECT CAST(CAST(sum(h) % {_SQL_M64} AS HUGEINT) AS VARCHAR)
+               AS checksum,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM m3
+"""
+
+
+def csv_roundtrip_events(sf_dir: str):
+    """CSV source+sink fidelity end to end: events stream to sharded
+    CSV (quoted JSON props and all) and back, with EVERY column's
+    values hash-checked against the original table — doubles survive
+    because Arrow's CSV writer emits shortest-round-trip decimals.
+    The one lossy edge is the timestamp dtype (CSV re-parses to ns);
+    cast back to us before returning."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_csv/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    _read(sf_dir, "events").write_csv(out)
+
+    def seal(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("ts")
+        return batch.set_column(i, "ts",
+                                batch["ts"].cast(pa.timestamp("us")))
+
+    return rd.read_csv(out).map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["csv_roundtrip_events"] = csv_roundtrip_events
+ORACLE_SQL["csv_roundtrip_events"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+def jsonl_roundtrip_events(sf_dir: str):
+    """JSONL source+sink round-trip: floats and timestamps are NOT
+    json-exact (Ray's writer goes through python repr and epoch ints),
+    so the canonical-form contract is integers — value as exact cents,
+    ts as epoch-us — under which the round-trip hash-checks every
+    column. The practical shape for landing-zone JSONL interchange."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_jsonl/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "value_cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64))),
+            "props": batch["props"]})
+
+    (_read(sf_dir, "events")
+     .map_batches(canon, batch_format="pyarrow").write_json(out))
+    return rd.read_json(out)
+
+
+QUERIES["jsonl_roundtrip_events"] = jsonl_roundtrip_events
+ORACLE_SQL["jsonl_roundtrip_events"] = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+           props
+    FROM events
+"""

@@ -504,3 +504,47 @@ def approx_quantiles_from_histogram(registers: pd.DataFrame, lo: float,
     for g, sub in registers.groupby(by, sort=True):
         rows.append({by: g, **_one(sub)})
     return pd.DataFrame(rows)
+
+
+def _mg_compress(vals: np.ndarray, cnts: np.ndarray, k: int):
+    """Misra-Gries reduction to <= k counters: subtract the (k+1)-th
+    largest count from every counter and drop the non-positive — the
+    counter-array form of MG's decrement-all step. Exact counts in,
+    summaries whose deficit per counter is <= the subtracted amount."""
+    if vals.size <= k:
+        return vals, cnts
+    d = np.partition(cnts, cnts.size - k - 1)[cnts.size - k - 1]
+    keep = cnts > d
+    return vals[keep], cnts[keep] - d
+
+
+def misra_gries(ds, col: str, k: int = 64):
+    """Mergeable Misra-Gries heavy-hitters summary (Agarwal 2012
+    "Mergeable Summaries"): per-block exact value counts compress to
+    <= k counters, ONE small groupby sums the per-block summaries
+    (<= k rows per block move — never the column), and a final
+    driver-side compression restores <= k counters. Deterministic
+    guarantee regardless of block layout:
+    ``true - n/(k+1) <= est <= true``, so every value with true
+    frequency > n/(k+1) is PRESENT in the summary — the counter-based
+    complement of the Count-Min ``heavy_hitters`` path (no hashing,
+    no collision noise, underestimates instead of overestimates).
+    Returns pd.DataFrame (value, est) sorted by est desc."""
+    def partial(batch: pa.Table) -> pa.Table:
+        tab = pa.table({"v": batch[col]})
+        gp = tab.group_by("v").aggregate([("v", "count")])
+        vals = np.asarray(gp["v"])
+        cnts = np.asarray(gp["v_count"], dtype=np.int64)
+        vals, cnts = _mg_compress(vals, cnts, k)
+        return pa.table({"value": pa.array(vals),
+                         "est": pa.array(cnts)})
+
+    merged = (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("value").sum("est").to_pandas())
+    vals = merged["value"].to_numpy()
+    cnts = merged["sum(est)"].to_numpy(np.int64)
+    vals, cnts = _mg_compress(vals, cnts, k)
+    order = np.lexsort((vals, -cnts))
+    return pd.DataFrame({"value": vals[order],
+                         "est": cnts[order].astype(np.int64)})
