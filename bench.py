@@ -452,7 +452,16 @@ if __name__ == "__main__":
                  "zorder_zonemap_events", "price_quantity_skyline",
                  "orders_expectations", "watermark_hourly_events",
                  "events_hourly_interpolated", "user_type_gini",
-                 "top_orders_per_customer_ranked"]
+                 "top_orders_per_customer_ranked",
+                 # round-4 fourth wave
+                 "event_trigram_paths", "fd_audit_lineitem",
+                 "cogroup_orders_events", "scc_hashgraph",
+                 "scd2_user_values", "user_day_busy_hours",
+                 "setsim_prefix_docs", "quantiles_cont_value_by_type",
+                 "hash_index_lookup_orders", "heavy_users_misra_gries",
+                 "table_checksum_orders", "csv_roundtrip_events",
+                 "jsonl_roundtrip_events", "latest_event_per_user",
+                 "boilerplate_ngrams_docs"]
         qsec = {}
         try:
             for n in names:

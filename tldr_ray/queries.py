@@ -11311,3 +11311,85 @@ ORACLE_SQL["jsonl_roundtrip_events"] = """
            props
     FROM events
 """
+
+
+def latest_event_per_user(sf_dir: str):
+    """Dedup-by-key-keep-LATEST (the CDC/compaction primitive distinct
+    from merge_upsert's change application): one coarse sweep on
+    hash(user), per-task sort (user, ts, event_id) + segment-END
+    gather — no per-key invocations. event_id breaks same-microsecond
+    ties exactly like the mirror's row_number order."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(k) % NP).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        last = np.empty(len(g), dtype=bool)
+        if len(g):
+            last[:-1] = u[1:] != u[:-1]
+            last[-1] = True
+        out = g[last]
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(),
+            "event_id": out["event_id"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+            "event_type": pd.Series(out["event_type"].to_numpy(),
+                                    dtype=object),
+            "value": out["value"].to_numpy()})
+
+    return (_read(sf_dir, "events",
+                  ["user_id", "event_id", "ts", "event_type", "value"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["latest_event_per_user"] = latest_event_per_user
+ORACLE_SQL["latest_event_per_user"] = """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                     AS rn
+          FROM events)
+    WHERE rn = 1
+"""
+
+
+def boilerplate_ngrams_docs(sf_dir: str):
+    """Cross-document repeated word-5-gram report (stages.
+    text_analysis.boilerplate_ngrams — the CCNet-style boilerplate
+    signal): grams in >= 2 distinct docs with doc + occurrence
+    counts, exact ints, hash-checked vs the positional-window GROUP
+    BY mirror."""
+    from tldr_ray.stages.text_analysis import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=5, min_docs=2)
+
+
+QUERIES["boilerplate_ngrams_docs"] = boilerplate_ngrams_docs
+ORACLE_SQL["boilerplate_ngrams_docs"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS a
+        FROM documents),
+    g AS (SELECT doc_id,
+                 a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                      || a[i+3] || ' ' || a[i+4] AS gram
+          FROM t, unnest(generate_series(1, len(a) - 4)) AS u(i))
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""

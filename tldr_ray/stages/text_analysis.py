@@ -954,3 +954,94 @@ def gopher_rules(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(ds, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 5,
+                       min_docs: int = 2, num_parts: int = 64):
+    """Cross-document repeated word-k-gram detection — the CCNet /
+    RefinedWeb boilerplate signal (navigation chrome, license
+    blurbs, templated spans shared across pages): every k-gram
+    occurring in >= min_docs DISTINCT documents, with its document
+    and occurrence counts.
+
+    One vectorized pass builds window gram strings straight from the
+    Arrow token buffer (k shifted takes + one binary_join — no Python
+    loop over windows), pre-combines per (gram, doc) WITHIN the block,
+    and ships those combined rows through ONE coarse shuffle on
+    hash(gram); partition tasks finish with segment reductions. Data
+    moved is per-block distinct (gram, doc) pairs — bounded by block
+    token count, and at 100x the gram strings themselves would ride as
+    hashes with a decode pass for survivors only (same semi-join shape
+    as the dedup verify).
+    Returns Dataset (gram, n_docs, n_occ)."""
+    import pyarrow.compute as pc
+
+    from tldr_ray.hashing import part_key
+
+    kk = int(k)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.cast(batch[text_col],
+                                            pa.string())))
+        counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = pc.list_flatten(split)
+        tl = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        keep = tl > 0
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            starts0 = np.cumsum(counts) - counts
+            empty_doc = (counts == 1) & ~keep[np.minimum(
+                starts0, max(keep.size - 1, 0))]
+            counts = counts - empty_doc.astype(np.int64)
+        w = np.maximum(counts - kk + 1, 0)
+        starts = np.cumsum(counts) - counts
+        widx = (np.repeat(starts, w)
+                + (np.arange(int(w.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(w) - w, w)))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        shifted = [flat.take(pa.array(widx + i)) for i in range(kk)]
+        gram = pc.binary_join_element_wise(*shifted, " ")
+        doc = np.repeat(ids, w)
+        combined = (pa.table({"gram": gram, "doc": pa.array(doc)})
+                    .group_by(["gram", "doc"])
+                    .aggregate([("doc", "count")]))
+        return pa.table({
+            "gram": combined["gram"],
+            "doc": combined["doc"],
+            "cnt": combined["doc_count"].cast(pa.int64()),
+            "part": pa.array(part_key(combined["gram"], num_parts))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "doc"], kind="mergesort")
+        gr = g["gram"].to_numpy()
+        cnt = g["cnt"].to_numpy(np.int64)
+        seg = np.empty(len(g), dtype=bool)
+        if len(g):
+            seg[0] = True
+            seg[1:] = gr[1:] != gr[:-1]
+        starts = np.flatnonzero(seg)
+        # (gram, doc) rows are distinct per BLOCK, not globally: a
+        # doc split across blocks may repeat — collapse doc repeats
+        docseg = np.empty(len(g), dtype=bool)
+        if len(g):
+            d = g["doc"].to_numpy()
+            docseg[0] = True
+            docseg[1:] = seg[1:] | (d[1:] != d[:-1])
+        n_docs = np.add.reduceat(docseg.astype(np.int64), starts) \
+            if len(g) else np.zeros(0, np.int64)
+        n_occ = np.add.reduceat(cnt, starts) if len(g) \
+            else np.zeros(0, np.int64)
+        kept = n_docs >= min_docs
+        return pd.DataFrame({
+            "gram": pd.Series(gr[starts][kept], dtype=object),
+            "n_docs": n_docs[kept].astype(np.int64),
+            "n_occ": n_occ[kept].astype(np.int64)})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(grams, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sweep, batch_format="pandas"))
