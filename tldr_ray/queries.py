@@ -11025,7 +11025,8 @@ def user_day_busy_hours(sf_dir: str):
           .aggregate(Min("us", alias_name="lo"),
                      Max("us", alias_name="hi")))
     hours = (base.groupby("hour")
-             .aggregate(Count(alias_name="hour_events")))
+             .aggregate(Count(alias_name="hour_events"))
+             .materialize())        # ~720 rows; reused by count + busy
     n_events = ds.count()
     n_hours = hours.count()
 
@@ -11392,4 +11393,123 @@ ORACLE_SQL["boilerplate_ngrams_docs"] = """
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_occ
     FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def ab_welch_value(sf_dir: str):
+    """Welch two-sample t-test between 'click' and 'view' event values
+    — the A/B-testing primitive: one streaming pass emits exact
+    integer moment partials (n, sum cents, sum cents^2) per block
+    (order-free fold), the driver composes the t statistic and
+    Welch-Satterthwaite df in a FIXED float op chain mirrored
+    token-for-token in the SQL (division, multiply, IEEE sqrt — all
+    correctly rounded, so identical inputs give identical doubles)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"])
+        c = _cents(np.asarray(batch["value"], dtype=np.float64))
+        rows = {"g": [], "n": [], "s": [], "q": []}
+        for g in ("click", "view"):
+            m = et == g
+            cm = c[m]
+            rows["g"].append(g)
+            rows["n"].append(np.int64(cm.size))
+            rows["s"].append(np.int64(cm.sum()) if cm.size
+                             else np.int64(0))
+            rows["q"].append(np.int64((cm * cm).sum()) if cm.size
+                             else np.int64(0))
+        return pa.table({
+            "g": pa.array(rows["g"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "s": pa.array(rows["s"], pa.int64()),
+            "q": pa.array(rows["q"], pa.int64())})
+
+    parts = (_read(sf_dir, "events", ["event_type", "value"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    agg = parts.groupby("g")[["n", "s", "q"]].sum()
+    n1, s1, q1 = (np.int64(agg.loc["click", k]) for k in ("n", "s", "q"))
+    n2, s2, q2 = (np.int64(agg.loc["view", k]) for k in ("n", "s", "q"))
+    m1 = np.float64(s1) / np.float64(n1)
+    m2 = np.float64(s2) / np.float64(n2)
+    v1 = (np.float64(q1) - np.float64(s1) * m1) / np.float64(n1 - 1)
+    v2 = (np.float64(q2) - np.float64(s2) * m2) / np.float64(n2 - 1)
+    se1 = v1 / np.float64(n1)
+    se2 = v2 / np.float64(n2)
+    se = se1 + se2
+    t = (m1 - m2) / np.sqrt(se)
+    dof = (se * se) / (se1 * se1 / np.float64(n1 - 1)
+                       + se2 * se2 / np.float64(n2 - 1))
+    return pa.table({
+        "n_click": pa.array([int(n1)], pa.int64()),
+        "n_view": pa.array([int(n2)], pa.int64()),
+        "t_stat": pa.array([float(t)], pa.float64()),
+        "welch_df": pa.array([float(dof)], pa.float64())})
+
+
+QUERIES["ab_welch_value"] = ab_welch_value
+ORACLE_SQL["ab_welch_value"] = """
+    WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE event_type = 'view'),
+    a AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) s,
+                 CAST(sum(c * c) AS BIGINT) q FROM c),
+    b AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) s,
+                 CAST(sum(c * c) AS BIGINT) q FROM v),
+    m AS (SELECT a.n AS n1, b.n AS n2,
+                 CAST(a.s AS DOUBLE) / a.n AS m1,
+                 CAST(b.s AS DOUBLE) / b.n AS m2,
+                 (CAST(a.q AS DOUBLE)
+                  - a.s * (CAST(a.s AS DOUBLE) / a.n)) / (a.n - 1)
+                     AS v1,
+                 (CAST(b.q AS DOUBLE)
+                  - b.s * (CAST(b.s AS DOUBLE) / b.n)) / (b.n - 1)
+                     AS v2
+          FROM a, b),
+    e AS (SELECT n1, n2, m1, m2, v1 / n1 AS se1, v2 / n2 AS se2 FROM m)
+    SELECT n1 AS n_click, n2 AS n_view,
+           (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+           ((se1 + se2) * (se1 + se2))
+               / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+               AS welch_df
+    FROM e
+"""
+
+
+def custkeys_intersect_all(sf_dir: str):
+    """Multiset INTERSECT ALL (stages.joins.multiset_op): order
+    custkeys ∩ event user ids WITH multiplicity min(c_orders,
+    c_events) — bag semantics the distinct set_op path can't express;
+    only per-value counts ever move."""
+    from tldr_ray.stages.joins import multiset_op
+
+    return multiset_op(_read(sf_dir, "orders", ["o_custkey"]),
+                       _read(sf_dir, "events", ["user_id"]),
+                       "o_custkey", "user_id", op="intersect_all",
+                       out_col="custkey")
+
+
+QUERIES["custkeys_intersect_all"] = custkeys_intersect_all
+ORACLE_SQL["custkeys_intersect_all"] = """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT user_id FROM events
+"""
+
+
+def custkeys_except_all(sf_dir: str):
+    """Multiset EXCEPT ALL: order custkeys minus event user ids with
+    multiplicity max(c_orders - c_events, 0)."""
+    from tldr_ray.stages.joins import multiset_op
+
+    return multiset_op(_read(sf_dir, "orders", ["o_custkey"]),
+                       _read(sf_dir, "events", ["user_id"]),
+                       "o_custkey", "user_id", op="except_all",
+                       out_col="custkey")
+
+
+QUERIES["custkeys_except_all"] = custkeys_except_all
+ORACLE_SQL["custkeys_except_all"] = """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT user_id FROM events
 """

@@ -897,3 +897,55 @@ def interval_join(left, right, l_lo: str, l_hi: str, r_lo: str,
 
     return both.groupby("__part").map_groups(sweep,
                                              batch_format="pyarrow")
+
+
+def multiset_op(left, right, on_left: str, on_right: str,
+                op: str = "intersect_all", out_col: str = "v",
+                num_parts: int = 64):
+    """Multiset INTERSECT ALL / EXCEPT ALL (bag semantics — the ALL
+    variants set_op's distinct path can't express): output
+    multiplicity per value is min(c_l, c_r) for intersect_all and
+    max(c_l - c_r, 0) for except_all. Each block pre-combines to
+    per-value counts (the only thing that ever moves), ONE coarse
+    exchange on hash(value) co-locates both sides' counts, and each
+    partition task emits values np.repeat-ed to their multiplicity."""
+    from tldr_ray.graph.partition import vhash
+
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(op)
+    NP = np.uint64(num_parts)
+
+    def partial(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            gp = (pa.table({"v": batch[col].cast(pa.int64())})
+                  .group_by("v").aggregate([("v", "count")]))
+            v = np.asarray(gp["v"], dtype=np.int64)
+            return pa.table({
+                "v": pa.array(v),
+                "c": gp["v_count"].cast(pa.int64()),
+                "side": pa.array(np.full(v.size, side, np.int8)),
+                "part": pa.array((vhash(v) % NP).astype(np.int32))})
+        return fn
+
+    both = left.select_columns([on_left]) \
+        .map_batches(partial(on_left, 0), batch_format="pyarrow") \
+        .union(right.select_columns([on_right])
+               .map_batches(partial(on_right, 1),
+                            batch_format="pyarrow"))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        s = g["side"].to_numpy(np.int8)
+        cl = pd.Series(np.where(s == 0, c, 0)).groupby(v).sum()
+        cr = pd.Series(np.where(s == 1, c, 0)).groupby(v).sum()
+        if op == "intersect_all":
+            mult = np.minimum(cl.to_numpy(), cr.to_numpy())
+        else:
+            mult = np.maximum(cl.to_numpy() - cr.to_numpy(), 0)
+        vals = cl.index.to_numpy(np.int64)
+        return pd.DataFrame({
+            out_col: np.repeat(vals, mult).astype(np.int64)})
+
+    return both.groupby("part").map_groups(sweep,
+                                           batch_format="pandas")
