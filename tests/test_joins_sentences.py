@@ -436,3 +436,33 @@ def test_interval_join_matches_bruteforce():
     out = interval_join(l1, r1, "lo", "hi", "rlo", "rhi",
                         bucket_width=10).to_pandas()
     assert out["rid"].tolist() == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_join_paths_equal():
+    """The broadcast and bucketed sides of the auto_join gate produce
+    identical frames (inner and left, incl. an unmatched left key)."""
+    import ray.data as rd
+
+    from tldr_ray.stages.joins import auto_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "a": pa.array([10, 20, 21, 30, 90], pa.int64())})).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "b": pa.array(["x", "y", "z", "w"],
+                      pa.string())})).repartition(2)
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        bc = norm(auto_join(left, right, "k", how=how,
+                            broadcast_limit_rows=1000).to_pandas())
+        bk = norm(auto_join(left, right, "k", how=how,
+                            broadcast_limit_rows=0).to_pandas())
+        bc = bc.astype(bk.dtypes.to_dict())
+        pd.testing.assert_frame_equal(bc, bk)
+        assert (len(bc) == 4) if how == "inner" else (len(bc) == 5)

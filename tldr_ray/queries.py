@@ -11513,3 +11513,48 @@ ORACLE_SQL["custkeys_except_all"] = """
     EXCEPT ALL
     SELECT user_id FROM events
 """
+
+
+def orders_with_segment_auto(sf_dir: str):
+    """Engine-level size-gated join (stages.joins.auto_join): orders
+    decorated with the customer's market segment — the dimension side
+    is counted and broadcast while small (no shuffle; the 10x-larger
+    fact side never moves), falling back to the bucketed hash join
+    past the gate. Both paths equality-pinned by pytest; this
+    registration runs whichever the gate picks."""
+    from tldr_ray.stages.joins import auto_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].astype(np.int64),
+            "o_custkey": batch["o_custkey"].astype(np.int64),
+            "c_mktsegment": pd.Series(batch["c_mktsegment"].to_numpy(),
+                                      dtype=object),
+            "total_cents": np.floor(
+                batch["o_totalprice"].to_numpy(np.float64) * 100.0
+                + 0.5).astype(np.int64)})
+
+    from tldr_ray.stages.joins import auto_join as _aj
+
+    out = _aj(orders, cust.map_batches(ren, batch_format="pyarrow"),
+              on="o_custkey", how="inner")
+    return out.map_batches(seal, batch_format="pandas")
+
+
+QUERIES["orders_with_segment_auto"] = orders_with_segment_auto
+ORACLE_SQL["orders_with_segment_auto"] = """
+    SELECT o_orderkey, o_custkey, c_mktsegment,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""

@@ -949,3 +949,39 @@ def multiset_op(left, right, on_left: str, on_right: str,
 
     return both.groupby("part").map_groups(sweep,
                                            batch_format="pandas")
+
+
+def auto_join(left, right, on: str, how: str = "inner",
+              broadcast_limit_rows: int = 2_000_000,
+              num_buckets: int = 64, skew=False,
+              suffixes=("_l", "_r")):
+    """SIZE-GATED join strategy selector — the engine-level form of
+    the counted gates the TPC-H queries grew one by one: COUNT the
+    right side; while it fits one broadcast object it ships via
+    ray.put exactly once and every left batch merges against the
+    zero-copy plasma view (NO shuffle at all — the fact side never
+    moves); past the gate it falls back to the partitioned
+    ``bucketed_hash_join`` (optionally skew-aware via the hot-key
+    replicate-right path). Both paths produce identical frames —
+    pinned by the both-paths equality pytest. ``on`` must name the
+    key column on BOTH sides (rename first); broadcast supports
+    inner/left, everything else routes to the bucketed path."""
+    import ray
+
+    if how not in ("inner", "left"):
+        return bucketed_hash_join(left, right, on,
+                                  num_buckets=num_buckets, how=how,
+                                  suffixes=suffixes, skew=skew)
+    n_right = right.count()
+    if n_right > broadcast_limit_rows:
+        return bucketed_hash_join(left, right, on,
+                                  num_buckets=num_buckets, how=how,
+                                  suffixes=suffixes, skew=skew)
+    rdf = right.to_pandas()
+    rref = ray.put(rdf)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rref)
+        return batch.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return left.map_batches(merge, batch_format="pandas")
