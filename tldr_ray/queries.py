@@ -11558,3 +11558,46 @@ ORACLE_SQL["orders_with_segment_auto"] = """
                AS total_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+
+def user_event_path_strings(sf_dir: str):
+    """Grouped ORDERED string concatenation (SQL string_agg ... ORDER
+    BY): each user's full event-type journey as one '>'-joined string
+    — the sequence-mining export shape. One coarse sweep on
+    hash(user); the per-task segment join is object-string work
+    bounded by OUTPUT size (one string per user), with (ts, event_id)
+    fixing the order deterministically on both sides."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(k) % NP).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        agg = g.groupby("user_id", sort=True)["event_type"] \
+            .agg(">".join)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "path": pd.Series(agg.to_numpy(), dtype=object),
+            "n_events": g.groupby("user_id", sort=True)["event_type"]
+            .size().to_numpy(np.int64)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                     "event_type"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["user_event_path_strings"] = user_event_path_strings
+ORACLE_SQL["user_event_path_strings"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
