@@ -2145,3 +2145,41 @@ def test_misra_gries_bounds_and_presence():
             assert t - est <= n // (k + 1) + 1
         must = set(true[true > n / (k + 1)].index)
         assert must <= set(got["value"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kll_sketch_rank_error_and_merge_law():
+    from tldr_ray.stages.sketches import KLLSketch, kll_quantiles
+
+    # adversarial: already-sorted input stresses deterministic
+    # compaction worst
+    n = 50_000
+    xs = np.arange(n, dtype=np.float64)
+    s = KLLSketch(k=256)
+    for i in range(0, n, 1000):
+        s.update_many(xs[i:i + 1000])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        got = s.quantile(q)
+        rank_err = abs(got - q * (n - 1)) / n
+        assert rank_err < 0.05, (q, got, rank_err)
+    # merge law: sketch(A) ⊎ sketch(B) ~ sketch(A+B), same bound
+    a, b = KLLSketch(k=256), KLLSketch(k=256)
+    a.update_many(xs[: n // 2])
+    b.update_many(xs[n // 2:])
+    m = a.merge(b)
+    assert m.n == n
+    for q in (0.25, 0.75):
+        assert abs(m.quantile(q) - q * (n - 1)) / n < 0.05
+    # distributed path on a real Dataset, vs exact
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0.0, 1.0, 20_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    out = kll_quantiles(ds, "v", qs=(0.5, 0.9), k=256)
+    exact = np.quantile(vals, [0.5, 0.9])
+    for got, want, q in zip(out["value"], exact, (0.5, 0.9)):
+        # compare by RANK error, the sketch's actual guarantee
+        r = (vals <= got).mean()
+        assert abs(r - q) < 0.05, (q, got, want, r)
+    assert int(out["n"].iloc[0]) == 20_000

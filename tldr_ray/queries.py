@@ -11601,3 +11601,125 @@ ORACLE_SQL["user_event_path_strings"] = """
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
 """
+
+
+def dayover_user_overlap(sf_dir: str):
+    """Day-over-day active-user-set overlap (the retention/churn
+    signal): for every consecutive day pair, |A∩B|, |A|, |B| and the
+    Jaccard — computed WITHOUT a self-join: (day, user) distinct
+    rows take ONE coarse shuffle on hash(user), each task counts
+    consecutive-day pairs per user segment as an index shift, and a
+    tiny per-day groupby finishes. The sizes join is dimension-sized
+    (one row per day). Jaccard = one IEEE division, hash-matched."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    DAY = np.int64(86_400_000_000)
+    NP = np.uint64(64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        d = us // DAY
+        # per-batch distinct (user, day) pre-combine
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.empty(u.size, dtype=bool)
+        if u.size:
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[first], d[first]
+        return pa.table({
+            "u": pa.array(u), "d": pa.array(d),
+            "part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"]).sort_values(
+            ["u", "d"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[:-1] = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        day = d[same]                       # earlier day of the pair
+        if day.size:
+            vals, cnts = np.unique(day, return_counts=True)
+        else:
+            vals = np.zeros(0, np.int64)
+            cnts = np.zeros(0, np.int64)
+        return pd.DataFrame({"day": vals,
+                             "inter": cnts.astype(np.int64)})
+
+    pairs = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(sweep, batch_format="pandas")
+             .groupby("day")
+             .aggregate(Sum("inter", alias_name="inter"))
+             .to_pandas())
+
+    def sizes_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"])
+        vals, cnts = np.unique(g["d"].to_numpy(np.int64),
+                               return_counts=True)
+        return pd.DataFrame({"day": vals, "n": cnts.astype(np.int64)})
+
+    sizes = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow")
+             .map_batches(lambda t: t.append_column(
+                 "dpart", pa.array((np.asarray(t["d"], np.int64)
+                                    % 64).astype(np.int32))),
+                 batch_format="pyarrow")
+             .groupby("dpart")
+             .map_groups(lambda g: sizes_part(g),
+                         batch_format="pandas")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    sz = dict(zip(sizes["day"].astype(np.int64),
+                  sizes["n"].astype(np.int64)))
+    day = pairs["day"].to_numpy(np.int64)
+    inter = pairs["inter"].to_numpy(np.int64)
+    n_a = np.array([sz[d] for d in day], np.int64)
+    n_b = np.array([sz[d + 1] for d in day], np.int64)
+    jac = inter.astype(np.float64) / (n_a + n_b - inter)
+    return pa.table({
+        "day": pa.array(day), "n_day": pa.array(n_a),
+        "n_next": pa.array(n_b), "inter": pa.array(inter),
+        "jaccard": pa.array(jac)})
+
+
+QUERIES["dayover_user_overlap"] = dayover_user_overlap
+ORACLE_SQL["dayover_user_overlap"] = """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+    sz AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+           FROM ud GROUP BY day),
+    ov AS (SELECT a.day AS day, CAST(count(*) AS BIGINT) AS inter
+           FROM ud a JOIN ud b
+             ON a.user_id = b.user_id AND b.day = a.day + 1
+           GROUP BY a.day)
+    SELECT o.day AS day, sa.n AS n_day, sb.n AS n_next, o.inter,
+           CAST(o.inter AS DOUBLE) / (sa.n + sb.n - o.inter)
+               AS jaccard
+    FROM ov o
+    JOIN sz sa ON sa.day = o.day
+    JOIN sz sb ON sb.day = o.day + 1
+"""
+
+
+def kll_value_quantiles(sf_dir: str):
+    """Distribution-free mergeable quantile sketch over events.value
+    (stages.sketches.KLLSketch — per-block sketches, O(k log n/k)
+    floats move, driver merge; the no-known-range complement of the
+    histogram-register quantiles). Rows-only by nature (approximate
+    values depend on block boundaries); the pytest pins the rank-error
+    bound on adversarial sorted input and the merge law."""
+    from tldr_ray.stages.sketches import kll_quantiles
+
+    return kll_quantiles(_read(sf_dir, "events", ["value"]),
+                         "value", qs=(0.5, 0.9, 0.99), k=256)
+
+
+QUERIES["kll_value_quantiles"] = kll_value_quantiles

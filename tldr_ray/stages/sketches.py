@@ -548,3 +548,134 @@ def misra_gries(ds, col: str, k: int = 64):
     order = np.lexsort((vals, -cnts))
     return pd.DataFrame({"value": vals[order],
                          "est": cnts[order].astype(np.int64)})
+
+
+class KLLSketch:
+    """Deterministic KLL-style mergeable quantile summary.
+
+    Level-l compactors hold sorted buffers; a full compactor sorts,
+    keeps alternating elements (deterministic EVEN offset — no RNG, so
+    builds are reproducible; the classic randomized offset halves the
+    constant but this repo trades that for bitwise repeatability), and
+    promotes them to level l+1 where each element weighs 2^(l+1).
+    Rank error is bounded by sum_l 2^l * (compactions at level l),
+    giving the usual O(n / k) absolute rank error for capacity-k
+    levels; the pytest pins observed error << n/k on adversarial
+    sorted input. Mergeable: concatenate per-level buffers and
+    re-compact — the bound composes additively, so per-block sketches
+    combine into a corpus sketch without revisiting data."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[list] = [[]]
+        self.n = 0
+
+    def _cap(self, lvl: int) -> int:
+        # geometrically shrinking capacities above level 0
+        c = int(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - lvl))
+        return max(c, 8)
+
+    def _compact(self):
+        for lvl in range(len(self.levels)):
+            buf = self.levels[lvl]
+            if len(buf) <= self._cap(lvl):
+                continue
+            buf.sort()
+            promoted = buf[0::2]            # deterministic even offset
+            self.levels[lvl] = []
+            if lvl + 1 == len(self.levels):
+                self.levels.append([])
+            self.levels[lvl + 1].extend(promoted)
+
+    def update_many(self, values):
+        vals = list(np.asarray(values, dtype=np.float64))
+        self.levels[0].extend(vals)
+        self.n += len(vals)
+        self._compact()
+
+    def merge(self, other: "KLLSketch"):
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for lvl, buf in enumerate(other.levels):
+            self.levels[lvl].extend(buf)
+        self.n += other.n
+        self._compact()
+        return self
+
+    def to_rows(self) -> pd.DataFrame:
+        lvls, vals = [], []
+        for lvl, buf in enumerate(self.levels):
+            lvls.extend([lvl] * len(buf))
+            vals.extend(buf)
+        return pd.DataFrame({
+            "level": np.asarray(lvls, np.int64),
+            "value": np.asarray(vals, np.float64),
+            "n": np.full(len(vals), self.n, np.int64)})
+
+    @staticmethod
+    def from_rows(df: pd.DataFrame, k: int = 256) -> "KLLSketch":
+        s = KLLSketch(k)
+        mx = int(df["level"].max()) if len(df) else 0
+        s.levels = [[] for _ in range(mx + 1)]
+        for lvl, v in zip(df["level"].to_numpy(np.int64),
+                          df["value"].to_numpy(np.float64)):
+            s.levels[int(lvl)].append(float(v))
+        s.n = int(df["n"].iloc[0]) if len(df) else 0
+        return s
+
+    def quantile(self, q: float) -> float:
+        items = []
+        for lvl, buf in enumerate(self.levels):
+            w = 1 << lvl
+            items.extend((v, w) for v in buf)
+        if not items:
+            return float("nan")
+        items.sort()
+        target = q * sum(w for _, w in items)
+        acc = 0
+        for v, w in items:
+            acc += w
+            if acc >= target:
+                return v
+        return items[-1][0]
+
+
+def kll_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), k: int = 256):
+    """Distribution-free mergeable approximate quantiles: one KLL
+    sketch per BLOCK (state is O(k log(n/k)) floats — the only thing
+    that ever moves), merged on the driver. The sketch complement of
+    histogram_registers (which needs a known [lo, hi] range).
+    Returns pd.DataFrame (q, value, n)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        s = KLLSketch(k)
+        s.update_many(np.asarray(batch[col], dtype=np.float64))
+        rows = s.to_rows()
+        # level -1 marker row carries this block's item count; data
+        # rows carry 0 so stream batching can never double-count
+        lvl = np.concatenate([rows["level"].to_numpy(), [-1]])
+        val = np.concatenate([rows["value"].to_numpy(), [0.0]])
+        n = np.concatenate([np.zeros(len(rows), np.int64), [s.n]])
+        return pa.table({"level": pa.array(lvl.astype(np.int64)),
+                         "value": pa.array(val),
+                         "n": pa.array(n)})
+
+    agg = (ds.select_columns([col])
+           .map_batches(partial, batch_format="pyarrow").to_pandas())
+    total = KLLSketch(k)
+    total.n = int(agg["n"].sum())
+    data = agg[agg["level"] >= 0]
+    mx = int(data["level"].max()) if len(data) else 0
+    total.levels = [[] for _ in range(mx + 1)]
+    for lvl, v in zip(data["level"].to_numpy(np.int64),
+                      data["value"].to_numpy(np.float64)):
+        total.levels[int(lvl)].append(float(v))
+    # compact to a fixpoint (merging many blocks can overflow several
+    # levels at once; each pass strictly shrinks total weight-carrying
+    # buffer length, so this terminates)
+    while any(len(b) > total._cap(lv)
+              for lv, b in enumerate(total.levels)):
+        total._compact()
+    return pd.DataFrame({
+        "q": list(qs),
+        "value": [total.quantile(q) for q in qs],
+        "n": np.full(len(qs), total.n, np.int64)})
