@@ -11723,3 +11723,136 @@ def kll_value_quantiles(sf_dir: str):
 
 
 QUERIES["kll_value_quantiles"] = kll_value_quantiles
+
+
+def users_all_event_types(sf_dir: str):
+    """RELATIONAL DIVISION (the FOR-ALL quantifier joins can't
+    express): users who performed EVERY event type in the catalog.
+    Distinct (user, type) pre-combined per batch, one grouped distinct
+    count, exact integer comparison against the catalog size (itself a
+    distinct count — no hardcoded 5)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        gp = (pa.table({"u": batch["user_id"].cast(pa.int64()),
+                        "t": batch["event_type"]})
+              .group_by(["u", "t"]).aggregate([]))
+        u = np.asarray(gp["u"], dtype=np.int64)
+        return pa.table({
+            "u": pa.array(u), "t": gp["t"],
+            "part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "t"])
+        vals, cnts = np.unique(g["u"].to_numpy(np.int64),
+                               return_counts=True)
+        return pd.DataFrame({"u": vals,
+                             "n_types": cnts.astype(np.int64)})
+
+    per_user = (ds.map_batches(pre, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(sweep, batch_format="pandas"))
+    n_catalog = ds.map_batches(
+        lambda b: pa.table({"t": pa.table({"t": b["event_type"]})
+                            .group_by("t").aggregate([])["t"]}),
+        batch_format="pyarrow").groupby("t").count().count()
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_types"], dtype=np.int64)
+        keep = n == np.int64(n_catalog)
+        return pa.table({
+            "user_id": pa.array(np.asarray(batch["u"],
+                                           np.int64)[keep]),
+            "n_types": pa.array(n[keep])})
+
+    return per_user.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["users_all_event_types"] = users_all_event_types
+ORACLE_SQL["users_all_event_types"] = """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    HAVING count(DISTINCT event_type)
+           = (SELECT count(DISTINCT event_type) FROM events)
+"""
+
+
+def abandoned_clicks(sf_dir: str):
+    """NEGATIVE sequence pattern (the funnel complement): click events
+    NOT followed by a purchase from the same user within one hour —
+    abandonment detection. The earliest purchase at/after each click
+    comes from the existing forward as-of machinery; the pattern is
+    'no match OR match beyond the window', so the as-of join's null
+    semantics carry the decision. Hash-checks clicks + the boolean
+    vs a NOT-EXISTS mirror."""
+    from tldr_ray.stages.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        m = np.asarray(pc.equal(batch["event_type"], "click"))
+        return pa.table({
+            "event_id": pa.array(np.asarray(batch["event_id"],
+                                            np.int64)[m]),
+            "user_id": pa.array(np.asarray(batch["user_id"],
+                                           np.int64)[m]),
+            "ts": batch["ts"].filter(pa.array(m))})
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        m = np.asarray(pc.equal(batch["event_type"], "purchase"))
+        return pa.table({
+            "p_id": pa.array(np.asarray(batch["event_id"],
+                                        np.int64)[m]),
+            "p_user": pa.array(np.asarray(batch["user_id"],
+                                          np.int64)[m]),
+            "p_ts": batch["ts"].filter(pa.array(m))})
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["p_id", "user_id", "p_ts"])
+
+    ck = ev.map_batches(clicks, batch_format="pyarrow")
+    pu = ev.map_batches(purchases, batch_format="pyarrow") \
+        .map_batches(ren, batch_format="pyarrow")
+    j = asof_join_forward(ck, pu, on="user_id", left_ts="ts",
+                          right_ts="p_ts", tiebreak="p_id",
+                          how="left")
+
+    HOUR = np.int64(3_600_000_000)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        # asof_join_forward returns both ts columns as int64 epoch-us;
+        # unmatched LEFT rows carry a null p_id and a sentinel p_ts,
+        # so match-presence reads off p_id validity
+        ts = np.asarray(batch["ts"].cast(pa.int64()), np.int64)
+        havep = np.asarray(pc.is_valid(batch["p_id"]))
+        ptsv = np.asarray(batch["p_ts"].cast(pa.int64()).fill_null(0),
+                          np.int64)
+        abandoned = ~(havep & (ptsv <= ts + HOUR))
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": pa.array(ts),
+            "abandoned": pa.array(abandoned)})
+
+    return j.map_batches(decide, batch_format="pyarrow")
+
+
+QUERIES["abandoned_clicks"] = abandoned_clicks
+ORACLE_SQL["abandoned_clicks"] = """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           NOT EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = e.user_id
+                 AND p.event_type = 'purchase'
+                 AND p.ts >= e.ts
+                 AND epoch_us(p.ts) <= epoch_us(e.ts) + 3600000000)
+               AS abandoned
+    FROM events e WHERE e.event_type = 'click'
+"""

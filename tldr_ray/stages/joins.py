@@ -671,6 +671,12 @@ def asof_join_forward(left, right, on: str, left_ts: str,
                 v = batch[c].to_numpy()
                 if v.dtype.kind == "M":
                     v = v.astype("datetime64[us]").view(np.int64)
+                if v.dtype.kind == "f":
+                    # how="left" unmatched rows are NaN here; park a
+                    # sentinel instead of a NaN->int cast warning (the
+                    # join's null right-side id is the validity signal)
+                    v = np.where(np.isnan(v), np.float64(
+                        np.iinfo(np.int64).min), v)
                 batch[c] = -v.astype(np.int64)
         return batch
 
