@@ -11856,3 +11856,95 @@ ORACLE_SQL["abandoned_clicks"] = """
                AS abandoned
     FROM events e WHERE e.event_type = 'click'
 """
+
+
+def hive_partitioned_clicks(sf_dir: str):
+    """Hive-style partitioned LAYOUT end to end: events written
+    key-partitioned (event_type=... dirs — the write-side cost that
+    makes per-key scans free forever after), then ONLY the click
+    partition's directory is opened — the other four partitions are
+    never read, the layout-level complement of zone-map (range) and
+    hash-index (point) pruning. The partition column reconstructs
+    from the directory key; every column hash-checks vs the plain
+    filter."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_hive/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    _read(sf_dir, "events").write_parquet(
+        out, partition_cols=["event_type"])
+    back = rd.read_parquet(f"{out}/event_type=click")
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+            "value": batch["value"],
+            "props": batch["props"]})
+
+    return back.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["hive_partitioned_clicks"] = hive_partitioned_clicks
+ORACLE_SQL["hive_partitioned_clicks"] = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE event_type = 'click'
+"""
+
+
+def bucketed_layout_join_orders(sf_dir: str):
+    """SHUFFLE-FREE storage-layout join (stages.joins.
+    bucket_layout_join — Hive bucketed-join semantics): orders and
+    customer both written hash-bucketed on custkey
+    (sinks.build_hash_index, same bucket count + hash), then joined
+    by zipping bucket PAIRS — no exchange at query time; the layout
+    paid the shuffle once at write. Hash-checks every joined row vs
+    the plain SQL join."""
+    import hashlib
+    import shutil
+
+    from tldr_ray.sinks import build_hash_index
+    from tldr_ray.stages.joins import bucket_layout_join
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/tldr_ray_bljoin/{key}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+            "c_acctbal": batch["c_acctbal"]})
+
+    def oren(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_totalprice": batch["o_totalprice"]})
+
+    build_hash_index(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(oren, batch_format="pyarrow"),
+        f"{base}/orders", "custkey", num_buckets=32)
+    build_hash_index(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(ren, batch_format="pyarrow"),
+        f"{base}/customer", "custkey", num_buckets=32)
+    return bucket_layout_join(f"{base}/orders", f"{base}/customer",
+                              on="custkey")
+
+
+QUERIES["bucketed_layout_join_orders"] = bucketed_layout_join_orders
+ORACLE_SQL["bucketed_layout_join_orders"] = """
+    SELECT o_orderkey, o_custkey AS custkey, o_totalprice,
+           c_mktsegment, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""

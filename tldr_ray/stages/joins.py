@@ -991,3 +991,59 @@ def auto_join(left, right, on: str, how: str = "inner",
         return batch.merge(r, on=on, how=how, suffixes=suffixes)
 
     return left.map_batches(merge, batch_format="pandas")
+
+
+def bucket_layout_join(path_a: str, path_b: str, on: str,
+                       how: str = "inner", suffixes=("_l", "_r")):
+    """SHUFFLE-FREE join of two PRE-BUCKETED layouts (Hive bucketed
+    join / Iceberg bucket-transform semantics): both directories were
+    written by ``sinks.build_hash_index`` with the SAME num_buckets
+    and the same key hash, so bucket i of A can only match bucket i
+    of B — each task zips one bucket pair with a local pandas merge
+    and NO data crosses tasks. The storage layout IS the shuffle,
+    paid once at write time and amortized over every subsequent join.
+    Raises if the layouts' bucket counts or key columns disagree."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    mans = []
+    for p in (path_a, path_b):
+        with open(os.path.join(p, "_hashindex.json")) as fh:
+            mans.append(json.load(fh))
+    if mans[0]["num_buckets"] != mans[1]["num_buckets"]:
+        raise ValueError("bucket counts differ: "
+                         f"{mans[0]['num_buckets']} vs "
+                         f"{mans[1]['num_buckets']}")
+    if mans[0]["key_col"] != on or mans[1]["key_col"] != on:
+        raise ValueError(
+            f"layouts are bucketed on {mans[0]['key_col']}/"
+            f"{mans[1]['key_col']}, not {on}")
+    if how != "inner":
+        raise NotImplementedError(
+            "bucket_layout_join supports how='inner' (outer variants "
+            "need the absent side's schema; use bucketed_hash_join)")
+    pa_ = {int(b) for b in mans[0]["buckets"]}
+    pb_ = {int(b) for b in mans[1]["buckets"]}
+    want = sorted(pa_ & pb_)
+
+    def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in batch["bucket"]:
+            fa = os.path.join(path_a, f"bucket_{int(b):05d}.parquet")
+            fb = os.path.join(path_b, f"bucket_{int(b):05d}.parquet")
+            la = pq.read_table(fa).to_pandas()
+            rb = pq.read_table(fb).to_pandas()
+            outs.append(la.merge(rb, on=on, how="inner",
+                                 suffixes=suffixes))
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    ids = rd.from_arrow(pa.table({
+        "bucket": pa.array(want, pa.int64())})) \
+        .repartition(max(len(want), 1))
+    return ids.map_batches(join_bucket, batch_format="pandas",
+                           batch_size=1)
