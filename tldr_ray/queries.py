@@ -11651,8 +11651,11 @@ def dayover_user_overlap(sf_dir: str):
         return pd.DataFrame({"day": vals,
                              "inter": cnts.astype(np.int64)})
 
-    pairs = (_read(sf_dir, "events", ["user_id", "ts"])
-             .map_batches(prep, batch_format="pyarrow")
+    prepped = (_read(sf_dir, "events", ["user_id", "ts"])
+               .map_batches(prep, batch_format="pyarrow")
+               .materialize())   # distinct-ish (u, d) rows, reused twice
+
+    pairs = (prepped
              .groupby("part")
              .map_groups(sweep, batch_format="pandas")
              .groupby("day")
@@ -11665,8 +11668,7 @@ def dayover_user_overlap(sf_dir: str):
                                return_counts=True)
         return pd.DataFrame({"day": vals, "n": cnts.astype(np.int64)})
 
-    sizes = (_read(sf_dir, "events", ["user_id", "ts"])
-             .map_batches(prep, batch_format="pyarrow")
+    sizes = (prepped
              .map_batches(lambda t: t.append_column(
                  "dpart", pa.array((np.asarray(t["d"], np.int64)
                                     % 64).astype(np.int32))),
