@@ -2183,3 +2183,42 @@ def test_kll_sketch_rank_error_and_merge_law():
         r = (vals <= got).mean()
         assert abs(r - q) < 0.05, (q, got, want, r)
     assert int(out["n"].iloc[0]) == 20_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dbscan_recovers_planted_blobs():
+    """Three tight Gaussian blobs + uniform noise: every blob lands in
+    ONE cluster (all members share a label, distinct across blobs);
+    noise points are labeled -1."""
+    import ray.data as rd
+
+    from tldr_ray.stages.ann import dbscan_embeddings
+
+    rng = np.random.default_rng(21)
+    dim, per = 16, 30
+    centers = rng.standard_normal((3, dim)) * 3.0
+    pts, truth = [], []
+    for ci, c in enumerate(centers):
+        pts.append(c + rng.standard_normal((per, dim)) * 0.02)
+        truth += [ci] * per
+    noise = rng.standard_normal((15, dim)) * 5.0
+    pts.append(noise)
+    truth += [-1] * 15
+    mat = np.concatenate(pts).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(truth)), pa.int64()),
+        "embedding": pa.array(list(mat))})).repartition(4)
+    out = dbscan_embeddings(ds, cos_eps=0.95, min_pts=4,
+                            num_planes=8)
+    lab = dict(zip(out["id"], out["cluster_id"]))
+    blob_labels = []
+    for ci in range(3):
+        ids = [i for i, t in enumerate(truth) if t == ci]
+        ls = {lab[i] for i in ids}
+        assert len(ls) == 1 and -1 not in ls, (ci, ls)
+        blob_labels.append(ls.pop())
+    assert len(set(blob_labels)) == 3
+    noise_ids = [i for i, t in enumerate(truth) if t == -1]
+    # random noise at cosine 0.95: overwhelmingly labeled -1
+    noise_ok = sum(1 for i in noise_ids if lab[i] == -1)
+    assert noise_ok >= len(noise_ids) - 1

@@ -11950,3 +11950,20 @@ ORACLE_SQL["bucketed_layout_join_orders"] = """
            c_mktsegment, c_acctbal
     FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+
+def dbscan_embeddings_clusters(sf_dir: str):
+    """Density-based clustering over the embeddings table
+    (stages.ann.dbscan_embeddings — LSH eps-neighbor pairs -> core
+    points by degree -> CC over the core-core graph -> border
+    attachment; the SemDeDup-style curation shape). Rows-only (LSH
+    blocking recall); the pytest pins planted Gaussian blobs
+    recovered against uniform noise."""
+    from tldr_ray.stages.ann import dbscan_embeddings
+
+    return dbscan_embeddings(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        cos_eps=0.92, min_pts=3)
+
+
+QUERIES["dbscan_embeddings_clusters"] = dbscan_embeddings_clusters

@@ -714,3 +714,153 @@ def knn_pq_rerank(ds, queries: np.ndarray, query_ids: np.ndarray,
     return _topk_reduce(
         ds.select_columns([id_col, emb_col])
         .map_batches(exact_on_cands, batch_format="pyarrow"), k)
+
+
+def dbscan_embeddings(ds, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      cos_eps: float = 0.92, min_pts: int = 4,
+                      num_planes: int = 10, max_bucket: int = 2000,
+                      seed: int = 13):
+    """Density-based clustering (DBSCAN) over an embedding column —
+    the SemDeDup-style curation shape (cluster dense semantic regions,
+    keep representatives, flag noise): a point is CORE when it has
+    >= min_pts neighbors at cosine >= cos_eps; clusters are connected
+    components of the core-core eps-graph; non-core points with a
+    core neighbor attach as BORDER to that core's cluster (min
+    cluster id for determinism); everything else is NOISE (-1).
+
+    Distributed entirely from existing machinery: the eps-neighbor
+    pairs come from the random-hyperplane LSH blocking + exact
+    within-bucket verification (stages.dedup.embedding_cosine_pairs —
+    approximate RECALL, like every LSH blocker; raise num_planes /
+    max_bucket to tighten), degrees are one small groupby over pair
+    endpoints, and the component step is the counted-size-gated
+    union-find <-> distributed-CC path (stages.dedup.resolve_clusters).
+    Returns pd.DataFrame (id, cluster_id, role) with cluster_id = -1
+    for noise and role in {core, border, noise}."""
+    from tldr_ray.stages.dedup import (embedding_cosine_pairs,
+                                       resolve_clusters)
+
+    # LSH amplification: L independent plane sets, union of verified
+    # pairs, distinct — a single plane set drops every pair whose
+    # bucket bits differ (a blob straddling one hyperplane splits its
+    # eps-graph), and DBSCAN's components are only as good as the
+    # blocker's recall. P(edge missed by all L reps) decays
+    # geometrically.
+    reps = 3
+    un = None
+    for r in range(reps):
+        p = embedding_cosine_pairs(
+            ds, id_col=id_col, emb_col=emb_col, threshold=cos_eps,
+            num_planes=num_planes, max_bucket=max_bucket,
+            seed=seed + 101 * r)
+        un = p if un is None else un.union(p)
+    pairs = (un.groupby(["id_a", "id_b"]).min("cosine")
+             .map_batches(lambda t: t.rename_columns(
+                 ["id_a", "id_b", "cosine"]),
+                 batch_format="pyarrow")
+             .materialize())
+
+    # neighbor degrees: one tiny groupby over both endpoints
+    def ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0
+        return pa.table({"id": pa.array(
+            np.concatenate([a[keep], b[keep]]))})
+
+    deg = (pairs.map_batches(ends, batch_format="pyarrow")
+           .groupby("id").count().to_pandas())
+    degrees = dict(zip(deg["id"].astype(np.int64),
+                       deg["count()"].astype(np.int64)))
+    core = {i for i, d in degrees.items() if d >= min_pts}
+
+    # core-core edges -> components
+    core_arr = np.sort(np.asarray(list(core), dtype=np.int64)) \
+        if core else np.zeros(0, np.int64)
+
+    def core_edges(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0
+        a, b = a[keep], b[keep]
+        if core_arr.size:
+            pa_i = np.clip(np.searchsorted(core_arr, a), 0,
+                           core_arr.size - 1)
+            pb_i = np.clip(np.searchsorted(core_arr, b), 0,
+                           core_arr.size - 1)
+            m = (core_arr[pa_i] == a) & (core_arr[pb_i] == b)
+        else:
+            m = np.zeros(a.shape, bool)
+        return pa.table({"id_a": pa.array(a[m]),
+                         "id_b": pa.array(b[m])})
+
+    cc = resolve_clusters(pairs.map_batches(core_edges,
+                                            batch_format="pyarrow"))
+    # vectorized label map; isolated core points (no core neighbor)
+    # default to singleton clusters labeled by their own id
+    lab_keys = cc["id"].to_numpy(np.int64) if len(cc) \
+        else np.zeros(0, np.int64)
+    lab_vals = cc["cluster_id"].to_numpy(np.int64) if len(cc) \
+        else np.zeros(0, np.int64)
+    order = np.argsort(lab_keys)
+    lab_keys, lab_vals = lab_keys[order], lab_vals[order]
+
+    def _lab(x: np.ndarray) -> np.ndarray:
+        out = x.copy()                      # singleton default
+        if lab_keys.size and x.size:
+            pos = np.clip(np.searchsorted(lab_keys, x), 0,
+                          lab_keys.size - 1)
+            hit = lab_keys[pos] == x
+            out[hit] = lab_vals[pos[hit]]
+        return out
+
+    def _is_core(x: np.ndarray) -> np.ndarray:
+        if not core_arr.size or not x.size:
+            return np.zeros(x.shape, bool)
+        pos = np.clip(np.searchsorted(core_arr, x), 0,
+                      core_arr.size - 1)
+        return core_arr[pos] == x
+
+    # border attachment: non-core endpoint of a core pair takes the
+    # MIN neighboring core's cluster id — accumulated vectorized,
+    # never a per-pair Python loop
+    bp, bl = [], []
+    for batch in pairs.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        keep = a >= 0
+        a, b = a[keep], b[keep]
+        ca, cb = _is_core(a), _is_core(b)
+        m1 = cb & ~ca                       # a is a border candidate
+        m2 = ca & ~cb                       # b is a border candidate
+        bp.append(np.concatenate([a[m1], b[m2]]))
+        bl.append(np.concatenate([_lab(b[m1]), _lab(a[m2])]))
+    bp = np.concatenate(bp) if bp else np.zeros(0, np.int64)
+    bl = np.concatenate(bl) if bl else np.zeros(0, np.int64)
+    if bp.size:
+        border_min = pd.Series(bl).groupby(bp).min()
+        bkeys = border_min.index.to_numpy(np.int64)
+        bvals = border_min.to_numpy(np.int64)
+    else:
+        bkeys = np.zeros(0, np.int64)
+        bvals = np.zeros(0, np.int64)
+
+    ids = np.asarray(ds.select_columns([id_col]).to_pandas()[id_col],
+                     dtype=np.int64)
+    is_core = _is_core(ids)
+    cl = np.full(ids.size, -1, np.int64)
+    cl[is_core] = _lab(ids[is_core])
+    if bkeys.size:
+        pos = np.clip(np.searchsorted(bkeys, ids), 0, bkeys.size - 1)
+        is_border = (bkeys[pos] == ids) & ~is_core
+        cl[is_border] = bvals[pos[is_border]]
+    else:
+        is_border = np.zeros(ids.shape, bool)
+    role = np.where(is_core, "core",
+                    np.where(is_border, "border", "noise"))
+    return pd.DataFrame({
+        "id": ids,
+        "cluster_id": cl,
+        "role": pd.Series(role, dtype=object)})
