@@ -11958,7 +11958,10 @@ def dbscan_embeddings_clusters(sf_dir: str):
     points by degree -> CC over the core-core graph -> border
     attachment; the SemDeDup-style curation shape). Rows-only (LSH
     blocking recall); the pytest pins planted Gaussian blobs
-    recovered against uniform noise."""
+    recovered against uniform noise. NOTE the driver's synthetic
+    embeddings are isotropic (same-label mean cosine ~0, measured), so
+    the all-noise labeling this returns on them IS the correct
+    answer — density structure is exercised by the pytest fixture."""
     from tldr_ray.stages.ann import dbscan_embeddings
 
     return dbscan_embeddings(

@@ -771,8 +771,12 @@ def dbscan_embeddings(ds, id_col: str = "vec_id",
 
     deg = (pairs.map_batches(ends, batch_format="pyarrow")
            .groupby("id").count().to_pandas())
-    degrees = dict(zip(deg["id"].astype(np.int64),
-                       deg["count()"].astype(np.int64)))
+    if len(deg):
+        degrees = dict(zip(deg["id"].astype(np.int64),
+                           deg["count()"].astype(np.int64)))
+    else:
+        degrees = {}          # 0 pairs: to_pandas drops columns (the
+        core = set()          # known 0-row gotcha) — everything noise
     core = {i for i, d in degrees.items() if d >= min_pts}
 
     # core-core edges -> components
