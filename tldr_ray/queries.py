@@ -11970,3 +11970,62 @@ def dbscan_embeddings_clusters(sf_dir: str):
 
 
 QUERIES["dbscan_embeddings_clusters"] = dbscan_embeddings_clusters
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """CORRELATED scalar subquery shape (o_totalprice > the customer's
+    own average): the per-customer mean is a grouped exact-moment
+    aggregate (sum cents, count) joined back by broadcast; the
+    comparison cross-multiplies integers (cents * n > sum * 1) so no
+    float average ever exists on either side — the decorrelation every
+    engine performs, expressed as two streaming passes."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)))})
+
+    base = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    agg = (base.groupby("o_custkey")
+           .aggregate(Sum("cents", alias_name="s"),
+                      Count(alias_name="n")).to_pandas())
+    ks = agg["o_custkey"].to_numpy(np.int64)
+    order = np.argsort(ks)
+    ref = ray.put((ks[order], agg["s"].to_numpy(np.int64)[order],
+                   agg["n"].to_numpy(np.int64)[order]))
+
+    def decide(batch: pa.Table) -> pa.Table:
+        k, s, n = ray.get(ref)
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        c = np.asarray(batch["cents"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(k, ck), 0, max(k.size - 1, 0))
+        keep = (k.size > 0) & (k[pos] == ck) & (c * n[pos] > s[pos])
+        return pa.table({
+            "o_orderkey": pa.array(np.asarray(
+                batch["o_orderkey"], np.int64)[keep]),
+            "o_custkey": pa.array(ck[keep]),
+            "cents": pa.array(c[keep])})
+
+    return base.map_batches(decide, batch_format="pyarrow")
+
+
+QUERIES["orders_above_customer_avg"] = orders_above_customer_avg
+ORACLE_SQL["orders_above_customer_avg"] = """
+    WITH cs AS (SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders o JOIN cs ON cs.o_custkey = o.o_custkey
+    WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * cs.n
+          > cs.s
+"""
