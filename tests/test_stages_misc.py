@@ -2222,3 +2222,21 @@ def test_dbscan_recovers_planted_blobs():
     # random noise at cosine 0.95: overwhelmingly labeled -1
     noise_ok = sum(1 for i in noise_ids if lab[i] == -1)
     assert noise_ok >= len(noise_ids) - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_evolved_guards_type_change(tmp_path):
+    """Same column name with a DIFFERENT type across versions must
+    refuse loudly, never cast silently."""
+    import pyarrow.parquet as pq
+
+    from tldr_ray.sources.tabular import read_evolved
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
+                   str(a / "f.parquet"))
+    pq.write_table(pa.table({"k": pa.array(["x"], pa.string())}),
+                   str(b / "f.parquet"))
+    with pytest.raises(ValueError, match="changes type"):
+        read_evolved([str(a), str(b)])

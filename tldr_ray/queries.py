@@ -12029,3 +12029,49 @@ ORACLE_SQL["orders_above_customer_avg"] = """
     WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * cs.n
           > cs.s
 """
+
+
+def schema_evolution_orders(sf_dir: str):
+    """SCHEMA EVOLUTION end to end (sources.tabular.read_evolved):
+    two layout versions of orders — v1 written before o_orderpriority
+    existed (even orderkeys), v2 with it (odd) — load as ONE dataset
+    on the union schema, v1 rows null-filling the column they
+    predate (Iceberg/Delta add-column semantics). Hash-checks every
+    row incl. the nulls vs a CASE mirror."""
+    import hashlib
+    import shutil
+
+    from tldr_ray.sources.tabular import read_evolved
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/tldr_ray_evolve/{key}"
+    shutil.rmtree(base, ignore_errors=True)
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def v1(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        m = pa.array(k % 2 == 0)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].filter(m),
+            "o_totalprice": batch["o_totalprice"].filter(m)})
+
+    def v2(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        m = pa.array(k % 2 == 1)
+        return batch.filter(m)
+
+    ds.map_batches(v1, batch_format="pyarrow").write_parquet(
+        f"{base}/v1")
+    ds.map_batches(v2, batch_format="pyarrow").write_parquet(
+        f"{base}/v2")
+    return read_evolved([f"{base}/v1", f"{base}/v2"])
+
+
+QUERIES["schema_evolution_orders"] = schema_evolution_orders
+ORACLE_SQL["schema_evolution_orders"] = """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+"""

@@ -298,3 +298,57 @@ def read_point_lookup(path: str, keys,
             "files_total": int(manifest["num_buckets"]),
             "buckets_present": len(present)}
     return out, info
+
+
+def read_evolved(paths: list, parallelism: int = -1):
+    """SCHEMA-EVOLUTION read: parquet files/directories written at
+    different schema versions (columns added over time) load as ONE
+    Dataset on the UNION schema, older files null-filling the columns
+    they predate — the Iceberg/Delta add-column semantics plain
+    ``read_parquet`` refuses (it requires one schema). Column identity
+    is BY NAME; a column must keep its type across versions (loud
+    ValueError otherwise — silent casts hide corruption). Each
+    version's files read through their own pruned scan; alignment is
+    a per-batch null-append, then a zero-copy union."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    filesets = []
+    for p in paths:
+        fs = sorted(_glob.glob(os.path.join(p, "*.parquet"))) \
+            if os.path.isdir(p) else [p]
+        if not fs:
+            raise FileNotFoundError(f"no parquet under {p}")
+        filesets.append(fs)
+    schemas = [pq.read_schema(fs[0]) for fs in filesets]
+    union: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name in union and union[f.name] != f.type:
+                raise ValueError(
+                    f"column {f.name!r} changes type across versions: "
+                    f"{union[f.name]} vs {f.type}")
+            union.setdefault(f.name, f.type)
+    names = list(union)
+
+    out = None
+    for fs, sch in zip(filesets, schemas):
+        have = set(sch.names)
+        missing = [n for n in names if n not in have]
+
+        def align(batch: pa.Table, _missing=tuple(missing)):
+            for n in _missing:
+                batch = batch.append_column(
+                    n, pa.nulls(batch.num_rows, union[n]))
+            return batch.select(names)
+
+        ds = rd.read_parquet(fs, parallelism=parallelism,
+                             schema=pa.schema(
+                                 [pa.field(n, union[n])
+                                  for n in names if n in have]))
+        ds = ds.map_batches(align, batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out
