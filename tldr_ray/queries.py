@@ -12075,3 +12075,65 @@ ORACLE_SQL["schema_evolution_orders"] = """
                 ELSE o_orderpriority END AS o_orderpriority
     FROM orders
 """
+
+
+def winsorized_value_sums(sf_dir: str):
+    """Per-group WINSORIZATION (robust-stats cousin of the IQR/MAD
+    outlier family): clamp each event's value to its type's [p5, p95]
+    discrete quantiles — exact order statistics from the value-counts
+    sweep, broadcast back, vectorized least/greatest — then exact
+    clamped cent sums per type. Everything integer or an actual
+    element; hash-checks against quantile_disc + least/greatest."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "c": pa.array(_cents(np.asarray(batch["value"],
+                                            dtype=np.float64)))})
+
+    base = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    q = grouped_quantiles(base, "event_type", "c",
+                          qs=(0.05, 0.95)).to_pandas()
+    ref = ray.put((q["event_type"].tolist(),
+                   q["p5"].to_numpy(np.int64),
+                   q["p95"].to_numpy(np.int64)))
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        types, lov_t, hiv_t = ray.get(ref)
+        idx = np.asarray(pc.index_in(
+            batch["event_type"],
+            value_set=pa.array(types, pa.string())), dtype=np.int64)
+        c = np.asarray(batch["c"], dtype=np.int64)
+        lov, hiv = lov_t[idx], hiv_t[idx]
+        return pa.table({
+            "event_type": batch["event_type"],
+            "w": pa.array(np.minimum(np.maximum(c, lov), hiv))})
+
+    return (base.map_batches(clamp, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("w", alias_name="winsorized_cents"),
+                       Count(alias_name="n_events")))
+
+
+QUERIES["winsorized_value_sums"] = winsorized_value_sums
+ORACLE_SQL["winsorized_value_sums"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    q AS (SELECT event_type,
+                 quantile_disc(c, 0.05) AS lo,
+                 quantile_disc(c, 0.95) AS hi
+          FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(sum(least(greatest(c.c, q.lo), q.hi)) AS BIGINT)
+               AS winsorized_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM c JOIN q ON q.event_type = c.event_type
+    GROUP BY c.event_type
+"""
