@@ -12137,3 +12137,40 @@ ORACLE_SQL["winsorized_value_sums"] = """
     FROM c JOIN q ON q.event_type = c.event_type
     GROUP BY c.event_type
 """
+
+
+def jw_name_pairs(sf_dir: str):
+    """Jaro-Winkler-scored similarity join: the FastSS
+    edit-distance-1 candidate pairs re-scored with the gated Winkler
+    prefix boost (kernel.distance.jaro_winkler — fuzz-pinned
+    bit-equal to DuckDB's jaro_winkler_similarity, so the float
+    scores hash-match). Scoring is per-pair on the verified
+    candidate set only (19.5k pairs at sf0.01), never the corpus."""
+    from tldr_ray.kernel.distance import jaro_winkler
+    from tldr_ray.stages.dedup import edit_distance_pairs
+
+    pairs = edit_distance_pairs(
+        _read(sf_dir, "customer", ["c_name"]), col="c_name")
+
+    def score(batch: pa.Table) -> pa.Table:
+        w1 = batch["w1"].to_pylist()
+        w2 = batch["w2"].to_pylist()
+        return pa.table({
+            "w1": batch["w1"], "w2": batch["w2"],
+            "jw": pa.array([jaro_winkler(a, b)
+                            for a, b in zip(w1, w2)],
+                           pa.float64())})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES["jw_name_pairs"] = jw_name_pairs
+ORACLE_SQL["jw_name_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+    SELECT a.w AS w1, b.w AS w2,
+           jaro_winkler_similarity(a.w, b.w) AS jw
+    FROM v a JOIN v b
+      ON a.w < b.w
+     AND abs(length(a.w) - length(b.w)) <= 1
+     AND levenshtein(a.w, b.w) = 1
+"""
