@@ -12174,3 +12174,72 @@ ORACLE_SQL["jw_name_pairs"] = """
      AND abs(length(a.w) - length(b.w)) <= 1
      AND levenshtein(a.w, b.w) = 1
 """
+
+
+def hourly_autocorr_lag24(sf_dir: str):
+    """Daily-periodicity signal: Pearson autocorrelation of the hourly
+    event-count series at lag 24 h. The distributed part is one
+    grouped count; the moments are EXACT integers over the aligned
+    (h, h+24) pairs (products of counts fit int64 with room), and the
+    statistic is one fixed float chain with an IEEE sqrt — identical
+    token-for-token in the SQL mirror, so the float hash-matches."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({"hour": pa.array(us // HOUR)})
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="c"))
+         .to_pandas())
+    hours = h["hour"].to_numpy(np.int64)
+    cnt = h["c"].to_numpy(np.int64)
+    order = np.argsort(hours)
+    hours, cnt = hours[order], cnt[order]
+    # dense range (missing hours count 0), aligned pairs at lag 24
+    lo, hi = int(hours.min()), int(hours.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[hours - lo] = cnt
+    x = dense[:-24].astype(object)          # python ints: exact moments
+    y = dense[24:].astype(object)
+    n = len(dense) - 24
+    sx, sy = int(sum(x)), int(sum(y))
+    sxx = int(sum(a * a for a in x))
+    syy = int(sum(a * a for a in y))
+    sxy = int(sum(a * b for a, b in zip(x, y)))
+    num = np.float64(n * sxy - sx * sy)
+    den = np.sqrt(np.float64(n * sxx - sx * sx)
+                  * np.float64(n * syy - sy * sy))
+    r = num / den
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "r_lag24": pa.array([float(r)], pa.float64())})
+
+
+QUERIES["hourly_autocorr_lag24"] = hourly_autocorr_lag24
+ORACLE_SQL["hourly_autocorr_lag24"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds),
+    dense AS (SELECT g.hour, coalesce(h.c, 0) AS c
+              FROM grid g LEFT JOIN h ON h.hour = g.hour),
+    pairs AS (SELECT a.c AS x, b.c AS y
+              FROM dense a JOIN dense b ON b.hour = a.hour + 24),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pairs)
+    SELECT n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r_lag24
+    FROM m
+"""
