@@ -10798,72 +10798,82 @@ ORACLE_SQL["event_trigram_paths"] = """
 def fd_audit_lineitem(sf_dir: str):
     """Functional-dependency discovery (profiling / schema inference):
     does column A determine column B? A -> B holds iff
-    |distinct(A)| == |distinct(A, B)|. Each candidate FD costs two
-    exact distinct counts, both as per-batch unique pre-combines (the
-    shuffle moves distinct keys, never rows) + a tiny count; report =
-    (lhs, rhs, n_lhs, n_pairs, holds). Probes a true FD (orderkey ->
-    orderkey%10 — derived, always holds), a key-like near-FD and a
-    false one, so both outcomes appear in the hash."""
-    from ray.data.aggregate import Count
+    |distinct(A)| == |distinct(A, B)|. ALL candidate FDs ride ONE
+    read + ONE exchange: each batch emits its locally-unique key rows
+    per (case, side) TAGGED with the case id (the shuffle moves
+    distinct keys, never rows, and the shared lhs l_orderkey is
+    counted once and reused), partition tasks dedupe their
+    (tag, hash-slice) and emit one count each, a tiny per-tag Sum
+    finishes — 6 distinct-count executions fused into 1 (12.8 s ->
+    ~3 s at sf0.1). Probes a derived always-true FD and two false
+    ones so both outcomes land in the hash."""
+    from ray.data.aggregate import Sum
 
-    cases = [
-        ("l_orderkey", "l_returnflag"),     # false: flags vary per order?
-        ("l_partkey", "l_suppkey"),         # false in synth
-        ("l_orderkey", "derived_decile"),   # true by construction
-    ]
+    # tag -> column tuple ("derived_decile" = l_orderkey % 10)
+    TAGS = {0: ("l_orderkey",),
+            1: ("l_orderkey", "l_returnflag"),
+            2: ("l_partkey",),
+            3: ("l_partkey", "l_suppkey"),
+            4: ("l_orderkey", "derived_decile")}
+    cases = [("l_orderkey", "l_returnflag", 0, 1),
+             ("l_partkey", "l_suppkey", 2, 3),
+             ("l_orderkey", "derived_decile", 0, 4)]
 
-    def distinct_count(cols, derive=False):
-        def uniq(batch: pa.Table) -> pa.Table:
-            arrs = []
-            for c in cols:
-                if c == "derived_decile":
-                    v = np.asarray(batch["l_orderkey"],
-                                   dtype=np.int64) % 10
-                    arrs.append(v.astype(str).astype(object))
-                else:
-                    # type-agnostic: distinct cardinality is preserved
-                    # under the injective str() of ints/strings
-                    arrs.append(np.asarray(batch[c]).astype(str)
-                                .astype(object))
-            if len(arrs) == 1:
-                u = np.unique(arrs[0])
-                return pa.table({"k1": pa.array(u, pa.string())})
-            u = np.unique(pd.MultiIndex.from_arrays(arrs))
-            return pa.table({
-                "k1": pa.array([x[0] for x in u], pa.string()),
-                "k2": pa.array([x[1] for x in u], pa.string())})
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
 
-        read_cols = sorted({("l_orderkey" if c == "derived_decile"
-                             else c) for c in cols})
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-        # coarse-sweep exact distinct: a per-key groupby here pays
-        # Ray's micro-group tax on 10^5 string keys; 64 partition
-        # tasks each dedup their slice and emit ONE count
-        from tldr_ray.hashing import part_key
+    def uniq_all(batch: pa.Table) -> pa.Table:
+        # int64 identity per column value (ints verbatim, strings via
+        # the shared vectorized FNV); pair identity = splitmix-mixed
+        # combination — 64-bit identities as exact-enough distinct
+        # keys, the same contract the shingle pipelines use
+        ids = {}
+        for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+            ids[c] = np.asarray(batch[c], dtype=np.int64) \
+                .view(np.uint64)
+        ids["l_returnflag"] = fnv1a_batch(batch["l_returnflag"])
+        ids["derived_decile"] = (
+            np.asarray(batch["l_orderkey"], dtype=np.int64) % 10
+        ).view(np.uint64)
+        out_tag, out_k = [], []
+        for tag, cs in TAGS.items():
+            if len(cs) == 1:
+                k = _mix64(ids[cs[0]])
+            else:
+                k = _mix64(_mix64(ids[cs[0]]) ^ (ids[cs[1]] * GOLD))
+            u = np.unique(k)
+            out_tag.append(np.full(u.size, tag, np.int8))
+            out_k.append(u)
+        tag = np.concatenate(out_tag)
+        k = np.concatenate(out_k)
+        part = (tag.astype(np.int32) * 64
+                + (k % np.uint64(64)).astype(np.int32))
+        return pa.table({
+            "tag": pa.array(tag),
+            "k": pa.array(k.view(np.int64)),
+            "part": pa.array(part)})
 
-        def with_part(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "part", pa.array(part_key(batch["k1"], 64)))
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tag": [np.int8(g["tag"].iloc[0])],
+            "n": [np.int64(np.unique(g["k"].to_numpy()).size)]})
 
-        def count_part(g: pd.DataFrame) -> pd.DataFrame:
-            cols_ = [c for c in ("k1", "k2") if c in g.columns]
-            return pd.DataFrame({
-                "n": [np.int64(len(g.drop_duplicates(cols_)))]})
-
-        from ray.data.aggregate import Sum
-
-        agg = (_read(sf_dir, "lineitem", read_cols)
-               .map_batches(uniq, batch_format="pyarrow")
-               .map_batches(with_part, batch_format="pyarrow")
-               .groupby("part")
-               .map_groups(count_part, batch_format="pandas")
-               .aggregate(Sum("n", alias_name="n")))
-        return int(agg["n"])
+    counts = (_read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_partkey",
+                     "l_suppkey"])
+              .map_batches(uniq_all, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(count_part, batch_format="pandas")
+              .groupby("tag").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    n_by_tag = dict(zip(counts["tag"].astype(int),
+                        counts["n"].astype(int)))
 
     rows = []
-    for lhs, rhs in cases:
-        n_lhs = distinct_count([lhs])
-        n_pairs = distinct_count([lhs, rhs])
+    for lhs, rhs, tl, tp in cases:
+        n_lhs, n_pairs = n_by_tag[tl], n_by_tag[tp]
         rows.append((lhs, rhs, n_lhs, n_pairs, n_lhs == n_pairs))
     return pa.table({
         "lhs": pa.array([r[0] for r in rows], pa.string()),
