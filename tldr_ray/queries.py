@@ -12253,3 +12253,78 @@ ORACLE_SQL["hourly_autocorr_lag24"] = """
                       * CAST(n * syy - sy * sy AS DOUBLE)) AS r_lag24
     FROM m
 """
+
+
+def click_to_purchase_latency(sf_dir: str):
+    """Conversion-latency percentiles (the funnel-latency companion to
+    abandoned_clicks): per click, the time to the user's EARLIEST
+    at-or-after purchase (forward as-of), then exact discrete
+    latency quantiles — deltas are integer microseconds, the order
+    statistics actual elements, so everything hash-matches. Ties on
+    purchase ts give identical deltas, so the mirror's tie order is
+    irrelevant."""
+    from tldr_ray.stages.agg import grouped_quantiles
+    from tldr_ray.stages.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def side(tp: str, prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = np.asarray(pc.equal(batch["event_type"], tp))
+            return pa.table({
+                f"{prefix}id": pa.array(np.asarray(
+                    batch["event_id"], np.int64)[m]),
+                "user_id" if prefix == "" else "p_user":
+                    pa.array(np.asarray(batch["user_id"],
+                                        np.int64)[m]),
+                f"{prefix}ts": batch["ts"].filter(pa.array(m))})
+        return fn
+
+    ck = ev.map_batches(side("click", ""), batch_format="pyarrow")
+
+    def pren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["p_id", "user_id", "p_ts"])
+
+    pu = ev.map_batches(side("purchase", "p_"),
+                        batch_format="pyarrow") \
+        .map_batches(pren, batch_format="pyarrow")
+    j = asof_join_forward(ck, pu, on="user_id", left_ts="ts",
+                          right_ts="p_ts", tiebreak="p_id",
+                          how="inner")
+
+    def delta(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.int64()), np.int64)
+        pts = np.asarray(batch["p_ts"].cast(pa.int64()), np.int64)
+        return pa.table({
+            "g": pa.array(np.zeros(ts.size, np.int64)),
+            "d": pa.array(pts - ts)})
+
+    deltas = j.map_batches(delta, batch_format="pyarrow").materialize()
+    n = deltas.count()
+    q = grouped_quantiles(deltas, "g", "d",
+                          qs=(0.25, 0.5, 0.75)).to_pandas()
+    return pa.table({
+        "n_converted": pa.array([int(n)], pa.int64()),
+        "p25_us": pa.array([int(q["p25"].iloc[0])], pa.int64()),
+        "p50_us": pa.array([int(q["p50"].iloc[0])], pa.int64()),
+        "p75_us": pa.array([int(q["p75"].iloc[0])], pa.int64())})
+
+
+QUERIES["click_to_purchase_latency"] = click_to_purchase_latency
+ORACLE_SQL["click_to_purchase_latency"] = """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (SELECT c.event_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) AS d,
+                 row_number() OVER (PARTITION BY c.event_id
+                                    ORDER BY p.ts) AS rn
+          FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(d, 0.25) AS BIGINT) AS p25_us,
+           CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(d, 0.75) AS BIGINT) AS p75_us
+    FROM j WHERE rn = 1
+"""
