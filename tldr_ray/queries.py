@@ -12328,3 +12328,78 @@ ORACLE_SQL["click_to_purchase_latency"] = """
            CAST(quantile_disc(d, 0.75) AS BIGINT) AS p75_us
     FROM j WHERE rn = 1
 """
+
+
+def bigint128_price_moment(sf_dir: str):
+    """EXACT beyond-int64 aggregation: the second raw moment of
+    lineitem prices in cents (sum of c^2) overflows int64 at real
+    scale, so each block folds its partial in arbitrary-precision
+    Python ints (exact, GIL-cheap — one fold per block, not per row:
+    the per-row squares sum in int64-safe float128-free chunks of
+    numpy before the python fold) and the driver's fold emits the
+    DECIMAL STRING — the two-limb contract DuckDB's HUGEINT mirrors
+    verbatim. Also returns the row count so the hash pins both."""
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["l_extendedprice"],
+                              dtype=np.float64))
+        # block-local exact fold: int64 products can overflow at
+        # block granularity only past ~2e18; chunk to stay exact,
+        # then one python-int fold per chunk
+        tot = 0
+        CH = 4096
+        for i in range(0, c.size, CH):
+            seg = c[i:i + CH].astype(object)
+            tot += int(np.sum(seg * seg))
+        return pa.table({
+            "s": pa.array([str(tot)], pa.string()),
+            "n": pa.array([c.size], pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem", ["l_extendedprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    total = sum(int(s) for s in parts["s"])
+    return pa.table({
+        "sum_cents_sq": pa.array([str(total)], pa.string()),
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64())})
+
+
+QUERIES["bigint128_price_moment"] = bigint128_price_moment
+ORACLE_SQL["bigint128_price_moment"] = """
+    SELECT CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS HUGEINT)
+                    * CAST(floor(l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS VARCHAR) AS sum_cents_sq,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+"""
+
+
+def doc_length_log_histogram(sf_dir: str):
+    """Log2-bucketed document-length histogram per language (the
+    power-law profile every curation dashboard wants): bucket =
+    bit_length(n_chars), computed EXACTLY and vectorized via
+    np.frexp's binary exponent (int -> float64 is exact below 2^53,
+    frexp is exact, so no log2-at-boundary misrounding); the mirror
+    counts binary-string digits (length(printf('%b', n))) — two
+    different exact formulations of the same integer."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_chars"], dtype=np.int64)
+        b = np.frexp(np.maximum(v, 1).astype(np.float64))[1]
+        return pa.table({"lang": batch["lang"],
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    return (_read(sf_dir, "documents", ["lang", "n_chars"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+QUERIES["doc_length_log_histogram"] = doc_length_log_histogram
+ORACLE_SQL["doc_length_log_histogram"] = """
+    SELECT lang,
+           CAST(length(printf('%b', greatest(n_chars, 1)))
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+"""
