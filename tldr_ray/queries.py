@@ -12403,3 +12403,36 @@ ORACLE_SQL["doc_length_log_histogram"] = """
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY 1, 2
 """
+
+
+def events_by_weekday(sf_dir: str):
+    """Calendar profile: exact event counts and cent sums per weekday,
+    the day-of-week derived PURELY arithmetically on both sides
+    ((epoch_days + 4) % 7, anchored to 1970-01-01 = Thursday) so no
+    engine calendar/locale/timezone machinery can disagree."""
+    from ray.data.aggregate import Count, Sum
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "weekday": pa.array((us // DAY + 4) % 7),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    return (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("weekday")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="cents")))
+
+
+QUERIES["events_by_weekday"] = events_by_weekday
+ORACLE_SQL["events_by_weekday"] = """
+    SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY 1
+"""
