@@ -1,0 +1,107 @@
+"""Forced-past-gate equality tests for the graph broadcast gates.
+
+Every graph op that broadcasts an O(V)/O(E) table behind the COUNTED
+gate (graph/gate.py) must produce IDENTICAL output on its join path.
+``broadcast_limit_rows=0`` forces past the gate; the default takes the
+broadcast path on these tiny inputs — so each test runs both and pins
+row-for-row equality (VERDICT r4 item 1).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def edge_ds(pairs):
+    import ray.data as rd
+
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    return rd.from_arrow(pa.table({
+        "src": src, "dst": dst,
+        "weight": np.ones(len(pairs), np.float64)}))
+
+
+def synth_edges(n_v=40, n_e=160, seed=7):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(0, n_v, n_e)
+    d = rng.randint(0, n_v, n_e)
+    keep = s != d
+    return list(zip(s[keep].tolist(), d[keep].tolist()))
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGateEquality:
+    def test_random_walks_join_path(self):
+        from tldr_ray.graph.walks import random_walks
+
+        pairs = synth_edges()
+        a = random_walks(edge_ds(pairs), walk_len=3).to_pandas()
+        b = random_walks(edge_ds(pairs), walk_len=3,
+                         broadcast_limit_rows=0).to_pandas()
+        cols = ["start", "step", "vertex"]
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+
+    def test_node2vec_join_path(self):
+        from tldr_ray.graph.walks import node2vec_walks
+
+        pairs = synth_edges(n_v=30, n_e=120, seed=11)
+        a = node2vec_walks(edge_ds(pairs), walk_len=3).to_pandas()
+        b = node2vec_walks(edge_ds(pairs), walk_len=3,
+                           broadcast_limit_rows=0).to_pandas()
+        cols = ["start", "step", "vertex"]
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+
+    def test_assortativity_join_path(self):
+        from tldr_ray.graph.triangles import degree_assortativity
+
+        pairs = synth_edges(seed=23)
+        m1, s1a, s2a, s11a, r1 = degree_assortativity(edge_ds(pairs))
+        m2, s1b, s2b, s11b, r2 = degree_assortativity(
+            edge_ds(pairs), broadcast_limit_rows=0)
+        assert (m1, s1a, s2a, s11a) == (m2, s1b, s2b, s11b)
+        assert r1 == r2   # one IEEE division of equal ints: bit-equal
+
+    def test_edge_support_join_path(self):
+        import ray.data as rd
+        from tldr_ray.graph.triangles import edge_support
+
+        pairs = sorted({(min(a, b), max(a, b))
+                        for a, b in synth_edges(seed=3)})
+        und = rd.from_arrow(pa.table({
+            "a": np.array([p[0] for p in pairs], np.int64),
+            "b": np.array([p[1] for p in pairs], np.int64)}))
+        a = edge_support(und, broadcast_degrees=True).to_pandas()
+        b = edge_support(und, broadcast_degrees=False).to_pandas()
+        c = edge_support(und).to_pandas()     # auto gate (broadcast here)
+        d = edge_support(und, broadcast_limit_rows=0).to_pandas()  # forced
+        cols = ["u", "v"]
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(b, cols))
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(c, cols))
+        pd.testing.assert_frame_equal(_sorted(a, cols), _sorted(d, cols))
+
+    def test_triangle_counts_auto_gate_forced(self):
+        from tldr_ray.graph import triangle_counts
+
+        pairs = synth_edges(seed=5)
+        t_a, pv_a = triangle_counts(edge_ds(pairs))  # auto -> broadcast
+        t_f, pv_f = triangle_counts(edge_ds(pairs),
+                                    broadcast_limit_rows=0)  # auto -> join
+        assert t_a == t_f
+        a = _sorted(pv_a.to_pandas(), ["vertex"])
+        b = _sorted(pv_f.to_pandas(), ["vertex"])
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_reciprocity_join_path(self):
+        from tldr_ray.queries import reciprocity_hashgraph
+
+        a = reciprocity_hashgraph(SF).to_pandas()
+        b = reciprocity_hashgraph(SF, broadcast_limit_rows=0).to_pandas()
+        pd.testing.assert_frame_equal(a, b)

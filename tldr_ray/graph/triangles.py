@@ -33,7 +33,8 @@ def _orient(a, b, da, db):
     return np.where(a_first, a, b), np.where(a_first, b, a)
 
 
-def triangle_counts(edges, broadcast_degrees: bool = True):
+def triangle_counts(edges, broadcast_degrees: bool | None = None,
+                    broadcast_limit_rows: int | None = None):
     """edges: Dataset (src, dst[, weight]) interpreted as undirected.
 
     Returns (total:int, per_vertex Dataset(vertex:int64, triangles:int64)).
@@ -41,15 +42,19 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
     ``broadcast_degrees=True`` ships the degree table to every orient
     task as a PACKED pair of numpy arrays (sorted vertex ids +
     degrees; 16 bytes/vertex, looked up via ``searchsorted``) — far
-    denser than a Python dict, but still O(V) per worker: fine up to
-    ~100M vertices. ``broadcast_degrees=False`` replaces the broadcast
-    with two bucketed hash joins of the degree table onto the edge
-    endpoints — two extra shuffles, no per-worker O(V) state; use it
-    when the vertex set itself is too big to broadcast.
+    denser than a Python dict, but still O(V) per worker.
+    ``broadcast_degrees=False`` replaces the broadcast with two
+    bucketed hash joins of the degree table onto the edge endpoints —
+    two extra shuffles, no per-worker O(V) state. The default (None)
+    is the COUNTED auto gate (graph.gate.fits_broadcast): broadcast
+    while the degree table fits ``broadcast_limit_rows`` (2M), join
+    past it. Both paths are pinned equal by tests/test_graph_engine.
     """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.gate import fits_broadcast
 
     def undirect(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch["src"], dtype=np.int64)
@@ -73,8 +78,12 @@ def triangle_counts(edges, broadcast_degrees: bool = True):
     degrees = (
         und.map_batches(degree_rows, batch_format="pyarrow")
         .groupby("vertex").aggregate(Sum("n", alias_name="degree"))
+        .materialize()
     )
 
+    if broadcast_degrees is None:
+        _, broadcast_degrees = fits_broadcast(degrees,
+                                              broadcast_limit_rows)
     if broadcast_degrees:
         deg_df = degrees.to_pandas()
         order = np.argsort(deg_df["vertex"].to_numpy())
@@ -334,7 +343,7 @@ def common_neighbors(edges, max_degree: int | None = None):
                                             batch_format="pandas")
 
 
-def degree_assortativity(edges):
+def degree_assortativity(edges, broadcast_limit_rows: int | None = None):
     """Degree assortativity coefficient (Pearson correlation of
     endpoint degrees over the SYMMETRIC directed edge set — Newman
     2002, public formula) computed from exact integer moment sums:
@@ -347,11 +356,16 @@ def degree_assortativity(edges):
     ~2^63 of that, move partials to float128 or split the sum.
 
     Degrees broadcast as packed sorted arrays (the triangle_counts
-    idiom; same flip-to-bucketed-join note applies at O(V) > RAM).
+    idiom) while the COUNTED degree table fits ``broadcast_limit_rows``
+    (graph.gate, 2M default); past the gate they arrive via two
+    bucketed hash joins onto the edge endpoints instead — no O(V)
+    state anywhere. Both paths bit-equal (tests/test_graph_gates.py).
 
     Returns (m_edges, s1, s2, s11, assortativity float)."""
     import ray
     from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.gate import fits_broadcast
 
     def undirect(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch["src"], dtype=np.int64)
@@ -372,25 +386,59 @@ def degree_assortativity(edges):
         return pa.table({"vertex": pa.array(vu),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    deg = und.map_batches(degree_rows, batch_format="pyarrow") \
+    deg_ds = und.map_batches(degree_rows, batch_format="pyarrow") \
         .groupby("vertex").aggregate(Sum("n", alias_name="deg")) \
-        .to_pandas()
-    verts = deg["vertex"].to_numpy(np.int64)
-    ds_ = deg["deg"].to_numpy(np.int64)
-    order = np.argsort(verts)
-    dref = ray.put((verts[order], ds_[order]))
+        .materialize()
+    _, bcast = fits_broadcast(deg_ds, broadcast_limit_rows)
 
-    def moments(batch: pa.Table) -> pa.Table:
-        vs, dg = ray.get(dref)
-        du = dg[np.searchsorted(vs, np.asarray(batch["a"], np.int64))]
-        dv = dg[np.searchsorted(vs, np.asarray(batch["b"], np.int64))]
+    def _moments_tbl(n, du, dv):
         return pa.table({
-            "m": pa.array([2 * len(batch)], pa.int64()),
+            "m": pa.array([2 * n], pa.int64()),
             "s1": pa.array([int((du + dv).sum())], pa.int64()),
             "s2": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
             "s11": pa.array([int(2 * (du * dv).sum())], pa.int64())})
 
-    agg = und.map_batches(moments, batch_format="pyarrow").aggregate(
+    if bcast:
+        deg = deg_ds.to_pandas()
+        verts = deg["vertex"].to_numpy(np.int64)
+        ds_ = deg["deg"].to_numpy(np.int64)
+        order = np.argsort(verts)
+        dref = ray.put((verts[order], ds_[order]))
+
+        def moments(batch: pa.Table) -> pa.Table:
+            vs, dg = ray.get(dref)
+            du = dg[np.searchsorted(
+                vs, np.asarray(batch["a"], np.int64))]
+            dv = dg[np.searchsorted(
+                vs, np.asarray(batch["b"], np.int64))]
+            return _moments_tbl(len(batch), du, dv)
+
+        src = und.map_batches(moments, batch_format="pyarrow")
+    else:
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        def rename_deg(col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns([col, f"deg_{col}"])
+            return fn
+
+        with_da = bucketed_hash_join(
+            und, deg_ds.map_batches(rename_deg("a"),
+                                    batch_format="pyarrow"), on="a")
+        with_db = bucketed_hash_join(
+            with_da, deg_ds.map_batches(rename_deg("b"),
+                                        batch_format="pyarrow"),
+            on="b")
+
+        def moments_joined(batch: pa.Table) -> pa.Table:
+            du = np.asarray(batch["deg_a"], np.int64)
+            dv = np.asarray(batch["deg_b"], np.int64)
+            return _moments_tbl(len(batch), du, dv)
+
+        src = with_db.map_batches(moments_joined,
+                                  batch_format="pyarrow")
+
+    agg = src.aggregate(
         Sum("m", alias_name="m"), Sum("s1", alias_name="s1"),
         Sum("s2", alias_name="s2"), Sum("s11", alias_name="s11"))
     m, s1, s2, s11 = (int(agg["m"]), int(agg["s1"]),
@@ -400,7 +448,8 @@ def degree_assortativity(edges):
     return m, s1, s2, s11, r
 
 
-def edge_support(und, broadcast_degrees: bool = True):
+def edge_support(und, broadcast_degrees: bool | None = None,
+                 broadcast_limit_rows: int | None = None):
     """Per-edge triangle support of an undirected DISTINCT edge set
     ``und`` (Dataset (a, b) with a < b): for every edge, how many
     triangles contain it. Same plan as ``triangle_counts`` (degree
@@ -408,10 +457,16 @@ def edge_support(und, broadcast_degrees: bool = True):
     but each CLOSED wedge emits its three edges, so the grouped sum is
     keyed on edges, not vertices. Edges in no triangle are absent from
     the output (support 0) — callers that need zeros outer-join back.
+
+    ``broadcast_degrees`` as in ``triangle_counts``: None (default) is
+    the COUNTED auto gate — packed-array broadcast while the degree
+    table fits ``broadcast_limit_rows``, two bucketed degree joins
+    past it (no O(V) state). Paths pinned equal in tests.
     """
     import ray
     from ray.data.aggregate import Sum
 
+    from tldr_ray.graph.gate import fits_broadcast
     from tldr_ray.graph.partition import vhash
 
     def degree_rows(batch: pa.Table) -> pa.Table:
@@ -421,26 +476,59 @@ def edge_support(und, broadcast_degrees: bool = True):
         return pa.table({"vertex": vu, "n": cnt.astype(np.int64)})
 
     degrees = (und.map_batches(degree_rows, batch_format="pyarrow")
-               .groupby("vertex").aggregate(Sum("n", alias_name="degree")))
-    deg_df = degrees.to_pandas()
-    order = np.argsort(deg_df["vertex"].to_numpy())
-    deg_ref = ray.put((deg_df["vertex"].to_numpy(np.int64)[order],
-                       deg_df["degree"].to_numpy(np.int64)[order]))
+               .groupby("vertex").aggregate(Sum("n", alias_name="degree"))
+               .materialize())
+    if broadcast_degrees is None:
+        _, broadcast_degrees = fits_broadcast(degrees,
+                                              broadcast_limit_rows)
 
-    class Orient:
-        def __init__(self):
-            self.vids, self.degs = ray.get(deg_ref)
+    if broadcast_degrees:
+        deg_df = degrees.to_pandas()
+        order = np.argsort(deg_df["vertex"].to_numpy())
+        deg_ref = ray.put((deg_df["vertex"].to_numpy(np.int64)[order],
+                           deg_df["degree"].to_numpy(np.int64)[order]))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+        class Orient:
+            def __init__(self):
+                self.vids, self.degs = ray.get(deg_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = np.asarray(batch["a"], dtype=np.int64)
+                b = np.asarray(batch["b"], dtype=np.int64)
+                da = self.degs[np.searchsorted(self.vids, a)]
+                db = self.degs[np.searchsorted(self.vids, b)]
+                src, dst = _orient(a, b, da, db)
+                return pa.table({"src": src, "dst": dst})
+
+        oriented = und.map_batches(Orient, batch_format="pyarrow",
+                                   concurrency=2).materialize()
+    else:
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        def rename_deg(col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns([col, f"deg_{col}"])
+            return fn
+
+        with_da = bucketed_hash_join(
+            und, degrees.map_batches(rename_deg("a"),
+                                     batch_format="pyarrow"), on="a")
+        with_db = bucketed_hash_join(
+            with_da, degrees.map_batches(rename_deg("b"),
+                                         batch_format="pyarrow"),
+            on="b")
+
+        def orient_joined(batch: pa.Table) -> pa.Table:
             a = np.asarray(batch["a"], dtype=np.int64)
             b = np.asarray(batch["b"], dtype=np.int64)
-            da = self.degs[np.searchsorted(self.vids, a)]
-            db = self.degs[np.searchsorted(self.vids, b)]
+            da = np.asarray(batch["deg_a"], dtype=np.int64)
+            db = np.asarray(batch["deg_b"], dtype=np.int64)
             src, dst = _orient(a, b, da, db)
             return pa.table({"src": src, "dst": dst})
 
-    oriented = und.map_batches(Orient, batch_format="pyarrow",
-                               concurrency=2).materialize()
+        oriented = with_db.map_batches(orient_joined,
+                                       batch_format="pyarrow") \
+            .materialize()
 
     NP = np.uint64(64)
 

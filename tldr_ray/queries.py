@@ -7001,45 +7001,91 @@ ORACLE_SQL["lang_vocab_richness"] = """
 """
 
 
-def reciprocity_hashgraph(sf_dir: str):
+def reciprocity_hashgraph(sf_dir: str,
+                          broadcast_limit_rows: int | None = None):
     """Directed-graph reciprocity: the share of distinct directed
     edges whose reverse also exists — exact integer counts (distinct
-    directed edges vs mutual edges via one composite-key membership
-    probe), one IEEE division. The canonical directed-structure audit
-    (link graphs: how much of the web links back)."""
+    directed edges vs mutual edges), one IEEE division. The canonical
+    directed-structure audit (link graphs: how much of the web links
+    back).
+
+    COUNTED gate (graph.gate.fits_broadcast): while the distinct key
+    set fits it broadcasts as one sorted array and every block probes
+    via searchsorted; past the gate the reverse-key membership runs as
+    ONE tagged-union co-shuffle — each key emits itself as a MARKER
+    row and its reverse as a PROBE row, both hash-partitioned on the
+    probed composite, and each partition counts probe-marker matches
+    locally. No O(E) state anywhere on the join path; both paths
+    pinned equal in tests/test_graph_gates.py."""
     import ray
     from ray.data.aggregate import Sum
 
+    from tldr_ray.graph.gate import fits_broadcast
+    from tldr_ray.graph.partition import vhash
+
     edges = _hash_graph_edges(sf_dir)
+    N = np.int64(1 << 21)
 
     def dedup(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch["src"], dtype=np.int64)
         d = np.asarray(batch["dst"], dtype=np.int64)
-        N = np.int64(1 << 21)
         key = np.unique(s * N + d)
         return pa.table({"key": pa.array(key)})
 
     distinct = edges.map_batches(dedup, batch_format="pyarrow") \
         .groupby("key").count().select_columns(["key"]).materialize()
-    keys = np.sort(distinct.to_pandas()["key"].to_numpy(np.int64))
-    kref = ray.put(keys)
-    N = np.int64(1 << 21)
+    ne, bcast = fits_broadcast(distinct, broadcast_limit_rows)
 
-    def mutual(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        k = np.asarray(batch["key"], dtype=np.int64)
-        rev = (k % N) * N + (k // N)
-        pos = np.clip(np.searchsorted(ks, rev), 0, max(ks.size - 1, 0))
-        m = ks.size > 0
-        hit = (ks[pos] == rev) if m else np.zeros(k.shape, bool)
-        return pa.table({
-            "n_mutual": pa.array(np.array([int(hit.sum())], np.int64)),
-            "n_edges": pa.array(np.array([k.size], np.int64))})
+    if bcast:
+        keys = np.sort(distinct.to_pandas()["key"].to_numpy(np.int64))
+        kref = ray.put(keys)
 
-    agg = distinct.map_batches(mutual, batch_format="pyarrow") \
-        .aggregate(Sum("n_mutual", alias_name="n_mutual"),
-                   Sum("n_edges", alias_name="n_edges"))
-    nm, ne = int(agg["n_mutual"]), int(agg["n_edges"])
+        def mutual(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            k = np.asarray(batch["key"], dtype=np.int64)
+            rev = (k % N) * N + (k // N)
+            if ks.size == 0:
+                hit_n = 0
+            else:
+                pos = np.clip(np.searchsorted(ks, rev), 0, ks.size - 1)
+                hit_n = int((ks[pos] == rev).sum())
+            return pa.table({
+                "n_mutual": pa.array([hit_n], pa.int64())})
+
+        agg = distinct.map_batches(mutual, batch_format="pyarrow") \
+            .aggregate(Sum("n_mutual", alias_name="n_mutual"))
+    else:
+        NPART = np.uint64(64)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch["key"], dtype=np.int64)
+            rev = (k % N) * N + (k // N)
+            pk = np.concatenate([k, rev])
+            side = np.concatenate([np.zeros(k.size, np.int8),
+                                   np.ones(k.size, np.int8)])
+            return pa.table({
+                "part": pa.array((vhash(pk) % NPART).astype(np.int32)),
+                "pk": pa.array(pk), "side": pa.array(side)})
+
+        def sweep(g: pd.DataFrame) -> pd.DataFrame:
+            pk = g["pk"].to_numpy(np.int64)
+            side = g["side"].to_numpy(np.int8)
+            markers = np.unique(pk[side == 0])
+            probes = pk[side == 1]
+            if markers.size == 0 or probes.size == 0:
+                hit_n = 0
+            else:
+                pos = np.clip(np.searchsorted(markers, probes), 0,
+                              markers.size - 1)
+                hit_n = int((markers[pos] == probes).sum())
+            return pd.DataFrame({
+                "n_mutual": pd.Series([hit_n], dtype=np.int64)})
+
+        agg = distinct.map_batches(tag, batch_format="pyarrow") \
+            .groupby("part").map_groups(sweep, batch_format="pandas") \
+            .aggregate(Sum("n_mutual", alias_name="n_mutual"))
+
+    nm = int(agg["n_mutual"])
     return pa.table({
         "n_edges": pa.array([ne], pa.int64()),
         "n_mutual": pa.array([nm], pa.int64()),
