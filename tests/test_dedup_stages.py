@@ -324,3 +324,25 @@ def test_set_similarity_join_lossless_vs_bruteforce():
                 want[(i, j)] = len(a & b) / u
     assert got_pairs == want
     assert (0, 60) in got_pairs and got_pairs[(0, 60)] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_similarity_join_oversized_bucket_raises():
+    """The EXACT contract is enforced: a prefix-shingle bucket larger
+    than max_bucket RAISES by default (silent truncation would lose
+    qualifying pairs); oversized='truncate' opts into the loss."""
+    import ray.data as rd
+
+    from tldr_ray.stages.dedup import set_similarity_join
+
+    # every doc shares the same 3 words => one shingle bucket of 8 > 2
+    texts = [f"alpha beta gamma tail{i}" for i in range(8)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}))
+    with pytest.raises(Exception, match="max_bucket"):
+        set_similarity_join(ds, k=3, max_bucket=2).materialize()
+    # explicit opt-in truncates without raising
+    out = set_similarity_join(ds, k=3, max_bucket=2,
+                              oversized="truncate").to_pandas()
+    assert len(out) >= 0   # runs; recall loss accepted explicitly

@@ -463,6 +463,19 @@ def test_auto_join_paths_equal():
                             broadcast_limit_rows=1000).to_pandas())
         bk = norm(auto_join(left, right, "k", how=how,
                             broadcast_limit_rows=0).to_pandas())
-        bc = bc.astype(bk.dtypes.to_dict())
-        pd.testing.assert_frame_equal(bc, bk)
+        # dtypes must agree too — no cast-away slack: both paths are
+        # pandas merges, so NaN-promotion on left joins is identical
+        pd.testing.assert_frame_equal(bc, bk, check_dtype=True)
         assert (len(bc) == 4) if how == "inner" else (len(bc) == 5)
+
+    # numeric right column on a left join: the NaN fill promotes to
+    # float64 on BOTH paths (identical frames incl. dtype)
+    right_num = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "c": pa.array([7, 8, 9, 4], pa.int64())})).repartition(2)
+    bc = norm(auto_join(left, right_num, "k", how="left",
+                        broadcast_limit_rows=1000).to_pandas())
+    bk = norm(auto_join(left, right_num, "k", how="left",
+                        broadcast_limit_rows=0).to_pandas())
+    pd.testing.assert_frame_equal(bc, bk, check_dtype=True)
+    assert bc["c"].dtype == np.float64 and bc["c"].isna().sum() == 1

@@ -12061,8 +12061,11 @@ def orders_above_customer_avg(sf_dir: str):
         k, s, n = ray.get(ref)
         ck = np.asarray(batch["o_custkey"], dtype=np.int64)
         c = np.asarray(batch["cents"], dtype=np.int64)
-        pos = np.clip(np.searchsorted(k, ck), 0, max(k.size - 1, 0))
-        keep = (k.size > 0) & (k[pos] == ck) & (c * n[pos] > s[pos])
+        if k.size == 0:           # numpy & is eager: k[pos] would raise
+            keep = np.zeros(ck.size, bool)
+        else:
+            pos = np.clip(np.searchsorted(k, ck), 0, k.size - 1)
+            keep = (k[pos] == ck) & (c * n[pos] > s[pos])
         return pa.table({
             "o_orderkey": pa.array(np.asarray(
                 batch["o_orderkey"], np.int64)[keep]),

@@ -776,7 +776,7 @@ def dbscan_embeddings(ds, id_col: str = "vec_id",
                            deg["count()"].astype(np.int64)))
     else:
         degrees = {}          # 0 pairs: to_pandas drops columns (the
-        core = set()          # known 0-row gotcha) — everything noise
+                              # known 0-row gotcha) — everything noise
     core = {i for i, d in degrees.items() if d >= min_pts}
 
     # core-core edges -> components

@@ -1334,7 +1334,8 @@ def set_similarity_join(ds, id_col: str = "doc_id",
                         threshold_num: int = 1, threshold_den: int = 2,
                         num_partitions: int = 64,
                         max_bucket: int = 10_000,
-                        broadcast_pairs_limit: int = 2_000_000):
+                        broadcast_pairs_limit: int = 2_000_000,
+                        oversized: str = "raise"):
     """EXACT all-pairs set-similarity join: every document pair whose
     k-word-shingle sets have Jaccard >= threshold_num/threshold_den —
     no LSH, no recall loss. Blocking is the lossless PREFIX FILTER
@@ -1361,7 +1362,18 @@ def set_similarity_join(ds, id_col: str = "doc_id",
     then the shared semi-joined verify shuffle (_verify_pairs)
     recomputes TRUE Jaccard on full shingle sets of candidate
     endpoints only. Output (id_a, id_b, jaccard).
+
+    The EXACT contract is enforced, not assumed: a prefix shingle
+    shared by more than ``max_bucket`` docs would force truncating its
+    candidate pairs (losing qualifying output), so by default
+    (``oversized="raise"``) the join FAILS LOUDLY naming the oversized
+    bucket sizes — raise ``max_bucket``, raise ``k``, or drop
+    boilerplate first. ``oversized="truncate"`` opts into the lossy
+    cut explicitly (each oversized bucket keeps its ``max_bucket``
+    smallest (df, hash)-ordered rows) and is NOT exact.
     """
+    if oversized not in ("raise", "truncate"):
+        raise ValueError("oversized must be 'raise' or 'truncate'")
     import pyarrow.compute as pc
 
     from tldr_ray.graph.partition import vhash
@@ -1464,7 +1476,15 @@ def set_similarity_join(ds, id_col: str = "doc_id",
             seg[1:] = h[1:] != h[:-1]
         starts = np.flatnonzero(seg)
         sizes = np.diff(np.append(starts, len(g)))
-        ia, ib, _ = _segment_pair_indices(sizes, starts, max_bucket)
+        ia, ib, trunc = _segment_pair_indices(sizes, starts, max_bucket)
+        if trunc and oversized == "raise":
+            raise ValueError(
+                "set_similarity_join: prefix-shingle bucket(s) of "
+                f"size {sorted(trunc, reverse=True)[:5]} exceed "
+                f"max_bucket={max_bucket}; truncating them would lose "
+                "qualifying pairs (the join is documented EXACT). "
+                "Raise max_bucket, raise k, or pass "
+                "oversized='truncate' to accept the recall loss.")
         a, b = doc[ia], doc[ib]
         key = _mix64(a.view(np.uint64)
                      ^ (b.view(np.uint64)

@@ -672,12 +672,16 @@ def asof_join_forward(left, right, on: str, left_ts: str,
                 if v.dtype.kind == "M":
                     v = v.astype("datetime64[us]").view(np.int64)
                 if v.dtype.kind == "f":
-                    # how="left" unmatched rows are NaN here; park a
-                    # sentinel instead of a NaN->int cast warning (the
-                    # join's null right-side id is the validity signal)
-                    v = np.where(np.isnan(v), np.float64(
-                        np.iinfo(np.int64).min), v)
-                batch[c] = -v.astype(np.int64)
+                    # how="left" unmatched rows are NaN here; park the
+                    # FINAL sentinel after the negation (negating
+                    # int64.min would rely on wraparound), the join's
+                    # null right-side id stays the validity signal
+                    nan = np.isnan(v)
+                    out = -np.where(nan, 0.0, v).astype(np.int64)
+                    out[nan] = np.iinfo(np.int64).min
+                    batch[c] = out
+                else:
+                    batch[c] = -v.astype(np.int64)
         return batch
 
     return out.map_batches(unneg, batch_format="pandas")
