@@ -1657,9 +1657,10 @@ def _language_id_oracle_sql() -> str:
 ORACLE_SQL["language_id_docs"] = _language_id_oracle_sql()
 
 
-def _quality_scores_oracle_sql() -> str:
+def _quality_scores_oracle_sql(src: str = "documents") -> str:
     """Mirror stages.text_analysis.QualityScore op-for-op (same IEEE
-    operation order, so doubles hash-match exactly)."""
+    operation order, so doubles hash-match exactly). ``src`` lets the
+    pipeline mirrors score a derived CTE (e.g. normalized text)."""
     from tldr_ray.stages.text_analysis import _LANG_STOPWORDS
 
     stops = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS["en"]))
@@ -1668,7 +1669,7 @@ def _quality_scores_oracle_sql() -> str:
         SELECT doc_id, w FROM (
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
-            FROM documents)
+            FROM {src})
         WHERE w != ''
     ),
     agg AS (
@@ -1689,7 +1690,7 @@ def _quality_scores_oracle_sql() -> str:
                    * 1.0 / greatest(length(d.text), 1) AS punct_ratio,
                len(regexp_extract_all(d.text, '\\p{{Nd}}')) * 1.0
                    / greatest(length(d.text), 1) AS digit_ratio
-        FROM documents d LEFT JOIN agg a USING (doc_id)
+        FROM {src} d LEFT JOIN agg a USING (doc_id)
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            stopword_ratio, unique_token_ratio, punct_ratio, digit_ratio,
@@ -6581,9 +6582,12 @@ def pretraining_mix_pipeline(sf_dir: str):
     """Composed pretraining-mix preparation
     (pipelines.prepare_pretraining_mix): normalize -> per-language
     median quality gate -> per-language token budget (longest first)
-    -> deterministic token-budget shard packing. Rows-only by nature
-    (composed pipeline); the pytest oracle pins monotone stage counts
-    and the packing invariants."""
+    -> deterministic token-budget shard packing. End-to-end
+    hash-checked (round-4 verdict item 4): the mirror composes the
+    already-proven stage CTEs — the normalize chain, the op-for-op
+    IEEE quality score over the NORMALIZED text, quantile_disc median
+    gate, the longest-first windowed budget cap, and the
+    prefix-sum-before packing scan."""
     from tldr_ray.pipelines import prepare_pretraining_mix
 
     packed, _ = prepare_pretraining_mix(
@@ -6591,7 +6595,49 @@ def pretraining_mix_pipeline(sf_dir: str):
     return packed
 
 
+def _pretraining_mix_oracle_sql(lang_budget: int = 2000,
+                                shard_budget: int = 512) -> str:
+    # normalize mirror: trim->collapse == collapse-then-trim (runs of
+    # \s become one space, then edge spaces drop), lower, NFC — the
+    # pyarrow chain in pipelines/pretrain.normalize op-for-op
+    return f"""
+    WITH nrm AS MATERIALIZED (
+        SELECT doc_id, lang,
+               nfc_normalize(lower(trim(
+                   regexp_replace(text, '\\s+', ' ', 'g')))) AS text
+        FROM documents),
+    qs AS MATERIALIZED ({_quality_scores_oracle_sql(src="nrm")}),
+    base AS (
+        SELECT n.doc_id, n.lang, qs.n_tokens, qs.quality_score
+        FROM nrm n JOIN qs USING (doc_id)),
+    med AS (
+        SELECT lang, quantile_disc(quality_score, 0.5) AS m
+        FROM base GROUP BY lang),
+    gated AS (
+        SELECT b.doc_id, b.lang, b.n_tokens
+        FROM base b JOIN med USING (lang)
+        WHERE b.quality_score >= med.m),
+    capped AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY -n_tokens ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM gated)
+        WHERE cum <= {lang_budget})
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                // {shard_budget} AS BIGINT) AS shard_id
+    FROM capped
+"""
+
+
 QUERIES["pretraining_mix_pipeline"] = pretraining_mix_pipeline
+ORACLE_SQL["pretraining_mix_pipeline"] = _pretraining_mix_oracle_sql()
 
 
 def events_value_mad_outliers(sf_dir: str):
