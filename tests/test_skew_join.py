@@ -115,6 +115,114 @@ class TestSkewJoin:
             bucketed_hash_join(rd.from_pandas(l), rd.from_pandas(r),
                                on="k", how="outer", skew=[1])
 
+    def test_right_hot_key_inner_and_left_equal_pandas(self):
+        """A key hot on the RIGHT side takes the mirror path (salted
+        right rows, replicated left rows; inner-merge for the
+        replicated rows under how='left') and stays exact."""
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        rng = np.random.default_rng(17)
+        l = pd.DataFrame({
+            "k": np.concatenate([np.zeros(40, np.int64),
+                                 rng.integers(1, 30, 400),
+                                 np.array([99, 98])]),  # unmatched keys
+            "x": np.arange(442, dtype=np.int64)})
+        # key 0 fans out 2000x on the right; cold keys 3x
+        r = pd.DataFrame({
+            "k": np.concatenate([np.zeros(2000, np.int64),
+                                 np.repeat(np.arange(1, 30), 3)]),
+            "y": np.arange(2087, dtype=np.int64)})
+        cols = ["k", "x", "y"]
+        for how in ("inner", "left"):
+            want = l.merge(r, on="k", how=how)
+            got = bucketed_hash_join(
+                rd.from_pandas(l), rd.from_pandas(r), on="k",
+                num_buckets=16, how=how,
+                skew={"right": [0]}, salt_buckets=8).to_pandas()
+            pd.testing.assert_frame_equal(_norm(got, cols),
+                                          _norm(want, cols))
+
+    def test_skew_true_detects_both_sides(self):
+        """skew=True probes BOTH sides: a right-hot key is found and
+        the join still equals pandas."""
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join, \
+            detect_hot_keys
+
+        l, r = _skewed(n_left=400, hot_frac=0.0)      # cold left
+        hot_r = pd.DataFrame({
+            "k": np.zeros(3000, np.int64),
+            "y": np.arange(3000, dtype=np.int64) + 10_000})
+        r = pd.concat([r, hot_r], ignore_index=True)
+        assert 0 in detect_hot_keys(rd.from_pandas(r), "k",
+                                    num_buckets=16)
+        want = l.merge(r, on="k", how="inner")
+        got = bucketed_hash_join(
+            rd.from_pandas(l), rd.from_pandas(r), on="k",
+            num_buckets=16, skew=True, salt_buckets=8).to_pandas()
+        cols = ["k", "x", "y"]
+        pd.testing.assert_frame_equal(_norm(got, cols),
+                                      _norm(want, cols))
+
+    def test_both_hot_key_stays_on_left_path(self):
+        """A key hot on BOTH sides resolves to the left-hot path and
+        stays exact (inner + left)."""
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        l = pd.DataFrame({"k": np.concatenate(
+            [np.zeros(500, np.int64), np.arange(1, 51)]),
+            "x": np.arange(550, dtype=np.int64)})
+        r = pd.DataFrame({"k": np.concatenate(
+            [np.zeros(500, np.int64), np.arange(1, 51)]),
+            "y": np.arange(550, dtype=np.int64)})
+        cols = ["k", "x", "y"]
+        for how in ("inner", "left"):
+            want = l.merge(r, on="k", how=how)
+            got = bucketed_hash_join(
+                rd.from_pandas(l), rd.from_pandas(r), on="k",
+                num_buckets=16, how=how,
+                skew={"left": [0], "right": [0]},
+                salt_buckets=4).to_pandas()
+            pd.testing.assert_frame_equal(_norm(got, cols),
+                                          _norm(want, cols))
+
+    def test_half_hot_right_key_flat_time(self):
+        """One key holds 50% of the RIGHT rows: unhandled, one bucket
+        task holds that key's whole right side; salted, the right rows
+        spread over 16 sub-buckets. Min of 2 reps absorbs noise."""
+        import ray.data as rd
+        from tldr_ray.stages.joins import bucketed_hash_join
+
+        rng = np.random.default_rng(9)
+        # left: modest fan-in on the hot key (30x), cold keys uniform
+        l = pd.DataFrame({
+            "k": np.concatenate([np.zeros(30, np.int64),
+                                 rng.integers(1, 1001, 6000)]),
+            "x": np.arange(6030, dtype=np.int64)})
+        # right: hot key 0 holds half the 400k rows
+        r = pd.DataFrame({
+            "k": np.concatenate([np.zeros(200_000, np.int64),
+                                 rng.integers(1, 1001, 200_000)]),
+            "y": np.arange(400_000, dtype=np.int64)})
+
+        def run(skew):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = bucketed_hash_join(
+                    rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    num_buckets=32, skew=skew,
+                    salt_buckets=16).count()
+                best = min(best, time.perf_counter() - t0)
+            return n, best
+
+        n_plain, t_plain = run(False)
+        n_salt, t_salt = run({"right": [0]})
+        assert n_salt == n_plain
+        assert t_salt <= t_plain * 1.15, (t_salt, t_plain)
+
     def test_half_hot_key_flat_time(self):
         """One key holds 50% of the rows and fans out 30x on the right:
         unhandled, one bucket task materializes half the join output

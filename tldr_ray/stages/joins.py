@@ -135,19 +135,28 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
     bucket task however large ``num_buckets`` is):
 
     - ``False`` (default): plain hash buckets.
-    - ``True``: run :func:`detect_hot_keys` over the LEFT key column
-      first (one extra cheap pass — note a *derived* left Dataset
+    - ``True``: run :func:`detect_hot_keys` over BOTH key columns
+      first (two extra cheap passes — note a *derived* Dataset
       re-executes its lineage for that pass; pre-``materialize()`` or
       pass explicit keys if that lineage is expensive).
-    - a list of key values: treat exactly those as hot, no extra pass.
+    - a list of key values: treat exactly those as hot on the LEFT,
+      no extra pass (back-compatible).
+    - a dict ``{"left": [...], "right": [...]}``: explicit hot keys
+      per side.
 
-    Hot keys take the replicate-right / salted-left path: each hot
-    LEFT row is salted across ``salt_buckets`` consecutive buckets
+    LEFT-hot keys take the replicate-right / salted-left path: each
+    hot LEFT row is salted across ``salt_buckets`` consecutive buckets
     while the hot keys' RIGHT rows are replicated into all of them, so
     every left row still sees its key's full right side exactly once.
-    Exact for ``how`` in ("inner", "left"); keys hot on the RIGHT side
-    make the replication itself the cost — this path targets the
-    fact⋈dimension shape where the hot key's right side is small.
+    RIGHT-hot keys (a key whose right side fans out — the large-large
+    Q12 shape) take the mirror path: their RIGHT rows are salted
+    across the sub-buckets and their LEFT rows replicated into all of
+    them; under ``how="left"`` those replicated rows merge INNER per
+    bucket (a right-hot key by definition has right rows, so a
+    replicated left row matches somewhere — null-padding in the other
+    replicas would duplicate it). A key hot on BOTH sides stays on the
+    left-hot path. Exact for ``how`` in ("inner", "left"); explicit
+    right-hot keys MUST exist on the right side.
     """
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
@@ -156,62 +165,72 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
     shared_extra = (set(lcols) & set(rcols)) - {on}
     all_cols = list(dict.fromkeys(lcols + rcols))
 
-    hot_keys = []
+    lhot, rhot = [], []
     if skew is True:
-        hot_keys = detect_hot_keys(left, on, num_buckets=num_buckets)
+        lhot = detect_hot_keys(left, on, num_buckets=num_buckets)
+        rhot = detect_hot_keys(right, on, num_buckets=num_buckets)
+    elif isinstance(skew, dict):
+        lhot = list(skew.get("left", []))
+        rhot = list(skew.get("right", []))
     elif skew:
-        hot_keys = list(skew)
-    if hot_keys and how not in ("inner", "left"):
+        lhot = list(skew)
+    rhot = [k for k in rhot if k not in set(lhot)]  # both-hot -> left path
+    if (lhot or rhot) and how not in ("inner", "left"):
         raise ValueError(
             f"skew handling supports how='inner'/'left', not {how!r}")
     S = max(1, min(int(salt_buckets), num_buckets))
-    hot_set = tuple(hot_keys)
+    lhot_set, rhot_set = tuple(lhot), tuple(rhot)
 
-    def _buckets(batch: pa.Table, salt: np.ndarray | None):
-        base = _hash_any(batch[on]) % np.uint64(num_buckets)
-        if not hot_set or salt is None:
-            return base.astype(np.int32), None
-        vset = pa.array(hot_set, type=batch[on].type)
-        is_hot = np.asarray(
+    def _member(batch: pa.Table, keys: tuple) -> np.ndarray:
+        if not keys:
+            return np.zeros(len(batch), bool)
+        vset = pa.array(keys, type=batch[on].type)
+        return np.asarray(
             pc.is_valid(pc.index_in(batch[on], value_set=vset)))
-        b = np.where(is_hot,
-                     (base + salt.astype(np.uint64))
-                     % np.uint64(num_buckets),
-                     base)
-        return b.astype(np.int32), is_hot
 
     def tag(side: str, have: list[str]):
+        # per side: SALT its own hot rows, REPLICATE the other side's
+        salt_keys = lhot_set if side == "l" else rhot_set
+        repl_keys = rhot_set if side == "l" else lhot_set
+
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {}
             for c in all_cols:
                 cols[c] = batch[c] if c in have else pa.nulls(n)
-            if side == "l":
-                b, _ = _buckets(batch,
-                                np.arange(n) % S if hot_set else None)
-                cols["__bucket"] = pa.array(b)
-                cols["__side"] = pa.array([side] * n)
-                return pa.table(cols)
-            # right side: cold rows once; hot rows replicated into all
-            # S salted buckets so every salted left row finds them
-            base, is_hot = _buckets(batch, np.zeros(n, np.int64))
             t = pa.table(cols)
-            if not hot_set or not is_hot.any():
-                t = t.append_column("__bucket", pa.array(base))
+            base = _hash_any(batch[on]) % np.uint64(num_buckets)
+            if n == 0 or (not salt_keys and not repl_keys):
+                t = t.append_column(
+                    "__bucket", pa.array(base.astype(np.int32)))
                 return t.append_column("__side", pa.array([side] * n))
-            cold_i = np.flatnonzero(~is_hot)
-            hot_i = np.flatnonzero(is_hot)
-            parts, bks = [t.take(pa.array(cold_i))], [base[cold_i]]
-            hot_t = t.take(pa.array(hot_i))
-            hb = base[hot_i].astype(np.int64)
-            for j in range(S):
-                parts.append(hot_t)
-                bks.append(((hb + j) % num_buckets).astype(np.int32))
+            is_salt = _member(batch, salt_keys)
+            is_repl = _member(batch, repl_keys) & ~is_salt
+            plain = ~is_salt & ~is_repl
+            parts, bks = [], []
+            if plain.any():
+                i = np.flatnonzero(plain)
+                parts.append(t.take(pa.array(i)))
+                bks.append(base[i].astype(np.int32))
+            if is_salt.any():
+                i = np.flatnonzero(is_salt)
+                salt = (np.arange(i.size, dtype=np.uint64)
+                        % np.uint64(S))
+                parts.append(t.take(pa.array(i)))
+                bks.append(((base[i] + salt) % np.uint64(num_buckets))
+                           .astype(np.int32))
+            if is_repl.any():
+                i = np.flatnonzero(is_repl)
+                rt = t.take(pa.array(i))
+                rb = base[i].astype(np.int64)
+                for j in range(S):
+                    parts.append(rt)
+                    bks.append(((rb + j) % num_buckets).astype(np.int32))
             out = pa.concat_tables(parts)
             out = out.append_column(
                 "__bucket", pa.array(np.concatenate(bks)))
             return out.append_column(
-                "__side", pa.array(["r"] * len(out)))
+                "__side", pa.array([side] * len(out)))
         return fn
 
     both = left.map_batches(tag("l", lcols), batch_format="pyarrow").union(
@@ -221,6 +240,16 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
         l = _restore_ints(group[group["__side"] == "l"][lcols].copy(), lints)
         r = _restore_ints(group[group["__side"] == "r"][rcols].copy(), rints)
         # columns in shared_extra come out with the pandas suffixes
+        if rhot_set and how == "left":
+            # replicated rows of right-hot keys merge INNER per bucket:
+            # the key is guaranteed matched globally; a left-merge here
+            # would emit null-padded duplicates from replica buckets
+            # whose salted right slice misses the key
+            m = l[on].isin(rhot_set)
+            return pd.concat(
+                [l[m].merge(r, on=on, how="inner", suffixes=suffixes),
+                 l[~m].merge(r, on=on, how="left", suffixes=suffixes)],
+                ignore_index=True)
         return l.merge(r, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("__bucket").map_groups(join_bucket,
