@@ -439,6 +439,55 @@ def test_interval_join_matches_bruteforce():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_interval_join_long_span_guard():
+    """Intervals spanning >max_span_buckets buckets take the counted
+    broadcast path: a 1000-bucket interval never enters the
+    replication exchange, both plans agree with brute force on both
+    sides (incl. long x long exactly once), and the budget raises."""
+    import ray.data as rd
+
+    from tldr_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(11)
+    W = 100
+    n_l, n_r = 120, 80
+    llo = rng.integers(0, 8000, n_l)
+    lhi = llo + rng.integers(0, 300, n_l)
+    rlo = rng.integers(0, 8000, n_r)
+    rhi = rlo + rng.integers(0, 300, n_r)
+    # plant longs on BOTH sides: left spans 1000 buckets, right 500
+    llo[0], lhi[0] = 50, 50 + 1000 * W
+    llo[1], lhi[1] = 90_000, 90_000 + 800 * W   # overlaps right long
+    rlo[0], rhi[0] = 70_000, 70_000 + 500 * W
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "lo": pa.array(llo, pa.int64()),
+        "hi": pa.array(lhi, pa.int64())})).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array(np.arange(n_r), pa.int64()),
+        "rlo": pa.array(rlo, pa.int64()),
+        "rhi": pa.array(rhi, pa.int64())})).repartition(3)
+    want = sorted((int(i), int(j))
+                  for i in range(n_l) for j in range(n_r)
+                  if llo[i] <= rhi[j] and rlo[j] <= lhi[i])
+    # guarded plan (default max_span_buckets=64)
+    got = interval_join(left, right, "lo", "hi", "rlo", "rhi",
+                        bucket_width=W).to_pandas()
+    assert sorted(zip(got["lid"], got["rid"])) == want
+    # pure-replication plan agrees (the 1000x replication the guard
+    # avoids is still exact, just expensive)
+    got2 = interval_join(left, right, "lo", "hi", "rlo", "rhi",
+                         bucket_width=W,
+                         max_span_buckets=None).to_pandas()
+    assert sorted(zip(got2["lid"], got2["rid"])) == want
+    # long_budget exceeded raises with remediation
+    with pytest.raises(ValueError, match="max_span_buckets"):
+        interval_join(left, right, "lo", "hi", "rlo", "rhi",
+                      bucket_width=1,  # every interval is long now
+                      max_span_buckets=2, long_budget=10).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_auto_join_paths_equal():
     """The broadcast and bucketed sides of the auto_join gate produce
     identical frames (inner and left, incl. an unmatched left key)."""

@@ -831,9 +831,63 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
                                                batch_format=batch_format)
 
 
+def _broadcast_overlap_probe(ref, long_is_left: bool, lcols, rcols,
+                             l_lo, l_hi, r_lo, r_hi,
+                             chunk_cells: int = 4_000_000):
+    """Per-batch vectorized overlap probe against a broadcast table of
+    long-span intervals (interval_join's two-level guard). Emits the
+    (long, batch-row) pairs whose intervals overlap, columns in
+    lcols+rcols order to union with the bucket plan's output. The 2-D
+    mask is chunked to ~chunk_cells bools so a big batch x a full
+    long_budget table stays inside the worker heap."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        long_t = ray.get(ref)
+        if long_is_left:
+            Llo = np.asarray(long_t[l_lo], dtype=np.int64)
+            Lhi = np.asarray(long_t[l_hi], dtype=np.int64)
+            blo = np.asarray(batch[r_lo], dtype=np.int64)
+            bhi = np.asarray(batch[r_hi], dtype=np.int64)
+        else:
+            Llo = np.asarray(long_t[r_lo], dtype=np.int64)
+            Lhi = np.asarray(long_t[r_hi], dtype=np.int64)
+            blo = np.asarray(batch[l_lo], dtype=np.int64)
+            bhi = np.asarray(batch[l_hi], dtype=np.int64)
+        n, L = blo.size, Llo.size
+        bi_parts, li_parts = [], []
+        step = max(1, chunk_cells // max(L, 1))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            m = ((Llo[None, :] <= bhi[s:e, None])
+                 & (blo[s:e, None] <= Lhi[None, :]))
+            bi, li = np.nonzero(m)
+            bi_parts.append(bi + s)
+            li_parts.append(li)
+        bi = (np.concatenate(bi_parts) if bi_parts
+              else np.array([], np.int64))
+        li = (np.concatenate(li_parts) if li_parts
+              else np.array([], np.int64))
+        out = {}
+        if long_is_left:
+            for c in lcols:
+                out[c] = long_t[c].take(pa.array(li))
+            for c in rcols:
+                out[c] = batch[c].take(pa.array(bi))
+        else:
+            for c in lcols:
+                out[c] = batch[c].take(pa.array(bi))
+            for c in rcols:
+                out[c] = long_t[c].take(pa.array(li))
+        return pa.table(out)
+    return fn
+
+
 def interval_join(left, right, l_lo: str, l_hi: str, r_lo: str,
                   r_hi: str, bucket_width: int,
-                  num_partitions: int = 64):
+                  num_partitions: int = 64,
+                  max_span_buckets: int | None = 64,
+                  long_budget: int = 50_000):
     """Distributed interval-OVERLAP join: all (left, right) pairs with
     ``l_lo <= r_hi AND r_lo <= l_hi`` (inclusive int64 endpoints —
     epoch-us in practice). The bucket-replication plan Ray Data lacks
@@ -846,8 +900,25 @@ def interval_join(left, right, l_lo: str, l_hi: str, r_lo: str,
     overlap's left edge — no distinct pass. Replication factor =
     interval span / bucket_width; pick the width near the typical
     interval length. Column names must be disjoint (caller renames).
+
+    Long-span guard (two-level plan): an interval spanning k buckets
+    replicates k times, so a pathological interval (a year-long
+    session at hourly buckets) would flood the exchange. Intervals
+    spanning more than ``max_span_buckets`` buckets are pulled out of
+    the bucket plan entirely and joined by COUNTED BROADCAST instead:
+    long-left × (all right) and long-right × short-left run as
+    vectorized overlap probes inside ``map_batches`` over a
+    driver-collected long table (bounded by ``long_budget`` rows — the
+    collect stops at budget+1 and RAISES with the observed max span
+    and remediation: raise ``bucket_width``, raise the budget, or pass
+    ``max_span_buckets=None`` to opt back into pure replication).
+    Pair disjointness: pass A covers long-left against everything,
+    pass B only short-left, so long-long pairs emit once. With
+    ``max_span_buckets=None`` the guard is off (single-plan, inputs
+    executed once); when on, each input's lineage executes twice
+    (filter split) — pre-``materialize()`` expensive derived inputs.
     """
-    from tldr_ray.graph.partition import vhash
+    import ray
 
     W = np.int64(bucket_width)
     NP = np.uint64(num_partitions)
@@ -860,6 +931,68 @@ def interval_join(left, right, l_lo: str, l_hi: str, r_lo: str,
     for sch in (left.schema(), right.schema()):
         for n, t in zip(sch.names, sch.types):
             types[n] = t
+
+    if max_span_buckets is not None:
+        K = np.int64(max_span_buckets)
+
+        def _span_mask(batch, lo_col, hi_col, want_long):
+            lo = np.asarray(batch[lo_col], dtype=np.int64)
+            hi = np.asarray(batch[hi_col], dtype=np.int64)
+            k = hi // W - lo // W + 1
+            m = (k > K) if want_long else (k <= K)
+            return batch.filter(pa.array(m))
+
+        def _collect_long(ds, lo_col, hi_col, side, cols):
+            batches = list(
+                ds.map_batches(
+                    lambda b: _span_mask(b, lo_col, hi_col, True),
+                    batch_format="pyarrow")
+                .limit(long_budget + 1)
+                .iter_batches(batch_format="pyarrow",
+                              batch_size=None))
+            if not batches:
+                return pa.table({c: pa.array([], type=types[c])
+                                 for c in cols})
+            t = pa.concat_tables(batches)
+            if t.num_rows > long_budget:
+                lo = np.asarray(t[lo_col], dtype=np.int64)
+                hi = np.asarray(t[hi_col], dtype=np.int64)
+                mx = int((hi // W - lo // W + 1).max())
+                raise ValueError(
+                    f"interval_join: >{long_budget} {side} intervals "
+                    f"span more than max_span_buckets={int(K)} buckets "
+                    f"(max span seen ~{mx} buckets). Raise bucket_width,"
+                    f" raise long_budget, or pass max_span_buckets=None"
+                    f" for pure replication.")
+            return t
+
+        long_l = _collect_long(left, l_lo, l_hi, "left", lcols)
+        long_r = _collect_long(right, r_lo, r_hi, "right", rcols)
+
+        if long_l.num_rows or long_r.num_rows:
+            short_l = left.map_batches(
+                lambda b: _span_mask(b, l_lo, l_hi, False),
+                batch_format="pyarrow")
+            short_r = right.map_batches(
+                lambda b: _span_mask(b, r_lo, r_hi, False),
+                batch_format="pyarrow")
+            out = interval_join(short_l, short_r, l_lo, l_hi, r_lo,
+                                r_hi, bucket_width, num_partitions,
+                                max_span_buckets=None)
+            probes = []
+            if long_l.num_rows:
+                probes.append((ray.put(long_l), True, right))
+            if long_r.num_rows:
+                probes.append((ray.put(long_r), False, short_l))
+            for ref, long_is_left, probe_ds in probes:
+                probes_fn = _broadcast_overlap_probe(
+                    ref, long_is_left, lcols, rcols,
+                    l_lo, l_hi, r_lo, r_hi)
+                out = out.union(probe_ds.map_batches(
+                    probes_fn, batch_format="pyarrow"))
+            return out
+        # no longs: fall through to the single-plan path on the
+        # ORIGINAL inputs (no filter pass in the executed lineage).
 
     def _filler(t: pa.DataType, n: int):
         if pa.types.is_string(t) or pa.types.is_large_string(t):
