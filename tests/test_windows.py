@@ -242,3 +242,62 @@ class TestWatermark:
         got = dict(zip(out["arrival"].tolist(), out["__late"].tolist()))
         assert got == want
         assert 0 < sum(late) < n          # both classes exercised
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_matches_sequential_recurrence():
+    """cusum_scan's closed form (P - min(0, runmin P)) equals the
+    sequential S_t = max(0, S_{t-1} + x_t - k_t) per key, across a
+    multi-key shuffled layout."""
+    import ray.data as rd
+
+    from tldr_ray.stages.windows import cusum_scan
+
+    rng = np.random.default_rng(5)
+    n, n_keys = 4_000, 7
+    key = rng.integers(0, n_keys, n).astype(np.int64)
+    t = np.empty(n, np.int64)
+    for kk in range(n_keys):                      # unique order per key
+        idx = np.flatnonzero(key == kk)
+        t[idx] = np.arange(idx.size)
+    x = rng.integers(0, 50, n).astype(np.int64)
+    k = (key % 3 + 10).astype(np.int64)           # per-row drift
+    perm = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "key": pa.array(key[perm]), "t": pa.array(t[perm]),
+        "x": pa.array(x[perm]), "k": pa.array(k[perm])})).repartition(6)
+    out = (cusum_scan(ds, "key", "t", "x", "k", num_partitions=8)
+           .to_pandas().sort_values(["key", "t"]))
+    want = {}
+    for kk in range(n_keys):
+        idx = np.flatnonzero(key == kk)
+        order = idx[np.argsort(t[idx])]
+        s = 0
+        for i in order:
+            s = max(0, s + int(x[i]) - int(k[i]))
+            want[(kk, int(t[i]))] = s
+    got = dict(zip(zip(out["key"], out["t"]), out["cusum"]))
+    assert {tuple(map(int, a)): int(b) for a, b in got.items()} == want
+    assert (out["cusum"] >= 0).all()
+
+
+def test_segmented_cummin_fallback_equals_vectorized():
+    """The overflow-guard loop path and the offset-trick path agree."""
+    from tldr_ray.stages.windows import _segmented_cummin
+
+    rng = np.random.default_rng(3)
+    P = rng.integers(-10**5, 10**5, 3_000).astype(np.int64)
+    seg = np.sort(rng.integers(0, 40, 3_000)).astype(np.int64)
+    fast = _segmented_cummin(P, seg, 40)
+    # force the loop path: monotone scaling widens the span so
+    # n_segs * span >= 2^62 (2e5 * 2^43 * 40 ~ 2^66) while staying
+    # inside int64 per element; floor-div undoes it exactly
+    bigP = P * np.int64(2**43)
+    slow_scaled = _segmented_cummin(bigP, seg, 40)
+    assert np.array_equal(slow_scaled // np.int64(2**43), fast)
+    # reference: per-segment python accumulate on the raw data
+    want = np.empty_like(P)
+    for s in np.unique(seg):
+        m = seg == s
+        want[m] = np.minimum.accumulate(P[m])
+    assert np.array_equal(fast, want)

@@ -12531,3 +12531,89 @@ ORACLE_SQL["events_by_weekday"] = """
                 AS BIGINT) AS cents
     FROM events GROUP BY 1
 """
+
+
+def event_rate_cusum(sf_dir: str):
+    """Per-type CUSUM change-point monitor over the hourly event rate
+    (Page 1954 — the sequential-detection complement of the 3-hour
+    spike heuristic): S_t = max(0, S_{t-1} + n_t - k) with per-type
+    drift k = ceil(mean hourly count), all exact int64, computed as
+    ONE coarse shuffle + segment sweep in stages.windows.cusum_scan
+    (closed form S_t = P_t - min(0, running-min P)). Alarm at
+    S > 3*k. The per-type drift map is O(#event_types) driver state —
+    dimension-sized by schema. Every hour is emitted (alarms and
+    non-alarms) so the oracle hash covers each decision."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.joins import broadcast_lookup
+    from tldr_ray.stages.windows import cusum_scan
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_key": pa.array(us // 3_600_000_000)})
+
+    from ray.data.aggregate import Sum
+
+    # aggregate-sized (types x observed hours) — materialize once so
+    # the drift pass and the scan don't re-run the event read
+    hourly = (_read(sf_dir, "events", ["ts", "event_type"])
+              .map_batches(bucket, batch_format="pyarrow")
+              .groupby(["event_type", "hour_key"])
+              .aggregate(Count(alias_name="n"))
+              .materialize())
+
+    stats = hourly.groupby("event_type").aggregate(
+        Count(alias_name="hours"),
+        Sum("n", alias_name="tot")).to_pandas()
+    k_map = {t: (int(s) + int(h) - 1) // int(h)
+             for t, h, s in zip(stats["event_type"], stats["hours"],
+                                stats["tot"])}
+
+    scanned = cusum_scan(
+        broadcast_lookup(hourly, k_map, "event_type", "k"),
+        "event_type", "hour_key", "n", "k")
+
+    def seal(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["cusum"], dtype=np.int64)
+        k = np.asarray(batch["k"], dtype=np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_key": batch["hour_key"].cast(pa.int64()),
+            "n": batch["n"].cast(pa.int64()),
+            "cusum": pa.array(s),
+            "is_alarm": pa.array(s > 3 * k)})
+
+    return scanned.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["event_rate_cusum"] = event_rate_cusum
+ORACLE_SQL["event_rate_cusum"] = """
+    WITH hc AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_key,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    drift AS (
+        SELECT event_type,
+               (sum(n) + count(*) - 1) // count(*) AS k
+        FROM hc GROUP BY 1),
+    p AS (
+        SELECT h.event_type, h.hour_key, h.n, d.k,
+               CAST(sum(h.n - d.k) OVER (
+                    PARTITION BY h.event_type ORDER BY h.hour_key)
+                    AS BIGINT) AS pf
+        FROM hc h JOIN drift d USING (event_type)),
+    m AS (
+        SELECT *, LEAST(CAST(0 AS BIGINT),
+                        CAST(min(pf) OVER (
+                             PARTITION BY event_type
+                             ORDER BY hour_key) AS BIGINT)) AS runmin
+        FROM p)
+    SELECT event_type, CAST(hour_key AS BIGINT) AS hour_key,
+           CAST(n AS BIGINT) AS n,
+           CAST(pf - runmin AS BIGINT) AS cusum,
+           (pf - runmin) > 3 * k AS is_alarm
+    FROM m
+"""

@@ -503,6 +503,94 @@ def watermark_filter(ds, id_col: str, ts_col: str, lateness_us: int,
                                                batch_format="pandas")
 
 
+def _segmented_cummin(P: np.ndarray, seg: np.ndarray,
+                      n_segs: int) -> np.ndarray:
+    """Running minimum of ``P`` restarting at each segment boundary
+    (``seg`` is the 0-based non-decreasing segment id per row).
+    Vectorized via the descending-offset trick — shift each segment
+    down by ``seg * span`` so an earlier segment's values can never be
+    the running min inside a later one, min-accumulate globally, shift
+    back. Falls back to a per-SEGMENT (not per-row) loop when the
+    shifted values would leave int64."""
+    if P.size == 0:
+        return P.copy()
+    span = np.int64(int(P.max()) - int(P.min()) + 1)
+    if int(n_segs) * int(span) < (1 << 62):
+        off = seg.astype(np.int64) * span
+        return np.minimum.accumulate(P - off) + off
+    out = np.empty_like(P)
+    starts = np.flatnonzero(np.diff(seg, prepend=seg[0] - 1))
+    bounds = np.append(starts, P.size)
+    for i in range(starts.size):
+        s, e = bounds[i], bounds[i + 1]
+        out[s:e] = np.minimum.accumulate(P[s:e])
+    return out
+
+
+def cusum_scan(ds, key_col: str, order_col: str, value_col: str,
+               drift_col: str, num_partitions: int = 64):
+    """Per-key one-sided CUSUM change-point statistic over an ordered
+    integer series (Page 1954): ``S_t = max(0, S_{t-1} + x_t - k_t)``,
+    computed in closed form as ``S_t = P_t - min(0, min_{j<=t} P_j)``
+    with ``P`` the prefix sum of ``x - k`` — so the whole scan is ONE
+    coarse shuffle + a vectorized segment sweep (the ``row_window``
+    discipline: shuffle on hash(key), one sort per partition task, no
+    per-key invocations). All arithmetic is exact int64: ``value_col``
+    and ``drift_col`` must be integers (counts, cents), which is what
+    makes the statistic SQL-hash-stable — the mirror is a window SUM
+    plus a window MIN, never a float mean. Emits (key, order, x,
+    cusum). Alarm thresholding (``cusum > h``) is the caller's one
+    extra vectorized comparison."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            p = (vhash(np.asarray(k, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(k, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, order_col], kind="mergesort")
+        key = g[key_col].to_numpy()
+        n = len(g)
+        x = g[value_col].to_numpy()
+        k = g[drift_col].to_numpy()
+        if not (np.issubdtype(x.dtype, np.integer)
+                and np.issubdtype(k.dtype, np.integer)):
+            raise TypeError(
+                f"cusum needs integer value/drift cols (got {x.dtype},"
+                f" {k.dtype}); float prefix sums are not"
+                " association-free")
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        d = x.astype(np.int64) - k.astype(np.int64)
+        cum = np.cumsum(d)
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        P = cum - base[seg]                     # per-segment prefix
+        runmin = _segmented_cummin(P, seg, starts.size)
+        s_val = P - np.minimum(runmin, 0)
+        return pd.DataFrame({
+            key_col: key,
+            order_col: g[order_col].to_numpy(),
+            value_col: x,
+            drift_col: k,
+            "cusum": s_val})
+
+    return (
+        ds.select_columns([key_col, order_col, value_col, drift_col])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def scd2_intervals(ds, key_col: str, ts_col: str, tie_col: str,
                    keep: list[str], num_partitions: int = 64):
     """Slowly-changing-dimension TYPE-2 build from a change log: each
