@@ -2240,3 +2240,29 @@ def test_read_evolved_guards_type_change(tmp_path):
                    str(b / "f.parquet"))
     with pytest.raises(ValueError, match="changes type"):
         read_evolved([str(a), str(b)])
+
+
+def test_auc_from_value_counts_matches_bruteforce():
+    """Closed-form tied-rank AUC == pairwise definition
+    (wins + 0.5*ties) / (P*N), across random tied integer scores."""
+    from tldr_ray.stages.agg import auc_from_value_counts
+
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        scores = rng.integers(0, 20, 500)       # heavy ties
+        labels = rng.random(500) < 0.3
+        uniq, inv = np.unique(scores, return_inverse=True)
+        c = np.bincount(inv, minlength=uniq.size)
+        p = np.bincount(inv, weights=labels, minlength=uniq.size)
+        num2, P, N, auc = auc_from_value_counts(
+            uniq, c.astype(np.int64), p.astype(np.int64))
+        sp = scores[labels][:, None]
+        sn = scores[~labels][None, :]
+        brute = (np.sum(sp > sn) + 0.5 * np.sum(sp == sn)) / (P * N)
+        assert P == labels.sum() and N == (~labels).sum()
+        assert abs(auc - brute) < 1e-12
+        # shuffled input order gives identical ints (order-free claim)
+        perm = rng.permutation(uniq.size)
+        num2b, *_ = auc_from_value_counts(uniq[perm], c[perm].astype(
+            np.int64), p[perm].astype(np.int64))
+        assert num2b == num2

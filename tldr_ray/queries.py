@@ -12617,3 +12617,72 @@ ORACLE_SQL["event_rate_cusum"] = """
            (pf - runmin) > 3 * k AS is_alarm
     FROM m
 """
+
+
+def value_auc_purchase(sf_dir: str):
+    """Distributed AUC (Mann-Whitney) with exact tie handling — the
+    model-eval primitive: does the value column rank purchases above
+    other events? Score = integer cents (ties merge identically on
+    both sides). One streaming pass pre-combines per-block
+    (score, count, positives) value-counts, ONE grouped sum over
+    distinct scores, then the O(#distinct cents) selection frame runs
+    the prefix scan (the exact_median discipline — bounded by the
+    price domain, not the row count). Rank algebra stays integer:
+    2*ranksum = sum p*(2*cum_before + c + 1); AUC is ONE final double
+    division of exact ints (every intermediate < 2^53 at bench
+    scales)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["value"], dtype=np.float64))
+        pos = (np.asarray(batch["event_type"])
+               == "purchase").astype(np.int64)
+        t = pa.table({"s": pa.array(c, pa.int64()),
+                      "pos": pa.array(pos, pa.int64())})
+        g = t.group_by("s").aggregate([("pos", "sum"), ("s", "count")])
+        return pa.table({"s": g["s"],
+                         "p": g["pos_sum"].cast(pa.int64()),
+                         "c": g["s_count"].cast(pa.int64())})
+
+    vc = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("s")
+          .aggregate(Sum("p", alias_name="ps"),
+                     Sum("c", alias_name="cs"))
+          .to_pandas())
+    from tldr_ray.stages.agg import auc_from_value_counts
+
+    num2, P, N, auc = auc_from_value_counts(
+        vc["s"].to_numpy(np.int64), vc["cs"].to_numpy(np.int64),
+        vc["ps"].to_numpy(np.int64))
+    return pa.table({
+        "n_pos": pa.array([P], pa.int64()),
+        "n_neg": pa.array([N], pa.int64()),
+        "num2": pa.array([num2], pa.int64()),
+        "auc": pa.array([float(auc)], pa.float64())})
+
+
+QUERIES["value_auc_purchase"] = value_auc_purchase
+ORACLE_SQL["value_auc_purchase"] = """
+    WITH vc AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+               count(*) AS c,
+               count(*) FILTER (WHERE event_type = 'purchase') AS p
+        FROM events GROUP BY 1),
+    o AS (
+        SELECT s, CAST(c AS BIGINT) AS c, CAST(p AS BIGINT) AS p,
+               CAST(COALESCE(sum(c) OVER (
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        FROM vc),
+    agg AS (
+        SELECT CAST(sum(p * (2 * cumb + c + 1)) AS BIGINT) AS r2,
+               CAST(sum(p) AS BIGINT) AS npos,
+               CAST(sum(c - p) AS BIGINT) AS nneg
+        FROM o)
+    SELECT npos AS n_pos, nneg AS n_neg,
+           CAST(r2 - npos * (npos + 1) AS BIGINT) AS num2,
+           CAST(r2 - npos * (npos + 1) AS DOUBLE)
+               / (2.0 * npos * nneg) AS auc
+    FROM agg
+"""

@@ -1148,3 +1148,26 @@ def grouped_quantiles_cont(ds, key: str, value: str,
         .groupby("part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def auc_from_value_counts(s: np.ndarray, c: np.ndarray,
+                          p: np.ndarray):
+    """Mann-Whitney AUC with exact tie handling from a distinct-score
+    value-counts frame (``s`` scores, ``c`` total counts, ``p``
+    positive counts — any order). Rank algebra stays integer:
+    2*ranksum(pos) = sum p*(2*cum_before + c + 1); returns
+    (num2, n_pos, n_neg, auc) where num2 = 2*ranksum - n_pos*(n_pos+1)
+    and auc = num2 / (2*n_pos*n_neg) as ONE double division (callers
+    feed per-block pre-combined counts, so every int is exact and the
+    float is reproducible bit-for-bit)."""
+    order = np.argsort(np.asarray(s), kind="stable")
+    c = np.asarray(c, dtype=np.int64)[order]
+    p = np.asarray(p, dtype=np.int64)[order]
+    cumb = np.concatenate([[np.int64(0)], np.cumsum(c)[:-1]])
+    r2 = int(np.sum(p * (2 * cumb + c + 1)))
+    n_pos = int(p.sum())
+    n_neg = int((c - p).sum())
+    num2 = r2 - n_pos * (n_pos + 1)
+    auc = (np.float64(num2)
+           / (np.float64(2.0) * np.float64(n_pos) * np.float64(n_neg)))
+    return num2, n_pos, n_neg, float(auc)
