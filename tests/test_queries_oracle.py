@@ -106,3 +106,21 @@ class TestInterleaveMix:
         # deterministic: ranks within a language are 1..n_l
         g = df[df["lang"] == "en"].sort_values("rn")
         assert g["rn"].tolist() == list(range(1, len(g) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_ci_brackets_true_mean():
+    """The 32 Poisson-replica means spread around the true mean and
+    the min/max CI brackets it; mean Poisson weight is ~1 so replica
+    weighted counts are ~n."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = to_pandas(q.QUERIES["bootstrap_mean_ci_value"](SF_DIR))
+    assert len(out) == 32
+    v = pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["value"])["value"].to_numpy()
+    true_mean = np.floor(v * 100 + 0.5).mean()
+    assert out["mean_cents"].min() <= true_mean <= out["mean_cents"].max()
+    n = len(v)
+    assert (np.abs(out["n_w"] - n) < 5 * np.sqrt(n)).all()

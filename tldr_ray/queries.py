@@ -12686,3 +12686,97 @@ ORACLE_SQL["value_auc_purchase"] = """
                / (2.0 * npos * nneg) AS auc
     FROM agg
 """
+
+
+# Poisson(1) inverse-CDF thresholds scaled to [0, 2^64): T[k] =
+# floor(CDF(k) * 2^64). Weight = #(T <= u64) caps at 9 (P ~ 1e-7).
+# INTEGER comparisons on both sides — the bootstrap never touches a
+# float until the final per-replica mean division.
+_POISSON_T64 = (6786177901268885504, 13572355802537771008,
+                16965444753172213760, 18096474403383695360,
+                18379231815936565248, 18435783298447138816,
+                18445208545532233728, 18446555009401532416,
+                18446723317385195520)
+
+_BOOT_B = 32
+
+
+def bootstrap_mean_ci_value(sf_dir: str):
+    """Poisson bootstrap of the mean event value (Chamandy et al.'s
+    streaming bootstrap — the way you put a CI on a metric at 100 TB
+    without resampling rows): replica b weighs each row by
+    Poisson(1) drawn via INTEGER inverse-CDF thresholds on
+    splitmix64(event_id*B + b), so every (row, replica) weight is
+    deterministic, order-free, and exactly mirrorable. One streaming
+    pass emits 32 (replica, sum w, sum w*cents) partials per block;
+    the per-replica mean is ONE double division of exact ints. The
+    95% CI is the min/max of the 32 replica means (discrete order
+    stats at B=32); all 32 rows are emitted so the hash pins every
+    replica, not just the interval."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    T = np.array(_POISSON_T64, dtype=np.uint64)
+    B = _BOOT_B
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["event_id"], dtype=np.int64)
+        cents = _cents(np.asarray(batch["value"], dtype=np.float64))
+        base = (ids.astype(np.uint64)[:, None] * np.uint64(B)
+                + np.arange(B, dtype=np.uint64)[None, :])
+        h = _mix64(base.ravel()).reshape(-1, B)
+        w = np.searchsorted(T, h.ravel(), side="right").reshape(-1, B)
+        n_b = w.sum(axis=0).astype(np.int64)
+        s_b = (w * cents[:, None]).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.arange(B, dtype=np.int64)),
+            "n": pa.array(n_b), "s": pa.array(s_b)})
+
+    agg = (_read(sf_dir, "events", ["event_id", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("b")
+           .aggregate(Sum("n", alias_name="n_w"),
+                      Sum("s", alias_name="s_w")))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_w"], dtype=np.int64)
+        s = np.asarray(batch["s_w"], dtype=np.int64)
+        return pa.table({
+            "b": batch["b"].cast(pa.int64()),
+            "n_w": pa.array(n), "s_w": pa.array(s),
+            "mean_cents": pa.array(s.astype(np.float64)
+                                   / n.astype(np.float64))})
+
+    return agg.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["bootstrap_mean_ci_value"] = bootstrap_mean_ci_value
+
+
+def _bootstrap_oracle_sql() -> str:
+    w_expr = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON_T64)
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST((CAST(event_id AS HUGEINT) * {_BOOT_B} + r.b)
+                    % {_SQL_M64} AS HUGEINT) AS h,
+               r.b AS b
+        FROM events,
+             (SELECT unnest(range(0, {_BOOT_B})) AS b) r),
+    {_sql_splitmix_ctes("base", carry="cents, b, ")},
+    wts AS (
+        SELECT b, cents, {w_expr} AS w FROM m3),
+    agg AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_w,
+               CAST(sum(w * cents) AS BIGINT) AS s_w
+        FROM wts GROUP BY b)
+    SELECT b, n_w, s_w,
+           CAST(s_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS mean_cents
+    FROM agg
+"""
+
+
+ORACLE_SQL["bootstrap_mean_ci_value"] = _bootstrap_oracle_sql()
