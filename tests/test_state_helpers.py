@@ -216,3 +216,89 @@ class TestTimeTravel:
         # CURRENT unaffected
         cur = read_aggregate_state(sd).to_pandas().sort_values("k")
         assert cur.set_index("k")["cents"].to_dict() == {"a": 15, "b": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTxLog:
+    """File-level transaction log (Delta-shaped commits)."""
+
+    def _mk(self, vals):
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "k": pa.array(vals, pa.int64()),
+            "v": pa.array([x * 10 for x in vals], pa.int64())}))
+
+    def test_append_time_travel_overwrite(self, tmp_path):
+        from tldr_ray.state.txlog import (txlog_append, txlog_overwrite,
+                                          txlog_read, txlog_versions)
+
+        td = str(tmp_path / "t")
+        v1 = txlog_append(self._mk([1, 2]), td)
+        v2 = txlog_append(self._mk([3]), td)
+        assert (v1, v2) == (1, 2)
+        assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2, 3]
+        assert sorted(txlog_read(td, 1).to_pandas()["k"]) == [1, 2]
+        v3 = txlog_overwrite(self._mk([9]), td)
+        assert txlog_versions(td) == [1, 2, 3]
+        assert sorted(txlog_read(td).to_pandas()["k"]) == [9]
+        # old snapshots still intact after the overwrite
+        assert sorted(txlog_read(td, 2).to_pandas()["k"]) == [1, 2, 3]
+
+    def test_compact_same_rows_fewer_files(self, tmp_path):
+        from tldr_ray.state.txlog import (txlog_append, txlog_compact,
+                                          txlog_read,
+                                          txlog_snapshot_files)
+
+        td = str(tmp_path / "t")
+        for i in range(4):
+            txlog_append(self._mk(list(range(i * 5, i * 5 + 5))), td)
+        before = txlog_snapshot_files(td)
+        v = txlog_compact(td, target_rows_per_file=100)
+        after = txlog_snapshot_files(td)
+        assert len(after) < len(before)
+        assert sorted(txlog_read(td).to_pandas()["k"]) == list(range(20))
+        # pre-compaction version still reads the original files
+        assert sorted(txlog_read(td, v - 1).to_pandas()["k"]) \
+            == list(range(20))
+
+    def test_concurrent_commit_retries_next_version(self, tmp_path):
+        import json
+        import os
+
+        from tldr_ray.state.txlog import txlog_append, txlog_read
+
+        td = str(tmp_path / "t")
+        txlog_append(self._mk([1]), td)
+        # another writer claims version 2 out from under us
+        with open(os.path.join(td, "_txlog",
+                               f"{2:011d}.json"), "w") as fh:
+            json.dump({"version": 2, "op": "append", "add": [],
+                       "remove": []}, fh)
+        v = txlog_append(self._mk([2]), td)
+        assert v == 3
+        assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2]
+
+    def test_orphans_invisible_and_vacuum(self, tmp_path):
+        import os
+
+        from tldr_ray.state.txlog import (txlog_append, txlog_overwrite,
+                                          txlog_read, txlog_vacuum,
+                                          txlog_versions)
+
+        td = str(tmp_path / "t")
+        txlog_append(self._mk([1, 2]), td)
+        txlog_overwrite(self._mk([5]), td)
+        # crash orphan: a data file no commit references
+        orphan = os.path.join(td, "data", "deadbeef-0.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"not parquet")
+        assert sorted(txlog_read(td).to_pandas()["k"]) == [5]
+        dropped = txlog_vacuum(td)
+        assert "deadbeef-0.parquet" in dropped
+        assert not os.path.exists(orphan)
+        # history is gone, latest survives (as the checkpoint version)
+        assert sorted(txlog_read(td).to_pandas()["k"]) == [5]
+        with pytest.raises(ValueError):
+            txlog_read(td, 1)
+        assert len(txlog_versions(td)) == 1

@@ -12780,3 +12780,61 @@ def _bootstrap_oracle_sql() -> str:
 
 
 ORACLE_SQL["bootstrap_mean_ci_value"] = _bootstrap_oracle_sql()
+
+
+def txlog_orders_snapshot(sf_dir: str):
+    """Transaction-log table format end to end (state.txlog — the
+    Delta-shaped file-level commit log): orders land as three APPEND
+    commits (one per o_orderkey % 3 slice — each touches only its new
+    files + one JSON log entry), a COMPACT commit swaps the snapshot
+    to consolidated files as pure metadata, and the final read streams
+    exactly the active file set. The aggregate over the latest
+    snapshot must equal plain SQL over the source table — which pins
+    the whole add/remove fold, the atomic link(2) commit protocol and
+    the compaction's rows-preserved contract in one hash."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.state.txlog import (txlog_append, txlog_compact,
+                                      txlog_read)
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_orderstatus": batch["o_orderstatus"],
+            "cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)), pa.int64())})
+
+    prepped = base.map_batches(prep, batch_format="pyarrow")
+
+    def slice_of(r):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+            return batch.filter(pa.array(k % 3 == r))
+        return fn
+
+    with tempfile.TemporaryDirectory() as tmp:
+        td = f"{tmp}/orders_tx"
+        for r in range(3):
+            txlog_append(
+                prepped.map_batches(slice_of(r),
+                                    batch_format="pyarrow"), td)
+        txlog_compact(td, target_rows_per_file=1_000_000)
+        return (txlog_read(td)
+                .groupby("o_orderstatus")
+                .aggregate(Count(alias_name="n"),
+                           Sum("cents", alias_name="cents"))
+                .materialize())
+
+
+QUERIES["txlog_orders_snapshot"] = txlog_orders_snapshot
+ORACLE_SQL["txlog_orders_snapshot"] = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+"""
