@@ -124,3 +124,24 @@ def test_bootstrap_ci_brackets_true_mean():
     assert out["mean_cents"].min() <= true_mean <= out["mean_cents"].max()
     n = len(v)
     assert (np.abs(out["n_w"] - n) < 5 * np.sqrt(n)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_aware_split_has_zero_leakage():
+    """No near-duplicate pair crosses the train/test boundary, and the
+    split is roughly 80/20 over clusters."""
+    from tldr_ray.stages.dedup import minhash_lsh_pairs
+    from tldr_ray import queries as qq
+
+    out = to_pandas(qq.QUERIES["cluster_aware_split_docs"](SF_DIR))
+    side = dict(zip(out["doc_id"], out["split"]))
+    import ray.data as rd
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    pairs = pairs[(pairs["id_a"] >= 0)]
+    crossing = sum(side[a] != side[b]
+                   for a, b in zip(pairs["id_a"], pairs["id_b"]))
+    assert crossing == 0
+    frac = (out["split"] == "train").mean()
+    assert 0.6 < frac < 0.95

@@ -12838,3 +12838,90 @@ ORACLE_SQL["txlog_orders_snapshot"] = """
                 AS BIGINT) AS cents
     FROM orders GROUP BY 1
 """
+
+
+def cluster_aware_split_docs(sf_dir: str):
+    """Dedup-AWARE train/test split — the eval-integrity primitive: a
+    near-duplicate pair crossing the split is silent test-set leakage,
+    so the split key is the document's duplicate-CLUSTER id (MinHash
+    pairs -> connected components, the dup_clusters_docs machinery;
+    singletons key by their own doc_id) and every member of a cluster
+    lands on the same side by construction. Assignment = splitmix64
+    (cluster_id) < floor(0.8 * 2^64) as an INTEGER threshold — exact
+    on both sides, layout-free, no RNG state. The cluster map is
+    O(docs-in-dup-pairs) — sparse by the dedup regime and already
+    behind resolve_clusters' counted gate."""
+    import ray
+
+    from tldr_ray.stages.dedup import (_mix64, minhash_lsh_pairs,
+                                       resolve_clusters)
+
+    T = np.uint64(((1 << 64) * 4) // 5)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    cl = resolve_clusters(pairs)
+    ck = np.sort(cl["id"].to_numpy(np.int64))
+    cv = cl.set_index("id")["cluster_id"].loc[ck].to_numpy(np.int64)
+    cref = ray.put((ck, cv))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(cref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        pos = np.searchsorted(ks, ids)
+        pos = np.minimum(pos, max(ks.size - 1, 0))
+        cluster = ids.copy()
+        if ks.size:
+            hit = ks[pos] == ids
+            cluster[hit] = vs[pos[hit]]
+        h = _mix64(cluster.astype(np.uint64))
+        split = np.where(h < T, "train", "test")
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "cluster_id": pa.array(cluster),
+            "split": pa.array(split.astype(object), pa.string())})
+
+    return (docs.select_columns(["doc_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+QUERIES["cluster_aware_split_docs"] = cluster_aware_split_docs
+
+
+def _cluster_split_oracle_sql(threshold: float = 0.5) -> str:
+    T = ((1 << 64) * 4) // 5
+    return ("WITH RECURSIVE "
+            + _minhash64_base_cte().split("WITH", 1)[1]
+            + f""",
+    prs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM m a JOIN m b ON a.doc_id < b.doc_id
+        WHERE ({_lsh_band_collision()})
+          AND {_sig_match_fraction()} >= {threshold}
+    ),
+    sym AS (SELECT id_a AS s, id_b AS t FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.t, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cl AS (SELECT v AS doc_id, min(l) AS cluster_id
+           FROM reach GROUP BY v),
+    asg AS (
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+    sbase AS (
+        SELECT doc_id, cluster_id,
+               CAST(cluster_id AS HUGEINT) % {_SQL_M64} AS h
+        FROM asg),
+    {_sql_splitmix_ctes("sbase", carry="doc_id, cluster_id, ")}
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN h < {T} THEN 'train' ELSE 'test' END AS split
+    FROM m3
+""")
+
+
+ORACLE_SQL["cluster_aware_split_docs"] = _cluster_split_oracle_sql()
