@@ -2266,3 +2266,31 @@ def test_auc_from_value_counts_matches_bruteforce():
         num2b, *_ = auc_from_value_counts(uniq[perm], c[perm].astype(
             np.int64), p[perm].astype(np.int64))
         assert num2b == num2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_gram_fraction_hand_case():
+    """Two docs share one 5-gram span; a third is unique; a fourth is
+    too short for any window."""
+    import ray.data as rd
+
+    from tldr_ray.stages.text_analysis import dup_gram_fraction
+
+    shared = "alpha beta gamma delta epsilon"
+    ds = rd.from_items([
+        {"doc_id": 1, "text": shared + " one two"},      # 3 windows
+        {"doc_id": 2, "text": "x " + shared},            # 2 windows
+        {"doc_id": 3, "text": "u v w x y z q r"},        # 4 windows
+        {"doc_id": 4, "text": "too short"},              # 0 windows
+    ])
+    out = (dup_gram_fraction(ds, k=5, min_docs=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    # the shared 5-gram is the only cross-doc gram
+    assert out.loc[1, "total_grams"] == 3
+    assert out.loc[1, "dup_occ"] == 1
+    assert out.loc[1, "dup_fraction"] == 1.0 / 3.0
+    assert out.loc[2, "total_grams"] == 2
+    assert out.loc[2, "dup_occ"] == 1
+    assert out.loc[3, "dup_occ"] == 0
+    assert out.loc[4, "total_grams"] == 0
+    assert out.loc[4, "dup_fraction"] == 0.0

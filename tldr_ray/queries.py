@@ -12925,3 +12925,46 @@ def _cluster_split_oracle_sql(threshold: float = 0.5) -> str:
 
 
 ORACLE_SQL["cluster_aware_split_docs"] = _cluster_split_oracle_sql()
+
+
+def dup_gram_fraction_docs(sf_dir: str):
+    """Per-document duplicated-5-gram fraction (the CCNet/RefinedWeb
+    soft-dedup signal; stages.text_analysis.dup_gram_fraction): what
+    share of each doc's word-5-gram occurrences are grams appearing in
+    >= 2 distinct documents. One gram exchange + one doc-keyed union
+    merge; fraction = ONE IEEE division of exact ints."""
+    from tldr_ray.stages.text_analysis import dup_gram_fraction
+
+    return dup_gram_fraction(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=5, min_docs=2)
+
+
+QUERIES["dup_gram_fraction_docs"] = dup_gram_fraction_docs
+ORACLE_SQL["dup_gram_fraction_docs"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS a
+        FROM documents),
+    g AS (SELECT doc_id,
+                 a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                      || a[i+3] || ' ' || a[i+4] AS gram
+          FROM t, unnest(generate_series(1, len(a) - 4)) AS u(i)),
+    counts AS (
+        SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2),
+    dup AS (
+        SELECT gram FROM counts GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+    docdup AS (
+        SELECT c.doc_id, CAST(sum(c.cnt) AS BIGINT) AS dup_occ
+        FROM counts c JOIN dup USING (gram) GROUP BY 1),
+    tot AS (SELECT doc_id, greatest(len(a) - 4, 0) AS total FROM t)
+    SELECT t.doc_id, CAST(t.total AS BIGINT) AS total_grams,
+           CAST(COALESCE(d.dup_occ, 0) AS BIGINT) AS dup_occ,
+           CASE WHEN t.total = 0 THEN 0.0
+                ELSE CAST(COALESCE(d.dup_occ, 0) AS DOUBLE) / t.total
+           END AS dup_fraction
+    FROM tot t LEFT JOIN docdup d USING (doc_id)
+"""

@@ -956,6 +956,44 @@ def gopher_rules(ds, id_col: str = "doc_id", text_col: str = "text",
         fn, batch_format="pyarrow")
 
 
+def _block_word_kgrams(batch: pa.Table, id_col: str, text_col: str,
+                       kk: int):
+    """Vectorized word-k-gram windows for one block: whitespace-split
+    straight off the Arrow buffer, empty tokens dropped (the
+    utf8_split_whitespace == regexp_split_to_array('\\s+') pinned
+    equivalence), window gram strings via kk shifted takes + one
+    binary_join. Returns (gram Array, doc np.int64 per gram,
+    ids np.int64 per input row, w np.int64 windows per input row) —
+    shared by boilerplate_ngrams and dup_gram_fraction."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    split = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(pc.cast(batch[text_col],
+                                        pa.string())))
+    counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+    flat = pc.list_flatten(split)
+    tl = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    keep = tl > 0
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        starts0 = np.cumsum(counts) - counts
+        empty_doc = (counts == 1) & ~keep[np.minimum(
+            starts0, max(keep.size - 1, 0))]
+        counts = counts - empty_doc.astype(np.int64)
+    w = np.maximum(counts - kk + 1, 0)
+    starts = np.cumsum(counts) - counts
+    widx = (np.repeat(starts, w)
+            + (np.arange(int(w.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(w) - w, w)))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    shifted = [flat.take(pa.array(widx + i)) for i in range(kk)]
+    gram = pc.binary_join_element_wise(*shifted, " ")
+    doc = np.repeat(ids, w)
+    return gram, doc, ids, w
+
+
 def boilerplate_ngrams(ds, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 5,
                        min_docs: int = 2, num_parts: int = 64):
@@ -982,30 +1020,8 @@ def boilerplate_ngrams(ds, id_col: str = "doc_id",
     kk = int(k)
 
     def grams(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        split = pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(pc.cast(batch[text_col],
-                                            pa.string())))
-        counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
-        flat = pc.list_flatten(split)
-        tl = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-        keep = tl > 0
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
-            starts0 = np.cumsum(counts) - counts
-            empty_doc = (counts == 1) & ~keep[np.minimum(
-                starts0, max(keep.size - 1, 0))]
-            counts = counts - empty_doc.astype(np.int64)
-        w = np.maximum(counts - kk + 1, 0)
-        starts = np.cumsum(counts) - counts
-        widx = (np.repeat(starts, w)
-                + (np.arange(int(w.sum()), dtype=np.int64)
-                   - np.repeat(np.cumsum(w) - w, w)))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        shifted = [flat.take(pa.array(widx + i)) for i in range(kk)]
-        gram = pc.binary_join_element_wise(*shifted, " ")
-        doc = np.repeat(ids, w)
+        gram, doc, _, _ = _block_word_kgrams(batch, id_col, text_col,
+                                             kk)
         combined = (pa.table({"gram": gram, "doc": pa.array(doc)})
                     .group_by(["gram", "doc"])
                     .aggregate([("doc", "count")]))
@@ -1045,3 +1061,102 @@ def boilerplate_ngrams(ds, id_col: str = "doc_id",
             .map_batches(grams, batch_format="pyarrow")
             .groupby("part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def dup_gram_fraction(ds, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 5,
+                      min_docs: int = 2, num_parts: int = 64):
+    """Per-document duplicated-n-gram FRACTION — the CCNet/RefinedWeb
+    soft-dedup signal boilerplate_ngrams reports corpus-side: what
+    share of a doc's word-k-gram occurrences are grams seen in
+    >= min_docs DISTINCT documents. High fractions mark templated /
+    mirrored pages that survive exact and near dedup.
+
+    Two streams over one projected read each: (a) per-doc total
+    window counts (docs never split across blocks, so the per-block
+    count is final — zero shuffle); (b) the boilerplate gram exchange,
+    whose partition sweep emits (doc, cnt) only for duplicated grams,
+    then a doc-keyed grouped sum. A zero-filled tagged union merges
+    both through ONE doc-keyed exchange; fraction = ONE IEEE division
+    of exact ints (0.0 for docs with < k words). Data moved: per-block
+    distinct (gram, doc) pairs + one int row per doc."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.hashing import part_key
+
+    kk = int(k)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _, _, ids, w = _block_word_kgrams(batch, id_col, text_col, kk)
+        return pa.table({
+            "doc": pa.array(ids),
+            "total": pa.array(w.astype(np.int64)),
+            "dup": pa.array(np.zeros(ids.size, np.int64))})
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gram, doc, _, _ = _block_word_kgrams(batch, id_col, text_col,
+                                             kk)
+        combined = (pa.table({"gram": gram, "doc": pa.array(doc)})
+                    .group_by(["gram", "doc"])
+                    .aggregate([("doc", "count")]))
+        return pa.table({
+            "gram": combined["gram"],
+            "doc": combined["doc"],
+            "cnt": combined["doc_count"].cast(pa.int64()),
+            "part": pa.array(part_key(combined["gram"], num_parts))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "doc"], kind="mergesort")
+        gr = g["gram"].to_numpy()
+        d = g["doc"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        n = len(g)
+        seg = np.empty(n, dtype=bool)
+        if n:
+            seg[0] = True
+            seg[1:] = gr[1:] != gr[:-1]
+        starts = np.flatnonzero(seg)
+        sid = np.cumsum(seg) - 1
+        docseg = np.empty(n, dtype=bool)
+        if n:
+            docseg[0] = True
+            docseg[1:] = seg[1:] | (d[1:] != d[:-1])
+        n_docs = (np.add.reduceat(docseg.astype(np.int64), starts)
+                  if n else np.zeros(0, np.int64))
+        dup_rows = n_docs[sid] >= min_docs if n else np.zeros(0, bool)
+        # collapse (doc) repeats within the partition before the union
+        if dup_rows.any():
+            dd, dc = d[dup_rows], cnt[dup_rows]
+            u, inv = np.unique(dd, return_inverse=True)
+            s = np.bincount(inv, weights=dc).astype(np.int64)
+            return pa.table({
+                "doc": pa.array(u),
+                "total": pa.array(np.zeros(u.size, np.int64)),
+                "dup": pa.array(s)})
+        return pa.table({"doc": pa.array([], pa.int64()),
+                         "total": pa.array([], pa.int64()),
+                         "dup": pa.array([], pa.int64())})
+
+    proj = ds.select_columns([id_col, text_col])
+    tot = proj.map_batches(totals, batch_format="pyarrow")
+    dup = (proj.map_batches(grams, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(sweep, batch_format="pandas"))
+
+    agg = (tot.union(dup)
+           .groupby("doc")
+           .aggregate(Sum("total", alias_name="total_grams"),
+                      Sum("dup", alias_name="dup_occ")))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["total_grams"], dtype=np.int64)
+        du = np.asarray(batch["dup_occ"], dtype=np.int64)
+        frac = np.where(t > 0, du.astype(np.float64)
+                        / np.maximum(t, 1).astype(np.float64), 0.0)
+        return pa.table({
+            id_col: batch["doc"].cast(pa.int64()),
+            "total_grams": pa.array(t),
+            "dup_occ": pa.array(du),
+            "dup_fraction": pa.array(frac)})
+
+    return agg.map_batches(seal, batch_format="pyarrow")
