@@ -2294,3 +2294,40 @@ def test_dup_gram_fraction_hand_case():
     assert out.loc[3, "dup_occ"] == 0
     assert out.loc[4, "total_grams"] == 0
     assert out.loc[4, "dup_fraction"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_logistic_fit_recovers_planted_weights():
+    """IRLS over blocks == the same Newton math run sequentially, and
+    both recover a planted separating direction."""
+    import ray.data as rd
+
+    from tldr_ray.stages.ann import logistic_fit, _sigmoid
+
+    rng = np.random.default_rng(7)
+    n, d = 4_000, 8
+    X = rng.normal(size=(n, d))
+    w_true = np.array([2.0, -1.5, 1.0, 0, 0, 0.5, -0.5, 0])
+    b_true = 0.3
+    p = 1.0 / (1.0 + np.exp(-(X @ w_true + b_true)))
+    y = (rng.random(n) < p).astype(np.int64)
+    ds = rd.from_items([
+        {"embedding": X[i].astype(np.float32).tolist(),
+         "y": int(y[i])} for i in range(n)]).repartition(6)
+    w, b, n_fit = logistic_fit(ds, "embedding", "y", iters=8)
+    assert n_fit == n
+    # sequential same-math reference (float32-quantized X like the ds)
+    X32 = X.astype(np.float32).astype(np.float64)
+    Xb = np.concatenate([X32, np.ones((n, 1))], axis=1)
+    ww = np.zeros(d + 1)
+    for _ in range(8):
+        mu = _sigmoid(Xb @ ww)
+        wt = mu * (1 - mu)
+        H = Xb.T @ (Xb * wt[:, None]) + np.eye(d + 1) * 1e-6
+        ww = ww + np.linalg.solve(H, Xb.T @ (y - mu))
+    assert np.allclose(np.append(w, b), ww, rtol=1e-5, atol=1e-7)
+    cos = (w @ w_true) / (np.linalg.norm(w)
+                          * np.linalg.norm(w_true))
+    assert cos > 0.97
+    acc = ((_sigmoid(X32 @ w + b) > 0.5) == y).mean()
+    assert acc > 0.8

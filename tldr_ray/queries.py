@@ -12968,3 +12968,110 @@ ORACLE_SQL["dup_gram_fraction_docs"] = """
            END AS dup_fraction
     FROM tot t LEFT JOIN docdup d USING (doc_id)
 """
+
+
+def value_purchase_calibration(sf_dir: str):
+    """Reliability diagram / calibration bins for the value->purchase
+    signal (pairs with value_auc_purchase): rows fall into 10
+    equi-depth score bins — bin = floor(rows_below * 10 / n) off the
+    distinct-score value-counts frame, so TIES stay in one bin and the
+    binning is deterministic where NTILE's row-order tie split is not.
+    Per bin: exact counts, positive rate and mean score as single IEEE
+    divisions of exact ints. Same streaming pre-combined value-counts
+    pass + O(#distinct cents) selection frame as the AUC query."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["value"], dtype=np.float64))
+        pos = (np.asarray(batch["event_type"])
+               == "purchase").astype(np.int64)
+        t = pa.table({"s": pa.array(c, pa.int64()),
+                      "pos": pa.array(pos, pa.int64())})
+        g = t.group_by("s").aggregate([("pos", "sum"), ("s", "count")])
+        return pa.table({"s": g["s"],
+                         "p": g["pos_sum"].cast(pa.int64()),
+                         "c": g["s_count"].cast(pa.int64())})
+
+    vc = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("s")
+          .aggregate(Sum("p", alias_name="ps"),
+                     Sum("c", alias_name="cs"))
+          .to_pandas())
+    s = vc["s"].to_numpy(np.int64)
+    order = np.argsort(s, kind="stable")
+    s = s[order]
+    p = vc["ps"].to_numpy(np.int64)[order]
+    c = vc["cs"].to_numpy(np.int64)[order]
+    n = int(c.sum())
+    cumb = np.concatenate([[np.int64(0)], np.cumsum(c)[:-1]])
+    bins = (cumb * 10) // n
+    nb = np.bincount(bins, weights=c, minlength=10).astype(np.int64)
+    pb = np.bincount(bins, weights=p, minlength=10).astype(np.int64)
+    sb = np.bincount(bins, weights=s * c, minlength=10).astype(np.int64)
+    keep = nb > 0
+    bb = np.arange(10, dtype=np.int64)[keep]
+    nb, pb, sb = nb[keep], pb[keep], sb[keep]
+    return pa.table({
+        "bin": pa.array(bb),
+        "n": pa.array(nb),
+        "n_pos": pa.array(pb),
+        "pos_rate": pa.array(pb.astype(np.float64)
+                             / nb.astype(np.float64)),
+        "mean_cents": pa.array(sb.astype(np.float64)
+                               / nb.astype(np.float64))})
+
+
+QUERIES["value_purchase_calibration"] = value_purchase_calibration
+ORACLE_SQL["value_purchase_calibration"] = """
+    WITH vc AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+               count(*) AS c,
+               count(*) FILTER (WHERE event_type = 'purchase') AS p
+        FROM events GROUP BY 1),
+    o AS (
+        SELECT s, CAST(c AS BIGINT) AS c, CAST(p AS BIGINT) AS p,
+               CAST(COALESCE(sum(c) OVER (
+                    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM vc),
+    b AS (SELECT (cumb * 10) // n AS bin, c, p, s FROM o)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(p) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS pos_rate,
+           CAST(sum(s * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS mean_cents
+    FROM b GROUP BY 1
+"""
+
+
+def logistic_probe_embeddings(sf_dir: str):
+    """Distributed logistic-regression probe (stages.ann.logistic_fit,
+    exact Newton/IRLS — O(d^2) partials per block, counted rounds):
+    one-vs-rest classifier for label 0 over the embedding column.
+    Emits (feature_idx, weight) rows with feature_idx = -1 carrying
+    the bias. Rows-only by nature (float fixpoint; libm exp) — the
+    sequential-reference and planted-recovery pytests are the oracle."""
+    from tldr_ray.stages.ann import logistic_fit
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = (np.asarray(batch["label"], dtype=np.int64)
+             == 0).astype(np.int64)
+        return pa.table({"embedding": batch["embedding"],
+                         "y": pa.array(y)})
+
+    w, b, _ = logistic_fit(
+        ds.map_batches(lab, batch_format="pyarrow"),
+        "embedding", "y", iters=8)
+    idx = np.arange(-1, w.size, dtype=np.int64)
+    return pa.table({
+        "feature_idx": pa.array(idx),
+        "weight": pa.array(np.concatenate([[b], w]))})
+
+
+QUERIES["logistic_probe_embeddings"] = logistic_probe_embeddings
