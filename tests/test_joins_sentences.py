@@ -528,3 +528,60 @@ def test_auto_join_paths_equal():
                         broadcast_limit_rows=0).to_pandas())
     pd.testing.assert_frame_equal(bc, bk, check_dtype=True)
     assert bc["c"].dtype == np.float64 and bc["c"].isna().sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_tolerance_matches_pandas_merge_asof():
+    """tolerance drops matches farther than the window — pandas
+    merge_asof(tolerance=...) semantics, backward and forward, inner
+    and left."""
+    import ray.data as rd
+
+    from tldr_ray.stages.joins import asof_join, asof_join_forward
+
+    rng = np.random.default_rng(23)
+    nl, nr = 400, 300
+    l = pd.DataFrame({
+        "k": rng.integers(0, 20, nl).astype(np.int64),
+        "lts": rng.integers(0, 10_000, nl).astype(np.int64),
+        "lid": np.arange(nl, dtype=np.int64)})
+    r = pd.DataFrame({
+        "k": rng.integers(0, 20, nr).astype(np.int64),
+        "rts": rng.integers(0, 10_000, nr).astype(np.int64),
+        "rid": np.arange(nr, dtype=np.int64)})
+    # unique (k, rts) so the tiebreak contract can't differ from pandas
+    r = r.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+    TOL = 500
+
+    def pd_asof(direction):
+        return pd.merge_asof(
+            l.sort_values("lts", kind="mergesort"),
+            r.sort_values("rts", kind="mergesort"),
+            left_on="lts", right_on="rts", by="k",
+            tolerance=TOL, direction=direction)
+
+    for direction, fn in (("backward", asof_join),
+                          ("forward", asof_join_forward)):
+        want = pd_asof(direction)
+        got = fn(rd.from_pandas(l).repartition(4),
+                 rd.from_pandas(r).repartition(3),
+                 on="k", left_ts="lts", right_ts="rts",
+                 tiebreak="rid", how="left",
+                 tolerance=TOL).to_pandas()
+        wmap = want.set_index("lid")["rid"]
+        gm = got.set_index("lid")["rid"]
+        for lid in l["lid"]:
+            w = wmap.loc[lid]
+            g = gm.loc[lid]
+            w = None if pd.isna(w) else int(w)
+            g = None if pd.isna(g) or (isinstance(g, (int, np.integer))
+                                       and g < 0) else int(g)
+            assert g == w, (direction, lid, g, w)
+        # inner == left minus the unmatched rows
+        inner = fn(rd.from_pandas(l).repartition(4),
+                   rd.from_pandas(r).repartition(3),
+                   on="k", left_ts="lts", right_ts="rts",
+                   tiebreak="rid", how="inner",
+                   tolerance=TOL).to_pandas()
+        assert sorted(inner["lid"]) == sorted(
+            want.dropna(subset=["rid"])["lid"].astype(int))

@@ -13075,3 +13075,67 @@ def logistic_probe_embeddings(sf_dir: str):
 
 
 QUERIES["logistic_probe_embeddings"] = logistic_probe_embeddings
+
+
+def purchase_last_click_asof_1h(sf_dir: str):
+    """Backward as-of join WITH TOLERANCE (asof_join(tolerance=...) —
+    pandas merge_asof semantics at engine scale): each purchase event
+    matched to the same user's LATEST click at or before it, but only
+    within 1 hour — staler clicks are no match and the purchase drops
+    (how='inner'). The tolerance test rides the bucket sweep's match
+    mask, so the windowed variant costs nothing over plain as-of.
+    Attribution-window shape; complement of abandoned_clicks."""
+    from tldr_ray.stages.joins import asof_join
+
+    TOL_NS = 3_600 * 1_000_000_000  # ts compares as datetime64[ns]
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def side(kind, names):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], kind)
+            t = batch.filter(m).select(
+                ["event_id", "ts", "user_id"])
+            return t.rename_columns(names)
+        return fn
+
+    purchases = ev.map_batches(
+        side("purchase", ["purchase_id", "p_ts", "user_id"]),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        side("click", ["click_id", "c_ts", "user_id"]),
+        batch_format="pyarrow")
+    out = asof_join(purchases, clicks, on="user_id", left_ts="p_ts",
+                    right_ts="c_ts", tiebreak="click_id",
+                    tolerance=TOL_NS)
+
+    def recast(batch: pa.Table) -> pa.Table:
+        for c in ("p_ts", "c_ts"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, batch[c].cast(pa.timestamp("us")))
+        return batch
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
+QUERIES["purchase_last_click_asof_1h"] = purchase_last_click_asof_1h
+ORACLE_SQL["purchase_last_click_asof_1h"] = """
+    WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+          FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.purchase_id, p.p_ts, p.user_id,
+               c.c_ts, c.click_id,
+               row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        FROM p JOIN c
+          ON c.user_id = p.user_id AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, p_ts, user_id, c_ts, click_id
+    FROM j WHERE rn = 1
+"""

@@ -258,7 +258,7 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 64,
 
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
               tiebreak: str, num_buckets: int = 64, how: str = "inner",
-              suffixes=("_l", "_r")):
+              suffixes=("_l", "_r"), tolerance: int | None = None):
     """Distributed backward as-of join: for each left row, the single
     right row with the same ``on`` key and the LARGEST ``right_ts`` <=
     ``left_ts`` (ties on (key, ts) resolved to the max ``tiebreak``
@@ -274,7 +274,12 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
     workers).
 
     ``how``: "inner" drops unmatched lefts; "left" keeps them with
-    nulls in the right columns.
+    nulls in the right columns. ``tolerance`` (optional, in the ts
+    columns' compared units — ns for Arrow timestamps via the
+    datetime64[ns] view, native units for int64 columns): a match
+    farther back than this is treated as NO match (pandas
+    ``merge_asof(tolerance=...)`` semantics) — dropped under "inner",
+    null-padded under "left".
     """
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
@@ -352,6 +357,8 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
         safe = np.clip(pos, 0, None)
         # right composite floor must belong to the SAME key
         ok &= rk[ridx[safe]] == lk
+        if tolerance is not None:
+            ok &= (lt - rt[ridx[safe]]) <= np.int64(tolerance)
         rsel = r.iloc[ridx[safe]][out_r].rename(columns=ren) \
             .reset_index(drop=True)
         if how == "inner":
@@ -670,7 +677,8 @@ def table_diff(old, new, key_col: str, value_cols: list[str],
 def asof_join_forward(left, right, on: str, left_ts: str,
                       right_ts: str, tiebreak: str,
                       num_buckets: int = 64, how: str = "inner",
-                      suffixes=("_l", "_r")):
+                      suffixes=("_l", "_r"),
+                      tolerance: int | None = None):
     """Forward as-of join: for each left row, the single right row with
     the same key and the SMALLEST ``right_ts`` >= ``left_ts`` (ties
     still resolve to the max ``tiebreak`` — deterministic). Implemented
@@ -692,7 +700,7 @@ def asof_join_forward(left, right, on: str, left_ts: str,
                                       batch_format="pyarrow"),
                     on=on, left_ts=left_ts, right_ts=right_ts,
                     tiebreak=tiebreak, num_buckets=num_buckets,
-                    how=how, suffixes=suffixes)
+                    how=how, suffixes=suffixes, tolerance=tolerance)
 
     def unneg(batch: pd.DataFrame) -> pd.DataFrame:
         for c in {left_ts, right_ts}:
