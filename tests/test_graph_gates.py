@@ -105,3 +105,17 @@ class TestGateEquality:
         a = reciprocity_hashgraph(SF).to_pandas()
         b = reciprocity_hashgraph(SF, broadcast_limit_rows=0).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ego_subgraph_paths_equal():
+    """Broadcast ball membership == double semi-join past the gate."""
+    from tldr_ray.queries import ego_subgraph_hashgraph
+
+    sf = "/root/testdata/sf0.001"
+    a = (ego_subgraph_hashgraph(sf).to_pandas()
+         .sort_values(["u", "w"]).reset_index(drop=True))
+    b = (ego_subgraph_hashgraph(sf, _broadcast_budget=0).to_pandas()
+         .sort_values(["u", "w"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

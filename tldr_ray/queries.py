@@ -13139,3 +13139,89 @@ ORACLE_SQL["purchase_last_click_asof_1h"] = """
     SELECT purchase_id, p_ts, user_id, c_ts, click_id
     FROM j WHERE rn = 1
 """
+
+def ego_subgraph_hashgraph(sf_dir: str,
+                           _broadcast_budget: int | None = None):
+    """2-hop EGO SUBGRAPH extraction around seeds {0, 1} — the
+    neighborhood-sampling primitive (GraphSAGE-style minibatch /
+    incident-investigation shape): BSP BFS marks the k-hop ball, then
+    the induced undirected deduped edge set is emitted — an edge
+    survives iff BOTH endpoints are inside the ball. The ball
+    membership set is O(ball), bounded by the k-hop volume — broadcast
+    under the standard counted gate (graph.gate.fits_broadcast), with
+    the semi-join formulation past it. SQL oracle: capped recursive
+    frontier CTE + double IN."""
+    import ray
+
+    import ray.data as rd
+
+    from tldr_ray.graph import bfs_hops
+    from tldr_ray.graph.gate import fits_broadcast
+
+    K = 2
+    edges = _hash_graph_edges(sf_dir)
+    ids, dist, _ = bfs_hops(edges, seeds=[0, 1], num_partitions=4,
+                            max_rounds=K)
+    ball = np.sort(ids[(dist >= 0) & (dist <= K)
+                       & (dist != np.iinfo(np.int64).max)])
+
+    def und(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        t = np.asarray(batch["dst"], dtype=np.int64)
+        u = np.minimum(s, t)
+        w = np.maximum(s, t)
+        tt = pa.table({"u": pa.array(u), "w": pa.array(w)})
+        return tt.group_by(["u", "w"]).aggregate([]).select(["u", "w"])
+
+    und_edges = edges.map_batches(und, batch_format="pyarrow")
+
+    ball_ds = rd.from_arrow(pa.table({"v": pa.array(ball)}))
+    _, fits = fits_broadcast(ball_ds.materialize(),
+                             budget_rows=_broadcast_budget)
+    if fits:
+        bref = ray.put(ball)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            u = np.asarray(batch["u"], dtype=np.int64)
+            w = np.asarray(batch["w"], dtype=np.int64)
+            inb = (b[np.minimum(np.searchsorted(b, u), b.size - 1)] == u) \
+                & (b[np.minimum(np.searchsorted(b, w), b.size - 1)] == w)
+            return batch.filter(pa.array(inb))
+
+        cand = und_edges.map_batches(keep, batch_format="pyarrow")
+    else:                 # forced by the equality test; scale path
+        from tldr_ray.stages.joins import bucketed_semi_join
+        cand = bucketed_semi_join(und_edges, ball_ds.map_batches(
+            lambda t: t.rename_columns(["u"]), batch_format="pyarrow"),
+            on="u")
+        cand = bucketed_semi_join(cand, ball_ds.map_batches(
+            lambda t: t.rename_columns(["w"]), batch_format="pyarrow"),
+            on="w")
+    # distinct across blocks (a (u,w) pair can appear in 2 blocks)
+    from ray.data.aggregate import Count
+    return (cand.groupby(["u", "w"])
+            .aggregate(Count(alias_name="__c"))
+            .map_batches(lambda t: t.select(["u", "w"]),
+                         batch_format="pyarrow"))
+
+
+QUERIES["ego_subgraph_hashgraph"] = ego_subgraph_hashgraph
+ORACLE_SQL["ego_subgraph_hashgraph"] = f"""
+    WITH RECURSIVE {_HASHGRAPH_RAW},
+    sym AS (SELECT s, t FROM raw2 UNION SELECT t, s FROM raw2),
+    reach(v, d) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT sym.t, reach.d + 1
+        FROM reach JOIN sym ON sym.s = reach.v
+        WHERE reach.d < 2
+    ),
+    ball AS (SELECT DISTINCT v FROM reach),
+    und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS w
+            FROM sym)
+    SELECT u, w FROM und
+    WHERE u IN (SELECT v FROM ball) AND w IN (SELECT v FROM ball)
+"""
