@@ -13225,3 +13225,116 @@ ORACLE_SQL["ego_subgraph_hashgraph"] = f"""
     SELECT u, w FROM und
     WHERE u IN (SELECT v FROM ball) AND w IN (SELECT v FROM ball)
 """
+
+
+def customer_entity_resolution(sf_dir: str):
+    """ENTITY RESOLUTION end to end — the record-linkage flagship
+    composed entirely from hash-checked pieces: FastSS
+    edit-distance-1 blocking over distinct names (deletion
+    neighborhoods — never all pairs), Jaro-Winkler re-scoring of the
+    verified candidates (kernel bit-equal to DuckDB), a > 0.9 match
+    gate, connected-component clustering (counted union-find <->
+    distributed CC), and canonical-record assignment: every customer
+    row gets cluster_id = the min c_custkey reachable through its
+    name's match graph (identical names collapse through the per-name
+    min id even without an edit-distance edge). Name->id mapping runs
+    as bucketed joins — no O(#names) driver map."""
+    from ray.data.aggregate import Min
+
+    from tldr_ray.kernel.distance import jaro_winkler
+    from tldr_ray.stages.dedup import (edit_distance_pairs,
+                                       resolve_clusters)
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    nm = (cust.map_batches(
+        lambda t: pa.table({"w": t["c_name"],
+                            "ck": t["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("w").aggregate(Min("ck", alias_name="nid"))
+        .materialize())
+
+    pairs = edit_distance_pairs(cust.map_batches(
+        lambda t: t.select(["c_name"]), batch_format="pyarrow"),
+        col="c_name")
+
+    def score_gate(batch: pa.Table) -> pa.Table:
+        w1 = batch["w1"].to_pylist()
+        w2 = batch["w2"].to_pylist()
+        jw = np.array([jaro_winkler(a, b) for a, b in zip(w1, w2)])
+        return pa.table({"w1": batch["w1"],
+                         "w2": batch["w2"]}).filter(pa.array(jw > 0.9))
+
+    matched = pairs.map_batches(score_gate, batch_format="pyarrow")
+    # (w1, w2) -> (id_a, id_b) via two bucketed joins on the name key
+    j1 = bucketed_hash_join(
+        matched, nm.map_batches(
+            lambda t: t.rename_columns(["w1", "id_a"]),
+            batch_format="pyarrow"), on="w1")
+    j2 = bucketed_hash_join(
+        j1.map_batches(lambda t: t.select(["w2", "id_a"]),
+                       batch_format="pyarrow"),
+        nm.map_batches(lambda t: t.rename_columns(["w2", "id_b"]),
+                       batch_format="pyarrow"), on="w2")
+    cl = resolve_clusters(j2.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"))
+    cmap_k = np.sort(cl["id"].to_numpy(np.int64))
+    cmap_v = (cl.set_index("id")["cluster_id"].loc[cmap_k]
+              .to_numpy(np.int64))
+
+    import ray
+    cref = ray.put((cmap_k, cmap_v))
+
+    def seal(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(cref)
+        nid = np.asarray(batch["nid"], dtype=np.int64)
+        cid = nid.copy()
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, nid), ks.size - 1)
+            hit = ks[pos] == nid
+            cid[hit] = vs[pos[hit]]
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_name": batch["c_name"],
+            "cluster_id": pa.array(cid)})
+
+    # decorate every row with its name's nid, then the cluster map
+    # (cluster map is O(matched names) — candidate-sized, not corpus)
+    rows = bucketed_hash_join(
+        cust.map_batches(lambda t: pa.table(
+            {"c_custkey": t["c_custkey"].cast(pa.int64()),
+             "c_name": t["c_name"], "w": t["c_name"]}),
+            batch_format="pyarrow"),
+        nm, on="w")
+    return rows.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["customer_entity_resolution"] = customer_entity_resolution
+ORACLE_SQL["customer_entity_resolution"] = """
+    WITH RECURSIVE
+    nm AS (SELECT c_name AS w, CAST(min(c_custkey) AS BIGINT) AS nid
+           FROM customer GROUP BY 1),
+    pr AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM nm a JOIN nm b
+          ON a.w < b.w
+         AND abs(length(a.w) - length(b.w)) <= 1
+         AND levenshtein(a.w, b.w) = 1
+         AND jaro_winkler_similarity(a.w, b.w) > 0.9),
+    e AS (SELECT x.nid AS s, y.nid AS t
+          FROM pr JOIN nm x ON x.w = pr.w1
+                  JOIN nm y ON y.w = pr.w2),
+    sym AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.t, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    cl AS (SELECT v, min(l) AS cid FROM reach GROUP BY v)
+    SELECT c.c_custkey, c.c_name,
+           CAST(COALESCE(cl.cid, nm.nid) AS BIGINT) AS cluster_id
+    FROM customer c
+    JOIN nm ON nm.w = c.c_name
+    LEFT JOIN cl ON cl.v = nm.nid
+"""
