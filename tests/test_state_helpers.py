@@ -302,3 +302,50 @@ class TestTxLog:
         with pytest.raises(ValueError):
             txlog_read(td, 1)
         assert len(txlog_versions(td)) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_range_partitioned_balanced_and_prunable(tmp_path):
+    """Equi-depth range layout: balanced partitions even under skew,
+    round-trips exactly, and composes with zone-map pruning."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tldr_ray.sinks import build_zonemap, write_range_partitioned
+    from tldr_ray.sources.tabular import read_pruned
+
+    rng = np.random.default_rng(4)
+    # heavy skew: half the rows in a narrow band
+    x = np.concatenate([rng.integers(0, 100, 5000),
+                        rng.integers(0, 100_000, 5000)]).astype(np.int64)
+    df = pd.DataFrame({"x": x, "i": np.arange(x.size, dtype=np.int64)})
+    out = str(tmp_path / "rl")
+    rep = write_range_partitioned(rd.from_pandas(df).repartition(8),
+                                  out, "x", num_ranges=8)
+    assert len(rep["written"]) >= 4
+    sizes = []
+    back = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("range_id="):
+            continue
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(out, d), columns=["x", "i"])
+        sizes.append(t.num_rows)
+        back.append(t.to_pandas())
+    assert sum(sizes) == len(df)
+    # balanced despite skew: no partition above 3x the fair share
+    assert max(sizes) <= 3 * (len(df) // len(sizes))
+    allb = pd.concat(back).sort_values("i").reset_index(drop=True)
+    pd.testing.assert_frame_equal(allb[["x", "i"]],
+                                  df.sort_values("i")
+                                  .reset_index(drop=True)[["x", "i"]])
+    # zone-map pruning opens a strict subset of files for a narrow band
+    build_zonemap(out, ["x"])
+    ds, stats = read_pruned(out, "x", 0, 50)
+    assert 0 < stats["files_read"] < stats["files_total"]
+    got = sorted(ds.to_pandas()["i"])
+    want = sorted(df[(df.x >= 0) & (df.x <= 50)]["i"])
+    assert got == want

@@ -13338,3 +13338,50 @@ ORACLE_SQL["customer_entity_resolution"] = """
     JOIN nm ON nm.w = c.c_name
     LEFT JOIN cl ON cl.v = nm.nid
 """
+
+
+def range_layout_events(sf_dir: str):
+    """Equi-depth RANGE-partitioned layout end to end
+    (sinks.write_range_partitioned — exact distinct-value-counts
+    bounds, so skew still yields balanced files): events land under
+    range_id=K/ dirs clustered on value, a footer-only zone map
+    indexes the layout, and a narrow value band reads ONLY the
+    intersecting files (asserted) + exact residual filter. The final
+    frame must equal a plain SQL filter — which pins bounds
+    assignment, the resumable writer and the pruned read in one hash."""
+    import tempfile
+
+    from tldr_ray.sinks import build_zonemap, write_range_partitioned
+    from tldr_ray.sources.tabular import read_pruned
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)), pa.int64())})
+
+    ev = (_read(sf_dir, "events", ["event_id", "user_id", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/events_range"
+        write_range_partitioned(ev, out, "cents", num_ranges=8)
+        build_zonemap(out, ["cents"])
+        ds, stats = read_pruned(out, "cents", 1000, 3000,
+                                columns=["event_id", "user_id",
+                                         "cents"])
+        assert 0 < stats["files_read"] < stats["files_total"], stats
+        return (ds.map_batches(
+            lambda t: t.select(["event_id", "user_id", "cents"]),
+            batch_format="pyarrow").materialize())
+
+
+QUERIES["range_layout_events"] = range_layout_events
+ORACLE_SQL["range_layout_events"] = """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) BETWEEN 1000
+          AND 3000
+"""

@@ -205,7 +205,13 @@ def build_zonemap(path: str, cols: list[str],
         return v
 
     manifest = {}
-    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+    # recursive: partitioned layouts (range_id=K/, hive dirs) index too;
+    # ** includes top level, so dedup keeps flat dirs byte-identical
+    files = sorted(set(_glob.glob(os.path.join(path, "*.parquet")))
+                   | set(_glob.glob(
+                       os.path.join(path, "**", "*.parquet"),
+                       recursive=True)))
+    for f in files:
         md = pq.ParquetFile(f).metadata
         sch = md.schema.to_arrow_schema()
         idx = {c: sch.names.index(c) for c in cols}
@@ -222,7 +228,7 @@ def build_zonemap(path: str, cols: list[str],
                     mins[c] = lo
                 if c not in maxs or (maxs[c] is not None and hi > maxs[c]):
                     maxs[c] = hi
-        manifest[os.path.basename(f)] = {
+        manifest[os.path.relpath(f, path)] = {
             c: [mins.get(c), maxs.get(c)] for c in cols}
     tmp = os.path.join(path, manifest_name + ".tmp")
     with open(tmp, "w") as fh:
@@ -281,3 +287,56 @@ def build_hash_index(ds, path: str, key_col: str,
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(path, manifest_name))
     return manifest
+
+
+def write_range_partitioned(ds, out_dir: str, col: str,
+                            num_ranges: int = 16,
+                            resume: bool = True) -> dict:
+    """Range-partitioned layout: EXACT equi-depth range bounds from a
+    distinct-value counts pass (per-block pre-combined, O(#distinct)
+    selection frame — the grouped_quantiles discipline, so a skewed
+    column still yields balanced files, unlike fixed-width ranges),
+    then one pass assigns each row its range id and the resumable
+    partitioned writer lands ``range_id=K/`` directories with _DONE
+    markers. Rows with equal values always share a range (ties never
+    split), so per-file min/max are tight and disjoint up to
+    duplicates — ``build_zonemap`` + ``read_pruned`` over this layout
+    prune to the files a value range actually touches. Returns the
+    writer report plus ``bounds`` (the num_ranges-1 right-exclusive
+    cut values)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"v": batch[col]})
+             .group_by("v").aggregate([("v", "count")]))
+        return pa.table({"v": g["v"],
+                         "c": g["v_count"].cast(pa.int64())})
+
+    vc = (ds.select_columns([col])
+          .map_batches(vc_partial, batch_format="pyarrow")
+          .groupby("v").aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    v = vc["v"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    v = v[order]
+    c = vc["c"].to_numpy(np.int64)[order]
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    targets = (np.arange(1, num_ranges, dtype=np.int64) * n
+               ) // num_ranges
+    cut_idx = np.searchsorted(cum, targets, side="right")
+    cut_idx = np.minimum(cut_idx, v.size - 1)
+    bounds = np.unique(v[cut_idx])        # dedup under heavy ties
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[col])
+        rid = np.searchsorted(bounds, x, side="right")
+        return batch.append_column("range_id",
+                                   pa.array(rid.astype(np.int64)))
+
+    report = write_partitioned_parquet(
+        ds.map_batches(assign, batch_format="pyarrow"), out_dir,
+        by="range_id", resume=resume)
+    report["bounds"] = bounds.tolist()
+    return report
