@@ -13385,3 +13385,85 @@ ORACLE_SQL["range_layout_events"] = """
     WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) BETWEEN 1000
           AND 3000
 """
+
+
+def revenue_gini_customers(sf_dir: str):
+    """Gini coefficient of per-customer order revenue — the canonical
+    inequality measure (completes revenue_pareto_top_decile): G =
+    (2*S - (n+1)*T) / (n*T) with S = sum of rank_i * x_i over
+    revenue-ascending ranks and T = total revenue. Ranks never
+    materialize per row: the distinct-revenue value-counts frame gives
+    each tie class its rank-sum in closed form (c*cumb + c(c+1)/2 —
+    same integer algebra family as the AUC query), so S and T are
+    exact int64 and G is ONE IEEE division chain. One grouped sum per
+    customer + one value-counts exchange; O(#distinct revenues)
+    selection frame."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)), pa.int64())})
+
+    per_cust = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby("ck")
+                .aggregate(Sum("cents", alias_name="rev")))
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"v": batch["rev"]})
+             .group_by("v").aggregate([("v", "count")]))
+        return pa.table({"v": g["v"],
+                         "c": g["v_count"].cast(pa.int64())})
+
+    vc = (per_cust.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby("v").aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    v = vc["v"].to_numpy(np.int64)
+    order = np.argsort(v, kind="stable")
+    v = v[order]
+    c = vc["c"].to_numpy(np.int64)[order]
+    n = int(c.sum())
+    T = int(np.sum(v * c))
+    cumb = np.concatenate([[np.int64(0)], np.cumsum(c)[:-1]])
+    # rank-sum of a tie class at value v: c*cumb + c(c+1)/2; doubled
+    # to stay integer
+    S2 = int(np.sum(v * (2 * c * cumb + c * (c + 1))))
+    num = 2 * S2 - 2 * (n + 1) * T          # = 2*(2S - (n+1)T)
+    gini = np.float64(num) / (np.float64(2.0) * np.float64(n)
+                              * np.float64(T))
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([T], pa.int64()),
+        "num2": pa.array([num], pa.int64()),
+        "gini": pa.array([float(gini)], pa.float64())})
+
+
+QUERIES["revenue_gini_customers"] = revenue_gini_customers
+ORACLE_SQL["revenue_gini_customers"] = """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1),
+    vc AS (SELECT rev AS v, CAST(count(*) AS BIGINT) AS c
+           FROM pc GROUP BY 1),
+    o AS (
+        SELECT v, c,
+               CAST(COALESCE(sum(c) OVER (
+                    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        FROM vc),
+    agg AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(v * c) AS BIGINT) AS t,
+               CAST(sum(v * (2 * c * cumb + c * (c + 1)))
+                    AS BIGINT) AS s2
+        FROM o)
+    SELECT n AS n_customers, t AS total_cents,
+           CAST(2 * s2 - 2 * (n + 1) * t AS BIGINT) AS num2,
+           CAST(2 * s2 - 2 * (n + 1) * t AS DOUBLE)
+               / (2.0 * n * t) AS gini
+    FROM agg
+"""
