@@ -2331,3 +2331,38 @@ def test_logistic_fit_recovers_planted_weights():
     assert cos > 0.97
     acc = ((_sigmoid(X32 @ w + b) > 0.5) == y).mean()
     assert acc > 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_proportional_and_deterministic():
+    """A-ES race: inclusion scales with weight; same salt -> identical
+    sample across layouts; salts re-draw."""
+    import ray.data as rd
+
+    from tldr_ray.stages.agg import weighted_sample
+
+    n = 2_000
+    ids = np.arange(n, dtype=np.int64)
+    # half the items weight 1, half weight 6
+    w = np.where(ids % 2 == 0, 1.0, 6.0)
+    t = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    ds = rd.from_arrow(t).repartition(7)
+    counts = np.zeros(2)
+    K = 200
+    for salt in range(30):
+        got = weighted_sample(ds, "id", "w", K, salt=salt).to_pandas()
+        assert len(got) == K and got["id"].is_unique
+        counts[0] += (got["id"] % 2 == 0).sum()
+        counts[1] += (got["id"] % 2 == 1).sum()
+    ratio = counts[1] / counts[0]
+    assert 4.0 < ratio < 8.5, ratio        # ~6 expected
+    # layout independence, same salt
+    a = sorted(weighted_sample(ds, "id", "w", 50, salt=3)
+               .to_pandas()["id"])
+    b = sorted(weighted_sample(rd.from_arrow(t).repartition(2),
+                               "id", "w", 50, salt=3).to_pandas()["id"])
+    assert a == b
+    with pytest.raises(Exception):
+        weighted_sample(rd.from_arrow(pa.table({
+            "id": pa.array([1], pa.int64()),
+            "w": pa.array([0.0])})), "id", "w", 1).to_pandas()

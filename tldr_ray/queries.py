@@ -13467,3 +13467,30 @@ ORACLE_SQL["revenue_gini_customers"] = """
                / (2.0 * n * t) AS gini
     FROM agg
 """
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Token-weighted document sample (stages.agg.weighted_sample —
+    Efraimidis-Spirakis without-replacement race, splitmix-driven so
+    the draw is deterministic and layout-free): 100 docs drawn
+    proportional to whitespace token count, the standard
+    length-weighted curation draw. Rows-only (libm log keys);
+    proportionality + determinism pytest-pinned."""
+    import pyarrow.compute as pc
+
+    from tldr_ray.stages.agg import weighted_sample
+
+    def wcount(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch["text"])))
+        w = np.maximum(np.asarray(toks, dtype=np.float64), 1.0)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "w": pa.array(w)})
+
+    return weighted_sample(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(wcount, batch_format="pyarrow"),
+        "doc_id", "w", 100)
+
+
+QUERIES["weighted_sample_docs"] = weighted_sample_docs

@@ -1171,3 +1171,43 @@ def auc_from_value_counts(s: np.ndarray, c: np.ndarray,
     auc = (np.float64(num2)
            / (np.float64(2.0) * np.float64(n_pos) * np.float64(n_neg)))
     return num2, n_pos, n_neg, float(auc)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    salt: int = 0):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, 2006): each row races with key ln(u)/w for u =
+    splitmix64(id, salt) mapped into (0, 1) — the k LARGEST keys are
+    exactly a weight-proportional without-replacement draw. Hash-
+    driven u makes the sample deterministic, layout-independent and
+    re-drawable by salt, the same discipline as bottomk_sample (this
+    is its weighted generalization; w==1 degenerates to a uniform
+    bottom-k race). Each block keeps only its local top-k (<= k rows
+    leave any task — funnel, not shuffle), then one small sort+limit
+    finishes. Weights must be > 0 (raises otherwise). Rows-only by
+    nature (libm log); proportionality and determinism are pytest-
+    pinned."""
+    from tldr_ray.stages.dedup import _mix64
+
+    SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        w = np.asarray(batch[weight_col], dtype=np.float64)
+        if ids.size and w.min() <= 0:
+            raise ValueError(
+                "weighted_sample requires strictly positive weights")
+        h = _mix64(ids.astype(np.uint64)
+                   + np.uint64(salt) * SALT_MIX)
+        u = (h.astype(np.float64) + 0.5) / np.float64(2**64)
+        key = np.log(u) / w
+        top = np.argsort(-key, kind="stable")[:k]
+        out = batch.take(pa.array(np.sort(top)))
+        kk = key[np.sort(top)]
+        return out.append_column("__es_key", pa.array(kk))
+
+    return (ds.map_batches(local_top, batch_format="pyarrow")
+            .sort("__es_key", descending=True)
+            .limit(k)
+            .map_batches(lambda t: t.drop(["__es_key"]),
+                         batch_format="pyarrow"))
