@@ -349,3 +349,25 @@ def test_write_range_partitioned_balanced_and_prunable(tmp_path):
     got = sorted(ds.to_pandas()["i"])
     want = sorted(df[(df.x >= 0) & (df.x <= 50)]["i"])
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_txlog_idempotent_append(tmp_path):
+    """Same idempotency key -> the retry is a no-op returning the
+    original version; different keys append normally."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tldr_ray.state.txlog import txlog_append, txlog_read
+
+    def mk(vals):
+        return rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+
+    td = str(tmp_path / "t")
+    v1 = txlog_append(mk([1, 2]), td, idempotency_key="delta-001")
+    v2 = txlog_append(mk([1, 2]), td, idempotency_key="delta-001")
+    assert v1 == v2 == 1
+    assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2]
+    v3 = txlog_append(mk([3]), td, idempotency_key="delta-002")
+    assert v3 == 2
+    assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2, 3]

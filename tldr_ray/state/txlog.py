@@ -107,7 +107,7 @@ def txlog_snapshot_files(table_dir: str,
 
 
 def _commit(table_dir: str, op: str, add: list[str],
-            remove: list[str]) -> int:
+            remove: list[str], key: str | None = None) -> int:
     """Atomically claim the next version via link(2) — retries past
     versions claimed by concurrent writers (blind append semantics)."""
     d = _log_dir(table_dir)
@@ -117,6 +117,8 @@ def _commit(table_dir: str, op: str, add: list[str],
     v = (versions[-1] if versions else 0) + 1
     while True:
         body = {"version": v, "op": op, "add": add, "remove": remove}
+        if key is not None:
+            body["key"] = key
         with open(tmp, "w") as fh:
             json.dump(body, fh)
         target = os.path.join(d, f"{v:0{_WIDTH}d}.json")
@@ -147,12 +149,29 @@ def _stage_files(ds, table_dir: str) -> list[str]:
     return names
 
 
-def txlog_append(ds, table_dir: str) -> int:
+def txlog_append(ds, table_dir: str,
+                 idempotency_key: str | None = None) -> int:
     """APPEND ``ds`` as new immutable files + one log entry; existing
     files are untouched (the O(delta) write path). Returns the new
-    version."""
+    version.
+
+    ``idempotency_key`` (e.g. a landing-file path or a content
+    digest) makes the append EXACTLY-ONCE across retries: the key is
+    recorded in the commit JSON, and a later append carrying the same
+    key is a no-op returning the original version — the streaming
+    'crash after commit, retry the delta' case
+    (``sources.mark_processed``'s twin on the sink side). The
+    check-then-commit race window is closed by the link(2) claim: a
+    concurrent duplicate lands as a second commit only if BOTH staged
+    before either committed, which retries (sequential re-runs of a
+    failed job) never do."""
+    if idempotency_key is not None:
+        for v in txlog_versions(table_dir):
+            if _read_commit(table_dir, v).get("key") == idempotency_key:
+                return v
     names = _stage_files(ds, table_dir)
-    return _commit(table_dir, "append", names, [])
+    return _commit(table_dir, "append", names, [],
+                   key=idempotency_key)
 
 
 def txlog_overwrite(ds, table_dir: str) -> int:
