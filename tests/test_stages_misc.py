@@ -2366,3 +2366,37 @@ def test_weighted_sample_proportional_and_deterministic():
         weighted_sample(rd.from_arrow(pa.table({
             "id": pa.array([1], pa.int64()),
             "w": pa.array([0.0])})), "id", "w", 1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_misra_gries_bounds_and_presence():
+    """Per-group MG: planted per-group heavy value always present,
+    every estimate obeys true - n_g/(k+1) <= est <= true."""
+    import ray.data as rd
+
+    from tldr_ray.stages.sketches import grouped_misra_gries
+
+    rng = np.random.default_rng(2)
+    rows_g, rows_v = [], []
+    for day in range(5):
+        heavy = 1000 + day
+        n_bg = 3_000
+        vals = rng.integers(0, 500, n_bg).tolist() + [heavy] * 800
+        rows_g += [day] * len(vals)
+        rows_v += vals
+    t = pa.table({"day": pa.array(np.array(rows_g, np.int64)),
+                  "uid": pa.array(np.array(rows_v, np.int64))})
+    ds = rd.from_arrow(t).repartition(9)
+    out = grouped_misra_gries(ds, "day", "uid", k=16)
+    df = pd.DataFrame({"day": np.array(rows_g), "uid": np.array(rows_v)})
+    for day in range(5):
+        sub = out[out["group"] == day]
+        truth = df[df.day == day]["uid"].value_counts()
+        n_g = len(df[df.day == day])
+        heavy = 1000 + day
+        assert heavy in set(sub["value"])        # guaranteed presence
+        for _, r in sub.iterrows():
+            true = int(truth.get(r["value"], 0))
+            assert true - n_g // (16 + 1) - 1 <= r["est"] <= true
+        # the planted heavy value ranks first
+        assert int(sub.iloc[0]["value"]) == heavy

@@ -13494,3 +13494,33 @@ def weighted_sample_docs(sf_dir: str):
 
 
 QUERIES["weighted_sample_docs"] = weighted_sample_docs
+
+
+def trending_users_daily(sf_dir: str):
+    """Per-day trending heavy users (stages.sketches.grouped_misra_gries
+    — mergeable per-group counters, <= k rows per group leave any
+    block): the top-8 MG summary of user_id per event day. Rows-only
+    (MG estimates are layout-dependent within the deterministic bound;
+    the guaranteed-presence + bound pytest is the oracle)."""
+    from tldr_ray.stages.sketches import grouped_misra_gries
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "day": pa.array(us // DAY),
+            "user_id": batch["user_id"].cast(pa.int64())})
+
+    df = grouped_misra_gries(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "day", "user_id", k=8)
+    df["group"] = df["group"].astype(np.int64)
+    df["value"] = df["value"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df.rename(columns={"group": "day", "value": "user_id"}),
+        preserve_index=False)
+
+
+QUERIES["trending_users_daily"] = trending_users_daily

@@ -679,3 +679,56 @@ def kll_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), k: int = 256):
         "q": list(qs),
         "value": [total.quantile(q) for q in qs],
         "n": np.full(len(qs), total.n, np.int64)})
+
+
+def grouped_misra_gries(ds, group_col: str, col: str, k: int = 16):
+    """Per-GROUP Misra-Gries heavy hitters — the trending-top-k shape
+    (heavy users per day, hot items per category): every block
+    compresses each group's exact value counts to <= k counters
+    (O(groups_in_block * k) rows leave a task), ONE small groupby sums
+    the per-block summaries, and a final per-group compression
+    restores <= k counters with the same deterministic bound as the
+    global sketch: within group g, ``true - n_g/(k+1) <= est <=
+    true`` — any value holding more than 1/(k+1) of its group is
+    guaranteed present. The per-block compression loops over GROUP
+    SEGMENTS (not rows); suited to dimension-like group keys (days,
+    categories), not per-user grouping. Returns pd.DataFrame
+    (group, value, est) sorted by (group, est desc, value)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        tab = pa.table({"g": batch[group_col], "v": batch[col]})
+        gp = tab.group_by(["g", "v"]).aggregate([("v", "count")])
+        g = np.asarray(gp["g"])
+        v = np.asarray(gp["v"])
+        c = np.asarray(gp["v_count"], dtype=np.int64)
+        order = np.argsort(g, kind="stable")
+        g, v, c = g[order], v[order], c[order]
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], g[1:] != g[:-1]])) if g.size else np.array([], int)
+        bounds = np.append(bounds, g.size)
+        og, ov, oc = [], [], []
+        for i in range(bounds.size - 1):
+            s, e = bounds[i], bounds[i + 1]
+            vv, cc = _mg_compress(v[s:e], c[s:e], k)
+            og.append(np.full(vv.size, g[s]))
+            ov.append(vv)
+            oc.append(cc)
+        if not og:
+            return pa.table({"g": pa.array([], gp["g"].type),
+                             "value": pa.array([], gp["v"].type),
+                             "est": pa.array([], pa.int64())})
+        return pa.table({
+            "g": pa.array(np.concatenate(og)),
+            "value": pa.array(np.concatenate(ov)),
+            "est": pa.array(np.concatenate(oc).astype(np.int64))})
+
+    merged = (ds.select_columns([group_col, col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["g", "value"]).sum("est").to_pandas())
+    out_rows = []
+    for gval, sub in merged.groupby("g", sort=True):
+        vv, cc = _mg_compress(sub["value"].to_numpy(),
+                              sub["sum(est)"].to_numpy(np.int64), k)
+        order = np.lexsort((vv, -cc))
+        for v2, c2 in zip(vv[order], cc[order]):
+            out_rows.append((gval, v2, int(c2)))
+    return pd.DataFrame(out_rows, columns=["group", "value", "est"])
