@@ -13524,3 +13524,114 @@ def trending_users_daily(sf_dir: str):
 
 
 QUERIES["trending_users_daily"] = trending_users_daily
+
+
+def events_above_p99(sf_dir: str):
+    """Per-type p99 exceedance monitor (observability shape: flag the
+    tail): grouped DISCRETE p99 thresholds (stages.agg
+    .grouped_quantiles — one coarse sweep) broadcast as a dimension-
+    sized map, then one vectorized pass emits the rows STRICTLY above
+    their type's p99. Exact integer cents on both sides."""
+    import ray
+
+    from tldr_ray.stages.agg import grouped_quantiles
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)), pa.int64())})
+
+    ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    th = grouped_quantiles(ev, "event_type", "cents",
+                           qs=(0.99,)).to_pandas()
+    tmap = dict(zip(th["event_type"], th["p99"].astype(np.int64)))
+    tref = ray.put(tmap)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(tref)
+        types = batch["event_type"].to_pylist()
+        p99 = np.array([m[t] for t in types], dtype=np.int64)
+        cents = np.asarray(batch["cents"], dtype=np.int64)
+        keep = cents > p99
+        out = batch.append_column("p99", pa.array(p99))
+        return out.filter(pa.array(keep))
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
+QUERIES["events_above_p99"] = events_above_p99
+ORACLE_SQL["events_above_p99"] = """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    th AS (SELECT event_type,
+                  CAST(quantile_disc(cents, 0.99) AS BIGINT) AS p99
+           FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type, c.cents, th.p99
+    FROM c JOIN th USING (event_type)
+    WHERE c.cents > th.p99
+"""
+
+
+def debounced_events(sf_dir: str):
+    """Event DEBOUNCE / throttle-dedup (the telemetry-cleaning
+    primitive: drop a repeat (user, type) firing within 1 h of the
+    PREVIOUS event, lag-based — the stateless variant; a
+    last-KEPT-row debounce is a sequential scan by nature): per-(user, type) ordered deltas off
+    the shared row_window segment sweep — the composite key rides as
+    one string column through the coarse shuffle, user/type/ids ride
+    the order columns, and the keep rule is delta == -1 (first in
+    partition) OR delta > 5 s, all exact integer microseconds."""
+    from tldr_ray.stages.windows import row_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        key = pc.binary_join_element_wise(
+            pc.cast(pa.array(uid), pa.string()),
+            batch["event_type"].cast(pa.string()), "|")
+        return pa.table({
+            "k": key,
+            "ts_us": pa.array(us),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": pa.array(uid),
+            "event_type": batch["event_type"]})
+
+    w = row_window(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "k", ["ts_us", "event_id", "user_id", "event_type"],
+        delta_col="ts_us")
+
+    def seal(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["delta_ts_us"], dtype=np.int64)
+        keep = (d == -1) | (d > 3_600_000_000)
+        out = pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts_us"].cast(pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return w.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["debounced_events"] = debounced_events
+ORACLE_SQL["debounced_events"] = """
+    WITH b AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+    w AS (
+        SELECT *, coalesce(ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts_us, event_id), -1) AS delta
+        FROM b)
+    SELECT event_id, user_id, event_type, ts_us
+    FROM w WHERE delta = -1 OR delta > 3600000000
+"""
