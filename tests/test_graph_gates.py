@@ -119,3 +119,53 @@ def test_ego_subgraph_paths_equal():
          .sort_values(["u", "w"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hyperball_estimates_match_exact_balls():
+    """HyperBall t-hop ball estimates track exact BFS ball sizes on a
+    small random graph (b=6 -> linear-counting regime for small
+    balls; loose per-vertex band, tight mean)."""
+    import ray.data as rd
+
+    from tldr_ray.graph.hyperball import hyperball
+
+    rng = np.random.default_rng(31)
+    n = 300
+    src = np.arange(n, dtype=np.int64)
+    # ring + two random chords per vertex: connected, diameter ~ log n
+    edges = [(int(i), int((i + 1) % n)) for i in range(n)]
+    for i in range(n):
+        edges.append((int(i), int(rng.integers(0, n))))
+        edges.append((int(i), int(rng.integers(0, n))))
+    edges = [(a, b) for a, b in edges if a != b]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    T = 3
+    out = hyperball(rd.from_arrow(t).repartition(5), t=T, b=6,
+                    num_parts=8)
+    # exact balls by numpy BFS over the symmetrized adjacency
+    adj = [set() for _ in range(n)]
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exact = np.zeros(n)
+    for v in range(n):
+        ball = {v}
+        frontier = {v}
+        for _ in range(T):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj[u]
+            frontier = nxt - ball
+            ball |= nxt
+        exact[v] = len(ball)
+    est = out.set_index("vertex")["ball_est"].loc[
+        np.arange(n)].to_numpy()
+    rel = np.abs(est - exact) / exact
+    assert rel.mean() < 0.12, rel.mean()
+    assert (rel < 0.40).all(), rel.max()
+    # monotone in t: 1-hop estimates are <= 3-hop estimates (on avg)
+    out1 = hyperball(rd.from_arrow(t).repartition(5), t=1, b=6,
+                     num_parts=8)
+    assert (out1["ball_est"].mean() < out["ball_est"].mean())

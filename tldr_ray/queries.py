@@ -13635,3 +13635,20 @@ ORACLE_SQL["debounced_events"] = """
     SELECT event_id, user_id, event_type, ts_us
     FROM w WHERE delta = -1 OR delta > 3600000000
 """
+
+
+def hyperball_hashgraph(sf_dir: str):
+    """HyperBall / HyperANF 4-hop neighbourhood-size estimates over
+    the hash graph (graph.hyperball — per-vertex HLL registers,
+    BSP register max-merge; O(E * 2^b) bytes per round through two
+    coarse exchanges, O(P) driver scalars). The scalable answer to
+    "how big is every vertex's k-hop reach" — exact all-pairs BFS is
+    quadratic. Rows-only (HLL estimates); pinned against exact BFS
+    ball sizes in pytest."""
+    from tldr_ray.graph.hyperball import hyperball
+
+    df = hyperball(_hash_graph_edges(sf_dir), t=4, b=6, num_parts=8)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["hyperball_hashgraph"] = hyperball_hashgraph
