@@ -169,3 +169,25 @@ def test_hyperball_estimates_match_exact_balls():
     out1 = hyperball(rd.from_arrow(t).repartition(5), t=1, b=6,
                      num_parts=8)
     assert (out1["ball_est"].mean() < out["ball_est"].mean())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hyperball_series_and_effective_diameter():
+    """Neighbourhood function is nondecreasing; a clique saturates at
+    r=1 (effective diameter 1)."""
+    import ray.data as rd
+
+    from tldr_ray.graph.hyperball import effective_diameter, hyperball
+
+    n = 40
+    pairs = [(i, j) for i in range(n) for j in range(n) if i < j]
+    t = pa.table({"src": pa.array([a for a, _ in pairs], pa.int64()),
+                  "dst": pa.array([b for _, b in pairs], pa.int64())})
+    frame, series = hyperball(rd.from_arrow(t), t=3, b=6, num_parts=4,
+                              return_series=True)
+    assert len(series) == 4
+    assert all(series[i] <= series[i + 1] * 1.0001
+               for i in range(len(series) - 1))
+    assert effective_diameter(series) == 1
+    # every vertex's 3-ball is the whole clique (estimates near n)
+    assert (np.abs(frame["ball_est"] - n) / n < 0.35).all()

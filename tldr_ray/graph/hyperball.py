@@ -67,14 +67,22 @@ def _estimates(mat: np.ndarray, b: int) -> np.ndarray:
 
 
 def hyperball(edges, t: int = 4, b: int = 6, num_parts: int = 16,
-              src_col: str = "src", dst_col: str = "dst"):
+              src_col: str = "src", dst_col: str = "dst",
+              return_series: bool = False):
     """Estimated |ball(v, t)| for every vertex of the symmetrized
     simple graph under ``edges``. Returns a pandas DataFrame
     (vertex, ball_est float64) — vertex-table-sized, the caller's
     choice to keep distributed at true scale (the per-round state
     never leaves the cluster; only the final estimate frame lands
     here). ``t`` rounds exactly (diameter-bounded graphs converge in
-    O(log N); pass a larger t for the full neighbourhood function)."""
+    O(log N); pass a larger t for the full neighbourhood function).
+
+    ``return_series=True`` additionally returns the NEIGHBOURHOOD
+    FUNCTION — HyperANF's actual deliverable: N(r) = sum over v of
+    est|ball(v, r)| for r = 0..t (one O(P)-partial sum per round,
+    driver gets one float), from which the effective diameter (the
+    smallest r reaching 90% of the final reach) falls out. Returns
+    (frame, [N0, N1, ...])."""
     from tldr_ray.graph.partition import vhash
 
     m = 1 << b
@@ -120,10 +128,23 @@ def hyperball(edges, t: int = 4, b: int = 6, num_parts: int = 16,
     state = (_reduce(state, m, NP)
              .repartition(num_parts).materialize())
 
+    def _reach_sum(st) -> float:
+        def part(batch: pa.Table) -> pa.Table:
+            mat = np.asarray(batch["regs"].combine_chunks().flatten()
+                             ).reshape(-1, m)
+            return pa.table({"s": pa.array(
+                [float(_estimates(mat, b).sum())])})
+        return float(st.map_batches(part,
+                                    batch_format="pyarrow").sum("s"))
+
+    series = [_reach_sum(state)] if return_series else None
+
     for _ in range(int(t)):
         emitted = _join_round(eds, state, m, NP)
         state = (_reduce(state.union(emitted), m, NP)
                  .repartition(num_parts).materialize())
+        if return_series:
+            series.append(_reach_sum(state))
 
     def seal(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["regs"].combine_chunks().flatten()
@@ -132,9 +153,22 @@ def hyperball(edges, t: int = 4, b: int = 6, num_parts: int = 16,
             "vertex": batch["v"],
             "ball_est": pa.array(_estimates(mat, b))})
 
-    return (state.map_batches(seal, batch_format="pyarrow")
-            .to_pandas().sort_values("vertex")
-            .reset_index(drop=True))
+    frame = (state.map_batches(seal, batch_format="pyarrow")
+             .to_pandas().sort_values("vertex")
+             .reset_index(drop=True))
+    return (frame, series) if return_series else frame
+
+
+def effective_diameter(series, q: float = 0.9) -> int:
+    """Smallest round r whose reach N(r) covers ``q`` of the final
+    reach — the HyperANF effective-diameter readout (integer-round
+    variant; the literature interpolates, which adds nothing at the
+    estimator's error scale)."""
+    target = q * series[-1]
+    for r, n in enumerate(series):
+        if n >= target:
+            return r
+    return len(series) - 1
 
 
 def _join_round(eds, state, m: int, NP: np.uint64):

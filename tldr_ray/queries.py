@@ -13652,3 +13652,27 @@ def hyperball_hashgraph(sf_dir: str):
 
 
 QUERIES["hyperball_hashgraph"] = hyperball_hashgraph
+
+
+def effective_diameter_hashgraph(sf_dir: str):
+    """Neighbourhood function + effective diameter of the hash graph
+    (graph.hyperball(return_series=True) — HyperANF's deliverable:
+    N(r) per round from O(P) partial sums, effective diameter = the
+    first round covering 90% of final reach). Emits one row per round
+    (t, reach_est, frac_of_final, is_effective_diameter). Rows-only
+    (HLL estimates)."""
+    from tldr_ray.graph.hyperball import effective_diameter, hyperball
+
+    _, series = hyperball(_hash_graph_edges(sf_dir), t=8, b=6,
+                          num_parts=8, return_series=True)
+    eff = effective_diameter(series)
+    n = np.array(series, dtype=np.float64)
+    return pa.table({
+        "t": pa.array(np.arange(n.size, dtype=np.int64)),
+        "reach_est": pa.array(n),
+        "frac_of_final": pa.array(n / n[-1]),
+        "is_effective_diameter": pa.array(
+            np.arange(n.size) == eff)})
+
+
+QUERIES["effective_diameter_hashgraph"] = effective_diameter_hashgraph
