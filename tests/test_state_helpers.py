@@ -289,14 +289,19 @@ class TestTxLog:
         td = str(tmp_path / "t")
         txlog_append(self._mk([1, 2]), td)
         txlog_overwrite(self._mk([5]), td)
-        # crash orphan: a data file no commit references
+        # crash orphans: one OLD (reclaimable) and one FRESH (could be
+        # a concurrent writer mid-stage -> must survive the grace)
         orphan = os.path.join(td, "data", "deadbeef-0.parquet")
-        with open(orphan, "wb") as fh:
-            fh.write(b"not parquet")
+        fresh = os.path.join(td, "data", "cafebabe-0.parquet")
+        for p in (orphan, fresh):
+            with open(p, "wb") as fh:
+                fh.write(b"not parquet")
+        os.utime(orphan, (1, 1))          # backdate past the grace
         assert sorted(txlog_read(td).to_pandas()["k"]) == [5]
         dropped = txlog_vacuum(td)
         assert "deadbeef-0.parquet" in dropped
         assert not os.path.exists(orphan)
+        assert os.path.exists(fresh)      # grace protected it
         # history is gone, latest survives (as the checkpoint version)
         assert sorted(txlog_read(td).to_pandas()["k"]) == [5]
         with pytest.raises(ValueError):
@@ -371,3 +376,43 @@ def test_txlog_idempotent_append(tmp_path):
     v3 = txlog_append(mk([3]), td, idempotency_key="delta-002")
     assert v3 == 2
     assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_txlog_idempotency_survives_vacuum(tmp_path):
+    """The checkpoint carries dropped commits' keys forward, so a
+    retried append after vacuum is still a no-op."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tldr_ray.state.txlog import (txlog_append, txlog_read,
+                                      txlog_vacuum)
+
+    def mk(vals):
+        return rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+
+    td = str(tmp_path / "t")
+    txlog_append(mk([1]), td, idempotency_key="d1")
+    txlog_append(mk([2]), td, idempotency_key="d2")
+    txlog_vacuum(td)
+    v = txlog_append(mk([1]), td, idempotency_key="d1")  # retry
+    assert sorted(txlog_read(td).to_pandas()["k"]) == [1, 2]
+    assert v <= 3                       # no new data commit
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_range_partitioned_empty_input(tmp_path):
+    """0-row input degrades to an empty layout instead of crashing
+    (the to_pandas-drops-columns gotcha)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tldr_ray.sinks import write_range_partitioned
+
+    empty = rd.from_arrow(pa.table({
+        "x": pa.array([], pa.int64()),
+        "i": pa.array([], pa.int64())}))
+    rep = write_range_partitioned(empty, str(tmp_path / "e"), "x",
+                                  num_ranges=4)
+    assert rep["bounds"] == []
+    assert rep["written"] == []

@@ -13532,8 +13532,6 @@ def events_above_p99(sf_dir: str):
     .grouped_quantiles — one coarse sweep) broadcast as a dimension-
     sized map, then one vectorized pass emits the rows STRICTLY above
     their type's p99. Exact integer cents on both sides."""
-    import ray
-
     from tldr_ray.stages.agg import grouped_quantiles
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -13545,21 +13543,19 @@ def events_above_p99(sf_dir: str):
 
     ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
           .map_batches(prep, batch_format="pyarrow"))
+    from tldr_ray.stages.joins import broadcast_lookup
+
     th = grouped_quantiles(ev, "event_type", "cents",
                            qs=(0.99,)).to_pandas()
-    tmap = dict(zip(th["event_type"], th["p99"].astype(np.int64)))
-    tref = ray.put(tmap)
+    tmap = {t: int(p) for t, p in zip(th["event_type"], th["p99"])}
 
     def flag(batch: pa.Table) -> pa.Table:
-        m = ray.get(tref)
-        types = batch["event_type"].to_pylist()
-        p99 = np.array([m[t] for t in types], dtype=np.int64)
         cents = np.asarray(batch["cents"], dtype=np.int64)
-        keep = cents > p99
-        out = batch.append_column("p99", pa.array(p99))
-        return out.filter(pa.array(keep))
+        p99 = np.asarray(batch["p99"], dtype=np.int64)
+        return batch.filter(pa.array(cents > p99))
 
-    return ev.map_batches(flag, batch_format="pyarrow")
+    return (broadcast_lookup(ev, tmap, "event_type", "p99")
+            .map_batches(flag, batch_format="pyarrow"))
 
 
 QUERIES["events_above_p99"] = events_above_p99
@@ -13581,11 +13577,12 @@ def debounced_events(sf_dir: str):
     """Event DEBOUNCE / throttle-dedup (the telemetry-cleaning
     primitive: drop a repeat (user, type) firing within 1 h of the
     PREVIOUS event, lag-based — the stateless variant; a
-    last-KEPT-row debounce is a sequential scan by nature): per-(user, type) ordered deltas off
-    the shared row_window segment sweep — the composite key rides as
-    one string column through the coarse shuffle, user/type/ids ride
-    the order columns, and the keep rule is delta == -1 (first in
-    partition) OR delta > 5 s, all exact integer microseconds."""
+    last-KEPT-row debounce is a sequential scan by nature):
+    per-(user, type) ordered deltas off the shared row_window segment
+    sweep — the composite key rides as one string column through the
+    coarse shuffle, user/type/ids ride the order columns, and the
+    keep rule is delta == -1 (first in partition) OR delta > 1 h,
+    all exact integer microseconds."""
     from tldr_ray.stages.windows import row_window
 
     def prep(batch: pa.Table) -> pa.Table:

@@ -317,6 +317,18 @@ def write_range_partitioned(ds, out_dir: str, col: str,
           .map_batches(vc_partial, batch_format="pyarrow")
           .groupby("v").aggregate(Sum("c", alias_name="c"))
           .to_pandas())
+    if vc.empty:
+        # 0-row input: to_pandas drops columns (documented gotcha);
+        # land an empty layout with no cuts instead of crashing
+        report = write_partitioned_parquet(
+            ds.map_batches(
+                lambda b: b.append_column(
+                    "range_id",
+                    pa.array(np.zeros(len(b), np.int64))),
+                batch_format="pyarrow"),
+            out_dir, by="range_id", resume=resume)
+        report["bounds"] = []
+        return report
     v = vc["v"].to_numpy()
     order = np.argsort(v, kind="stable")
     v = v[order]

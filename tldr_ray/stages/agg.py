@@ -1167,6 +1167,10 @@ def auc_from_value_counts(s: np.ndarray, c: np.ndarray,
     r2 = int(np.sum(p * (2 * cumb + c + 1)))
     n_pos = int(p.sum())
     n_neg = int((c - p).sum())
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"AUC undefined: one class is absent "
+            f"(n_pos={n_pos}, n_neg={n_neg})")
     num2 = r2 - n_pos * (n_pos + 1)
     auc = (np.float64(num2)
            / (np.float64(2.0) * np.float64(n_pos) * np.float64(n_neg)))
@@ -1191,14 +1195,16 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
 
     SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+    salt_u = np.uint64(int(salt) & 0xFFFFFFFFFFFFFFFF)
+
     def local_top(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
         w = np.asarray(batch[weight_col], dtype=np.float64)
-        if ids.size and w.min() <= 0:
+        if ids.size and not np.all(w > 0):   # catches NaN too
             raise ValueError(
-                "weighted_sample requires strictly positive weights")
-        h = _mix64(ids.astype(np.uint64)
-                   + np.uint64(salt) * SALT_MIX)
+                "weighted_sample requires strictly positive, non-NaN"
+                " weights")
+        h = _mix64(ids.astype(np.uint64) + salt_u * SALT_MIX)
         u = (h.astype(np.float64) + 0.5) / np.float64(2**64)
         key = np.log(u) / w
         top = np.argsort(-key, kind="stable")[:k]

@@ -107,9 +107,16 @@ def txlog_snapshot_files(table_dir: str,
 
 
 def _commit(table_dir: str, op: str, add: list[str],
-            remove: list[str], key: str | None = None) -> int:
+            remove: list[str], key: str | None = None,
+            extra: dict | None = None,
+            recompute_remove=None) -> int:
     """Atomically claim the next version via link(2) — retries past
-    versions claimed by concurrent writers (blind append semantics)."""
+    versions claimed by concurrent writers (blind append semantics).
+    ``recompute_remove`` (callable () -> list[str]) re-derives the
+    remove-set on every retry: an overwrite/compact that loses the
+    version race must remove the files of the snapshot AS OF ITS
+    ACTUAL predecessor (a concurrent append's files would otherwise
+    survive an 'overwrite')."""
     d = _log_dir(table_dir)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
@@ -119,6 +126,8 @@ def _commit(table_dir: str, op: str, add: list[str],
         body = {"version": v, "op": op, "add": add, "remove": remove}
         if key is not None:
             body["key"] = key
+        if extra:
+            body.update(extra)
         with open(tmp, "w") as fh:
             json.dump(body, fh)
         target = os.path.join(d, f"{v:0{_WIDTH}d}.json")
@@ -128,6 +137,8 @@ def _commit(table_dir: str, op: str, add: list[str],
             return v
         except FileExistsError:
             v += 1              # concurrent writer won this version
+            if recompute_remove is not None:
+                remove = recompute_remove()
 
 
 def _stage_files(ds, table_dir: str) -> list[str]:
@@ -167,21 +178,32 @@ def txlog_append(ds, table_dir: str,
     failed job) never do."""
     if idempotency_key is not None:
         for v in txlog_versions(table_dir):
-            if _read_commit(table_dir, v).get("key") == idempotency_key:
-                return v
+            e = _read_commit(table_dir, v)
+            if (e.get("key") == idempotency_key
+                    or idempotency_key in e.get("keys", [])):
+                return v           # "keys": checkpoint carry-forward
     names = _stage_files(ds, table_dir)
     return _commit(table_dir, "append", names, [],
                    key=idempotency_key)
 
 
+def _current_snapshot_names(table_dir: str) -> list[str]:
+    return ([os.path.basename(p)
+             for p in txlog_snapshot_files(table_dir)]
+            if txlog_versions(table_dir) else [])
+
+
 def txlog_overwrite(ds, table_dir: str) -> int:
     """Replace the table contents in ONE atomic commit (readers at
-    older versions keep seeing the old files until vacuum)."""
-    versions = txlog_versions(table_dir)
-    olds = ([os.path.basename(p) for p in
-             txlog_snapshot_files(table_dir)] if versions else [])
+    older versions keep seeing the old files until vacuum). The
+    remove-set is RE-DERIVED if the version race is lost, so a
+    concurrent append's files are removed too — overwrite means the
+    new snapshot is exactly this dataset, whatever landed before it."""
+    olds = _current_snapshot_names(table_dir)
     names = _stage_files(ds, table_dir)
-    return _commit(table_dir, "overwrite", names, olds)
+    return _commit(table_dir, "overwrite", names, olds,
+                   recompute_remove=lambda:
+                   _current_snapshot_names(table_dir))
 
 
 def txlog_read(table_dir: str, version: int | None = None):
@@ -213,29 +235,51 @@ def txlog_compact(table_dir: str,
     return _commit(table_dir, "compact", names, olds)
 
 
-def txlog_vacuum(table_dir: str) -> list[str]:
+def txlog_vacuum(table_dir: str,
+                 orphan_grace_s: float = 600.0) -> list[str]:
     """Reclaim history: write a CHECKPOINT commit that restates the
     latest snapshot's full active file list (so the fold no longer
     needs older entries — the Delta checkpoint rule; naively deleting
     old log entries would lose still-active files their commits
-    added), then drop every older log entry and every data file the
-    checkpoint doesn't reference (including crash orphans no commit
-    ever claimed). Returns deleted file names. Time travel to a
-    pre-vacuum version raises thereafter; the latest version's data
-    is untouched."""
+    added) AND carries every idempotency key the dropped commits
+    recorded (the exactly-once append contract survives vacuum), then
+    drop every older log entry and every data file the checkpoint
+    doesn't reference. Crash orphans are reclaimed only past
+    ``orphan_grace_s`` seconds of mtime age — a CONCURRENT writer's
+    staged-but-not-yet-committed files look identical to orphans and
+    must not be deleted out from under its commit. Returns deleted
+    file names. Time travel to a pre-vacuum version raises
+    thereafter; the latest version's data is untouched."""
+    import time
+
     versions = txlog_versions(table_dir)
     if not versions:
         return []
     active = [os.path.basename(p)
               for p in txlog_snapshot_files(table_dir)]
-    ckpt = _commit(table_dir, "checkpoint", active, [])
+    keys = []
+    referenced = set()
+    for v in versions:
+        e = _read_commit(table_dir, v)
+        if e.get("key") is not None:
+            keys.append(e["key"])
+        keys.extend(e.get("keys", []))
+        referenced.update(e.get("add", []))
+    ckpt = _commit(table_dir, "checkpoint", active, [],
+                   extra={"keys": sorted(set(keys))})
     dropped = []
     live = set(active)
+    now = time.time()
     dd = _data_dir(table_dir)
     for name in sorted(os.listdir(dd) if os.path.isdir(dd) else []):
-        if name.endswith(".parquet") and name not in live:
-            os.remove(os.path.join(dd, name))
-            dropped.append(name)
+        if not name.endswith(".parquet") or name in live:
+            continue
+        full = os.path.join(dd, name)
+        if name not in referenced \
+                and now - os.path.getmtime(full) < orphan_grace_s:
+            continue               # possibly a concurrent writer's
+        os.remove(full)
+        dropped.append(name)
     for v in txlog_versions(table_dir):
         if v < ckpt:
             os.remove(os.path.join(_log_dir(table_dir),
