@@ -132,3 +132,54 @@ class TestExportTrainingShards:
         assert sorted(t2["doc_id"].to_pylist()) == sorted(
             pq.read_table(victim)["doc_id"].to_pylist())
         assert int(sum(t2["n_tokens"].to_pylist())) == tok_by_shard[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalIngest:
+    """Landing zone -> incremental dedup -> txlog exactly-once."""
+
+    def _land(self, d, name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}),
+            f"{d}/{name}")
+
+    def test_two_ticks_then_replay(self, tmp_path):
+        import os
+
+        from tldr_ray.pipelines.ingest import incremental_ingest
+        from tldr_ray.state.txlog import txlog_read
+
+        land = str(tmp_path / "land")
+        os.makedirs(land)
+        man = str(tmp_path / "manifest.txt")
+        table = str(tmp_path / "table")
+        state = str(tmp_path / "state")
+
+        self._land(land, "a.parquet", [(0, "alpha"), (1, "beta")])
+        r1 = incremental_ingest(land, man, table, state)
+        assert r1["rows_in"] == 2 and r1["rows_fresh"] == 2
+        assert r1["version"] == 1
+
+        # delta 2: one cross-delta dup, one internal dup, one new
+        self._land(land, "b.parquet", [(10, "beta"), (11, "gamma"),
+                                       (12, "gamma")])
+        r2 = incremental_ingest(land, man, table, state)
+        assert r2["rows_fresh"] == 1
+        got = sorted(txlog_read(table).to_pandas()["doc_id"])
+        assert got == [0, 1, 11]
+
+        # idle tick: nothing new
+        r3 = incremental_ingest(land, man, table, state)
+        assert r3["version"] is None and r3["files"] == []
+
+        # crash-replay: wipe the manifest (as if mark never ran) and
+        # re-tick — dedup drops everything, table unchanged
+        os.remove(man)
+        r4 = incremental_ingest(land, man, table, state)
+        assert r4["rows_fresh"] == 0
+        assert sorted(txlog_read(table).to_pandas()["doc_id"]) \
+            == [0, 1, 11]

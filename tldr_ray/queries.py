@@ -13673,3 +13673,61 @@ def effective_diameter_hashgraph(sf_dir: str):
 
 
 QUERIES["effective_diameter_hashgraph"] = effective_diameter_hashgraph
+
+
+def ingest_pipeline_docs(sf_dir: str):
+    """FULL incremental-ingest pipeline end to end
+    (pipelines.ingest.incremental_ingest — landing manifest ->
+    incremental exact dedup -> exactly-once txlog commit -> mark):
+    two synthetic deltas (even ids then odd ids) land as files, two
+    ticks ingest them, a third idle tick no-ops, and the final
+    TRANSACTIONAL TABLE must equal the SQL first-occurrence-per-text
+    fold across both deltas — one hash pins the manifest, fingerprint
+    state, dedup semantics and commit protocol together."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tldr_ray.pipelines.ingest import incremental_ingest
+    from tldr_ray.state.txlog import txlog_read
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    did = np.asarray(docs["doc_id"], dtype=np.int64)
+    with tempfile.TemporaryDirectory() as tmp:
+        land = f"{tmp}/land"
+        os.makedirs(land)
+        pq.write_table(docs.filter(pa.array(did % 2 == 0)),
+                       f"{land}/delta-even.parquet")
+        man = f"{tmp}/manifest.txt"
+        table = f"{tmp}/table"
+        state = f"{tmp}/state"
+        incremental_ingest(land, man, table, state)
+        pq.write_table(docs.filter(pa.array(did % 2 == 1)),
+                       f"{land}/delta-odd.parquet")
+        incremental_ingest(land, man, table, state)
+        idle = incremental_ingest(land, man, table, state)
+        assert idle["version"] is None
+        return txlog_read(table).materialize()
+
+
+QUERIES["ingest_pipeline_docs"] = ingest_pipeline_docs
+ORACLE_SQL["ingest_pipeline_docs"] = """
+    WITH h1 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0),
+    h2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    w1 AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY text
+                                     ORDER BY doc_id) AS rn
+           FROM h1),
+    w2 AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY text
+                                     ORDER BY doc_id) AS rn
+           FROM h2)
+    SELECT doc_id, text FROM w1 WHERE rn = 1
+    UNION ALL
+    SELECT w2.doc_id, w2.text FROM w2
+    WHERE rn = 1
+      AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.text = w2.text)
+"""
