@@ -2400,3 +2400,37 @@ def test_grouped_misra_gries_bounds_and_presence():
             assert true - n_g // (16 + 1) - 1 <= r["est"] <= true
         # the planted heavy value ranks first
         assert int(sub.iloc[0]["value"]) == heavy
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_kll_rank_error_bound():
+    """Per-group KLL quantiles land within a small rank error of the
+    exact per-group order statistics, across a shuffled layout."""
+    import ray.data as rd
+
+    from tldr_ray.stages.sketches import grouped_kll_quantiles
+
+    rng = np.random.default_rng(6)
+    gs, vs = [], []
+    for g in range(4):
+        n = 5_000
+        gs += [g] * n
+        # different shapes per group
+        vs += list(rng.normal(g * 10, 1 + g, n))
+    perm = rng.permutation(len(gs))
+    t = pa.table({"g": pa.array(np.array(gs)[perm]),
+                  "v": pa.array(np.array(vs)[perm])})
+    out = grouped_kll_quantiles(rd.from_arrow(t).repartition(8),
+                                "g", "v", qs=(0.5, 0.9), k=128)
+    df = out.to_pandas()
+    va = np.array(vs)
+    ga = np.array(gs)
+    for g in range(4):
+        sub = df[df["group"] == g].set_index("q")["value"]
+        exact = np.sort(va[ga == g])
+        for q in (0.5, 0.9):
+            est = sub.loc[q]
+            # rank of the estimate within the exact data
+            r = np.searchsorted(exact, est) / exact.size
+            assert abs(r - q) < 0.04, (g, q, r)
+        assert int(df[df["group"] == g]["n"].iloc[0]) == 5_000

@@ -13731,3 +13731,20 @@ ORACLE_SQL["ingest_pipeline_docs"] = """
     WHERE rn = 1
       AND NOT EXISTS (SELECT 1 FROM h1 WHERE h1.text = w2.text)
 """
+
+
+def kll_value_quantiles_by_type(sf_dir: str):
+    """Per-event-type KLL quantile sketches (stages.sketches
+    .grouped_kll_quantiles — the distribution-free grouped twin of the
+    exact value-counts plan, for the regime where per-group distinct
+    counts outgrow it; completes the grouped sketch family
+    HLL / Misra-Gries / KLL). Rows-only (sketch estimates); rank-error
+    bound pytest is the oracle."""
+    from tldr_ray.stages.sketches import grouped_kll_quantiles
+
+    return grouped_kll_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", qs=(0.5, 0.9, 0.99), k=128)
+
+
+QUERIES["kll_value_quantiles_by_type"] = kll_value_quantiles_by_type

@@ -732,3 +732,73 @@ def grouped_misra_gries(ds, group_col: str, col: str, k: int = 16):
         for v2, c2 in zip(vv[order], cc[order]):
             out_rows.append((gval, v2, int(c2)))
     return pd.DataFrame(out_rows, columns=["group", "value", "est"])
+
+
+def grouped_kll_quantiles(ds, key_col: str, col: str,
+                          qs=(0.5, 0.9, 0.99), k: int = 128):
+    """Per-GROUP KLL quantile sketches — the distribution-free twin of
+    ``grouped_quantiles`` for the regime where per-group distinct
+    values are too many for the exact value-counts plan: each block
+    builds one deterministic KLL per group segment (O(groups_in_block
+    * k log) floats move, never rows), ONE groupby co-locates each
+    group's level rows, and the finisher rebuilds + compacts the
+    merged sketch and reads the quantiles. Same deterministic
+    even-offset compactors as ``KLLSketch`` (bitwise-reproducible for
+    a fixed layout); rank error O(n_g / k) per group. Returns
+    pd.DataFrame (group, q, value, n)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        vals = np.asarray(batch[col], dtype=np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        seg = np.empty(keys.size, dtype=bool)
+        if keys.size:
+            seg[0], seg[1:] = True, keys[1:] != keys[:-1]
+        starts = np.append(np.flatnonzero(seg), keys.size)
+        og, ol, ov, on = [], [], [], []
+        for i in range(starts.size - 1):
+            s, e = starts[i], starts[i + 1]
+            sk = KLLSketch(k)
+            sk.update_many(vals[s:e])
+            rows = sk.to_rows()
+            lvl = np.concatenate([rows["level"].to_numpy(), [-1]])
+            val = np.concatenate([rows["value"].to_numpy(), [0.0]])
+            n = np.concatenate([np.zeros(len(rows), np.int64),
+                                [sk.n]])
+            og.append(np.full(lvl.size, keys[s]))
+            ol.append(lvl.astype(np.int64))
+            ov.append(val)
+            on.append(n)
+        if not og:
+            return pa.table({"g": pa.array([], batch[key_col].type),
+                             "level": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"g": pa.array(np.concatenate(og)),
+                         "level": pa.array(np.concatenate(ol)),
+                         "value": pa.array(np.concatenate(ov)),
+                         "n": pa.array(np.concatenate(on))})
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group["g"].iloc[0]
+        total = KLLSketch(k)
+        total.n = int(group["n"].sum())
+        data = group[group["level"] >= 0]
+        mx = int(data["level"].max()) if len(data) else 0
+        total.levels = [[] for _ in range(mx + 1)]
+        for lvl, v in zip(data["level"].to_numpy(np.int64),
+                          data["value"].to_numpy(np.float64)):
+            total.levels[int(lvl)].append(float(v))
+        while any(len(b) > total._cap(lv)
+                  for lv, b in enumerate(total.levels)):
+            total._compact()
+        return pd.DataFrame({
+            "group": [g] * len(qs),
+            "q": list(qs),
+            "value": [total.quantile(q) for q in qs],
+            "n": np.full(len(qs), total.n, np.int64)})
+
+    return (ds.select_columns([key_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(finish, batch_format="pandas"))
