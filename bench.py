@@ -515,7 +515,21 @@ if __name__ == "__main__":
                  "hash_index_lookup_orders", "heavy_users_misra_gries",
                  "table_checksum_orders", "csv_roundtrip_events",
                  "jsonl_roundtrip_events", "latest_event_per_user",
-                 "boilerplate_ngrams_docs"]
+                 "boilerplate_ngrams_docs",
+                 # round-5 wave
+                 "event_rate_cusum", "value_auc_purchase",
+                 "value_purchase_calibration",
+                 "bootstrap_mean_ci_value", "txlog_orders_snapshot",
+                 "cluster_aware_split_docs", "dup_gram_fraction_docs",
+                 "purchase_last_click_asof_1h",
+                 "ego_subgraph_hashgraph",
+                 "customer_entity_resolution", "range_layout_events",
+                 "revenue_gini_customers", "weighted_sample_docs",
+                 "events_above_p99", "debounced_events",
+                 "trending_users_daily", "hyperball_hashgraph",
+                 "effective_diameter_hashgraph",
+                 "kll_value_quantiles_by_type", "ingest_pipeline_docs",
+                 "logistic_probe_embeddings"]
         qsec = {}
         try:
             for n in names:
