@@ -13238,13 +13238,15 @@ def customer_entity_resolution(sf_dir: str):
     row gets cluster_id = the min c_custkey reachable through its
     name's match graph (identical names collapse through the per-name
     min id even without an edit-distance edge). Name->id mapping runs
-    as bucketed joins — no O(#names) driver map."""
+    through the counted auto_join gate — the name map broadcasts
+    while it fits one object (sf0.1: 15 K rows, NO shuffle) and flips
+    to the bucketed exchange past 2 M rows; no O(#names) driver map."""
     from ray.data.aggregate import Min
 
     from tldr_ray.kernel.distance import jaro_winkler
     from tldr_ray.stages.dedup import (edit_distance_pairs,
                                        resolve_clusters)
-    from tldr_ray.stages.joins import bucketed_hash_join
+    from tldr_ray.stages.joins import auto_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     nm = (cust.map_batches(
@@ -13266,12 +13268,12 @@ def customer_entity_resolution(sf_dir: str):
                          "w2": batch["w2"]}).filter(pa.array(jw > 0.9))
 
     matched = pairs.map_batches(score_gate, batch_format="pyarrow")
-    # (w1, w2) -> (id_a, id_b) via two bucketed joins on the name key
-    j1 = bucketed_hash_join(
+    # (w1, w2) -> (id_a, id_b) via two gated joins on the name key
+    j1 = auto_join(
         matched, nm.map_batches(
             lambda t: t.rename_columns(["w1", "id_a"]),
             batch_format="pyarrow"), on="w1")
-    j2 = bucketed_hash_join(
+    j2 = auto_join(
         j1.map_batches(lambda t: t.select(["w2", "id_a"]),
                        batch_format="pyarrow"),
         nm.map_batches(lambda t: t.rename_columns(["w2", "id_b"]),
@@ -13300,7 +13302,7 @@ def customer_entity_resolution(sf_dir: str):
 
     # decorate every row with its name's nid, then the cluster map
     # (cluster map is O(matched names) — candidate-sized, not corpus)
-    rows = bucketed_hash_join(
+    rows = auto_join(
         cust.map_batches(lambda t: pa.table(
             {"c_custkey": t["c_custkey"].cast(pa.int64()),
              "c_name": t["c_name"], "w": t["c_name"]}),
