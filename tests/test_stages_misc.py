@@ -2434,3 +2434,30 @@ def test_grouped_kll_rank_error_bound():
             r = np.searchsorted(exact, est) / exact.size
             assert abs(r - q) < 0.04, (g, q, r)
         assert int(df[df["group"] == g]["n"].iloc[0]) == 5_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_search_exact_vs_python():
+    """Trigram-index substring search == plain Python `in` over every
+    doc, including: case-insensitivity, a pattern crossing word
+    boundaries, a sub-trigram pattern (direct-scan fallback), an
+    absent pattern (zero rows), and empty/short docs."""
+    import ray.data as rd
+    from tldr_ray.stages.text_analysis import substring_search
+
+    texts = ["Alpha Beta gamma", "beta GAMMA delta", "", "ab",
+             "gamma alpha beta", "x" * 5, "alp", "ta gam ma"]
+    pats = ["ta gam",      # crosses a word boundary
+            "AB",          # len-2 -> direct-scan fallback, mixed case
+            "zzz",         # absent
+            "gamma"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = substring_search(ds, pats).to_pandas()
+    got_set = set(zip(got["pattern"], got["doc_id"]))
+    want = {(p.lower(), i) for p in pats
+            for i, t in enumerate(texts) if p.lower() in t.lower()}
+    assert got_set == want
+    # no duplicate (pattern, doc) rows
+    assert len(got) == len(got_set)

@@ -13750,3 +13750,33 @@ def kll_value_quantiles_by_type(sf_dir: str):
 
 
 QUERIES["kll_value_quantiles_by_type"] = kll_value_quantiles_by_type
+
+
+_SUBSTR_PATTERNS = ["dup", "merge batch", "w sca"]
+
+
+def substring_search_docs(sf_dir: str):
+    """Distributed substring search (the LIKE '%pat%' scale path,
+    stages.text_analysis.substring_search): char-trigram postings
+    pruned to the query grams AT the map, an all-grams grouped count,
+    and an exact match_substring verify on the gated candidate
+    semi-join — so the result is EXACT (verify removes any blocking
+    optimism) while the corpus text never moves for non-candidates.
+    Patterns cross word boundaries on purpose ('w sca' spans
+    'window scan*'). Output (pattern, doc_id), deterministic order."""
+    from tldr_ray.stages.text_analysis import substring_search
+
+    hits = substring_search(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        _SUBSTR_PATTERNS)
+    return hits.sort(["pattern", "doc_id"])
+
+
+QUERIES["substring_search_docs"] = substring_search_docs
+ORACLE_SQL["substring_search_docs"] = """
+    SELECT p.pattern, d.doc_id
+    FROM documents d,
+         (VALUES ('dup'), ('merge batch'), ('w sca')) p(pattern)
+    WHERE contains(lower(d.text), p.pattern)
+    ORDER BY p.pattern, d.doc_id
+"""

@@ -1160,3 +1160,142 @@ def dup_gram_fraction(ds, id_col: str = "doc_id",
             "dup_fraction": pa.array(frac)})
 
     return agg.map_batches(seal, batch_format="pyarrow")
+
+
+def _char_trigram_keys(pattern: str):
+    """Distinct injective int64 keys for every char 3-gram of a
+    string: key = c0<<42 | c1<<21 | c2 (codepoints < 2^21, so the
+    packing is collision-FREE for all of Unicode)."""
+    cps = np.frombuffer(pattern.encode("utf-32-le"), dtype=np.uint32)
+    if cps.size < 3:
+        return np.empty(0, np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(cps, 3).astype(np.int64)
+    return np.unique((w[:, 0] << 42) | (w[:, 1] << 21) | w[:, 2])
+
+
+def substring_search(ds, patterns, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Distributed substring search (the ``LIKE '%pat%'`` scale path)
+    via a char-trigram index: one streaming pass extracts each doc's
+    3-gram keys PRUNED to the query grams at the map (the posting
+    build never materializes the full vocabulary — persist the
+    un-pruned (key, id) table instead if you want a reusable index),
+    a (pattern, doc) grouped count keeps docs holding ALL of a
+    pattern's grams (no false negatives: a doc containing the pattern
+    contains every one of its trigrams), and the candidate set —
+    typically orders of magnitude smaller than the corpus — flows
+    through the counted auto_join gate back to the texts for an exact
+    vectorized ``match_substring`` verify. Matching is
+    case-insensitive (both sides lowered). Patterns shorter than 3
+    chars skip the index and verify against every doc (documented
+    fallback — still one vectorized scan). Output: (pattern, doc_id),
+    exact."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.joins import auto_join
+
+    pats = sorted(set(p.lower() for p in patterns))
+    gram_rows = []          # (key, pattern_id) postings of the query
+    short_ids = []          # patterns too short for the index
+    for pid, p in enumerate(pats):
+        ks = _char_trigram_keys(p)
+        if ks.size == 0:
+            short_ids.append(pid)
+        for k in ks.tolist():
+            gram_rows.append((k, pid))
+    qkeys = np.array(sorted(k for k, _ in gram_rows), dtype=np.int64)
+    need = np.zeros(len(pats), np.int64)    # grams required per pattern
+    for _, pid in gram_rows:
+        need[pid] += 1
+    # key -> list of pattern ids (a gram may serve several patterns)
+    by_key = {}
+    for k, pid in gram_rows:
+        by_key.setdefault(k, []).append(pid)
+    uq = np.array(sorted(by_key), dtype=np.int64)
+    pid_offsets = np.cumsum([0] + [len(by_key[k]) for k in uq.tolist()])
+    pid_flat = np.array([p for k in uq.tolist() for p in by_key[k]],
+                        dtype=np.int64)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch[text_col]).to_pylist()
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int64())})
+        if not texts or uq.size == 0:
+            return empty
+        joined = "\x00".join(texts)
+        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        if buf.size < 3:
+            return empty
+        w = np.lib.stride_tricks.sliding_window_view(buf, 3)
+        ok = ~(w == 0).any(axis=1)
+        doc_of = np.cumsum(buf == 0)[:w.shape[0]][ok]
+        wi = w[ok].astype(np.int64)
+        key = (wi[:, 0] << 42) | (wi[:, 1] << 21) | wi[:, 2]
+        pos = np.searchsorted(uq, key)
+        pos[pos >= uq.size] = 0
+        hit = uq[pos] == key
+        if not hit.any():
+            return empty
+        doc_of, pos = doc_of[hit], pos[hit]
+        # distinct (doc, query-gram) pairs -> expand to pattern ids
+        pair = doc_of * np.int64(uq.size) + pos
+        upair = np.unique(pair)
+        d, g = upair // uq.size, upair % uq.size
+        reps = (pid_offsets[g + 1] - pid_offsets[g])
+        rows_d = np.repeat(d, reps)
+        idx = np.concatenate([np.arange(pid_offsets[i], pid_offsets[i + 1])
+                              for i in g.tolist()]) if g.size else \
+            np.empty(0, np.int64)
+        return pa.table({id_col: pa.array(ids[rows_d]),
+                         "pid": pa.array(pid_flat[idx])})
+
+    cands = (ds.map_batches(grams, batch_format="pyarrow")
+             .groupby([id_col, "pid"])
+             .aggregate(Count(alias_name="n_grams")))
+
+    def full(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_grams"], dtype=np.int64)
+        pid = np.asarray(batch["pid"], dtype=np.int64)
+        keep = n == need[pid]
+        return pa.table({id_col: batch[id_col].cast(pa.int64())
+                         .filter(pa.array(keep)),
+                         "pid": batch["pid"].cast(pa.int64())
+                         .filter(pa.array(keep))})
+
+    cands = cands.map_batches(full, batch_format="pyarrow")
+    probe = auto_join(
+        ds.map_batches(lambda t: pa.table(
+            {id_col: t[id_col].cast(pa.int64()), text_col: t[text_col]}),
+            batch_format="pyarrow"),
+        cands, on=id_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        pid = np.asarray(batch["pid"], dtype=np.int64)
+        keep = np.zeros(len(batch), bool)
+        for i, p in enumerate(pats):
+            m = pid == i
+            if m.any():
+                keep[m] = np.asarray(
+                    pc.match_substring(low, p))[m]
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "pattern": pa.array([pats[i] for i in
+                                 np.asarray(t["pid"], np.int64).tolist()],
+                                pa.string()),
+            id_col: t[id_col].cast(pa.int64())})
+
+    out = probe.map_batches(verify, batch_format="pyarrow")
+    for pid in short_ids:       # sub-trigram patterns: direct scan
+        p = pats[pid]
+
+        def scan(batch: pa.Table, _p=p) -> pa.Table:
+            m = pc.match_substring(pc.utf8_lower(batch[text_col]), _p)
+            t = batch.filter(m)
+            return pa.table({
+                "pattern": pa.array([_p] * len(t), pa.string()),
+                id_col: t[id_col].cast(pa.int64())})
+
+        out = out.union(ds.map_batches(scan, batch_format="pyarrow"))
+    return out
