@@ -191,3 +191,35 @@ def test_hyperball_series_and_effective_diameter():
     assert effective_diameter(series) == 1
     # every vertex's 3-ball is the whole clique (estimates near n)
     assert (np.abs(frame["ball_est"] - n) / n < 0.35).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_prediction_jaccard_paths_equal():
+    from tldr_ray.graph.triangles import link_prediction_jaccard
+
+    ds = edge_ds(synth_edges())
+    cols = ["u", "v", "n_common", "jaccard"]
+    bc = _sorted(link_prediction_jaccard(ds).to_pandas(), ["u", "v"])
+    jn = _sorted(link_prediction_jaccard(
+        ds, broadcast_limit_rows=0).to_pandas(), ["u", "v"])
+    pd.testing.assert_frame_equal(bc[cols], jn[cols])
+    # spot-check one row against a dense numpy recomputation
+    src = ds.to_pandas()
+    und = {tuple(sorted(p)) for p in zip(src["src"], src["dst"])}
+    import collections
+    nbr = collections.defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    want = {}
+    vs = sorted(nbr)
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            if (u, v) in und:
+                continue
+            cn = len(nbr[u] & nbr[v])
+            if cn:
+                want[(u, v)] = (cn, cn / len(nbr[u] | nbr[v]))
+    got = {(int(r.u), int(r.v)): (int(r.n_common), float(r.jaccard))
+           for r in bc.itertuples()}
+    assert got == want

@@ -715,3 +715,94 @@ def k_truss(edges, k: int, max_rounds: int = 30,
                          "v": batch["b"].cast(pa.int64())})
 
     return cur.map_batches(rename, batch_format="pyarrow")
+
+
+def link_prediction_jaccard(edges, broadcast_limit_rows: int | None = None):
+    """Jaccard link-prediction scores: for every NON-adjacent vertex
+    pair at distance 2, ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` =
+    ``cn / (deg_u + deg_v - cn)`` — the classic normalized variant of
+    ``common_neighbors`` (which supplies the exact cn counts via the
+    wedge sweep; this stage decorates them with degrees and performs
+    ONE IEEE division of exact int64s, so the float hash-matches a SQL
+    mirror).
+
+    Degrees decorate through the counted graph gate (graph.gate):
+    packed sorted-array broadcast while the degree table fits
+    ``broadcast_limit_rows``; two bucketed hash joins past it — no
+    O(V) driver state. Returns (u, v, n_common, jaccard), u < v.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.gate import fits_broadcast
+
+    pairs = common_neighbors(edges)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    def degree_rows(batch: pa.Table) -> pa.Table:
+        v = np.concatenate([np.asarray(batch["a"]), np.asarray(batch["b"])])
+        vu, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vertex": pa.array(vu),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg_ds = und.map_batches(degree_rows, batch_format="pyarrow") \
+        .groupby("vertex").aggregate(Sum("n", alias_name="deg")) \
+        .materialize()
+    _, bcast = fits_broadcast(deg_ds, broadcast_limit_rows)
+
+    def _score_tbl(u, v, cn, du, dv):
+        jac = cn.astype(np.float64) / (du + dv - cn).astype(np.float64)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "n_common": pa.array(cn),
+                         "jaccard": pa.array(jac)})
+
+    if bcast:
+        deg = deg_ds.to_pandas()
+        verts = deg["vertex"].to_numpy(np.int64)
+        dg = deg["deg"].to_numpy(np.int64)
+        order = np.argsort(verts)
+        dref = ray.put((verts[order], dg[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            vs, d = ray.get(dref)
+            u = np.asarray(batch["u"], np.int64)
+            v = np.asarray(batch["v"], np.int64)
+            cn = np.asarray(batch["n_common"], np.int64)
+            return _score_tbl(u, v, cn, d[np.searchsorted(vs, u)],
+                              d[np.searchsorted(vs, v)])
+
+        return pairs.map_batches(score, batch_format="pyarrow")
+
+    from tldr_ray.stages.joins import bucketed_hash_join
+
+    def rename_deg(key: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([key, out])
+        return fn
+
+    j = bucketed_hash_join(
+        pairs, deg_ds.map_batches(rename_deg("u", "deg_u"),
+                                  batch_format="pyarrow"), on="u")
+    j = bucketed_hash_join(
+        j, deg_ds.map_batches(rename_deg("v", "deg_v"),
+                              batch_format="pyarrow"), on="v")
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        return _score_tbl(np.asarray(batch["u"], np.int64),
+                          np.asarray(batch["v"], np.int64),
+                          np.asarray(batch["n_common"], np.int64),
+                          np.asarray(batch["deg_u"], np.int64),
+                          np.asarray(batch["deg_v"], np.int64))
+
+    return j.map_batches(score_joined, batch_format="pyarrow")

@@ -13780,3 +13780,46 @@ ORACLE_SQL["substring_search_docs"] = """
     WHERE contains(lower(d.text), p.pattern)
     ORDER BY p.pattern, d.doc_id
 """
+
+
+def link_prediction_jaccard_hashgraph(sf_dir: str):
+    """Normalized link prediction over the hash graph: top-50
+    non-adjacent pairs by Jaccard = cn / (deg_u + deg_v - cn)
+    (graph.triangles.link_prediction_jaccard — the common_neighbors
+    wedge sweep decorated with gated degrees; ONE IEEE division of
+    exact int64s so the float hash-matches). Deterministic total
+    order (jaccard desc, u, v)."""
+    from tldr_ray.graph.triangles import link_prediction_jaccard
+
+    scored = link_prediction_jaccard(_hash_graph_edges(sf_dir))
+    return scored.sort(["jaccard", "u", "v"],
+                       descending=[True, False, False]).limit(50)
+
+
+QUERIES["link_prediction_jaccard_hashgraph"] = \
+    link_prediction_jaccard_hashgraph
+ORACLE_SQL["link_prediction_jaccard_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+    cn AS (
+        SELECT e1.t AS u, e2.t AS v, count(*) AS n_common
+        FROM sym e1 JOIN sym e2 ON e2.s = e1.s AND e1.t < e2.t
+        GROUP BY 1, 2),
+    nonadj AS (
+        SELECT cn.u, cn.v, CAST(cn.n_common AS BIGINT) AS n_common
+        FROM cn LEFT JOIN und ON und.a = cn.u AND und.b = cn.v
+        WHERE und.a IS NULL)
+    SELECT na.u, na.v, na.n_common,
+           CAST(na.n_common AS DOUBLE)
+               / CAST(du.d + dv.d - na.n_common AS DOUBLE) AS jaccard
+    FROM nonadj na
+    JOIN deg du ON du.v = na.u
+    JOIN deg dv ON dv.v = na.v
+    ORDER BY jaccard DESC, na.u ASC, na.v ASC
+    LIMIT 50
+"""
