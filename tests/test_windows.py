@@ -301,3 +301,38 @@ def test_segmented_cummin_fallback_equals_vectorized():
         m = seg == s
         want[m] = np.minimum.accumulate(P[m])
     assert np.array_equal(fast, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_median_matches_pandas_and_guards_floats():
+    import ray.data as rd
+    from tldr_ray.stages.windows import rolling_median
+
+    rng = np.random.RandomState(3)
+    n = 200
+    df = pd.DataFrame({
+        "k": rng.randint(0, 7, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.randint(-50, 50, n).astype(np.int64)})
+    got = (rolling_median(rd.from_pandas(df), "k", ["o"], "v", k=4)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["roll_median"] = (want.groupby("k", sort=False)["v"]
+                           .rolling(4, min_periods=1).median()
+                           .reset_index(level=0, drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "v", "roll_median"]],
+        want[["k", "o", "v", "roll_median"]].rename(
+            columns={"k": "k", "o": "o", "v": "v"}))
+    # window wider than any group: median of everything seen so far
+    one = pd.DataFrame({"k": np.zeros(3, np.int64),
+                        "o": np.arange(3, dtype=np.int64),
+                        "v": np.array([10, 20, 99], np.int64)})
+    g1 = (rolling_median(rd.from_pandas(one), "k", ["o"], "v", k=100)
+          .to_pandas().sort_values("o"))
+    assert g1["roll_median"].tolist() == [10.0, 15.0, 20.0]
+    # float value column is refused loudly
+    bad = one.assign(v=one["v"].astype(np.float64))
+    with pytest.raises(Exception, match="must be integer"):
+        rolling_median(rd.from_pandas(bad), "k", ["o"], "v",
+                       k=2).to_pandas()

@@ -13823,3 +13823,39 @@ ORACLE_SQL["link_prediction_jaccard_hashgraph"] = f"""
     ORDER BY jaccard DESC, na.u ASC, na.v ASC
     LIMIT 50
 """
+
+
+def user_value_rolling_median(sf_dir: str):
+    """Per-user 5-row trailing median spend (stages.windows
+    .rolling_median — the nonlinear window no prefix scan expresses;
+    pandas' C skip-list kernel per contiguous key run after ONE coarse
+    shuffle). Interpolated medians of exact cents are x.0/x.5, so the
+    floats hash-match DuckDB's median() window; (ts, event_id) gives
+    the unique in-key order."""
+    from tldr_ray.stages.windows import rolling_median
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    return rolling_median(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "value_cents", k=5)
+
+
+QUERIES["user_value_rolling_median"] = user_value_rolling_median
+ORACLE_SQL["user_value_rolling_median"] = """
+    SELECT user_id, ts, event_id, value_cents,
+           median(value_cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_median
+    FROM (SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+          FROM events)
+"""

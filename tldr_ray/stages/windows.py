@@ -642,3 +642,56 @@ def scd2_intervals(ds, key_col: str, ts_col: str, tie_col: str,
         .groupby("__part")
         .map_groups(sweep, batch_format="pandas")
     )
+
+
+def rolling_median(ds, key_col: str, order_cols: list[str],
+                   value_col: str, k: int, num_partitions: int = 64):
+    """Per-key ROWS-window median (SQL ``median(v) OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``) —
+    the NONLINEAR complement of ``row_window``'s rolling sums, which a
+    prefix-scan can't express. Same one-coarse-shuffle discipline:
+    hash(key) %% num_partitions, one sort per partition, then pandas'
+    C rolling-median kernel (skip-list, O(n log k)) per contiguous key
+    run — no per-key invocations.
+
+    ``value_col`` must be integer (cents upstream — repo invariant):
+    the interpolated median of ints is exactly x.0 or x.5, so the
+    float output hash-matches DuckDB's ``median()`` window as long as
+    values stay below 2^52. ``order_cols`` must uniquely order rows
+    within a key. Emits (key, *order_cols, value, roll_median)."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    need = list(dict.fromkeys([key_col, *order_cols, value_col]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kcol = batch[key_col]
+        if pa.types.is_integer(kcol.type):
+            p = (vhash(np.asarray(kcol, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(kcol, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols], kind="mergesort")
+        v = g[value_col].to_numpy()
+        if len(g) and not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"rolling-median col {value_col!r} must be integer "
+                f"(got {v.dtype}); convert money to cents upstream")
+        out = {key_col: g[key_col].to_numpy()}
+        for c in order_cols:
+            out[c] = g[c].to_numpy()
+        out[value_col] = v
+        med = (g.groupby(key_col, sort=False)[value_col]
+               .rolling(k, min_periods=1).median()
+               .to_numpy(np.float64)) if len(g) else \
+            np.array([], np.float64)
+        out["roll_median"] = med
+        return pd.DataFrame(out)
+
+    return (ds.select_columns(need)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
