@@ -2461,3 +2461,34 @@ def test_substring_search_exact_vs_python():
     assert got_set == want
     # no duplicate (pattern, doc) rows
     assert len(got) == len(got_set)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spearman_vs_order_matches_pandas_rank():
+    """spearman_vs_order == Pearson of pandas average ranks, incl.
+    heavy ties; constant-value and n<3 groups are dropped."""
+    import ray.data as rd
+    from tldr_ray.stages.agg import spearman_vs_order
+
+    rng = np.random.RandomState(11)
+    n = 300
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 8, n).astype(np.int64)})  # heavy ties
+    # one constant-value group and one tiny group must be dropped
+    extra = pd.DataFrame({
+        "g": ["const"] * 5 + ["tiny"] * 2,
+        "o": np.arange(7, dtype=np.int64) + n,
+        "v": np.array([4, 4, 4, 4, 4, 1, 2], np.int64)})
+    full = pd.concat([df, extra], ignore_index=True)
+    got = (spearman_vs_order(rd.from_pandas(full), ["g"], ["o"], "v")
+           .to_pandas().set_index("g").sort_index())
+    assert set(got.index) == {"a", "b", "c"}
+    for g, sub in df.groupby("g"):
+        sub = sub.sort_values("o")
+        rx = sub["v"].rank(method="average").to_numpy()
+        ry = np.arange(1, len(sub) + 1, dtype=np.float64)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got.loc[g, "rho"] - want) < 1e-12
+        assert got.loc[g, "n"] == len(sub)

@@ -13859,3 +13859,69 @@ ORACLE_SQL["user_value_rolling_median"] = """
                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
           FROM events)
 """
+
+
+def value_time_spearman(sf_dir: str):
+    """Per-(event_type, day) Spearman rank correlation between spend
+    and time-of-day order (stages.agg.spearman_vs_order): rank-robust
+    'does the value trend over the day?' monitor. Doubled average
+    ranks keep every moment an exact int64; the statistic is the
+    fixed Pearson-on-ranks float chain with IEEE sqrts, mirrored
+    token-for-token — the floats hash-match. ONE coarse shuffle;
+    groups with n < 3 or zero variance are dropped (rho undefined)."""
+    from tldr_ray.stages.agg import spearman_vs_order
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array(us // DAY),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    return spearman_vs_order(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"], ["ts", "event_id"],
+        "value_cents").sort(["event_type", "day"])
+
+
+QUERIES["value_time_spearman"] = value_time_spearman
+ORACLE_SQL["value_time_spearman"] = """
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+    r AS (
+        SELECT event_type, day,
+               2 * (rank() OVER (PARTITION BY event_type, day
+                                 ORDER BY v) - 1)
+                 + count(*) OVER (PARTITION BY event_type, day, v)
+                 + 1 AS x,
+               2 * row_number() OVER (PARTITION BY event_type, day
+                                      ORDER BY ts, event_id) AS y
+        FROM e),
+    m AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM r GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+    FROM m
+    WHERE n >= 3 AND (n * sxx - sx * sx) > 0
+      AND (n * syy - sy * sy) > 0
+    ORDER BY event_type, day
+"""

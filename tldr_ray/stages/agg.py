@@ -1217,3 +1217,111 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
             .limit(k)
             .map_batches(lambda t: t.drop(["__es_key"]),
                          batch_format="pyarrow"))
+
+
+def spearman_vs_order(ds, key_cols: list[str], order_cols: list[str],
+                      value_col: str, min_n: int = 3,
+                      num_partitions: int = 64):
+    """Per-group Spearman rank correlation between ``value_col`` and
+    the in-group ORDER position (does the value trend over the
+    sequence?) — the rank-robust complement of the exact-moment
+    Pearson suite.
+
+    Exactness contract: ranks are DOUBLED average ranks
+    (2*less + eq + 1 for values, 2*row_number for the tie-free order
+    positions), so every rank is an exact int64 and the five moment
+    sums are exact integers; the statistic is then ONE fixed float
+    chain with IEEE sqrts, mirrored token-for-token in SQL — the
+    float hash-matches. int64 bound: n * sum(r^2) <= 4 n^2 (n+1)^2,
+    safe below n ~ 2^15 rows per group; larger groups need the
+    object-dtype bigint lane (pairwise_pearson's idiom).
+
+    One coarse hash(key)-shuffle; every group lives wholly inside one
+    partition task, where a single sort + segment sweep computes all
+    ranks and moments vectorized. Groups with n < ``min_n`` or zero
+    value variance (all tied) are dropped — rho is undefined there.
+    Emits (*key_cols, n, rho)."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import fnv1a_batch
+
+    need = list(dict.fromkeys([*key_cols, *order_cols, value_col]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), np.uint64)
+        for c in key_cols:
+            col = batch[c]
+            if pa.types.is_integer(col.type):
+                h = h * np.uint64(1_000_003) ^ vhash(
+                    np.asarray(col, dtype=np.int64))
+            else:
+                h = h * np.uint64(1_000_003) ^ fnv1a_batch(col)
+        p = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([*key_cols, *order_cols],
+                              kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({**{c: [] for c in key_cols},
+                                 "n": pd.array([], dtype="int64"),
+                                 "rho": pd.array([], dtype="float64")})
+        keys = [g[c].to_numpy() for c in key_cols]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for kk in keys:
+            new[1:] |= kk[1:] != kk[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
+        # tie-free order ranks (doubled): 2 * position-in-group
+        y = 2 * (np.arange(n, dtype=np.int64) - starts[seg] + 1)
+        # doubled average value ranks: 2*less + eq + 1 per tie run
+        v = g[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"spearman value col {value_col!r} must be integer "
+                f"(got {v.dtype}); convert money to cents upstream")
+        ord2 = np.lexsort((v, seg))
+        vs, ss = v[ord2], seg[ord2]
+        run = np.zeros(n, dtype=bool)
+        run[0] = True
+        run[1:] = (ss[1:] != ss[:-1]) | (vs[1:] != vs[:-1])
+        run_id = np.cumsum(run) - 1
+        run_start = np.flatnonzero(run)
+        run_len = np.diff(np.append(run_start, n)).astype(np.int64)
+        less = run_start - starts[ss[run_start]]
+        r2_run = 2 * less + run_len + 1
+        x = np.empty(n, np.int64)
+        x[ord2] = r2_run[run_id]
+        nseg = starts.size
+        # bincount accumulates in float64 — exact for these integer
+        # weights below 2^53 — then the moment ALGEBRA runs in int64
+        # so it is token-identical to the SQL BIGINT-then-CAST chain
+        sx = np.bincount(seg, weights=x, minlength=nseg) \
+            .astype(np.int64)
+        sy = np.bincount(seg, weights=y, minlength=nseg) \
+            .astype(np.int64)
+        sxx = np.bincount(seg, weights=x * x, minlength=nseg) \
+            .astype(np.int64)
+        syy = np.bincount(seg, weights=y * y, minlength=nseg) \
+            .astype(np.int64)
+        sxy = np.bincount(seg, weights=x * y, minlength=nseg) \
+            .astype(np.int64)
+        varx = sizes * sxx - sx * sx
+        vary = sizes * syy - sy * sy
+        keep = (sizes >= min_n) & (varx > 0) & (vary > 0)
+        rho = np.full(nseg, np.nan)
+        np.divide((sizes * sxy - sx * sy).astype(np.float64),
+                  np.sqrt(varx.astype(np.float64)
+                          * vary.astype(np.float64)),
+                  out=rho, where=keep)
+        out = {c: kk[starts][keep] for c, kk in zip(key_cols, keys)}
+        out["n"] = sizes[keep]
+        out["rho"] = rho[keep]
+        return pd.DataFrame(out)
+
+    return (ds.select_columns(need)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
