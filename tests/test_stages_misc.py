@@ -2492,3 +2492,28 @@ def test_spearman_vs_order_matches_pandas_rank():
         want = np.corrcoef(rx, ry)[0, 1]
         assert abs(got.loc[g, "rho"] - want) < 1e-12
         assert got.loc[g, "n"] == len(sub)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_trimmed_mean_hand_cases():
+    import ray.data as rd
+    from tldr_ray.stages.agg import grouped_trimmed_mean
+
+    # group a: n=10 -> t=1, ties straddle the trim boundary
+    a = np.array([1, 1, 1, 2, 3, 4, 5, 9, 9, 9], np.int64)
+    # group b: n=4 -> t=0, nothing trimmed
+    b = np.array([10, 20, 30, 40], np.int64)
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 4,
+                       "v": np.concatenate([a, b])})
+    got = (grouped_trimmed_mean(rd.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    sa = int(np.sort(a)[1:-1].sum())
+    assert got.loc["a", ["n", "n_kept", "trimmed_sum"]].tolist() \
+        == [10, 8, sa]
+    assert got.loc["a", "trimmed_mean"] == sa / 8
+    assert got.loc["b", ["n", "n_kept", "trimmed_sum"]].tolist() \
+        == [4, 4, 100]
+    with pytest.raises(Exception, match="must be integer"):
+        grouped_trimmed_mean(
+            rd.from_pandas(df.assign(v=df["v"].astype(float))),
+            "k", "v").to_pandas()

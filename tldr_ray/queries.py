@@ -13925,3 +13925,126 @@ ORACLE_SQL["value_time_spearman"] = """
       AND (n * syy - sy * sy) > 0
     ORDER BY event_type, day
 """
+
+
+def trailing_7d_active_users(sf_dir: str):
+    """Rolling DISTINCT cardinality: per day, how many distinct users
+    were active in the trailing 7-day window — the windowed form of
+    daily actives that a prefix scan cannot express (distinct does
+    not subtract). Plan: per-batch pre-combined distinct (user, day)
+    rows replicate into the <=7 window-days they serve (bounded 7x
+    replication of the DISTINCT activity table, never raw events),
+    ONE coarse shuffle on hash(user) makes per-task dedup of
+    (user, window_day) complete, and a day-keyed partial-sum groupby
+    finishes. Exact integers end to end."""
+    from ray.data.aggregate import Max, Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    DAY = np.int64(86_400_000_000)
+    NP = np.uint64(64)
+    W = 7
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        d = us // DAY
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.empty(u.size, dtype=bool)
+        if u.size:
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[first], d[first]
+        # replicate into the window days this activity row serves
+        uu = np.repeat(u, W)
+        wd = np.repeat(d, W) + np.tile(np.arange(W, dtype=np.int64),
+                                       u.size)
+        return pa.table({
+            "u": pa.array(uu), "wd": pa.array(wd),
+            "part": pa.array((vhash(uu) % NP).astype(np.int32))})
+
+    base = _read(sf_dir, "events", ["user_id", "ts"])
+    dmax = int(base.map_batches(
+        lambda t: pa.table({"d": pa.array(
+            np.asarray(t["ts"].cast(pa.int64()), np.int64) // DAY)}),
+        batch_format="pyarrow").aggregate(Max("d"))["max(d)"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "wd"])
+        wd, cnt = np.unique(g["wd"].to_numpy(np.int64),
+                            return_counts=True)
+        return pd.DataFrame({"day": wd,
+                             "n": cnt.astype(np.int64)})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch["day"], pa.scalar(dmax, pa.int64()))
+        t = batch.filter(m)
+        return pa.table({"day": t["day"].cast(pa.int64()),
+                         "active_7d": t["active_7d"].cast(pa.int64())})
+
+    return (base.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas")
+            .groupby("day").aggregate(Sum("n", alias_name="active_7d"))
+            .map_batches(seal, batch_format="pyarrow")
+            .sort("day"))
+
+
+QUERIES["trailing_7d_active_users"] = trailing_7d_active_users
+ORACLE_SQL["trailing_7d_active_users"] = """
+    WITH a AS (SELECT DISTINCT user_id AS u,
+                      epoch_us(ts) // 86400000000 AS d
+               FROM events),
+    w AS (SELECT DISTINCT u, d + i AS wd
+          FROM a, unnest(generate_series(0, 6)) AS t(i))
+    SELECT wd AS day, CAST(count(*) AS BIGINT) AS active_7d
+    FROM w
+    WHERE wd <= (SELECT max(d) FROM a)
+    GROUP BY wd ORDER BY wd
+"""
+
+
+def trimmed_mean_price_by_flag(sf_dir: str):
+    """10%-trimmed mean extended price per return flag
+    (stages.agg.grouped_trimmed_mean — the robust-mean companion of
+    winsorized_value_sums: drops the n//10 cheapest and dearest rows
+    instead of clamping them). Trim counts use pure integer '//', the
+    kept multiset sum is tie-invariant, and the mean is one IEEE
+    division of exact cents — floats hash-match."""
+    from tldr_ray.stages.agg import grouped_trimmed_mean
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "price_cents": pa.array(_cents(
+                np.asarray(batch["l_extendedprice"],
+                           dtype=np.float64)), pa.int64())})
+
+    return grouped_trimmed_mean(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "price_cents").sort("l_returnflag")
+
+
+QUERIES["trimmed_mean_price_by_flag"] = trimmed_mean_price_by_flag
+ORACLE_SQL["trimmed_mean_price_by_flag"] = """
+    WITH v AS (SELECT l_returnflag,
+                      CAST(floor(l_extendedprice * 100 + 0.5)
+                           AS BIGINT) AS c
+               FROM lineitem),
+    r AS (SELECT l_returnflag, c,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM v)
+    SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+           CAST(sum(c) AS BIGINT) AS trimmed_sum,
+           CAST(sum(c) AS DOUBLE)
+               / CAST(max(n) - 2 * (max(n) // 10) AS DOUBLE)
+               AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

@@ -1325,3 +1325,72 @@ def spearman_vs_order(ds, key_cols: list[str], order_cols: list[str],
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def grouped_trimmed_mean(ds, key: str, value: str,
+                         trim_num: int = 1, trim_den: int = 10,
+                         num_parts: int = 64):
+    """Per-key TRIMMED mean: drop the ``t = n * trim_num // trim_den``
+    lowest and highest rows by value, average the rest — the
+    robust-mean companion of the winsorize stage (which clamps
+    instead of dropping). Tie-safe by construction: WHICH duplicate
+    rows get dropped is arbitrary, but the kept MULTISET sum is
+    tie-invariant, so the result is deterministic. ``t`` uses pure
+    integer arithmetic (``//``) — no float rank math to misround.
+
+    ``value`` must be integer (cents upstream); the mean is ONE IEEE
+    division of two exact int64s, so the float hash-matches a SQL
+    mirror. One coarse shuffle, one sort + segment cumsum per task.
+    Emits (key, n, n_kept, trimmed_sum, trimmed_mean)."""
+    from tldr_ray.hashing import part_key
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if not (pa.types.is_string(k.type)
+                or pa.types.is_large_string(k.type)):
+            k = pc.cast(k, pa.string())
+        return batch.append_column(
+            "part", pa.array(part_key(k, num_parts)))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({key: [],
+                                 "n": pd.array([], dtype="int64"),
+                                 "n_kept": pd.array([], dtype="int64"),
+                                 "trimmed_sum":
+                                     pd.array([], dtype="int64"),
+                                 "trimmed_mean":
+                                     pd.array([], dtype="float64")})
+        g = group.sort_values([key, value], kind="mergesort")
+        keys = g[key].to_numpy()
+        vals = g[value].to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            raise TypeError(
+                f"trimmed-mean col {value!r} must be integer "
+                f"(got {vals.dtype}); convert money to cents upstream")
+        new = np.empty(keys.size, dtype=bool)
+        new[0], new[1:] = True, keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, keys.size)).astype(np.int64)
+        t = n * trim_num // trim_den
+        cum = np.cumsum(vals, dtype=np.int64)
+        hi_idx = starts + n - t - 1             # last kept row
+        lo_idx = starts + t - 1                 # last dropped-low row
+        hi = cum[hi_idx]
+        lo = np.where(t > 0, cum[np.maximum(lo_idx, 0)],
+                      np.where(starts > 0, cum[starts - 1], 0))
+        # t == 0 must subtract the PREVIOUS segment's prefix instead
+        prev = np.where(starts > 0, cum[starts - 1], 0)
+        lo = np.where(t > 0, lo, prev)
+        s = hi - lo
+        kept = n - 2 * t
+        return pd.DataFrame({
+            key: keys[starts], "n": n, "n_kept": kept,
+            "trimmed_sum": s,
+            "trimmed_mean": s.astype(np.float64)
+            / kept.astype(np.float64)})
+
+    return (ds.select_columns([key, value])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sweep, batch_format="pandas"))
