@@ -2517,3 +2517,35 @@ def test_grouped_trimmed_mean_hand_cases():
         grouped_trimmed_mean(
             rd.from_pandas(df.assign(v=df["v"].astype(float))),
             "k", "v").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_topk_via_sketch_both_paths():
+    import ray.data as rd
+    from tldr_ray.stages.sketches import exact_topk_via_sketch
+
+    def brute(vals, k):
+        u, c = np.unique(vals, return_counts=True)
+        o = np.lexsort((u, -c))
+        return list(zip(u[o][:k].tolist(), c[o][:k].tolist()))
+
+    rng = np.random.RandomState(5)
+    # skewed: few heavy keys over a long flat tail -> gate PROVES
+    heavy = np.repeat(np.arange(10, dtype=np.int64), 500)
+    tail = rng.randint(100, 5000, 3000).astype(np.int64)
+    skew = np.concatenate([heavy, tail])
+    rng.shuffle(skew)
+    ds = rd.from_pandas(pd.DataFrame({"v": skew})).repartition(8)
+    got = exact_topk_via_sketch(ds, "v", k=10, capacity=64)
+    assert list(zip(got["value"], got["n"])) == brute(skew, 10)
+    # flat: every key equal -> bound >= kth count, fallback path
+    flat = np.tile(np.arange(200, dtype=np.int64), 5)
+    ds2 = rd.from_pandas(pd.DataFrame({"v": flat})).repartition(4)
+    got2 = exact_topk_via_sketch(ds2, "v", k=20, capacity=16)
+    assert list(zip(got2["value"], got2["n"])) == brute(flat, 20)
+    # tiny vocab under capacity: bound==0 certifies completeness
+    tiny = np.array([7, 7, 8], np.int64)
+    got3 = exact_topk_via_sketch(
+        rd.from_pandas(pd.DataFrame({"v": tiny})), "v",
+        k=5, capacity=16)
+    assert list(zip(got3["value"], got3["n"])) == brute(tiny, 5)

@@ -14048,3 +14048,30 @@ ORACLE_SQL["trimmed_mean_price_by_flag"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+
+def top_users_exact_via_sketch(sf_dir: str):
+    """Top-50 users by event count through the VERIFIED-sketch path
+    (stages.sketches.exact_topk_via_sketch): Misra-Gries candidates,
+    an exact recount of only those candidates, and the MG deficit
+    bound as a correctness proof gate — full-groupby fallback when the
+    distribution is too flat to certify. EXACT on both paths, so the
+    plain SQL top-k mirror hash-matches regardless of which path the
+    gate picks at this scale."""
+    from tldr_ray.stages.sketches import exact_topk_via_sketch
+
+    out = exact_topk_via_sketch(
+        _read(sf_dir, "events", ["user_id"]), "user_id",
+        k=50, capacity=1024)
+    return pa.table({"user_id": pa.array(out["value"].to_numpy(np.int64)),
+                     "n_events": pa.array(out["n"].to_numpy(np.int64))})
+
+
+QUERIES["top_users_exact_via_sketch"] = top_users_exact_via_sketch
+ORACLE_SQL["top_users_exact_via_sketch"] = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 50
+"""

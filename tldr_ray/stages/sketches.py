@@ -542,6 +542,11 @@ def misra_gries(ds, col: str, k: int = 64):
     merged = (ds.select_columns([col])
               .map_batches(partial, batch_format="pyarrow")
               .groupby("value").sum("est").to_pandas())
+    if not len(merged):
+        # a perfectly flat stream can decrement EVERY per-block
+        # counter away (or the input is empty); 0-row to_pandas drops
+        # columns, so build the empty summary explicitly
+        return pd.DataFrame({"value": [], "est": []})
     vals = merged["value"].to_numpy()
     cnts = merged["sum(est)"].to_numpy(np.int64)
     vals, cnts = _mg_compress(vals, cnts, k)
@@ -802,3 +807,81 @@ def grouped_kll_quantiles(ds, key_col: str, col: str,
             .map_batches(partial, batch_format="pyarrow")
             .groupby("g")
             .map_groups(finish, batch_format="pandas"))
+
+
+def exact_topk_via_sketch(ds, col: str, k: int = 50,
+                          capacity: int = 1024,
+                          n_rows: int | None = None):
+    """EXACT top-k heavy keys WITHOUT a full-vocabulary groupby — the
+    sketch-accelerated scale path with a correctness PROOF gate:
+
+    1. ``misra_gries(capacity)`` summarizes the column (<= capacity
+       counter rows per block move, never the column). Any key absent
+       from the summary has true count <= n // (capacity+1) (the MG
+       deficit bound, layout-independent).
+    2. The candidate keys (<= capacity, broadcast in a closure)
+       are recounted EXACTLY in one filtered pass.
+    3. Proof gate: if the k-th candidate's exact count is STRICTLY
+       greater than the deficit bound, no non-candidate can reach the
+       top k and the result is provably the exact top-k. Otherwise
+       (flat distributions — the sketch buys nothing there) fall back
+       to the full exact groupby, so the output is exact on BOTH
+       paths; the gate only chooses the cheap one when that is safe.
+
+    Ties resolve (count desc, value asc) on both paths. ``n_rows``
+    skips the COUNT pass when the caller already knows it (parquet
+    metadata). Returns pd.DataFrame (value, n) — k driver rows."""
+    from ray.data.aggregate import Count
+
+    if n_rows is None:
+        n_rows = ds.count()
+    from ray.data.aggregate import Count
+
+    def _full():
+        full = (ds.select_columns([col])
+                .groupby(col).aggregate(Count(alias_name="n"))
+                .to_pandas())
+        if not len(full):
+            return pd.DataFrame({"value": [], "n": []})
+        vals = full[col].to_numpy()
+        cnt = full["n"].to_numpy(np.int64)
+        order = np.lexsort((vals, -cnt))
+        return pd.DataFrame({"value": vals[order][:k],
+                             "n": cnt[order][:k]})
+
+    mg = misra_gries(ds, col, k=capacity)
+    bound = n_rows // (capacity + 1)
+    cands = mg["value"].to_numpy()
+    if cands.size == 0:
+        # a perfectly flat stream can decrement EVERY counter away —
+        # nothing to certify, go straight to the exact groupby
+        return _full()
+    cand_set = pa.array(cands)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        v = batch[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        t = pa.table({"value": v})
+        t = t.filter(pc.is_in(t["value"], value_set=cand_set))
+        g = t.group_by("value").aggregate([("value", "count")])
+        return pa.table({"value": g["value"],
+                         "n": g["value_count"].cast(pa.int64())})
+
+    exact = (ds.select_columns([col])
+             .map_batches(fil, batch_format="pyarrow")
+             .groupby("value").sum("n").to_pandas())
+    if not len(exact):
+        return _full()
+    exact = exact.rename(columns={"sum(n)": "n"})
+    vals = exact["value"].to_numpy()
+    cnt = exact["n"].to_numpy(np.int64)
+    order = np.lexsort((vals, -cnt))
+    vals, cnt = vals[order][:k], cnt[order][:k]
+    # bound == 0 means NO key was ever decremented: the summary holds
+    # every distinct key exactly, so the recount is the full answer
+    proven = bound == 0 or (cnt.size >= k and cnt[-1] > bound)
+    if proven:
+        return pd.DataFrame({"value": vals, "n": cnt})
+    # flat tail — the sketch can't certify; exact full groupby
+    return _full()
