@@ -14075,3 +14075,67 @@ ORACLE_SQL["top_users_exact_via_sketch"] = """
     ORDER BY n_events DESC, user_id ASC
     LIMIT 50
 """
+
+
+def forget_users_audit(sf_dir: str):
+    """Right-to-erasure pipeline (pipelines.forget.forget_keys): the
+    deletion list (every user_id divisible by 97 that appears in
+    events) propagates through events / orders / customer via the
+    gated anti-join, survivors land as partitioned parquet under
+    /tmp, the audit counts come from parquet FOOTERS, and the
+    verification pass proves zero surviving matches. The returned
+    report is exact integers — hash-checked."""
+    import tempfile
+
+    from tldr_ray.pipelines.forget import forget_keys
+
+    def delmask(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({"k": pa.array(u[u % 97 == 0])})
+
+    del_keys = (_read(sf_dir, "events", ["user_id"])
+                .map_batches(delmask, batch_format="pyarrow"))
+    out = tempfile.mkdtemp(prefix="forget_", dir="/tmp")
+    return forget_keys(
+        [("customer", _read(sf_dir, "customer",
+                            ["c_custkey", "c_name", "c_acctbal"]),
+          "c_custkey"),
+         ("events", _read(sf_dir, "events",
+                          ["event_id", "user_id", "ts", "value"]),
+          "user_id"),
+         ("orders", _read(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_totalprice"]),
+          "o_custkey")],
+        del_keys, out)
+
+
+QUERIES["forget_users_audit"] = forget_users_audit
+ORACLE_SQL["forget_users_audit"] = """
+    WITH del AS (SELECT DISTINCT user_id AS k FROM events
+                 WHERE user_id % 97 = 0),
+    c AS (SELECT count(*) AS b,
+                 sum(CASE WHEN c_custkey IN (SELECT k FROM del)
+                          THEN 1 ELSE 0 END) AS d
+          FROM customer),
+    e AS (SELECT count(*) AS b,
+                 sum(CASE WHEN user_id IN (SELECT k FROM del)
+                          THEN 1 ELSE 0 END) AS d
+          FROM events),
+    o AS (SELECT count(*) AS b,
+                 sum(CASE WHEN o_custkey IN (SELECT k FROM del)
+                          THEN 1 ELSE 0 END) AS d
+          FROM orders)
+    SELECT * FROM (
+        SELECT 'customer' AS table_name, CAST(b AS BIGINT) AS rows_before,
+               CAST(coalesce(d, 0) AS BIGINT) AS rows_deleted,
+               CAST(b - coalesce(d, 0) AS BIGINT) AS rows_after FROM c
+        UNION ALL
+        SELECT 'events', CAST(b AS BIGINT),
+               CAST(coalesce(d, 0) AS BIGINT),
+               CAST(b - coalesce(d, 0) AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'orders', CAST(b AS BIGINT),
+               CAST(coalesce(d, 0) AS BIGINT),
+               CAST(b - coalesce(d, 0) AS BIGINT) FROM o)
+    ORDER BY table_name
+"""
