@@ -2549,3 +2549,34 @@ def test_exact_topk_via_sketch_both_paths():
         rd.from_pandas(pd.DataFrame({"v": tiny})), "v",
         k=5, capacity=16)
     assert list(zip(got3["value"], got3["n"])) == brute(tiny, 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_feature_hash_matches_sequential_and_drops_cancelled():
+    import ray.data as rd
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.text_analysis import feature_hash
+
+    texts = ["the cat sat on the mat", "cat CAT  cat", "", "mat the"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = feature_hash(ds, n_buckets=8).to_pandas() \
+        .sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    # sequential reference with the same hash chain
+    import collections
+    acc = collections.Counter()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        if not toks:
+            continue
+        h = _mix64(fnv1a_batch(pa.array(toks, pa.string())))
+        for hv in h:
+            hv = int(hv)        # numpy uint64 % python-int promotes
+            b = hv % 8          # to float64 and loses the low bits
+            s = 1 if (hv // 8) % 2 == 0 else -1
+            acc[(i, b)] += s
+    want = sorted((k[0], k[1], v) for k, v in acc.items() if v != 0)
+    assert list(map(tuple, got.to_numpy())) == want
+    assert (got["weight"] != 0).all()

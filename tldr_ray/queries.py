@@ -14139,3 +14139,34 @@ ORACLE_SQL["forget_users_audit"] = """
                CAST(b - coalesce(d, 0) AS BIGINT) FROM o)
     ORDER BY table_name
 """
+
+
+def feature_hash_docs(sf_dir: str):
+    """Hashing-trick sparse features over documents
+    (stages.text_analysis.feature_hash, 64 buckets): signed token
+    counts with NO vocabulary state — the fixed-dimension ML
+    featurizer. Bucket and sign derive from the repo's FNV-1a +
+    splitmix64 chain, mirrored bit-for-bit by the recursive-CTE
+    oracle; weights are exact signed ints."""
+    from tldr_ray.stages.text_analysis import feature_hash
+
+    return feature_hash(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n_buckets=64).sort(["doc_id", "bucket"])
+
+
+QUERIES["feature_hash_docs"] = feature_hash_docs
+ORACLE_SQL["feature_hash_docs"] = f"""
+    WITH RECURSIVE {_SEARCH_TOKS_CTE.strip().rstrip()},
+    {_sql_fnv_cte("SELECT DISTINCT w AS s FROM toks")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    f AS (
+        SELECT t.doc_id,
+               CAST(m.h % 64 AS BIGINT) AS bucket,
+               CASE WHEN (m.h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM toks t JOIN m3 m ON m.s = t.w)
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM f GROUP BY doc_id, bucket
+    HAVING sum(sgn) != 0
+    ORDER BY doc_id, bucket
+"""

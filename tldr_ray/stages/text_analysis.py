@@ -1299,3 +1299,68 @@ def substring_search(ds, patterns, id_col: str = "doc_id",
 
         out = out.union(ds.map_batches(scan, batch_format="pyarrow"))
     return out
+
+
+def feature_hash(ds, id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64):
+    """Hashing-trick featurizer (Weinberger 2009): every token
+    occurrence maps to bucket = splitmix64(fnv1a(token)) %% n_buckets
+    with sign +-1 drawn from the next hash bit, and the per-(doc,
+    bucket) SIGNED counts form the sparse feature rows — fixed
+    dimensionality with no vocabulary state anywhere (the whole point
+    at 100 TB: no vocab broadcast, no OOV path). Zero-cancelled cells
+    are dropped (sparse contract). Exact integers end to end; the
+    token hashing is the repo's vectorized FNV-1a + splitmix64, which
+    has a bit-for-bit DuckDB recursive-CTE mirror. Emits
+    (id, bucket int64, weight int64)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    nb = np.uint64(n_buckets)
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch[text_col])),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        doc_of = np.repeat(ids, np.diff(off))
+        keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of = doc_of[keep]
+        if doc_of.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        h = _mix64(fnv1a_batch(flat.filter(pa.array(keep))))
+        bucket = (h % nb).astype(np.int64)
+        sgn = np.where((h // nb) % np.uint64(2) == 0, 1, -1) \
+            .astype(np.int64)
+        # per-batch pre-combine: one row per (doc, bucket)
+        key = doc_of * np.int64(n_buckets) + bucket
+        uk, inv = np.unique(key, return_inverse=True)
+        w = np.zeros(uk.size, np.int64)
+        np.add.at(w, inv, sgn)
+        return pa.table({
+            id_col: pa.array(uk // n_buckets),
+            "bucket": pa.array(uk % n_buckets),
+            "weight": pa.array(w)})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        w = batch["weight"].cast(pa.int64())
+        t = pa.table({id_col: batch[id_col].cast(pa.int64()),
+                      "bucket": batch["bucket"].cast(pa.int64()),
+                      "weight": w})
+        return t.filter(pc.not_equal(t["weight"],
+                                     pa.scalar(0, pa.int64())))
+
+    return (ds.map_batches(featurize, batch_format="pyarrow")
+            .groupby([id_col, "bucket"])
+            .aggregate(Sum("weight", alias_name="weight"))
+            .map_batches(seal, batch_format="pyarrow"))
