@@ -529,7 +529,15 @@ if __name__ == "__main__":
                  "trending_users_daily", "hyperball_hashgraph",
                  "effective_diameter_hashgraph",
                  "kll_value_quantiles_by_type", "ingest_pipeline_docs",
-                 "logistic_probe_embeddings"]
+                 "logistic_probe_embeddings",
+                 # round-5 second wave
+                 "substring_search_docs",
+                 "link_prediction_jaccard_hashgraph",
+                 "user_value_rolling_median", "value_time_spearman",
+                 "trailing_7d_active_users",
+                 "trimmed_mean_price_by_flag",
+                 "top_users_exact_via_sketch", "forget_users_audit",
+                 "feature_hash_docs"]
         qsec = {}
         try:
             for n in names:
