@@ -537,7 +537,8 @@ if __name__ == "__main__":
                  "trailing_7d_active_users",
                  "trimmed_mean_price_by_flag",
                  "top_users_exact_via_sketch", "forget_users_audit",
-                 "feature_hash_docs"]
+                 "feature_hash_docs", "scalar_quantize_embeddings",
+                 "kcenter_coreset_embeddings"]
         qsec = {}
         try:
             for n in names:

@@ -2580,3 +2580,38 @@ def test_feature_hash_matches_sequential_and_drops_cancelled():
     want = sorted((k[0], k[1], v) for k, v in acc.items() if v != 0)
     assert list(map(tuple, got.to_numpy())) == want
     assert (got["weight"] != 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_matches_sequential_reference():
+    import ray.data as rd
+    from tldr_ray.stages.ann import kcenter_select
+
+    rng = np.random.RandomState(21)
+    X = rng.randn(120, 6)
+    ids = np.arange(120, dtype=np.int64)
+    rng.shuffle(ids)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float32()))})).repartition(5)
+    got = kcenter_select(ds, k=6)
+    # sequential Gonzalez on the SAME float32-widened data
+    Xd = X.astype(np.float32).astype(np.float64)
+    order = np.argsort(ids)
+    sel = [int(ids[order][0])]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    mind = np.full(120, np.inf)
+    seq_radii = []
+    for _ in range(6):
+        c = Xd[pos[sel[-1]]]
+        mind = np.minimum(mind, np.sqrt(((Xd - c) ** 2).sum(axis=1)))
+        seq_radii.append(mind.max())
+        if len(sel) == 6:
+            break
+        far = np.lexsort((ids, -mind))[0]
+        sel.append(int(ids[far]))
+    assert got["vec_id"].tolist() == sel
+    assert np.allclose(got["radius_after"], seq_radii, rtol=0, atol=0)
+    # covering radius never increases
+    assert (np.diff(got["radius_after"]) <= 1e-12).all()

@@ -14170,3 +14170,69 @@ ORACLE_SQL["feature_hash_docs"] = f"""
     HAVING sum(sgn) != 0
     ORDER BY doc_id, bucket
 """
+
+
+def scalar_quantize_embeddings(sf_dir: str):
+    """Int8 scalar quantization report over the embeddings table
+    (stages.ann.scalar_quantize_report): per-dim global [mn,mx] band,
+    code = floor((x-mn)/(mx-mn)*255 + 0.5), exact code sums + max
+    reconstruction error. Every step is an order-free float64
+    composition (float32 widens losslessly; min/max/abs carry no
+    accumulation order), so even the error DOUBLES hash-match the
+    unnest + generate_subscripts mirror."""
+    from tldr_ray.stages.ann import scalar_quantize_report
+
+    return scalar_quantize_report(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])) \
+        .sort("dim")
+
+
+QUERIES["scalar_quantize_embeddings"] = scalar_quantize_embeddings
+ORACLE_SQL["scalar_quantize_embeddings"] = """
+    WITH x AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    mm AS (SELECT dim, CAST(min(v) AS DOUBLE) AS mn,
+                  CAST(max(v) AS DOUBLE) AS mx
+           FROM x GROUP BY dim),
+    q AS (
+        SELECT x.dim, mm.mn, mm.mx,
+               CASE WHEN mm.mx > mm.mn
+                    THEN floor((x.v - mm.mn) / (mm.mx - mm.mn)
+                               * 255 + 0.5)
+                    ELSE 0 END AS code,
+               x.v
+        FROM x JOIN mm ON mm.dim = x.dim),
+    e AS (
+        SELECT dim, mn, mx, code,
+               abs(v - (mn + code * (mx - mn) / 255)) AS err
+        FROM q)
+    SELECT dim, mn, mx,
+           CAST(sum(code) AS BIGINT) AS sum_codes,
+           max(err) AS max_abs_err
+    FROM e GROUP BY dim, mn, mx
+    ORDER BY dim
+"""
+
+
+def kcenter_coreset_embeddings(sf_dir: str):
+    """Greedy k-center coreset over the embeddings table
+    (stages.ann.kcenter_select, k=8): the diverse-subset selector for
+    training-data curation (Gonzalez 2-approximation, deterministic
+    min-id ties). Rows-only by nature (iterative argmax of float
+    distances); the pytest pins it to a sequential numpy reference
+    and the non-increasing covering radius."""
+    from tldr_ray.stages.ann import kcenter_select
+
+    out = kcenter_select(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8)
+    return pa.table({
+        "sel_order": pa.array(out["sel_order"].to_numpy(np.int64)),
+        "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+        "radius_after": pa.array(
+            out["radius_after"].to_numpy(np.float64))})
+
+
+QUERIES["kcenter_coreset_embeddings"] = kcenter_coreset_embeddings

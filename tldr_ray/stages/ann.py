@@ -946,3 +946,176 @@ def logistic_fit(ds, emb_col: str = "embedding", label_col: str = "y",
         w = w + np.linalg.solve(H, G)
 
     return w[:d], float(w[d]), n_total
+
+
+def scalar_quantize_report(ds, emb_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Scalar (per-dimension) int8 quantization of an embedding
+    column — the 4x-compression sibling of PQ that ANN systems ship
+    as the default code path: code = floor((x-mn)/(mx-mn)*255 + 0.5)
+    against the GLOBAL per-dim [mn, mx] band, constant dims code to 0.
+
+    Two passes, both with dimension-sized state only: (1) per-block
+    per-dim min/max partials combine on the driver (2*d floats);
+    (2) per-block codes reduce to per-dim exact partial sums plus the
+    max |x - dequant(code)| reconstruction error. Every step is an
+    order-free float64 composition (float32 inputs widen losslessly;
+    min/max/abs/max and integer sums have no accumulation order), so
+    the whole report hash-matches a SQL mirror op for op. Returns a
+    dimension-sized Dataset (dim, mn, mx, sum_codes, max_abs_err)."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[emb_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "neg_mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "neg_mn": pa.array(-m.min(axis=0)),   # min as a Max lane
+            "mx": pa.array(m.max(axis=0))})
+
+    mm = (ds.select_columns([emb_col])
+          .map_batches(mm_partial, batch_format="pyarrow")
+          .groupby("dim")
+          .aggregate(Max("mx", alias_name="mx"),
+                     Max("neg_mn", alias_name="neg_mn"))
+          .to_pandas()).sort_values("dim")
+    mn = -mm["neg_mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    ref = ray.put((mn, mx))
+
+    def quant_partial(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        m = _as_matrix(batch[emb_col]).astype(np.float64)
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "sum_codes": pa.array([], pa.int64()),
+                             "max_abs_err": pa.array([], pa.float64())})
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.floor((m - lo) / safe * 255.0 + 0.5)
+        code = np.where(span > 0, code, 0.0)
+        deq = lo + code * span / 255.0
+        err = np.abs(m - deq).max(axis=0)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(lo), "mx": pa.array(hi),
+            "sum_codes": pa.array(code.sum(axis=0).astype(np.int64)),
+            "max_abs_err": pa.array(err)})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dim": batch["dim"].cast(pa.int64()),
+            "mn": batch["mn"].cast(pa.float64()),
+            "mx": batch["mx"].cast(pa.float64()),
+            "sum_codes": batch["sum_codes"].cast(pa.int64()),
+            "max_abs_err": batch["max_abs_err"].cast(pa.float64())})
+
+    return (ds.select_columns([emb_col])
+            .map_batches(quant_partial, batch_format="pyarrow")
+            .groupby("dim")
+            .aggregate(Sum("sum_codes", alias_name="sum_codes"),
+                       Max("max_abs_err", alias_name="max_abs_err"),
+                       Max("mn", alias_name="mn"),
+                       Max("mx", alias_name="mx"))
+            .map_batches(seal, batch_format="pyarrow"))
+
+
+def kcenter_select(ds, k: int = 16, emb_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Greedy k-CENTER coreset selection (Gonzalez 1985 farthest-
+    point traversal — the classic diverse-subset selector for
+    training-data curation): start from the min-id vector, then k-1
+    times pick the point FARTHEST from the chosen set.
+    2-approximation of the optimal covering radius; deterministic
+    (ties break toward the smaller id).
+
+    Distributed form: per round, ONE pass updates the per-point
+    min-distance column against only the NEWEST center (an O(d)
+    broadcast) and re-materializes the state (referenced twice — the
+    iterative-loop rule), and one cheap pass reduces a per-block
+    farthest-row partial (distance, id, vector) so the next center's
+    VECTOR arrives with the argmax — no per-round fetch pass. Driver
+    holds O(k*d) floats, never the corpus. Returns pd.DataFrame
+    (sel_order, vec_id, radius_after) where radius_after is the
+    covering radius once that center joins the set."""
+    import ray
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": batch[id_col].cast(pa.int64()),
+            emb_col: batch[emb_col],
+            "mind": pa.array(np.full(len(batch), np.inf))})
+
+    state = ds.select_columns([id_col, emb_col]) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["vid"], dtype=np.int64)
+        if v.size == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "e": pa.array([], pa.list_(pa.float64()))})
+        m = _as_matrix(batch[emb_col]).astype(np.float64)
+        i = int(np.argmin(v))
+        return pa.table({"vid": pa.array([v[i]]),
+                         "e": pa.array([m[i].tolist()],
+                                       pa.list_(pa.float64()))})
+
+    seeds = state.map_batches(seed_partial,
+                              batch_format="pyarrow").to_pandas()
+    j = int(seeds["vid"].to_numpy(np.int64).argmin())
+    cur = int(seeds["vid"].iloc[j])
+    cvec = np.asarray(seeds["e"].iloc[j], dtype=np.float64)
+
+    sel, radii = [cur], []
+    for _ in range(k):
+        cref = ray.put(cvec)
+
+        def update(batch: pa.Table) -> pa.Table:
+            cv = ray.get(cref)
+            m = _as_matrix(batch[emb_col]).astype(np.float64)
+            d = np.sqrt(((m - cv[None, :]) ** 2).sum(axis=1))
+            mind = np.minimum(np.asarray(batch["mind"],
+                                         dtype=np.float64), d)
+            return pa.table({"vid": batch["vid"],
+                             emb_col: batch[emb_col],
+                             "mind": pa.array(mind)})
+
+        state = state.map_batches(update,
+                                  batch_format="pyarrow").materialize()
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            mind = np.asarray(batch["mind"], dtype=np.float64)
+            if mind.size == 0:
+                return pa.table({"d": pa.array([], pa.float64()),
+                                 "vid": pa.array([], pa.int64()),
+                                 "e": pa.array([],
+                                               pa.list_(pa.float64()))})
+            vid = np.asarray(batch["vid"], dtype=np.int64)
+            m = _as_matrix(batch[emb_col]).astype(np.float64)
+            best = np.lexsort((vid, -mind))[0]
+            return pa.table({"d": pa.array([mind[best]]),
+                             "vid": pa.array([vid[best]]),
+                             "e": pa.array([m[best].tolist()],
+                                           pa.list_(pa.float64()))})
+
+        parts = state.map_batches(far_partial,
+                                  batch_format="pyarrow").to_pandas()
+        o = np.lexsort((parts["vid"].to_numpy(np.int64),
+                        -parts["d"].to_numpy(np.float64)))[0]
+        radii.append(float(parts["d"].iloc[o]))
+        if len(sel) == k:
+            break
+        cur = int(parts["vid"].iloc[o])
+        cvec = np.asarray(parts["e"].iloc[o], dtype=np.float64)
+        sel.append(cur)
+
+    return pd.DataFrame({
+        "sel_order": np.arange(len(sel), dtype=np.int64),
+        "vec_id": np.array(sel, np.int64),
+        "radius_after": np.array(radii[:len(sel)], np.float64)})
