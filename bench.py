@@ -538,7 +538,9 @@ if __name__ == "__main__":
                  "trimmed_mean_price_by_flag",
                  "top_users_exact_via_sketch", "forget_users_audit",
                  "feature_hash_docs", "scalar_quantize_embeddings",
-                 "kcenter_coreset_embeddings"]
+                 "kcenter_coreset_embeddings",
+                 "revenue_first_touch_hourly",
+                 "theilsen_user_value_trend"]
         qsec = {}
         try:
             for n in names:

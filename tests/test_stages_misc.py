@@ -2615,3 +2615,30 @@ def test_kcenter_matches_sequential_reference():
     assert np.allclose(got["radius_after"], seq_radii, rtol=0, atol=0)
     # covering radius never increases
     assert (np.diff(got["radius_after"]) <= 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_theil_sen_robust_to_outliers_and_gates():
+    import ray.data as rd
+    from tldr_ray.stages.agg import theil_sen_by_key
+
+    t = np.arange(20, dtype=np.int64) * 1000
+    v = (3 * t // 1000).astype(np.int64)       # exact slope 0.003/unit
+    v_out = v.copy()
+    v_out[5] += 100000                          # one wild outlier
+    big_t = np.arange(300, dtype=np.int64)      # > max_n -> gated out
+    df = pd.DataFrame({
+        "k": np.concatenate([np.zeros(20, np.int64),
+                             np.ones(20, np.int64),
+                             np.full(300, 2, np.int64),
+                             np.full(2, 3, np.int64)]),
+        "t": np.concatenate([t, t, big_t, np.array([0, 1])]),
+        "v": np.concatenate([v, v_out, big_t, np.array([0, 1])])})
+    got = theil_sen_by_key(rd.from_pandas(df), "k", "t", "v") \
+        .to_pandas().set_index("k")
+    # clean key: exact slope; outlier key: median shrugs it off
+    assert got.loc[0, "ts_slope"] == 3 / 1000
+    assert abs(got.loc[1, "ts_slope"] - 3 / 1000) < 1e-9
+    # 300-point key exceeds max_n, 2-point key is below min_n
+    assert set(got.index) == {0, 1}
+    assert got.loc[0, "n_slopes"] == 190

@@ -14236,3 +14236,155 @@ def kcenter_coreset_embeddings(sf_dir: str):
 
 
 QUERIES["kcenter_coreset_embeddings"] = kcenter_coreset_embeddings
+
+
+def revenue_first_touch_hourly(sf_dir: str):
+    """FIRST-touch revenue attribution (marketing's complement of the
+    last-click asof): each purchase credits its user's EARLIEST click
+    inside the trailing 1-hour window, and purchase cents roll up by
+    the credited click's hour of day. Plan: stages.joins.range_join
+    emits the windowed (purchase, click) pairs (1:N, inclusive
+    bounds), a coarse hash(purchase) sweep takes the per-purchase
+    argmin (c_ts, click_id), and dimension-sized hourly sums finish.
+    Exact integers end to end."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.joins import range_join
+
+    NP = np.uint64(64)
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(kind, take, names, with_value=False):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], kind)
+            t = batch.filter(m)
+            cols = {n: t[c] for c, n in zip(take, names)}
+            if with_value:
+                cols["v"] = pa.array(_cents(
+                    np.asarray(t["value"], dtype=np.float64)),
+                    pa.int64())
+            return pa.table(cols)
+        return fn
+
+    purchases = ev.map_batches(
+        side("purchase", ["event_id", "ts", "user_id"],
+             ["purchase_id", "p_ts", "user_id"], with_value=True),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        side("click", ["event_id", "ts", "user_id"],
+             ["click_id", "c_ts", "user_id"]),
+        batch_format="pyarrow")
+    pairs = range_join(purchases, clicks, on="user_id",
+                       left_ts="p_ts", right_ts="c_ts",
+                       before=pd.Timedelta(hours=1),
+                       after=pd.Timedelta(0))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = np.asarray(batch["purchase_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(pid) % NP).astype(np.int32)))
+
+    def first_touch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["purchase_id", "c_ts", "click_id"],
+                          kind="mergesort")
+        first = np.empty(len(g), dtype=bool)
+        if len(g):
+            pid = g["purchase_id"].to_numpy(np.int64)
+            first[0], first[1:] = True, pid[1:] != pid[:-1]
+        f = g[first]
+        us = f["c_ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "hour": (us // 3_600_000_000) % 24,
+            "v": f["v"].to_numpy(np.int64)})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": batch["hour"].cast(pa.int64()),
+            "n_purchases": batch["n_purchases"].cast(pa.int64()),
+            "attributed_cents":
+                batch["attributed_cents"].cast(pa.int64())})
+
+    return (pairs.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(first_touch, batch_format="pandas")
+            .groupby("hour")
+            .aggregate(Count(alias_name="n_purchases"),
+                       Sum("v", alias_name="attributed_cents"))
+            .map_batches(seal, batch_format="pyarrow")
+            .sort("hour"))
+
+
+QUERIES["revenue_first_touch_hourly"] = revenue_first_touch_hourly
+ORACLE_SQL["revenue_first_touch_hourly"] = """
+    WITH p AS (SELECT event_id AS pid, ts AS pts, user_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, ts AS cts, user_id
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+        SELECT p.pid, p.v, c.cid, c.cts
+        FROM p JOIN c ON c.user_id = p.user_id
+         AND c.cts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts),
+    ft AS (
+        SELECT pid, v, cts FROM (
+            SELECT *, row_number() OVER (PARTITION BY pid
+                                         ORDER BY cts, cid) AS rn
+            FROM pairs)
+        WHERE rn = 1)
+    SELECT (epoch_us(cts) // 3600000000) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(v) AS BIGINT) AS attributed_cents
+    FROM ft GROUP BY 1 ORDER BY 1
+"""
+
+
+def theilsen_user_value_trend(sf_dir: str):
+    """Per-user THEIL-SEN robust spend trend
+    (stages.agg.theil_sen_by_key): median of all pairwise
+    cents-per-microsecond slopes over strictly-increasing ts pairs —
+    the outlier-proof companion of the exact-OLS user_value_trend.
+    Keys gated to 3..128 points (quadratic pair expansion — the
+    honest contract, mirrored with HAVING); median uses the DuckDB
+    quantile_cont composition x[lo]*0.5 + x[hi]*0.5, so the float
+    slopes hash-match."""
+    from tldr_ray.stages.agg import theil_sen_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "t_us": batch["ts"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    return theil_sen_by_key(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", "t_us", "value_cents").sort("user_id")
+
+
+QUERIES["theilsen_user_value_trend"] = theilsen_user_value_trend
+ORACLE_SQL["theilsen_user_value_trend"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e
+          GROUP BY user_id HAVING count(*) BETWEEN 3 AND 128),
+    s AS (
+        SELECT a.user_id,
+               CAST(b.v - a.v AS DOUBLE)
+                   / CAST(b.t - a.t AS DOUBLE) AS slope
+        FROM e a JOIN e b
+          ON b.user_id = a.user_id AND a.t < b.t
+        WHERE a.user_id IN (SELECT user_id FROM g))
+    SELECT g.user_id, g.n AS n_points,
+           CAST(count(s.slope) AS BIGINT) AS n_slopes,
+           median(s.slope) AS ts_slope
+    FROM s JOIN g ON g.user_id = s.user_id
+    GROUP BY g.user_id, g.n
+    ORDER BY g.user_id
+"""

@@ -1394,3 +1394,85 @@ def grouped_trimmed_mean(ds, key: str, value: str,
             .map_batches(assign, batch_format="pyarrow")
             .groupby("part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def theil_sen_by_key(ds, key_col: str, t_col: str, v_col: str,
+                     min_n: int = 3, max_n: int = 128,
+                     num_partitions: int = 64):
+    """Per-key THEIL-SEN slope — the median of all pairwise slopes
+    (v_j - v_i) / (t_j - t_i) over strictly-increasing t pairs: the
+    robust trend estimator (29% breakdown point) next to the exact-OLS
+    trend stage. Pair expansion is quadratic per key, so keys are
+    GATED to ``min_n <= n <= max_n`` points (mirror with HAVING — the
+    honest contract; Theil-Sen on million-point keys wants the
+    O(n log n) Chan variant, not this).
+
+    One coarse hash(key) shuffle; per task: one sort, triu pair
+    expansion per segment (the dedup._segment_pair_indices shape),
+    slopes as one vectorized division of exact int64 deltas, and the
+    per-segment median via index arithmetic with the DuckDB
+    quantile_cont composition x[lo]*0.5 + x[hi]*0.5 (NOT (a+b)/2 —
+    different IEEE rounding), so the float hash-matches. Emits
+    (key, n_points, n_slopes, ts_slope)."""
+    from tldr_ray.graph.partition import vhash
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = (vhash(np.asarray(batch[key_col], dtype=np.int64))
+             % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            key_col: pd.array([], dtype="int64"),
+            "n_points": pd.array([], dtype="int64"),
+            "n_slopes": pd.array([], dtype="int64"),
+            "ts_slope": pd.array([], dtype="float64")})
+        if not len(group):
+            return out_empty
+        g = group.sort_values([key_col, t_col], kind="mergesort")
+        k = g[key_col].to_numpy(np.int64)
+        t = g[t_col].to_numpy(np.int64)
+        v = g[v_col].to_numpy(np.int64)
+        new = np.empty(k.size, dtype=bool)
+        new[0], new[1:] = True, k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, k.size)).astype(np.int64)
+        keep = (sizes >= min_n) & (sizes <= max_n)
+        ia, ib, segp = [], [], []
+        for si, (st, n) in enumerate(zip(starts.tolist(),
+                                         sizes.tolist())):
+            if not keep[si]:
+                continue
+            ii, jj = np.triu_indices(n, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+            segp.append(np.full(ii.size, si, np.int64))
+        if not ia:
+            return out_empty
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        segp = np.concatenate(segp)
+        dt = t[ib] - t[ia]
+        ok = dt > 0                      # strict-time pairs only
+        ia, ib, segp, dt = ia[ok], ib[ok], segp[ok], dt[ok]
+        if ia.size == 0:
+            return out_empty
+        slope = (v[ib] - v[ia]).astype(np.float64) \
+            / dt.astype(np.float64)
+        order = np.lexsort((slope, segp))
+        segp, slope = segp[order], slope[order]
+        segu, seg_start = np.unique(segp, return_index=True)
+        m = np.diff(np.append(seg_start, segp.size)).astype(np.int64)
+        lo = seg_start + (m - 1) // 2
+        hi = seg_start + m // 2
+        med = slope[lo] * 0.5 + slope[hi] * 0.5
+        return pd.DataFrame({
+            key_col: k[starts[segu]],
+            "n_points": sizes[segu],
+            "n_slopes": m,
+            "ts_slope": med})
+
+    return (ds.select_columns([key_col, t_col, v_col])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
