@@ -540,7 +540,8 @@ if __name__ == "__main__":
                  "feature_hash_docs", "scalar_quantize_embeddings",
                  "kcenter_coreset_embeddings",
                  "revenue_first_touch_hourly",
-                 "theilsen_user_value_trend"]
+                 "theilsen_user_value_trend",
+                 "user_value_rolling_slope", "four_cycles_hashgraph"]
         qsec = {}
         try:
             for n in names:

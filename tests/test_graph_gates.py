@@ -223,3 +223,33 @@ def test_link_prediction_jaccard_paths_equal():
     got = {(int(r.u), int(r.v)): (int(r.n_common), float(r.jaccard))
            for r in bc.itertuples()}
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_four_cycle_count_matches_bruteforce():
+    import itertools
+    from tldr_ray.graph.triangles import four_cycle_count
+
+    pairs = synth_edges(n_v=14, n_e=60, seed=3)
+    got = four_cycle_count(edge_ds(pairs))
+    und = {tuple(sorted(p)) for p in pairs}
+    import collections
+    nbr = collections.defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    # brute force: count 4-vertex subsets hosting a 4-cycle, per cycle
+    verts = sorted(nbr)
+    brute = 0
+    for quad in itertools.combinations(verts, 4):
+        for perm in itertools.permutations(quad[1:]):
+            cyc = (quad[0],) + perm
+            if all(tuple(sorted((cyc[i], cyc[(i + 1) % 4]))) in und
+                   for i in range(4)):
+                brute += 1
+    brute //= 2   # each cycle found twice (two directions) per start
+    assert got == brute
+    # a pure 4-cycle has exactly one; a triangle has none
+    assert four_cycle_count(
+        edge_ds([(0, 1), (1, 2), (2, 3), (3, 0)])) == 1
+    assert four_cycle_count(edge_ds([(0, 1), (1, 2), (2, 0)])) == 0

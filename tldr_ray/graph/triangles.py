@@ -806,3 +806,102 @@ def link_prediction_jaccard(edges, broadcast_limit_rows: int | None = None):
                           np.asarray(batch["deg_v"], np.int64))
 
     return j.map_batches(score_joined, batch_format="pyarrow")
+
+
+def four_cycle_count(edges, max_degree: int | None = None):
+    """Global 4-CYCLE (rectangle) count — the bipartite-motif metric
+    next to the triangle count: #C4 = (1/2) * sum over unordered
+    vertex pairs of C(cn(u,v), 2), where cn counts common neighbors
+    over ALL pairs (adjacent included — every rectangle is counted
+    once at each of its two diagonals, so the sum is provably even
+    and the halving is exact integer arithmetic).
+
+    Same two-coarse-shuffle plan as ``common_neighbors`` minus the
+    edge-marker stage: wedges per CENTER partition (sort + segment
+    pair expansion, counts pre-combined before leaving the task),
+    pair partitions SUM the per-center counts, and each pair task
+    emits one C(n,2) partial — only O(P) scalars reach the driver.
+    ``max_degree`` is the hub clamp (a degree-d center emits d^2/2
+    wedges); None = exact. Returns the exact int count."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": u[:, 0], "b": u[:, 1]})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": src, "dst": dst,
+            "part": pa.array((vhash(src) % NP).astype(np.int32))})
+
+    def wedge_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"])
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        new = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ia, ib = [], []
+        for st, k in zip(starts.tolist(), sizes.tolist()):
+            if k < 2 or (max_degree is not None and k > max_degree):
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+        if not ia:
+            return pd.DataFrame({"u": pd.array([], dtype="int64"),
+                                 "v": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        pairs, cnt = np.unique(
+            np.stack([dst[ia], dst[ib]], axis=1), axis=0,
+            return_counts=True)
+        return pd.DataFrame({"u": pairs[:, 0], "v": pairs[:, 1],
+                             "n": cnt.astype(np.int64)})
+
+    wedges = und.map_batches(sym, batch_format="pyarrow") \
+        .groupby("part").map_groups(wedge_part, batch_format="pandas")
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"], dtype=np.int64)
+        v = np.asarray(batch["v"], dtype=np.int64)
+        part = (vhash(u * np.int64(1_000_003) + v) % NP).astype(np.int32)
+        return pa.table({"u": batch["u"], "v": batch["v"],
+                         "n": batch["n"], "part": pa.array(part)})
+
+    def choose2_partial(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["u", "v"])
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        new = np.concatenate([[True],
+                              (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+        seg = np.cumsum(new) - 1
+        tot = np.zeros(int(seg[-1]) + 1 if len(g) else 0, np.int64)
+        np.add.at(tot, seg, n)
+        return pd.DataFrame({"c2": pd.array(
+            [int((tot * (tot - 1) // 2).sum())], dtype="int64")})
+
+    parts = wedges.map_batches(tag_pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(choose2_partial,
+                                    batch_format="pandas")
+    total = parts.aggregate(Sum("c2", alias_name="c2"))["c2"]
+    return int(total or 0) // 2

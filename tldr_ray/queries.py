@@ -14388,3 +14388,101 @@ ORACLE_SQL["theilsen_user_value_trend"] = """
     GROUP BY g.user_id, g.n
     ORDER BY g.user_id
 """
+
+
+def user_value_rolling_slope(sf_dir: str):
+    """Per-user trailing-8-event OLS spend slope
+    (stages.windows.rolling_ols_slope): the rolling TREND monitor —
+    four exact-int window prefix sums, one float chain mirrored
+    token-for-token in SQL window SUMs. t is REBASED to seconds since
+    2024-01-01 so w*Stt and St^2 stay far below 2^63 (epoch-us
+    squared does not fit — the stage refuses unrebased floats).
+    Zero-time-variance windows emit slope 0 with has_slope=0."""
+    from tldr_ray.stages.windows import rolling_ols_slope
+
+    REF = 1_704_067_200  # 2024-01-01 in epoch seconds
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "t": pa.array(us // 1_000_000 - REF),
+            "v": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    out = rolling_ols_slope(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "t", "v", k=8)
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "t": batch["t"].cast(pa.int64()),
+            "v": batch["v"].cast(pa.int64()),
+            "slope": batch["slope"].cast(pa.float64()),
+            "has_slope": batch["has_slope"].cast(pa.int64())})
+
+    return out.map_batches(seal, batch_format="pyarrow")
+
+
+QUERIES["user_value_rolling_slope"] = user_value_rolling_slope
+ORACLE_SQL["user_value_rolling_slope"] = """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      epoch_us(ts) // 1000000 - 1704067200 AS t,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT user_id, ts, event_id, t, v,
+                 CAST(sum(t) OVER win AS BIGINT) AS st,
+                 CAST(sum(v) OVER win AS BIGINT) AS sv,
+                 CAST(sum(t * t) OVER win AS BIGINT) AS stt,
+                 CAST(sum(t * v) OVER win AS BIGINT) AS stv,
+                 CAST(count(*) OVER win AS BIGINT) AS wn
+          FROM e WINDOW win AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+    SELECT user_id, ts, event_id, t, v,
+           CASE WHEN wn * stt - st * st > 0
+                THEN CAST(wn * stv - st * sv AS DOUBLE)
+                     / CAST(wn * stt - st * st AS DOUBLE)
+                ELSE 0.0 END AS slope,
+           CAST(CASE WHEN wn * stt - st * st > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_slope
+    FROM w
+"""
+
+
+def four_cycles_hashgraph(sf_dir: str):
+    """Exact global 4-cycle (rectangle) count over the hash graph
+    (graph.triangles.four_cycle_count): the bipartite-motif companion
+    of triangle counting, #C4 = sum over ALL vertex pairs of
+    C(cn, 2) halved — every rectangle counted once per diagonal, so
+    the halving is exact integer arithmetic. O(P) scalars reach the
+    driver."""
+    from tldr_ray.graph.triangles import four_cycle_count
+
+    n = four_cycle_count(_hash_graph_edges(sf_dir))
+    return pa.table({"n_4cycles": pa.array([n], pa.int64())})
+
+
+QUERIES["four_cycles_hashgraph"] = four_cycles_hashgraph
+ORACLE_SQL["four_cycles_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    sym AS (SELECT a AS s, b AS t FROM und
+            UNION ALL SELECT b, a FROM und),
+    cn AS (
+        SELECT e1.t AS u, e2.t AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sym e1 JOIN sym e2 ON e2.s = e1.s AND e1.t < e2.t
+        GROUP BY 1, 2)
+    SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT)
+               AS n_4cycles
+    FROM cn
+"""

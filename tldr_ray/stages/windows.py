@@ -695,3 +695,87 @@ def rolling_median(ds, key_col: str, order_cols: list[str],
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def rolling_ols_slope(ds, key_col: str, order_cols: list[str],
+                      t_col: str, v_col: str, k: int,
+                      num_partitions: int = 64):
+    """Per-key trailing-k-row OLS slope (the rolling TREND monitor —
+    linear complement of rolling_median): for each row, the
+    least-squares slope of (t, v) over the window ``ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW``, computed from four exact integer
+    prefix sums (St, Sv, Stt, Stv) — one segment cumsum pass, no
+    per-window loops. slope = (w*Stv - St*Sv) / (w*Stt - St*St), ONE
+    float chain mirrored token-for-token in SQL window SUMs.
+
+    int64 bounds: callers must REBASE ``t_col`` (e.g. seconds since
+    the key's first point) so w*Stt and St*St stay under 2^63 —
+    epoch-microseconds squared do NOT fit. Both columns must be
+    integer. Windows with zero time variance emit slope 0.0 with
+    has_slope=false (mirror: CASE WHEN den > 0). Emits
+    (key, *order_cols, t, v, slope float64, has_slope bool)."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.hashing import part_key
+
+    need = list(dict.fromkeys([key_col, *order_cols, t_col, v_col]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        kcol = batch[key_col]
+        if pa.types.is_integer(kcol.type):
+            p = (vhash(np.asarray(kcol, dtype=np.int64))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            p = part_key(kcol, num_partitions)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *order_cols], kind="mergesort")
+        n = len(g)
+        t = g[t_col].to_numpy()
+        v = g[v_col].to_numpy()
+        if n and not (np.issubdtype(t.dtype, np.integer)
+                      and np.issubdtype(v.dtype, np.integer)):
+            raise TypeError(
+                f"rolling-OLS cols {t_col!r}/{v_col!r} must be integer "
+                f"(got {t.dtype}/{v.dtype}); rebase upstream")
+        key = g[key_col].to_numpy()
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+
+        def wsum(x):
+            cum = np.cumsum(x, dtype=np.int64)
+            seg_base = np.where(starts > 0, cum[starts - 1], 0)
+            pos = np.arange(n, dtype=np.int64) - starts[seg]
+            prev = np.maximum(np.arange(n, dtype=np.int64) - k, 0)
+            base = np.where(pos >= k, cum[prev], seg_base[seg])
+            return cum - base
+
+        st = wsum(t)
+        sv = wsum(v)
+        stt = wsum(t * t)
+        stv = wsum(t * v)
+        pos = (np.arange(n, dtype=np.int64) - starts[seg]) if n \
+            else np.array([], np.int64)
+        w = np.minimum(pos + 1, k)
+        num = w * stv - st * sv
+        den = w * stt - st * st
+        has = den > 0
+        slope = np.where(has, num.astype(np.float64)
+                         / np.where(has, den, 1).astype(np.float64),
+                         0.0)
+        out = {key_col: key}
+        for c in order_cols:
+            out[c] = g[c].to_numpy()
+        out[t_col] = t
+        out[v_col] = v
+        out["slope"] = slope
+        out["has_slope"] = has
+        return pd.DataFrame(out)
+
+    return (ds.select_columns(need)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
