@@ -541,7 +541,8 @@ if __name__ == "__main__":
                  "kcenter_coreset_embeddings",
                  "revenue_first_touch_hourly",
                  "theilsen_user_value_trend",
-                 "user_value_rolling_slope", "four_cycles_hashgraph"]
+                 "user_value_rolling_slope", "four_cycles_hashgraph",
+                 "click_purchase_lag_xcorr"]
         qsec = {}
         try:
             for n in names:

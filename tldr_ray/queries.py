@@ -14486,3 +14486,98 @@ ORACLE_SQL["four_cycles_hashgraph"] = f"""
                AS n_4cycles
     FROM cn
 """
+
+
+def click_purchase_lag_xcorr(sf_dir: str):
+    """Lagged CROSS-correlation scan between the hourly click and
+    purchase count series (lags 0..24h): at which delay do clicks
+    best predict purchases? The distributed work is one grouped
+    count per type (dimension-sized: one row per hour); per lag the
+    Pearson moments are EXACT integers over the aligned dense pair
+    series (the hourly_autocorr_lag24 contract extended to two
+    series), and each r is the one fixed CAST+divide+sqrt chain —
+    floats hash-match. Emits (lag_hours, n_pairs, r) for every lag;
+    the argmax is the reader's one ORDER BY away."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+    MAXLAG = 24
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        us = np.asarray(t["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({"hour": pa.array(us // HOUR),
+                         "event_type": t["event_type"]})
+
+    h = (_read(sf_dir, "events", ["ts", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["event_type", "hour"])
+         .aggregate(Count(alias_name="c"))
+         .to_pandas())
+    lo = int(h["hour"].min())
+    hi = int(h["hour"].max())
+    size = hi - lo + 1
+    series = {}
+    for kind in ("click", "purchase"):
+        sub = h[h["event_type"] == kind]
+        dense = np.zeros(size, np.int64)
+        dense[sub["hour"].to_numpy(np.int64) - lo] = \
+            sub["c"].to_numpy(np.int64)
+        series[kind] = dense.astype(object)   # exact python-int moments
+    x_all, y_all = series["click"], series["purchase"]
+    lags, ns, rs = [], [], []
+    for lag in range(MAXLAG + 1):
+        x = x_all[:size - lag]
+        y = y_all[lag:]
+        n = size - lag
+        sx, sy = int(sum(x)), int(sum(y))
+        sxx = int(sum(a * a for a in x))
+        syy = int(sum(a * a for a in y))
+        sxy = int(sum(a * b for a, b in zip(x, y)))
+        num = np.float64(n * sxy - sx * sy)
+        den = np.sqrt(np.float64(n * sxx - sx * sx)
+                      * np.float64(n * syy - sy * sy))
+        lags.append(lag)
+        ns.append(n)
+        rs.append(float(num / den))
+    return pa.table({"lag_hours": pa.array(lags, pa.int64()),
+                     "n_pairs": pa.array(ns, pa.int64()),
+                     "r": pa.array(rs, pa.float64())})
+
+
+QUERIES["click_purchase_lag_xcorr"] = click_purchase_lag_xcorr
+ORACLE_SQL["click_purchase_lag_xcorr"] = """
+    WITH h AS (SELECT event_type,
+                      epoch_us(ts) // 3600000000 AS hour,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events
+               WHERE event_type IN ('click', 'purchase')
+               GROUP BY 1, 2),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds),
+    cx AS (SELECT g.hour, coalesce(h.c, 0) AS c FROM grid g
+           LEFT JOIN h ON h.hour = g.hour AND h.event_type = 'click'),
+    py AS (SELECT g.hour, coalesce(h.c, 0) AS c FROM grid g
+           LEFT JOIN h ON h.hour = g.hour
+                      AND h.event_type = 'purchase'),
+    lags AS (SELECT unnest(range(0, 25)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN cx a ON TRUE
+        JOIN py b ON b.hour = a.hour + l.lag),
+    m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM pairs GROUP BY lag)
+    SELECT lag AS lag_hours, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM m ORDER BY lag
+"""
