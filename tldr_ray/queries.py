@@ -14581,3 +14581,100 @@ ORACLE_SQL["click_purchase_lag_xcorr"] = """
                       * CAST(n * syy - sy * sy AS DOUBLE)) AS r
     FROM m ORDER BY lag
 """
+
+
+def seasonal_value_outliers(sf_dir: str):
+    """SEASONAL anomaly gate: events whose value sits more than 3
+    population-sigma from their (event_type, hour-of-day) baseline —
+    the de-seasonalized complement of the global MAD/p99 monitors.
+    Baselines are exact integer cent moments per (type, hour) cell
+    (dimension-sized: types x 24); the gate compares
+    (n*v - sum)^2 > 9 * n * (n*sumsq - sum^2) in EXACT integer
+    arithmetic (both sides scaled by n^2 * sigma denominators — no
+    float threshold at all), so the row set is bit-determined.
+    Output: one row per outlier event + its cell stats."""
+    from ray.data.aggregate import Count, Sum
+
+    HOUR_US = np.int64(3_600_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        v = _cents(np.asarray(batch["value"], dtype=np.float64))
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "hod": pa.array((us // HOUR_US) % 24),
+            "v": pa.array(v),
+            "v2": pa.array(v * v)})
+
+    ev = (_read(sf_dir, "events",
+                ["event_id", "ts", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    cells = (ev.groupby(["event_type", "hod"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("v", alias_name="s"),
+                        Sum("v2", alias_name="s2"))
+             .to_pandas())   # dimension-sized: |types| x 24
+    import ray
+    # NB: "\x00" is NOT a safe separator here — the pandas elementwise
+    # concat routes through a numpy U-dtype intermediate that strips a
+    # TRAILING NUL, silently deleting the separator
+    key = np.array([a + "\x1f" + str(b)
+                    for a, b in zip(cells["event_type"].astype(str),
+                                    cells["hod"].to_numpy(np.int64))],
+                   dtype=object)
+    order = np.argsort(key)
+    cref = ray.put((key[order],
+                    cells["n"].to_numpy(np.int64)[order],
+                    cells["s"].to_numpy(np.int64)[order],
+                    cells["s2"].to_numpy(np.int64)[order]))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ks, n, s, s2 = ray.get(cref)
+        et = np.asarray(batch["event_type"]).astype(object)
+        hod = np.asarray(batch["hod"], dtype=np.int64)
+        k = np.array([a + "\x1f" + str(b)
+                      for a, b in zip(et, hod)], dtype=object)
+        pos = np.searchsorted(ks, k)
+        v = np.asarray(batch["v"], dtype=np.int64).astype(object)
+        cn = n[pos].astype(object)
+        cs = s[pos].astype(object)
+        cs2 = s2[pos].astype(object)
+        # exact: (n v - s)^2 > 9 (n s2 - s^2)  [both /n^2 dropped]
+        lhs = (cn * v - cs) ** 2
+        rhs = 9 * (cn * cs2 - cs * cs)
+        keep = np.array([bool(a * 1 > b) for a, b in zip(lhs, rhs)])
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "hod": t["hod"],
+            "value_cents": t["v"],
+            "cell_n": pa.array(n[pos[keep]] if keep.any()
+                               else np.array([], np.int64)),
+            "cell_sum": pa.array(s[pos[keep]] if keep.any()
+                                 else np.array([], np.int64))})
+
+    return (ev.map_batches(gate, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+QUERIES["seasonal_value_outliers"] = seasonal_value_outliers
+ORACLE_SQL["seasonal_value_outliers"] = """
+    WITH e AS (SELECT event_id, event_type,
+                      (epoch_us(ts) // 3600000000) % 24 AS hod,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s,
+                 CAST(sum(v * v) AS BIGINT) AS s2
+          FROM e GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, e.hod, e.v AS value_cents,
+           c.n AS cell_n, c.s AS cell_sum
+    FROM e JOIN c ON c.event_type = e.event_type AND c.hod = e.hod
+    WHERE CAST(c.n * e.v - c.s AS HUGEINT)
+              * CAST(c.n * e.v - c.s AS HUGEINT)
+          > 9 * (CAST(c.n AS HUGEINT) * c.s2
+                 - CAST(c.s AS HUGEINT) * c.s)
+    ORDER BY e.event_id
+"""
