@@ -542,7 +542,8 @@ if __name__ == "__main__":
                  "revenue_first_touch_hourly",
                  "theilsen_user_value_trend",
                  "user_value_rolling_slope", "four_cycles_hashgraph",
-                 "click_purchase_lag_xcorr", "seasonal_value_outliers"]
+                 "click_purchase_lag_xcorr", "seasonal_value_outliers",
+                 "target_encode_event_type", "rebalance_event_classes"]
         qsec = {}
         try:
             for n in names:

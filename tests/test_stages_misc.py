@@ -2642,3 +2642,31 @@ def test_theil_sen_robust_to_outliers_and_gates():
     # 300-point key exceeds max_n, 2-point key is below min_n
     assert set(got.index) == {0, 1}
     assert got.loc[0, "n_slopes"] == 190
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_class_rebalance_exact_targets_and_layout_free():
+    import ray.data as rd
+    from tldr_ray.stages.agg import class_rebalance
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "id": np.arange(900, dtype=np.int64),
+        "c": np.array(["big"] * 700 + ["mid"] * 150 + ["tiny"] * 50,
+                      dtype=object)})
+    df = df.sample(frac=1, random_state=1).reset_index(drop=True)
+    outs = []
+    for parts in (2, 9):       # layout independence
+        ds = rd.from_pandas(df).repartition(parts)
+        out = class_rebalance(ds, "c", "id", 200).to_pandas() \
+            .sort_values(["c", "id"]).reset_index(drop=True)
+        outs.append(out)
+        tot = out.groupby("c")["copies"].sum()
+        assert tot.to_dict() == {"big": 200, "mid": 200, "tiny": 200}
+        # undersample keeps distinct rows only
+        assert (out[out["c"] == "big"]["copies"] == 1).all()
+        assert len(out[out["c"] == "big"]) == 200
+        # oversample: every source row appears, copies = 4 (200/50)
+        t = out[out["c"] == "tiny"]
+        assert len(t) == 50 and (t["copies"] == 4).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -14678,3 +14678,131 @@ ORACLE_SQL["seasonal_value_outliers"] = """
                  - CAST(c.s AS HUGEINT) * c.s)
     ORDER BY e.event_id
 """
+
+
+def target_encode_event_type(sf_dir: str):
+    """LEAVE-ONE-OUT target encoding of event_type against spend (the
+    leakage-safe categorical encoder ML pipelines ship): each row's
+    code is the mean value of all OTHER rows of its category,
+    (s_c - v_i) / (n_c - 1) — one IEEE division of exact cents per
+    row, so the float encodings hash-match. Category stats are a
+    dimension-sized broadcast; singleton categories emit the global
+    LOO mean instead (mirrored CASE)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "v": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    cells = (ev.groupby("event_type")
+             .aggregate(Count(alias_name="n"), Sum("v", alias_name="s"))
+             .to_pandas())
+    g_n = int(cells["n"].sum())
+    g_s = int(cells["s"].sum())
+    import ray
+    ks = cells["event_type"].to_numpy(object)
+    order = np.argsort(ks)
+    cref = ray.put((ks[order],
+                    cells["n"].to_numpy(np.int64)[order],
+                    cells["s"].to_numpy(np.int64)[order]))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        kk, n, s = ray.get(cref)
+        et = np.asarray(batch["event_type"]).astype(object)
+        v = np.asarray(batch["v"], dtype=np.int64)
+        pos = np.searchsorted(kk, et)
+        cn, cs = n[pos], s[pos]
+        single = cn <= 1
+        num = np.where(single, g_s - v, cs - v).astype(np.float64)
+        den = np.where(single, g_n - 1, cn - 1).astype(np.float64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "value_cents": batch["v"],
+            "loo_code": pa.array(num / den)})
+
+    return ev.map_batches(encode, batch_format="pyarrow") \
+        .sort("event_id")
+
+
+QUERIES["target_encode_event_type"] = target_encode_event_type
+ORACLE_SQL["target_encode_event_type"] = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s
+          FROM e GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+                 CAST(sum(s) AS BIGINT) AS gs FROM c)
+    SELECT e.event_id, e.event_type, e.v AS value_cents,
+           CASE WHEN c.n <= 1
+                THEN CAST(g.gs - e.v AS DOUBLE)
+                     / CAST(g.gn - 1 AS DOUBLE)
+                ELSE CAST(c.s - e.v AS DOUBLE)
+                     / CAST(c.n - 1 AS DOUBLE) END AS loo_code
+    FROM e JOIN c ON c.event_type = e.event_type, g
+    ORDER BY e.event_id
+"""
+
+
+_REBALANCE_TARGET = 1990
+
+
+def rebalance_event_classes(sf_dir: str):
+    """Deterministic class rebalancing of events to exactly 1990 rows
+    per event_type (stages.agg.class_rebalance): oversized classes
+    keep the 1990 smallest-hash rows, undersized classes oversample
+    with replacement in hash order — at sf0.01 both branches fire
+    (purchase/view < 1990 < click/error/signup). Output rows carry
+    exact integer copy counts; sum(copies) per class == 1990 by
+    construction, and the whole table hash-matches the splitmix-CTE
+    row_number mirror."""
+    from tldr_ray.stages.agg import class_rebalance
+
+    out = class_rebalance(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        "event_type", "event_id", _REBALANCE_TARGET)
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+            "copies": batch["copies"].cast(pa.int64())})
+
+    return out.map_batches(seal, batch_format="pyarrow") \
+        .sort("event_id")
+
+
+QUERIES["rebalance_event_classes"] = rebalance_event_classes
+ORACLE_SQL["rebalance_event_classes"] = f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT DISTINCT CAST(event_id AS VARCHAR) AS s FROM events")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    e AS (SELECT ev.event_id, ev.event_type, m3.h
+          FROM events ev
+          JOIN m3 ON m3.s = CAST(ev.event_id AS VARCHAR)),
+    r AS (SELECT event_id, event_type,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+    c AS (SELECT event_id, event_type,
+                 CASE WHEN n >= {_REBALANCE_TARGET}
+                      THEN CASE WHEN rn <= {_REBALANCE_TARGET}
+                                THEN 1 ELSE 0 END
+                      ELSE {_REBALANCE_TARGET} // n
+                           + CASE WHEN rn <= {_REBALANCE_TARGET} % n
+                                  THEN 1 ELSE 0 END
+                 END AS copies
+          FROM r)
+    SELECT event_id, event_type, CAST(copies AS BIGINT) AS copies
+    FROM c WHERE copies > 0
+    ORDER BY event_id
+"""

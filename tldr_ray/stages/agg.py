@@ -1476,3 +1476,89 @@ def theil_sen_by_key(ds, key_col: str, t_col: str, v_col: str,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def class_rebalance(ds, class_col: str, id_col: str, target_n: int):
+    """Deterministic CLASS REBALANCING to exactly ``target_n`` rows
+    per class (the imbalanced-training-set fix): oversized classes
+    undersample to the ``target_n`` rows with the smallest
+    splitmix64(fnv1a(str(id))) hashes; undersized classes oversample
+    WITH replacement — every row repeats target_n // n times and the
+    first target_n %% n rows in hash order get one extra copy. Same
+    keys in = same sample out, independent of block layout.
+
+    ONE exchange: per-block partials keep at most target_n rows per
+    class (bottom-k by hash — a superset of the global bottom-k) plus
+    one exact per-block count sentinel; the per-class finisher ranks
+    the survivors. Classes are dimension-like (the finisher holds one
+    class at a time, <= target_n x blocks rows). Emits
+    (id, class, copies int64) with copies >= 1 only — sum of copies
+    per class == target_n exactly."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[id_col]
+        if not (pa.types.is_string(k.type)
+                or pa.types.is_large_string(k.type)):
+            k = pc.cast(k, pa.string())
+        h = _mix64(fnv1a_batch(k)).view(np.int64)   # order via uint view
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        cls = np.asarray(batch[class_col]).astype(object)
+        codes, uniq = pd.factorize(pd.Series(cls))
+        keep = np.zeros(len(batch), dtype=bool)
+        hu = h.view(np.uint64)
+        for ci in range(len(uniq)):
+            m = np.flatnonzero(codes == ci)
+            if m.size <= target_n:
+                keep[m] = True
+            else:
+                sub = np.lexsort((ids[m], hu[m]))[:target_n]
+                keep[m[sub]] = True
+        t = pa.table({
+            "id": pa.array(ids[keep]),
+            "cls": pa.array(cls[keep].tolist(), pa.string()),
+            "h": pa.array(h[keep]),
+            "cnt": pa.array(np.zeros(int(keep.sum()), np.int64))})
+        sent = pa.table({
+            "id": pa.array(np.full(len(uniq), -1, np.int64)),
+            "cls": pa.array(list(uniq), pa.string()),
+            "h": pa.array(np.zeros(len(uniq), np.int64)),
+            "cnt": pa.array(np.bincount(codes,
+                                        minlength=len(uniq))
+                            .astype(np.int64))})
+        return pa.concat_tables([t, sent])
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        sent = group["id"].to_numpy(np.int64) == -1
+        n = int(group.loc[sent, "cnt"].sum())
+        rows = group[~sent]
+        ids = rows["id"].to_numpy(np.int64)
+        hu = rows["h"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((ids, hu))
+        cls = rows["cls"].iloc[0] if len(rows) else None
+        if n == 0 or not len(rows):
+            return pd.DataFrame({
+                "id": pd.array([], dtype="int64"),
+                class_col: pd.array([], dtype=object),
+                "copies": pd.array([], dtype="int64")})
+        if n >= target_n:
+            take = order[:target_n]
+            return pd.DataFrame({
+                "id": ids[take],
+                class_col: pd.Series([cls] * target_n, dtype=object),
+                "copies": np.ones(target_n, np.int64)})
+        base = target_n // n
+        extra = target_n % n
+        copies = np.full(n, base, np.int64)
+        copies[:extra] += 1
+        take = order      # all rows survive the partials when n small
+        return pd.DataFrame({
+            "id": ids[take],
+            class_col: pd.Series([cls] * n, dtype=object),
+            "copies": copies})
+
+    return (ds.select_columns([id_col, class_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cls")
+            .map_groups(finish, batch_format="pandas"))
