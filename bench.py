@@ -543,7 +543,8 @@ if __name__ == "__main__":
                  "theilsen_user_value_trend",
                  "user_value_rolling_slope", "four_cycles_hashgraph",
                  "click_purchase_lag_xcorr", "seasonal_value_outliers",
-                 "target_encode_event_type", "rebalance_event_classes"]
+                 "target_encode_event_type", "rebalance_event_classes",
+                 "event_type_index100_daily"]
         qsec = {}
         try:
             for n in names:

@@ -14806,3 +14806,57 @@ ORACLE_SQL["rebalance_event_classes"] = f"""
     FROM c WHERE copies > 0
     ORDER BY event_id
 """
+
+
+def event_type_index100_daily(sf_dir: str):
+    """Index-100 RE-BASED daily volume per event type (the BI
+    'indexed growth' view): every (type, day) count expressed as
+    count * 100 / first-day-count of that type — ONE IEEE division of
+    exact integers per cell, floats hash-match. The distributed part
+    is one grouped count; the rebase runs on the dimension-sized
+    (types x days) frame."""
+    from ray.data.aggregate import Count
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "day": pa.array(us // DAY)})
+
+    cells = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="c"))
+             .to_pandas())
+    cells = cells.sort_values(["event_type", "day"]) \
+        .reset_index(drop=True)
+    first = cells.groupby("event_type", sort=False)["c"].transform(
+        "first").to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(cells["event_type"].to_numpy(object)
+                               .tolist(), pa.string()),
+        "day": pa.array(cells["day"].to_numpy(np.int64)),
+        "n": pa.array(c),
+        "index100": pa.array((c * 100).astype(np.float64)
+                             / first.astype(np.float64))})
+
+
+QUERIES["event_type_index100_daily"] = event_type_index100_daily
+ORACLE_SQL["event_type_index100_daily"] = """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    f AS (SELECT event_type, n AS n0 FROM (
+              SELECT event_type, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS rn
+              FROM d) WHERE rn = 1)
+    SELECT d.event_type, d.day, d.n,
+           CAST(d.n * 100 AS DOUBLE) / CAST(f.n0 AS DOUBLE)
+               AS index100
+    FROM d JOIN f ON f.event_type = d.event_type
+    ORDER BY d.event_type, d.day
+"""
