@@ -544,7 +544,8 @@ if __name__ == "__main__":
                  "user_value_rolling_slope", "four_cycles_hashgraph",
                  "click_purchase_lag_xcorr", "seasonal_value_outliers",
                  "target_encode_event_type", "rebalance_event_classes",
-                 "event_type_index100_daily"]
+                 "event_type_index100_daily",
+                 "kendall_user_value_trend"]
         qsec = {}
         try:
             for n in names:

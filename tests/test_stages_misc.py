@@ -2670,3 +2670,45 @@ def test_class_rebalance_exact_targets_and_layout_free():
         t = out[out["c"] == "tiny"]
         assert len(t) == 50 and (t["copies"] == 4).all()
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kendall_mk_matches_pandas_taub():
+    import ray.data as rd
+    from tldr_ray.stages.agg import kendall_mk_by_key
+
+    rng = np.random.RandomState(17)
+    frames = []
+    for key in range(4):
+        n = 30
+        t = np.sort(rng.choice(100000, n, replace=False))
+        v = rng.randint(0, 6, n)          # heavy value ties
+        frames.append(pd.DataFrame({
+            "k": np.full(n, key, np.int64),
+            "t": t.astype(np.int64),
+            "v": v.astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True)
+    got = kendall_mk_by_key(rd.from_pandas(df), "k", "t", "v") \
+        .to_pandas().set_index("k").sort_index()
+    for key, sub in df.groupby("k"):
+        tt, vv = sub["t"].to_numpy(), sub["v"].to_numpy()
+        n = len(sub)
+        C = D = n1 = n2 = 0
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if tt[i] == tt[j]:
+                    n2 += 1
+                if vv[i] == vv[j]:
+                    n1 += 1
+                if tt[i] != tt[j] and vv[i] != vv[j]:
+                    if (tt[j] > tt[i]) == (vv[j] > vv[i]):
+                        C += 1
+                    else:
+                        D += 1
+                s += int(np.sign(vv[j] - vv[i])) \
+                    * int(np.sign(tt[j] - tt[i]))
+        n0 = n * (n - 1) // 2
+        want = (C - D) / np.sqrt(float((n0 - n1) * (n0 - n2)))
+        assert abs(got.loc[key, "tau_b"] - want) < 1e-12
+        assert got.loc[key, "s_mk"] == s == C - D

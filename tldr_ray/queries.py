@@ -14860,3 +14860,64 @@ ORACLE_SQL["event_type_index100_daily"] = """
     FROM d JOIN f ON f.event_type = d.event_type
     ORDER BY d.event_type, d.day
 """
+
+
+def kendall_user_value_trend(sf_dir: str):
+    """Per-user KENDALL tau-b + Mann-Kendall S between spend and time
+    (stages.agg.kendall_mk_by_key — the rank-pair trend test beside
+    the Theil-Sen slope, same 3..128-point gate): exact concordant /
+    discordant / tie counts over all C(n,2) pairs, one IEEE
+    divide+sqrt chain per user — floats hash-match."""
+    from tldr_ray.stages.agg import kendall_mk_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "t_us": batch["ts"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    return kendall_mk_by_key(
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", "t_us", "value_cents").sort("user_id")
+
+
+QUERIES["kendall_user_value_trend"] = kendall_user_value_trend
+ORACLE_SQL["kendall_user_value_trend"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      row_number() OVER (ORDER BY user_id, ts) AS rid
+               FROM events),
+    g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e
+          GROUP BY user_id HAVING count(*) BETWEEN 3 AND 128),
+    p AS (
+        SELECT a.user_id,
+               CASE WHEN a.t = b.t THEN 1 ELSE 0 END AS tt,
+               CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tv,
+               CASE WHEN a.t != b.t AND a.v != b.v
+                         AND ((b.t > a.t) = (b.v > a.v))
+                    THEN 1 ELSE 0 END AS con,
+               CASE WHEN a.t != b.t AND a.v != b.v
+                         AND ((b.t > a.t) != (b.v > a.v))
+                    THEN 1 ELSE 0 END AS dis
+        FROM e a JOIN e b
+          ON b.user_id = a.user_id AND a.rid < b.rid
+        WHERE a.user_id IN (SELECT user_id FROM g)),
+    m AS (SELECT user_id,
+                 CAST(sum(con) AS BIGINT) AS c,
+                 CAST(sum(dis) AS BIGINT) AS d,
+                 CAST(sum(tv) AS BIGINT) AS n1,
+                 CAST(sum(tt) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS n0
+          FROM p GROUP BY user_id)
+    SELECT g.user_id, g.n, m.n0 AS n_pairs,
+           m.c - m.d AS s_mk, m.n1 AS n_tie_v, m.n2 AS n_tie_t,
+           CAST(m.c - m.d AS DOUBLE)
+               / sqrt(CAST((m.n0 - m.n1) * (m.n0 - m.n2)
+                           AS DOUBLE)) AS tau_b
+    FROM m JOIN g ON g.user_id = m.user_id
+    WHERE (m.n0 - m.n1) * (m.n0 - m.n2) > 0
+    ORDER BY g.user_id
+"""

@@ -1562,3 +1562,91 @@ def class_rebalance(ds, class_col: str, id_col: str, target_n: int):
             .map_batches(partial, batch_format="pyarrow")
             .groupby("cls")
             .map_groups(finish, batch_format="pandas"))
+
+
+def kendall_mk_by_key(ds, key_col: str, t_col: str, v_col: str,
+                      min_n: int = 3, max_n: int = 128,
+                      num_partitions: int = 64):
+    """Per-key KENDALL tau-b + Mann-Kendall trend statistic S over
+    (t, v) pairs — the rank-pair companion of theil_sen_by_key (same
+    gated quadratic skeleton, same 3..128-point HAVING-mirrored
+    contract): over all C(n,2) pairs ordered by (t, id-order),
+    C = concordant, D = discordant (neither tie), n1 = value-tied
+    pairs, n2 = time-tied pairs, S = C - D, and
+    tau_b = S / sqrt((n0-n1)*(n0-n2)) — exact int64 counts into one
+    IEEE chain, so the floats hash-match. Emits
+    (key, n, n_pairs, s_mk, n_tie_v, n_tie_t, tau_b)."""
+    from tldr_ray.graph.partition import vhash
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = (vhash(np.asarray(batch[key_col], dtype=np.int64))
+             % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(p))
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key_col: pd.array([], dtype="int64"),
+            "n": pd.array([], dtype="int64"),
+            "n_pairs": pd.array([], dtype="int64"),
+            "s_mk": pd.array([], dtype="int64"),
+            "n_tie_v": pd.array([], dtype="int64"),
+            "n_tie_t": pd.array([], dtype="int64"),
+            "tau_b": pd.array([], dtype="float64")})
+        if not len(group):
+            return empty
+        g = group.sort_values([key_col, t_col], kind="mergesort")
+        k = g[key_col].to_numpy(np.int64)
+        t = g[t_col].to_numpy(np.int64)
+        v = g[v_col].to_numpy(np.int64)
+        new = np.empty(k.size, dtype=bool)
+        new[0], new[1:] = True, k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, k.size)).astype(np.int64)
+        keep = (sizes >= min_n) & (sizes <= max_n)
+        ia, ib, segp = [], [], []
+        for si, (st, n) in enumerate(zip(starts.tolist(),
+                                         sizes.tolist())):
+            if not keep[si]:
+                continue
+            ii, jj = np.triu_indices(n, 1)
+            ia.append(ii + st)
+            ib.append(jj + st)
+            segp.append(np.full(ii.size, si, np.int64))
+        if not ia:
+            return empty
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        segp = np.concatenate(segp)
+        tie_t = t[ia] == t[ib]
+        tie_v = v[ia] == v[ib]
+        live = ~tie_t & ~tie_v
+        dv = np.sign(v[ib] - v[ia])
+        nseg_all = starts.size
+        C = np.bincount(segp[live & (dv > 0)], minlength=nseg_all) \
+            .astype(np.int64)
+        D = np.bincount(segp[live & (dv < 0)], minlength=nseg_all) \
+            .astype(np.int64)
+        n1 = np.bincount(segp[tie_v], minlength=nseg_all) \
+            .astype(np.int64)
+        n2 = np.bincount(segp[tie_t], minlength=nseg_all) \
+            .astype(np.int64)
+        segu = np.unique(segp)
+        n0 = (sizes * (sizes - 1) // 2)
+        s = C - D
+        den = (n0 - n1) * (n0 - n2)
+        ok = den > 0
+        tau = np.zeros(nseg_all, np.float64)
+        np.divide(s.astype(np.float64),
+                  np.sqrt(den.astype(np.float64)), out=tau, where=ok)
+        m = np.zeros(nseg_all, dtype=bool)
+        m[segu] = True
+        m &= ok
+        return pd.DataFrame({
+            key_col: k[starts][m], "n": sizes[m], "n_pairs": n0[m],
+            "s_mk": s[m], "n_tie_v": n1[m], "n_tie_t": n2[m],
+            "tau_b": tau[m]})
+
+    return (ds.select_columns([key_col, t_col, v_col])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
