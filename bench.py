@@ -545,7 +545,8 @@ if __name__ == "__main__":
                  "click_purchase_lag_xcorr", "seasonal_value_outliers",
                  "target_encode_event_type", "rebalance_event_classes",
                  "event_type_index100_daily",
-                 "kendall_user_value_trend"]
+                 "kendall_user_value_trend",
+                 "purchase_point_in_time_state", "user_rfm_segments"]
         qsec = {}
         try:
             for n in names:

@@ -14921,3 +14921,168 @@ ORACLE_SQL["kendall_user_value_trend"] = """
     WHERE (m.n0 - m.n1) * (m.n0 - m.n2) > 0
     ORDER BY g.user_id
 """
+
+
+def purchase_point_in_time_state(sf_dir: str):
+    """POINT-IN-TIME dimension join (the feature-store correctness
+    pattern): each purchase event joins the SCD2-valid row of its
+    user's non-purchase change stream at purchase time — the row
+    whose [eff_from, eff_to) interval contains the fact ts, which for
+    SCD2 intervals is exactly the backward as-of match
+    (stages.joins.asof_join, latest change at or before, (ts,
+    event_id) tie-break). No training-serving leakage by
+    construction: the joined state never postdates the fact."""
+    from tldr_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def facts(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["event_type"], "purchase")
+        t = batch.filter(m)
+        return pa.table({"purchase_id": t["event_id"].cast(pa.int64()),
+                         "p_ts": t["ts"],
+                         "user_id": t["user_id"].cast(pa.int64())})
+
+    def dim(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["event_type"], "purchase")
+        t = batch.filter(m)
+        return pa.table({
+            "state_id": t["event_id"].cast(pa.int64()),
+            "s_ts": t["ts"],
+            "user_id": t["user_id"].cast(pa.int64()),
+            "state_cents": pa.array(_cents(
+                np.asarray(t["value"], dtype=np.float64)),
+                pa.int64())})
+
+    out = asof_join(ev.map_batches(facts, batch_format="pyarrow"),
+                    ev.map_batches(dim, batch_format="pyarrow"),
+                    on="user_id", left_ts="p_ts", right_ts="s_ts",
+                    tiebreak="state_id")
+
+    def recast(batch: pa.Table) -> pa.Table:
+        for c in ("p_ts", "s_ts"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, batch[c].cast(pa.timestamp("us")))
+        return batch
+
+    return out.map_batches(recast, batch_format="pyarrow") \
+        .sort("purchase_id")
+
+
+QUERIES["purchase_point_in_time_state"] = purchase_point_in_time_state
+ORACLE_SQL["purchase_point_in_time_state"] = """
+    WITH f AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+               FROM events WHERE event_type = 'purchase'),
+    d AS (SELECT event_id AS state_id, ts AS s_ts, user_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT)
+                     AS state_cents
+          FROM events WHERE event_type != 'purchase'),
+    j AS (
+        SELECT f.purchase_id, f.p_ts, f.user_id,
+               d.state_id, d.s_ts, d.state_cents,
+               row_number() OVER (
+                   PARTITION BY f.purchase_id
+                   ORDER BY d.s_ts DESC, d.state_id DESC) AS rn
+        FROM f JOIN d
+          ON d.user_id = f.user_id AND d.s_ts <= f.p_ts)
+    SELECT purchase_id, p_ts, user_id, state_id, s_ts, state_cents
+    FROM j WHERE rn = 1
+    ORDER BY purchase_id
+"""
+
+
+def user_rfm_segments(sf_dir: str):
+    """RFM SEGMENTATION (the marketing-analytics classic): per user,
+    Recency (days since last event vs the corpus max day), Frequency
+    (event count), Monetary (exact cent sum), each quintile-binned
+    with the tie-coherent rank rule bin = rows_strictly_below * 5 // n
+    (deterministic where NTILE is not — the calibration precedent).
+    One grouped aggregate builds the per-user frame; each metric's
+    bin thresholds come from its value-counts frame (O(#distinct
+    values) driver state, the documented selection-frame contract)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "day": pa.array(us // DAY),
+            "v": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    users = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("day", alias_name="last_day"),
+                        Count(alias_name="f"),
+                        Sum("v", alias_name="m_cents"))
+             .materialize())
+    maxday = int(users.max("last_day"))
+    n = users.count()
+
+    def metric_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "r_days": pa.array(
+                maxday - np.asarray(batch["last_day"], np.int64)),
+            "f": batch["f"].cast(pa.int64()),
+            "m_cents": batch["m_cents"].cast(pa.int64())})
+
+    rfm = users.map_batches(metric_cols,
+                            batch_format="pyarrow").materialize()
+
+    import ray
+    thr = {}
+    for col in ("r_days", "f", "m_cents"):
+        vc = (rfm.groupby(col).count().to_pandas()
+              .sort_values(col))
+        vals = vc[col].to_numpy(np.int64)
+        cnt = vc["count()"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        thr[col] = (vals, below)
+    tref = ray.put(thr)
+
+    def binify(batch: pa.Table) -> pa.Table:
+        t = ray.get(tref)
+        out = {"user_id": batch["user_id"]}
+        for col in ("r_days", "f", "m_cents"):
+            vals, below = t[col]
+            x = np.asarray(batch[col], dtype=np.int64)
+            out[col] = batch[col]
+            out[col + "_bin"] = pa.array(
+                below[np.searchsorted(vals, x)] * 5 // n)
+        return pa.table(out)
+
+    return rfm.map_batches(binify, batch_format="pyarrow") \
+        .sort("user_id")
+
+
+QUERIES["user_rfm_segments"] = user_rfm_segments
+ORACLE_SQL["user_rfm_segments"] = """
+    WITH u AS (
+        SELECT user_id,
+               max(epoch_us(ts) // 86400000000) AS last_day,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM events GROUP BY user_id),
+    g AS (SELECT max(last_day) AS maxday,
+                 CAST(count(*) AS BIGINT) AS n FROM u),
+    r AS (SELECT u.user_id,
+                 CAST(g.maxday - u.last_day AS BIGINT) AS r_days,
+                 u.f, u.m_cents, g.n
+          FROM u, g)
+    SELECT user_id, r_days, f, m_cents,
+           CAST((rank() OVER (ORDER BY r_days) - 1) * 5 // n
+                AS BIGINT) AS r_days_bin,
+           CAST((rank() OVER (ORDER BY f) - 1) * 5 // n
+                AS BIGINT) AS f_bin,
+           CAST((rank() OVER (ORDER BY m_cents) - 1) * 5 // n
+                AS BIGINT) AS m_cents_bin
+    FROM r ORDER BY user_id
+"""
