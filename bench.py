@@ -546,7 +546,8 @@ if __name__ == "__main__":
                  "target_encode_event_type", "rebalance_event_classes",
                  "event_type_index100_daily",
                  "kendall_user_value_trend",
-                 "purchase_point_in_time_state", "user_rfm_segments"]
+                 "purchase_point_in_time_state", "user_rfm_segments",
+                 "user_novelty_curve", "doc_readability_scores"]
         qsec = {}
         try:
             for n in names:

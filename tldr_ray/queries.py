@@ -15086,3 +15086,145 @@ ORACLE_SQL["user_rfm_segments"] = """
                 AS BIGINT) AS m_cents_bin
     FROM r ORDER BY user_id
 """
+
+
+def user_novelty_curve(sf_dir: str):
+    """EXPANDING-DISTINCT window per user: after every event, how many
+    DISTINCT event types has this user seen so far — the novelty /
+    exploration curve no plain prefix sum expresses (distinct does
+    not add). Plan: flag each (user, type) FIRST occurrence with one
+    lexsort pass, then a per-user running sum of the flags in event
+    order — both inside ONE coarse hash(user) shuffle. Mirrored with
+    the row_number()=1 flag + cumulative SUM window."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        n = len(g)
+        # first occurrence of (user, type) in (ts, id) order: lexsort
+        # by (user, type, position) and flag run starts
+        posn = np.arange(n, dtype=np.int64)
+        order = np.lexsort((posn, pd.factorize(et)[0], u))
+        uu, cc = u[order], pd.factorize(et)[0][order]
+        first_sorted = np.empty(n, dtype=bool)
+        if n:
+            first_sorted[0] = True
+            first_sorted[1:] = (uu[1:] != uu[:-1]) | (cc[1:] != cc[:-1])
+        first = np.empty(n, dtype=bool)
+        first[order] = first_sorted
+        new_user = np.empty(n, dtype=bool)
+        if n:
+            new_user[0] = True
+            new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        seg = np.cumsum(new_user) - 1
+        cum = np.cumsum(first.astype(np.int64))
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        return pd.DataFrame({
+            "user_id": u,
+            "ts": g["ts"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "event_type": pd.Series(et, dtype=object),
+            "types_seen": cum - base[seg]})
+
+    return (_read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["user_novelty_curve"] = user_novelty_curve
+ORACLE_SQL["user_novelty_curve"] = """
+    WITH f AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events)
+    SELECT user_id, ts, event_id, event_type,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS types_seen
+    FROM f
+"""
+
+
+def doc_readability_scores(sf_dir: str):
+    """Flesch reading-ease per document from vectorized exact counts:
+    words (whitespace tokens), sentences ([.!?]+ runs, clamped >= 1),
+    syllable proxy ([aeiouy]+ vowel groups, clamped words >= 1) —
+    then the one fixed float chain 206.835 - 1.015*(w/s) -
+    84.6*(syl/w), mirrored token-for-token (left-associative, same
+    literals) so the float scores hash-match. All counts are single
+    pyarrow regex kernels — no row loop."""
+    def score(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(low))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nz = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           np.diff(off))
+        words = np.bincount(doc_of[nz], minlength=len(batch)) \
+            .astype(np.int64)
+        sents = np.asarray(pc.count_substring_regex(low, r"[.!?]+"),
+                           dtype=np.int64)
+        syl = np.asarray(pc.count_substring_regex(low, r"[aeiouy]+"),
+                         dtype=np.int64)
+        w = np.maximum(words, 1)
+        s = np.maximum(sents, 1)
+        fre = 206.835 - 1.015 * (w.astype(np.float64)
+                                 / s.astype(np.float64)) \
+            - 84.6 * (syl.astype(np.float64) / w.astype(np.float64))
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(words),
+            "n_sentences": pa.array(sents),
+            "n_syllables": pa.array(syl),
+            "flesch": pa.array(fre)})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+QUERIES["doc_readability_scores"] = doc_readability_scores
+ORACLE_SQL["doc_readability_scores"] = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x != '')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                    AS BIGINT) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+           - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                      / CAST(greatest(n_sentences, 1) AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                     / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+    FROM c ORDER BY doc_id
+"""
