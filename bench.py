@@ -547,7 +547,9 @@ if __name__ == "__main__":
                  "event_type_index100_daily",
                  "kendall_user_value_trend",
                  "purchase_point_in_time_state", "user_rfm_segments",
-                 "user_novelty_curve", "doc_readability_scores"]
+                 "user_novelty_curve", "doc_readability_scores",
+                 "user_value_rolling_zscore",
+                 "session_entry_exit_matrix"]
         qsec = {}
         try:
             for n in names:

@@ -15228,3 +15228,191 @@ ORACLE_SQL["doc_readability_scores"] = """
                      / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
     FROM c ORDER BY doc_id
 """
+
+
+def user_value_rolling_zscore(sf_dir: str):
+    """Per-user trailing-16-event Z-SCORE of spend (the windowed
+    standardization behind streaming anomaly gates): mean/variance
+    from two exact-int window prefix sums, then the one float chain
+    (w*v - s) / sqrt(w*(w*s2 - s*s)) — algebra kept in int64 (cents
+    are small, w <= 16: w*s2 <= 16*16*1e8 fits easily) and mirrored
+    token-for-token in SQL window SUMs. Zero-variance windows emit
+    z = 0 with has_z = 0."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    K = 16
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        v = _cents(np.asarray(batch["value"], dtype=np.float64))
+        return pa.table({
+            "user_id": pa.array(u), "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v": pa.array(v),
+            "part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        n = len(g)
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0], new[1:] = True, u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+
+        def wsum(x):
+            cum = np.cumsum(x, dtype=np.int64)
+            seg_base = np.where(starts > 0, cum[starts - 1], 0)
+            pos = np.arange(n, dtype=np.int64) - starts[seg]
+            prev = np.maximum(np.arange(n, dtype=np.int64) - K, 0)
+            base = np.where(pos >= K, cum[prev], seg_base[seg])
+            return cum - base
+
+        s = wsum(v)
+        s2 = wsum(v * v)
+        pos = (np.arange(n, dtype=np.int64) - starts[seg]) if n \
+            else np.array([], np.int64)
+        w = np.minimum(pos + 1, K)
+        var = w * s2 - s * s               # w^2 * sample-var * w
+        has = var > 0
+        z = np.where(has,
+                     (w * v - s).astype(np.float64)
+                     / np.sqrt(np.where(has, w * var, 1)
+                               .astype(np.float64)),
+                     0.0)
+        return pd.DataFrame({
+            "user_id": u, "ts": g["ts"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "v": v, "z": z,
+            "has_z": has.astype(np.int64)})
+
+    return (_read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["user_value_rolling_zscore"] = user_value_rolling_zscore
+ORACLE_SQL["user_value_rolling_zscore"] = """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT user_id, ts, event_id, v,
+                 CAST(sum(v) OVER win AS BIGINT) AS s,
+                 CAST(sum(v * v) OVER win AS BIGINT) AS s2,
+                 CAST(count(*) OVER win AS BIGINT) AS wn
+          FROM e WINDOW win AS (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+    SELECT user_id, ts, event_id, v,
+           CASE WHEN wn * s2 - s * s > 0
+                THEN CAST(wn * v - s AS DOUBLE)
+                     / sqrt(CAST(wn * (wn * s2 - s * s) AS DOUBLE))
+                ELSE 0.0 END AS z,
+           CAST(CASE WHEN wn * s2 - s * s > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS has_z
+    FROM w
+"""
+
+
+def session_entry_exit_matrix(sf_dir: str):
+    """Session ENTRY/EXIT matrix (the landing/parting-page BI view):
+    sessions form with the standard 30-min gap rule, each session
+    reports its first and last event type ((ts, event_id)
+    tie-broken), and the output counts sessions per (entry_type,
+    exit_type) cell. One coarse hash(user) shuffle computes sessions
+    AND endpoints in the same sweep; per-partition cell partials sum
+    in a dimension-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    GAP = np.int64(1800 * 1_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "t": pa.array(np.asarray(batch["ts"].cast(pa.int64()),
+                                     np.int64)),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"],
+                          kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({
+                "entry_type": pd.array([], dtype=object),
+                "exit_type": pd.array([], dtype=object),
+                "n": pd.array([], dtype="int64")})
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        entry = et[starts]
+        exit_ = et[ends]
+        key = pd.DataFrame({"entry_type": pd.Series(entry,
+                                                    dtype=object),
+                            "exit_type": pd.Series(exit_,
+                                                   dtype=object)})
+        out = key.groupby(["entry_type", "exit_type"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        out["entry_type"] = out["entry_type"].astype(object)
+        out["exit_type"] = out["exit_type"].astype(object)
+        return out
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "entry_type": batch["entry_type"].cast(pa.string()),
+            "exit_type": batch["exit_type"].cast(pa.string()),
+            "n_sessions": batch["n_sessions"].cast(pa.int64())})
+
+    return (_read(sf_dir, "events",
+                  ["event_id", "user_id", "ts", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas")
+            .groupby(["entry_type", "exit_type"])
+            .aggregate(Sum("n", alias_name="n_sessions"))
+            .map_batches(seal, batch_format="pyarrow")
+            .sort(["entry_type", "exit_type"]))
+
+
+QUERIES["session_entry_exit_matrix"] = session_entry_exit_matrix
+ORACLE_SQL["session_entry_exit_matrix"] = """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM gaps),
+    ee AS (
+        SELECT user_id, session_id,
+               first(event_type ORDER BY ts, event_id) AS entry_type,
+               last(event_type ORDER BY ts, event_id) AS exit_type
+        FROM s GROUP BY 1, 2)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM ee GROUP BY 1, 2
+    ORDER BY entry_type, exit_type
+"""
