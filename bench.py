@@ -549,7 +549,8 @@ if __name__ == "__main__":
                  "purchase_point_in_time_state", "user_rfm_segments",
                  "user_novelty_curve", "doc_readability_scores",
                  "user_value_rolling_zscore",
-                 "session_entry_exit_matrix"]
+                 "session_entry_exit_matrix", "file_lineage_audit",
+                 "orders_customer_view_incremental"]
         qsec = {}
         try:
             for n in names:

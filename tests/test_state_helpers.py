@@ -416,3 +416,38 @@ def test_write_range_partitioned_empty_input(tmp_path):
                                   num_ranges=4)
     assert rep["bounds"] == []
     assert rep["written"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_view_snapshot_isolation_and_crash_orphan(tmp_path):
+    """Segments beyond CURRENT are invisible (snapshot semantics);
+    an orphan segment left by a crash is overwritten on retry."""
+    import os
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from tldr_ray.state.incremental import (read_join_view,
+                                            update_join_view)
+
+    dim = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(5, dtype=np.int64),
+        "name": [f"n{i}" for i in range(5)]})).materialize()
+    vd = str(tmp_path / "view")
+    f1 = rd.from_pandas(pd.DataFrame({
+        "fid": np.array([1, 2], np.int64),
+        "k": np.array([0, 1], np.int64)}))
+    assert update_join_view(vd, f1, dim, on="k") == 1
+    # fake a crash: an orphan seg-2 exists but CURRENT still says 1
+    os.makedirs(os.path.join(vd, "seg-2"), exist_ok=True)
+    with open(os.path.join(vd, "seg-2", "junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    got = read_join_view(vd).to_pandas()
+    assert sorted(got["fid"]) == [1, 2]          # orphan invisible
+    f2 = rd.from_pandas(pd.DataFrame({
+        "fid": np.array([3], np.int64),
+        "k": np.array([4], np.int64)}))
+    assert update_join_view(vd, f2, dim, on="k") == 2   # overwrites
+    got = read_join_view(vd).to_pandas().sort_values("fid")
+    assert got["fid"].tolist() == [1, 2, 3]
+    assert got["name"].tolist() == ["n0", "n1", "n4"]

@@ -15416,3 +15416,132 @@ ORACLE_SQL["session_entry_exit_matrix"] = """
     FROM ee GROUP BY 1, 2
     ORDER BY entry_type, exit_type
 """
+
+
+def file_lineage_audit(sf_dir: str):
+    """FILE-LINEAGE reconciliation: events write out hive-partitioned
+    (sinks.write_partitioned_parquet), the read-back propagates each
+    row's SOURCE FILE PATH through the distributed pipeline
+    (read_parquet include_paths), rows aggregate by the partition
+    directory parsed from their own lineage column, and the audit
+    reconciles bit-for-bit with the source-of-truth groupby — the
+    every-row-accounted-for check a governed lake runs after each
+    layout job. File names inside a partition are executor-chosen, so
+    the audit keys on the deterministic partition dir; per-file
+    splits are pytest territory."""
+    import re
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.sinks import write_partitioned_parquet
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "value_cents": pa.array(_cents(
+                np.asarray(batch["value"], dtype=np.float64)),
+                pa.int64())})
+
+    ev = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = tempfile.mkdtemp(prefix="lineage_", dir="/tmp")
+    write_partitioned_parquet(ev, out, by="event_type")
+
+    back = rd.read_parquet(out, include_paths=True)
+
+    def by_partition(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        part = [re.search(r"event_type=([^/]+)/", p).group(1)
+                for p in paths]
+        return pa.table({
+            "partition": pa.array(part, pa.string()),
+            "value_cents": batch["value_cents"].cast(pa.int64())})
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "partition": batch["partition"],
+            "n_rows": batch["n_rows"].cast(pa.int64()),
+            "sum_cents": batch["sum_cents"].cast(pa.int64())})
+
+    return (back.map_batches(by_partition, batch_format="pyarrow")
+            .groupby("partition")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("value_cents", alias_name="sum_cents"))
+            .map_batches(seal, batch_format="pyarrow")
+            .sort("partition"))
+
+
+QUERIES["file_lineage_audit"] = file_lineage_audit
+ORACLE_SQL["file_lineage_audit"] = """
+    SELECT event_type AS partition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_customer_view_incremental(sf_dir: str):
+    """Incremental JOIN-VIEW maintenance end to end
+    (state.incremental.update_join_view): orders arrive as three
+    deterministic deltas (o_orderkey % 3), each folds into the
+    materialized orders-x-customer view as an immutable appended
+    SEGMENT (delta-join law ΔF ⋈ D, static dim; never a view
+    rewrite), and the final read unions the committed segments. The
+    whole view hash-matches the one-shot SQL join — proving the
+    incremental path loses and duplicates nothing."""
+    import tempfile
+
+    from tldr_ray.state.incremental import (read_join_view,
+                                            update_join_view)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey",
+                                                 "c_name"]),
+                     batch_format="pyarrow").materialize()
+    view_dir = tempfile.mkdtemp(prefix="joinview_", dir="/tmp")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "price_cents": pa.array(_cents(
+                np.asarray(batch["o_totalprice"],
+                           dtype=np.float64)), pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    for r in range(3):
+        def pick(batch: pa.Table, _r=r) -> pa.Table:
+            k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+            return batch.filter(pa.array(k % 3 == _r))
+
+        update_join_view(view_dir,
+                         orders.map_batches(pick,
+                                            batch_format="pyarrow"),
+                         cust, on="o_custkey")
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "price_cents": batch["price_cents"].cast(pa.int64()),
+            "c_name": batch["c_name"].cast(pa.string())})
+
+    return read_join_view(view_dir) \
+        .map_batches(seal, batch_format="pyarrow").sort("o_orderkey")
+
+
+QUERIES["orders_customer_view_incremental"] = \
+    orders_customer_view_incremental
+ORACLE_SQL["orders_customer_view_incremental"] = """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+           c.c_name
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_orderkey
+"""

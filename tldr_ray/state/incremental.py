@@ -207,3 +207,59 @@ def incremental_exact_dedup(state_dir: str, new_docs,
         fps = fps.union(old)
     version = _commit_version(state_dir, fps)
     return fresh.drop_columns(["h1", "h2"]), version
+
+
+def update_join_view(view_dir: str, delta_facts, dim_ds, on: str,
+                     broadcast_limit_rows: int | None = None):
+    """Incremental JOIN-view maintenance (the delta-join law
+    Δ(F ⋈ D) = ΔF ⋈ D for a STATIC dimension — dimension changes
+    need the SCD2 / backfill path, documented contract): the new
+    fact delta joins the dimension through the counted auto_join
+    gate and commits as one immutable SEGMENT directory — the view
+    is never rewritten, a reader unions the committed segments
+    (log-structured, append-only, exactly the layout real lakehouse
+    views keep). Commit protocol mirrors the aggregate state: write
+    ``seg-N`` fully, then swap CURRENT atomically; a crash mid-write
+    leaves an orphan segment the next run overwrites.
+
+    Returns the committed segment number."""
+    import ray.data as rd
+
+    from tldr_ray.stages.joins import auto_join
+
+    joined = auto_join(delta_facts, dim_ds, on=on,
+                       broadcast_limit_rows=(
+                           broadcast_limit_rows
+                           if broadcast_limit_rows is not None
+                           else 2_000_000))
+    cur = _current_version(view_dir)
+    nxt = cur + 1
+    seg = os.path.join(view_dir, f"seg-{nxt}")
+    import shutil
+    shutil.rmtree(seg, ignore_errors=True)
+    os.makedirs(view_dir, exist_ok=True)
+    joined.write_parquet(seg)
+    tmp = os.path.join(view_dir, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.replace(tmp, os.path.join(view_dir, "CURRENT"))
+    return nxt
+
+
+def read_join_view(view_dir: str):
+    """Union of all committed segments (<= CURRENT); orphan segments
+    beyond CURRENT are invisible — snapshot semantics."""
+    import ray.data as rd
+
+    cur = _current_version(view_dir)
+    # a LIST passed to read_parquet must name FILES, not directories
+    files = []
+    for i in range(1, cur + 1):
+        seg = os.path.join(view_dir, f"seg-{i}")
+        if os.path.isdir(seg):
+            files += [os.path.join(seg, f)
+                      for f in sorted(os.listdir(seg))
+                      if f.endswith(".parquet")]
+    if not files:
+        raise FileNotFoundError(f"no committed segments in {view_dir}")
+    return rd.read_parquet(files)
