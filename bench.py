@@ -550,7 +550,8 @@ if __name__ == "__main__":
                  "user_novelty_curve", "doc_readability_scores",
                  "user_value_rolling_zscore",
                  "session_entry_exit_matrix", "file_lineage_audit",
-                 "orders_customer_view_incremental"]
+                 "orders_customer_view_incremental",
+                 "backfill_daily_partitions"]
         qsec = {}
         try:
             for n in names:

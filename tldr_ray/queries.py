@@ -15545,3 +15545,65 @@ ORACLE_SQL["orders_customer_view_incremental"] = """
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ORDER BY o.o_orderkey
 """
+
+
+def backfill_daily_partitions(sf_dir: str):
+    """BACKFILL end to end (the nightly-job repair loop): events land
+    day-partitioned with _DONE markers, three deterministic
+    partitions are then damaged two ways (one wiped entirely, two
+    left marker-less = half-written crash leftovers), and a second
+    resumable write (sinks.write_partitioned_parquet resume=True)
+    repairs ONLY those — completed partitions are pruned from the
+    stream before any row moves. The reconciled per-day counts
+    hash-match the source groupby, and the skipped/written split is
+    asserted so the repair provably did not rewrite the world."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from tldr_ray.sinks import write_partitioned_parquet
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "day": pa.array(us // DAY)})
+
+    ev = (_read(sf_dir, "events", ["event_id", "ts"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = tempfile.mkdtemp(prefix="backfill_", dir="/tmp")
+    first = write_partitioned_parquet(ev, out, by="day")
+    days = sorted(first["written"], key=int)
+    victims = [days[0], days[len(days) // 2], days[-1]]
+    # damage: wipe one, strip the marker off two (crash leftovers)
+    shutil.rmtree(os.path.join(out, f"day={victims[0]}"))
+    for v in victims[1:]:
+        os.remove(os.path.join(out, f"day={v}", "_DONE"))
+    second = write_partitioned_parquet(ev, out, by="day")
+    assert sorted(second["written"], key=int) == \
+        sorted(victims, key=int), second
+    assert len(second["skipped"]) == len(days) - 3, second
+
+    def seal(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": batch["day"].cast(pa.int64()),
+                         "n_rows": batch["n_rows"].cast(pa.int64())})
+
+    return (rd.read_parquet(out)
+            .map_batches(lambda t: pa.table(
+                {"day": t["day"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("day").aggregate(Count(alias_name="n_rows"))
+            .map_batches(seal, batch_format="pyarrow")
+            .sort("day"))
+
+
+QUERIES["backfill_daily_partitions"] = backfill_daily_partitions
+ORACLE_SQL["backfill_daily_partitions"] = """
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1 ORDER BY 1
+"""
