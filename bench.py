@@ -551,7 +551,7 @@ if __name__ == "__main__":
                  "user_value_rolling_zscore",
                  "session_entry_exit_matrix", "file_lineage_audit",
                  "orders_customer_view_incremental",
-                 "backfill_daily_partitions"]
+                 "backfill_daily_partitions", "msf_hashgraph"]
         qsec = {}
         try:
             for n in names:

@@ -253,3 +253,41 @@ def test_four_cycle_count_matches_bruteforce():
     assert four_cycle_count(
         edge_ds([(0, 1), (1, 2), (2, 3), (3, 0)])) == 1
     assert four_cycle_count(edge_ds([(0, 1), (1, 2), (2, 0)])) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_boruvka_equals_kruskal_both_gate_paths():
+    from tldr_ray.graph.mst import boruvka_msf
+
+    rng = np.random.RandomState(4)
+    pairs = synth_edges(n_v=60, n_e=300, seed=4)
+    import ray.data as rd
+    w = {(min(a, b), max(a, b)): ((a * 31 + b * 17) % 97 + 1) / 100
+         for a, b in pairs}
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    ww = np.array([w[(min(a, b), max(a, b))] for a, b in pairs])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst,
+                                 "weight": ww}))
+
+    # sequential Kruskal with the same (weight, a, b) total order
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = []
+    for (a, b), wt in sorted(w.items(), key=lambda kv:
+                             (kv[1], kv[0][0], kv[0][1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.append((a, b, wt))
+    want = sorted(want)
+
+    for budget in (None, 0):    # broadcast vs join label path
+        got = boruvka_msf(ds, broadcast_limit_rows=budget)
+        assert list(map(tuple, got.to_numpy())) == want

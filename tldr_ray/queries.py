@@ -15607,3 +15607,22 @@ ORACLE_SQL["backfill_daily_partitions"] = """
            CAST(count(*) AS BIGINT) AS n_rows
     FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def msf_hashgraph(sf_dir: str):
+    """Minimum spanning forest of the weighted hash graph
+    (graph.mst.boruvka_msf — BSP Borůvka rounds: per-component argmin
+    nominations, gated cluster contraction, gated label updates;
+    O(log V) rounds). Rows-only by nature (iterative contraction);
+    the pytest pins edge-set equality to sequential Kruskal under the
+    same (weight, a, b) total order, which makes the forest unique."""
+    from tldr_ray.graph.mst import boruvka_msf
+
+    out = boruvka_msf(_hash_graph_edges_weighted(sf_dir))
+    return pa.table({
+        "a": pa.array(out["a"].to_numpy(np.int64)),
+        "b": pa.array(out["b"].to_numpy(np.int64)),
+        "weight": pa.array(out["weight"].to_numpy(np.float64))})
+
+
+QUERIES["msf_hashgraph"] = msf_hashgraph
