@@ -167,3 +167,79 @@ class TestRandomGraphOracles:
         n, edges = self._edges(seed)
         total, _ = triangle_counts(self._ds(edges))
         assert total == _brute_triangles(n, edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSecondWaveProperties:
+    # alphabet capped at Latin-1: above it, Arrow utf8_lower and
+    # Python str.lower() diverge on a few codepoints (e.g. 0x130)
+    @given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                                   max_codepoint=255),
+                            max_size=24),
+                    min_size=1, max_size=12),
+           st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                                   max_codepoint=255),
+                            min_size=1, max_size=6),
+                    min_size=1, max_size=3))
+    @settings(max_examples=20, deadline=None)
+    def test_substring_search_equals_python_in(self, texts, pats):
+        import pyarrow as pa
+        import ray.data as rd
+        from tldr_ray.stages.text_analysis import substring_search
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        got = substring_search(ds, pats).to_pandas()
+        # 0-row to_pandas drops columns (known Ray Data gotcha)
+        got_set = (set() if len(got) == 0
+                   else set(zip(got["pattern"], got["doc_id"])))
+        want = {(p.lower(), i) for p in pats
+                for i, t in enumerate(texts) if p.lower() in t.lower()}
+        assert got_set == want
+
+    @given(st.integers(1, 6), st.integers(0, 2**31 - 1))
+    @settings(max_examples=20, deadline=None)
+    def test_rolling_median_equals_pandas(self, k, seed):
+        import pandas as pd
+        import ray.data as rd
+        from tldr_ray.stages.windows import rolling_median
+
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 120))
+        df = pd.DataFrame({
+            "g": rng.randint(0, 4, n).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-9, 9, n).astype(np.int64)})
+        got = (rolling_median(rd.from_pandas(df), "g", ["o"], "v", k=k)
+               .to_pandas().sort_values(["g", "o"])
+               .reset_index(drop=True))
+        want = df.sort_values(["g", "o"]).reset_index(drop=True)
+        want["roll_median"] = (want.groupby("g", sort=False)["v"]
+                               .rolling(k, min_periods=1).median()
+                               .reset_index(level=0, drop=True))
+        assert np.allclose(got["roll_median"], want["roll_median"],
+                           rtol=0, atol=0)
+
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 50))
+    @settings(max_examples=20, deadline=None)
+    def test_class_rebalance_totals(self, seed, target):
+        import pandas as pd
+        import ray.data as rd
+        from tldr_ray.stages.agg import class_rebalance
+
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 300))
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "c": rng.choice(["x", "y", "z"], n)})
+        out = class_rebalance(
+            rd.from_pandas(df).repartition(int(rng.randint(1, 6))),
+            "c", "id", target).to_pandas()
+        tot = out.groupby("c")["copies"].sum().to_dict()
+        present = set(df["c"])
+        assert set(tot) == present
+        assert all(v == target for v in tot.values())
+        # ids are real source ids and unique within class
+        assert not out.duplicated(["c", "id"]).any()
+        assert set(out["id"]).issubset(set(df["id"]))

@@ -1134,7 +1134,7 @@ def multiset_op(left, right, on_left: str, on_right: str,
 def auto_join(left, right, on: str, how: str = "inner",
               broadcast_limit_rows: int = 2_000_000,
               num_buckets: int = 64, skew=False,
-              suffixes=("_l", "_r")):
+              suffixes=("_l", "_r"), right_schema=None):
     """SIZE-GATED join strategy selector — the engine-level form of
     the counted gates the TPC-H queries grew one by one: COUNT the
     right side; while it fits one broadcast object it ships via
@@ -1158,6 +1158,17 @@ def auto_join(left, right, on: str, how: str = "inner",
                                   num_buckets=num_buckets, how=how,
                                   suffixes=suffixes, skew=skew)
     rdf = right.to_pandas()
+    if n_right == 0:
+        # 0-row to_pandas drops columns; rebuild from the sealed
+        # schema so the broadcast merge still sees the key column.
+        # An empty groupby output has schema None — callers that can
+        # hit that pass right_schema explicitly.
+        sch = right.schema()
+        base = getattr(sch, "base_schema", None) if sch else None
+        if base is None:
+            base = right_schema
+        if base is not None:
+            rdf = base.empty_table().to_pandas()
     rref = ray.put(rdf)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:

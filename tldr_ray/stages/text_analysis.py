@@ -1250,10 +1250,6 @@ def substring_search(ds, patterns, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids[rows_d]),
                          "pid": pa.array(pid_flat[idx])})
 
-    cands = (ds.map_batches(grams, batch_format="pyarrow")
-             .groupby([id_col, "pid"])
-             .aggregate(Count(alias_name="n_grams")))
-
     def full(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch["n_grams"], dtype=np.int64)
         pid = np.asarray(batch["pid"], dtype=np.int64)
@@ -1262,13 +1258,6 @@ def substring_search(ds, patterns, id_col: str = "doc_id",
                          .filter(pa.array(keep)),
                          "pid": batch["pid"].cast(pa.int64())
                          .filter(pa.array(keep))})
-
-    cands = cands.map_batches(full, batch_format="pyarrow")
-    probe = auto_join(
-        ds.map_batches(lambda t: pa.table(
-            {id_col: t[id_col].cast(pa.int64()), text_col: t[text_col]}),
-            batch_format="pyarrow"),
-        cands, on=id_col)
 
     def verify(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(batch[text_col])
@@ -1286,7 +1275,24 @@ def substring_search(ds, patterns, id_col: str = "doc_id",
                                 pa.string()),
             id_col: t[id_col].cast(pa.int64())})
 
-    out = probe.map_batches(verify, batch_format="pyarrow")
+    out = None
+    if uq.size:     # at least one indexable (>= 3-char) pattern
+        cands = (ds.map_batches(grams, batch_format="pyarrow")
+                 .groupby([id_col, "pid"])
+                 .aggregate(Count(alias_name="n_grams"))
+                 .map_batches(full, batch_format="pyarrow"))
+        probe = auto_join(
+            ds.map_batches(lambda t: pa.table(
+                {id_col: t[id_col].cast(pa.int64()),
+                 text_col: t[text_col]}),
+                batch_format="pyarrow"),
+            cands, on=id_col,
+            # cands may be 0-row (no doc shares a trigram with any
+            # pattern) — an empty groupby output loses its schema, so
+            # hand auto_join the sealed candidate layout explicitly.
+            right_schema=pa.schema([(id_col, pa.int64()),
+                                    ("pid", pa.int64())]))
+        out = probe.map_batches(verify, batch_format="pyarrow")
     for pid in short_ids:       # sub-trigram patterns: direct scan
         p = pats[pid]
 
@@ -1297,7 +1303,13 @@ def substring_search(ds, patterns, id_col: str = "doc_id",
                 "pattern": pa.array([_p] * len(t), pa.string()),
                 id_col: t[id_col].cast(pa.int64())})
 
-        out = out.union(ds.map_batches(scan, batch_format="pyarrow"))
+        scanned = ds.map_batches(scan, batch_format="pyarrow")
+        out = scanned if out is None else out.union(scanned)
+    if out is None:     # no indexable patterns AND no short ones
+        import ray.data as rd
+        out = rd.from_arrow(pa.table({
+            "pattern": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64())}))
     return out
 
 
