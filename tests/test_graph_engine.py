@@ -342,6 +342,62 @@ class TestSssp:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWidestPath:
+    @staticmethod
+    def _brute_maxmin(edges, n, seeds):
+        width = np.full(n, -np.inf)
+        width[list(seeds)] = np.inf
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        w = np.array([e[2] for e in edges])
+        while True:
+            new = width.copy()
+            np.maximum.at(new, dst, np.minimum(width[src], w))
+            if np.array_equal(new, width):
+                return width
+            width = new
+
+    def test_matches_sequential_maxmin(self):
+        from tldr_ray.graph import widest_path_widths
+
+        rng = np.random.default_rng(11)
+        n = 50
+        edges = [(int(a), int(b), round(float(w), 2))
+                 for (a, b), w in zip(rng.integers(0, n, (200, 2)),
+                                      rng.uniform(0.1, 2.0, 200))
+                 if a != b]
+        ids, width, info = widest_path_widths(
+            edge_ds(edges), seeds=[0, 3], num_partitions=3)
+        assert info["converged"]
+        want = self._brute_maxmin(edges, n, [0, 3])
+        got = dict(zip(ids.tolist(), width.tolist()))
+        for v, d in got.items():
+            assert d == want[v], (v, d, want[v])  # bit-exact: picks only
+
+    def test_bottleneck_prefers_wide_detour(self):
+        """0->1->2 (min 0.8) must beat the direct 0->2 edge (0.3)."""
+        from tldr_ray.graph import widest_path_widths
+
+        ids, width, _ = widest_path_widths(
+            edge_ds([(0, 1, 0.9), (1, 2, 0.8), (0, 2, 0.3)]),
+            seeds=[0], num_partitions=2)
+        got = dict(zip(ids.tolist(), width.tolist()))
+        assert got[2] == 0.8
+
+    def test_round_cap_bounds_hops(self):
+        """max_rounds=1 sees only 1-hop widths: vertex 2's wide
+        2-hop detour is invisible, the direct narrow edge wins."""
+        from tldr_ray.graph import widest_path_widths
+
+        ids, width, info = widest_path_widths(
+            edge_ds([(0, 1, 0.9), (1, 2, 0.8), (0, 2, 0.3)]),
+            seeds=[0], num_partitions=2, max_rounds=1)
+        got = dict(zip(ids.tolist(), width.tolist()))
+        assert got[2] == 0.3
+        assert not info["converged"]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKCore:
     @staticmethod
     def _peel_oracle(edges):

@@ -2,6 +2,7 @@ from tldr_ray.graph.partition import vhash, build_shards
 from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
+                                   widest_path_widths,
                                    betweenness_sampled,
                                    eigenvector_centrality, hits,
                                    label_spread, maximal_matching,
@@ -22,6 +23,7 @@ __all__ = [
     "bfs_hops",
     "betweenness_sampled",
     "sssp_distances",
+    "widest_path_widths",
     "eigenvector_centrality",
     "hits",
     "label_spread",

@@ -565,6 +565,44 @@ def _shard_actor_cls(num_cpus: float = 0):
                 out.append(acc)
             return self._ship(out)
 
+        # -- widest path (max-min bottleneck semiring) -----------------
+        def widest_init(self, seeds) -> int:
+            """State = +inf at seeds (no constraint yet), -inf
+            elsewhere (unreached). Returns seeds owned locally."""
+            seeds = np.asarray(seeds, dtype=np.int64)
+            self.state = np.where(np.isin(self.verts, seeds),
+                                  np.inf, -np.inf)
+            return int(np.isposinf(self.state).sum())
+
+        def widest_messages(self):
+            """max over edges of min(width[src], w) per destination —
+            the max-min dual of sssp_messages. Widths are picked (never
+            arithmetically combined) from the fixed edge-weight set, so
+            the float fixpoint is trivially bit-deterministic. Unreached
+            sources propagate -inf, harmless under the max merge."""
+            d = np.minimum(self.state[self.e_src_local],
+                           self.e_weight_sorted)
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.full(self.dvocabs[q].size, -np.inf)
+                if self.dlocals[q].size:
+                    np.maximum.at(acc, self.dlocals[q], d[sl])
+                out.append(acc)
+            return self._ship(out)
+
+        def max_apply(self, maxes) -> int:
+            """Element-wise MAX merge — the mirror of cc_apply."""
+            maxes = self._fetch(maxes)
+            new = self.state.copy()
+            for idx, arr in zip(self.incoming_idx, maxes):
+                arr = np.asarray(arr)
+                if arr.size:
+                    np.maximum.at(new, idx, arr)
+            changed = int((new != self.state).sum())
+            self.state = new
+            return changed
+
         # -- label propagation (weighted mode, smallest-label ties) ----
         def lpa_messages(self):
             lab = self.state[self.e_src_local]
@@ -1598,6 +1636,37 @@ class GraphEngine:
         return ids, dist, {"rounds": it, "converged": changed == 0,
                            "seeds_found": n_seed}
 
+    def widest_path(self, seeds, max_rounds: int = 10_000,
+                    collect: bool = True):
+        """Widest-path (maximum-bottleneck) width from ``seeds`` over
+        the DIRECTED weighted edge set: the max-min semiring fixpoint
+        width(v) = max over edges (u,v) of min(width(u), w(u,v)).
+        Capped at ``max_rounds`` synchronous rounds, so with a finite
+        cap the result is the exact <=max_rounds-hop bounded widest
+        path — bit-deterministic, which is what the unrolled SQL
+        oracle mirrors. Seeds carry +inf, unreached stay -inf."""
+        import ray
+
+        n_seed = sum(ray.get([
+            s.widest_init.remote([int(x) for x in seeds])
+            for s in self.shards]))
+        if n_seed == 0:
+            raise ValueError("widest_path: no seed vertex in the graph")
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.widest_messages.remote()
+                            for s in self.shards])
+            counts = ray.get([
+                self.shards[q].max_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, width = self._collect(np.float64) if collect else (None, None)
+        return ids, width, {"rounds": it, "converged": changed == 0,
+                            "seeds_found": n_seed}
+
     def label_propagation(self, max_rounds: int = 20, collect: bool = True):
         """Synchronous weighted LPA, smallest-label tie-break.
         Returns (vertex_ids, labels, info)."""
@@ -1893,6 +1962,22 @@ def sssp_distances(edges, seeds, num_partitions: int = 8,
                                  symmetrize=symmetrize)
     try:
         return eng.sssp(seeds, max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def widest_path_widths(edges, seeds, num_partitions: int = 8,
+                       max_rounds: int = 10_000, symmetrize: bool = False,
+                       work_dir: str | None = None):
+    """Maximum-bottleneck (widest-path) width from ``seeds`` over the
+    DIRECTED weighted edge set (symmetrize=True for undirected). A
+    finite ``max_rounds`` yields the exact <=max_rounds-hop bounded
+    widest path. Returns (vertex_ids, widths float64, info); seeds
+    carry +inf, unreached -inf."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir,
+                                 symmetrize=symmetrize)
+    try:
+        return eng.widest_path(seeds, max_rounds)
     finally:
         eng.shutdown()
 

@@ -15626,3 +15626,69 @@ def msf_hashgraph(sf_dir: str):
 
 
 QUERIES["msf_hashgraph"] = msf_hashgraph
+
+
+_WIDEST_UNROLL = 24
+
+
+def widest_path_hashgraph(sf_dir: str):
+    """Bounded-hop widest-path (maximum-bottleneck) width from vertex
+    0 over the DIRECTED weighted hash graph — the max-min semiring
+    dual of sssp_hashgraph (graph.engine.widest_path_widths: new
+    widest_messages kernel + max_apply merge on the same BSP shards).
+    Widths are PICKED from the fixed weight set, never arithmetically
+    combined, so the float trajectory is trivially bit-deterministic
+    and the fixed-round SQL unrolling matches exactly. Capped at
+    _WIDEST_UNROLL synchronous rounds = the exact <=24-hop bounded
+    widest path (identical to the oracle's 24 rounds whether or not
+    the unbounded fixpoint has landed). Seed -> 1.0 sentinel (> any
+    real width, max weight 0.97), unreached -> -1.0."""
+    from tldr_ray.graph import widest_path_widths
+
+    ids, width, info = widest_path_widths(
+        _hash_graph_edges_weighted(sf_dir), seeds=[0],
+        num_partitions=4, max_rounds=_WIDEST_UNROLL)
+    width = np.where(np.isposinf(width), 1.0,
+                     np.where(np.isneginf(width), -1.0, width))
+    return pa.table({"vertex": pa.array(ids),
+                     "width": pa.array(width)})
+
+
+def _widest_oracle_sql(rounds: int = _WIDEST_UNROLL) -> str:
+    """Max-min relaxation unrolled as chained CTEs (the sssp-oracle
+    pattern with least/greatest swapped): w_i(v) = greatest(w_{i-1}(v),
+    max over in-edges of least(w_{i-1}(u), w(u,v))). Unreached
+    vertices carry -infinity which propagates harmlessly under max."""
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = f"wr{i - 1}"
+        ctes.append(f"""
+    wr{i} AS MATERIALIZED (
+        SELECT r.v,
+               greatest(r.d, coalesce(m.md, '-infinity'::DOUBLE)) AS d
+        FROM {prev} r
+        LEFT JOIN (
+            SELECT e.t AS v, max(least(p.d, e.w)) AS md
+            FROM {prev} p JOIN e ON e.s = p.v
+            GROUP BY e.t
+        ) m ON m.v = r.v
+    )""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    e AS (SELECT s, t, ((s * 31 + t * 17) % 97 + 1) / 100.0 AS w
+          FROM raw2),
+    verts AS (SELECT DISTINCT v FROM
+              (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+    wr0 AS (SELECT v, CASE WHEN v = 0 THEN 'infinity'::DOUBLE
+                           ELSE '-infinity'::DOUBLE END AS d FROM verts),
+    {",".join(ctes)}
+    SELECT v AS vertex,
+           CASE WHEN d = 'infinity'::DOUBLE THEN 1.0
+                WHEN d = '-infinity'::DOUBLE THEN -1.0
+                ELSE d END AS width
+    FROM wr{rounds}
+"""
+
+
+QUERIES["widest_path_hashgraph"] = widest_path_hashgraph
+ORACLE_SQL["widest_path_hashgraph"] = _widest_oracle_sql()
