@@ -398,6 +398,46 @@ class TestWidestPath:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDensestSubgraphPeel:
+    def test_planted_clique_wins(self):
+        """K6 (density 2.5) + a long path tail (density ~0.5): the
+        factor-3 peel must strip the path and pick the clique round."""
+        from tldr_ray.graph.densest import densest_subgraph_peel
+
+        clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+        path = [(i, i + 1) for i in range(5, 30)]  # attached at 5
+        trace = densest_subgraph_peel(edge_ds(clique + path))
+        assert trace[0]["n_edges"] == len(clique) + len(path)
+        best = next(t for t in trace if t["is_best"])
+        # the best round's density beats the full graph's, and meets
+        # the factor-3 guarantee vs the clique (densest subgraph here)
+        dens = best["n_edges"] / best["n_vertices"]
+        assert dens > trace[0]["n_edges"] / trace[0]["n_vertices"]
+        assert dens >= 2.5 / 3
+        # counts shrink strictly and every round is non-empty
+        for a, b in zip(trace, trace[1:]):
+            assert b["n_vertices"] < a["n_vertices"]
+            assert b["n_edges"] < a["n_edges"]
+            assert b["n_edges"] > 0
+
+    def test_regular_graph_single_round(self):
+        """A cycle is 2-regular: every vertex fails deg*V > 3*E in
+        round 0, so the trace is exactly one row and it is best."""
+        from tldr_ray.graph.densest import densest_subgraph_peel
+
+        cyc = [(i, (i + 1) % 12) for i in range(12)]
+        trace = densest_subgraph_peel(edge_ds(cyc))
+        assert len(trace) == 1
+        assert trace[0] == {"round": 0, "n_vertices": 12,
+                            "n_edges": 12, "is_best": 1}
+
+    def test_empty_graph(self):
+        from tldr_ray.graph.densest import densest_subgraph_peel
+
+        assert densest_subgraph_peel(edge_ds([(7, 7)])) == []
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKCore:
     @staticmethod
     def _peel_oracle(edges):

@@ -15692,3 +15692,109 @@ def _widest_oracle_sql(rounds: int = _WIDEST_UNROLL) -> str:
 
 QUERIES["widest_path_hashgraph"] = widest_path_hashgraph
 ORACLE_SQL["widest_path_hashgraph"] = _widest_oracle_sql()
+
+
+_PEEL_UNROLL = 20
+
+
+def densest_subgraph_docs(sf_dir: str):
+    """Densest-subgraph approximation trace by factor-3 parallel
+    peeling (graph.densest.densest_subgraph_peel — the BKV
+    MapReduce-peeling algorithm: each round drops every vertex with
+    deg*V <= 3*E, one degree groupby + two size-gated key joins per
+    round, O(log V) rounds; all arithmetic exact int64, density
+    compared by cross-multiplication). The graph plants a dense band
+    among the multiples of 50 (5 forward band edges each) on top of
+    the sparse +1 ring, so the trace peels the ring first and is_best
+    lands on the surviving core, not the full graph. Emits one row
+    per non-empty round: (round, n_vertices, n_edges, is_best)."""
+    from tldr_ray.graph.densest import densest_subgraph_peel
+
+    import pyarrow.parquet as pq
+
+    N = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])["doc_id"]
+            .to_numpy().max()) + 1
+    M = (N // 50) * 50
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = [d]
+        dst = [(d + 1) % N]
+        if M > 0:
+            c = d[(d % 50 == 0) & (d < M)]
+            for j in range(1, 6):
+                src.append(c)
+                dst.append((c + 50 * j) % M)
+        s = np.concatenate(src)
+        t = np.concatenate(dst)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        return pa.table({"src": pa.array(s), "dst": pa.array(t),
+                         "weight": pa.array(np.ones(s.size))})
+
+    trace = densest_subgraph_peel(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(edges, batch_format="pyarrow"),
+        max_rounds=_PEEL_UNROLL)
+    return pa.table({
+        "round": pa.array([t["round"] for t in trace], pa.int64()),
+        "n_vertices": pa.array([t["n_vertices"] for t in trace],
+                               pa.int64()),
+        "n_edges": pa.array([t["n_edges"] for t in trace], pa.int64()),
+        "is_best": pa.array([t["is_best"] for t in trace], pa.int64())})
+
+
+def _densest_oracle_sql(rounds: int = _PEEL_UNROLL) -> str:
+    """The same peeling unrolled as chained CTEs: per round, degree
+    counts, the integer deg*V > 3*E survival test, and an edge filter
+    on both endpoints. Trace rows collect every non-empty round;
+    is_best by the NOT EXISTS cross-multiplied density argmax."""
+    ctes = []
+    traces = []
+    for i in range(rounds + 1):
+        ctes.append(f"""
+    d{i} AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+             FROM (SELECT a AS v FROM g{i}
+                   UNION ALL SELECT b FROM g{i})
+             GROUP BY v),
+    c{i} AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM g{i}) AS e,
+                    (SELECT CAST(count(*) AS BIGINT) FROM d{i}) AS nv),
+    k{i} AS (SELECT v FROM d{i}, c{i} WHERE deg * nv > 3 * e),
+    g{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM g{i}
+        WHERE a IN (SELECT v FROM k{i})
+          AND b IN (SELECT v FROM k{i}))""")
+        traces.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, nv, e "
+            f"FROM c{i} WHERE e > 0")
+    return f"""
+    WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n
+                FROM documents),
+    mm AS (SELECT (n // 50) * 50 AS m FROM nn),
+    raw AS (
+        SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM nn) AS t
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id + 50 * j) % (SELECT m FROM mm)
+        FROM documents, unnest([1, 2, 3, 4, 5]) AS u(j)
+        WHERE (SELECT m FROM mm) > 0
+          AND doc_id % 50 = 0 AND doc_id < (SELECT m FROM mm)
+    ),
+    g0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM raw WHERE s != t),
+    {",".join(ctes)},
+    tr AS ({" UNION ALL ".join(traces)})
+    SELECT i.round, i.nv AS n_vertices, i.e AS n_edges,
+           CAST(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM tr j
+               WHERE j.e * i.nv > i.e * j.nv
+                  OR (j.e * i.nv = i.e * j.nv AND j.round < i.round))
+               THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM tr i
+"""
+
+
+QUERIES["densest_subgraph_docs"] = densest_subgraph_docs
+ORACLE_SQL["densest_subgraph_docs"] = _densest_oracle_sql()
