@@ -15798,3 +15798,193 @@ def _densest_oracle_sql(rounds: int = _PEEL_UNROLL) -> str:
 
 QUERIES["densest_subgraph_docs"] = densest_subgraph_docs
 ORACLE_SQL["densest_subgraph_docs"] = _densest_oracle_sql()
+
+
+def benford_orders(sf_dir: str):
+    """Benford first-significant-digit audit over o_totalprice cents:
+    (digit, n_orders, per_mille) with per_mille the exact integer
+    n*1000 // total. First digits come from a vectorized
+    divide-by-ten loop (at most 19 passes over the column, each a
+    numpy where — no string formatting, no libm log10 whose boundary
+    rounding could disagree with the SQL substr mirror). Per-batch
+    partial digit counts pre-aggregate before one 9-row groupby, the
+    classic combiner shape."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["o_totalprice"], dtype=np.float64))
+        c = c[c >= 1]
+        while (big := c >= 10).any():
+            c = np.where(big, c // 10, c)
+        dig, cnt = np.unique(c, return_counts=True)
+        return pa.table({"digit": pa.array(dig),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (_read(sf_dir, "orders", ["o_totalprice"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("digit").aggregate(Sum("n", alias_name="n_orders"))
+              .to_pandas())
+    total = int(counts["n_orders"].sum())
+    dig = counts["digit"].to_numpy(np.int64)
+    n = counts["n_orders"].to_numpy(np.int64)
+    order = np.argsort(dig)
+    dig, n = dig[order], n[order]
+    return pa.table({
+        "digit": pa.array(dig),
+        "n_orders": pa.array(n),
+        "per_mille": pa.array(n * 1000 // total)})
+
+
+QUERIES["benford_orders"] = benford_orders
+ORACLE_SQL["benford_orders"] = """
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+               FROM orders),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM c WHERE cents >= 1 GROUP BY 1),
+    t AS (SELECT sum(n_orders) AS total FROM d)
+    SELECT digit, n_orders,
+           CAST(n_orders * 1000 // (SELECT total FROM t) AS BIGINT)
+               AS per_mille
+    FROM d ORDER BY digit
+"""
+
+
+def rle_event_paths(sf_dir: str):
+    """Run-length compression summary of each user's event-type
+    sequence ordered by (ts, event_id): n_events, n_runs (maximal
+    same-type stretches), max_run_len, and the dominant run's type
+    (longest run; earliest on length ties). One coarse sweep on
+    hash(user) — inside each task the run structure falls out of a
+    single vectorized change-flag scan over the sorted frame (lag
+    compare -> run ids -> bincount), no Python row loop. The classic
+    sessionless sequence-compression signal (repetition detection
+    without fixed windows)."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["user_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(k) % NP).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        new_user = np.empty(uid.size, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= typ[1:] != typ[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_user = uid[new_run]
+        run_typ = typ[new_run]
+        # per user: events, runs, argmax run (earliest tie winner —
+        # bincount order within a user IS sequence order)
+        users, u_start = np.unique(run_user, return_index=True)
+        u_end = np.r_[u_start[1:], run_user.size]
+        n_events = np.add.reduceat(run_len, u_start)
+        n_runs = u_end - u_start
+        best_len = np.zeros(users.size, np.int64)
+        best_typ = np.empty(users.size, object)
+        for i in range(users.size):     # per-user argmax over few runs
+            sl = slice(u_start[i], u_end[i])
+            j = int(np.argmax(run_len[sl]))     # first max = earliest
+            best_len[i] = run_len[sl][j]
+            best_typ[i] = run_typ[sl][j]
+        return pd.DataFrame({
+            "user_id": users,
+            "n_events": n_events.astype(np.int64),
+            "n_runs": n_runs.astype(np.int64),
+            "max_run_len": best_len,
+            "max_run_type": pd.Series(best_typ, dtype=object)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                     "event_type"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["rle_event_paths"] = rle_event_paths
+ORACLE_SQL["rle_event_paths"] = """
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(event_type) OVER w IS DISTINCT
+                                FROM event_type THEN 1 ELSE 0 END
+                          AS chg
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (SELECT user_id, event_type,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS run_id,
+                 ts, event_id
+          FROM s),
+    runs AS (SELECT user_id, run_id, event_type,
+                    CAST(count(*) AS BIGINT) AS len
+             FROM r GROUP BY user_id, run_id, event_type),
+    best AS (SELECT user_id, len AS max_run_len,
+                    event_type AS max_run_type
+             FROM (SELECT user_id, len, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY len DESC,
+                                                      run_id ASC)
+                              AS rn
+                   FROM runs)
+             WHERE rn = 1)
+    SELECT r.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT r.run_id) AS BIGINT) AS n_runs,
+           any_value(b.max_run_len) AS max_run_len,
+           any_value(b.max_run_type) AS max_run_type
+    FROM r JOIN best b ON b.user_id = r.user_id
+    GROUP BY r.user_id
+"""
+
+
+def stratified_kfold_docs(sf_dir: str, k: int = 5):
+    """Deterministic stratified k-fold assignment: within each lang
+    stratum, documents are ranked by splitmix64(doc_id) (a seedless
+    bijective scramble — doc_id breaks the impossible tie) and fold =
+    rank % k, so every stratum's fold sizes differ by at most one and
+    reruns are byte-identical with no RNG state. The eval-split
+    primitive cross-validation pipelines need at corpus scale; one
+    map_groups per stratum (lang cardinality is small — for a
+    high-cardinality stratum key the doubled-rank two-pass would
+    replace the per-group sort). Bit-for-bit SQL mirror via the
+    shared splitmix CTE chain."""
+    from tldr_ray.stages.dedup import _mix64
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = _mix64(ids.astype(np.uint64))
+        order = np.lexsort((ids, h))
+        fold = np.empty(ids.size, np.int64)
+        fold[order] = np.arange(ids.size, dtype=np.int64) % k
+        return pd.DataFrame({
+            "doc_id": ids,
+            "lang": pd.Series(g["lang"].to_numpy(object),
+                              dtype=object),
+            "fold": fold})
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .groupby("lang")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["stratified_kfold_docs"] = stratified_kfold_docs
+ORACLE_SQL["stratified_kfold_docs"] = f"""
+    WITH src AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS h
+                 FROM documents),
+    {_sql_splitmix_ctes("src", carry="doc_id, lang, ")}
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                                    ORDER BY h, doc_id) - 1) % 5
+                AS BIGINT) AS fold
+    FROM m3
+"""
