@@ -15988,3 +15988,196 @@ ORACLE_SQL["stratified_kfold_docs"] = f"""
                 AS BIGINT) AS fold
     FROM m3
 """
+
+
+def frequent_triples_events(sf_dir: str, min_support: int = 5):
+    """Apriori level-3 itemsets over (user, day) baskets of DISTINCT
+    event types: every unordered type triple with support >=
+    min_support, plus the directed confidence support(abc) /
+    support(ab) against the level-2 pair (one IEEE division of exact
+    integer counts). ONE global (user, day, type) distinct feeds both
+    levels; inside each coarse basket partition the triple and pair
+    expansions iterate over COMBINATION-INDEX PATTERNS (at most
+    C(max_basket,3) vectorized gathers — baskets are bounded by the
+    type alphabet, asserted <= 24), never over Python rows. The
+    finishing join runs driver-side on alphabet-sized tables (<=
+    C(|types|,3) rows) — dimension data, not a scale concern."""
+    from itertools import combinations
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    DAY = np.int64(86_400_000_000)
+    BK = np.int64(1 << 20)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        d = us // DAY
+        if u.size and int(u.max()) >= (1 << 42):
+            raise ValueError("basket composite needs user_id < 2^42")
+        return pa.table({"bk": pa.array(u * BK + (d % BK)),
+                         "event_type": batch["event_type"]})
+
+    distinct = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby(["bk", "event_type"]).count()
+                .select_columns(["bk", "event_type"])
+                .map_batches(
+                    lambda t: t.append_column(
+                        "part", pa.array(
+                            (vhash(np.asarray(t["bk"], np.int64)) % NP)
+                            .astype(np.int32))),
+                    batch_format="pyarrow")
+                .materialize())
+
+    def expand(r: int):
+        def sweep(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["bk", "event_type"], kind="mergesort")
+            bk = g["bk"].to_numpy(np.int64)
+            typ = g["event_type"].to_numpy(object)
+            new = np.empty(bk.size, dtype=bool)
+            new[0] = True
+            new[1:] = bk[1:] != bk[:-1]
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.r_[starts, bk.size])
+            smax = int(sizes.max()) if sizes.size else 0
+            assert smax <= 24, "basket larger than the type alphabet?"
+            cols = [[] for _ in range(r)]
+            for idx in combinations(range(smax), r):
+                ok = starts[sizes > idx[-1]]
+                for c, i in zip(cols, idx):
+                    c.append(typ[ok + i])
+            if not cols[0]:
+                return pd.DataFrame(
+                    {f"t{i + 1}": pd.Series([], dtype=object)
+                     for i in range(r)})
+            return pd.DataFrame(
+                {f"t{i + 1}": pd.Series(np.concatenate(cols[i]),
+                                        dtype=object)
+                 for i in range(r)})
+        return sweep
+
+    triples = (distinct.groupby("part")
+               .map_groups(expand(3), batch_format="pandas")
+               .groupby(["t1", "t2", "t3"]).count()
+               .to_pandas())
+    pairs = (distinct.groupby("part")
+             .map_groups(expand(2), batch_format="pandas")
+             .groupby(["t1", "t2"]).count()
+             .to_pandas())
+    tr = triples[triples["count()"] >= min_support]
+    m = tr.merge(pairs.rename(columns={"count()": "n_ab"}),
+                 on=["t1", "t2"], how="left")
+    return pa.table({
+        "t1": pa.array(m["t1"].to_numpy(object), pa.string()),
+        "t2": pa.array(m["t2"].to_numpy(object), pa.string()),
+        "t3": pa.array(m["t3"].to_numpy(object), pa.string()),
+        "support": pa.array(m["count()"].to_numpy(np.int64)),
+        "confidence": pa.array(m["count()"].to_numpy(np.float64)
+                               / m["n_ab"].to_numpy(np.float64))})
+
+
+QUERIES["frequent_triples_events"] = frequent_triples_events
+ORACLE_SQL["frequent_triples_events"] = """
+    WITH b AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day,
+                      event_type
+               FROM events),
+    tri AS (SELECT x.event_type AS t1, y.event_type AS t2,
+                   z.event_type AS t3,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM b x
+            JOIN b y ON y.user_id = x.user_id AND y.day = x.day
+                    AND y.event_type > x.event_type
+            JOIN b z ON z.user_id = x.user_id AND z.day = x.day
+                    AND z.event_type > y.event_type
+            GROUP BY 1, 2, 3),
+    pr AS (SELECT x.event_type AS t1, y.event_type AS t2,
+                  CAST(count(*) AS BIGINT) AS n_ab
+           FROM b x
+           JOIN b y ON y.user_id = x.user_id AND y.day = x.day
+                   AND y.event_type > x.event_type
+           GROUP BY 1, 2)
+    SELECT tri.t1, tri.t2, tri.t3, tri.support,
+           CAST(tri.support AS DOUBLE) / CAST(pr.n_ab AS DOUBLE)
+               AS confidence
+    FROM tri JOIN pr ON pr.t1 = tri.t1 AND pr.t2 = tri.t2
+    WHERE tri.support >= 5
+"""
+
+
+def value_uniform_quantile(sf_dir: str):
+    """Rank-based uniform quantile transform of event value within
+    each event_type — the distribution-free feature map u =
+    (avg_rank - 1/2) / n in (0, 1), tie classes sharing their average
+    rank. Runs on the VALUE-COUNTS plan (groupby (type, cents) then a
+    per-type prefix scan over distinct values — never a full sort of
+    the raw rows), so the numerator 2*rows_below + tie_count and
+    denominator 2n stay exact int64 and the single IEEE division
+    hash-matches the SQL rank window. The (type, cents) -> u lookup
+    joins back through the size-gated auto_join on a \\x1f composite
+    key (broadcast while it fits, bucketed past the gate)."""
+    from tldr_ray.stages.joins import auto_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = _cents(np.asarray(batch["value"], dtype=np.float64))
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "v": pa.array(v)})
+
+    ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow").materialize())
+
+    counts = (ev.groupby(["event_type", "v"]).count().to_pandas()
+              .sort_values(["event_type", "v"], kind="mergesort"))
+    cnt = counts["count()"].to_numpy(np.int64)
+    typ = counts["event_type"].to_numpy(object)
+    new = np.empty(typ.size, dtype=bool)
+    new[0] = True
+    new[1:] = typ[1:] != typ[:-1]
+    grp = np.cumsum(new) - 1
+    tot = np.bincount(grp, weights=cnt).astype(np.int64)
+    base = np.cumsum(tot) - tot            # rows before each group
+    below = np.cumsum(cnt) - cnt - base[grp]
+    num = 2 * below + cnt
+    den = 2 * tot[grp]
+    key = np.array([t + "\x1f" + str(int(v)) for t, v in
+                    zip(typ, counts["v"].to_numpy(np.int64))], object)
+    import ray.data as rd
+    lut = rd.from_arrow(pa.table({
+        "k": pa.array(key, pa.string()),
+        "u": pa.array(num.astype(np.float64) / den.astype(np.float64))}))
+
+    def addk(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["event_type"], dtype=object)
+        v = np.asarray(batch["v"], dtype=np.int64)
+        k = [a + "\x1f" + str(int(b)) for a, b in zip(t, v)]
+        return batch.append_column("k", pa.array(k, pa.string()))
+
+    out = auto_join(ev.map_batches(addk, batch_format="pyarrow"),
+                    lut, on="k")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"].cast(pa.string()),
+            "v": t["v"].cast(pa.int64()),
+            "u": t["u"].cast(pa.float64())}),
+        batch_format="pyarrow")
+
+
+QUERIES["value_uniform_quantile"] = value_uniform_quantile
+ORACLE_SQL["value_uniform_quantile"] = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events)
+    SELECT event_id, event_type, v,
+           CAST(2 * (rank() OVER (PARTITION BY event_type ORDER BY v)
+                     - 1)
+                + count(*) OVER (PARTITION BY event_type, v)
+                AS DOUBLE)
+           / CAST(2 * count(*) OVER (PARTITION BY event_type)
+                  AS DOUBLE) AS u
+    FROM e
+"""
