@@ -398,6 +398,69 @@ class TestWidestPath:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestTemporalReachability:
+    @staticmethod
+    def _brute(edges, n, seeds):
+        arr = np.full(n, np.inf)
+        arr[list(seeds)] = 0.0
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        tau = np.array([e[2] for e in edges], dtype=np.float64)
+        while True:
+            new = arr.copy()
+            cand = np.where(tau >= arr[src], tau, np.inf)
+            np.minimum.at(new, dst, cand)
+            if np.array_equal(new, arr):
+                return arr
+            arr = new
+
+    def test_matches_sequential_relaxation(self):
+        from tldr_ray.graph import temporal_reach_times
+
+        rng = np.random.default_rng(23)
+        n = 40
+        edges = [(int(a), int(b), float(t))
+                 for (a, b), t in zip(rng.integers(0, n, (200, 2)),
+                                      rng.integers(0, 50, 200))
+                 if a != b]
+        ids, arr, info = temporal_reach_times(
+            edge_ds(edges), seeds=[0], num_partitions=3)
+        assert info["converged"]
+        want = self._brute(edges, n, [0])
+        got = dict(zip(ids.tolist(), arr.tolist()))
+        for v, d in got.items():
+            assert d == want[v], (v, d, want[v])
+
+    def test_expired_edge_blocks_path(self):
+        """0 -(t=5)-> 1 -(t=3)-> 2: the second edge departs BEFORE
+        vertex 1 is reached, so 2 is unreachable; with t=7 it isn't."""
+        from tldr_ray.graph import temporal_reach_times
+
+        ids, arr, _ = temporal_reach_times(
+            edge_ds([(0, 1, 5.0), (1, 2, 3.0)]), seeds=[0],
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), arr.tolist()))
+        assert got[1] == 5.0 and got[2] == np.inf
+
+        ids, arr, _ = temporal_reach_times(
+            edge_ds([(0, 1, 5.0), (1, 2, 7.0)]), seeds=[0],
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), arr.tolist()))
+        assert got[2] == 7.0
+
+    def test_waiting_is_allowed(self):
+        """Arrive at 1 at t=2; a later edge (t=9) out of 1 is usable
+        (you wait at the vertex)."""
+        from tldr_ray.graph import temporal_reach_times
+
+        ids, arr, _ = temporal_reach_times(
+            edge_ds([(0, 1, 2.0), (1, 2, 9.0)]), seeds=[0],
+            num_partitions=2)
+        got = dict(zip(ids.tolist(), arr.tolist()))
+        assert got[2] == 9.0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDensestSubgraphPeel:
     def test_planted_clique_wins(self):
         """K6 (density 2.5) + a long path tail (density ~0.5): the

@@ -3,6 +3,7 @@ from tldr_ray.graph.engine import (GraphEngine, pagerank,
                                    connected_components, label_propagation,
                                    k_core, bfs_hops, sssp_distances,
                                    widest_path_widths,
+                                   temporal_reach_times,
                                    betweenness_sampled,
                                    eigenvector_centrality, hits,
                                    label_spread, maximal_matching,
@@ -24,6 +25,7 @@ __all__ = [
     "betweenness_sampled",
     "sssp_distances",
     "widest_path_widths",
+    "temporal_reach_times",
     "eigenvector_centrality",
     "hits",
     "label_spread",

@@ -565,6 +565,26 @@ def _shard_actor_cls(num_cpus: float = 0):
                 out.append(acc)
             return self._ship(out)
 
+        # -- temporal earliest-arrival reachability --------------------
+        def temporal_messages(self):
+            """Time-respecting relaxation: edge weights ARE departure
+            timestamps; an edge (u,v) at time tau is usable only once
+            u has been reached by tau (arr[u] <= tau), and then
+            delivers arrival tau at v. Candidates are picked from the
+            fixed timestamp set (never combined), so the fixpoint is
+            bit-deterministic; min-merge reuses cc_apply."""
+            src_arr = self.state[self.e_src_local]
+            d = np.where(self.e_weight_sorted >= src_arr,
+                         self.e_weight_sorted, np.inf)
+            out = []
+            for q in range(self.P):
+                sl = slice(self.q_lo[q], self.q_hi[q])
+                acc = np.full(self.dvocabs[q].size, np.inf)
+                if self.dlocals[q].size:
+                    np.minimum.at(acc, self.dlocals[q], d[sl])
+                out.append(acc)
+            return self._ship(out)
+
         # -- widest path (max-min bottleneck semiring) -----------------
         def widest_init(self, seeds) -> int:
             """State = +inf at seeds (no constraint yet), -inf
@@ -1636,6 +1656,44 @@ class GraphEngine:
         return ids, dist, {"rounds": it, "converged": changed == 0,
                            "seeds_found": n_seed}
 
+    def temporal_reachability(self, seeds, max_rounds: int = 10_000,
+                              start_time: float = 0.0,
+                              collect: bool = True):
+        """Earliest-arrival time-respecting reachability: edge
+        weights are departure timestamps, an edge is traversable only
+        after its source has been reached (arr[u] <= tau), and each
+        traversal arrives at its own tau — so arrival times along any
+        valid path are non-decreasing. Seeds start at ``start_time``;
+        unreached vertices keep +inf. Synchronous min-relaxation
+        rounds (temporal_messages + the cc_apply min merge); a finite
+        ``max_rounds`` gives the exact <=max_rounds-hop bounded form,
+        mirrored by the unrolled SQL oracle."""
+        import ray
+
+        n_seed = sum(ray.get([
+            s.sssp_init.remote([int(x) for x in seeds])
+            for s in self.shards]))
+        if n_seed == 0:
+            raise ValueError(
+                "temporal_reachability: no seed vertex in the graph")
+        if start_time != 0.0:
+            raise NotImplementedError(
+                "non-zero start_time: shift timestamps instead")
+        it, changed = 0, 1
+        while changed and it < max_rounds:
+            outs = ray.get([s.temporal_messages.remote()
+                            for s in self.shards])
+            counts = ray.get([
+                self.shards[q].cc_apply.remote(
+                    [outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ])
+            changed = sum(counts)
+            it += 1
+        ids, arr = self._collect(np.float64) if collect else (None, None)
+        return ids, arr, {"rounds": it, "converged": changed == 0,
+                          "seeds_found": n_seed}
+
     def widest_path(self, seeds, max_rounds: int = 10_000,
                     collect: bool = True):
         """Widest-path (maximum-bottleneck) width from ``seeds`` over
@@ -1962,6 +2020,19 @@ def sssp_distances(edges, seeds, num_partitions: int = 8,
                                  symmetrize=symmetrize)
     try:
         return eng.sssp(seeds, max_rounds)
+    finally:
+        eng.shutdown()
+
+
+def temporal_reach_times(edges, seeds, num_partitions: int = 8,
+                         max_rounds: int = 10_000,
+                         work_dir: str | None = None):
+    """Earliest time-respecting arrival from ``seeds`` over DIRECTED
+    edges whose weight column carries the departure timestamp.
+    Returns (vertex_ids, arrival float64, info); unreached +inf."""
+    eng = GraphEngine.from_edges(edges, num_partitions, work_dir)
+    try:
+        return eng.temporal_reachability(seeds, max_rounds)
     finally:
         eng.shutdown()
 

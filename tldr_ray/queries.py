@@ -16181,3 +16181,70 @@ ORACLE_SQL["value_uniform_quantile"] = """
                   AS DOUBLE) AS u
     FROM e
 """
+
+
+_TEMPORAL_UNROLL = 24
+
+
+def temporal_reachability_hashgraph(sf_dir: str):
+    """Earliest time-respecting arrival from vertex 0 over the hash
+    graph with deterministic integer departure times tau(s,t) =
+    (s*13 + t*29) % 240 — the temporal-graph primitive (an edge is
+    usable only AFTER its source has been reached: arr[u] <= tau, and
+    delivers arrival tau), which plain shortest paths cannot express.
+    graph.engine.temporal_reach_times: a new temporal_messages kernel
+    on the BSP shards reusing the cc_apply min merge; arrivals are
+    picked from the integer timestamp set, so the trajectory is
+    bit-deterministic and the 24-round cap matches the unrolled SQL
+    relaxation exactly. Unreached -> -1."""
+    from tldr_ray.graph import temporal_reach_times
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        t = np.asarray(batch["dst"], dtype=np.int64)
+        return pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "weight": pa.array(((s * 13 + t * 29) % 240)
+                               .astype(np.float64))})
+
+    ids, arr, info = temporal_reach_times(
+        _hash_graph_edges(sf_dir).map_batches(
+            stamp, batch_format="pyarrow"),
+        seeds=[0], num_partitions=4, max_rounds=_TEMPORAL_UNROLL)
+    out = np.where(np.isinf(arr), -1, arr).astype(np.int64)
+    return pa.table({"vertex": pa.array(ids),
+                     "arrival": pa.array(out)})
+
+
+def _temporal_oracle_sql(rounds: int = _TEMPORAL_UNROLL) -> str:
+    ctes = []
+    for i in range(1, rounds + 1):
+        prev = f"tr{i - 1}"
+        ctes.append(f"""
+    tr{i} AS MATERIALIZED (
+        SELECT r.v, least(r.d, coalesce(m.md, 'infinity'::DOUBLE)) AS d
+        FROM {prev} r
+        LEFT JOIN (
+            SELECT e.t AS v, min(e.tau) AS md
+            FROM {prev} p JOIN e ON e.s = p.v AND e.tau >= p.d
+            GROUP BY e.t
+        ) m ON m.v = r.v
+    )""")
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    e AS (SELECT s, t, CAST((s * 13 + t * 29) % 240 AS DOUBLE) AS tau
+          FROM raw2),
+    verts AS (SELECT DISTINCT v FROM
+              (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+    tr0 AS (SELECT v, CASE WHEN v = 0 THEN 0.0
+                           ELSE 'infinity'::DOUBLE END AS d FROM verts),
+    {",".join(ctes)}
+    SELECT v AS vertex,
+           CAST(CASE WHEN d = 'infinity'::DOUBLE THEN -1
+                     ELSE d END AS BIGINT) AS arrival
+    FROM tr{rounds}
+"""
+
+
+QUERIES["temporal_reachability_hashgraph"] = temporal_reachability_hashgraph
+ORACLE_SQL["temporal_reachability_hashgraph"] = _temporal_oracle_sql()
