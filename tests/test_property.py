@@ -243,3 +243,65 @@ class TestSecondWaveProperties:
         # ids are real source ids and unique within class
         assert not out.duplicated(["c", "id"]).any()
         assert set(out["id"]).issubset(set(df["id"]))
+
+
+class TestPavaPool:
+    """stages.agg.pava_pool — pure kernel, no Ray session needed."""
+
+    @staticmethod
+    def _minimax(n, s):
+        """O(B^3) reference: p(v) = max_{i<=v} min_{j>=v} mean(i..j),
+        evaluated in exact fractions."""
+        from fractions import Fraction
+        B = len(n)
+        out = []
+        for v in range(B):
+            best = None
+            for i in range(v + 1):
+                worst = None
+                for j in range(v, B):
+                    f = Fraction(sum(s[i:j + 1]), sum(n[i:j + 1]))
+                    worst = f if worst is None else min(worst, f)
+                best = worst if best is None else max(best, worst)
+            out.append(best)
+        return out
+
+    @given(st.lists(st.tuples(st.integers(1, 9), st.integers(0, 9)),
+                    min_size=1, max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_equals_minimax_reference(self, blocks):
+        from tldr_ray.stages.agg import pava_pool
+
+        n = [a for a, b in blocks]
+        s = [min(b, a) for a, b in blocks]    # s <= n
+        rate, pn, ps = pava_pool(n, s)
+        want = self._minimax(n, s)
+        for k in range(len(n)):
+            # the pooled division is the correctly-rounded value of
+            # the exact rational optimum — the bit-equality the SQL
+            # minimax mirror relies on
+            assert rate[k] == float(want[k]), (k, rate[k], want[k])
+            # and the pooled sums form that same rational
+            assert ps[k] * want[k].denominator \
+                == want[k].numerator * pn[k]
+        # non-decreasing fit
+        assert all(rate[k] <= rate[k + 1] for k in range(len(n) - 1))
+
+    def test_monotone_input_unchanged(self):
+        from tldr_ray.stages.agg import pava_pool
+
+        n = [4, 4, 4]
+        s = [0, 2, 4]
+        rate, pn, ps = pava_pool(n, s)
+        assert rate.tolist() == [0.0, 0.5, 1.0]
+        assert pn.tolist() == [4, 4, 4]
+
+    def test_total_mass_preserved(self):
+        from tldr_ray.stages.agg import pava_pool
+
+        n = [3, 2, 5, 1]
+        s = [3, 0, 2, 1]
+        rate, pn, ps = pava_pool(n, s)
+        # weighted mean of the fit equals the raw rate (projection
+        # preserves the total)
+        assert float(np.dot(rate, n)) == float(sum(s))

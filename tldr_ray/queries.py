@@ -16248,3 +16248,89 @@ def _temporal_oracle_sql(rounds: int = _TEMPORAL_UNROLL) -> str:
 
 QUERIES["temporal_reachability_hashgraph"] = temporal_reachability_hashgraph
 ORACLE_SQL["temporal_reachability_hashgraph"] = _temporal_oracle_sql()
+
+
+def isotonic_purchase_calibration(sf_dir: str, n_buckets: int = 100):
+    """Isotonic (PAVA) calibration of purchase probability against
+    event value: 100 equi-width cent buckets (exact integer bucket
+    math), per-bucket (n, purchases) from per-batch bincount partials
+    + one small groupby, then the exact pool-adjacent-violators fit
+    (stages.agg.pava_pool — integer cross-multiplied pooling, one
+    float division per pooled block). Hash-checkable DESPITE PAVA
+    being sequential, via the minimax characterisation p(v) =
+    max_{i<=v} min_{j>=v} mean(i..j): the SQL oracle evaluates that
+    O(B^3) form over the bucket frame, and correctly-rounded
+    divisions of the same rational optimum are bit-equal. The
+    driver-side work is O(n_buckets) — dimension data."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.agg import pava_pool
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = _cents(np.asarray(batch["value"], dtype=np.float64))
+        y = pc.equal(batch["event_type"], "purchase")
+        return pa.table({"v": pa.array(v),
+                         "y": pa.array(np.asarray(y).astype(np.int64))})
+
+    ev = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(cents, batch_format="pyarrow").materialize())
+    lohi = ev.aggregate(ray.data.aggregate.Min("v"),
+                        ray.data.aggregate.Max("v"))
+    lo, hi = int(lohi["min(v)"]), int(lohi["max(v)"])
+    span = hi - lo + 1
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["v"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        b = (v - lo) * n_buckets // span
+        bu = np.unique(b)
+        return pa.table({
+            "bucket": pa.array(bu),
+            "n": pa.array(np.bincount(b - b.min(),
+                                      minlength=bu.max() - b.min() + 1)
+                          [bu - b.min()].astype(np.int64)),
+            "s": pa.array(np.bincount(b - b.min(), weights=y,
+                                      minlength=bu.max() - b.min() + 1)
+                          [bu - b.min()].astype(np.int64))})
+
+    g = (ev.map_batches(bucketize, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+         .to_pandas().sort_values("bucket"))
+    rate, _, _ = pava_pool(g["n"].to_numpy(np.int64),
+                           g["s"].to_numpy(np.int64))
+    return pa.table({
+        "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "s": pa.array(g["s"].to_numpy(np.int64)),
+        "p_iso": pa.array(rate)})
+
+
+QUERIES["isotonic_purchase_calibration"] = isotonic_purchase_calibration
+ORACLE_SQL["isotonic_purchase_calibration"] = """
+    WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END AS y
+               FROM events),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM e),
+    bk AS (SELECT (v - lo) * 100 // (hi - lo + 1) AS bucket, y
+           FROM e, bounds),
+    g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s
+          FROM bk GROUP BY 1),
+    o AS (SELECT bucket, n, s,
+                 sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                 row_number() OVER w AS rn
+          FROM g WINDOW w AS (ORDER BY bucket)),
+    r AS (SELECT i.rn AS ri, j.rn AS rj,
+                 CAST(j.cs - i.cs + i.s AS DOUBLE)
+                     / CAST(j.cn - i.cn + i.n AS DOUBLE) AS ratio
+          FROM o i JOIN o j ON j.rn >= i.rn),
+    mn AS (SELECT r.ri, v.rn AS vr, min(r.ratio) AS mr
+           FROM r JOIN o v ON r.ri <= v.rn AND r.rj >= v.rn
+           GROUP BY 1, 2),
+    p AS (SELECT vr, max(mr) AS p_iso FROM mn GROUP BY 1)
+    SELECT o.bucket, o.n, o.s, p.p_iso
+    FROM o JOIN p ON p.vr = o.rn
+"""

@@ -1650,3 +1650,40 @@ def kendall_mk_by_key(ds, key_col: str, t_col: str, v_col: str,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(sweep, batch_format="pandas"))
+
+
+def pava_pool(n: np.ndarray, s: np.ndarray):
+    """Pool-adjacent-violators over ordered blocks with counts ``n``
+    and positive-label counts ``s``: the exact L2 isotonic (non-
+    decreasing) fit of the per-block rates s/n. Every pooling DECISION
+    is an integer cross-multiplication (s_prev * n_curr > s_curr *
+    n_prev), so the pooled block structure is exact; each returned
+    rate is ONE float division of exact int64 sums — by the minimax
+    characterisation p(v) = max_{i<=v} min_{j>=v} ratio(i..j), that
+    division is bit-identical to any other correctly-rounded division
+    achieving the same rational optimum, which is what lets a SQL
+    minimax mirror hash-match. Returns (pooled_rate float64 per input
+    block, pool_n int64, pool_s int64 — the pooled sums each block
+    belongs to)."""
+    n = np.asarray(n, dtype=np.int64)
+    s = np.asarray(s, dtype=np.int64)
+    if (n <= 0).any():
+        raise ValueError("pava_pool: every block needs n >= 1")
+    stack_n: list[int] = []     # python ints: no overflow in products
+    stack_s: list[int] = []
+    stack_w: list[int] = []     # how many input blocks pooled
+    for ni, si in zip(n.tolist(), s.tolist()):
+        cn, cs, cw = ni, si, 1
+        while stack_n and stack_s[-1] * cn >= cs * stack_n[-1]:
+            cn += stack_n.pop()
+            cs += stack_s.pop()
+            cw += stack_w.pop()
+        stack_n.append(cn)
+        stack_s.append(cs)
+        stack_w.append(cw)
+    pool_n = np.repeat(np.array(stack_n, np.int64),
+                       np.array(stack_w, np.int64))
+    pool_s = np.repeat(np.array(stack_s, np.int64),
+                       np.array(stack_w, np.int64))
+    rate = pool_s.astype(np.float64) / pool_n.astype(np.float64)
+    return rate, pool_n, pool_s
