@@ -16334,3 +16334,208 @@ ORACLE_SQL["isotonic_purchase_calibration"] = """
     SELECT o.bucket, o.n, o.s, p.p_iso
     FROM o JOIN p ON p.vr = o.rn
 """
+
+
+def ks_test_click_vs_purchase(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of click and purchase events — drift detection
+    between two cohorts without any distributional assumption. Runs
+    on the value-counts plan (one groupby over (side, cents)); the
+    supremum |F1 - F2| is computed over the pooled distinct values
+    with INTEGER cross-multiplied CDFs (|c1*n2 - c2*n1| over common
+    denominator n1*n2), so the argmax is exact and the returned
+    statistic is one float division. Emits (n_click, n_purchase,
+    d_num, d_den, ks_d, at_value) — at_value = the smallest value
+    achieving the supremum."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        return pa.table({
+            "side": t["event_type"],
+            "v": pa.array(_cents(
+                np.asarray(t["value"], dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["side", "v"]).aggregate(Count(alias_name="c"))
+         .to_pandas())
+    piv = (g.pivot_table(index="v", columns="side", values="c",
+                         aggfunc="sum", fill_value=0)
+           .sort_index())
+    c1 = piv.get("click", pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64).cumsum()
+    c2 = piv.get("purchase", pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64).cumsum()
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    diff = np.abs(c1 * n2 - c2 * n1)
+    best = int(np.argmax(diff))         # first max = smallest value
+    d_num = int(diff[best])
+    d_den = n1 * n2
+    return pa.table({
+        "n_click": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d_den": pa.array([d_den], pa.int64()),
+        "ks_d": pa.array([np.float64(d_num) / np.float64(d_den)]),
+        "at_value": pa.array([int(piv.index[best])], pa.int64())})
+
+
+QUERIES["ks_test_click_vs_purchase"] = ks_test_click_vs_purchase
+ORACLE_SQL["ks_test_click_vs_purchase"] = """
+    WITH e AS (SELECT event_type AS side,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    vc AS (SELECT v,
+                  CAST(count(*) FILTER (side = 'click') AS BIGINT)
+                      AS k1,
+                  CAST(count(*) FILTER (side = 'purchase') AS BIGINT)
+                      AS k2
+           FROM e GROUP BY v),
+    cum AS (SELECT v,
+                   sum(k1) OVER (ORDER BY v) AS c1,
+                   sum(k2) OVER (ORDER BY v) AS c2
+            FROM vc),
+    n AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM cum),
+    d AS (SELECT v, abs(c1 * n2 - c2 * n1) AS diff
+          FROM cum, n),
+    best AS (SELECT v, diff FROM d
+             ORDER BY diff DESC, v ASC LIMIT 1)
+    SELECT (SELECT CAST(n1 AS BIGINT) FROM n) AS n_click,
+           (SELECT CAST(n2 AS BIGINT) FROM n) AS n_purchase,
+           CAST(diff AS BIGINT) AS d_num,
+           (SELECT CAST(n1 * n2 AS BIGINT) FROM n) AS d_den,
+           CAST(diff AS DOUBLE)
+               / (SELECT CAST(n1 * n2 AS DOUBLE) FROM n) AS ks_d,
+           v AS at_value
+    FROM best
+"""
+
+
+def chi2_type_weekday(sf_dir: str):
+    """Chi-square independence audit of event_type vs weekday: the
+    full contingency table with one EXACT deviation d = o*N - r*c per
+    cell (int64 — requires o*N < 2^63, i.e. fine to ~3e9 events per
+    cell; past that the deviations move to float) and the per-cell
+    chi-square contribution as the fixed chain double(d)*double(d) /
+    double(N*r*c) — each cell is its own deterministic division, so
+    the whole table hash-matches; the global statistic is the
+    reader's one SUM away (an order-dependent float sum we
+    deliberately do NOT bake into the contract). Weekday is pure
+    arithmetic ((epoch_days+4)%7) as in events_by_weekday."""
+    from ray.data.aggregate import Count
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "weekday": pa.array((us // DAY + 4) % 7)})
+
+    g = (_read(sf_dir, "events", ["ts", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["event_type", "weekday"])
+         .aggregate(Count(alias_name="o"))
+         .to_pandas())
+    o = g["o"].to_numpy(np.int64)
+    N = int(o.sum())
+    r = g.groupby("event_type")["o"].transform("sum") \
+        .to_numpy(np.int64)
+    c = g.groupby("weekday")["o"].transform("sum").to_numpy(np.int64)
+    d = o * N - r * c
+    contrib = (d.astype(np.float64) * d.astype(np.float64)
+               / (N * r * c).astype(np.float64))
+    return pa.table({
+        "event_type": pa.array(g["event_type"].to_numpy(object),
+                               pa.string()),
+        "weekday": pa.array(g["weekday"].to_numpy(np.int64)),
+        "o": pa.array(o),
+        "row_total": pa.array(r),
+        "col_total": pa.array(c),
+        "d": pa.array(d),
+        "contrib": pa.array(contrib)})
+
+
+QUERIES["chi2_type_weekday"] = chi2_type_weekday
+ORACLE_SQL["chi2_type_weekday"] = """
+    WITH e AS (SELECT event_type,
+                      (epoch_us(ts) // 86400000000 + 4) % 7
+                          AS weekday
+               FROM events),
+    g AS (SELECT event_type, weekday,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT g.event_type, g.weekday, g.o,
+                 CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS row_total,
+                 CAST(sum(o) OVER (PARTITION BY weekday) AS BIGINT)
+                     AS col_total,
+                 CAST(sum(o) OVER () AS BIGINT) AS n
+          FROM g)
+    SELECT event_type, weekday, o, row_total, col_total,
+           CAST(o * n - row_total * col_total AS BIGINT) AS d,
+           (CAST(o * n - row_total * col_total AS DOUBLE)
+            * CAST(o * n - row_total * col_total AS DOUBLE))
+           / CAST(n * row_total * col_total AS DOUBLE) AS contrib
+    FROM t
+"""
+
+
+def ewma_hourly_events(sf_dir: str):
+    """Exponentially weighted moving average (alpha = 1/2) of the
+    dense hourly event-count series — the classic smoothing monitor.
+    The distributed work is one grouped count (dimension-sized: one
+    row per hour); the fold S_t = 0.5*c_t + 0.5*S_{t-1} runs over the
+    zero-filled hour grid. alpha = 1/2 makes both multiplications
+    exact binary scalings, so each step is a SINGLE rounding (the
+    add) — the identical chain DuckDB's sequential recursive CTE
+    evaluates, hence the floats hash-match step for step."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR)}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[h["hour"].to_numpy(np.int64) - lo] = h["n"].to_numpy(np.int64)
+    ew = np.empty(dense.size, np.float64)
+    s = np.float64(dense[0])
+    ew[0] = s
+    half = np.float64(0.5)
+    for i in range(1, dense.size):      # dimension-sized driver fold
+        s = half * np.float64(dense[i]) + half * s
+        ew[i] = s
+    return pa.table({
+        "hour": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+        "n": pa.array(dense),
+        "ewma": pa.array(ew)})
+
+
+QUERIES["ewma_hourly_events"] = ewma_hourly_events
+ORACLE_SQL["ewma_hourly_events"] = """
+    WITH RECURSIVE h AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour, coalesce(h.n, 0) AS n
+             FROM (SELECT unnest(range(lo, hi + 1)) AS hour
+                   FROM bounds) g
+             LEFT JOIN h ON h.hour = g.hour),
+    rec(hour, n, ewma) AS (
+        SELECT hour, n, CAST(n AS DOUBLE)
+        FROM grid WHERE hour = (SELECT lo FROM bounds)
+        UNION ALL
+        SELECT g.hour, g.n,
+               0.5 * CAST(g.n AS DOUBLE) + 0.5 * rec.ewma
+        FROM rec JOIN grid g ON g.hour = rec.hour + 1)
+    SELECT hour, CAST(n AS BIGINT) AS n, ewma FROM rec
+"""
