@@ -2712,3 +2712,62 @@ def test_kendall_mk_matches_pandas_taub():
         want = (C - D) / np.sqrt(float((n0 - n1) * (n0 - n2)))
         assert abs(got.loc[key, "tau_b"] - want) < 1e-12
         assert got.loc[key, "s_mk"] == s == C - D
+
+
+class TestHilbertKey:
+    def test_full_grid_certificate(self):
+        """Bijective over the 2^b x 2^b grid AND every consecutive
+        pair of keys is a unit grid step — the two properties that
+        uniquely certify a Hilbert curve."""
+        import numpy as np
+        from tldr_ray.stages.agg import hilbert_key_2d
+
+        bits = 4
+        n = 1 << bits
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = hilbert_key_2d(xs.ravel(), ys.ravel(), bits=bits)
+        assert sorted(d.tolist()) == list(range(n * n))
+        pos = np.empty((n * n, 2), np.int64)
+        pos[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
+        steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+        assert (steps == 1).all()
+
+    def test_locality_beats_morton(self):
+        """Clustering metric that layout pruning actually pays for
+        (Moon et al., 'Analysis of the clustering properties of the
+        Hilbert space-filling curve'): the number of CONTIGUOUS key
+        runs needed to cover a 2-D box query. Hilbert must average
+        strictly fewer runs than the Morton interleave."""
+        import numpy as np
+        from tldr_ray.stages.agg import hilbert_key_2d, zorder_key
+
+        bits = 5
+        n = 1 << bits
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        x, y = xs.ravel(), ys.ravel()
+        h = hilbert_key_2d(x, y, bits=bits).reshape(n, n)
+        z = zorder_key([x, y], bits=bits).reshape(n, n)
+
+        def runs(key_grid, x0, y0, w):
+            keys = np.sort(key_grid[x0:x0 + w, y0:y0 + w].ravel())
+            return 1 + int((np.diff(keys) > 1).sum())
+
+        rng = np.random.default_rng(7)
+        tot_h = tot_z = 0
+        for _ in range(200):
+            w = int(rng.integers(2, 9))
+            x0 = int(rng.integers(0, n - w))
+            y0 = int(rng.integers(0, n - w))
+            tot_h += runs(h, x0, y0, w)
+            tot_z += runs(z, x0, y0, w)
+        assert tot_h < tot_z
+
+    def test_range_guard(self):
+        import numpy as np
+        import pytest as _pytest
+        from tldr_ray.stages.agg import hilbert_key_2d
+
+        with _pytest.raises(ValueError, match="exceed"):
+            hilbert_key_2d(np.array([1 << 10]), np.array([0]), bits=10)
+        with _pytest.raises(ValueError, match="non-negative"):
+            hilbert_key_2d(np.array([-1]), np.array([0]), bits=10)

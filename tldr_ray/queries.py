@@ -16539,3 +16539,62 @@ ORACLE_SQL["ewma_hourly_events"] = """
         FROM rec JOIN grid g ON g.hour = rec.hour + 1)
     SELECT hour, CAST(n AS BIGINT) AS n, ewma FROM rec
 """
+
+
+def hilbert_layout_events(sf_dir: str):
+    """Hilbert-curve clustering key over (user_id, value_cents) +
+    the native range-partition sort (stages.agg.hilbert_sort) — the
+    locality-superior sibling of events_zorder_layout: the Hilbert
+    path is CONTINUOUS (every consecutive key is a grid neighbor —
+    certified by the full-grid pytest), so 2-D range reads touch
+    fewer blocks than Morton's quadrant teleports. Pure integer
+    rotate/reflect level sweep, unrolled term-for-term in SQL."""
+    from tldr_ray.stages.agg import hilbert_sort
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "value_cents": pa.array(_cents(v))})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    out = hilbert_sort(ds, ["user_id", "value_cents"])
+    return out.select_columns(["event_id", "hkey"])
+
+
+def _hilbert_oracle_sql(bits: int = 21) -> str:
+    ctes = []
+    prev = "h0"
+    for lvl in range(bits):
+        s = 1 << (bits - 1 - lvl)
+        r, h = f"r{lvl}", f"h{lvl + 1}"
+        ctes.append(f"""
+    {r} AS (SELECT event_id, x, y, d,
+            CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+            CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM {prev}),
+    {h} AS (SELECT event_id,
+            CASE WHEN ry = 0 THEN
+                 CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END
+                 ELSE x END AS x,
+            CASE WHEN ry = 0 THEN
+                 CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END
+                 ELSE y END AS y,
+            d + CAST({s} AS BIGINT) * {s} * xor(3 * rx, ry) AS d
+            FROM {r})""")
+        prev = h
+    return f"""
+    WITH h0 AS (
+        SELECT event_id, user_id AS x,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM events),
+    {",".join(ctes)}
+    SELECT event_id, CAST(d AS BIGINT) AS hkey FROM {prev}
+"""
+
+
+QUERIES["hilbert_layout_events"] = hilbert_layout_events
+ORACLE_SQL["hilbert_layout_events"] = _hilbert_oracle_sql()

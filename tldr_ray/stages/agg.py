@@ -1687,3 +1687,58 @@ def pava_pool(n: np.ndarray, s: np.ndarray):
                        np.array(stack_w, np.int64))
     rate = pool_s.astype(np.float64) / pool_n.astype(np.float64)
     return rate, pool_n, pool_s
+
+
+def hilbert_key_2d(x: np.ndarray, y: np.ndarray,
+                   bits: int = 21) -> np.ndarray:
+    """Hilbert-curve index of 2-D points — the locality-superior
+    alternative to the Morton key (a Z-order jump can teleport across
+    the space at quadrant boundaries; the Hilbert curve is a single
+    continuous path, so every consecutive pair of keys is a grid
+    NEIGHBOR and range reads touch fewer blocks). Vectorized level
+    sweep of the classic quadrant rotate/reflect recurrence (Hamilton,
+    "Compact Hilbert indices", and the standard xy2d formulation):
+    per level s, d += s*s*((3*rx) XOR ry), then reflect within the
+    quadrant (ry==0 & rx==1 -> coordinate complement) and swap axes
+    (ry==0). Inputs must be non-negative and < 2^bits; 2*bits <= 62."""
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit int64")
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    if (x < 0).any() or (y < 0).any():
+        raise ValueError("hilbert_key_2d needs non-negative ints")
+    if x.size and (int(x.max()) >= (1 << bits)
+                   or int(y.max()) >= (1 << bits)):
+        raise ValueError(f"coordinates exceed {bits} bits")
+    d = np.zeros(x.size, dtype=np.int64)
+    s = np.int64(1) << np.int64(bits - 1)
+    one = np.int64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, s - one - x, x)
+        yf = np.where(flip, s - one - y, y)
+        swap = ry == 0
+        x = np.where(swap, yf, xf)
+        y = np.where(swap, xf, yf)
+        s >>= one
+    return d
+
+
+def hilbert_sort(ds, cols: list[str], bits: int = 21):
+    """Append the 2-D Hilbert key over ``cols`` (exactly two) and
+    range-partition-sort by it — the layout move of zorder_sort with
+    strictly better locality (see hilbert_key_2d). Composes with
+    sinks.build_zonemap / read_pruned the same way."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_sort is 2-D; pass exactly two cols")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[cols[0]], dtype=np.int64)
+        y = np.asarray(batch[cols[1]], dtype=np.int64)
+        return batch.append_column(
+            "hkey", pa.array(hilbert_key_2d(x, y, bits)))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort("hkey")
