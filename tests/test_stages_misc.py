@@ -2771,3 +2771,45 @@ class TestHilbertKey:
             hilbert_key_2d(np.array([1 << 10]), np.array([0]), bits=10)
         with _pytest.raises(ValueError, match="non-negative"):
             hilbert_key_2d(np.array([-1]), np.array([0]), bits=10)
+
+
+class TestRendezvousHashing:
+    def test_minimal_disruption(self):
+        """Remove one node: every key NOT on that node keeps its
+        assignment (the HRW property modulo placement lacks), and the
+        displaced keys spread over the survivors."""
+        import numpy as np
+        from tldr_ray.stages.dedup import _mix64
+
+        K = 8
+        u = np.arange(5000, dtype=np.int64)
+
+        def hrw(nodes):
+            scores = np.stack(
+                [_mix64((u * K + n).astype(np.uint64)) for n in nodes],
+                axis=1)
+            return np.array(nodes)[np.argmax(scores, axis=1)]
+
+        full = hrw(list(range(K)))
+        removed = 3
+        survivors = [n for n in range(K) if n != removed]
+        after = hrw(survivors)
+        stay = full != removed
+        assert (after[stay] == full[stay]).all()
+        moved = after[~stay]
+        assert set(moved.tolist()) <= set(survivors)
+        # displaced keys spread over >1 survivor (not all to one)
+        assert len(set(moved.tolist())) > 1
+
+    def test_balanced(self):
+        import numpy as np
+        from tldr_ray.stages.dedup import _mix64
+
+        K = 8
+        u = np.arange(8000, dtype=np.int64)
+        scores = np.stack(
+            [_mix64((u * K + n).astype(np.uint64)) for n in range(K)],
+            axis=1)
+        counts = np.bincount(np.argmax(scores, axis=1), minlength=K)
+        assert counts.min() > 8000 / K * 0.8
+        assert counts.max() < 8000 / K * 1.2

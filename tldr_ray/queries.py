@@ -16598,3 +16598,192 @@ def _hilbert_oracle_sql(bits: int = 21) -> str:
 
 QUERIES["hilbert_layout_events"] = hilbert_layout_events
 ORACLE_SQL["hilbert_layout_events"] = _hilbert_oracle_sql()
+
+
+def mannwhitney_click_vs_purchase(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) between click and purchase
+    event values — the rank-robust companion of ab_welch_value.
+    Value-counts plan; DOUBLED pooled average ranks keep the rank sum
+    an exact int64 (2*R1), U1 = R1 - n1(n1+1)/2 stays exact via
+    2*U1 = 2*R1 - n1*(n1+1). The normal approximation with tie
+    correction is one fixed float chain (mu = n1*n2/2, sigma^2 =
+    n1*n2/12 * ((N+1) - sum(t^3-t)/(N(N-1))) as exact integer
+    numerators over a common denominator, then one sqrt + one divide
+    — IEEE-deterministic, mirrored token-for-token). Emits n1, n2,
+    2*R1, 2*U1, z."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        return pa.table({
+            "side": t["event_type"],
+            "v": pa.array(_cents(
+                np.asarray(t["value"], dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["side", "v"]).aggregate(Count(alias_name="c"))
+         .to_pandas())
+    piv = (g.pivot_table(index="v", columns="side", values="c",
+                         aggfunc="sum", fill_value=0)
+           .sort_index())
+    k1 = piv.get("click", pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64)
+    k2 = piv.get("purchase", pd.Series(0, index=piv.index)) \
+        .to_numpy(np.int64)
+    t = k1 + k2
+    n1, n2 = int(k1.sum()), int(k2.sum())
+    N = n1 + n2
+    below = np.cumsum(t) - t
+    # doubled average rank of tie class: 2*below + t + 1
+    two_r1 = int(np.sum(k1 * (2 * below + t + 1)))
+    two_u1 = two_r1 - n1 * (n1 + 1)
+    ties = int(np.sum(t ** 3 - t))
+    # z = (2*U1 - n1*n2) / (2*sigma); sigma^2 = n1*n2/12*((N+1) - ties/(N(N-1)))
+    var_num = n1 * n2 * ((N + 1) * N * (N - 1) - ties)
+    var_den = 12 * N * (N - 1)
+    z = (np.float64(two_u1 - n1 * n2)
+         / (2.0 * np.sqrt(np.float64(var_num) / np.float64(var_den))))
+    return pa.table({
+        "n_click": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "two_r1": pa.array([two_r1], pa.int64()),
+        "two_u1": pa.array([two_u1], pa.int64()),
+        "z": pa.array([z], pa.float64())})
+
+
+QUERIES["mannwhitney_click_vs_purchase"] = mannwhitney_click_vs_purchase
+ORACLE_SQL["mannwhitney_click_vs_purchase"] = """
+    WITH e AS (SELECT event_type AS side,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    r AS (SELECT side,
+                 2 * (rank() OVER (ORDER BY v) - 1)
+                   + count(*) OVER (PARTITION BY v) + 1 AS dr
+          FROM e),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY v),
+    n AS (SELECT CAST(count(*) FILTER (side = 'click') AS BIGINT)
+                     AS n1,
+                 CAST(count(*) FILTER (side = 'purchase') AS BIGINT)
+                     AS n2,
+                 CAST(count(*) AS BIGINT) AS nn
+          FROM e),
+    s AS (SELECT CAST(sum(dr) FILTER (side = 'click') AS BIGINT)
+                     AS two_r1
+          FROM r),
+    tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM vc)
+    SELECT n.n1 AS n_click, n.n2 AS n_purchase,
+           s.two_r1,
+           s.two_r1 - n.n1 * (n.n1 + 1) AS two_u1,
+           CAST(s.two_r1 - n.n1 * (n.n1 + 1) - n.n1 * n.n2 AS DOUBLE)
+           / (2.0 * sqrt(
+               CAST(CAST(n.n1 AS HUGEINT) * n.n2
+                    * (CAST(n.nn + 1 AS HUGEINT) * n.nn * (n.nn - 1)
+                       - tt.ties) AS DOUBLE)
+               / CAST(CAST(12 AS HUGEINT) * n.nn * (n.nn - 1)
+                      AS DOUBLE))) AS z
+    FROM n, s, tt
+"""
+
+
+def revenue_monthly_civil(sf_dir: str):
+    """Monthly revenue rollup where the (year, month) key is derived
+    from epoch days by the PURE-INTEGER Gregorian algorithm (Hinnant's
+    civil_from_days: era/yoe/doy/mp chain of floor divisions — no
+    calendar library, no locale, no timezone machinery anywhere in
+    the engine). The oracle deliberately does NOT mirror the
+    arithmetic: it uses DuckDB's native year()/month() calendar, so
+    the hash match cross-validates our integer Gregorian against an
+    independent implementation. Exact cents; per-batch partial sums
+    before the small month groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    DAY = np.int64(86_400_000_000)
+
+    def civil(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["o_orderdate"].cast(pa.int64()),
+                        dtype=np.int64)
+        z = us // DAY + 719468          # >= 0 for post-1970 data
+        if (z < 0).any():
+            raise ValueError("pre-1970 date: floor-division chain "
+                             "needs the negative-era branch")
+        era = z // 146097
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524
+               - doe // 146096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        return pa.table({
+            "year": pa.array(y.astype(np.int64)),
+            "month": pa.array(m.astype(np.int64)),
+            "cents": pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64)))})
+
+    return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+            .map_batches(civil, batch_format="pyarrow")
+            .groupby(["year", "month"])
+            .aggregate(Sum("cents", alias_name="revenue_cents"),
+                       Count(alias_name="n_orders")))
+
+
+QUERIES["revenue_monthly_civil"] = revenue_monthly_civil
+ORACLE_SQL["revenue_monthly_civil"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(month(o_orderdate) AS BIGINT) AS month,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+"""
+
+
+_HRW_NODES = 8
+
+
+def rendezvous_assignment_users(sf_dir: str):
+    """Rendezvous (highest-random-weight) hashing of distinct users
+    onto 8 nodes — the shard-placement primitive whose defining
+    property is MINIMAL DISRUPTION: removing a node relocates only
+    that node's keys (pinned by the pytest), unlike modulo placement
+    where nearly everything moves. Score(user, node) =
+    splitmix64(user*8 + node), assignment = argmax over nodes
+    (vectorized: 8 hash columns, one argmax — no per-row loop).
+    Bit-for-bit SQL mirror via the shared splitmix chain + a
+    row_number argmax."""
+    from tldr_ray.stages.dedup import _mix64
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        scores = np.stack(
+            [_mix64((u * _HRW_NODES + n).astype(np.uint64))
+             for n in range(_HRW_NODES)], axis=1)
+        return pa.table({
+            "user_id": pa.array(u),
+            "node": pa.array(np.argmax(scores, axis=1)
+                             .astype(np.int64))})
+
+    return (_read(sf_dir, "events", ["user_id"])
+            .groupby("user_id").count().select_columns(["user_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+QUERIES["rendezvous_assignment_users"] = rendezvous_assignment_users
+ORACLE_SQL["rendezvous_assignment_users"] = f"""
+    WITH src AS (
+        SELECT user_id, n,
+               CAST(user_id * {_HRW_NODES} + n AS HUGEINT) AS h
+        FROM (SELECT DISTINCT user_id FROM events),
+             unnest(range({_HRW_NODES})) AS t(n)),
+    {_sql_splitmix_ctes("src", carry="user_id, n, ")}
+    SELECT user_id, CAST(n AS BIGINT) AS node
+    FROM (SELECT user_id, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY h DESC, n ASC) AS rn
+          FROM m3)
+    WHERE rn = 1
+"""
