@@ -16787,3 +16787,168 @@ ORACLE_SQL["rendezvous_assignment_users"] = f"""
           FROM m3)
     WHERE rn = 1
 """
+
+
+def hard_negative_mining_embeddings(sf_dir: str,
+                                    broadcast_limit_rows: int
+                                    = 2_000_000):
+    """Contrastive-training data mining: for every vector, the single
+    most similar vector with a DIFFERENT label — the canonical hard
+    negative. Same broadcast-matmul plan as knn_graph_embeddings
+    (unit-normalized corpus rides plasma once, float64 scoring so the
+    ordering agrees with the SQL oracle's cosine; corpus pre-sorted
+    by vec_id so np.argmax's first-max IS the (cos desc, id asc)
+    tie-break), with the same-label columns masked to -inf. Emits
+    only ids/labels — rank decisions, no float payload."""
+    import ray
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n > broadcast_limit_rows:
+        raise ValueError(
+            f"exact hard-negative mining gated at "
+            f"{broadcast_limit_rows} rows (got {n}); route through "
+            "stages.ann.knn_lsh candidates at scale")
+
+    from tldr_ray.stages.ann import _as_matrix, _unit
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"]) \
+        .sort_by("vec_id")
+    cids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    clab = np.asarray(corpus["label"], dtype=np.int64)
+    cmat = _unit(_as_matrix(corpus["embedding"])).astype(np.float64)
+    ref = ray.put((cids, clab, cmat))
+
+    def mine(batch: pa.Table) -> pa.Table:
+        ids_, labs_, mat_ = ray.get(ref)
+        mat = _unit(_as_matrix(batch["embedding"])).astype(np.float64)
+        lab = np.asarray(batch["label"], dtype=np.int64)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        cos = mat @ mat_.T
+        cos[lab[:, None] == labs_[None, :]] = -np.inf
+        j = np.argmax(cos, axis=1)      # first max = smallest vec_id
+        ok = ~np.isneginf(cos[np.arange(ids.size), j])
+        return pa.table({
+            "vec_id": pa.array(ids[ok]),
+            "label": pa.array(lab[ok]),
+            "hard_neg_id": pa.array(ids_[j[ok]]),
+            "neg_label": pa.array(labs_[j[ok]])})
+
+    return _read(sf_dir, "embeddings",
+                 ["vec_id", "embedding", "label"]) \
+        .map_batches(mine, batch_format="pyarrow")
+
+
+QUERIES["hard_negative_mining_embeddings"] = hard_negative_mining_embeddings
+ORACLE_SQL["hard_negative_mining_embeddings"] = """
+    WITH sc AS (
+        SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+               b.vec_id AS nbr, CAST(b.label AS BIGINT) AS lb,
+               list_cosine_similarity(a.embedding, b.embedding) AS cos
+        FROM embeddings a JOIN embeddings b ON b.label != a.label),
+    rk AS (
+        SELECT vec_id, label, nbr, lb,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, nbr ASC) AS rn
+        FROM sc)
+    SELECT vec_id, label, nbr AS hard_neg_id, lb AS neg_label
+    FROM rk WHERE rn = 1
+"""
+
+
+def tvd_value_drift(sf_dir: str, n_buckets: int = 20):
+    """Total-variation-distance drift monitor between the value
+    distributions of the FIRST and SECOND half of the event time
+    range (the distribution-shift gate a training pipeline runs
+    before mixing a new crawl in). 20 equi-width cent buckets over
+    the global range; per bucket the deviation |c1*n2 - c2*n1| is an
+    exact integer over the common denominator n1*n2, and TVD =
+    sum(dev) / (2*n1*n2) — emitted as exact numerator/denominator
+    plus one float division, constant over the per-bucket rows."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "us": pa.array(us),
+            "v": pa.array(_cents(np.asarray(batch["value"],
+                                            dtype=np.float64)))})
+
+    ev = (_read(sf_dir, "events", ["ts", "value"])
+          .map_batches(prep, batch_format="pyarrow").materialize())
+    bounds = ev.aggregate(Min("us"), Max("us"), Min("v"), Max("v"))
+    t_lo, t_hi = int(bounds["min(us)"]), int(bounds["max(us)"])
+    v_lo, v_hi = int(bounds["min(v)"]), int(bounds["max(v)"])
+    mid = (t_lo + t_hi) // 2
+    span = v_hi - v_lo + 1
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["us"], dtype=np.int64)
+        v = np.asarray(batch["v"], dtype=np.int64)
+        b = (v - v_lo) * n_buckets // span
+        side = (us > mid).astype(np.int64)
+        key = b * 2 + side
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(u // 2),
+            "side": pa.array(u % 2),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    g = (ev.map_batches(bucketize, batch_format="pyarrow")
+         .groupby(["bucket", "side"])
+         .aggregate(Sum("n", alias_name="n")).to_pandas())
+    piv = (g.pivot_table(index="bucket", columns="side", values="n",
+                         aggfunc="sum", fill_value=0)
+           .reindex(range(n_buckets), fill_value=0))
+    c1 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    c2 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    dev = np.abs(c1 * n2 - c2 * n1)
+    tvd_num = int(dev.sum())
+    tvd_den = 2 * n1 * n2
+    return pa.table({
+        "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+        "n_first": pa.array(c1),
+        "n_second": pa.array(c2),
+        "dev": pa.array(dev),
+        "tvd_num": pa.array(np.full(n_buckets, tvd_num, np.int64)),
+        "tvd_den": pa.array(np.full(n_buckets, tvd_den, np.int64)),
+        "tvd": pa.array(np.full(n_buckets,
+                                np.float64(tvd_num)
+                                / np.float64(tvd_den)))})
+
+
+QUERIES["tvd_value_drift"] = tvd_value_drift
+ORACLE_SQL["tvd_value_drift"] = """
+    WITH e AS (SELECT epoch_us(ts) AS us,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    bounds AS (SELECT min(us) AS tlo, max(us) AS thi,
+                      min(v) AS vlo, max(v) AS vhi
+               FROM e),
+    bk AS (SELECT (v - vlo) * 20 // (vhi - vlo + 1) AS bucket,
+                  CASE WHEN us > (tlo + thi) // 2 THEN 1 ELSE 0 END
+                      AS side
+           FROM e, bounds),
+    grid AS (SELECT unnest(range(20)) AS bucket),
+    g AS (SELECT grid.bucket,
+                 CAST(coalesce(sum(CASE WHEN side = 0 THEN 1 END), 0)
+                      AS BIGINT) AS n_first,
+                 CAST(coalesce(sum(CASE WHEN side = 1 THEN 1 END), 0)
+                      AS BIGINT) AS n_second
+          FROM grid LEFT JOIN bk ON bk.bucket = grid.bucket
+          GROUP BY grid.bucket),
+    n AS (SELECT sum(n_first) AS n1, sum(n_second) AS n2 FROM g),
+    d AS (SELECT bucket, n_first, n_second,
+                 abs(n_first * n2 - n_second * n1) AS dev
+          FROM g, n),
+    t AS (SELECT CAST(sum(dev) AS BIGINT) AS tvd_num FROM d)
+    SELECT bucket, n_first, n_second, CAST(dev AS BIGINT) AS dev,
+           (SELECT tvd_num FROM t) AS tvd_num,
+           (SELECT CAST(2 * n1 * n2 AS BIGINT) FROM n) AS tvd_den,
+           CAST((SELECT tvd_num FROM t) AS DOUBLE)
+               / (SELECT CAST(2 * n1 * n2 AS DOUBLE) FROM n) AS tvd
+    FROM d
+"""
