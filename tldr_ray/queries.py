@@ -16952,3 +16952,108 @@ ORACLE_SQL["tvd_value_drift"] = """
                / (SELECT CAST(2 * n1 * n2 AS DOUBLE) FROM n) AS tvd
     FROM d
 """
+
+
+def sorted_neighborhood_name_pairs(sf_dir: str,
+                                   threshold: float = 0.85):
+    """Sorted-neighborhood (merge/purge) similarity join over customer
+    names: candidates = distinct names within 3 positions of each
+    other in the global sort order (stages.dedup.
+    sorted_neighborhood_pairs — two-pass distributed rank scan +
+    exactly-once window-bucket expansion, the third blocking family
+    next to FastSS and MinHash-LSH), then scored with the plain Jaro
+    (kernel.distance.jaro_standard — BIT-EQUAL to DuckDB's
+    jaro_similarity) and kept at >= 0.85. Emits (w1, w2, dist, jaro);
+    scoring touches only the O(n*window) candidate set."""
+    from tldr_ray.kernel.distance import jaro_standard
+    from tldr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        _read(sf_dir, "customer", ["c_name"]), col="c_name", window=3)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        j = np.array([jaro_standard(a, b) for a, b in
+                      zip(batch["w1"], batch["w2"])], np.float64)
+        keep = j >= threshold
+        return pd.DataFrame({
+            "w1": pd.Series(batch["w1"].to_numpy(object)[keep],
+                            dtype=object),
+            "w2": pd.Series(batch["w2"].to_numpy(object)[keep],
+                            dtype=object),
+            "dist": batch["dist"].to_numpy(np.int64)[keep],
+            "jaro": j[keep]})
+
+    return pairs.map_batches(score, batch_format="pandas")
+
+
+QUERIES["sorted_neighborhood_name_pairs"] = sorted_neighborhood_name_pairs
+ORACLE_SQL["sorted_neighborhood_name_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
+    r AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS rn FROM v)
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(b.rn - a.rn AS BIGINT) AS dist,
+           jaro_similarity(a.w, b.w) AS jaro
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    WHERE jaro_similarity(a.w, b.w) >= 0.85
+"""
+
+
+def topk_agreement_profile(sf_dir: str, k: int = 25):
+    """Rank-stability audit between two leaderboards: top-25 users by
+    total spend vs by event count — per depth d, the overlap
+    |topA_d ∩ topB_d| (exact int) and agreement overlap/d (one
+    division per row), the depth profile RBO and Kendall distill.
+    The distributed work is ONE tagged groupby producing both metrics
+    per user; ranking touches only the k winners (deterministic
+    (metric desc, user_id asc) ties)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["user_id", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("cents", alias_name="spend"),
+                    Count(alias_name="n"))
+         .to_pandas())
+    uid = g["user_id"].to_numpy(np.int64)
+    by_spend = uid[np.lexsort((uid, -g["spend"].to_numpy(np.int64)))][:k]
+    by_count = uid[np.lexsort((uid, -g["n"].to_numpy(np.int64)))][:k]
+    depths = np.arange(1, k + 1, dtype=np.int64)
+    overlap = np.array(
+        [len(set(by_spend[:d]) & set(by_count[:d])) for d in depths],
+        np.int64)
+    return pa.table({
+        "depth": pa.array(depths),
+        "overlap": pa.array(overlap),
+        "agreement": pa.array(overlap.astype(np.float64)
+                              / depths.astype(np.float64))})
+
+
+QUERIES["topk_agreement_profile"] = topk_agreement_profile
+ORACLE_SQL["topk_agreement_profile"] = """
+    WITH g AS (SELECT user_id,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS
+                                    BIGINT)) AS BIGINT) AS spend,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+    ra AS (SELECT user_id, row_number() OVER
+               (ORDER BY spend DESC, user_id ASC) AS r FROM g),
+    rb AS (SELECT user_id, row_number() OVER
+               (ORDER BY n DESC, user_id ASC) AS r FROM g),
+    d AS (SELECT unnest(range(1, 26)) AS depth),
+    ov AS (SELECT d.depth,
+                  CAST(count(*) AS BIGINT) AS overlap
+           FROM d LEFT JOIN ra ON ra.r <= d.depth
+           JOIN rb ON rb.user_id = ra.user_id AND rb.r <= d.depth
+           GROUP BY d.depth)
+    SELECT CAST(d.depth AS BIGINT) AS depth,
+           coalesce(ov.overlap, 0) AS overlap,
+           CAST(coalesce(ov.overlap, 0) AS DOUBLE)
+               / CAST(d.depth AS DOUBLE) AS agreement
+    FROM d LEFT JOIN ov ON ov.depth = d.depth
+"""
