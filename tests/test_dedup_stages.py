@@ -346,3 +346,110 @@ def test_set_similarity_join_oversized_bucket_raises():
     out = set_similarity_join(ds, k=3, max_bucket=2,
                               oversized="truncate").to_pandas()
     assert len(out) >= 0   # runs; recall loss accepted explicitly
+
+
+class TestGearCDC:
+    @staticmethod
+    def _seq_spans(data, min_size=64, avg_bits=8, max_size=1024):
+        """The sequential DEFINITION of the Gear cut rule."""
+        from tldr_ray.stages.dedup import _gear_table
+
+        g = _gear_table()
+        n = len(data)
+        spans, start, h, i = [], 0, 0, 0
+        mask = ((1 << avg_bits) - 1) << (64 - avg_bits)
+        while i < n:
+            h = ((h << 1) + int(g[data[i]])) & 0xFFFFFFFFFFFFFFFF
+            i += 1
+            if (i - start >= max_size
+                    or (i - start >= 64 and (h & mask) == 0)):
+                spans.append((start, i))
+                start, h = i, 0
+        if start < n:
+            spans.append((start, n))
+        return spans
+
+    def test_vectorized_equals_sequential_definition(self):
+        import numpy as np
+        from tldr_ray.stages.dedup import gear_chunk_spans
+
+        rng = np.random.default_rng(3)
+        for _ in range(25):
+            n = int(rng.integers(0, 5000))
+            data = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+            got = gear_chunk_spans(data)
+            assert got == self._seq_spans(data)
+            assert b"".join(data[a:b] for a, b in got) == data
+
+    def test_insert_shifts_only_local_chunks(self):
+        """THE CDC property: a mid-buffer insert relocates at most a
+        couple of chunk fingerprints; offset-based chunking would
+        invalidate everything downstream."""
+        import hashlib
+
+        import numpy as np
+        from tldr_ray.stages.dedup import gear_chunk_spans
+
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 50000).astype(np.uint8).tobytes()
+        edited = data[:9000] + b"INSERTED CONTENT" + data[9000:]
+        f1 = [hashlib.md5(data[a:b]).digest()
+              for a, b in gear_chunk_spans(data)]
+        f2 = [hashlib.md5(edited[a:b]).digest()
+              for a, b in gear_chunk_spans(edited)]
+        assert len(set(f1) & set(f2)) >= len(f1) - 3
+
+    def test_size_bounds(self):
+        import numpy as np
+        from tldr_ray.stages.dedup import gear_chunk_spans
+
+        rng = np.random.default_rng(5)
+        data = rng.integers(0, 256, 20000).astype(np.uint8).tobytes()
+        spans = gear_chunk_spans(data, min_size=64, max_size=512)
+        sizes = [b - a for a, b in spans]
+        assert all(s <= 512 for s in sizes)
+        assert all(s >= 64 for s in sizes[:-1])  # tail may be short
+
+    def test_min_size_guard(self):
+        import pytest as _pytest
+        from tldr_ray.stages.dedup import gear_chunk_spans
+
+        with _pytest.raises(ValueError, match="64"):
+            gear_chunk_spans(b"xx", min_size=32)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcChunkDedupQuery:
+    def test_planted_shared_paragraphs(self, tmp_path):
+        """Docs sharing a long byte-identical paragraph must show a
+        positive dup_chunk_fraction; fully distinct docs must not."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tldr_ray.queries import QUERIES
+
+        rng = np.random.default_rng(4)
+
+        def blob(n):
+            return "".join(chr(int(c)) for c in
+                           rng.integers(97, 123, n))
+
+        shared = blob(3000)
+        rows = []
+        for i in range(6):   # dup source: same big paragraph + tail
+            rows.append(("dup", shared + blob(200), i))
+        for i in range(6):   # uniq source: fully distinct
+            rows.append(("uniq", blob(3200), 100 + i))
+        t = pa.table({
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        df = QUERIES["cdc_chunk_dedup_docs"](str(tmp_path)) \
+            .to_pandas().set_index("source")
+        assert df.loc["dup", "dup_chunk_fraction"] > 0.5
+        assert df.loc["uniq", "dup_chunk_fraction"] == 0.0
+        assert (df["n_docs"] == 6).all()

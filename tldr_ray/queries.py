@@ -17057,3 +17057,82 @@ ORACLE_SQL["topk_agreement_profile"] = """
                / CAST(d.depth AS DOUBLE) AS agreement
     FROM d LEFT JOIN ov ON ov.depth = d.depth
 """
+
+
+def cdc_chunk_dedup_docs(sf_dir: str):
+    """Byte-level content-defined-chunking dedup report per source
+    (the backup-system / dataset-diff primitive, and the byte-level
+    member of the dedup family next to word-gram and MinHash):
+    every document chunks by the VECTORIZED Gear rolling hash
+    (stages.dedup.gear_chunk_spans — FastCDC cut rule, 64 shifted
+    adds over the byte array, boundaries depend only on local bytes
+    so edits relocate one chunk, pinned by pytest), chunks fingerprint
+    with FNV-1a over their bytes, and per source we report
+    (n_docs, n_chunks, n_unique_chunks, dup_chunk_fraction).
+    Rows-only: a per-byte rolling hash with reset state has no
+    tractable SQL mirror; the chunker itself is pinned by the
+    vectorized==sequential-definition pytest."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.dedup import gear_chunk_spans
+
+    from tldr_ray.stages.dedup import _mix64
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        srcs, fps = [], []
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            data = t.encode("utf-8")
+            spans = gear_chunk_spans(data)
+            if not spans:
+                continue
+            b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            starts = np.array([a for a, _ in spans], np.int64)
+            lens = np.diff(np.r_[starts, b.size])
+            # order-sensitive vectorized fingerprint: mix each byte
+            # with its WITHIN-CHUNK position, mod-2^64 sum per span
+            local = (np.arange(b.size, dtype=np.int64)
+                     - np.repeat(starts, lens)).astype(np.uint64)
+            vals = _mix64(b ^ _mix64(local))
+            fp = np.add.reduceat(vals, starts)      # uint64 wraps
+            srcs.extend([s] * len(spans))
+            fps.append(fp.astype(np.int64))
+        if not fps:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "fp": pa.array(np.concatenate(fps))})
+
+    per_fp = (_read(sf_dir, "documents", ["source", "text"])
+              .map_batches(chunk, batch_format="pyarrow")
+              .groupby(["source", "fp"])
+              .aggregate(Count(alias_name="c")))
+
+    docs = (_read(sf_dir, "documents", ["source"])
+            .groupby("source").count().to_pandas()
+            .rename(columns={"count()": "n_docs"}))
+
+    g = (per_fp.map_batches(
+            lambda t: pa.table({
+                "source": t["source"],
+                "one": pa.array(np.ones(len(t), np.int64)),
+                "c": t["c"].cast(pa.int64())}),
+            batch_format="pyarrow")
+         .groupby("source")
+         .aggregate(Sum("one", alias_name="n_unique"),
+                    Sum("c", alias_name="n_chunks"))
+         .to_pandas())
+    m = g.merge(docs, on="source").sort_values("source")
+    uq = m["n_unique"].to_numpy(np.int64)
+    nc = m["n_chunks"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(m["source"].to_numpy(object), pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy(np.int64)),
+        "n_chunks": pa.array(nc),
+        "n_unique_chunks": pa.array(uq),
+        "dup_chunk_fraction": pa.array(
+            (nc - uq).astype(np.float64) / nc.astype(np.float64))})
+
+
+QUERIES["cdc_chunk_dedup_docs"] = cdc_chunk_dedup_docs

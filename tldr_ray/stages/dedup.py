@@ -1623,3 +1623,53 @@ def sorted_neighborhood_pairs(ds, col: str, window: int = 3,
     return (ranked.map_batches(replicate, batch_format="pandas")
             .groupby("cp")
             .map_groups(pairs, batch_format="pandas"))
+
+
+def _gear_table() -> np.ndarray:
+    """256 deterministic 64-bit gear constants (splitmix64 of the
+    byte value — no RNG state, identical everywhere)."""
+    return _mix64(np.arange(256, dtype=np.uint64))
+
+
+def gear_chunk_spans(data: bytes, min_size: int = 64,
+                     avg_bits: int = 8,
+                     max_size: int = 1024) -> list[tuple[int, int]]:
+    """Content-defined chunk (start, end) spans of ``data`` by the
+    Gear rolling hash (FastCDC's core): h = (h << 1) + gear[byte];
+    a boundary closes the chunk when the top ``avg_bits`` bits are
+    zero (expected chunk ~ 2^avg_bits past min_size) — the cut
+    DEPENDS ONLY ON THE LOCAL BYTES, so inserting or deleting content
+    shifts boundaries only near the edit and every other chunk
+    fingerprint survives (the dedup property byte-offset chunking
+    lacks; pinned by the shift-resilience pytest).
+
+    VECTORIZED: after 64 shifts the gear hash has shifted every older
+    byte out, so for min_size >= 64 (enforced) the boundary test at
+    position i equals the pure 64-byte window hash
+    H_i = sum_k gear[b_{i-k}] << k — computed for ALL positions with
+    64 shifted adds over the byte array (mod-2^64 wraparound), then
+    one sparse candidate walk applies the min/max constraints."""
+    if min_size < 64:
+        raise ValueError("min_size must be >= 64 (the gear window)")
+    n = len(data)
+    if n == 0:
+        return []
+    b = np.frombuffer(data, dtype=np.uint8)
+    gv = _gear_table()[b]
+    H = np.zeros(n, dtype=np.uint64)
+    for k in range(min(64, n)):
+        H[k:] += gv[:n - k] << np.uint64(k)
+    mask = np.uint64(((1 << avg_bits) - 1) << (64 - avg_bits))
+    cand = np.flatnonzero((H & mask) == np.uint64(0))
+    spans = []
+    start = 0
+    while start < n:
+        limit = start + max_size
+        ci = int(np.searchsorted(cand, start + min_size - 1))
+        if ci < cand.size and cand[ci] + 1 <= limit:
+            end = int(cand[ci]) + 1
+        else:
+            end = min(limit, n)
+        spans.append((start, end))
+        start = end
+    return spans
