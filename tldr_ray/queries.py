@@ -17136,3 +17136,140 @@ def cdc_chunk_dedup_docs(sf_dir: str):
 
 
 QUERIES["cdc_chunk_dedup_docs"] = cdc_chunk_dedup_docs
+
+
+_MERKLE_LEAVES = 16
+_MERKLE_C = 0x9E3779B97F4A7C15
+
+
+def merkle_tree_orders(sf_dir: str):
+    """Merkle digest tree over the orders table — the hierarchical
+    form of table_checksum_orders that LOCALIZES a mismatch: compare
+    two snapshots root-first and descend only into unequal subtrees,
+    O(log buckets) digest comparisons instead of re-scanning either
+    table. Leaves = 16 splitmix64(o_orderkey) %% 16 buckets, each an
+    order-independent mod-2^64 sum of the canonical row digests
+    (layout-proof); parents = splitmix64(left + right*C mod 2^64)
+    (order-SENSITIVE — sibling swap must change the root). One uint64
+    x 16 partial per block; the tree folds driver-side in python
+    ints. Hash-checked bit-for-bit against the recursive-FNV +
+    per-level suffixed splitmix SQL mirror."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    L = _MERKLE_LEAVES
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(batch["o_orderkey"], pa.string()),
+            pc.cast(batch["o_custkey"], pa.string()),
+            pc.cast(pa.array(_cents(np.asarray(
+                batch["o_totalprice"], dtype=np.float64))), pa.string()),
+            "|")
+        h = _mix64(fnv1a_batch(s))
+        b = (_mix64(np.asarray(batch["o_orderkey"], np.int64)
+                    .astype(np.uint64)) % np.uint64(L)).astype(np.int64)
+        sums = np.zeros(L, np.uint64)
+        np.add.at(sums, b, h)
+        return pa.table({
+            "bucket": pa.array(np.arange(L, dtype=np.int64)),
+            "part_sum": pa.array(sums, pa.uint64())})
+
+    parts = (_read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    leaves = [0] * L
+    for bkt, ps in zip(parts["bucket"].to_numpy(np.int64),
+                       parts["part_sum"].to_numpy(np.uint64)):
+        leaves[int(bkt)] = (leaves[int(bkt)] + int(ps)) % (1 << 64)
+
+    def mix(x: int) -> int:
+        v = np.uint64(x)
+        return int(_mix64(np.array([v], np.uint64))[0])
+
+    rows = [(0, i, d) for i, d in enumerate(leaves)]
+    level, cur = 0, leaves
+    while len(cur) > 1:
+        nxt = [mix((cur[2 * i] + cur[2 * i + 1] * _MERKLE_C)
+                   % (1 << 64))
+               for i in range(len(cur) // 2)]
+        level += 1
+        rows.extend((level, i, d) for i, d in enumerate(nxt))
+        cur = nxt
+    return pa.table({
+        "level": pa.array([r[0] for r in rows], pa.int64()),
+        "idx": pa.array([r[1] for r in rows], pa.int64()),
+        "digest": pa.array([str(r[2]) for r in rows], pa.string())})
+
+
+def _merkle_oracle_sql() -> str:
+    L, C, M64 = _MERKLE_LEAVES, _MERKLE_C, _SQL_M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mix_chain(tag: str, src: str, xexpr: str, carry_first: str,
+                  carry: str | None = None) -> str:
+        """Suffixed splitmix finalizer CTEs (the p{t} pattern).
+        carry_first may RENAME pass-through columns (e.g. "h AS
+        rowd"); later steps must re-carry the new names."""
+        carry = carry_first if carry is None else carry
+        return f"""
+    {tag}0 AS MATERIALIZED (SELECT {carry_first}{xexpr} AS h FROM {src}),
+    {tag}1 AS MATERIALIZED (
+        SELECT {carry}{_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM {tag}0),
+    {tag}2 AS MATERIALIZED (
+        SELECT {carry}{_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM {tag}1),
+    {tag}3 AS MATERIALIZED (
+        SELECT {carry}{_sql_xor_shift('h', 31)} AS h FROM {tag}2)"""
+
+    # bucket of each row from its orderkey (prefix of the canonical s)
+    parts = [mix_chain(
+        "bk", "m3",        # m3 = the splitmixed row digest (the
+        # engine's _mix64(fnv1a(s))), NOT hh's raw FNV
+        "CAST(split_part(s, '|', 1) AS HUGEINT)",
+        "s, h AS rowd, ", "s, rowd, ")]
+    parts.append(f"""
+    lv0 AS MATERIALIZED (
+        SELECT g.idx,
+               coalesce(CAST(sum(bk3.rowd) % {M64} AS HUGEINT), 0)
+                   AS digest
+        FROM (SELECT unnest(range({L})) AS idx) g
+        LEFT JOIN bk3 ON CAST(bk3.h % {L} AS BIGINT) = g.idx
+        GROUP BY g.idx)""")
+    finals = [f"SELECT 0 AS level, idx, digest FROM lv0"]
+    width, lvl = L, 0
+    while width > 1:
+        lvl += 1
+        width //= 2
+        pair = f"""
+    pr{lvl} AS MATERIALIZED (
+        SELECT a.idx AS idx,
+               (a.digest + {_sql_mul64('b.digest', C)}) % {M64} AS x
+        FROM (SELECT idx // 2 AS idx, digest FROM lv{lvl - 1}
+              WHERE idx % 2 = 0) a
+        JOIN (SELECT idx // 2 AS idx, digest FROM lv{lvl - 1}
+              WHERE idx % 2 = 1) b ON b.idx = a.idx)"""
+        parts.append(pair)
+        parts.append(mix_chain(f"q{lvl}", f"pr{lvl}", "x", "idx, "))
+        parts.append(f"""
+    lv{lvl} AS MATERIALIZED (
+        SELECT idx, h AS digest FROM q{lvl}3)""")
+        finals.append(f"SELECT {lvl} AS level, idx, digest FROM lv{lvl}")
+    return f"""
+    WITH RECURSIVE {_sql_fnv_cte(
+        "SELECT CAST(o_orderkey AS VARCHAR) || '|' || "
+        "CAST(o_custkey AS VARCHAR) || '|' || "
+        "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        "AS VARCHAR) AS s FROM orders")},
+    {_sql_splitmix_ctes("hh", carry="s, ")},
+    {",".join(parts)},
+    tree AS ({" UNION ALL ".join(finals)})
+    SELECT CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx,
+           CAST(digest AS VARCHAR) AS digest
+    FROM tree
+"""
+
+
+QUERIES["merkle_tree_orders"] = merkle_tree_orders
+ORACLE_SQL["merkle_tree_orders"] = _merkle_oracle_sql()
