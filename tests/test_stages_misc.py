@@ -2813,3 +2813,49 @@ class TestRendezvousHashing:
         counts = np.bincount(np.argmax(scores, axis=1), minlength=K)
         assert counts.min() > 8000 / K * 0.8
         assert counts.max() < 8000 / K * 1.2
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMaxCoverageDocs:
+    def test_multi_round_greedy_matches_reference(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tldr_ray.queries import QUERIES
+
+        docs = {  # crafted so greedy needs 3+ rounds with a tie test
+            0: "a b c d",
+            1: "c d e f",
+            2: "e f g h",
+            3: "a b",          # subsumed by 0 — never picked
+            4: "i",            # singleton — picked last
+            5: "c d e f",      # duplicate of 1, higher id loses ties
+        }
+        t = pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(v) for v in docs.values()],
+                                pa.int64())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = QUERIES["max_coverage_docs"](str(tmp_path)).to_pandas()
+
+        # brute-force greedy reference
+        sets = {k: set(v.split()) for k, v in docs.items()}
+        covered, picks = set(), []
+        while True:
+            gains = {k: len(s - covered) for k, s in sets.items()}
+            best = min((k for k in gains
+                        if gains[k] == max(gains.values())))
+            if gains[best] == 0:
+                break
+            picks.append((best, gains[best]))
+            covered |= sets[best]
+        assert list(zip(out["doc_id"], out["gain"])) == picks
+        assert len(picks) >= 3
+        assert out["covered_after"].iloc[-1] == 9  # a..i

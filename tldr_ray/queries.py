@@ -17273,3 +17273,133 @@ def _merkle_oracle_sql() -> str:
 
 QUERIES["merkle_tree_orders"] = merkle_tree_orders
 ORACLE_SQL["merkle_tree_orders"] = _merkle_oracle_sql()
+
+
+_MAXCOV_K = 10
+
+
+def max_coverage_docs(sf_dir: str, k: int = _MAXCOV_K):
+    """Greedy maximum-coverage document selection (the lazy-greedy
+    facility-location objective instruction-tuning data selection
+    uses): pick up to k docs maximizing newly-covered vocabulary,
+    ties to the smallest doc_id, stopping when no doc adds coverage.
+    The synth vocabulary fits a 64-bit mask (guarded), so coverage
+    is EXACT bitmask algebra on both sides: per-doc masks = one
+    distributed OR pass over bit indices (global word->bit map =
+    alphabetical dense rank, broadcast once); each greedy round is a
+    distributed argmax of popcount(mask & ~covered) — a composite
+    max partial per block, O(1) to the driver. Emits (pick_rank,
+    doc_id, gain, covered_after). 1-1/e approximation guarantee by
+    submodularity; the 31-word vocab makes tests exact."""
+    import ray
+    from ray.data.aggregate import Max
+
+    words = (_read(sf_dir, "documents", ["text"])
+             .map_batches(
+                 lambda t: pa.table({"w": pc.unique(
+                     pc.list_flatten(pc.utf8_split_whitespace(
+                         pc.utf8_lower(t["text"]))))}),
+                 batch_format="pyarrow")
+             .groupby("w").count().to_pandas())
+    vocab = sorted(x for x in words["w"].tolist() if x)
+    if len(vocab) > 63:
+        raise ValueError(f"{len(vocab)} words exceed the 64-bit mask "
+                         "fast path; switch to the multi-word-mask "
+                         "variant")
+    bit = {w: i for i, w in enumerate(vocab)}
+    bref = ray.put(bit)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        out = np.zeros(ids.size, np.int64)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        for i, ws in enumerate(toks.to_pylist()):
+            m = 0
+            for w in ws:
+                if w:
+                    m |= 1 << bm[w]
+            out[i] = m
+        return pa.table({"doc_id": pa.array(ids),
+                         "mask": pa.array(out)})
+
+    masks = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(mask, batch_format="pyarrow").materialize())
+
+    covered = 0
+    picks = []
+    for r in range(k):
+        cov = covered
+
+        def gain(batch: pa.Table, _c=cov) -> pa.Table:
+            m = np.asarray(batch["mask"], dtype=np.int64)
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            new = m & ~np.int64(_c)
+            g = np.zeros(ids.size, np.int64)
+            for b in range(len(vocab)):     # popcount via bit sweep
+                g += (new >> np.int64(b)) & np.int64(1)
+            # composite argmax partial: (gain desc, doc_id asc)
+            j = int(np.lexsort((ids, -g))[0]) if ids.size else 0
+            return pa.table({
+                "best": pa.array([np.int64(g[j]) * (1 << 40)
+                                  - ids[j]], pa.int64()),
+                "g": pa.array([g[j]], pa.int64()),
+                "doc_id": pa.array([ids[j]], pa.int64()),
+                "mask": pa.array([m[j]], pa.int64())})
+
+        part = masks.map_batches(gain, batch_format="pyarrow") \
+            .to_pandas()
+        j = part["best"].to_numpy(np.int64).argmax()
+        g = int(part["g"].iloc[j])
+        if g == 0:
+            break
+        did = int(part["doc_id"].iloc[j])
+        covered |= int(part["mask"].iloc[j])
+        picks.append((r + 1, did, g,
+                      bin(covered).count("1")))
+    return pa.table({
+        "pick_rank": pa.array([p[0] for p in picks], pa.int64()),
+        "doc_id": pa.array([p[1] for p in picks], pa.int64()),
+        "gain": pa.array([p[2] for p in picks], pa.int64()),
+        "covered_after": pa.array([p[3] for p in picks], pa.int64())})
+
+
+def _maxcov_oracle_sql(k: int = _MAXCOV_K) -> str:
+    ctes = ["""
+    toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                                                         '\\s+')) AS w
+             FROM documents),
+    bits AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS b
+             FROM (SELECT DISTINCT w FROM toks WHERE w != '')),
+    dm AS MATERIALIZED (
+        SELECT t.doc_id,
+               bit_or(CAST(1 AS BIGINT) << b) AS mask
+        FROM (SELECT DISTINCT doc_id, w FROM toks WHERE w != '') t
+        JOIN bits ON bits.w = t.w
+        GROUP BY t.doc_id),
+    c0 AS (SELECT CAST(0 AS BIGINT) AS cov)"""]
+    finals = []
+    for r in range(1, k + 1):
+        ctes.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT doc_id, mask,
+               bit_count(mask & ~(SELECT cov FROM c{r - 1})) AS g
+        FROM dm
+        ORDER BY g DESC, doc_id ASC LIMIT 1),
+    c{r} AS (SELECT CAST((SELECT cov FROM c{r - 1})
+                 | coalesce((SELECT mask FROM p{r} WHERE g > 0), 0)
+                 AS BIGINT) AS cov)""")
+        finals.append(f"""
+    SELECT CAST({r} AS BIGINT) AS pick_rank,
+           doc_id, CAST(g AS BIGINT) AS gain,
+           CAST(bit_count((SELECT cov FROM c{r})) AS BIGINT)
+               AS covered_after
+    FROM p{r} WHERE g > 0""")
+    return f"""
+    WITH {",".join(ctes)}
+    {" UNION ALL ".join(finals)}
+"""
+
+
+QUERIES["max_coverage_docs"] = max_coverage_docs
+ORACLE_SQL["max_coverage_docs"] = _maxcov_oracle_sql()
