@@ -17403,3 +17403,200 @@ def _maxcov_oracle_sql(k: int = _MAXCOV_K) -> str:
 
 QUERIES["max_coverage_docs"] = max_coverage_docs
 ORACLE_SQL["max_coverage_docs"] = _maxcov_oracle_sql()
+
+
+def multi_touch_attribution(sf_dir: str):
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase credits the clicks by the SAME user in the trailing
+    1-hour window — 100% to a lone touch, 50/50 to two, else 2/5 to
+    first and last and the middle 1/5 split evenly. Credits are EXACT
+    RATIONALS (credit_num/credit_den int64) with one float division
+    per row; the window pairs come from the bucketed range_join (one
+    shuffle per side) and positions from one coarse per-purchase
+    sweep. The per-purchase credit mass sums to exactly 1 — the
+    invariant last-touch attribution silently breaks under windowing."""
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.joins import range_join
+
+    NP = np.uint64(64)
+
+    def side(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            return pa.table({
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"]})
+        return f
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow")
+    pairs = range_join(purchases, clicks, on="user_id",
+                       left_ts="ts", right_ts="ts",
+                       before="1h", after="0s")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["event_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(k) % NP).astype(np.int32)))
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_id", "ts_r", "event_id_r"],
+                          kind="mergesort")
+        pid = g["event_id"].to_numpy(np.int64)
+        new = np.empty(pid.size, dtype=bool)
+        new[0] = True
+        new[1:] = pid[1:] != pid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, pid.size])
+        seg = np.cumsum(new) - 1
+        k = sizes[seg]
+        pos = np.arange(pid.size, dtype=np.int64) - starts[seg]
+        num = np.ones(pid.size, np.int64)
+        den = np.ones(pid.size, np.int64)
+        two = k == 2
+        num[two], den[two] = 1, 2
+        multi = k >= 3
+        first = multi & (pos == 0)
+        last = multi & (pos == k - 1)
+        mid = multi & ~first & ~last
+        num[first | last], den[first | last] = 2, 5
+        num[mid] = 1
+        den[mid] = 5 * (k[mid] - 2)
+        return pd.DataFrame({
+            "purchase_id": pid,
+            "click_id": g["event_id_r"].to_numpy(np.int64),
+            "n_touches": k,
+            "position": pos + 1,
+            "credit_num": num,
+            "credit_den": den,
+            "credit": num.astype(np.float64) / den.astype(np.float64)})
+
+    return (pairs.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(credit, batch_format="pandas"))
+
+
+QUERIES["multi_touch_attribution"] = multi_touch_attribution
+ORACLE_SQL["multi_touch_attribution"] = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    pr AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                  c.ts AS cts
+           FROM p JOIN c ON c.user_id = p.user_id
+                        AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR
+                                     AND p.ts),
+    r AS (SELECT purchase_id, click_id,
+                 row_number() OVER w AS position,
+                 CAST(count(*) OVER (PARTITION BY purchase_id)
+                      AS BIGINT) AS n_touches
+          FROM pr WINDOW w AS (PARTITION BY purchase_id
+                               ORDER BY cts, click_id))
+    SELECT purchase_id, click_id, n_touches,
+           CAST(position AS BIGINT) AS position,
+           CAST(CASE WHEN n_touches = 1 THEN 1
+                     WHEN n_touches = 2 THEN 1
+                     WHEN position = 1 OR position = n_touches THEN 2
+                     ELSE 1 END AS BIGINT) AS credit_num,
+           CAST(CASE WHEN n_touches = 1 THEN 1
+                     WHEN n_touches = 2 THEN 2
+                     WHEN position = 1 OR position = n_touches THEN 5
+                     ELSE 5 * (n_touches - 2) END AS BIGINT)
+               AS credit_den,
+           CAST(CASE WHEN n_touches = 1 THEN 1
+                     WHEN n_touches = 2 THEN 1
+                     WHEN position = 1 OR position = n_touches THEN 2
+                     ELSE 1 END AS DOUBLE)
+           / CAST(CASE WHEN n_touches = 1 THEN 1
+                       WHEN n_touches = 2 THEN 2
+                       WHEN position = 1 OR position = n_touches THEN 5
+                       ELSE 5 * (n_touches - 2) END AS DOUBLE)
+               AS credit
+    FROM r
+"""
+
+
+def lag_features_user_day(sf_dir: str):
+    """ML lag-feature table: per (user, day) the day's spend/count
+    plus the same user's spend 1 and 7 days earlier (0 + a presence
+    flag when the user was idle that day — no NULLs leak into the
+    feature matrix). One grouped aggregate then one coarse sweep per
+    user; the lag lookups are two searchsorted probes over the user's
+    own day index — never a self-join. Calendar-free integer day
+    keys; exact cents."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    DAY = np.int64(86_400_000_000)
+    NP = np.uint64(64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "day": pa.array(us // DAY),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    daily = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Sum("cents", alias_name="spend"),
+                        Count(alias_name="n_events"))
+             .map_batches(
+                 lambda t: t.append_column(
+                     "__part", pa.array(
+                         (vhash(np.asarray(t["user_id"], np.int64))
+                          % NP).astype(np.int32))),
+                 batch_format="pyarrow"))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        spend = g["spend"].to_numpy(np.int64)
+        # composite key makes each user's block a sorted run
+        comp = uid * np.int64(1 << 20) + (day % np.int64(1 << 20))
+        out = {}
+        for lag in (1, 7):
+            want = uid * np.int64(1 << 20) + ((day - lag)
+                                              % np.int64(1 << 20))
+            pos = np.searchsorted(comp, want)
+            pos = np.minimum(pos, comp.size - 1)
+            hit = comp[pos] == want
+            v = np.zeros(uid.size, np.int64)
+            v[hit] = spend[pos[hit]]
+            out[lag] = (v, hit.astype(np.int64))
+        return pd.DataFrame({
+            "user_id": uid, "day": day, "spend": spend,
+            "n_events": g["n_events"].to_numpy(np.int64),
+            "spend_d1": out[1][0], "has_d1": out[1][1],
+            "spend_d7": out[7][0], "has_d7": out[7][1]})
+
+    return daily.groupby("__part").map_groups(sweep,
+                                              batch_format="pandas")
+
+
+QUERIES["lag_features_user_day"] = lag_features_user_day
+ORACLE_SQL["lag_features_user_day"] = """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS spend,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT d.user_id, d.day, d.spend, d.n_events,
+           coalesce(l1.spend, 0) AS spend_d1,
+           CAST(CASE WHEN l1.user_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS has_d1,
+           coalesce(l7.spend, 0) AS spend_d7,
+           CAST(CASE WHEN l7.user_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS has_d7
+    FROM d
+    LEFT JOIN d l1 ON l1.user_id = d.user_id AND l1.day = d.day - 1
+    LEFT JOIN d l7 ON l7.user_id = d.user_id AND l7.day = d.day - 7
+"""
