@@ -451,3 +451,44 @@ def test_join_view_snapshot_isolation_and_crash_orphan(tmp_path):
     got = read_join_view(vd).to_pandas().sort_values("fid")
     assert got["fid"].tolist() == [1, 2, 3]
     assert got["name"].tolist() == ["n0", "n1", "n4"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSidecar:
+    def test_prunes_and_never_misses(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tldr_ray.sinks import build_bloom_sidecar
+        from tldr_ray.sources.tabular import read_bloom_filtered
+
+        rng = np.random.default_rng(8)
+        # 8 files, disjoint key ranges but NO clustering the reader
+        # could exploit via min/max (keys shuffled across the range)
+        all_keys = rng.permutation(80_000)[:8000].astype(np.int64)
+        for i in range(8):
+            part = all_keys[i * 1000:(i + 1) * 1000]
+            pq.write_table(
+                pa.table({"k": pa.array(part),
+                          "v": pa.array(part * 2)}),
+                str(tmp_path / f"f{i}.parquet"))
+        meta = build_bloom_sidecar(str(tmp_path), "k")
+        assert len(meta["files"]) == 8
+
+        # every present probe is found (false negatives impossible)
+        probe = all_keys[::37].tolist()
+        tab, info = read_bloom_filtered(str(tmp_path), probe)
+        assert sorted(tab["k"].to_pylist()) == sorted(probe)
+
+        # absent keys prune files (high probability with m=2^16, k=6)
+        missing = [x for x in range(90_000, 90_040)]
+        tab2, info2 = read_bloom_filtered(str(tmp_path), missing)
+        assert len(tab2) == 0
+        assert info2["files_read"] < info2["files_total"]
+
+        # single present key opens few files
+        tab3, info3 = read_bloom_filtered(str(tmp_path),
+                                          [int(all_keys[0])])
+        assert tab3["k"].to_pylist() == [int(all_keys[0])]
+        assert info3["files_read"] <= 2

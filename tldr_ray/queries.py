@@ -17600,3 +17600,254 @@ ORACLE_SQL["lag_features_user_day"] = """
     LEFT JOIN d l1 ON l1.user_id = d.user_id AND l1.day = d.day - 1
     LEFT JOIN d l7 ON l7.user_id = d.user_id AND l7.day = d.day - 7
 """
+
+
+def degree_cap_hashgraph(sf_dir: str, k: int = 3):
+    """Graph sparsification by per-source degree capping: keep each
+    vertex's top-k outgoing edges by (weight desc, dst asc) — the
+    standard pre-filter that bounds hub fan-out before an expensive
+    traversal (a 10^7-degree hub otherwise dominates every
+    PageRank/walk round). One coarse sweep on hash(src); inside each
+    task the rank-1..k selection is a single lexsort + segment
+    position mask, no per-vertex loop."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(s) % NP).astype(np.int32)))
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(np.int64)
+        d = g["dst"].to_numpy(np.int64)
+        w = g["weight"].to_numpy(np.float64)
+        order = np.lexsort((d, -w, s))
+        s, d, w = s[order], d[order], w[order]
+        new = np.empty(s.size, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(s.size, dtype=np.int64) - starts[seg]
+        keep = pos < k
+        return pd.DataFrame({
+            "src": s[keep], "dst": d[keep], "weight": w[keep],
+            "rank": pos[keep] + 1})
+
+    return (_hash_graph_edges_weighted(sf_dir)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(cap, batch_format="pandas"))
+
+
+QUERIES["degree_cap_hashgraph"] = degree_cap_hashgraph
+ORACLE_SQL["degree_cap_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    e AS (SELECT s, t, ((s * 31 + t * 17) % 97 + 1) / 100.0 AS w
+          FROM raw2),
+    r AS (SELECT s, t, w,
+                 row_number() OVER (PARTITION BY s
+                                    ORDER BY w DESC, t ASC) AS rnk
+          FROM e)
+    SELECT s AS src, t AS dst, w AS weight, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 3
+"""
+
+
+def rrf_fusion_users(sf_dir: str, k: int = 60, top: int = 50):
+    """Reciprocal-rank fusion of two user leaderboards (total spend
+    and event count — the IR trick for combining rankings without
+    score calibration): RRF = 1/(k + rank_spend) + 1/(k + rank_count)
+    — a FIXED two-division one-add float chain per user, so the
+    scores hash-match; ranks are deterministic (metric desc, user_id
+    asc). One tagged groupby produces both metrics; emits the top-50
+    by (rrf desc, user_id asc)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["user_id", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Sum("cents", alias_name="spend"),
+                    Count(alias_name="n"))
+         .to_pandas())
+    uid = g["user_id"].to_numpy(np.int64)
+
+    def ranks(metric):
+        order = np.lexsort((uid, -metric))
+        r = np.empty(uid.size, np.int64)
+        r[order] = np.arange(1, uid.size + 1)
+        return r
+
+    ra = ranks(g["spend"].to_numpy(np.int64))
+    rb = ranks(g["n"].to_numpy(np.int64))
+    rrf = (1.0 / (k + ra).astype(np.float64)
+           + 1.0 / (k + rb).astype(np.float64))
+    order = np.lexsort((uid, -rrf))[:top]
+    return pa.table({
+        "user_id": pa.array(uid[order]),
+        "rank_spend": pa.array(ra[order]),
+        "rank_count": pa.array(rb[order]),
+        "rrf": pa.array(rrf[order])})
+
+
+QUERIES["rrf_fusion_users"] = rrf_fusion_users
+ORACLE_SQL["rrf_fusion_users"] = """
+    WITH g AS (SELECT user_id,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS
+                                    BIGINT)) AS BIGINT) AS spend,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY spend DESC, user_id ASC)
+                     AS ra,
+                 row_number() OVER (ORDER BY n DESC, user_id ASC)
+                     AS rb
+          FROM g)
+    SELECT user_id, CAST(ra AS BIGINT) AS rank_spend,
+           CAST(rb AS BIGINT) AS rank_count,
+           1.0 / CAST(60 + ra AS DOUBLE)
+               + 1.0 / CAST(60 + rb AS DOUBLE) AS rrf
+    FROM r
+    ORDER BY rrf DESC, user_id ASC
+    LIMIT 50
+"""
+
+
+def user_state_transitions_weekly(sf_dir: str):
+    """Weekly engagement-state Markov matrix — the churn model's
+    sufficient statistic: each user-week classifies as 'off' (no
+    events), 'low' (1-2) or 'high' (3+); for every consecutive week
+    pair we count (state_from, state_to, n_users) over the DENSE week
+    grid (absence IS the off state — the signal a groupby on present
+    rows silently loses). One grouped count then one coarse per-user
+    sweep expands each user's sparse weeks onto the grid via
+    searchsorted; cell counts pre-aggregate per task."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    WEEK = np.int64(7 * 86_400_000_000)
+    NP = np.uint64(64)
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "week": pa.array(us // WEEK)})
+
+    weekly = (ev.map_batches(prep, batch_format="pyarrow")
+              .groupby(["user_id", "week"])
+              .aggregate(Count(alias_name="n")).materialize())
+    wb = weekly.to_pandas()["week"]
+    w_lo, w_hi = int(wb.min()), int(wb.max())
+    n_weeks = w_hi - w_lo + 1
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return batch.append_column(
+            "__part", pa.array((vhash(u) % NP).astype(np.int32)))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "week"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        wk = g["week"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        users, u_start = np.unique(uid, return_index=True)
+        u_end = np.r_[u_start[1:], uid.size]
+        cells = np.zeros(9, np.int64)       # 3x3 from->to
+        for i in range(users.size):         # per-user dense expansion
+            sl = slice(u_start[i], u_end[i])
+            dense = np.zeros(n_weeks, np.int64)
+            dense[wk[sl] - w_lo] = n[sl]
+            st = np.where(dense == 0, 0,
+                          np.where(dense <= 2, 1, 2))
+            pair = st[:-1] * 3 + st[1:]
+            cells += np.bincount(pair, minlength=9)
+        return pd.DataFrame({
+            "cell": np.arange(9, dtype=np.int64),
+            "n_pairs": cells})
+
+    g = (weekly.map_batches(add_part, batch_format="pyarrow")
+         .groupby("__part").map_groups(sweep, batch_format="pandas")
+         .groupby("cell").aggregate(Sum("n_pairs",
+                                        alias_name="n_pairs"))
+         .to_pandas().sort_values("cell"))
+    g = g[g["n_pairs"] > 0]     # SQL mirror groups observed pairs only
+    names = np.array(["off", "low", "high"], object)
+    cell = g["cell"].to_numpy(np.int64)
+    return pa.table({
+        "state_from": pa.array(names[cell // 3], pa.string()),
+        "state_to": pa.array(names[cell % 3], pa.string()),
+        "n_pairs": pa.array(g["n_pairs"].to_numpy(np.int64))})
+
+
+QUERIES["user_state_transitions_weekly"] = user_state_transitions_weekly
+ORACLE_SQL["user_state_transitions_weekly"] = """
+    WITH w AS (SELECT user_id,
+                      epoch_us(ts) // 604800000000 AS week,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(week) AS lo, max(week) AS hi FROM w),
+    users AS (SELECT DISTINCT user_id FROM w),
+    grid AS (SELECT u.user_id, g.week
+             FROM users u,
+                  (SELECT unnest(range((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds) + 1))
+                       AS week) g),
+    st AS (SELECT grid.user_id, grid.week,
+                  CASE WHEN w.n IS NULL THEN 'off'
+                       WHEN w.n <= 2 THEN 'low'
+                       ELSE 'high' END AS state
+           FROM grid LEFT JOIN w ON w.user_id = grid.user_id
+                                AND w.week = grid.week),
+    pr AS (SELECT a.state AS state_from, b.state AS state_to
+           FROM st a JOIN st b ON b.user_id = a.user_id
+                              AND b.week = a.week + 1)
+    SELECT state_from, state_to, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pr GROUP BY 1, 2
+"""
+
+
+def bloom_lookup_events(sf_dir: str):
+    """Membership data-skipping end to end (sinks.build_bloom_sidecar
+    + sources.tabular.read_bloom_filtered): lay events out as 12
+    UNCLUSTERED files (every zone map spans the whole event_id domain
+    — range pruning is useless by construction), build the per-file
+    bloom sidecar on event_id, then answer a 4-key + 1-missing probe
+    opening only the files whose bloom claims a hit (asserted < all;
+    misses impossible, so the IN residual keeps exactness). The
+    membership complement of the zone map's range pruning."""
+    import hashlib
+    import shutil
+
+    from tldr_ray.sinks import build_bloom_sidecar
+    from tldr_ray.sources.tabular import read_bloom_filtered
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_bloom/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    (_read(sf_dir, "events", ["event_id", "user_id", "value"])
+     .repartition(12).write_parquet(out))
+    build_bloom_sidecar(out, "event_id")
+    probe = [1, 7, 77, 777, 999_999_999]
+    tab, info = read_bloom_filtered(out, probe)
+    assert info["files_read"] < info["files_total"], info
+    return tab.sort_by("event_id")
+
+
+QUERIES["bloom_lookup_events"] = bloom_lookup_events
+ORACLE_SQL["bloom_lookup_events"] = """
+    SELECT event_id, user_id, value
+    FROM events WHERE event_id IN (1, 7, 77, 777, 999999999)
+    ORDER BY event_id
+"""

@@ -352,3 +352,54 @@ def write_range_partitioned(ds, out_dir: str, col: str,
         by="range_id", resume=resume)
     report["bounds"] = bounds.tolist()
     return report
+
+
+def build_bloom_sidecar(path: str, col: str, m_bits: int = 1 << 16,
+                        k: int = 6,
+                        manifest_name: str = "_bloom.json") -> dict:
+    """Bloom-filter data-skipping sidecar for a parquet directory:
+    per FILE, an m-bit filter over ``col``'s values (splitmix double
+    hashing, k probes) — the POINT-lookup complement of the zone map
+    (min/max boxes prune ranges; blooms prune membership on layouts
+    with no value clustering at all, where every zone spans the whole
+    domain). Unlike build_zonemap this reads the indexed column's
+    data pages (column-pruned, one pass per file). Written atomically
+    as ``_bloom.json`` with hex-encoded bitsets.
+
+    Returns {relpath: hex_bits}. False positives open extra files;
+    false negatives are impossible, so the exact residual filter
+    keeps results correct."""
+    import glob as _glob
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tldr_ray.stages.dedup import _mix64
+
+    files = sorted(set(_glob.glob(os.path.join(path, "*.parquet")))
+                   | set(_glob.glob(
+                       os.path.join(path, "**", "*.parquet"),
+                       recursive=True)))
+    manifest = {}
+    for f in files:
+        v = pq.read_table(f, columns=[col])[col]
+        x = np.unique(np.asarray(v.cast("int64"), dtype=np.int64)
+                      .astype(np.uint64))
+        bits = np.zeros(m_bits // 8, np.uint8)
+        h1 = _mix64(x)
+        h2 = _mix64(x ^ np.uint64(0x9E3779B97F4A7C15)) \
+            | np.uint64(1)
+        for i in range(k):
+            pos = ((h1 + np.uint64(i) * h2)
+                   % np.uint64(m_bits)).astype(np.int64)
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        manifest[os.path.relpath(f, path)] = bits.tobytes().hex()
+    meta = {"col": col, "m_bits": m_bits, "k": k,
+            "files": manifest}
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, manifest_name))
+    return meta

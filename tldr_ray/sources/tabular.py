@@ -352,3 +352,53 @@ def read_evolved(paths: list, parallelism: int = -1):
         ds = ds.map_batches(align, batch_format="pyarrow")
         out = ds if out is None else out.union(ds)
     return out
+
+
+def read_bloom_filtered(path: str, keys,
+                        manifest_name: str = "_bloom.json"):
+    """Membership-pruned read against a sinks.build_bloom_sidecar
+    layout: a file opens only if its bloom claims it MAY contain at
+    least one probe key (false positives open an extra file; misses
+    are impossible), then the exact ``col IN keys`` residual runs via
+    parquet predicate pushdown. The unclustered-layout complement of
+    read_pruned's zone maps. Returns (pyarrow.Table, info) with
+    files_read <= files_total."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tldr_ray.stages.dedup import _mix64
+
+    with open(os.path.join(path, manifest_name)) as fh:
+        meta = json.load(fh)
+    col, m_bits, k = meta["col"], meta["m_bits"], meta["k"]
+    ks = np.asarray(sorted({int(x) for x in keys}), dtype=np.int64)
+    h1 = _mix64(ks.astype(np.uint64))
+    h2 = _mix64(ks.astype(np.uint64)
+                ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    probe = np.stack([((h1 + np.uint64(i) * h2)
+                       % np.uint64(m_bits)).astype(np.int64)
+                      for i in range(k)], axis=1)   # keys x k
+    tabs, opened = [], 0
+    total = len(meta["files"])
+    first = None
+    for rel, hexbits in sorted(meta["files"].items()):
+        first = first or rel
+        bits = np.frombuffer(bytes.fromhex(hexbits), np.uint8)
+        hit = ((bits[probe >> 3] >> (probe & 7).astype(np.uint8))
+               & 1).all(axis=1).any()
+        if not hit:
+            continue
+        opened += 1
+        tabs.append(pq.read_table(
+            os.path.join(path, rel),
+            filters=[(col, "in", ks.tolist())]))
+    if tabs:
+        out = pa.concat_tables(tabs)
+    elif first is not None:
+        out = pq.read_schema(os.path.join(path, first)).empty_table()
+    else:
+        raise FileNotFoundError(f"bloom sidecar at {path} lists no files")
+    return out, {"files_read": opened, "files_total": total}
