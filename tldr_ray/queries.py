@@ -17851,3 +17851,305 @@ ORACLE_SQL["bloom_lookup_events"] = """
     FROM events WHERE event_id IN (1, 7, 77, 777, 999999999)
     ORDER BY event_id
 """
+
+
+def merkle_diff_orders(sf_dir: str):
+    """Merkle-LOCALIZED snapshot diff — the tree's purpose shown end
+    to end: v2 = orders with every (o_orderkey %% 97 == 0) row's
+    cents bumped by 1; both snapshots reduce to their 16 leaf digests
+    (one streamed pass each, O(16) to the driver), unequal leaves
+    name the buckets to inspect, and ONLY those buckets' rows are
+    re-fetched and row-diffed (with a build_hash_index layout that
+    fetch opens just the changed bucket files). Emits per changed
+    bucket (bucket, n_v1_only, n_v2_only). The oracle derives the
+    expected diff independently from the modification rule — a
+    ground-truth check, not a mirror of the tree walk."""
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.stages.dedup import _mix64
+
+    L = _MERKLE_LEAVES
+
+    def canon(batch: pa.Table, bump: bool) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        c = _cents(np.asarray(batch["o_totalprice"], dtype=np.float64))
+        if bump:
+            c = c + (k % 97 == 0).astype(np.int64)
+        return pa.table({
+            "k": pa.array(k),
+            "cust": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(c),
+            "bucket": pa.array(
+                (_mix64(k.astype(np.uint64)) % np.uint64(L))
+                .astype(np.int64))})
+
+    def digests(bump: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = canon(batch, bump)
+            s = pc.binary_join_element_wise(
+                pc.cast(t["k"], pa.string()),
+                pc.cast(t["cust"], pa.string()),
+                pc.cast(t["cents"], pa.string()), "|")
+            h = _mix64(fnv1a_batch(s))
+            b = np.asarray(t["bucket"], dtype=np.int64)
+            sums = np.zeros(L, np.uint64)
+            np.add.at(sums, b, h)
+            return pa.table({
+                "bucket": pa.array(np.arange(L, dtype=np.int64)),
+                "part_sum": pa.array(sums, pa.uint64())})
+
+        parts = (_read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        leaves = [0] * L
+        for bkt, ps in zip(parts["bucket"].to_numpy(np.int64),
+                           parts["part_sum"].to_numpy(np.uint64)):
+            leaves[int(bkt)] = (leaves[int(bkt)] + int(ps)) % (1 << 64)
+        return leaves
+
+    l1, l2 = digests(False), digests(True)
+    changed = [b for b in range(L) if l1[b] != l2[b]]
+
+    def fetch(bump: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            t = canon(batch, bump)
+            m = pc.is_in(t["bucket"],
+                         value_set=pa.array(changed, pa.int64()))
+            return t.filter(m)
+        return (_read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_totalprice"])
+                .map_batches(f, batch_format="pyarrow").to_pandas())
+
+    a, b = fetch(False), fetch(True)
+    key = ["k", "cust", "cents"]
+    m = a.merge(b, on=key + ["bucket"], how="outer", indicator=True)
+    only1 = m[m["_merge"] == "left_only"].groupby("bucket").size()
+    only2 = m[m["_merge"] == "right_only"].groupby("bucket").size()
+    rows = sorted(set(only1.index) | set(only2.index))
+    return pa.table({
+        "bucket": pa.array(np.array(rows, np.int64)),
+        "n_v1_only": pa.array(np.array(
+            [int(only1.get(r, 0)) for r in rows], np.int64)),
+        "n_v2_only": pa.array(np.array(
+            [int(only2.get(r, 0)) for r in rows], np.int64))})
+
+
+QUERIES["merkle_diff_orders"] = merkle_diff_orders
+ORACLE_SQL["merkle_diff_orders"] = f"""
+    WITH src AS (SELECT CAST(o_orderkey AS HUGEINT) AS h
+                 FROM orders WHERE o_orderkey % 97 = 0),
+    {_sql_splitmix_ctes("src")}
+    SELECT CAST(h % {_MERKLE_LEAVES} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_v1_only,
+           CAST(count(*) AS BIGINT) AS n_v2_only
+    FROM m3 GROUP BY 1
+"""
+
+
+def kanonymity_audit_customers(sf_dir: str, k: int = 5):
+    """k-anonymity risk audit (data-governance gate before sharing a
+    table): quasi-identifier = (nation, market segment, account-
+    balance decile — tie-coherent equi-depth floor(rows_below*10/n),
+    the NTILE-safe binning this repo standardized on); every QI group
+    with fewer than k members is a re-identification risk. Emits the
+    risky groups plus their sizes, and an l-diversity column (distinct
+    balance-cents within the group — a group can be k-anonymous yet
+    value-homogeneous). The decile bins come from the value-counts
+    frame, the groups from one groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["c_nationkey"].cast(pa.int64()),
+            "segment": batch["c_mktsegment"],
+            "bal": pa.array(_cents(np.asarray(
+                batch["c_acctbal"], dtype=np.float64)))})
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_nationkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(prep, batch_format="pyarrow").materialize())
+    vc = (cust.groupby("bal").count().to_pandas()
+          .sort_values("bal"))
+    cnt = vc["count()"].to_numpy(np.int64)
+    below = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    dec = below * 10 // n
+    bal_sorted = vc["bal"].to_numpy(np.int64)
+
+    def bin_(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bal"], dtype=np.int64)
+        pos = np.searchsorted(bal_sorted, b)
+        return pa.table({
+            "nation": batch["nation"],
+            "segment": batch["segment"],
+            "decile": pa.array(dec[pos]),
+            "bal": batch["bal"]})
+
+    g = (cust.map_batches(bin_, batch_format="pyarrow")
+         .groupby(["nation", "segment", "decile", "bal"])
+         .aggregate(Count(alias_name="c"))
+         .groupby(["nation", "segment", "decile"])
+         .aggregate(Sum("c", alias_name="n_members"),
+                    Count(alias_name="l_distinct_bal"))
+         .to_pandas())
+    risky = g[g["n_members"] < k].sort_values(
+        ["nation", "segment", "decile"])
+    return pa.table({
+        "nation": pa.array(risky["nation"].to_numpy(np.int64)),
+        "segment": pa.array(risky["segment"].to_numpy(object),
+                            pa.string()),
+        "decile": pa.array(risky["decile"].to_numpy(np.int64)),
+        "n_members": pa.array(risky["n_members"].to_numpy(np.int64)),
+        "l_distinct_bal": pa.array(
+            risky["l_distinct_bal"].to_numpy(np.int64))})
+
+
+QUERIES["kanonymity_audit_customers"] = kanonymity_audit_customers
+ORACLE_SQL["kanonymity_audit_customers"] = """
+    WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                      c_mktsegment AS segment,
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          AS bal
+               FROM customer),
+    vc AS (SELECT bal, count(*) AS cnt FROM c GROUP BY bal),
+    d AS (SELECT bal,
+                 CAST((sum(cnt) OVER (ORDER BY bal) - cnt) * 10
+                      // (SELECT count(*) FROM c) AS BIGINT)
+                     AS decile
+          FROM vc),
+    g AS (SELECT nation, segment, decile,
+                 CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(count(DISTINCT c.bal) AS BIGINT)
+                     AS l_distinct_bal
+          FROM c JOIN d ON d.bal = c.bal
+          GROUP BY 1, 2, 3)
+    SELECT nation, segment, decile, n_members, l_distinct_bal
+    FROM g WHERE n_members < 5
+"""
+
+
+def kanonymity_generalize_customers(sf_dir: str, k: int = 5):
+    """k-anonymity GENERALIZATION ladder — not just flagging risk but
+    fixing it: coarsen the quasi-identifier until EVERY group has >=
+    k members, choosing the FIRST level of
+      L0 (nation, segment, balance-decile)
+      L1 (nation, segment, balance-quintile)
+      L2 (nation, segment)  L3 (nation)  L4 (segment)
+    that satisfies k. Suppressed columns emit '*'. One distributed
+    groupby builds the finest-level frame; every coarser level is a
+    driver-side rollup of that dimension-sized frame (deciles are
+    tie-coherent rows_below*10//n, quintile = decile // 2). Emits
+    (level, qi_nation, qi_segment, qi_bal, n_members)."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["c_nationkey"].cast(pa.int64()),
+            "segment": batch["c_mktsegment"],
+            "bal": pa.array(_cents(np.asarray(
+                batch["c_acctbal"], dtype=np.float64)))})
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_nationkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(prep, batch_format="pyarrow").materialize())
+    vc = cust.groupby("bal").count().to_pandas().sort_values("bal")
+    cnt = vc["count()"].to_numpy(np.int64)
+    below = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    dec = below * 10 // n
+    bal_sorted = vc["bal"].to_numpy(np.int64)
+
+    def bin_(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bal"], dtype=np.int64)
+        pos = np.searchsorted(bal_sorted, b)
+        return pa.table({"nation": batch["nation"],
+                         "segment": batch["segment"],
+                         "decile": pa.array(dec[pos])})
+
+    fine = (cust.map_batches(bin_, batch_format="pyarrow")
+            .groupby(["nation", "segment", "decile"])
+            .aggregate(Count(alias_name="n")).to_pandas())
+
+    def level(df, cols):
+        g = df.groupby(cols, as_index=False)["n"].sum() \
+            if cols else pd.DataFrame({"n": [df["n"].sum()]})
+        return g
+
+    fine["quintile"] = fine["decile"] // 2
+    ladders = [
+        (0, ["nation", "segment", "decile"],
+         lambda r: (str(r["nation"]), r["segment"], str(r["decile"]))),
+        (1, ["nation", "segment", "quintile"],
+         lambda r: (str(r["nation"]), r["segment"],
+                    str(r["quintile"]))),
+        (2, ["nation", "segment"],
+         lambda r: (str(r["nation"]), r["segment"], "*")),
+        (3, ["nation"], lambda r: (str(r["nation"]), "*", "*")),
+        (4, ["segment"], lambda r: ("*", r["segment"], "*")),
+    ]
+    for lv, cols, render in ladders:
+        g = level(fine, cols)
+        if int(g["n"].min()) >= k:
+            rows = [render(r) for _, r in g.iterrows()]
+            return pa.table({
+                "level": pa.array([lv] * len(g), pa.int64()),
+                "qi_nation": pa.array([r[0] for r in rows],
+                                      pa.string()),
+                "qi_segment": pa.array([r[1] for r in rows],
+                                       pa.string()),
+                "qi_bal": pa.array([r[2] for r in rows], pa.string()),
+                "n_members": pa.array(g["n"].to_numpy(np.int64))})
+    raise ValueError("even full suppression failed k — empty table?")
+
+
+QUERIES["kanonymity_generalize_customers"] = kanonymity_generalize_customers
+ORACLE_SQL["kanonymity_generalize_customers"] = """
+    WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                      c_mktsegment AS segment,
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          AS bal
+               FROM customer),
+    vc AS (SELECT bal, count(*) AS cnt FROM c GROUP BY bal),
+    d AS (SELECT bal,
+                 CAST((sum(cnt) OVER (ORDER BY bal) - cnt) * 10
+                      // (SELECT count(*) FROM c) AS BIGINT)
+                     AS decile
+          FROM vc),
+    f AS (SELECT nation, segment, d.decile, d.decile // 2 AS quintile
+          FROM c JOIN d ON d.bal = c.bal),
+    g0 AS (SELECT nation, segment, decile,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1, 2, 3),
+    g1 AS (SELECT nation, segment, quintile,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1, 2, 3),
+    g2 AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1, 2),
+    g3 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1),
+    g4 AS (SELECT segment, CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1),
+    pick AS (SELECT CASE
+        WHEN (SELECT min(n) FROM g0) >= 5 THEN 0
+        WHEN (SELECT min(n) FROM g1) >= 5 THEN 1
+        WHEN (SELECT min(n) FROM g2) >= 5 THEN 2
+        WHEN (SELECT min(n) FROM g3) >= 5 THEN 3
+        ELSE 4 END AS lv)
+    SELECT CAST(lv AS BIGINT) AS level,
+           CAST(nation AS VARCHAR) AS qi_nation, segment AS qi_segment,
+           CAST(decile AS VARCHAR) AS qi_bal, n AS n_members
+    FROM g0, pick WHERE lv = 0
+    UNION ALL
+    SELECT CAST(lv AS BIGINT), CAST(nation AS VARCHAR), segment,
+           CAST(quintile AS VARCHAR), n
+    FROM g1, pick WHERE lv = 1
+    UNION ALL
+    SELECT CAST(lv AS BIGINT), CAST(nation AS VARCHAR), segment,
+           '*', n FROM g2, pick WHERE lv = 2
+    UNION ALL
+    SELECT CAST(lv AS BIGINT), CAST(nation AS VARCHAR), '*', '*', n
+    FROM g3, pick WHERE lv = 3
+    UNION ALL
+    SELECT CAST(lv AS BIGINT), '*', segment, '*', n
+    FROM g4, pick WHERE lv = 4
+"""
