@@ -18153,3 +18153,177 @@ ORACLE_SQL["kanonymity_generalize_customers"] = """
     SELECT CAST(lv AS BIGINT), '*', segment, '*', n
     FROM g4, pick WHERE lv = 4
 """
+
+
+def ldp_event_type_counts(sf_dir: str):
+    """Local differential privacy by randomized response (Warner's
+    mechanism, the frequency-oracle building block): each event
+    reports its TRUE type with probability 3/4, else a uniform draw
+    from the 5-type alphabet — per-event coins are
+    splitmix64(event_id), seedless and deterministic, so the whole
+    privatized table (and therefore the debiased estimates) is
+    bit-reproducible and SQL-hash-checkable. Debiasing is exact
+    rational algebra: E[obs_c] = 3/4 n_c + n/20, so est = (20*obs_c
+    - n)/15 — one division per type. Emits (event_type, n_observed,
+    n_true, est) — n_true included to exhibit the debiasing, it is
+    not part of the private release."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.dedup import _mix64
+
+    TYPES = np.array(["click", "error", "purchase", "signup", "view"],
+                     object)
+    KEEP = np.uint64(((1 << 64) * 3) // 4)
+
+    def privatize(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        h = _mix64(eid.astype(np.uint64))
+        true = np.asarray(batch["event_type"], dtype=object)
+        rand = TYPES[(h % np.uint64(5)).astype(np.int64)]
+        rep = np.where(h < KEEP, true, rand)
+        return pa.table({
+            "reported": pa.array(rep, pa.string()),
+            "true_type": pa.array(true, pa.string())})
+
+    both = (_read(sf_dir, "events", ["event_id", "event_type"])
+            .map_batches(privatize, batch_format="pyarrow")
+            .materialize())
+    obs = both.groupby("reported").aggregate(
+        Count(alias_name="n_observed")).to_pandas()
+    tru = both.groupby("true_type").aggregate(
+        Count(alias_name="n_true")).to_pandas()
+    m = obs.rename(columns={"reported": "event_type"}).merge(
+        tru.rename(columns={"true_type": "event_type"}),
+        on="event_type", how="outer").fillna(0).sort_values(
+        "event_type")
+    n = int(m["n_observed"].sum())
+    o = m["n_observed"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(m["event_type"].to_numpy(object),
+                               pa.string()),
+        "n_observed": pa.array(o),
+        "n_true": pa.array(m["n_true"].to_numpy(np.int64)),
+        "est": pa.array((20 * o - n).astype(np.float64) / 15.0)})
+
+
+QUERIES["ldp_event_type_counts"] = ldp_event_type_counts
+ORACLE_SQL["ldp_event_type_counts"] = f"""
+    WITH src AS (SELECT CAST(event_id AS HUGEINT) AS h, event_type
+                 FROM events),
+    {_sql_splitmix_ctes("src", carry="event_type, ")},
+    types AS (SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+              (2, 'purchase'), (3, 'signup'), (4, 'view'))
+              AS t(i, name)),
+    rep AS (SELECT CASE WHEN m3.h < {((1 << 64) * 3) // 4}
+                        THEN m3.event_type ELSE types.name END
+                       AS reported,
+                   m3.event_type AS true_type
+            FROM m3 JOIN types
+              ON types.i = CAST(m3.h % 5 AS BIGINT)),
+    obs AS (SELECT reported AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_observed
+            FROM rep GROUP BY 1),
+    tru AS (SELECT true_type AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_true
+            FROM rep GROUP BY 1),
+    n AS (SELECT sum(n_observed) AS total FROM obs)
+    SELECT coalesce(obs.event_type, tru.event_type) AS event_type,
+           coalesce(obs.n_observed, 0) AS n_observed,
+           coalesce(tru.n_true, 0) AS n_true,
+           CAST(20 * coalesce(obs.n_observed, 0)
+                - (SELECT total FROM n) AS DOUBLE) / 15.0 AS est
+    FROM obs FULL OUTER JOIN tru ON tru.event_type = obs.event_type
+"""
+
+
+def augment_docs_wordswap(sf_dir: str, rate_num: int = 1,
+                          rate_den: int = 10):
+    """Deterministic text augmentation by seeded word swap (the
+    reproducible form of the classic EDA augmentation): each token
+    position flips with probability 1/10 under the seedless coin
+    splitmix64(doc_id * 131071 + position) and is replaced by the
+    GLOBAL vocabulary word indexed by the same hash — so reruns,
+    engines and the SQL mirror produce byte-identical augmented text
+    (whitespace normalized to single spaces on both sides). The
+    vocab (alphabetical, broadcast once) is the same word->index
+    frame max_coverage_docs builds. Emits (doc_id, n_tokens,
+    n_swapped, aug_text)."""
+    import ray
+
+    from tldr_ray.stages.dedup import _mix64
+
+    T = np.uint64((1 << 64) * rate_num // rate_den)
+    P = np.int64(131071)
+
+    words = (_read(sf_dir, "documents", ["text"])
+             .map_batches(
+                 lambda t: pa.table({"w": pc.unique(
+                     pc.list_flatten(pc.utf8_split_whitespace(
+                         pc.utf8_lower(t["text"]))))}),
+                 batch_format="pyarrow")
+             .groupby("w").count().to_pandas())
+    vocab = np.array(sorted(x for x in words["w"].tolist() if x),
+                     object)
+    vref = ray.put(vocab)
+
+    def aug(batch: pa.Table) -> pa.Table:
+        vb = ray.get(vref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        out_txt, out_n, out_s = [], [], []
+        for did, ws in zip(ids.tolist(), toks.to_pylist()):
+            ws = [w for w in ws if w]
+            if ws:
+                pos = np.arange(len(ws), dtype=np.int64)
+                h = _mix64((did * P + pos).astype(np.uint64))
+                swap = h < T
+                repl = vb[(h % np.uint64(vb.size)).astype(np.int64)]
+                arr = np.array(ws, object)
+                arr[swap] = repl[swap]
+                out_txt.append(" ".join(arr.tolist()))
+                out_s.append(int(swap.sum()))
+            else:
+                out_txt.append("")
+                out_s.append(0)
+            out_n.append(len(ws))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "n_swapped": pa.array(out_s, pa.int64()),
+            "aug_text": pa.array(out_txt, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(aug, batch_format="pyarrow")
+
+
+QUERIES["augment_docs_wordswap"] = augment_docs_wordswap
+ORACLE_SQL["augment_docs_wordswap"] = f"""
+    WITH toks AS (
+        SELECT doc_id, u.i AS pos, a.ws[u.i + 1] AS w
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '\\s+'),
+                                 x -> x != '') AS ws
+              FROM documents) a,
+        unnest(generate_series(0, len(a.ws) - 1)) AS u(i)),
+    vocab AS (SELECT w, row_number() OVER (ORDER BY w) - 1 AS i
+              FROM (SELECT DISTINCT w FROM toks)),
+    nv AS (SELECT CAST(count(*) AS HUGEINT) AS v FROM vocab),
+    src AS (SELECT doc_id, pos, w,
+                   CAST(doc_id * 131071 + pos AS HUGEINT) AS h
+            FROM toks),
+    {_sql_splitmix_ctes("src", carry="doc_id, pos, w, ")},
+    swapped AS (
+        SELECT m3.doc_id, m3.pos,
+               CASE WHEN m3.h < {(1 << 64) // 10} THEN vocab.w
+                    ELSE m3.w END AS w,
+               CASE WHEN m3.h < {(1 << 64) // 10} THEN 1 ELSE 0 END
+                   AS sw
+        FROM m3 JOIN vocab
+          ON vocab.i = CAST(m3.h % (SELECT v FROM nv) AS BIGINT))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(sw) AS BIGINT) AS n_swapped,
+           string_agg(w, ' ' ORDER BY pos) AS aug_text
+    FROM swapped GROUP BY doc_id
+"""
