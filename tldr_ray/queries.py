@@ -18327,3 +18327,117 @@ ORACLE_SQL["augment_docs_wordswap"] = f"""
            string_agg(w, ' ' ORDER BY pos) AS aug_text
     FROM swapped GROUP BY doc_id
 """
+
+
+def kaplan_meier_conversion(sf_dir: str):
+    """Kaplan-Meier product-limit estimate of time-to-first-purchase
+    (hours since the user's first event), with non-converters RIGHT-
+    CENSORED at their last observed event — the survival-analysis
+    primitive naive conversion rates get wrong by dropping censored
+    users. One grouped (first_ts, first_purchase_ts, last_ts) pass
+    per user (conditional min as a +inf-sentinel Min), then the
+    dimension-sized duration value-counts frame folds the product
+    limit S *= (n_i - d_i)/n_i sequentially — division THEN multiply,
+    one rounding each, exactly the chain DuckDB's recursive CTE
+    evaluates, so the survival curve hash-matches. Emits one row per
+    death time (t_hours, n_at_risk, d_events, n_censored_at_t, s)."""
+    from ray.data.aggregate import Max, Min
+
+    HOUR = np.int64(3_600_000_000)
+    INF = np.int64(1 << 62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        uid = np.asarray(batch["user_id"], dtype=np.int64)
+        isp = np.asarray(pc.equal(batch["event_type"], "purchase"))
+        pts = np.where(isp, us, INF)
+        order = np.argsort(uid, kind="mergesort")
+        uid, us, pts = uid[order], us[order], pts[order]
+        u, start = np.unique(uid, return_index=True)
+        return pa.table({
+            "user_id": pa.array(u),
+            "first_ts": pa.array(np.minimum.reduceat(us, start)),
+            "first_pts": pa.array(np.minimum.reduceat(pts, start)),
+            "last_ts": pa.array(np.maximum.reduceat(us, start))})
+
+    g = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Min("first_ts", alias_name="first_ts"),
+                    Min("first_pts", alias_name="first_pts"),
+                    Max("last_ts", alias_name="last_ts"))
+         .to_pandas())
+    first = g["first_ts"].to_numpy(np.int64)
+    pts = g["first_pts"].to_numpy(np.int64)
+    last = g["last_ts"].to_numpy(np.int64)
+    died = pts < INF
+    dur = np.where(died, (pts - first) // HOUR,
+                   (last - first) // HOUR)
+    # dimension-sized (duration, died) value counts
+    order = np.lexsort((~died, dur))
+    dur_s, died_s = dur[order], died[order]
+    key = dur_s * 2 + died_s.astype(np.int64)
+    uk, cnt = np.unique(key, return_counts=True)
+    t = uk // 2
+    isd = (uk % 2).astype(bool)
+    total = int(dur.size)
+    # at-risk at time t = users with duration >= t
+    all_t = np.unique(t)
+    dur_sorted = np.sort(dur)
+    rows = []
+    s = np.float64(1.0)
+    for tt in all_t.tolist():
+        n_at = total - int(np.searchsorted(dur_sorted, tt))
+        d = int(cnt[(t == tt) & isd].sum())
+        c = int(cnt[(t == tt) & ~isd].sum())
+        if d == 0:
+            continue
+        s = s * (np.float64(n_at - d) / np.float64(n_at))
+        rows.append((tt, n_at, d, c, float(s)))
+    return pa.table({
+        "t_hours": pa.array([r[0] for r in rows], pa.int64()),
+        "n_at_risk": pa.array([r[1] for r in rows], pa.int64()),
+        "d_events": pa.array([r[2] for r in rows], pa.int64()),
+        "n_censored_at_t": pa.array([r[3] for r in rows], pa.int64()),
+        "s": pa.array([r[4] for r in rows], pa.float64())})
+
+
+QUERIES["kaplan_meier_conversion"] = kaplan_meier_conversion
+ORACLE_SQL["kaplan_meier_conversion"] = """
+    WITH RECURSIVE u AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS first_ts,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS pts,
+               max(epoch_us(ts)) AS last_ts
+        FROM events GROUP BY user_id),
+    d AS (SELECT CASE WHEN pts IS NOT NULL
+                      THEN (pts - first_ts) // 3600000000
+                      ELSE (last_ts - first_ts) // 3600000000 END
+                     AS dur,
+                 CAST(pts IS NOT NULL AS INT) AS died
+          FROM u),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    pts AS (SELECT dur AS t,
+                   CAST(sum(died) AS BIGINT) AS d_events,
+                   CAST(sum(1 - died) AS BIGINT) AS n_cens
+            FROM d GROUP BY dur),
+    risk AS (SELECT p.t, p.d_events, p.n_cens,
+                    (SELECT CAST(count(*) AS BIGINT) FROM d
+                     WHERE d.dur >= p.t) AS n_at_risk,
+                    row_number() OVER (ORDER BY p.t) AS rn
+             FROM pts p WHERE p.d_events > 0),
+    km(rn, t, n_at_risk, d_events, n_cens, s) AS (
+        SELECT rn, t, n_at_risk, d_events, n_cens,
+               CAST(n_at_risk - d_events AS DOUBLE)
+                   / CAST(n_at_risk AS DOUBLE)
+        FROM risk WHERE rn = 1
+        UNION ALL
+        SELECT r.rn, r.t, r.n_at_risk, r.d_events, r.n_cens,
+               km.s * (CAST(r.n_at_risk - r.d_events AS DOUBLE)
+                       / CAST(r.n_at_risk AS DOUBLE))
+        FROM km JOIN risk r ON r.rn = km.rn + 1)
+    SELECT t AS t_hours, n_at_risk, d_events,
+           n_cens AS n_censored_at_t, s
+    FROM km
+"""
