@@ -18441,3 +18441,88 @@ ORACLE_SQL["kaplan_meier_conversion"] = """
            n_cens AS n_censored_at_t, s
     FROM km
 """
+
+
+def incremental_cc_hashgraph(sf_dir: str):
+    """INCREMENTAL connected-components maintenance: the hash graph
+    arrives in two deterministic halves; CC runs on half 1 (the saved
+    state), then half 2 merges by CONTRACTION — each base component
+    is a supernode, the delta edges relabel through the (gated)
+    component map, and CC re-runs only on the contracted delta graph
+    (size = delta edges, NOT the full graph). Min-label algebra makes
+    the incremental result provably equal to a full recompute (min of
+    mins = min of the union), which is exactly what the oracle checks:
+    it is the UNCHANGED full-graph recursive-CC SQL, knowing nothing
+    about the split."""
+    import ray
+
+    from tldr_ray.graph import connected_components
+    from tldr_ray.graph.gate import fits_broadcast
+
+    edges = _hash_graph_edges(sf_dir).materialize()
+
+    def half(which: int):
+        def f(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch["src"], dtype=np.int64)
+            d = np.asarray(batch["dst"], dtype=np.int64)
+            m = ((s * 31 + d * 17) % 2) == which
+            return pa.table({"src": pa.array(s[m]),
+                             "dst": pa.array(d[m]),
+                             "weight": pa.array(np.ones(int(m.sum())))})
+        return edges.map_batches(f, batch_format="pyarrow")
+
+    ids1, lab1, info1 = connected_components(half(0),
+                                             num_partitions=4)
+    assert info1["converged"]
+    base = ids1.astype(np.int64)
+    order = np.argsort(base)
+    base, blab = base[order], lab1.astype(np.int64)[order]
+
+    n_state, fits = fits_broadcast(
+        ray.data.from_arrow(pa.table({"v": pa.array(base)})))
+    if not fits:    # documented scale path: bucketed join relabel
+        raise NotImplementedError(
+            "state map exceeds the broadcast gate; relabel the delta "
+            "through a bucketed join on vertex id")
+    sref = ray.put((base, blab))
+
+    def contract(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(sref)
+
+        def relabel(x):
+            pos = np.searchsorted(ks, x)
+            pos = np.minimum(pos, max(ks.size - 1, 0))
+            out = x.copy()
+            if ks.size:
+                hit = ks[pos] == x
+                out[hit] = vs[pos[hit]]
+            return out
+
+        s = relabel(np.asarray(batch["src"], dtype=np.int64))
+        d = relabel(np.asarray(batch["dst"], dtype=np.int64))
+        return pa.table({"src": pa.array(s), "dst": pa.array(d),
+                         "weight": pa.array(np.ones(s.size))})
+
+    delta = half(1).map_batches(contract, batch_format="pyarrow")
+    ids2, lab2, info2 = connected_components(delta, num_partitions=4)
+    assert info2["converged"]
+    merge = dict(zip(ids2.tolist(), lab2.tolist()))
+
+    all_v = np.unique(np.concatenate([
+        base, np.asarray(ids2, dtype=np.int64)]))
+    # final label: base comp (or self), then through the delta merge
+    pos = np.searchsorted(base, all_v)
+    pos = np.minimum(pos, max(base.size - 1, 0))
+    comp = all_v.copy()
+    if base.size:
+        hit = base[pos] == all_v
+        comp[hit] = blab[pos[hit]]
+    final = np.array([merge.get(int(c), int(c)) for c in comp],
+                     np.int64)
+    return pa.table({"vertex": pa.array(all_v),
+                     "component": pa.array(final)})
+
+
+QUERIES["incremental_cc_hashgraph"] = incremental_cc_hashgraph
+ORACLE_SQL["incremental_cc_hashgraph"] = \
+    ORACLE_SQL["connected_components_hashgraph"]
