@@ -17004,8 +17004,10 @@ def topk_agreement_profile(sf_dir: str, k: int = 25):
     |topA_d ∩ topB_d| (exact int) and agreement overlap/d (one
     division per row), the depth profile RBO and Kendall distill.
     The distributed work is ONE tagged groupby producing both metrics
-    per user; ranking touches only the k winners (deterministic
-    (metric desc, user_id asc) ties)."""
+    per user, then each leaderboard's k winners come back via
+    per-block top-k PARTIALS (each block forwards <= k rows, the
+    driver merges 2k*blocks candidates) — the driver never holds the
+    user-level frame, so the plan survives 10^9 users."""
     from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -17014,15 +17016,31 @@ def topk_agreement_profile(sf_dir: str, k: int = 25):
             "cents": pa.array(_cents(np.asarray(
                 batch["value"], dtype=np.float64)))})
 
-    g = (_read(sf_dir, "events", ["user_id", "value"])
-         .map_batches(prep, batch_format="pyarrow")
-         .groupby("user_id")
-         .aggregate(Sum("cents", alias_name="spend"),
-                    Count(alias_name="n"))
-         .to_pandas())
-    uid = g["user_id"].to_numpy(np.int64)
-    by_spend = uid[np.lexsort((uid, -g["spend"].to_numpy(np.int64)))][:k]
-    by_count = uid[np.lexsort((uid, -g["n"].to_numpy(np.int64)))][:k]
+    per_user = (_read(sf_dir, "events", ["user_id", "value"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("cents", alias_name="spend"),
+                           Count(alias_name="n"))
+                .materialize())
+
+    def topk_partial(col):
+        def f(batch: pa.Table) -> pa.Table:
+            uid_ = np.asarray(batch["user_id"], dtype=np.int64)
+            m = np.asarray(batch[col], dtype=np.int64)
+            sel = np.lexsort((uid_, -m))[:k]
+            return pa.table({"user_id": pa.array(uid_[sel]),
+                             "m": pa.array(m[sel])})
+        return f
+
+    def winners(col):
+        p = per_user.map_batches(topk_partial(col),
+                                 batch_format="pyarrow").to_pandas()
+        uid_ = p["user_id"].to_numpy(np.int64)
+        m = p["m"].to_numpy(np.int64)
+        return uid_[np.lexsort((uid_, -m))][:k]
+
+    by_spend = winners("spend")
+    by_count = winners("n")
     depths = np.arange(1, k + 1, dtype=np.int64)
     overlap = np.array(
         [len(set(by_spend[:d]) & set(by_count[:d])) for d in depths],
@@ -17662,9 +17680,17 @@ def rrf_fusion_users(sf_dir: str, k: int = 60, top: int = 50):
     score calibration): RRF = 1/(k + rank_spend) + 1/(k + rank_count)
     — a FIXED two-division one-add float chain per user, so the
     scores hash-match; ranks are deterministic (metric desc, user_id
-    asc). One tagged groupby produces both metrics; emits the top-50
-    by (rrf desc, user_id asc)."""
+    asc). SCALE PLAN: a global-top-50 RRF winner must sit inside some
+    list's top M = 2*(k+top) (outside both, rrf <= 2/(k+M+1) <
+    1/(k+top), the floor any single-list top-`top` user clears), so
+    per-block top-M partials nominate <= 2M candidates, and ONE
+    broadcast-threshold pass counts each candidate's EXACT global
+    rank (1 + #users strictly better under the (metric, id) order) —
+    the driver never holds the user-level frame."""
+    import ray
     from ray.data.aggregate import Count, Sum
+
+    M = 2 * (k + top)
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -17672,27 +17698,68 @@ def rrf_fusion_users(sf_dir: str, k: int = 60, top: int = 50):
             "cents": pa.array(_cents(np.asarray(
                 batch["value"], dtype=np.float64)))})
 
-    g = (_read(sf_dir, "events", ["user_id", "value"])
-         .map_batches(prep, batch_format="pyarrow")
-         .groupby("user_id")
-         .aggregate(Sum("cents", alias_name="spend"),
-                    Count(alias_name="n"))
-         .to_pandas())
-    uid = g["user_id"].to_numpy(np.int64)
+    per_user = (_read(sf_dir, "events", ["user_id", "value"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("cents", alias_name="spend"),
+                           Count(alias_name="n"))
+                .materialize())
 
-    def ranks(metric):
-        order = np.lexsort((uid, -metric))
-        r = np.empty(uid.size, np.int64)
-        r[order] = np.arange(1, uid.size + 1)
-        return r
+    def top_partial(col):
+        def f(batch: pa.Table) -> pa.Table:
+            uid_ = np.asarray(batch["user_id"], dtype=np.int64)
+            m = np.asarray(batch[col], dtype=np.int64)
+            sel = np.lexsort((uid_, -m))[:M]
+            return pa.table({"user_id": pa.array(uid_[sel]),
+                             "spend": batch["spend"].take(
+                                 pa.array(sel)),
+                             "n": batch["n"].take(pa.array(sel))})
+        return f
 
-    ra = ranks(g["spend"].to_numpy(np.int64))
-    rb = ranks(g["n"].to_numpy(np.int64))
+    cands = pd.concat([
+        per_user.map_batches(top_partial(c), batch_format="pyarrow")
+        .to_pandas() for c in ("spend", "n")]) \
+        .drop_duplicates("user_id")
+
+    def nominate(col):
+        c = cands.sort_values([col, "user_id"],
+                              ascending=[False, True]).head(M)
+        return c
+
+    cands = pd.concat([nominate("spend"), nominate("n")]) \
+        .drop_duplicates("user_id").reset_index(drop=True)
+    cu = cands["user_id"].to_numpy(np.int64)
+    cref = ray.put((cu, cands["spend"].to_numpy(np.int64),
+                    cands["n"].to_numpy(np.int64)))
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        ku, ks, kn = ray.get(cref)
+        uid_ = np.asarray(batch["user_id"], dtype=np.int64)
+        sp = np.asarray(batch["spend"], dtype=np.int64)
+        nn = np.asarray(batch["n"], dtype=np.int64)
+        # users strictly better than each candidate under (m desc,
+        # id asc): m > m_c, or m == m_c and id < id_c
+        better_s = ((sp[:, None] > ks[None, :])
+                    | ((sp[:, None] == ks[None, :])
+                       & (uid_[:, None] < ku[None, :]))).sum(axis=0)
+        better_n = ((nn[:, None] > kn[None, :])
+                    | ((nn[:, None] == kn[None, :])
+                       & (uid_[:, None] < ku[None, :]))).sum(axis=0)
+        return pa.table({
+            "i": pa.array(np.arange(ku.size, dtype=np.int64)),
+            "bs": pa.array(better_s.astype(np.int64)),
+            "bn": pa.array(better_n.astype(np.int64))})
+
+    parts = per_user.map_batches(rank_partial,
+                                 batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("i")[["bs", "bn"]].sum()
+    ra = agg["bs"].to_numpy(np.int64) + 1
+    rb = agg["bn"].to_numpy(np.int64) + 1
     rrf = (1.0 / (k + ra).astype(np.float64)
            + 1.0 / (k + rb).astype(np.float64))
-    order = np.lexsort((uid, -rrf))[:top]
+    order = np.lexsort((cu, -rrf))[:top]
     return pa.table({
-        "user_id": pa.array(uid[order]),
+        "user_id": pa.array(cu[order]),
         "rank_spend": pa.array(ra[order]),
         "rank_count": pa.array(rb[order]),
         "rrf": pa.array(rrf[order])})
