@@ -17815,8 +17815,9 @@ def user_state_transitions_weekly(sf_dir: str):
     weekly = (ev.map_batches(prep, batch_format="pyarrow")
               .groupby(["user_id", "week"])
               .aggregate(Count(alias_name="n")).materialize())
-    wb = weekly.to_pandas()["week"]
-    w_lo, w_hi = int(wb.min()), int(wb.max())
+    import ray.data.aggregate as _agg
+    bounds = weekly.aggregate(_agg.Min("week"), _agg.Max("week"))
+    w_lo, w_hi = int(bounds["min(week)"]), int(bounds["max(week)"])
     n_weeks = w_hi - w_lo + 1
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -18427,34 +18428,49 @@ def kaplan_meier_conversion(sf_dir: str):
             "first_pts": pa.array(np.minimum.reduceat(pts, start)),
             "last_ts": pa.array(np.maximum.reduceat(us, start))})
 
-    g = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
-         .map_batches(partial, batch_format="pyarrow")
-         .groupby("user_id")
-         .aggregate(Min("first_ts", alias_name="first_ts"),
-                    Min("first_pts", alias_name="first_pts"),
-                    Max("last_ts", alias_name="last_ts"))
-         .to_pandas())
-    first = g["first_ts"].to_numpy(np.int64)
-    pts = g["first_pts"].to_numpy(np.int64)
-    last = g["last_ts"].to_numpy(np.int64)
-    died = pts < INF
-    dur = np.where(died, (pts - first) // HOUR,
-                   (last - first) // HOUR)
-    # dimension-sized (duration, died) value counts
-    order = np.lexsort((~died, dur))
-    dur_s, died_s = dur[order], died[order]
-    key = dur_s * 2 + died_s.astype(np.int64)
-    uk, cnt = np.unique(key, return_counts=True)
+    def durations(batch: pa.Table) -> pa.Table:
+        # value-count partials of (duration, died) — the per-user
+        # frame never reaches the driver, only the dimension-sized
+        # death-time histogram does
+        first = np.asarray(batch["first_ts"], dtype=np.int64)
+        pts = np.asarray(batch["first_pts"], dtype=np.int64)
+        last = np.asarray(batch["last_ts"], dtype=np.int64)
+        died = pts < INF
+        dur = np.where(died, (pts - first) // HOUR,
+                       (last - first) // HOUR)
+        key = dur * 2 + died.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    vc = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("user_id")
+          .aggregate(Min("first_ts", alias_name="first_ts"),
+                     Min("first_pts", alias_name="first_pts"),
+                     Max("last_ts", alias_name="last_ts"))
+          .map_batches(durations, batch_format="pyarrow")
+          .groupby("key").aggregate(Sum("c", alias_name="c"))
+          .to_pandas().sort_values("key"))
+    uk = vc["key"].to_numpy(np.int64)
+    cnt = vc["c"].to_numpy(np.int64)
     t = uk // 2
     isd = (uk % 2).astype(bool)
-    total = int(dur.size)
-    # at-risk at time t = users with duration >= t
+    total = int(cnt.sum())
     all_t = np.unique(t)
-    dur_sorted = np.sort(dur)
+    # at-risk at time tt = users with duration >= tt, from the
+    # histogram itself (cum counts of durations below tt)
+    t_order = np.argsort(t, kind="mergesort")
+    t_s, c_s = t[t_order], cnt[t_order]
+    tu, start = np.unique(t_s, return_index=True)
+    per_t = np.add.reduceat(c_s, start)
+    below = np.cumsum(per_t) - per_t
     rows = []
     s = np.float64(1.0)
-    for tt in all_t.tolist():
-        n_at = total - int(np.searchsorted(dur_sorted, tt))
+    for i, tt in enumerate(tu.tolist()):
+        n_at = total - int(below[i])
         d = int(cnt[(t == tt) & isd].sum())
         c = int(cnt[(t == tt) & ~isd].sum())
         if d == 0:

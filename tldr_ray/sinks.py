@@ -377,12 +377,17 @@ def build_bloom_sidecar(path: str, col: str, m_bits: int = 1 << 16,
 
     from tldr_ray.stages.dedup import _mix64
 
+    import ray
+
     files = sorted(set(_glob.glob(os.path.join(path, "*.parquet")))
                    | set(_glob.glob(
                        os.path.join(path, "**", "*.parquet"),
                        recursive=True)))
-    manifest = {}
-    for f in files:
+
+    @ray.remote(num_cpus=1)
+    def _file_bloom(f: str) -> str:
+        # one task per file: the column scan parallelizes across the
+        # cluster instead of serializing through the driver
         v = pq.read_table(f, columns=[col])[col]
         x = np.unique(np.asarray(v.cast("int64"), dtype=np.int64)
                       .astype(np.uint64))
@@ -395,7 +400,11 @@ def build_bloom_sidecar(path: str, col: str, m_bits: int = 1 << 16,
                    % np.uint64(m_bits)).astype(np.int64)
             np.bitwise_or.at(bits, pos >> 3,
                              np.uint8(1) << (pos & 7).astype(np.uint8))
-        manifest[os.path.relpath(f, path)] = bits.tobytes().hex()
+        return bits.tobytes().hex()
+
+    hexes = ray.get([_file_bloom.remote(f) for f in files])
+    manifest = {os.path.relpath(f, path): h
+                for f, h in zip(files, hexes)}
     meta = {"col": col, "m_bits": m_bits, "k": k,
             "files": manifest}
     tmp = os.path.join(path, manifest_name + ".tmp")
