@@ -18609,3 +18609,121 @@ def incremental_cc_hashgraph(sf_dir: str):
 QUERIES["incremental_cc_hashgraph"] = incremental_cc_hashgraph
 ORACLE_SQL["incremental_cc_hashgraph"] = \
     ORACLE_SQL["connected_components_hashgraph"]
+
+
+def selectivity_estimate_events(sf_dir: str, n_buckets: int = 20):
+    """The optimizer's selectivity primitive, with its error exposed:
+    estimate |value BETWEEN lo AND hi| from a 20-bucket FIXED-WIDTH
+    histogram (w = ceil(span/B), so every bucket shares one
+    denominator) by linear interpolation — est = sum_i c_i *
+    clamp(overlap_i, 0, w) over denominator w, EXACT integers with
+    one float division — next to the true distributed count. Three
+    fixed predicates exercise full-bucket, sliver and off-histogram
+    cases. Emits (pred_id, lo, hi, est_num, est_den, est,
+    true_count)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(_cents(np.asarray(
+            batch["value"], dtype=np.float64)))})
+
+    ev = (_read(sf_dir, "events", ["value"])
+          .map_batches(prep, batch_format="pyarrow").materialize())
+    b = ev.aggregate(Min("v"), Max("v"))
+    v_lo, v_hi = int(b["min(v)"]), int(b["max(v)"])
+    span = v_hi - v_lo + 1
+    w = -(-span // n_buckets)          # ceil: fixed bucket width
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["v"], dtype=np.int64)
+        bk = (v - v_lo) // w
+        u, c = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    h = (ev.map_batches(hist, batch_format="pyarrow")
+         .groupby("bucket").aggregate(Sum("c", alias_name="c"))
+         .to_pandas().set_index("bucket")["c"]
+         .reindex(range(n_buckets), fill_value=0)
+         .to_numpy(np.int64))
+
+    preds = [(1, v_lo + span // 4, v_lo + span // 2),
+             (2, v_lo + span // 3, v_lo + span // 3 + span // 100),
+             (3, v_hi + 1000, v_hi + 2000)]
+    rows = []
+    for pid, lo, hi in preds:
+        num = 0
+        for i in range(n_buckets):
+            blo = v_lo + i * w
+            bhi = blo + w - 1
+            ov = min(hi, bhi) - max(lo, blo) + 1
+            if ov > 0:
+                num += int(h[i]) * min(ov, w)
+        true = ev.map_batches(
+            lambda t, _l=lo, _h=hi: pa.table({
+                "c": pa.array([int(((np.asarray(t["v"], np.int64)
+                                     >= _l)
+                                    & (np.asarray(t["v"], np.int64)
+                                       <= _h)).sum())], pa.int64())}),
+            batch_format="pyarrow").to_pandas()["c"].sum()
+        rows.append((pid, lo, hi, num, w,
+                     float(np.float64(num) / np.float64(w)),
+                     int(true)))
+    return pa.table({
+        "pred_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lo": pa.array([r[1] for r in rows], pa.int64()),
+        "hi": pa.array([r[2] for r in rows], pa.int64()),
+        "est_num": pa.array([r[3] for r in rows], pa.int64()),
+        "est_den": pa.array([r[4] for r in rows], pa.int64()),
+        "est": pa.array([r[5] for r in rows], pa.float64()),
+        "true_count": pa.array([r[6] for r in rows], pa.int64())})
+
+
+QUERIES["selectivity_estimate_events"] = selectivity_estimate_events
+ORACLE_SQL["selectivity_estimate_events"] = """
+    WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    bounds AS (SELECT min(v) AS vlo, max(v) AS vhi,
+                      max(v) - min(v) + 1 AS span,
+                      (max(v) - min(v) + 20) // 20 AS w
+               FROM e),
+    h AS (SELECT (v - vlo) // w AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM e, bounds GROUP BY 1),
+    grid AS (SELECT unnest(range(20)) AS bucket),
+    hh AS (SELECT grid.bucket, coalesce(h.c, 0) AS c
+           FROM grid LEFT JOIN h ON h.bucket = grid.bucket),
+    preds AS (
+        SELECT CAST(1 AS BIGINT) AS pred_id, vlo + span // 4 AS lo,
+               vlo + span // 2 AS hi FROM bounds
+        UNION ALL
+        SELECT 2, vlo + span // 3,
+               vlo + span // 3 + span // 100 FROM bounds
+        UNION ALL
+        SELECT 3, vhi + 1000, vhi + 2000 FROM bounds),
+    est AS (SELECT p.pred_id, p.lo, p.hi,
+                   CAST(coalesce(sum(hh.c * least(
+                       least(p.hi, bounds.vlo + (hh.bucket + 1)
+                                 * bounds.w - 1)
+                       - greatest(p.lo, bounds.vlo
+                                  + hh.bucket * bounds.w) + 1,
+                       bounds.w)), 0) AS BIGINT) AS est_num,
+                   (SELECT CAST(w AS BIGINT) FROM bounds) AS est_den
+            FROM preds p
+            CROSS JOIN bounds
+            LEFT JOIN hh ON least(p.hi, bounds.vlo + (hh.bucket + 1)
+                                       * bounds.w - 1)
+                            - greatest(p.lo, bounds.vlo
+                                       + hh.bucket * bounds.w) + 1
+                            > 0
+            GROUP BY 1, 2, 3),
+    tr AS (SELECT p.pred_id,
+                  CAST(count(*) FILTER (e.v BETWEEN p.lo AND p.hi)
+                       AS BIGINT) AS true_count
+           FROM preds p LEFT JOIN e ON true GROUP BY 1)
+    SELECT est.pred_id, est.lo, est.hi, est.est_num, est.est_den,
+           CAST(est.est_num AS DOUBLE) / CAST(est.est_den AS DOUBLE)
+               AS est,
+           tr.true_count
+    FROM est JOIN tr ON tr.pred_id = est.pred_id
+"""
