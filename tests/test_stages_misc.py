@@ -2859,3 +2859,47 @@ class TestMaxCoverageDocs:
         assert list(zip(out["doc_id"], out["gain"])) == picks
         assert len(picks) >= 3
         assert out["covered_after"].iloc[-1] == 9  # a..i
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalScheduling:
+    def test_matches_bruteforce(self, tmp_path):
+        from itertools import combinations
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tldr_ray.queries import QUERIES
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for uid in range(8):
+            n = int(rng.integers(1, 9))
+            for _ in range(n):
+                ts = int(rng.integers(0, 6 * 3600)) * 1_000_000
+                rows.append((uid, ts, float(rng.integers(1, 50))))
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = (QUERIES["interval_scheduling_users"](str(tmp_path))
+               .to_pandas().set_index("user_id"))
+
+        WIN = 1_800_000_000
+        for uid in range(8):
+            iv = [(r[1], r[1] + WIN, int(np.floor(r[2] * 100 + 0.5)))
+                  for r in rows if r[0] == uid]
+            best = 0
+            for k in range(len(iv) + 1):
+                for sub in combinations(range(len(iv)), k):
+                    sel = sorted((iv[i] for i in sub))
+                    if all(sel[a][1] <= sel[a + 1][0]
+                           for a in range(len(sel) - 1)):
+                        best = max(best, sum(x[2] for x in sel))
+            assert out.loc[uid, "best_value_cents"] == best, uid

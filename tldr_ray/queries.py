@@ -18727,3 +18727,126 @@ ORACLE_SQL["selectivity_estimate_events"] = """
            tr.true_count
     FROM est JOIN tr ON tr.pred_id = est.pred_id
 """
+
+
+def universe_sample_join(sf_dir: str):
+    """UNIVERSE (join-preserving) sampling — the dev-subset primitive
+    plain row sampling gets wrong: sampling 20% of ROWS from two fact
+    tables keeps only ~4% of their joinable pairs, but sampling 20%
+    of the join-key UNIVERSE (splitmix64(user_id) < 0.2*2^64, the
+    same seedless coin on every table) keeps EVERY pair for the
+    sampled keys — per-key aggregates remain exact. Emits the sampled
+    users' exact event counts and spend with the sampling decision
+    inline (one filter per table, no coordination, no key exchange)."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    T = np.uint64((1 << 64) // 5)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        m = _mix64(u.astype(np.uint64)) < T
+        t = batch.filter(pa.array(m))
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                t["value"], dtype=np.float64)))})
+
+    return (_read(sf_dir, "events", ["user_id", "value"])
+            .map_batches(keep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="spend_cents")))
+
+
+QUERIES["universe_sample_join"] = universe_sample_join
+ORACLE_SQL["universe_sample_join"] = f"""
+    WITH src AS (SELECT CAST(user_id AS HUGEINT) AS h, user_id, value
+                 FROM events),
+    {_sql_splitmix_ctes("src", carry="user_id, value, ")}
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS spend_cents
+    FROM m3 WHERE h < {(1 << 64) // 5}
+    GROUP BY user_id
+"""
+
+
+def interval_scheduling_users(sf_dir: str):
+    """Weighted interval scheduling per user: events expand to
+    30-minute engagement windows with cent weights, and the classic
+    DP (sort by end; dp[i] = max(dp[i-1], w_i + dp[p(i)]) with p
+    found by searchsorted) picks the maximum-value NON-OVERLAPPING
+    subset — the budgeted-attention model a greedy pick gets wrong.
+    One coarse shuffle on hash(user); the DP recurrence is inherently
+    sequential per user, so each task loops over its users' few
+    intervals (all candidate lookups vectorized via searchsorted).
+    Exact integer weights. Rows-only: a per-user DP has no tractable
+    SQL mirror — the pytest pins brute-force subset enumeration."""
+    from tldr_ray.graph.partition import vhash
+
+    WIN = np.int64(1_800_000_000)
+    NP = np.uint64(64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()), dtype=np.int64)
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "start": pa.array(us),
+            "end": pa.array(us + WIN),
+            "w": pa.array(_cents(np.asarray(batch["value"],
+                                            dtype=np.float64))),
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "end", "start"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        st = g["start"].to_numpy(np.int64)
+        en = g["end"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        users, u_start = np.unique(uid, return_index=True)
+        u_end = np.r_[u_start[1:], uid.size]
+        out_u, out_n, out_k, out_v = [], [], [], []
+        for i in range(users.size):
+            sl = slice(u_start[i], u_end[i])
+            s_, e_, w_ = st[sl], en[sl], w[sl]
+            m = s_.size
+            # p(j) = last interval ending at/before s_j (intervals may
+            # touch: end <= start is compatible)
+            p = np.searchsorted(e_, s_, side="right")
+            dp = np.zeros(m + 1, np.int64)
+            take = np.zeros(m, dtype=bool)
+            for j in range(m):          # sequential DP per user
+                skip = dp[j]
+                pick = w_[j] + dp[p[j]]
+                take[j] = pick > skip
+                dp[j + 1] = pick if pick > skip else skip
+            # count chosen by backtracking
+            k, j = 0, m - 1
+            while j >= 0:
+                if take[j]:
+                    k += 1
+                    j = p[j] - 1
+                else:
+                    j -= 1
+            out_u.append(int(users[i]))
+            out_n.append(m)
+            out_k.append(k)
+            out_v.append(int(dp[m]))
+        return pd.DataFrame({
+            "user_id": np.array(out_u, np.int64),
+            "n_intervals": np.array(out_n, np.int64),
+            "n_chosen": np.array(out_k, np.int64),
+            "best_value_cents": np.array(out_v, np.int64)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(sweep, batch_format="pandas"))
+
+
+QUERIES["interval_scheduling_users"] = interval_scheduling_users
