@@ -18850,3 +18850,161 @@ def interval_scheduling_users(sf_dir: str):
 
 
 QUERIES["interval_scheduling_users"] = interval_scheduling_users
+
+
+def partition_edgecut_hashgraph(sf_dir: str, P: int = 8):
+    """Partitioner quality audit — the number every distributed graph
+    round pays for: fraction of edges whose endpoints land in
+    different shards under (a) the engine's vhash partitioner and
+    (b) raw id-modulo. Ring+stride graphs make modulo look great on
+    +1 edges and terrible on stride edges; the audit quantifies it
+    (n_cut exact, per-mille integer). One streamed pass, per-batch
+    partial counts."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        cut_v = int(((vhash(s) % np.uint64(P))
+                     != (vhash(d) % np.uint64(P))).sum())
+        cut_m = int(((s % P) != (d % P)).sum())
+        return pa.table({
+            "partitioner": pa.array(["vhash", "modulo"], pa.string()),
+            "n_edges": pa.array([s.size, s.size], pa.int64()),
+            "n_cut": pa.array([cut_v, cut_m], pa.int64())})
+
+    g = (_hash_graph_edges(sf_dir)
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("partitioner")
+         .aggregate(Sum("n_edges", alias_name="n_edges"),
+                    Sum("n_cut", alias_name="n_cut"))
+         .to_pandas().sort_values("partitioner"))
+    ne = g["n_edges"].to_numpy(np.int64)
+    nc = g["n_cut"].to_numpy(np.int64)
+    return pa.table({
+        "partitioner": pa.array(g["partitioner"].to_numpy(object),
+                                pa.string()),
+        "n_edges": pa.array(ne),
+        "n_cut": pa.array(nc),
+        "cut_per_mille": pa.array(nc * 1000 // ne)})
+
+
+QUERIES["partition_edgecut_hashgraph"] = partition_edgecut_hashgraph
+
+
+def join_skew_advisor_lineitem(sf_dir: str, topn: int = 10):
+    """Pre-join skew advisor — the diagnostic the skew-aware join path
+    consults: per candidate join key of lineitem, the top heavy keys
+    with their per-mille share plus the key distribution's exact
+    Gini-style concentration (sum over keys of c*(c-1) relative to
+    n*(n-1), the probability two random rows collide — the quantity
+    that sizes a hash join's biggest build bucket). All exact
+    integers; one combiner-shaped groupby per key column."""
+    from ray.data.aggregate import Sum
+
+    out_rows = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        def partial(batch: pa.Table, _c=col) -> pa.Table:
+            v, c = np.unique(np.asarray(batch[_c], dtype=np.int64),
+                             return_counts=True)
+            return pa.table({"k": pa.array(v),
+                             "c": pa.array(c.astype(np.int64))})
+
+        g = (_read(sf_dir, "lineitem", [col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+        c = g["c"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        n = int(c.sum())
+        coll_num = int((c * (c - 1)).sum())
+        coll_den = n * (n - 1)
+        sel = np.lexsort((k, -c))[:topn]
+        for r, i in enumerate(sel):
+            out_rows.append((col, r + 1, int(k[i]), int(c[i]),
+                             int(c[i]) * 1000 // n,
+                             coll_num, coll_den))
+    return pa.table({
+        "join_col": pa.array([r[0] for r in out_rows], pa.string()),
+        "rank": pa.array([r[1] for r in out_rows], pa.int64()),
+        "key": pa.array([r[2] for r in out_rows], pa.int64()),
+        "n_rows": pa.array([r[3] for r in out_rows], pa.int64()),
+        "per_mille": pa.array([r[4] for r in out_rows], pa.int64()),
+        "collision_num": pa.array([r[5] for r in out_rows], pa.int64()),
+        "collision_den": pa.array([r[6] for r in out_rows], pa.int64())})
+
+
+QUERIES["join_skew_advisor_lineitem"] = join_skew_advisor_lineitem
+ORACLE_SQL["join_skew_advisor_lineitem"] = """
+    WITH cols AS (
+        SELECT 'l_orderkey' AS join_col, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    g AS (SELECT join_col, k, CAST(count(*) AS BIGINT) AS c
+          FROM cols GROUP BY 1, 2),
+    n AS (SELECT join_col, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+          FROM g GROUP BY 1),
+    r AS (SELECT g.join_col, g.k, g.c,
+                 row_number() OVER (PARTITION BY g.join_col
+                                    ORDER BY g.c DESC, g.k ASC)
+                     AS rank
+          FROM g)
+    SELECT r.join_col, CAST(r.rank AS BIGINT) AS rank, r.k AS key,
+           r.c AS n_rows,
+           CAST(r.c * 1000 // n.n AS BIGINT) AS per_mille,
+           n.coll AS collision_num,
+           CAST(n.n * (n.n - 1) AS BIGINT) AS collision_den
+    FROM r JOIN n ON n.join_col = r.join_col
+    WHERE r.rank <= 10
+"""
+
+
+def _edgecut_oracle_sql(P: int = 8) -> str:
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    GOLD = 0x9E3779B97F4A7C15
+
+    def chain(tag, src, xexpr, carry_first, carry):
+        return f"""
+    {tag}0 AS MATERIALIZED (SELECT {carry_first}{xexpr} AS h
+                            FROM {src}),
+    {tag}1 AS MATERIALIZED (
+        SELECT {carry}{_sql_mul64(_sql_xor_shift('h', 30), C1)} AS h
+        FROM {tag}0),
+    {tag}2 AS MATERIALIZED (
+        SELECT {carry}{_sql_mul64(_sql_xor_shift('h', 27), C2)} AS h
+        FROM {tag}1),
+    {tag}3 AS MATERIALIZED (
+        SELECT {carry}{_sql_xor_shift('h', 31)} AS h FROM {tag}2)"""
+
+    return f"""
+    WITH {_HASHGRAPH_RAW},
+    {chain("va", "raw2",
+           f"(CAST(s AS HUGEINT) + {GOLD}) % {_SQL_M64}",
+           "s, t, ", "s, t, ")},
+    {chain("vb", "va3",
+           f"(CAST(t AS HUGEINT) + {GOLD}) % {_SQL_M64}",
+           "s, t, h AS hs, ", "s, t, hs, ")},
+    cuts AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(sum(CASE WHEN CAST(hs % {P} AS BIGINT)
+                       != CAST(h % {P} AS BIGINT)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cut_v,
+        CAST(sum(CASE WHEN s % {P} != t % {P}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cut_m
+        FROM vb3)
+    SELECT 'modulo' AS partitioner, n_edges, cut_m AS n_cut,
+           CAST(cut_m * 1000 // n_edges AS BIGINT) AS cut_per_mille
+    FROM cuts
+    UNION ALL
+    SELECT 'vhash', n_edges, cut_v,
+           CAST(cut_v * 1000 // n_edges AS BIGINT)
+    FROM cuts
+"""
+
+
+ORACLE_SQL["partition_edgecut_hashgraph"] = _edgecut_oracle_sql()
