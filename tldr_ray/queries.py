@@ -19008,3 +19008,114 @@ def _edgecut_oracle_sql(P: int = 8) -> str:
 
 
 ORACLE_SQL["partition_edgecut_hashgraph"] = _edgecut_oracle_sql()
+
+
+def oof_target_encode_events(sf_dir: str, k: int = 5):
+    """Leakage-free OUT-OF-FOLD target encoding — the ML-engineering
+    pattern naive category-mean encoding breaks (a row must never see
+    its own target): fold = splitmix64(event_id) % 5, and each row's
+    encoding is the mean target over its category in the OTHER folds,
+    (sum_cat - sum_cat_fold) / (n_cat - n_cat_fold), falling back to
+    the other folds' GLOBAL mean when the category lives entirely in
+    one fold. Exact integer sums from ONE (category, fold) groupby
+    (k*|categories| cells — dimension-sized), one division per cell;
+    rows join the cell table through the size-gated auto_join."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.dedup import _mix64
+    from tldr_ray.stages.joins import auto_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "event_type": batch["event_type"],
+            "fold": pa.array((_mix64(eid.astype(np.uint64))
+                              % np.uint64(k)).astype(np.int64)),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow").materialize())
+    cells = (ev.groupby(["event_type", "fold"])
+             .aggregate(Sum("cents", alias_name="s"),
+                        Count(alias_name="n"))
+             .to_pandas())
+    tot_s = int(cells["s"].sum())
+    tot_n = int(cells["n"].sum())
+    cat = cells.groupby("event_type")[["s", "n"]].sum()
+    fold_tot = cells.groupby("fold")[["s", "n"]].sum()
+    enc_rows = []
+    for _, r in cells.iterrows():
+        cs, cn = int(cat.loc[r["event_type"], "s"]), \
+            int(cat.loc[r["event_type"], "n"])
+        ds_, dn = cs - int(r["s"]), cn - int(r["n"])
+        if dn > 0:
+            enc = np.float64(ds_) / np.float64(dn)
+        else:
+            gs = tot_s - int(fold_tot.loc[r["fold"], "s"])
+            gn = tot_n - int(fold_tot.loc[r["fold"], "n"])
+            enc = np.float64(gs) / np.float64(gn)
+        enc_rows.append((r["event_type"], int(r["fold"]), float(enc)))
+    import ray.data as rd
+    lut = rd.from_arrow(pa.table({
+        "key": pa.array([t + "\x1f" + str(f) for t, f, _ in enc_rows],
+                        pa.string()),
+        "enc": pa.array([e for _, _, e in enc_rows], pa.float64())}))
+
+    def addk(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["event_type"], dtype=object)
+        f = np.asarray(batch["fold"], dtype=np.int64)
+        return batch.append_column("key", pa.array(
+            [a + "\x1f" + str(int(b)) for a, b in zip(t, f)],
+            pa.string()))
+
+    out = auto_join(ev.map_batches(addk, batch_format="pyarrow"),
+                    lut, on="key")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"].cast(pa.string()),
+            "fold": t["fold"].cast(pa.int64()),
+            "enc": t["enc"].cast(pa.float64())}),
+        batch_format="pyarrow")
+
+
+QUERIES["oof_target_encode_events"] = oof_target_encode_events
+ORACLE_SQL["oof_target_encode_events"] = f"""
+    WITH src AS (SELECT event_id, event_type,
+                        CAST(event_id AS HUGEINT) AS h,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events),
+    {_sql_splitmix_ctes("src", carry="event_id, event_type, v, ")},
+    e AS (SELECT event_id, event_type, v,
+                 CAST(h % 5 AS BIGINT) AS fold
+          FROM m3),
+    cells AS (SELECT event_type, fold,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+    cat AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS cs,
+                   CAST(sum(n) AS BIGINT) AS cn
+            FROM cells GROUP BY 1),
+    ft AS (SELECT fold, CAST(sum(s) AS BIGINT) AS fs,
+                  CAST(sum(n) AS BIGINT) AS fn
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+                   CAST(sum(n) AS BIGINT) AS tn
+            FROM cells),
+    enc AS (SELECT cells.event_type, cells.fold,
+                   CASE WHEN cat.cn - cells.n > 0
+                        THEN CAST(cat.cs - cells.s AS DOUBLE)
+                             / CAST(cat.cn - cells.n AS DOUBLE)
+                        ELSE CAST(tot.ts - ft.fs AS DOUBLE)
+                             / CAST(tot.tn - ft.fn AS DOUBLE)
+                   END AS enc
+            FROM cells
+            JOIN cat ON cat.event_type = cells.event_type
+            JOIN ft ON ft.fold = cells.fold
+            CROSS JOIN tot)
+    SELECT e.event_id, e.event_type, e.fold, enc.enc
+    FROM e JOIN enc ON enc.event_type = e.event_type
+                   AND enc.fold = e.fold
+"""
