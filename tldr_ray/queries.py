@@ -19119,3 +19119,85 @@ ORACLE_SQL["oof_target_encode_events"] = f"""
     FROM e JOIN enc ON enc.event_type = e.event_type
                    AND enc.fold = e.fold
 """
+
+
+def split_scan_purchase(sf_dir: str):
+    """Decision-stump SPLIT SCAN over event value vs the purchase
+    label — the inner loop of every tree learner, as a table: for
+    each candidate threshold (distinct cent value; left = v <= t),
+    the exact left/right counts and purchase counts plus the
+    variance-reduction score n*gain = d^2/(n_l*n_r*n) with d =
+    s_l*n_r - s_r*n_l kept as an exact int64 and the score one fixed
+    two-multiply-one-divide float chain (the chi2_type_weekday
+    convention — the argmax is the reader's ORDER BY). Runs on the
+    value-counts plan: prefix sums over distinct values, never a
+    per-row scan."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.array(_cents(np.asarray(batch["value"],
+                                            dtype=np.float64))),
+            "y": pa.array(np.asarray(
+                pc.equal(batch["event_type"], "purchase"))
+                .astype(np.int64))})
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("v")
+         .aggregate(Count(alias_name="n"), Sum("y", alias_name="s"))
+         .to_pandas().sort_values("v"))
+    v = g["v"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    N, S = int(n.sum()), int(s.sum())
+    n_l = np.cumsum(n)
+    s_l = np.cumsum(s)
+    n_r = N - n_l
+    s_r = S - s_l
+    keep = (n_l > 0) & (n_r > 0)
+    d = s_l * n_r - s_r * n_l
+    den = n_l * n_r * np.int64(N)
+    gain = np.where(keep,
+                    d.astype(np.float64) * d.astype(np.float64)
+                    / np.where(keep, den, 1).astype(np.float64),
+                    0.0)
+    return pa.table({
+        "threshold": pa.array(v[keep]),
+        "n_left": pa.array(n_l[keep]),
+        "s_left": pa.array(s_l[keep]),
+        "n_right": pa.array(n_r[keep]),
+        "s_right": pa.array(s_r[keep]),
+        "d": pa.array(d[keep]),
+        "gain": pa.array(gain[keep])})
+
+
+QUERIES["split_scan_purchase"] = split_scan_purchase
+ORACLE_SQL["split_scan_purchase"] = """
+    WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END AS y
+               FROM events),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s
+          FROM e GROUP BY v),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(s) AS BIGINT) AS ss FROM g),
+    p AS (SELECT v,
+                 CAST(sum(n) OVER w AS BIGINT) AS n_l,
+                 CAST(sum(s) OVER w AS BIGINT) AS s_l
+          FROM g WINDOW w AS (ORDER BY v)),
+    sc AS (SELECT p.v AS threshold, p.n_l AS n_left,
+                  p.s_l AS s_left,
+                  tot.nn - p.n_l AS n_right,
+                  tot.ss - p.s_l AS s_right,
+                  p.s_l * (tot.nn - p.n_l)
+                      - (tot.ss - p.s_l) * p.n_l AS d,
+                  p.n_l * (tot.nn - p.n_l) * tot.nn AS den
+           FROM p, tot)
+    SELECT threshold, n_left, s_left, n_right, s_right,
+           CAST(d AS BIGINT) AS d,
+           (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+               / CAST(den AS DOUBLE) AS gain
+    FROM sc WHERE n_left > 0 AND n_right > 0
+"""
