@@ -19201,3 +19201,117 @@ ORACLE_SQL["split_scan_purchase"] = """
                / CAST(den AS DOUBLE) AS gain
     FROM sc WHERE n_left > 0 AND n_right > 0
 """
+
+
+def seq_pattern_pairs_sessions(sf_dir: str):
+    """Sequential-pattern support (the PrefixSpan level-2 itemset):
+    for every ordered type pair (a, b), in how many SESSIONS (30-min
+    inactivity gap, the repo's sessionization convention) does a
+    occur strictly BEFORE some b — the non-contiguous complement of
+    event_transitions' consecutive bigrams. Inside one coarse
+    user-sweep, sessions fall out of the usual lag+cumsum scan and
+    the a-before-b test per session is first_index(a) <
+    last_index(b) over the 5-type alphabet — a 5x5 vectorized
+    reduction per session, support counted once per session.
+    Emits (t_first, t_then, n_sessions, per_mille of all sessions)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    GAP = np.int64(1_800_000_000)
+    NP = np.uint64(64)
+    TYPES = np.array(["click", "error", "purchase", "signup", "view"],
+                     object)
+    T = len(TYPES)
+    tidx = {t: i for i, t in enumerate(TYPES)}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].astype("int64").to_numpy()
+        ty = np.array([tidx[t] for t in g["event_type"]], np.int64)
+        new = np.empty(uid.size, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > GAP)
+        sid = np.cumsum(new) - 1
+        pos = np.arange(uid.size, dtype=np.int64)
+        nses = int(sid[-1]) + 1 if uid.size else 0
+        first = np.full((nses, T), np.iinfo(np.int64).max, np.int64)
+        last = np.full((nses, T), -1, np.int64)
+        np.minimum.at(first, (sid, ty), pos)
+        np.maximum.at(last, (sid, ty), pos)
+        # support[a,b] += 1 where first[a] < last[b] (strictly before)
+        sup = (first[:, :, None] < last[:, None, :]).sum(axis=0)
+        a, b = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+        return pd.DataFrame({
+            "t_first": pd.Series(TYPES[a.ravel()], dtype=object),
+            "t_then": pd.Series(TYPES[b.ravel()], dtype=object),
+            "n_sessions": sup.ravel().astype(np.int64),
+            "n_total": np.full(T * T, nses, np.int64)})
+
+    g = (_read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("__part")
+         .map_groups(sweep, batch_format="pandas")
+         .groupby(["t_first", "t_then"])
+         .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                    Sum("n_total", alias_name="n_total"))
+         .to_pandas())
+    ns = g["n_sessions"].to_numpy(np.int64)
+    tot = g["n_total"].to_numpy(np.int64)
+    keep = ns > 0
+    return pa.table({
+        "t_first": pa.array(g["t_first"].to_numpy(object)[keep],
+                            pa.string()),
+        "t_then": pa.array(g["t_then"].to_numpy(object)[keep],
+                           pa.string()),
+        "n_sessions": pa.array(ns[keep]),
+        "per_mille": pa.array(ns[keep] * 1000 // tot[keep])})
+
+
+QUERIES["seq_pattern_pairs_sessions"] = seq_pattern_pairs_sessions
+ORACLE_SQL["seq_pattern_pairs_sessions"] = """
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+    r AS (SELECT user_id, ts, event_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS sess
+          FROM s),
+    idx AS (SELECT user_id, sess, event_type,
+                   min(rn) AS first_i, max(rn) AS last_i
+            FROM (SELECT user_id, sess, event_type,
+                         row_number() OVER (
+                             PARTITION BY user_id, sess
+                             ORDER BY ts, event_id) AS rn
+                  FROM r)
+            GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(count(DISTINCT (user_id, sess)) AS BIGINT)
+                AS n FROM r),
+    sup AS (SELECT a.event_type AS t_first, b.event_type AS t_then,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM idx a JOIN idx b
+              ON b.user_id = a.user_id AND b.sess = a.sess
+             AND a.first_i < b.last_i
+            GROUP BY 1, 2)
+    SELECT t_first, t_then, n_sessions,
+           CAST(n_sessions * 1000 // (SELECT n FROM tot) AS BIGINT)
+               AS per_mille
+    FROM sup
+"""
