@@ -19315,3 +19315,200 @@ ORACLE_SQL["seq_pattern_pairs_sessions"] = """
                AS per_mille
     FROM sup
 """
+
+
+def did_value_estimator(sf_dir: str):
+    """Difference-in-differences — the 2x2 causal workhorse: treated
+    cohort = odd user_id, post period = second half of the time
+    range, outcome = event value. One tagged groupby yields the four
+    cell (sum, n) pairs in exact cents; the estimate
+    (m_t1 - m_t0) - (m_c1 - m_c0) is four divisions and three
+    subtractions in a FIXED order, so the float hash-matches. Emits
+    the 2x2 cells plus the DiD estimate on every row (constant
+    column, chi2-style)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+          .map_batches(
+              lambda t: pa.table({
+                  "user_id": t["user_id"].cast(pa.int64()),
+                  "us": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                            dtype=np.int64)),
+                  "cents": pa.array(_cents(np.asarray(
+                      t["value"], dtype=np.float64)))}),
+              batch_format="pyarrow").materialize())
+    b = ev.aggregate(Min("us"), Max("us"))
+    mid = (int(b["min(us)"]) + int(b["max(us)"])) // 2
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        us = np.asarray(batch["us"], dtype=np.int64)
+        return pa.table({
+            "treated": pa.array((u % 2).astype(np.int64)),
+            "post": pa.array((us > mid).astype(np.int64)),
+            "cents": batch["cents"]})
+
+    g = (ev.map_batches(cellify, batch_format="pyarrow")
+         .groupby(["treated", "post"])
+         .aggregate(Sum("cents", alias_name="s"),
+                    Count(alias_name="n"))
+         .to_pandas().sort_values(["treated", "post"]))
+    cells = {(int(r["treated"]), int(r["post"])):
+             (int(r["s"]), int(r["n"])) for _, r in g.iterrows()}
+
+    def mean(t, p):
+        s, n = cells[(t, p)]
+        return np.float64(s) / np.float64(n)
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    return pa.table({
+        "treated": pa.array(g["treated"].to_numpy(np.int64)),
+        "post": pa.array(g["post"].to_numpy(np.int64)),
+        "sum_cents": pa.array(g["s"].to_numpy(np.int64)),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "did_cents": pa.array(np.full(len(g), float(did)))})
+
+
+QUERIES["did_value_estimator"] = did_value_estimator
+ORACLE_SQL["did_value_estimator"] = """
+    WITH e AS (SELECT user_id % 2 AS treated,
+                      CASE WHEN epoch_us(ts) >
+                           ((SELECT min(epoch_us(ts)) FROM events)
+                            + (SELECT max(epoch_us(ts)) FROM events))
+                           // 2
+                           THEN 1 ELSE 0 END AS post,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    g AS (SELECT treated, post, CAST(sum(c) AS BIGINT) AS sum_cents,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+    m AS (SELECT
+        (SELECT CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM g WHERE treated = 1 AND post = 1) AS m11,
+        (SELECT CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM g WHERE treated = 1 AND post = 0) AS m10,
+        (SELECT CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM g WHERE treated = 0 AND post = 1) AS m01,
+        (SELECT CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE)
+         FROM g WHERE treated = 0 AND post = 0) AS m00)
+    SELECT CAST(treated AS BIGINT) AS treated,
+           CAST(post AS BIGINT) AS post, sum_cents, n,
+           (SELECT (m11 - m10) - (m01 - m00) FROM m) AS did_cents
+    FROM g
+"""
+
+
+def mmd2_click_vs_purchase(sf_dir: str, c: int = 10_000):
+    """Kernel two-sample test: unbiased MMD^2 between click and
+    purchase values under the quadratic kernel k(x,y) = (c + xy)^2 —
+    the kernel-methods member of the two-sample family (KS compares
+    CDFs, Mann-Whitney ranks, Welch means; MMD compares kernel mean
+    embeddings). The quadratic kernel expands into PURE MOMENTS:
+    sum-pairs k = c^2*P + 2c*(S1*S1' - ...) + (Q..*..) where every
+    term is an exact PYTHON integer assembled from the five
+    distributed moment partials (n, sum x, sum x^2, sum x^3, sum x^4
+    per side — one combiner pass), and the final statistic is one
+    fixed float chain over three exact numerators. HUGEINT-free
+    oracle: the moments are emitted too, so the mirror recomputes the
+    same chain."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        v = _cents(np.asarray(t["value"], dtype=np.float64)) \
+            .astype(object)     # python ints: x^4 overflows int64
+        side = np.asarray(pc.equal(t["event_type"], "purchase"))
+        rows = []
+        for s in (False, True):
+            x = v[side == s]
+            rows.append(("purchase" if s else "click", x.size,
+                         int(sum(x)), int(sum(a * a for a in x)),
+                         int(sum(a ** 3 for a in x)),
+                         int(sum(a ** 4 for a in x))))
+        return pa.table({
+            "side": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s1": pa.array([str(r[2]) for r in rows], pa.string()),
+            "s2": pa.array([str(r[3]) for r in rows], pa.string()),
+            "s3": pa.array([str(r[4]) for r in rows], pa.string()),
+            "s4": pa.array([str(r[5]) for r in rows], pa.string())})
+
+    parts = (_read(sf_dir, "events", ["event_type", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    mom = {}
+    for side in ("click", "purchase"):
+        sub = parts[parts["side"] == side]
+        mom[side] = [int(sub["n"].sum())] + [
+            sum(int(x) for x in sub[k]) for k in
+            ("s1", "s2", "s3", "s4")]
+
+    def pair_sum(a, b):
+        """sum over i,j of (c + x_i y_j)^2 as exact ints from
+        moments: c^2 n_a n_b + 2c S1a S1b + S2a S2b."""
+        na, s1a, s2a = a[0], a[1], a[2]
+        nb, s1b, s2b = b[0], b[1], b[2]
+        return (c * c * na * nb + 2 * c * s1a * s1b + s2a * s2b)
+
+    def self_sum(a):
+        """sum over i != j: subtract the diagonal sum over i of
+        (c + x_i^2)^2 = c^2 n + 2c S2 + S4."""
+        n, s1, s2, s3, s4 = a
+        diag = c * c * n + 2 * c * s2 + s4
+        return pair_sum(a, a) - diag
+
+    A = mom["click"]
+    B = mom["purchase"]
+    na, nb = A[0], B[0]
+    xx = self_sum(A)
+    yy = self_sum(B)
+    xy = pair_sum(A, B)
+    mmd2 = (np.float64(xx) / np.float64(na * (na - 1))
+            + np.float64(yy) / np.float64(nb * (nb - 1))
+            - 2.0 * (np.float64(xy) / np.float64(na * nb)))
+    return pa.table({
+        "n_click": pa.array([na], pa.int64()),
+        "n_purchase": pa.array([nb], pa.int64()),
+        "xx_num": pa.array([str(xx)], pa.string()),
+        "yy_num": pa.array([str(yy)], pa.string()),
+        "xy_num": pa.array([str(xy)], pa.string()),
+        "mmd2": pa.array([float(mmd2)], pa.float64())})
+
+
+QUERIES["mmd2_click_vs_purchase"] = mmd2_click_vs_purchase
+ORACLE_SQL["mmd2_click_vs_purchase"] = """
+    WITH e AS (SELECT event_type AS side,
+                      CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS HUGEINT) AS v
+               FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (SELECT side, CAST(count(*) AS HUGEINT) AS n,
+                 sum(v) AS s1, sum(v * v) AS s2,
+                 sum(v * v * v * v) AS s4
+          FROM e GROUP BY side),
+    a AS (SELECT * FROM m WHERE side = 'click'),
+    b AS (SELECT * FROM m WHERE side = 'purchase'),
+    t AS (SELECT
+        (SELECT n FROM a) AS na, (SELECT n FROM b) AS nb,
+        (SELECT 10000 * 10000 * n * n + 2 * 10000 * s1 * s1 + s2 * s2
+                - (10000 * 10000 * n + 2 * 10000 * s2 + s4)
+         FROM a) AS xx,
+        (SELECT 10000 * 10000 * n * n + 2 * 10000 * s1 * s1 + s2 * s2
+                - (10000 * 10000 * n + 2 * 10000 * s2 + s4)
+         FROM b) AS yy,
+        10000 * 10000 * (SELECT n FROM a) * (SELECT n FROM b)
+            + 2 * 10000 * (SELECT s1 FROM a) * (SELECT s1 FROM b)
+            + (SELECT s2 FROM a) * (SELECT s2 FROM b) AS xy)
+    SELECT CAST(na AS BIGINT) AS n_click,
+           CAST(nb AS BIGINT) AS n_purchase,
+           CAST(xx AS VARCHAR) AS xx_num,
+           CAST(yy AS VARCHAR) AS yy_num,
+           CAST(xy AS VARCHAR) AS xy_num,
+           CAST(xx AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE)
+               + CAST(yy AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE)
+               - 2.0 * (CAST(xy AS DOUBLE)
+                        / CAST(na * nb AS DOUBLE)) AS mmd2
+    FROM t
+"""
