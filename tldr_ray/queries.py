@@ -19512,3 +19512,141 @@ ORACLE_SQL["mmd2_click_vs_purchase"] = """
                         / CAST(na * nb AS DOUBLE)) AS mmd2
     FROM t
 """
+
+
+def simpsons_paradox_audit(sf_dir: str):
+    """Simpson's-paradox audit — the aggregation trap detector every
+    metrics platform needs: is the association between high quantity
+    (above the global median) and returns (l_returnflag = 'R') the
+    same SIGN overall as within every l_linestatus stratum? All
+    comparisons are integer CROSS-MULTIPLICATIONS of return rates
+    (r_hi * n_lo vs r_lo * n_hi — no float thresholds), the median
+    is the exact value-counts median, and each stratum row carries
+    its own direction plus the overall one and a reversal flag.
+    Emits one row per stratum + one 'OVERALL' row."""
+    from ray.data.aggregate import Count, Sum
+
+    vc = (_read(sf_dir, "lineitem", ["l_quantity"])
+          .map_batches(lambda t: pa.table({
+              "q": pa.array(np.asarray(t["l_quantity"],
+                                       dtype=np.float64)
+                            .astype(np.int64))}),
+              batch_format="pyarrow")
+          .groupby("q").count().to_pandas().sort_values("q"))
+    cnt = vc["count()"].to_numpy(np.int64)
+    total = int(cnt.sum())
+    med = int(vc["q"].to_numpy(np.int64)[
+        np.searchsorted(np.cumsum(cnt), (total + 1) // 2)])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["l_quantity"], dtype=np.float64) \
+            .astype(np.int64)
+        return pa.table({
+            "stratum": batch["l_linestatus"],
+            "hi": pa.array((q > med).astype(np.int64)),
+            "ret": pa.array(np.asarray(
+                pc.equal(batch["l_returnflag"], "R"))
+                .astype(np.int64))})
+
+    g = (_read(sf_dir, "lineitem",
+               ["l_quantity", "l_linestatus", "l_returnflag"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["stratum", "hi"])
+         .aggregate(Count(alias_name="n"),
+                    Sum("ret", alias_name="r"))
+         .to_pandas())
+
+    def direction(sub):
+        hi = sub[sub["hi"] == 1]
+        lo = sub[sub["hi"] == 0]
+        if len(hi) == 0 or len(lo) == 0:
+            return 0
+        a = int(hi["r"].iloc[0]) * int(lo["n"].iloc[0])
+        b = int(lo["r"].iloc[0]) * int(hi["n"].iloc[0])
+        return 1 if a > b else (-1 if a < b else 0)
+
+    overall_dir = direction(
+        g.groupby("hi", as_index=False)[["n", "r"]].sum()
+        .assign(hi=lambda d: d["hi"]))
+    rows = []
+    for st in sorted(g["stratum"].unique()):
+        sub = g[g["stratum"] == st]
+        if sub["hi"].nunique() < 2:     # one-sided stratum: no
+            continue                    # within-stratum direction
+        d = direction(sub)
+        rows.append((st, int(sub["n"].sum()), int(sub["r"].sum()),
+                     d, overall_dir, int(d != 0 and overall_dir != 0
+                                         and d != overall_dir)))
+    tot = g[["n", "r"]].sum()
+    rows.append(("OVERALL", int(tot["n"]), int(tot["r"]),
+                 overall_dir, overall_dir, 0))
+    return pa.table({
+        "stratum": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "n_returned": pa.array([r[2] for r in rows], pa.int64()),
+        "direction": pa.array([r[3] for r in rows], pa.int64()),
+        "overall_direction": pa.array([r[4] for r in rows],
+                                      pa.int64()),
+        "reversed": pa.array([r[5] for r in rows], pa.int64())})
+
+
+QUERIES["simpsons_paradox_audit"] = simpsons_paradox_audit
+ORACLE_SQL["simpsons_paradox_audit"] = """
+    WITH l AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                      l_linestatus AS stratum,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                          AS ret
+               FROM lineitem),
+    vc AS (SELECT q, count(*) AS c FROM l GROUP BY q),
+    med AS (SELECT min(q) AS m FROM (
+        SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM vc)
+        WHERE cum >= ((SELECT count(*) FROM l) + 1) // 2),
+    e AS (SELECT stratum,
+                 CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END
+                     AS hi,
+                 ret
+          FROM l),
+    g AS (SELECT stratum, hi, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(ret) AS BIGINT) AS r
+          FROM e GROUP BY 1, 2),
+    dirs AS (SELECT stratum,
+                    CAST(CASE
+                        WHEN max(CASE WHEN hi = 1 THEN r END)
+                             * max(CASE WHEN hi = 0 THEN n END)
+                             > max(CASE WHEN hi = 0 THEN r END)
+                             * max(CASE WHEN hi = 1 THEN n END)
+                        THEN 1
+                        WHEN max(CASE WHEN hi = 1 THEN r END)
+                             * max(CASE WHEN hi = 0 THEN n END)
+                             < max(CASE WHEN hi = 0 THEN r END)
+                             * max(CASE WHEN hi = 1 THEN n END)
+                        THEN -1 ELSE 0 END AS BIGINT) AS direction,
+                    CAST(sum(n) AS BIGINT) AS n,
+                    CAST(sum(r) AS BIGINT) AS n_returned
+             FROM g
+             GROUP BY stratum
+             HAVING count(DISTINCT hi) = 2),
+    od AS (SELECT CAST(CASE
+               WHEN sum(CASE WHEN hi = 1 THEN r ELSE 0 END)
+                    * sum(CASE WHEN hi = 0 THEN n ELSE 0 END)
+                    > sum(CASE WHEN hi = 0 THEN r ELSE 0 END)
+                    * sum(CASE WHEN hi = 1 THEN n ELSE 0 END)
+               THEN 1
+               WHEN sum(CASE WHEN hi = 1 THEN r ELSE 0 END)
+                    * sum(CASE WHEN hi = 0 THEN n ELSE 0 END)
+                    < sum(CASE WHEN hi = 0 THEN r ELSE 0 END)
+                    * sum(CASE WHEN hi = 1 THEN n ELSE 0 END)
+               THEN -1 ELSE 0 END AS BIGINT) AS d
+          FROM g)
+    SELECT stratum, n, n_returned, direction,
+           (SELECT d FROM od) AS overall_direction,
+           CAST(CASE WHEN direction != 0 AND (SELECT d FROM od) != 0
+                      AND direction != (SELECT d FROM od)
+                     THEN 1 ELSE 0 END AS BIGINT) AS reversed
+    FROM dirs
+    UNION ALL
+    SELECT 'OVERALL',
+           (SELECT CAST(sum(n) AS BIGINT) FROM g),
+           (SELECT CAST(sum(r) AS BIGINT) FROM g),
+           (SELECT d FROM od), (SELECT d FROM od), 0
+"""
