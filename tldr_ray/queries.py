@@ -19650,3 +19650,114 @@ ORACLE_SQL["simpsons_paradox_audit"] = """
            (SELECT CAST(sum(r) AS BIGINT) FROM g),
            (SELECT d FROM od), (SELECT d FROM od), 0
 """
+
+
+def ltv_cohort_curve(sf_dir: str):
+    """Cohort lifetime-value curve — the growth team's canonical
+    chart: users cohort by their FIRST event week, and each cohort's
+    CUMULATIVE spend per age week (age = week - cohort_week) is the
+    LTV trajectory. Two exchanges total: one grouped (user -> cohort
+    week) min, one (cohort, age) cent sum decorated with the
+    cohort's user count; the cumulative runs inside a per-cohort
+    sweep (cohorts are few — a dimension axis). Exact cents
+    everywhere; ltv_per_user_cents is the one integer division."""
+    from ray.data.aggregate import Min, Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    WEEK = np.int64(7 * 86_400_000_000)
+    NP = np.uint64(16)
+
+    ev = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+          .map_batches(
+              lambda t: pa.table({
+                  "user_id": t["user_id"].cast(pa.int64()),
+                  "week": pa.array(np.asarray(
+                      t["ts"].cast(pa.int64()), dtype=np.int64)
+                      // WEEK),
+                  "cents": pa.array(_cents(np.asarray(
+                      t["value"], dtype=np.float64)))}),
+              batch_format="pyarrow").materialize())
+    from ray.data.aggregate import Count
+
+    from tldr_ray.stages.joins import auto_join
+
+    cohort = (ev.groupby("user_id")
+              .aggregate(Min("week", alias_name="cohort_week"))
+              .materialize())
+    n_users = (cohort.groupby("cohort_week")
+               .aggregate(Count(alias_name="n"))
+               .to_pandas().set_index("cohort_week")["n"])
+
+    def age(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["week"], dtype=np.int64)
+        cwk = np.asarray(batch["cohort_week"], dtype=np.int64)
+        return pa.table({
+            "cohort_week": pa.array(cwk),
+            "age": pa.array(w - cwk),
+            "cents": batch["cents"]})
+
+    # size-gated decoration: broadcast while the user->cohort map
+    # fits, bucketed join past the gate
+    g = (auto_join(ev, cohort, on="user_id")
+         .map_batches(age, batch_format="pyarrow")
+         .groupby(["cohort_week", "age"])
+         .aggregate(Sum("cents", alias_name="spend"))
+         .map_batches(
+             lambda t: t.append_column(
+                 "__part", pa.array(
+                     (vhash(np.asarray(t["cohort_week"], np.int64))
+                      % NP).astype(np.int32))),
+             batch_format="pyarrow"))
+
+    def cum(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["cohort_week", "age"],
+                              kind="mergesort")
+        c = grp["cohort_week"].to_numpy(np.int64)
+        sp = grp["spend"].to_numpy(np.int64)
+        new = np.empty(c.size, dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        seg = np.cumsum(new) - 1
+        cs = np.cumsum(sp)
+        base = np.zeros(c.size, np.int64)
+        starts = np.flatnonzero(new)
+        offs = np.r_[np.int64(0), cs[starts[1:] - 1]]
+        base = offs[seg]
+        nu = np.array([int(n_users.loc[x]) for x in c], np.int64)
+        cum_sp = cs - base
+        return pd.DataFrame({
+            "cohort_week": c,
+            "age": grp["age"].to_numpy(np.int64),
+            "spend_cents": sp,
+            "cum_spend_cents": cum_sp,
+            "n_users": nu,
+            "ltv_per_user_cents": cum_sp // nu})
+
+    return g.groupby("__part").map_groups(cum, batch_format="pandas")
+
+
+QUERIES["ltv_cohort_curve"] = ltv_cohort_curve
+ORACLE_SQL["ltv_cohort_curve"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    u AS (SELECT user_id, min(week) AS cohort_week
+          FROM e GROUP BY user_id),
+    nu AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+           FROM u GROUP BY 1),
+    g AS (SELECT u.cohort_week, e.week - u.cohort_week AS age,
+                 CAST(sum(e.c) AS BIGINT) AS spend_cents
+          FROM e JOIN u ON u.user_id = e.user_id
+          GROUP BY 1, 2),
+    cm AS (SELECT cohort_week, age, spend_cents,
+                  CAST(sum(spend_cents) OVER (
+                      PARTITION BY cohort_week ORDER BY age)
+                      AS BIGINT) AS cum_spend_cents
+           FROM g)
+    SELECT cm.cohort_week, cm.age, cm.spend_cents,
+           cm.cum_spend_cents, nu.n_users,
+           CAST(cm.cum_spend_cents // nu.n_users AS BIGINT)
+               AS ltv_per_user_cents
+    FROM cm JOIN nu ON nu.cohort_week = cm.cohort_week
+"""
