@@ -19761,3 +19761,114 @@ ORACLE_SQL["ltv_cohort_curve"] = """
                AS ltv_per_user_cents
     FROM cm JOIN nu ON nu.cohort_week = cm.cohort_week
 """
+
+
+def cuped_adjusted_values(sf_dir: str):
+    """CUPED covariate adjustment — the experimentation-platform
+    primitive that shrinks A/B variance with pre-period data: per
+    user, pre = first-half spend, post = second-half spend, and the
+    adjusted metric is y_adj = y - theta*(x - x_bar) with theta =
+    cov(x, y)/var(x). Exact integer moments come back as ONE scalar
+    partial row per block of the grouped frame (python-int driver
+    fold — no O(users) state anywhere), theta and x_bar are each one
+    division, and the per-user adjustment applies distributed as the
+    same fixed multiply-subtract chain — floats hash-match."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+          .map_batches(
+              lambda t: pa.table({
+                  "user_id": t["user_id"].cast(pa.int64()),
+                  "us": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                            dtype=np.int64)),
+                  "cents": pa.array(_cents(np.asarray(
+                      t["value"], dtype=np.float64)))}),
+              batch_format="pyarrow").materialize())
+    b = ev.aggregate(Min("us"), Max("us"))
+    mid = (int(b["min(us)"]) + int(b["max(us)"])) // 2
+
+    def split(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["us"], dtype=np.int64)
+        c = np.asarray(batch["cents"], dtype=np.int64)
+        post = us > mid
+        return pa.table({
+            "user_id": batch["user_id"],
+            "pre": pa.array(np.where(post, 0, c)),
+            "post": pa.array(np.where(post, c, 0))})
+
+    per_user = (ev.map_batches(split, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("pre", alias_name="pre_cents"),
+                           Sum("post", alias_name="post_cents"))
+                .materialize())
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["pre_cents"], dtype=np.int64) \
+            .astype(object)
+        y = np.asarray(batch["post_cents"], dtype=np.int64) \
+            .astype(object)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([str(int(sum(x)))], pa.string()),
+            "sy": pa.array([str(int(sum(y)))], pa.string()),
+            "sxx": pa.array([str(int(sum(a * a for a in x)))],
+                            pa.string()),
+            "sxy": pa.array([str(int(sum(a * b
+                                         for a, b in zip(x, y))))],
+                            pa.string())})
+
+    parts = per_user.map_batches(moments,
+                                 batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    theta = np.float64(n * sxy - sx * sy) \
+        / np.float64(n * sxx - sx * sx)
+    xbar = np.float64(sx) / np.float64(n)
+
+    def adjust(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["pre_cents"], dtype=np.int64)
+        y = np.asarray(batch["post_cents"], dtype=np.int64)
+        adj = y.astype(np.float64) \
+            - theta * (x.astype(np.float64) - xbar)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "pre_cents": pa.array(x),
+            "post_cents": pa.array(y),
+            "adjusted": pa.array(adj)})
+
+    return per_user.map_batches(adjust, batch_format="pyarrow")
+
+
+QUERIES["cuped_adjusted_values"] = cuped_adjusted_values
+ORACLE_SQL["cuped_adjusted_values"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM e),
+    g AS (SELECT user_id,
+                 CAST(sum(CASE WHEN us > (SELECT m FROM mid)
+                               THEN 0 ELSE c END) AS BIGINT)
+                     AS pre_cents,
+                 CAST(sum(CASE WHEN us > (SELECT m FROM mid)
+                               THEN c ELSE 0 END) AS BIGINT)
+                     AS post_cents
+          FROM e GROUP BY user_id),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(pre_cents) AS HUGEINT) AS sx,
+                 CAST(sum(post_cents) AS HUGEINT) AS sy,
+                 sum(CAST(pre_cents AS HUGEINT) * pre_cents) AS sxx,
+                 sum(CAST(pre_cents AS HUGEINT) * post_cents) AS sxy
+          FROM g),
+    th AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+           FROM m)
+    SELECT g.user_id, g.pre_cents, g.post_cents,
+           CAST(g.post_cents AS DOUBLE)
+               - th.theta * (CAST(g.pre_cents AS DOUBLE) - th.xbar)
+               AS adjusted
+    FROM g, th
+"""
