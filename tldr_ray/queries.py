@@ -19872,3 +19872,82 @@ ORACLE_SQL["cuped_adjusted_values"] = """
                AS adjusted
     FROM g, th
 """
+
+
+def median_of_means_value(sf_dir: str, k: int = 15):
+    """Median-of-means — the heavy-tail-robust mean estimator with
+    sub-Gaussian concentration that a plain mean lacks: events split
+    into k = 15 deterministic splitmix buckets, each bucket's mean is
+    an exact rational (cent sum / count), and the ESTIMATE is the
+    median bucket-mean selected by CROSS-MULTIPLIED rational
+    comparison (no float ordering anywhere; k odd makes the median a
+    single bucket). Emits every bucket (bucket, n, sum_cents, mean)
+    with the chosen median flagged — mean is the one division per
+    bucket."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array((_mix64(eid.astype(np.uint64))
+                                % np.uint64(k)).astype(np.int64)),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["event_id", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("bucket")
+         .aggregate(Sum("cents", alias_name="sum_cents"),
+                    Count(alias_name="n"))
+         .to_pandas().sort_values("bucket"))
+    s = g["sum_cents"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    # median by exact rational order: rank of bucket i = #{j: s_j/n_j
+    # < s_i/n_i (cross-mult) or tie with j < i}
+    m = len(g)
+    import functools
+
+    def cmp(i, j):
+        a = int(s[i]) * int(n[j])
+        b = int(s[j]) * int(n[i])
+        if a != b:
+            return -1 if a < b else 1
+        return -1 if i < j else 1
+
+    order = sorted(range(m), key=functools.cmp_to_key(cmp))
+    med = order[m // 2]
+    return pa.table({
+        "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "sum_cents": pa.array(s),
+        "mean": pa.array(s.astype(np.float64) / n.astype(np.float64)),
+        "is_median": pa.array(
+            (np.arange(m) == med).astype(np.int64))})
+
+
+QUERIES["median_of_means_value"] = median_of_means_value
+ORACLE_SQL["median_of_means_value"] = f"""
+    WITH src AS (SELECT CAST(event_id AS HUGEINT) AS h, value
+                 FROM events),
+    {_sql_splitmix_ctes("src", carry="value, ")},
+    g AS (SELECT CAST(h % 15 AS BIGINT) AS bucket,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_cents,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM m3 GROUP BY 1),
+    r AS (SELECT a.bucket,
+                 CAST(sum(CASE
+                     WHEN b.sum_cents * a.n < a.sum_cents * b.n
+                       OR (b.sum_cents * a.n = a.sum_cents * b.n
+                           AND b.bucket < a.bucket)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+          FROM g a JOIN g b ON b.bucket != a.bucket
+          GROUP BY a.bucket)
+    SELECT g.bucket, g.n, g.sum_cents,
+           CAST(g.sum_cents AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean,
+           CAST(CASE WHEN r.n_below = 7 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_median
+    FROM g JOIN r ON r.bucket = g.bucket
+"""
