@@ -19951,3 +19951,90 @@ ORACLE_SQL["median_of_means_value"] = f"""
                AS is_median
     FROM g JOIN r ON r.bucket = g.bucket
 """
+
+
+def markov_absorption_purchase(sf_dir: str):
+    """Absorbing-Markov-chain funnel analysis: from the sessionized
+    consecutive-transition counts (30-min gap), what is the
+    probability a session in state s reaches 'purchase' before the
+    session ENDS (the absorbing exit), and how many steps does it
+    expect to survive? Transition mass estimates from one distributed
+    (from, to) count with session-end transitions feeding the EXIT
+    absorber; the fundamental-matrix solve (I - Q)X = R is a 4x4
+    driver solve — dimension data. Rows-only (linear solve floats);
+    the pytest pins a hand-built chain against the closed form."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    GAP = np.int64(1_800_000_000)
+    NP = np.uint64(64)
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    tidx = {t: i for i, t in enumerate(TYPES)}
+    T = len(TYPES)
+    EXIT = T
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts": batch["ts"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].astype("int64").to_numpy()
+        ty = np.array([tidx[t] for t in g["event_type"]], np.int64)
+        brk = np.empty(uid.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > GAP)
+        frm = []
+        to = []
+        # within-session consecutive transitions
+        cont = ~brk[1:]
+        frm.append(ty[:-1][cont])
+        to.append(ty[1:][cont])
+        # session-end transitions feed EXIT (incl. the final row)
+        ends = np.r_[brk[1:], True]
+        frm.append(ty[ends])
+        to.append(np.full(int(ends.sum()), EXIT, np.int64))
+        key = np.concatenate(frm) * (T + 1) + np.concatenate(to)
+        u, c = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": u,
+                             "n": c.astype(np.int64)})
+
+    g = (_read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("__part").map_groups(sweep, batch_format="pandas")
+         .groupby("key").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    cnt = np.zeros((T, T + 1), np.float64)
+    for kk, nn in zip(g["key"].to_numpy(np.int64),
+                      g["n"].to_numpy(np.int64)):
+        cnt[kk // (T + 1), kk % (T + 1)] = nn
+    row = cnt.sum(axis=1, keepdims=True)
+    # a state never observed as a source is a pure exit (no evidence
+    # of onward movement) — avoids 0/0 rows poisoning the solve
+    empty = row[:, 0] == 0
+    cnt[empty, EXIT] = 1.0
+    row = cnt.sum(axis=1, keepdims=True)
+    P = cnt / row
+    # absorbers: purchase + EXIT. transient = the other 4 states.
+    trans = [i for i, t in enumerate(TYPES) if t != "purchase"]
+    Q = P[np.ix_(trans, trans)]
+    r_buy = P[trans, tidx["purchase"]]
+    eye = np.eye(len(trans))
+    p_buy = np.linalg.solve(eye - Q, r_buy)
+    steps = np.linalg.solve(eye - Q, np.ones(len(trans)))
+    return pa.table({
+        "state": pa.array([TYPES[i] for i in trans], pa.string()),
+        "p_purchase": pa.array(p_buy),
+        "expected_steps": pa.array(steps)})
+
+
+QUERIES["markov_absorption_purchase"] = markov_absorption_purchase
