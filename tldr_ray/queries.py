@@ -20038,3 +20038,206 @@ def markov_absorption_purchase(sf_dir: str):
 
 
 QUERIES["markov_absorption_purchase"] = markov_absorption_purchase
+
+
+def conformal_value_intervals(sf_dir: str, alpha_num: int = 1,
+                              alpha_den: int = 10):
+    """Split-conformal prediction intervals — the distribution-free
+    coverage guarantee (>= 1 - alpha on exchangeable data): events
+    split by the seedless splitmix coin into a TRAINING half (fits
+    the per-type mean predictor, exact cent sums) and a CALIBRATION
+    half (the quantile of absolute residuals at ceil((n+1)(1-alpha))
+    -th order statistic — percentile_disc on the residual
+    value-counts, exact integers throughout). Emits per type
+    (n_train, n_cal, pred_num/den, q_resid, lo, hi) where pred is
+    the exact rational mean and lo/hi the one fixed float chain."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    HALF = np.uint64(1 << 63)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "cal": pa.array((_mix64(eid.astype(np.uint64)) >= HALF)
+                            .astype(np.int64)),
+            "cents": pa.array(_cents(np.asarray(
+                batch["value"], dtype=np.float64)))})
+
+    ev = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow").materialize())
+    tr = (ev.groupby(["event_type", "cal"])
+          .aggregate(Sum("cents", alias_name="s"),
+                     Count(alias_name="n"))
+          .to_pandas())
+    train = tr[tr["cal"] == 0].set_index("event_type")
+    preds = {t: (int(r["s"]), int(r["n"]))
+             for t, r in train.iterrows()}
+
+    def resid(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["cal"], dtype=np.int64) == 1
+        t = batch.filter(pa.array(m))
+        ty = np.asarray(t["event_type"], dtype=object)
+        c = np.asarray(t["cents"], dtype=np.int64)
+        # |residual| scaled by n_train keeps it an exact integer:
+        # r = |c*n - s|  (the true |c - s/n| times n)
+        s_arr = np.array([preds[x][0] for x in ty], np.int64)
+        n_arr = np.array([preds[x][1] for x in ty], np.int64)
+        r = np.abs(c * n_arr - s_arr)
+        return pa.table({"event_type": t["event_type"],
+                         "r": pa.array(r)})
+
+    vc = (ev.map_batches(resid, batch_format="pyarrow")
+          .groupby(["event_type", "r"])
+          .aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values(["event_type", "r"]))
+    rows = []
+    for ty in sorted(vc["event_type"].unique()):
+        sub = vc[vc["event_type"] == ty]
+        r = sub["r"].to_numpy(np.int64)
+        c = sub["c"].to_numpy(np.int64)
+        n_cal = int(c.sum())
+        # k-th order statistic, k = ceil((n+1)(1-alpha)) — the
+        # all-positive ceil form (DuckDB // truncates on negatives)
+        k = ((n_cal + 1) * (alpha_den - alpha_num)
+             + alpha_den - 1) // alpha_den
+        k = min(k, n_cal)
+        q = int(r[np.searchsorted(np.cumsum(c), k)])
+        s_, n_ = preds[ty]
+        pred = np.float64(s_) / np.float64(n_)
+        qf = np.float64(q) / np.float64(n_)
+        rows.append((ty, n_, n_cal, s_, q,
+                     float(pred), float(pred - qf), float(pred + qf)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_train": pa.array([r[1] for r in rows], pa.int64()),
+        "n_cal": pa.array([r[2] for r in rows], pa.int64()),
+        "pred_sum": pa.array([r[3] for r in rows], pa.int64()),
+        "q_scaled": pa.array([r[4] for r in rows], pa.int64()),
+        "pred": pa.array([r[5] for r in rows], pa.float64()),
+        "lo": pa.array([r[6] for r in rows], pa.float64()),
+        "hi": pa.array([r[7] for r in rows], pa.float64())})
+
+
+QUERIES["conformal_value_intervals"] = conformal_value_intervals
+ORACLE_SQL["conformal_value_intervals"] = f"""
+    WITH src AS (SELECT CAST(event_id AS HUGEINT) AS h, event_type,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                 FROM events),
+    {_sql_splitmix_ctes("src", carry="event_type, c, ")},
+    e AS (SELECT event_type, c,
+                 CASE WHEN h >= {1 << 63} THEN 1 ELSE 0 END AS cal
+          FROM m3),
+    tr AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e WHERE cal = 0 GROUP BY 1),
+    res AS (SELECT e.event_type, abs(e.c * tr.n - tr.s) AS r
+            FROM e JOIN tr ON tr.event_type = e.event_type
+            WHERE e.cal = 1),
+    nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+           FROM res GROUP BY 1),
+    k AS (SELECT event_type, n_cal,
+                 least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS kk
+          FROM nc),
+    q AS (SELECT r.event_type,
+                 min(r.r) AS q_scaled
+          FROM (SELECT event_type, r,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY r) AS rn
+                FROM res) r
+          JOIN k ON k.event_type = r.event_type AND r.rn = k.kk
+          GROUP BY 1)
+    SELECT tr.event_type, tr.n AS n_train, k.n_cal,
+           tr.s AS pred_sum, q.q_scaled,
+           CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE) AS pred,
+           CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE)
+               - CAST(q.q_scaled AS DOUBLE) / CAST(tr.n AS DOUBLE)
+               AS lo,
+           CAST(tr.s AS DOUBLE) / CAST(tr.n AS DOUBLE)
+               + CAST(q.q_scaled AS DOUBLE) / CAST(tr.n AS DOUBLE)
+               AS hi
+    FROM tr JOIN k ON k.event_type = tr.event_type
+    JOIN q ON q.event_type = tr.event_type
+"""
+
+
+def budget_knapsack_docs(sf_dir: str, budget_tokens: int = 20_000):
+    """Budgeted data curation as a knapsack: pick documents under a
+    20k-token budget greedily by VALUE DENSITY (distinct words per
+    token — both exact integers; the fractional-knapsack optimum up
+    to one item). The density order is a pure integer CROSS-MULT sort
+    ((u1*t2 > u2*t1), ties by doc_id), so the chosen prefix is
+    deterministic and the whole selection hash-matches a window
+    cumsum mirror. Per-doc stats come from one vectorized pass;
+    the greedy prefix is a cumsum cut, not a loop. The per-doc stats
+    frame sorts driver-side here; at corpus scale the same plan runs
+    as a distributed density sort + the pack_token_shards two-pass
+    prefix scan to locate the budget cut."""
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        n_tok = pc.list_value_length(toks)
+        uniq = [len({w for w in ws if w})
+                for ws in toks.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "tokens": n_tok.cast(pa.int64()),
+            "uniq_words": pa.array(uniq, pa.int64())})
+
+    g = (_read(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(stats, batch_format="pyarrow")
+         .to_pandas())
+    did = g["doc_id"].to_numpy(np.int64)
+    tok = g["tokens"].to_numpy(np.int64)
+    uq = g["uniq_words"].to_numpy(np.int64)
+    keep = tok > 0
+    did, tok, uq = did[keep], tok[keep], uq[keep]
+    import functools
+
+    def cmp(i, j):
+        a = int(uq[i]) * int(tok[j])
+        b = int(uq[j]) * int(tok[i])
+        if a != b:
+            return -1 if a > b else 1      # density desc
+        return -1 if did[i] < did[j] else 1
+
+    order = np.array(sorted(range(did.size),
+                            key=functools.cmp_to_key(cmp)), np.int64)
+    cum = np.cumsum(tok[order])
+    chosen = order[cum <= budget_tokens]
+    return pa.table({
+        "pick_rank": pa.array(np.arange(1, chosen.size + 1,
+                                        dtype=np.int64)),
+        "doc_id": pa.array(did[chosen]),
+        "tokens": pa.array(tok[chosen]),
+        "uniq_words": pa.array(uq[chosen]),
+        "cum_tokens": pa.array(cum[:chosen.size])})
+
+
+QUERIES["budget_knapsack_docs"] = budget_knapsack_docs
+ORACLE_SQL["budget_knapsack_docs"] = """
+    WITH d AS (SELECT doc_id,
+                      len(list_filter(regexp_split_to_array(
+                          lower(text), '\\s+'), x -> x != ''))
+                          AS tokens,
+                      len(list_distinct(list_filter(
+                          regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x != ''))) AS uniq_words
+               FROM documents),
+    o AS (SELECT doc_id, tokens, uniq_words,
+                 row_number() OVER (
+                     ORDER BY CAST(uniq_words AS DOUBLE)
+                              / CAST(tokens AS DOUBLE) DESC,
+                              doc_id ASC) AS rn,
+                 CAST(sum(tokens) OVER (
+                     ORDER BY CAST(uniq_words AS DOUBLE)
+                              / CAST(tokens AS DOUBLE) DESC,
+                              doc_id ASC) AS BIGINT) AS cum_tokens
+          FROM d WHERE tokens > 0)
+    SELECT CAST(row_number() OVER (ORDER BY rn) AS BIGINT)
+               AS pick_rank,
+           doc_id, CAST(tokens AS BIGINT) AS tokens,
+           CAST(uniq_words AS BIGINT) AS uniq_words, cum_tokens
+    FROM o WHERE cum_tokens <= 20000
+"""
