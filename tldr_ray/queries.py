@@ -20241,3 +20241,167 @@ ORACLE_SQL["budget_knapsack_docs"] = """
            CAST(uniq_words AS BIGINT) AS uniq_words, cum_tokens
     FROM o WHERE cum_tokens <= 20000
 """
+
+
+def haar_hourly_events(sf_dir: str):
+    """Haar wavelet decomposition of the dense hourly event-count
+    series — the compression/denoising transform (large |detail|
+    coefficients localize change points; zeroing small ones is the
+    classic wavelet shrinkage). The series zero-pads to the next
+    power of two and each level halves: approx = (a+b)/2, detail =
+    (a-b)/2 — EXACT dyadic rationals at every level (counts are
+    ints, levels <= ~13, so no coefficient ever needs more than
+    level bits of fraction: float64 is exact and the SQL mirror
+    matches bit for bit). Emits (level, idx, approx, detail) for
+    every level; level L has n/2^L pairs. Distributed work = the
+    grouped hourly count; the transform folds the dimension-sized
+    series."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR)}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    n = hi - lo + 1
+    size = 1
+    while size < n:
+        size *= 2
+    cur = np.zeros(size, np.float64)
+    cur[h["hour"].to_numpy(np.int64) - lo] = \
+        h["n"].to_numpy(np.int64).astype(np.float64)
+    levels, idxs, apps, dets = [], [], [], []
+    level = 0
+    while cur.size > 1:
+        level += 1
+        a = cur[0::2]
+        b = cur[1::2]
+        app = (a + b) / 2.0
+        det = (a - b) / 2.0
+        levels.append(np.full(app.size, level, np.int64))
+        idxs.append(np.arange(app.size, dtype=np.int64))
+        apps.append(app)
+        dets.append(det)
+        cur = app
+    return pa.table({
+        "level": pa.array(np.concatenate(levels)),
+        "idx": pa.array(np.concatenate(idxs)),
+        "approx": pa.array(np.concatenate(apps)),
+        "detail": pa.array(np.concatenate(dets))})
+
+
+def _haar_oracle_sql(max_levels: int = 16) -> str:
+    ctes = ["""
+    h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi,
+                      max(hour) - min(hour) + 1 AS n FROM h),
+    sz AS (SELECT power(2, ceil(log2(n))) AS size FROM bounds),
+    l0 AS (SELECT g.i AS idx, CAST(coalesce(h.n, 0) AS DOUBLE) AS v
+           FROM (SELECT unnest(range(CAST((SELECT size FROM sz)
+                                          AS BIGINT))) AS i) g
+           LEFT JOIN h ON h.hour = (SELECT lo FROM bounds) + g.i)"""]
+    finals = []
+    for lv in range(1, max_levels + 1):
+        ctes.append(f"""
+    l{lv} AS MATERIALIZED (
+        SELECT a.idx // 2 AS idx,
+               (a.v + b.v) / 2.0 AS v,
+               (a.v - b.v) / 2.0 AS d
+        FROM (SELECT idx, v FROM l{lv - 1} WHERE idx % 2 = 0) a
+        JOIN (SELECT idx, v FROM l{lv - 1} WHERE idx % 2 = 1) b
+          ON b.idx // 2 = a.idx // 2)""")
+        finals.append(f"""
+    SELECT CAST({lv} AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx,
+           v AS approx, d AS detail
+    FROM l{lv}""")
+    return f"""
+    WITH {",".join(ctes)}
+    {" UNION ALL ".join(finals)}
+"""
+
+
+QUERIES["haar_hourly_events"] = haar_hourly_events
+ORACLE_SQL["haar_hourly_events"] = _haar_oracle_sql()
+
+
+def mase_hourly_forecast(sf_dir: str):
+    """Forecast-evaluation primitive: the seasonal-naive forecast
+    (count 24 hours ago) scored by MASE against the in-sample naive
+    (count 1 hour ago) — THE scale-free accuracy metric (MASE < 1
+    beats the random walk). Absolute errors are exact integers over
+    the dense hourly grid; MASE = (sum|e_24| * n_1) / (sum|e_1| *
+    n_24) emitted as exact numerator/denominator plus one float
+    division. Also per-lag MAE numerators. Distributed work = one
+    grouped count; the error fold is dimension-sized."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR)}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[h["hour"].to_numpy(np.int64) - lo] = \
+        h["n"].to_numpy(np.int64)
+    e24 = np.abs(dense[24:] - dense[:-24])
+    e1 = np.abs(dense[1:] - dense[:-1])
+    s24, n24 = int(e24.sum()), int(e24.size)
+    s1, n1 = int(e1.sum()), int(e1.size)
+    num = s24 * n1
+    den = s1 * n24
+    return pa.table({
+        "n_hours": pa.array([dense.size], pa.int64()),
+        "sae_seasonal": pa.array([s24], pa.int64()),
+        "n_seasonal": pa.array([n24], pa.int64()),
+        "sae_naive": pa.array([s1], pa.int64()),
+        "n_naive": pa.array([n1], pa.int64()),
+        "mase_num": pa.array([num], pa.int64()),
+        "mase_den": pa.array([den], pa.int64()),
+        "mase": pa.array([np.float64(num) / np.float64(den)])})
+
+
+QUERIES["mase_hourly_forecast"] = mase_hourly_forecast
+ORACLE_SQL["mase_hourly_forecast"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour, coalesce(h.n, 0) AS n
+             FROM (SELECT unnest(range((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds) + 1))
+                       AS hour) g
+             LEFT JOIN h ON h.hour = g.hour),
+    e AS (SELECT hour, n,
+                 lag(n, 24) OVER (ORDER BY hour) AS f24,
+                 lag(n, 1) OVER (ORDER BY hour) AS f1
+          FROM grid),
+    m AS (SELECT CAST(sum(abs(n - f24)) FILTER (f24 IS NOT NULL)
+                      AS BIGINT) AS s24,
+                 CAST(count(*) FILTER (f24 IS NOT NULL) AS BIGINT)
+                     AS n24,
+                 CAST(sum(abs(n - f1)) FILTER (f1 IS NOT NULL)
+                      AS BIGINT) AS s1,
+                 CAST(count(*) FILTER (f1 IS NOT NULL) AS BIGINT)
+                     AS n1,
+                 CAST(count(*) AS BIGINT) AS n_hours
+          FROM e)
+    SELECT n_hours, s24 AS sae_seasonal, n24 AS n_seasonal,
+           s1 AS sae_naive, n1 AS n_naive,
+           CAST(s24 * n1 AS BIGINT) AS mase_num,
+           CAST(s1 * n24 AS BIGINT) AS mase_den,
+           CAST(s24 * n1 AS DOUBLE) / CAST(s1 * n24 AS DOUBLE)
+               AS mase
+    FROM m
+"""
