@@ -20405,3 +20405,93 @@ ORACLE_SQL["mase_hourly_forecast"] = """
                AS mase
     FROM m
 """
+
+
+def gamma_quantity_price(sf_dir: str):
+    """Goodman-Kruskal GAMMA between lineitem quantity and extended
+    price (tie-coherent deciles of each) — the ordinal-association
+    member of the correlation family (Pearson: linear; Spearman:
+    ranks; Kendall: pairs; gamma: pairs IGNORING ties, the right
+    statistic for coarse ordinal scales). Concordant/discordant pair
+    counts come from exact 2-D suffix sums over the 10x10 decile
+    contingency table (one distributed groupby; the driver folds 100
+    cells); gamma = (C - D)/(C + D) emitted as exact numerator /
+    denominator plus the one division."""
+    from ray.data.aggregate import Count
+
+    def decile_map(col):
+        vc = (_read(sf_dir, "lineitem", [col])
+              .map_batches(lambda t, _c=col: pa.table({
+                  "v": pa.array(_cents(np.asarray(t[_c],
+                                                  dtype=np.float64)))}),
+                  batch_format="pyarrow")
+              .groupby("v").count().to_pandas().sort_values("v"))
+        cnt = vc["count()"].to_numpy(np.int64)
+        below = np.cumsum(cnt) - cnt
+        n = int(cnt.sum())
+        return (vc["v"].to_numpy(np.int64), below * 10 // n)
+
+    qv, qd = decile_map("l_quantity")
+    pv, pd_ = decile_map("l_extendedprice")
+
+    def binify(batch: pa.Table) -> pa.Table:
+        q = _cents(np.asarray(batch["l_quantity"], dtype=np.float64))
+        p = _cents(np.asarray(batch["l_extendedprice"],
+                              dtype=np.float64))
+        return pa.table({
+            "dq": pa.array(qd[np.searchsorted(qv, q)]),
+            "dp": pa.array(pd_[np.searchsorted(pv, p)])})
+
+    g = (_read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+         .map_batches(binify, batch_format="pyarrow")
+         .groupby(["dq", "dp"]).aggregate(Count(alias_name="n"))
+         .to_pandas())
+    M = np.zeros((10, 10), dtype=object)
+    for _, r in g.iterrows():
+        M[int(r["dq"]), int(r["dp"])] = int(r["n"])
+    C = D = 0
+    for i in range(10):
+        for j in range(10):
+            if M[i, j]:
+                C += M[i, j] * sum(M[k, l] for k in range(i + 1, 10)
+                                   for l in range(j + 1, 10))
+                D += M[i, j] * sum(M[k, l] for k in range(i + 1, 10)
+                                   for l in range(j))
+    return pa.table({
+        "concordant": pa.array([str(C)], pa.string()),
+        "discordant": pa.array([str(D)], pa.string()),
+        "gamma_num": pa.array([str(C - D)], pa.string()),
+        "gamma_den": pa.array([str(C + D)], pa.string()),
+        "gamma": pa.array([np.float64(C - D) / np.float64(C + D)])})
+
+
+QUERIES["gamma_quantity_price"] = gamma_quantity_price
+ORACLE_SQL["gamma_quantity_price"] = """
+    WITH l AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                          AS q,
+                      CAST(floor(l_extendedprice * 100 + 0.5)
+                           AS BIGINT) AS p
+               FROM lineitem),
+    qd AS (SELECT q,
+                  CAST((sum(cnt) OVER (ORDER BY q) - cnt) * 10
+                       // (SELECT count(*) FROM l) AS BIGINT) AS d
+           FROM (SELECT q, count(*) AS cnt FROM l GROUP BY q)),
+    pdd AS (SELECT p,
+                   CAST((sum(cnt) OVER (ORDER BY p) - cnt) * 10
+                        // (SELECT count(*) FROM l) AS BIGINT) AS d
+            FROM (SELECT p, count(*) AS cnt FROM l GROUP BY p)),
+    b AS (SELECT qd.d AS dq, pdd.d AS dp
+          FROM l JOIN qd ON qd.q = l.q JOIN pdd ON pdd.p = l.p),
+    m AS (SELECT dq, dp, CAST(count(*) AS HUGEINT) AS n
+          FROM b GROUP BY 1, 2),
+    pairs AS (SELECT
+        sum(a.n * c.n) FILTER (c.dq > a.dq AND c.dp > a.dp) AS cc,
+        sum(a.n * c.n) FILTER (c.dq > a.dq AND c.dp < a.dp) AS dd
+        FROM m a JOIN m c ON true)
+    SELECT CAST(cc AS VARCHAR) AS concordant,
+           CAST(dd AS VARCHAR) AS discordant,
+           CAST(cc - dd AS VARCHAR) AS gamma_num,
+           CAST(cc + dd AS VARCHAR) AS gamma_den,
+           CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) AS gamma
+    FROM pairs
+"""
