@@ -2959,3 +2959,40 @@ class TestMarkovAbsorption:
                           r / (1 - q))
         assert np.isclose(out.loc["view", "expected_steps"],
                           1 / (1 - q))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMmrDiversity:
+    def test_spans_planted_clusters(self, tmp_path):
+        """Three tight clusters, one slightly closer to the query:
+        pure top-5 stays inside the closest cluster; MMR must pick
+        from at least two clusters."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tldr_ray.queries import QUERIES
+
+        rng = np.random.default_rng(21)
+        centers = np.array([[1.0, 0.05, 0.0],
+                            [0.9, -0.4, 0.1],
+                            [0.85, 0.4, -0.2]])
+        vecs, labels = [], []
+        for ci, c in enumerate(centers):
+            for _ in range(20):
+                v = c + rng.normal(0, 0.01, 3)
+                vecs.append(v / np.linalg.norm(v))
+                labels.append(ci)
+        t = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v))
+                                   for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = QUERIES["mmr_diverse_embeddings"](
+            str(tmp_path), k=5, pool=60, lam=0.5).to_pandas()
+        picked_clusters = {labels[int(v)] for v in out["vec_id"]}
+        assert len(picked_clusters) >= 2
+        # and the first pick is the most query-relevant candidate
+        assert out["rel"].iloc[0] == out["rel"].max()

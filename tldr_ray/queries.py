@@ -20495,3 +20495,74 @@ ORACLE_SQL["gamma_quantity_price"] = """
            CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) AS gamma
     FROM pairs
 """
+
+
+def mmr_diverse_embeddings(sf_dir: str, k: int = 10,
+                           pool: int = 100,
+                           lam: float = 0.7):
+    """Maximal Marginal Relevance — the retrieval-diversity selector
+    plain top-k lacks (top-k returns one tight cluster; MMR trades
+    relevance against similarity-to-already-chosen): query = the
+    corpus mean direction, relevance = cosine(query, x), and each
+    round picks argmax of lam*rel - (1-lam)*max_sim_to_chosen over a
+    top-`pool` candidate set (distributed relevance scan + per-block
+    top partials; the k-round refinement runs on the pool —
+    dimension-sized). Rows-only (iterative float argmax chains); the
+    planted-cluster pytest pins the diversity property against pure
+    top-k."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from tldr_ray.stages.ann import _as_matrix, _unit
+
+    corpus = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = _unit(_as_matrix(corpus["embedding"])).astype(np.float64)
+    q = mat.mean(axis=0)
+    q = q / np.sqrt((q * q).sum())
+    qref = ray.put(q)
+
+    def rel(batch: pa.Table) -> pa.Table:
+        qq = ray.get(qref)
+        m = _unit(_as_matrix(batch["embedding"])).astype(np.float64)
+        r = m @ qq
+        vid = np.asarray(batch["vec_id"], dtype=np.int64)
+        sel = np.lexsort((vid, -r))[:pool]
+        return pa.table({"vec_id": pa.array(vid[sel]),
+                         "rel": pa.array(r[sel])})
+
+    parts = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(rel, batch_format="pyarrow").to_pandas())
+    cand = parts.sort_values(["rel", "vec_id"],
+                             ascending=[False, True]).head(pool)
+    cid = cand["vec_id"].to_numpy(np.int64)
+    crel = cand["rel"].to_numpy(np.float64)
+    pos = np.searchsorted(ids, cid)
+    cmat = mat[pos]
+    sim = cmat @ cmat.T
+    chosen: list[int] = []
+    avail = np.ones(cid.size, dtype=bool)
+    for _ in range(min(k, cid.size)):
+        if chosen:
+            penal = sim[:, chosen].max(axis=1)
+        else:
+            penal = np.zeros(cid.size)
+        score = lam * crel - (1.0 - lam) * penal
+        score[~avail] = -np.inf
+        j = int(np.lexsort((cid, -score))[0])
+        chosen.append(j)
+        avail[j] = False
+    return pa.table({
+        "pick_rank": pa.array(np.arange(1, len(chosen) + 1,
+                                        dtype=np.int64)),
+        "vec_id": pa.array(cid[chosen]),
+        "rel": pa.array(crel[chosen]),
+        "mmr_penalty": pa.array(
+            np.array([0.0] + [sim[c, chosen[:i]].max()
+                              for i, c in enumerate(chosen[1:],
+                                                    start=1)]))})
+
+
+QUERIES["mmr_diverse_embeddings"] = mmr_diverse_embeddings
