@@ -20566,3 +20566,312 @@ def mmr_diverse_embeddings(sf_dir: str, k: int = 10,
 
 
 QUERIES["mmr_diverse_embeddings"] = mmr_diverse_embeddings
+
+
+def changepoint_hourly_value(sf_dir: str):
+    """Single least-squares CHANGEPOINT on the dense hourly
+    value-cents series (binary-segmentation step 1): split t minimizes
+    SSE(1..t) + SSE(t+1..T). The distributed work is one grouped sum
+    (dimension-sized); the O(T) split scan runs on exact integer
+    prefix moments (n*ss - s^2 — python ints, no overflow), and the
+    only floats are the final two divisions + one add per candidate,
+    a fixed chain DuckDB mirrors bit for bit."""
+    from ray.data.aggregate import Sum
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts", "value"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR),
+             "c": pa.array(_cents(np.asarray(t["value"],
+                                             dtype=np.float64)))}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Sum("c", alias_name="y"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[h["hour"].to_numpy(np.int64) - lo] = h["y"].to_numpy(np.int64)
+    T = dense.size
+    S = int(dense.sum())
+    SS = sum(int(v) * int(v) for v in dense)   # python ints: no overflow
+    best = None
+    s1 = ss1 = 0
+    for t in range(1, T):                      # dimension-sized scan
+        v = int(dense[t - 1])
+        s1 += v
+        ss1 += v * v
+        n1, n2 = t, T - t
+        num1 = n1 * ss1 - s1 * s1
+        num2 = n2 * (SS - ss1) - (S - s1) * (S - s1)
+        cost = float(num1) / float(n1) + float(num2) / float(n2)
+        if best is None or (cost, t) < (best[0], best[1]):
+            best = (cost, t, num1, num2, s1)
+    cost, t, num1, num2, s1 = best
+    return pa.table({
+        "split_hour": pa.array([lo + t - 1], pa.int64()),
+        "n1": pa.array([t], pa.int64()),
+        "n2": pa.array([T - t], pa.int64()),
+        "sse_before_num": pa.array([str(num1)], pa.string()),
+        "sse_after_num": pa.array([str(num2)], pa.string()),
+        "mean_before": pa.array([float(s1) / float(t)]),
+        "mean_after": pa.array([float(S - s1) / float(T - t)]),
+        "cost": pa.array([cost])})
+
+
+QUERIES["changepoint_hourly_value"] = changepoint_hourly_value
+ORACLE_SQL["changepoint_hourly_value"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour, CAST(coalesce(h.y, 0) AS HUGEINT) AS y
+             FROM (SELECT unnest(range(lo, hi + 1)) AS hour
+                   FROM bounds) g
+             LEFT JOIN h ON h.hour = g.hour),
+    s AS (SELECT hour,
+                 row_number() OVER (ORDER BY hour) AS t,
+                 sum(y) OVER (ORDER BY hour) AS s1,
+                 sum(y * y) OVER (ORDER BY hour) AS ss1
+          FROM grid),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS tt,
+                   sum(y) AS S, sum(y * y) AS SS
+            FROM grid),
+    c AS (SELECT hour, CAST(t AS HUGEINT) AS n1, tt - t AS n2,
+                 CAST(t AS HUGEINT) * ss1 - s1 * s1 AS num1,
+                 (tt - t) * (SS - ss1) - (S - s1) * (S - s1) AS num2,
+                 s1, S
+          FROM s, tot WHERE t < tt)
+    SELECT hour AS split_hour,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(num1 AS VARCHAR) AS sse_before_num,
+           CAST(num2 AS VARCHAR) AS sse_after_num,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_before,
+           CAST(S - s1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_after,
+           CAST(num1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(num2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS cost
+    FROM c ORDER BY cost, n1 LIMIT 1
+"""
+
+
+def holt_linear_hourly(sf_dir: str):
+    """Holt DOUBLE exponential smoothing (level + trend, alpha = beta
+    = 1/2) of the dense hourly event-count series — the trend-aware
+    sibling of ewma_hourly_events. Every multiplication is an exact
+    binary scaling, so each of level/trend/forecast is a fixed one-or-
+    two-rounding chain per step, replayed identically by DuckDB's
+    recursive CTE (init l_1 = y_1, b_1 = 0)."""
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR)}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[h["hour"].to_numpy(np.int64) - lo] = h["n"].to_numpy(np.int64)
+    half = np.float64(0.5)
+    lvl = np.empty(dense.size, np.float64)
+    trd = np.empty(dense.size, np.float64)
+    l, b = np.float64(dense[0]), np.float64(0.0)
+    lvl[0], trd[0] = l, b
+    for i in range(1, dense.size):      # dimension-sized driver fold
+        nl = half * np.float64(dense[i]) + half * (l + b)
+        b = half * (nl - l) + half * b
+        l = nl
+        lvl[i], trd[i] = l, b
+    return pa.table({
+        "hour": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+        "n": pa.array(dense),
+        "lvl": pa.array(lvl),
+        "trend": pa.array(trd),
+        "fc1": pa.array(lvl + trd)})
+
+
+QUERIES["holt_linear_hourly"] = holt_linear_hourly
+ORACLE_SQL["holt_linear_hourly"] = """
+    WITH RECURSIVE h AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour, coalesce(h.n, 0) AS n
+             FROM (SELECT unnest(range(lo, hi + 1)) AS hour
+                   FROM bounds) g
+             LEFT JOIN h ON h.hour = g.hour),
+    rec(hour, n, lvl, trend) AS (
+        SELECT hour, n, CAST(n AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM grid WHERE hour = (SELECT lo FROM bounds)
+        UNION ALL
+        SELECT g.hour, g.n,
+               0.5 * CAST(g.n AS DOUBLE) + 0.5 * (rec.lvl + rec.trend),
+               0.5 * ((0.5 * CAST(g.n AS DOUBLE)
+                       + 0.5 * (rec.lvl + rec.trend)) - rec.lvl)
+                   + 0.5 * rec.trend
+        FROM rec JOIN grid g ON g.hour = rec.hour + 1)
+    SELECT hour, CAST(n AS BIGINT) AS n, lvl, trend,
+           lvl + trend AS fc1 FROM rec
+"""
+
+
+def runs_test_hourly(sf_dir: str):
+    """Wald-Wolfowitz RUNS TEST for randomness of the dense hourly
+    event-count series around its lower median (ties dropped, the
+    classic convention). Counts and moments are exact integers; the
+    variance is ONE division of exact integer numerator/denominator,
+    and z is the fixed sub-sqrt-divide chain that IEEE-hash-matches
+    DuckDB (same discipline as ab_welch_value)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR)}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[h["hour"].to_numpy(np.int64) - lo] = h["n"].to_numpy(np.int64)
+    T = dense.size
+    med = int(np.sort(dense)[(T - 1) // 2])      # lower median
+    keep = dense[dense != med]
+    above = keep > med
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    n1 = int(above.sum())
+    n2 = keep.size - n1
+    n = n1 + n2
+    er = 1.0 + float(2 * n1 * n2) / float(n)
+    vr = float(2 * n1 * n2 * (2 * n1 * n2 - n)) / float(n * n * (n - 1))
+    z = (float(runs) - er) / math.sqrt(vr)
+    return pa.table({
+        "med": pa.array([med], pa.int64()),
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "runs": pa.array([runs], pa.int64()),
+        "e_runs": pa.array([er]),
+        "v_runs": pa.array([vr]),
+        "z": pa.array([z])})
+
+
+QUERIES["runs_test_hourly"] = runs_test_hourly
+ORACLE_SQL["runs_test_hourly"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour, coalesce(h.n, 0) AS n
+             FROM (SELECT unnest(range(lo, hi + 1)) AS hour
+                   FROM bounds) g
+             LEFT JOIN h ON h.hour = g.hour),
+    m AS (SELECT n AS med FROM
+            (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM grid)
+          WHERE rn = ((SELECT count(*) FROM grid) - 1) // 2 + 1),
+    k AS (SELECT hour, CASE WHEN n > med THEN 1 ELSE 0 END AS ab
+          FROM grid, m WHERE n <> med),
+    r AS (SELECT count(*) FILTER (ab = 1) AS n1,
+                 count(*) FILTER (ab = 0) AS n2,
+                 1 + count(*) FILTER (chg) AS runs
+          FROM (SELECT ab,
+                       ab <> lag(ab) OVER (ORDER BY hour) AS chg
+                FROM k)),
+    f AS (SELECT CAST(n1 AS HUGEINT) AS n1, CAST(n2 AS HUGEINT) AS n2,
+                 CAST(runs AS BIGINT) AS runs, n1 + n2 AS n
+          FROM r)
+    SELECT (SELECT med FROM m) AS med,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           runs,
+           1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e_runs,
+           CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+               / CAST(n * n * (n - 1) AS DOUBLE) AS v_runs,
+           (CAST(runs AS DOUBLE)
+            - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+                  / CAST(n * n * (n - 1) AS DOUBLE)) AS z
+    FROM f
+"""
+
+
+def two_proportion_ztest_weekend(sf_dir: str):
+    """Two-proportion z-test: purchase RATE on weekends vs weekdays
+    (the A/B primitive for categorical outcomes, pooled-variance
+    form). One distributed pass produces the 2x2 counts (weekday from
+    pure epoch-day arithmetic, Monday = 0); the z statistic is a fixed
+    float chain over exact integers, parenthesized identically in the
+    SQL mirror."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    DAY = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["ts"].cast(pa.int64()), dtype=np.int64) // DAY
+        wd = (d + 3) % 7                     # 1970-01-01 is a Thursday
+        is_we = (wd >= 5).astype(np.int64)
+        is_p = (np.asarray(t["event_type"]) == "purchase") \
+            .astype(np.int64)
+        return pa.table({"is_we": pa.array(is_we),
+                         "is_p": pa.array(is_p)})
+
+    g = (_read(sf_dir, "events", ["ts", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("is_we")
+         .aggregate(Count(alias_name="n"), Sum("is_p", alias_name="x"))
+         .to_pandas().set_index("is_we"))
+    n1, x1 = int(g.loc[1, "n"]), int(g.loc[1, "x"])
+    n2, x2 = int(g.loc[0, "n"]), int(g.loc[0, "x"])
+    p1 = float(x1) / float(n1)
+    p2 = float(x2) / float(n2)
+    pp = float(x1 + x2) / float(n1 + n2)
+    se = math.sqrt((pp * (1.0 - pp))
+                   * ((1.0 / float(n1)) + (1.0 / float(n2))))
+    z = (p1 - p2) / se
+    return pa.table({
+        "n_weekend": pa.array([n1], pa.int64()),
+        "x_weekend": pa.array([x1], pa.int64()),
+        "n_weekday": pa.array([n2], pa.int64()),
+        "x_weekday": pa.array([x2], pa.int64()),
+        "p_weekend": pa.array([p1]),
+        "p_weekday": pa.array([p2]),
+        "z": pa.array([z])})
+
+
+QUERIES["two_proportion_ztest_weekend"] = two_proportion_ztest_weekend
+ORACLE_SQL["two_proportion_ztest_weekend"] = """
+    WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 >= 5
+                          AS is_we,
+                      CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END AS is_p
+               FROM events),
+    c AS (SELECT
+            CAST(count(*) FILTER (is_we) AS BIGINT) AS n1,
+            CAST(sum(is_p) FILTER (is_we) AS BIGINT) AS x1,
+            CAST(count(*) FILTER (NOT is_we) AS BIGINT) AS n2,
+            CAST(sum(is_p) FILTER (NOT is_we) AS BIGINT) AS x2
+          FROM e)
+    SELECT n1 AS n_weekend, x1 AS x_weekend,
+           n2 AS n_weekday, x2 AS x_weekday,
+           CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_weekend,
+           CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_weekday,
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                   * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                            / CAST(n1 + n2 AS DOUBLE)))
+                  * ((1.0 / CAST(n1 AS DOUBLE))
+                     + (1.0 / CAST(n2 AS DOUBLE)))) AS z
+    FROM c
+"""
