@@ -20875,3 +20875,247 @@ ORACLE_SQL["two_proportion_ztest_weekend"] = """
                      + (1.0 / CAST(n2 AS DOUBLE)))) AS z
     FROM c
 """
+
+
+_SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_TO = "01230120022455012623010202"
+
+
+def soundex_blocks_docs(sf_dir: str):
+    """PHONETIC BLOCKING (simplified Soundex, no h/w-transparency
+    rule — the steps below ARE the spec, mirrored operation for
+    operation in SQL): letter->digit translate, per-digit run
+    collapse, drop the first code position, strip zeros, first letter
+    + 3 digits zero-padded. The distributed work is the vocabulary
+    distinct; coding + block rollup are vocab-sized. Blocks are the
+    classic pre-LSH candidate generator for name matching — emits
+    (code, n_words, members) per block."""
+    tbl = {ord(a): b for a, b in zip(_SOUNDEX_FROM, _SOUNDEX_TO)}
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        w = _pc.list_flatten(_pc.utf8_split_whitespace(t["text"]))
+        return pa.table({"w": w.filter(_pc.not_equal(w, ""))})
+
+    def code(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["w"].to_pylist(), dtype=object)
+        up = s.str.upper()
+        d = up.str.translate(tbl)
+        for c in "0123456":
+            d = d.str.replace(c + "+", c, regex=True)
+        z = d.str[1:].str.replace("0", "", regex=False)
+        cd = up.str[0] + (z + "000").str[:3]
+        return pa.table({"w": batch["w"],
+                         "code": pa.array(cd.to_numpy(object),
+                                          pa.string())})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("w", kind="mergesort")
+        agg = g.groupby("code", sort=True)["w"].agg(",".join)
+        n = g.groupby("code", sort=True)["w"].size()
+        return pd.DataFrame({
+            "code": pd.Series(agg.index.to_numpy(object), dtype=object),
+            "n_words": n.to_numpy(np.int64),
+            "members": pd.Series(agg.to_numpy(), dtype=object)})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(toks, batch_format="pyarrow")
+            .groupby("w").count()            # distributed distinct
+            .map_batches(lambda t: t.select(["w"]),
+                         batch_format="pyarrow")
+            .map_batches(code, batch_format="pyarrow")
+            .groupby("code").map_groups(roll, batch_format="pandas"))
+
+
+QUERIES["soundex_blocks_docs"] = soundex_blocks_docs
+ORACLE_SQL["soundex_blocks_docs"] = f"""
+    WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(text,
+                   '\\s+')) AS w
+               FROM documents),
+    vv AS (SELECT w FROM v WHERE w <> ''),
+    d AS (SELECT w, translate(upper(w), '{_SOUNDEX_FROM}',
+                              '{_SOUNDEX_TO}') AS dg
+          FROM vv),
+    c AS (SELECT w,
+            regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(dg,
+                '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+                '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+                '6+', '6', 'g') AS cl
+          FROM d),
+    k AS (SELECT w, substr(upper(w), 1, 1)
+                 || substr(replace(substr(cl, 2), '0', '')
+                           || '000', 1, 3) AS code
+          FROM c)
+    SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+           string_agg(w, ',' ORDER BY w) AS members
+    FROM k GROUP BY code
+"""
+
+
+def rake_keywords_docs(sf_dir: str):
+    """RAKE keyword scoring (Rose et al.): phrases are maximal
+    stopword-delimited token runs; for each word, freq = occurrences
+    inside phrases, deg = sum of the lengths of its containing
+    phrases, score = deg/freq (longer-phrase words win). The phrase
+    segmentation is one vectorized cumsum over the stopword mask per
+    batch; the shuffle carries (word, phrase_len) pairs into a single
+    grouped sum — corpus-scalable. Score is ONE division of exact
+    integers, so the floats hash-match."""
+    from ray.data.aggregate import Count, Sum
+
+    STOP = ("the", "a")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.utf8_split_whitespace(t["text"])
+        flat = np.asarray(_pc.list_flatten(lists), dtype=object)
+        lens = np.asarray(_pc.list_value_length(lists),
+                          dtype=np.int64)
+        if flat.size == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "plen": pa.array([], pa.int64())})
+        doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        stop = np.isin(flat, np.array(STOP + ("",), dtype=object))
+        first = np.zeros(flat.size, dtype=bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        brk = stop | first
+        pid = np.cumsum(brk.astype(np.int64))
+        keep = ~stop
+        plen_per_pid = np.bincount(pid[keep],
+                                   minlength=int(pid[-1]) + 1)
+        return pa.table({
+            "w": pa.array(flat[keep], pa.string()),
+            "plen": pa.array(plen_per_pid[pid[keep]]
+                             .astype(np.int64))})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("w")
+            .aggregate(Sum("plen", alias_name="deg"),
+                       Count(alias_name="freq"))
+            .map_batches(lambda t: t.append_column(
+                "score", pa.array(
+                    np.asarray(t["deg"], dtype=np.int64).astype(
+                        np.float64)
+                    / np.asarray(t["freq"],
+                                 dtype=np.int64).astype(np.float64))),
+                batch_format="pyarrow"))
+
+
+QUERIES["rake_keywords_docs"] = rake_keywords_docs
+ORACLE_SQL["rake_keywords_docs"] = """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a
+               FROM documents),
+    tok AS (SELECT doc_id, u.i AS pos, a[u.i] AS w
+            FROM t, unnest(generate_series(1, len(a))) AS u(i)),
+    m AS (SELECT doc_id, pos, w,
+                 CASE WHEN w IN ('the', 'a', '') THEN 1 ELSE 0 END
+                     AS st
+          FROM tok),
+    p AS (SELECT doc_id, pos, w, st,
+                 sum(st) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS pid
+          FROM m),
+    f AS (SELECT doc_id, pid, w FROM p WHERE st = 0),
+    pl AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+           FROM f GROUP BY 1, 2),
+    j AS (SELECT f.w, pl.plen
+          FROM f JOIN pl USING (doc_id, pid))
+    SELECT w, CAST(sum(plen) AS BIGINT) AS deg,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS score
+    FROM j GROUP BY w
+"""
+
+
+def term_gini_gain_docs(sf_dir: str):
+    """FEATURE SELECTION by Gini information gain: for every vocab
+    term, split the corpus by term presence and measure the drop in
+    lang-label Gini impurity — the libm-free sibling of mutual
+    information (entropy's log never hash-matches; Gini is pure
+    rational). gain = (n^2-A)/n^2 - (n1^2-B)/(n1*n) - (n0^2-C)/(n0*n)
+    over ONE common denominator n^2*n1*n0, exact python/HUGEINT
+    integers end to end, one final float division. Distributed work:
+    per-doc distinct terms -> (term, lang) doc counts; the finisher is
+    vocab x langs."""
+    def tok(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.utf8_split_whitespace(t["text"])
+        flat = np.asarray(_pc.list_flatten(lists), dtype=object)
+        lens = np.asarray(_pc.list_value_length(lists),
+                          dtype=np.int64)
+        langs = np.asarray(t["lang"], dtype=object)
+        doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = flat != ""
+        key = np.char.add(np.char.add(doc[keep].astype("U20"), "\x1f"),
+                          flat[keep].astype("U64"))
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({
+            "w": pa.array(flat[keep][idx], pa.string()),
+            "lang": pa.array(langs[doc[keep][idx]], pa.string())})
+
+    tl = (_read(sf_dir, "documents", ["text", "lang"])
+          .map_batches(tok, batch_format="pyarrow")
+          .groupby(["w", "lang"]).count().to_pandas())
+    lt = (_read(sf_dir, "documents", ["lang"])
+          .groupby("lang").count().to_pandas())
+    al = {r["lang"]: int(r["count()"]) for _, r in lt.iterrows()}
+    n = sum(al.values())
+    A = sum(v * v for v in al.values())
+    rows = []
+    for w, g in tl.groupby("w", sort=True):
+        b = {r["lang"]: int(r["count()"]) for _, r in g.iterrows()}
+        n1 = sum(b.values())
+        if n1 == 0 or n1 == n:
+            continue
+        n0 = n - n1
+        B = sum(v * v for v in b.values())
+        Sab = sum(al[k] * v for k, v in b.items())
+        C = A - 2 * Sab + B
+        num = (n1 * n0 * (n * n - A) - n * n0 * (n1 * n1 - B)
+               - n * n1 * (n0 * n0 - C))
+        den = n * n * n1 * n0
+        rows.append((w, n1, str(num), str(den),
+                     float(num) / float(den)))
+    return pa.table({
+        "w": pa.array([r[0] for r in rows], pa.string()),
+        "n_with": pa.array([r[1] for r in rows], pa.int64()),
+        "gain_num": pa.array([r[2] for r in rows], pa.string()),
+        "gain_den": pa.array([r[3] for r in rows], pa.string()),
+        "gain": pa.array([r[4] for r in rows], pa.float64())})
+
+
+QUERIES["term_gini_gain_docs"] = term_gini_gain_docs
+ORACLE_SQL["term_gini_gain_docs"] = """
+    WITH d AS (SELECT doc_id, lang,
+                      regexp_split_to_array(text, '\\s+') AS a
+               FROM documents),
+    tok AS (SELECT DISTINCT doc_id, lang, unnest(a) AS w FROM d),
+    tl AS (SELECT w, lang, CAST(count(*) AS HUGEINT) AS b
+           FROM tok WHERE w <> '' GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(count(*) AS HUGEINT) AS al
+           FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+    aa AS (SELECT sum(al * al) AS A FROM lt),
+    per AS (SELECT tl.w, sum(tl.b) AS n1, sum(tl.b * tl.b) AS B,
+                   sum(lt.al * tl.b) AS Sab
+            FROM tl JOIN lt USING (lang) GROUP BY tl.w),
+    g AS (SELECT w, n1, n - n1 AS n0, B,
+                 A - 2 * Sab + B AS C, n, A
+          FROM per, nn, aa WHERE n1 > 0 AND n1 < n)
+    SELECT w, CAST(n1 AS BIGINT) AS n_with,
+           CAST(n1 * n0 * (n * n - A) - n * n0 * (n1 * n1 - B)
+                - n * n1 * (n0 * n0 - C) AS VARCHAR) AS gain_num,
+           CAST(n * n * n1 * n0 AS VARCHAR) AS gain_den,
+           CAST(n1 * n0 * (n * n - A) - n * n0 * (n1 * n1 - B)
+                - n * n1 * (n0 * n0 - C) AS DOUBLE)
+               / CAST(n * n * n1 * n0 AS DOUBLE) AS gain
+    FROM g
+"""
