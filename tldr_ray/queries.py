@@ -2109,15 +2109,18 @@ def _sql_fnv_cte(source_expr: str) -> str:
     )"""
 
 
-def _sql_splitmix_ctes(src: str, carry: str = "") -> str:
+def _sql_splitmix_ctes(src: str, carry: str = "", sfx: str = "") -> str:
     """CTE chain applying the splitmix64 finalizer to column h of CTE
-    ``src``; result lands in CTE ``m3``. ``carry`` = extra columns to
-    thread through (e.g. "rw, ")."""
-    steps = [("x1", src, _sql_xor_shift("h", 30)),
-             ("m1", "x1", _sql_mul64("h", 0xBF58476D1CE4E5B9)),
-             ("x2", "m1", _sql_xor_shift("h", 27)),
-             ("m2", "x2", _sql_mul64("h", 0x94D049BB133111EB)),
-             ("m3", "m2", _sql_xor_shift("h", 31))]
+    ``src``; result lands in CTE ``m3{sfx}``. ``carry`` = extra columns
+    to thread through (e.g. "rw, "); ``sfx`` suffixes every step name
+    so one statement can host several chains."""
+    steps = [(f"x1{sfx}", src, _sql_xor_shift("h", 30)),
+             (f"m1{sfx}", f"x1{sfx}",
+              _sql_mul64("h", 0xBF58476D1CE4E5B9)),
+             (f"x2{sfx}", f"m1{sfx}", _sql_xor_shift("h", 27)),
+             (f"m2{sfx}", f"x2{sfx}",
+              _sql_mul64("h", 0x94D049BB133111EB)),
+             (f"m3{sfx}", f"m2{sfx}", _sql_xor_shift("h", 31))]
     return ",\n    ".join(
         f"{name} AS MATERIALIZED (SELECT {carry}{expr} AS h FROM {prev})"
         for name, prev, expr in steps)
@@ -21118,4 +21121,261 @@ ORACLE_SQL["term_gini_gain_docs"] = """
                 - n * n1 * (n0 * n0 - C) AS DOUBLE)
                / CAST(n * n * n1 * n0 AS DOUBLE) AS gain
     FROM g
+"""
+
+
+def triad_census_hashgraph(sf_dir: str):
+    """Directed MOTIF CENSUS over the hash graph: counts of cyclic
+    triangles (a->b->c->a, each counted once — the raw rotation join
+    count is provably divisible by 3) and transitive triangles
+    (a->b->c with shortcut a->c, the feed-forward motif whose
+    over/under-representation vs cycles is the classic network
+    fingerprint). Plan: ONE distinct-edge pass, ONE wedge join
+    (auto_join: counted broadcast <-> bucketed), and two key-membership
+    joins for the closing edge — no per-vertex adjacency state."""
+    from tldr_ray.stages.joins import auto_join
+
+    N = np.int64(1 << 21)
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        return pa.table({"key": pa.array(np.unique(s * N + d))})
+
+    ed = (_hash_graph_edges(sf_dir)
+          .map_batches(dedup, batch_format="pyarrow")
+          .groupby("key").count().select_columns(["key"])
+          .materialize())
+
+    def split(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["key"], dtype=np.int64)
+        return pa.table({"a": pa.array(k // N), "b": pa.array(k % N)})
+
+    e1 = ed.map_batches(split, batch_format="pyarrow")
+    e2 = ed.map_batches(
+        lambda t: pa.table({
+            "b": pa.array(np.asarray(t["key"], np.int64) // N),
+            "c": pa.array(np.asarray(t["key"], np.int64) % N)}),
+        batch_format="pyarrow")
+    wedges = auto_join(e1, e2, on="b").map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], t["c"])),
+        batch_format="pyarrow").materialize()
+
+    def close_key(cyclic: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["a"], dtype=np.int64)
+            c = np.asarray(t["c"], dtype=np.int64)
+            k = c * N + a if cyclic else a * N + c
+            return pa.table({"key": pa.array(k)})
+        return fn
+
+    n_cyc = auto_join(wedges.map_batches(close_key(True),
+                                         batch_format="pyarrow"),
+                      ed, on="key").count()
+    n_trn = auto_join(wedges.map_batches(close_key(False),
+                                         batch_format="pyarrow"),
+                      ed, on="key").count()
+    return pa.table({
+        "n_cyclic": pa.array([n_cyc // 3], pa.int64()),
+        "n_transitive": pa.array([n_trn], pa.int64())})
+
+
+QUERIES["triad_census_hashgraph"] = triad_census_hashgraph
+ORACLE_SQL["triad_census_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    ed AS (SELECT DISTINCT s, t FROM raw2),
+    cyc AS (SELECT count(*) AS c3
+            FROM ed e1
+            JOIN ed e2 ON e2.s = e1.t AND e2.t <> e1.s
+            JOIN ed e3 ON e3.s = e2.t AND e3.t = e1.s),
+    trn AS (SELECT count(*) AS ct
+            FROM ed e1
+            JOIN ed e2 ON e2.s = e1.t AND e2.t <> e1.s
+            JOIN ed e3 ON e3.s = e1.s AND e3.t = e2.t)
+    SELECT CAST(c3 // 3 AS BIGINT) AS n_cyclic,
+           CAST(ct AS BIGINT) AS n_transitive
+    FROM cyc, trn
+"""
+
+
+def resource_allocation_hashgraph(sf_dir: str):
+    """RESOURCE-ALLOCATION link-prediction index (Zhou-Lu-Zhang) for
+    every non-adjacent 2-hop pair: RA(u,w) = sum over common
+    neighbors z of 1/deg(z) — the degree-penalized upgrade of the
+    Jaccard predictor this repo already ships. 1/deg is fixed-point
+    floor(2^20/deg) so partial-sum order can't perturb the hash (the
+    float sum of reciprocals is order-dependent; the exact-integer
+    mirror is the whole trick). Wedge pairs expand per center in a
+    coarse hash-partition sweep (offset-pair vectorization bounded by
+    the max degree in the task, never a per-row loop); adjacency is
+    removed by one ANTI-join-shaped left join on the undirected key."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.joins import auto_join
+
+    N = np.int64(1 << 21)
+    FP = np.int64(1 << 20)
+    NP = np.uint64(64)
+
+    def und(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"key": pa.array(np.unique(a * N + b))})
+
+    ukeys = (_hash_graph_edges(sf_dir)
+             .map_batches(und, batch_format="pyarrow")
+             .groupby("key").count().select_columns(["key"])
+             .materialize())
+
+    def adj(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["key"], dtype=np.int64)
+        a, b = k // N, k % N
+        z = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "z": pa.array(z), "v": pa.array(v),
+            "__part": pa.array((vhash(z) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["z", "v"], kind="mergesort")
+        z = g["z"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        cnt = np.diff(np.r_[starts, z.size])
+        deg = np.repeat(cnt, cnt)           # deg(z) beside each row
+        us, ws, wt = [], [], []
+        m = int(cnt.max()) if cnt.size else 0
+        for d1 in range(m - 1):             # offset pairs: O(maxdeg^2)
+            for d2 in range(d1 + 1, m):
+                sel = starts[cnt > d2]
+                if not sel.size:
+                    continue
+                us.append(v[sel + d1])
+                ws.append(v[sel + d2])
+                wt.append(FP // deg[sel])
+        if not us:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        f = np.concatenate(wt)
+        lo = np.minimum(u, w)
+        hi = np.maximum(u, w)
+        return pa.table({"u": pa.array(lo), "w": pa.array(hi),
+                         "fp": pa.array(f)})
+
+    pairs = (ukeys.map_batches(adj, batch_format="pyarrow")
+             .groupby("__part").map_groups(sweep,
+                                           batch_format="pandas")
+             .groupby(["u", "w"])
+             .aggregate(Sum("fp", alias_name="ra_fp"),
+                        Count(alias_name="n_common")))
+
+    def pkey(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"], dtype=np.int64)
+        w = np.asarray(t["w"], dtype=np.int64)
+        return t.append_column("key", pa.array(u * N + w))
+
+    marked = auto_join(
+        pairs.map_batches(pkey, batch_format="pyarrow"),
+        ukeys.map_batches(lambda t: t.append_column(
+            "adj", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        on="key", how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["adj"].isna()]
+        return pd.DataFrame({
+            "u": b["u"].to_numpy(np.int64),
+            "w": b["w"].to_numpy(np.int64),
+            "ra_fp": b["ra_fp"].to_numpy(np.int64),
+            "n_common": b["n_common"].to_numpy(np.int64)})
+
+    return marked.map_batches(finish, batch_format="pandas")
+
+
+QUERIES["resource_allocation_hashgraph"] = resource_allocation_hashgraph
+ORACLE_SQL["resource_allocation_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    adj AS (SELECT a AS z, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY z),
+    pr AS (SELECT least(n1.v, n2.v) AS u, greatest(n1.v, n2.v) AS w,
+                  d.d
+           FROM adj n1
+           JOIN adj n2 ON n1.z = n2.z AND n1.v < n2.v
+           JOIN deg d ON d.z = n1.z),
+    s AS (SELECT u, w, CAST(sum(1048576 // d) AS BIGINT) AS ra_fp,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM pr GROUP BY u, w)
+    SELECT u, w, ra_fp, n_common
+    FROM s ANTI JOIN und e ON e.a = s.u AND e.b = s.w
+"""
+
+
+_RING_NODES = 8
+_RING_VNODES = 16
+
+
+def consistent_hash_ring_users(sf_dir: str):
+    """CONSISTENT-HASHING ring placement of distinct users onto 8
+    nodes x 16 virtual nodes — the other classic minimal-disruption
+    placement beside rendezvous_assignment_users (ring: a removed
+    node's keys spill to the clockwise successor; HRW: argmax
+    re-race). Ring positions are splitmix64(2*vnode), keys
+    splitmix64(2*user+1) — disjoint odd/even domains of a bijection,
+    so positions never collide with keys or each other. Assignment =
+    first ring position clockwise (searchsorted on the 128-entry
+    broadcast ring, wrap to min). SQL mirrors both hash chains
+    (suffixed splitmix CTEs) + the min-position-over inequality."""
+    from tldr_ray.stages.dedup import _mix64
+
+    n_vn = _RING_NODES * _RING_VNODES
+    pos = _mix64((2 * np.arange(n_vn, dtype=np.int64))
+                 .astype(np.uint64))
+    node = (np.arange(n_vn, dtype=np.int64)
+            // _RING_VNODES)
+    order = np.argsort(pos)
+    pos_s, node_s = pos[order], node[order]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        kh = _mix64((2 * u + 1).astype(np.uint64))
+        idx = np.searchsorted(pos_s, kh, side="left")
+        idx[idx == n_vn] = 0
+        return pa.table({"user_id": pa.array(u),
+                         "node": pa.array(node_s[idx])})
+
+    return (_read(sf_dir, "events", ["user_id"])
+            .groupby("user_id").count().select_columns(["user_id"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+QUERIES["consistent_hash_ring_users"] = consistent_hash_ring_users
+ORACLE_SQL["consistent_hash_ring_users"] = f"""
+    WITH vn AS (SELECT i // {_RING_VNODES} AS node,
+                       CAST(2 * i AS HUGEINT) AS h
+                FROM (SELECT unnest(range({_RING_NODES
+                                           * _RING_VNODES})) AS i)),
+    {_sql_splitmix_ctes("vn", carry="node, ", sfx="r")},
+    ring AS (SELECT node, h AS pos FROM m3r),
+    ku AS (SELECT user_id, CAST(2 * user_id + 1 AS HUGEINT) AS h
+           FROM (SELECT DISTINCT user_id FROM events)),
+    {_sql_splitmix_ctes("ku", carry="user_id, ", sfx="k")},
+    keys AS (SELECT user_id, h AS kh FROM m3k),
+    nxt AS (SELECT k.user_id, min(r.pos) AS pos
+            FROM keys k JOIN ring r ON r.pos >= k.kh
+            GROUP BY k.user_id),
+    ch AS (SELECT k.user_id,
+                  coalesce(n.pos, (SELECT min(pos) FROM ring)) AS pos
+           FROM keys k LEFT JOIN nxt n USING (user_id))
+    SELECT ch.user_id, CAST(r.node AS BIGINT) AS node
+    FROM ch JOIN ring r USING (pos)
 """
