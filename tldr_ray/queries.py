@@ -21379,3 +21379,290 @@ ORACLE_SQL["consistent_hash_ring_users"] = f"""
     SELECT ch.user_id, CAST(r.node AS BIGINT) AS node
     FROM ch JOIN ring r USING (pos)
 """
+
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+
+
+def shapley_attribution_purchases(sf_dir: str):
+    """EXACT SHAPLEY-VALUE channel attribution (game-theoretic
+    upgrade of the positional multi_touch_attribution): coalition
+    value v(S) = number of purchases whose 1-hour-preceding touch SET
+    is contained in S; shapley_i = (1/4!) * sum over S not containing
+    i of |S|!(3-|S|)! * [v(S+i) - v(S)]. With the purchase-count game
+    every marginal is an INTEGER, so the whole computation is exact
+    over the fixed denominator 24 — one float division at the end.
+    Distributed plan: coarse user-partition sweep, per-channel
+    searchsorted window membership on a dense (user, ts) composite
+    (no per-row loop, no self-join); the 16-mask histogram is the
+    only thing that leaves the cluster; the zeta transform + Shapley
+    sums are 16x16 driver scalars."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    HOUR = np.int64(3_600_000_000)
+    K = np.int64(1) << 45
+
+    def part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                      dtype=np.int64)),
+            "event_type": t["event_type"],
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy(np.int64)
+        ts = ts - ts.min()
+        uidx = pd.factorize(g["user_id"], sort=True)[0] \
+            .astype(np.int64)
+        et = g["event_type"].to_numpy(object)
+        comp = uidx * K + ts
+        isp = et == "purchase"
+        pcomp = comp[isp]
+        plo = uidx[isp] * K + np.maximum(ts[isp] - HOUR, 0)
+        mask = np.zeros(pcomp.size, dtype=np.int64)
+        for b, ch in enumerate(_SHAP_CHANNELS):
+            cc = comp[et == ch]             # sorted subsequence
+            hit = (np.searchsorted(cc, pcomp, side="left")
+                   - np.searchsorted(cc, plo, side="left")) > 0
+            mask |= hit.astype(np.int64) << b
+        return pa.table({"mask": pa.array(mask)})
+
+    cnt_df = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+              .map_batches(part, batch_format="pyarrow")
+              .groupby("__part").map_groups(sweep,
+                                            batch_format="pandas")
+              .groupby("mask").count().to_pandas())
+    cnt = np.zeros(16, dtype=np.int64)
+    cnt[cnt_df["mask"].to_numpy(np.int64)] = \
+        cnt_df["count()"].to_numpy(np.int64)
+    v = np.zeros(16, dtype=np.int64)
+    for s in range(16):
+        v[s] = sum(int(cnt[t]) for t in range(16) if (t | s) == s)
+    w = (6, 2, 2, 6)                          # |S|!*(3-|S|)!
+    rows = []
+    for b, ch in enumerate(_SHAP_CHANNELS):
+        num = sum(w[bin(s).count("1")]
+                  * (int(v[s | (1 << b)]) - int(v[s]))
+                  for s in range(16) if not (s >> b) & 1)
+        rows.append((ch, num, float(num) / float(24)))
+    return pa.table({
+        "channel": pa.array([r[0] for r in rows], pa.string()),
+        "shap_num": pa.array([r[1] for r in rows], pa.int64()),
+        "shap_den": pa.array([24] * 4, pa.int64()),
+        "shapley": pa.array([r[2] for r in rows], pa.float64())})
+
+
+QUERIES["shapley_attribution_purchases"] = shapley_attribution_purchases
+ORACLE_SQL["shapley_attribution_purchases"] = """
+    WITH ch AS (SELECT * FROM (VALUES ('click', 0), ('error', 1),
+                                      ('signup', 2), ('view', 3))
+                    AS t(et, bit)),
+    tch AS (SELECT e.user_id, e.ts, ch.bit
+            FROM events e JOIN ch ON ch.et = e.event_type),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    w AS (SELECT p.event_id,
+                 coalesce(bit_or(1 << t.bit), 0) AS mask
+          FROM p LEFT JOIN tch t
+            ON t.user_id = p.user_id AND t.ts < p.ts
+           AND t.ts >= p.ts - INTERVAL 1 HOUR
+          GROUP BY p.event_id),
+    cnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS c
+            FROM w GROUP BY mask),
+    sets AS (SELECT unnest(range(16)) AS s),
+    v AS (SELECT sets.s, CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS v
+          FROM sets LEFT JOIN cnt ON (cnt.mask | sets.s) = sets.s
+          GROUP BY sets.s),
+    terms AS (SELECT ch.et, ch.bit, sets.s,
+                     CASE bit_count(sets.s) WHEN 0 THEN 6
+                          WHEN 1 THEN 2 WHEN 2 THEN 2
+                          ELSE 6 END AS wt,
+                     v1.v - v0.v AS marg
+              FROM ch JOIN sets ON (sets.s & (1 << ch.bit)) = 0
+              JOIN v v0 ON v0.s = sets.s
+              JOIN v v1 ON v1.s = (sets.s | (1 << ch.bit)))
+    SELECT et AS channel,
+           CAST(sum(wt * marg) AS BIGINT) AS shap_num,
+           CAST(24 AS BIGINT) AS shap_den,
+           CAST(sum(wt * marg) AS DOUBLE) / CAST(24 AS DOUBLE)
+               AS shapley
+    FROM terms GROUP BY et, bit
+"""
+
+
+def ransac_trend_value(sf_dir: str, n_cand: int = 64):
+    """Deterministic INTEGER RANSAC line fit on the daily
+    value-cents series — the outlier-robust trend estimate OLS can't
+    give (one spike day drags least squares; the consensus line
+    ignores it). 64 candidate lines from splitmix-drawn day pairs
+    (forced-distinct via a 1 + h%(D-1) offset — no rejection loop);
+    the inlier test |(y-yi)*(xj-xi) - (yj-yi)*(x-xi)| <= tol*(xj-xi)
+    is pure cross-multiplied int64 (tol = value range // 8), so the
+    winning candidate, its inlier count, and its rational slope are
+    all exact — nothing floats. Distributed work: one grouped daily
+    sum; the 64 x D consensus matrix is driver arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    DAY = np.int64(86_400_000_000)
+
+    h = (_read(sf_dir, "events", ["ts", "value"])
+         .map_batches(lambda t: pa.table({
+             "day": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                        dtype=np.int64) // DAY),
+             "c": pa.array(_cents(np.asarray(t["value"],
+                                             dtype=np.float64)))}),
+             batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("c", alias_name="y"))
+         .to_pandas().sort_values("day"))
+    day0 = int(h["day"].min())
+    x = h["day"].to_numpy(np.int64) - day0
+    y = h["y"].to_numpy(np.int64)
+    D = x.size
+    tol = (int(y.max()) - int(y.min())) // 8
+    ks = np.arange(n_cand, dtype=np.int64)
+    i = (_mix64((2 * ks).astype(np.uint64))
+         % np.uint64(D)).astype(np.int64)
+    off = 1 + (_mix64((2 * ks + 1).astype(np.uint64))
+               % np.uint64(D - 1)).astype(np.int64)
+    j = (i + off) % D
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    xi, yi = x[lo], y[lo]
+    dx = x[hi] - x[lo]
+    dy = y[hi] - y[lo]
+    # |(y - yi)*dx - dy*(x - xi)| <= tol*dx  (dx > 0 after ordering)
+    resid = np.abs((y[None, :] - yi[:, None]) * dx[:, None]
+                   - dy[:, None] * (x[None, :] - xi[:, None]))
+    inl = (resid <= tol * dx[:, None]).sum(axis=1).astype(np.int64)
+    best = int(np.lexsort((ks, -inl))[0])
+    return pa.table({
+        "cand": pa.array([best], pa.int64()),
+        "day_i": pa.array([day0 + int(lo[best])], pa.int64()),
+        "day_j": pa.array([day0 + int(hi[best])], pa.int64()),
+        "n_inliers": pa.array([int(inl[best])], pa.int64()),
+        "slope_num": pa.array([int(dy[best])], pa.int64()),
+        "slope_den": pa.array([int(dx[best])], pa.int64()),
+        "tol": pa.array([tol], pa.int64())})
+
+
+QUERIES["ransac_trend_value"] = ransac_trend_value
+ORACLE_SQL["ransac_trend_value"] = f"""
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                      CAST(sum(CAST(floor(value * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    g AS (SELECT day - (SELECT min(day) FROM d) AS x, y FROM d),
+    dd AS (SELECT CAST(count(*) AS HUGEINT) AS D,
+                  (max(y) - min(y)) // 8 AS tol,
+                  min(day) AS day0
+           FROM d),
+    ca AS (SELECT k, CAST(2 * k AS HUGEINT) AS h
+           FROM (SELECT unnest(range({64})) AS k)),
+    {_sql_splitmix_ctes("ca", carry="k, ", sfx="ra")},
+    cb AS (SELECT k, CAST(2 * k + 1 AS HUGEINT) AS h
+           FROM (SELECT unnest(range({64})) AS k)),
+    {_sql_splitmix_ctes("cb", carry="k, ", sfx="rb")},
+    ij AS (SELECT a.k,
+                  CAST(a.h % (SELECT D FROM dd) AS BIGINT) AS i,
+                  CAST((a.h % (SELECT D FROM dd)
+                        + 1 + b.h % ((SELECT D FROM dd) - 1))
+                       % (SELECT D FROM dd) AS BIGINT) AS j
+           FROM m3ra a JOIN m3rb b USING (k)),
+    od AS (SELECT k, least(i, j) AS lo, greatest(i, j) AS hi
+           FROM ij),
+    ln AS (SELECT od.k, od.lo, od.hi,
+                  gi.y AS yi, gj.x - gi.x AS dx, gj.y - gi.y AS dy,
+                  gi.x AS xi
+           FROM od JOIN g gi ON gi.x = od.lo
+                   JOIN g gj ON gj.x = od.hi),
+    sc AS (SELECT ln.k, ln.lo, ln.hi, ln.dy, ln.dx,
+                  CAST(count(*) FILTER (
+                      abs((g.y - ln.yi) * ln.dx
+                          - ln.dy * (g.x - ln.xi))
+                      <= (SELECT tol FROM dd) * ln.dx)
+                       AS BIGINT) AS n_inliers
+           FROM ln CROSS JOIN g
+           GROUP BY ln.k, ln.lo, ln.hi, ln.dy, ln.dx)
+    SELECT CAST(k AS BIGINT) AS cand,
+           lo + (SELECT day0 FROM dd) AS day_i,
+           hi + (SELECT day0 FROM dd) AS day_j,
+           n_inliers,
+           dy AS slope_num, dx AS slope_den,
+           CAST((SELECT tol FROM dd) AS BIGINT) AS tol
+    FROM sc ORDER BY n_inliers DESC, k LIMIT 1
+"""
+
+
+def ams_f2_events(sf_dir: str, n_rows: int = 16):
+    """AMS (Alon-Matias-Szegedy) SECOND-MOMENT sketch of the user_id
+    stream: 16 independent +-1 hash rows, S_r = sum of signs over
+    EVENTS (one counter per row per block — mergeable by addition,
+    the textbook distributed-sketch contract); E[S_r^2] = F2 = sum of
+    per-user count^2, the self-join size / skew statistic. Signs come
+    from splitmix64(user*16+r) & 1, so the sketch is bit-reproducible
+    and the estimate exact integers; the exact F2 rides beside it for
+    the error report. One float division at the end (mean over 16)."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    R = n_rows
+
+    def sk(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        parts = np.empty(R, np.int64)
+        for r in range(R):
+            h = _mix64((u * R + r).astype(np.uint64))
+            parts[r] = np.int64(u.size) \
+                - 2 * np.int64((h & np.uint64(1)).sum())
+        return pa.table({"r": pa.array(np.arange(R, dtype=np.int64)),
+                         "s": pa.array(parts)})
+
+    sketch = (_read(sf_dir, "events", ["user_id"])
+              .map_batches(sk, batch_format="pyarrow")
+              .groupby("r").aggregate(Sum("s", alias_name="s"))
+              .to_pandas().sort_values("r"))
+    f2 = int((_read(sf_dir, "events", ["user_id"])
+              .groupby("user_id").count()
+              .map_batches(lambda t: pa.table({
+                  "p": pa.array([int((np.asarray(
+                      t["count()"], dtype=np.int64).astype(object)
+                      ** 2).sum())], pa.int64())}),
+                  batch_format="pyarrow")
+              .sum("p")))
+    s = sketch["s"].to_numpy(np.int64)
+    est_mean = float(sum(int(v) * int(v) for v in s)) / float(R)
+    return pa.table({
+        "r": pa.array(sketch["r"].to_numpy(np.int64)),
+        "s": pa.array(s),
+        "est": pa.array(s * s),
+        "f2_exact": pa.array([f2] * R, pa.int64()),
+        "est_mean": pa.array([est_mean] * R, pa.float64())})
+
+
+QUERIES["ams_f2_events"] = ams_f2_events
+ORACLE_SQL["ams_f2_events"] = f"""
+    WITH src AS (SELECT CAST(user_id * {16} + r AS HUGEINT) AS h, r
+                 FROM events,
+                      unnest(range({16})) AS t(r)),
+    {_sql_splitmix_ctes("src", carry="r, ")},
+    sk AS (SELECT r, CAST(sum(1 - 2 * CAST(h % 2 AS BIGINT))
+                          AS BIGINT) AS s
+           FROM m3 GROUP BY r),
+    ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY user_id)),
+    mn AS (SELECT CAST(sum(s * s) AS DOUBLE) / CAST({16} AS DOUBLE)
+               AS est_mean
+           FROM sk)
+    SELECT CAST(r AS BIGINT) AS r, s, s * s AS est,
+           (SELECT f2 FROM ex) AS f2_exact,
+           (SELECT est_mean FROM mn) AS est_mean
+    FROM sk
+"""
