@@ -21666,3 +21666,165 @@ ORACLE_SQL["ams_f2_events"] = f"""
            (SELECT est_mean FROM mn) AS est_mean
     FROM sk
 """
+
+
+def levenshtein2_name_pairs(sf_dir: str):
+    """Edit-distance <= 2 similarity join over distinct customer
+    names (stages.dedup.edit_distance2_pairs — FastSS k=2: lossless
+    2-deletion-neighborhood blocking + banded-DP verify, never
+    all-pairs; the k=1 stage this widens catches only adjacent
+    typos). Hash-checked against DuckDB's levenshtein() self-join
+    including the dist column."""
+    from tldr_ray.stages.dedup import edit_distance2_pairs
+
+    return edit_distance2_pairs(
+        _read(sf_dir, "customer", ["c_name"]), col="c_name")
+
+
+QUERIES["levenshtein2_name_pairs"] = levenshtein2_name_pairs
+ORACLE_SQL["levenshtein2_name_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a JOIN v b
+      ON a.w < b.w
+     AND abs(length(a.w) - length(b.w)) <= 2
+     AND levenshtein(a.w, b.w) <= 2
+"""
+
+
+def random_projection_embeddings(sf_dir: str, k_out: int = 8):
+    """JOHNSON-LINDENSTRAUSS random projection 64 -> 8 dims with +-1
+    splitmix signs over the int8-quantized codes (the float matmul's
+    dot products are order-dependent; quantize-then-integer-project
+    makes the sketch EXACT and bit-reproducible across engines — the
+    distance-preserving cousin of feature_hash_docs). Per-dim [mn,mx]
+    bands from one distributed min/max pass ride as a broadcast; the
+    projection is one (codes-128) @ signs int64 matmul per batch."""
+    from ray.data.aggregate import Max, Min
+
+    import ray
+
+    from tldr_ray.stages.ann import _as_matrix
+    from tldr_ray.stages.dedup import _mix64
+
+    def dimstats(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0))})
+
+    mm = (_read(sf_dir, "embeddings", ["embedding"])
+          .map_batches(dimstats, batch_format="pyarrow")
+          .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                    Max("mx", alias_name="mx"))
+          .to_pandas().sort_values("dim"))
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    D = mn.size
+    dd, jj = np.meshgrid(np.arange(D, dtype=np.int64),
+                         np.arange(k_out, dtype=np.int64),
+                         indexing="ij")
+    sgn = (1 - 2 * (_mix64((dd * k_out + jj).astype(np.uint64))
+                    & np.uint64(1)).astype(np.int64))
+    ref = ray.put((mn, mx, sgn))
+
+    def project(t: pa.Table) -> pa.Table:
+        mn_, mx_, s_ = ray.get(ref)
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        span = mx_ - mn_
+        code = np.where(span > 0,
+                        np.floor((m - mn_) / span * 255 + 0.5), 0.0) \
+            .astype(np.int64)
+        y = (code - 128) @ s_
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        n, k = y.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, k)),
+            "j": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "y": pa.array(y.ravel())})
+
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(project, batch_format="pyarrow"))
+
+
+QUERIES["random_projection_embeddings"] = random_projection_embeddings
+ORACLE_SQL["random_projection_embeddings"] = f"""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    mm AS (SELECT dim, CAST(min(v) AS DOUBLE) AS mn,
+                  CAST(max(v) AS DOUBLE) AS mx
+           FROM x GROUP BY dim),
+    q AS (SELECT x.vec_id, x.dim,
+                 CASE WHEN mm.mx > mm.mn
+                      THEN CAST(floor((x.v - mm.mn) / (mm.mx - mm.mn)
+                                      * 255 + 0.5) AS BIGINT)
+                      ELSE 0 END AS code
+          FROM x JOIN mm USING (dim)),
+    sg AS (SELECT dim, j, CAST(dim * {8} + j AS HUGEINT) AS h
+           FROM (SELECT DISTINCT dim FROM mm),
+                unnest(range({8})) AS t(j)),
+    {_sql_splitmix_ctes("sg", carry="dim, j, ")},
+    s AS (SELECT dim, j, 1 - 2 * CAST(h % 2 AS BIGINT) AS sgn
+          FROM m3)
+    SELECT q.vec_id, s.j,
+           CAST(sum((q.code - 128) * s.sgn) AS BIGINT) AS y
+    FROM q JOIN s USING (dim)
+    GROUP BY q.vec_id, s.j
+"""
+
+
+def largest_remainder_alloc_docs(sf_dir: str, seats: int = 1000):
+    """LARGEST-REMAINDER (Hamilton) apportionment of a 1000-slot
+    sampling budget across languages proportional to doc counts — the
+    exact integer answer to 'how many docs per lang' that naive
+    rounding gets wrong (rounded quotas don't sum to the budget).
+    base = cnt*seats // n, the seats - sum(base) leftovers go to the
+    largest remainders (cnt*seats % n, lang asc ties) — pure integer
+    arithmetic, mirrored by one SQL window rank."""
+    g = (_read(sf_dir, "documents", ["lang"])
+         .groupby("lang").count().to_pandas().sort_values("lang"))
+    cnt = g["count()"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    base = cnt * seats // n
+    rem = cnt * seats % n
+    extra_n = seats - int(base.sum())
+    order = np.lexsort((g["lang"].to_numpy(object), -rem))
+    extra = np.zeros(cnt.size, dtype=np.int64)
+    extra[order[:extra_n]] = 1
+    return pa.table({
+        "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+        "n_docs": pa.array(cnt),
+        "base": pa.array(base),
+        "extra": pa.array(extra),
+        "seats": pa.array(base + extra)})
+
+
+QUERIES["largest_remainder_alloc_docs"] = largest_remainder_alloc_docs
+ORACLE_SQL["largest_remainder_alloc_docs"] = """
+    WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                 CAST(sum(n_docs * 1000 // sum(n_docs)) OVER ()
+                      AS BIGINT) AS dummy
+          FROM g),
+    b AS (SELECT lang, n_docs,
+                 n_docs * 1000 // (SELECT sum(n_docs) FROM g) AS base,
+                 n_docs * 1000 % (SELECT sum(n_docs) FROM g) AS rem
+          FROM g),
+    r AS (SELECT lang, n_docs, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                 1000 - (SELECT sum(base) FROM b) AS extra_n
+          FROM b)
+    SELECT lang, n_docs, CAST(base AS BIGINT) AS base,
+           CAST(CASE WHEN rk <= extra_n THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(base + CASE WHEN rk <= extra_n THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM r
+"""

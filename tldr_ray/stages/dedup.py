@@ -1673,3 +1673,142 @@ def gear_chunk_spans(data: bytes, min_size: int = 64,
         spans.append((start, end))
         start = end
     return spans
+
+
+def _lev(a: str, b: str, cap: int = 2) -> int:
+    """Banded Levenshtein distance, exact up to ``cap`` (returns
+    cap+1 past it). Candidate verification only — blocking keeps the
+    pair count tiny, so the per-pair DP never sees the corpus."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > cap:
+        return cap + 1
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        lo = max(1, j - cap)
+        hi = min(la, j + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1
+        for i in range(lo, hi + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + (a[i - 1] != b[j - 1]))
+        for i in range(hi + 1, la + 1):
+            cur[i] = cap + 1
+        prev = cur
+    return min(prev[la], cap + 1)
+
+
+def edit_distance2_pairs(vocab, col: str = "w"):
+    """FastSS k=2 similarity join: all unordered pairs at Levenshtein
+    distance 1 OR 2. Same lossless deletion-neighborhood blocking as
+    edit_distance_pairs, extended to 2-deletion variants (each string
+    emits itself + its C(L,1) one-deletions + C(L,2) two-deletions;
+    ed(u,w) <= 2 implies a shared variant — Bocek et al. Thm 1, so
+    the superset is lossless and the banded-DP verify makes the
+    result EXACT). The column-pair drops are vectorized per length
+    class; the only shuffle moves (variant, word) keys; duplicates
+    collapse in the same two coarse sweeps as the k=1 stage.
+
+    Returns a Dataset of (w1, w2, dist) with w1 < w2, dist in {1,2}.
+    """
+    def variants(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch[col], dtype=object)
+        if words.size == 0:
+            return pa.table({"variant": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string())})
+        lens = np.fromiter((len(w) for w in words), np.int64,
+                           count=words.size)
+        out_v = [words]
+        out_w = [words]
+        for L in np.unique(lens):
+            L = int(L)
+            if L < 2:
+                continue
+            sub = words[lens == L].astype(f"<U{L}")
+            chars = sub.view("<U1").reshape(sub.size, L)
+            for i in range(L):
+                keep = np.ascontiguousarray(
+                    np.concatenate([chars[:, :i], chars[:, i + 1:]],
+                                   axis=1))
+                out_v.append(keep.view(f"<U{L - 1}").ravel()
+                             .astype(object))
+                out_w.append(sub.astype(object))
+            if L < 3:
+                continue
+            for i in range(L - 1):
+                for j in range(i + 1, L):
+                    keep = np.ascontiguousarray(np.concatenate(
+                        [chars[:, :i], chars[:, i + 1:j],
+                         chars[:, j + 1:]], axis=1))
+                    out_v.append(keep.view(f"<U{L - 2}").ravel()
+                                 .astype(object))
+                    out_w.append(sub.astype(object))
+        return pa.table({
+            "variant": pa.array(np.concatenate(out_v), pa.string()),
+            "w": pa.array(np.concatenate(out_w), pa.string())})
+
+    from tldr_ray.hashing import part_key
+
+    num_parts = 64
+
+    def with_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(part_key(batch["variant"], num_parts)))
+
+    keyed = (vocab.map_batches(variants, batch_format="pyarrow")
+             .map_batches(with_part, batch_format="pyarrow"))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.asarray(g["variant"], dtype=object)
+        w = np.asarray(g["w"], dtype=object)
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        seen: set = set()
+        dead: set = set()
+        a_out: list = []
+        b_out: list = []
+        d_out: list = []
+        start = 0
+        n = len(v)
+        for end in range(1, n + 1):
+            if end < n and v[end] == v[start]:
+                continue
+            if end - start >= 2:
+                ws = w[start:end]
+                for i in range(len(ws)):
+                    wi = ws[i]
+                    for j in range(i + 1, len(ws)):
+                        if wi == ws[j]:
+                            continue
+                        p = (wi, ws[j]) if wi < ws[j] else (ws[j], wi)
+                        if p in seen or p in dead:
+                            continue
+                        d = _lev(*p)
+                        if d <= 2:
+                            seen.add(p)
+                            a_out.append(p[0])
+                            b_out.append(p[1])
+                            d_out.append(d)
+                        else:
+                            dead.add(p)
+            start = end
+        return pd.DataFrame({"w1": pd.Series(a_out, dtype=object),
+                             "w2": pd.Series(b_out, dtype=object),
+                             "dist": pd.Series(d_out,
+                                               dtype=np.int64)})
+
+    pairs = keyed.groupby("part").map_groups(sweep,
+                                             batch_format="pandas")
+
+    def with_part2(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part2", pa.array(part_key(batch["w1"], num_parts)))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["w1", "w2"])[["w1", "w2", "dist"]]
+
+    return (pairs.map_batches(with_part2, batch_format="pyarrow")
+            .groupby("part2")
+            .map_groups(distinct, batch_format="pandas"))
