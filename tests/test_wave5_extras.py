@@ -227,3 +227,49 @@ def test_resource_allocation_fixed_point_exact():
     fp = 1 << 20
     ra02 = sum(fp // deg[z] for z in (1, 3))
     assert ra02 == fp
+
+
+# --------------------------------------------------------- compaction
+
+
+def test_plan_compaction_bins_capacity_and_determinism():
+    from tldr_ray.sinks import plan_compaction_bins
+
+    files = [(f"f{i}", sz) for i, sz in
+             enumerate([70, 10, 45, 30, 90, 5, 120, 60])]
+    bins = plan_compaction_bins(files, target_bytes=100)
+    sizes = dict(files)
+    # capacity: every multi-file bin fits; oversize files sit alone
+    for b in bins:
+        tot = sum(sizes[f] for f in b)
+        assert tot <= 100 or len(b) == 1
+    # complete + disjoint
+    flat = [f for b in bins for f in b]
+    assert sorted(flat) == sorted(sizes)
+    # deterministic
+    assert bins == plan_compaction_bins(files, target_bytes=100)
+    # FFD on this instance: 120 alone, 90+10, 70+30, 60+45(no: 105)…
+    assert ["f6"] in bins
+
+
+def test_compact_bins_preserves_rows(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tldr_ray.sinks import compact_bins
+
+    d = tmp_path / "t"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    all_ids = []
+    for i in range(9):
+        ids = rng.integers(0, 1 << 30, size=200)
+        all_ids.append(ids)
+        pq.write_table(pa.table({"id": pa.array(ids)}),
+                       str(d / f"part-{i}.parquet"))
+    rep = compact_bins(str(d), target_bytes=1 << 14)
+    assert rep["files_before"] == 9
+    assert rep["files_after"] < 9
+    assert rep["rows"] == 1800
+    got = pq.read_table(str(d))["id"].to_numpy()
+    assert sorted(got.tolist()) == sorted(
+        np.concatenate(all_ids).tolist())

@@ -21828,3 +21828,310 @@ ORACLE_SQL["largest_remainder_alloc_docs"] = """
                 AS BIGINT) AS seats
     FROM r
 """
+
+
+def pr_curve_purchase(sf_dir: str):
+    """PRECISION-RECALL curve of the value score against the purchase
+    label at every distinct threshold (predict positive when value >=
+    s) — the class-imbalance-honest companion of value_auc_purchase,
+    on the SAME value-counts plan: one streaming pre-combined pass,
+    ONE grouped sum over distinct cents, then suffix sums on the
+    O(#distinct) frame. tp/fp exact integers; precision and recall
+    are one division each."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["value"], dtype=np.float64))
+        pos = (np.asarray(batch["event_type"])
+               == "purchase").astype(np.int64)
+        t = pa.table({"s": pa.array(c, pa.int64()),
+                      "pos": pa.array(pos, pa.int64())})
+        g = t.group_by("s").aggregate([("pos", "sum"), ("s", "count")])
+        return pa.table({"s": g["s"],
+                         "p": g["pos_sum"].cast(pa.int64()),
+                         "c": g["s_count"].cast(pa.int64())})
+
+    vc = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("s")
+          .aggregate(Sum("p", alias_name="ps"),
+                     Sum("c", alias_name="cs"))
+          .to_pandas().sort_values("s", ascending=False))
+    s = vc["s"].to_numpy(np.int64)
+    tp = np.cumsum(vc["ps"].to_numpy(np.int64))
+    pred = np.cumsum(vc["cs"].to_numpy(np.int64))
+    P = int(tp[-1])
+    return pa.table({
+        "thresh": pa.array(s),
+        "tp": pa.array(tp),
+        "fp": pa.array(pred - tp),
+        "precision": pa.array(tp.astype(np.float64)
+                              / pred.astype(np.float64)),
+        "recall": pa.array(tp.astype(np.float64) / np.float64(P))})
+
+
+QUERIES["pr_curve_purchase"] = pr_curve_purchase
+ORACLE_SQL["pr_curve_purchase"] = """
+    WITH vc AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(*) FILTER (event_type = 'purchase')
+                    AS BIGINT) AS p
+        FROM events GROUP BY 1),
+    o AS (SELECT s,
+                 CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                 CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT)
+                     AS pred
+          FROM vc),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS P FROM vc)
+    SELECT s AS thresh, tp, pred - tp AS fp,
+           CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(P AS DOUBLE) AS recall
+    FROM o, tot
+"""
+
+
+def pr_interp11_purchase(sf_dir: str):
+    """11-POINT INTERPOLATED precision (the Pascal-VOC AP table):
+    p_interp(r) = max precision over thresholds whose recall >= r/10.
+    The recall gate is exact integer cross-multiplication (tp*10 >=
+    r*P — no float recall compare), and max over identical
+    bit-for-bit precision doubles is order-free, so the whole table
+    hash-matches. Scalar mean-AP is deliberately NOT emitted: an
+    11-float sum has engine-dependent order; the table is the
+    deliverable."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(np.asarray(batch["value"], dtype=np.float64))
+        pos = (np.asarray(batch["event_type"])
+               == "purchase").astype(np.int64)
+        t = pa.table({"s": pa.array(c, pa.int64()),
+                      "pos": pa.array(pos, pa.int64())})
+        g = t.group_by("s").aggregate([("pos", "sum"), ("s", "count")])
+        return pa.table({"s": g["s"],
+                         "p": g["pos_sum"].cast(pa.int64()),
+                         "c": g["s_count"].cast(pa.int64())})
+
+    vc = (_read(sf_dir, "events", ["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("s")
+          .aggregate(Sum("p", alias_name="ps"),
+                     Sum("c", alias_name="cs"))
+          .to_pandas().sort_values("s", ascending=False))
+    tp = np.cumsum(vc["ps"].to_numpy(np.int64))
+    pred = np.cumsum(vc["cs"].to_numpy(np.int64))
+    P = int(tp[-1])
+    prec = tp.astype(np.float64) / pred.astype(np.float64)
+    out_r, out_p = [], []
+    for r in range(11):
+        ok = tp * 10 >= r * P
+        out_r.append(r)
+        out_p.append(float(prec[ok].max()))
+    return pa.table({
+        "r_level": pa.array(out_r, pa.int64()),
+        "p_interp": pa.array(out_p, pa.float64())})
+
+
+QUERIES["pr_interp11_purchase"] = pr_interp11_purchase
+ORACLE_SQL["pr_interp11_purchase"] = """
+    WITH vc AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(*) FILTER (event_type = 'purchase')
+                    AS BIGINT) AS p
+        FROM events GROUP BY 1),
+    o AS (SELECT s,
+                 CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                 CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT)
+                     AS pred
+          FROM vc),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS P FROM vc),
+    lv AS (SELECT unnest(range(11)) AS r_level)
+    SELECT lv.r_level,
+           max(CAST(o.tp AS DOUBLE) / CAST(o.pred AS DOUBLE))
+               AS p_interp
+    FROM lv JOIN o ON o.tp * 10 >= lv.r_level * (SELECT P FROM tot)
+    GROUP BY lv.r_level
+"""
+
+
+_MARKOV_STATES = ("click", "error", "purchase", "signup", "view")
+
+
+def _markov_round_expr(j: int, prev: str) -> str:
+    terms = [f"{prev}.v{i} * mm.c{i}{j} / mm.d{i}" for i in range(5)]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+def markov_stationary_events(sf_dir: str, rounds: int = 20):
+    """STATIONARY DISTRIBUTION of the event-type Markov chain by 20
+    bounded power-iteration rounds from uniform — where does a user's
+    session settle? The distributed work is the (from, to) transition
+    count (coarse user sweep, consecutive (ts, event_id)-ordered
+    pairs); the 5x5 iteration is driver arithmetic whose every step
+    is the fixed chain v_i*c_ij/d_i summed left-associatively —
+    replayed term for term by 20 generated SQL round CTEs, so the
+    floats hash-match (same discipline as ewma / label spreading)."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+
+    def part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                      dtype=np.int64)),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        same = u[1:] == u[:-1]
+        return pd.DataFrame({
+            "f": pd.Series(et[:-1][same], dtype=object),
+            "t": pd.Series(et[1:][same], dtype=object)})
+
+    tc = (_read(sf_dir, "events",
+                ["user_id", "ts", "event_id", "event_type"])
+          .map_batches(part, batch_format="pyarrow")
+          .groupby("__part").map_groups(sweep, batch_format="pandas")
+          .groupby(["f", "t"]).aggregate(Count(alias_name="n"))
+          .to_pandas())
+    idx = {s: k for k, s in enumerate(_MARKOV_STATES)}
+    c = np.zeros((5, 5), dtype=np.int64)
+    for _, r in tc.iterrows():
+        c[idx[r["f"]], idx[r["t"]]] = int(r["n"])
+    d = c.sum(axis=1)
+    v = [0.2] * 5
+    for _ in range(rounds):
+        nv = []
+        for j in range(5):
+            acc = v[0] * float(c[0, j]) / float(d[0])
+            for i in range(1, 5):
+                acc = acc + v[i] * float(c[i, j]) / float(d[i])
+            nv.append(acc)
+        v = nv
+    return pa.table({
+        "state": pa.array(list(_MARKOV_STATES), pa.string()),
+        "n_out": pa.array(d),
+        "pi": pa.array(v, pa.float64())})
+
+
+QUERIES["markov_stationary_events"] = markov_stationary_events
+
+
+def _markov_oracle_sql(rounds: int = 20) -> str:
+    pieces = []
+    prev = "r0"
+    for t in range(rounds):
+        cur = f"r{t + 1}"
+        cols = ", ".join(
+            f"{_markov_round_expr(j, 'r')} AS v{j}" for j in range(5))
+        pieces.append(f"{cur} AS (SELECT {cols} FROM {prev} r, mm)")
+        prev = cur
+    rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS state, mm.d{i} AS n_out, "
+        f"{prev}.v{i} AS pi FROM {prev}, mm"
+        for i, s in enumerate(_MARKOV_STATES))
+    cells = ", ".join(
+        f"CAST(coalesce(sum(n) FILTER (f = '{fs}' AND t = '{ts}'), 0)"
+        f" AS BIGINT) AS c{i}{j}"
+        for i, fs in enumerate(_MARKOV_STATES)
+        for j, ts in enumerate(_MARKOV_STATES))
+    dsum = ", ".join(
+        f"CAST(coalesce(sum(n) FILTER (f = '{fs}'), 0) AS BIGINT)"
+        f" AS d{i}"
+        for i, fs in enumerate(_MARKOV_STATES))
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    tc AS (SELECT event_type AS f, nxt AS t,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    mm AS (SELECT {cells}, {dsum} FROM tc),
+    r0 AS (SELECT 0.2 AS v0, 0.2 AS v1, 0.2 AS v2, 0.2 AS v3,
+                  0.2 AS v4),
+    {", ".join(pieces)}
+    {rows}
+    """
+
+
+ORACLE_SQL["markov_stationary_events"] = _markov_oracle_sql()
+
+
+def compact_bins_events(sf_dir: str):
+    """Small-file COMPACTION end to end, the shuffle-free way: lay
+    events out as 24 deliberately-small parquet files, FFD-pack them
+    by BYTE SIZE into ~quarter-directory bins
+    (sinks.plan_compaction_bins), rewrite each bin as one file in an
+    independent Ray task (each task reads ONLY its bin — at 100 TB
+    this is thousands of independent tasks, not a repartition
+    all-to-all), atomically swap, and PROVE rows survived with the
+    order-independent table checksum (same commutative digest as
+    table_checksum_orders — layout can't change it). Rows-only (file
+    sizes depend on the encoder); the pytest pins plan capacity/
+    determinism and checksum preservation."""
+    import hashlib
+    import shutil
+
+    import ray
+
+    from tldr_ray.hashing import fnv1a_batch
+    from tldr_ray.sinks import compact_bins
+    from tldr_ray.stages.dedup import _mix64
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/tldr_ray_compact/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def checksum(path: str) -> tuple[int, int]:
+        import ray.data as rd
+
+        def partial(batch: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                pc.cast(batch["event_id"], pa.string()),
+                pc.cast(batch["user_id"], pa.string()),
+                pc.cast(pa.array(_cents(np.asarray(
+                    batch["value"], dtype=np.float64))), pa.string()),
+                "|")
+            h = _mix64(fnv1a_batch(s))
+            return pa.table({
+                "ps": pa.array([h.sum(dtype=np.uint64)], pa.uint64()),
+                "pn": pa.array([len(h)], pa.int64())})
+
+        parts = rd.read_parquet(path) \
+            .map_batches(partial, batch_format="pyarrow").to_pandas()
+        return (sum(int(x) for x in parts["ps"]) % (1 << 64),
+                int(parts["pn"].sum()))
+
+    (_read(sf_dir, "events", ["event_id", "user_id", "value"])
+     .repartition(24).write_parquet(out))
+    ck0, n0 = checksum(out)
+    total = sum(os.stat(os.path.join(out, f)).st_size
+                for f in os.listdir(out) if f.endswith(".parquet"))
+    rep = compact_bins(out, target_bytes=max(total // 4, 1))
+    ck1, n1 = checksum(out)
+    return pa.table({
+        "files_before": pa.array([rep["files_before"]], pa.int64()),
+        "files_after": pa.array([rep["files_after"]], pa.int64()),
+        "rows": pa.array([rep["rows"]], pa.int64()),
+        "checksum_match": pa.array([int(ck0 == ck1 and n0 == n1)],
+                                   pa.int64())})
+
+
+QUERIES["compact_bins_events"] = compact_bins_events

@@ -412,3 +412,70 @@ def build_bloom_sidecar(path: str, col: str, m_bits: int = 1 << 16,
         json.dump(meta, fh, sort_keys=True)
     os.replace(tmp, os.path.join(path, manifest_name))
     return meta
+
+
+def plan_compaction_bins(files: list[tuple[str, int]],
+                         target_bytes: int) -> list[list[str]]:
+    """FIRST-FIT-DECREASING bin packing of (name, bytes) files into
+    compaction bins of ~``target_bytes`` — the size-aware planner
+    (compact_parquet repartitions by ROWS, which is a full shuffle;
+    bin compaction only ever reads the files inside one bin, so a
+    100 TB table compacts as thousands of independent tasks).
+    Deterministic: sort by (size desc, name asc), place into the
+    first bin with room; an oversize file gets its own bin."""
+    order = sorted(files, key=lambda f: (-f[1], f[0]))
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for name, sz in order:
+        placed = False
+        for i, ld in enumerate(loads):
+            if ld + sz <= target_bytes:
+                bins[i].append(name)
+                loads[i] += sz
+                placed = True
+                break
+        if not placed:
+            bins.append([name])
+            loads.append(sz)
+    return bins
+
+
+def compact_bins(path: str, target_bytes: int = 128 << 20) -> dict:
+    """Shuffle-free small-file compaction: FFD-pack the directory's
+    parquet files into ~``target_bytes`` bins, rewrite each bin as ONE
+    file in an independent Ray task (reads only its own bin — no
+    all-to-all, unlike the repartition compactor), then atomically
+    swap the directory (same tmp/old rename dance as
+    compact_parquet). Returns {"files_before", "files_after",
+    "rows", "bins"}."""
+    import ray
+    import pyarrow.parquet as _pq
+
+    names = sorted(n for n in os.listdir(path)
+                   if n.endswith(".parquet"))
+    sizes = [(n, os.stat(os.path.join(path, n)).st_size)
+             for n in names]
+    bins = plan_compaction_bins(sizes, target_bytes)
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(tmp)
+
+    @ray.remote(num_cpus=1)
+    def rewrite(bin_files: list, out: str) -> int:
+        import pyarrow as _pa
+
+        t = _pa.concat_tables([_pq.read_table(f) for f in bin_files])
+        _pq.write_table(t, out)
+        return t.num_rows
+
+    rows = sum(ray.get([
+        rewrite.remote([os.path.join(path, f) for f in b],
+                       os.path.join(tmp, f"compacted-{i:05d}.parquet"))
+        for i, b in enumerate(bins)]))
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": len(names), "files_after": len(bins),
+            "rows": int(rows), "bins": len(bins)}
