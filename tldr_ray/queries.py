@@ -22135,3 +22135,305 @@ def compact_bins_events(sf_dir: str):
 
 
 QUERIES["compact_bins_events"] = compact_bins_events
+
+
+def user_longest_streak(sf_dir: str):
+    """GAPS-AND-ISLANDS: each user's longest run of consecutive
+    active days (the engagement-streak metric; the day - rank trick
+    makes islands a grouping key with no sequential scan). Plan: one
+    distinct (user, day) pass, then a coarse user-partition sweep —
+    island ids are a vectorized cumsum over day-diff breaks, lengths
+    one bincount; only (user, n_days, streak) leaves the task."""
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    DAY = np.int64(86_400_000_000)
+
+    def days(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        d = np.asarray(t["ts"].cast(pa.int64()),
+                       dtype=np.int64) // DAY
+        k = np.unique(u * np.int64(1 << 20) + d)
+        uu = k >> 20
+        return pa.table({
+            "user_id": pa.array(uu),
+            "day": pa.array(k & np.int64((1 << 20) - 1)),
+            "__part": pa.array((vhash(uu) % NP).astype(np.int32))})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)]
+        seg = np.cumsum(brk) - 1
+        seglen = np.bincount(seg)
+        lens = pd.Series(seglen[seg])
+        gg = pd.DataFrame({"user_id": u, "len": lens})
+        out = gg.groupby("user_id", sort=True)["len"] \
+            .agg(["max", "count"])
+        return pd.DataFrame({
+            "user_id": out.index.to_numpy(np.int64),
+            "n_active_days": out["count"].to_numpy(np.int64),
+            "longest_streak": out["max"].to_numpy(np.int64)})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(days, batch_format="pyarrow")
+            .groupby("__part").map_groups(sweep,
+                                          batch_format="pandas"))
+
+
+QUERIES["user_longest_streak"] = user_longest_streak
+ORACLE_SQL["user_longest_streak"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    i AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM d),
+    s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
+"""
+
+
+def t_closeness_audit_customers(sf_dir: str):
+    """T-CLOSENESS audit — the distribution-level privacy gate
+    k-anonymity and l-diversity miss (a large, diverse group still
+    leaks if its sensitive distribution differs sharply from the
+    table's): for each quasi-identifier group (nation, segment), the
+    Earth-Mover's Distance between the group's account-balance DECILE
+    distribution and the global one, over the ordered bins: t = sum_k
+    |cum_g(k)*n - cum_all(k)*n_g| / (10*n_g*n). Deciles are the
+    tie-coherent floor(rows_below*10/n) bins; the EMD numerator/
+    denominator are exact integers (strings past int64), t one
+    division. One value-counts pass + one (QI, decile) groupby."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["c_nationkey"].cast(pa.int64()),
+            "segment": batch["c_mktsegment"],
+            "bal": pa.array(_cents(np.asarray(
+                batch["c_acctbal"], dtype=np.float64)))})
+
+    cust = (_read(sf_dir, "customer",
+                  ["c_nationkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(prep, batch_format="pyarrow").materialize())
+    vc = cust.groupby("bal").count().to_pandas().sort_values("bal")
+    cnt = vc["count()"].to_numpy(np.int64)
+    below = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    dec = below * 10 // n
+    bal_sorted = vc["bal"].to_numpy(np.int64)
+
+    def bin_(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bal"], dtype=np.int64)
+        pos = np.searchsorted(bal_sorted, b)
+        return pa.table({
+            "nation": batch["nation"],
+            "segment": batch["segment"],
+            "decile": pa.array(dec[pos])})
+
+    g = (cust.map_batches(bin_, batch_format="pyarrow")
+         .groupby(["nation", "segment", "decile"])
+         .aggregate(Count(alias_name="c")).to_pandas())
+    glob = np.zeros(10, dtype=np.int64)
+    for d_, c_ in zip(*np.unique(dec.repeat(cnt), return_counts=True)):
+        glob[int(d_)] = int(c_)
+    cum_all = np.cumsum(glob)
+    rows = []
+    for (nat, seg), gg in g.groupby(["nation", "segment"], sort=True):
+        gd = np.zeros(10, dtype=np.int64)
+        gd[gg["decile"].to_numpy(np.int64)] = gg["c"].to_numpy(np.int64)
+        ng = int(gd.sum())
+        cum_g = np.cumsum(gd)
+        num = sum(abs(int(cum_g[k]) * n - int(cum_all[k]) * ng)
+                  for k in range(10))
+        den = 10 * ng * n
+        rows.append((int(nat), str(seg), ng, str(num), str(den),
+                     float(num) / float(den)))
+    return pa.table({
+        "nation": pa.array([r[0] for r in rows], pa.int64()),
+        "segment": pa.array([r[1] for r in rows], pa.string()),
+        "n_members": pa.array([r[2] for r in rows], pa.int64()),
+        "t_num": pa.array([r[3] for r in rows], pa.string()),
+        "t_den": pa.array([r[4] for r in rows], pa.string()),
+        "t": pa.array([r[5] for r in rows], pa.float64())})
+
+
+QUERIES["t_closeness_audit_customers"] = t_closeness_audit_customers
+ORACLE_SQL["t_closeness_audit_customers"] = """
+    WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                      c_mktsegment AS segment,
+                      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                          AS bal
+               FROM customer),
+    vc AS (SELECT bal, count(*) AS cnt FROM c GROUP BY bal),
+    d AS (SELECT bal,
+                 CAST((sum(cnt) OVER (ORDER BY bal) - cnt) * 10
+                      // (SELECT count(*) FROM c) AS BIGINT)
+                     AS decile
+          FROM vc),
+    cb AS (SELECT nation, segment, decile
+           FROM c JOIN d ON d.bal = c.bal),
+    ks AS (SELECT unnest(range(10)) AS k),
+    gc AS (SELECT nation, segment, k,
+                  CAST(count(*) FILTER (decile <= k) AS HUGEINT)
+                      AS cum_g,
+                  CAST(count(*) AS HUGEINT) AS n_at
+           FROM cb, ks GROUP BY nation, segment, k),
+    ng AS (SELECT nation, segment,
+                  CAST(count(*) AS HUGEINT) AS n_g
+           FROM cb GROUP BY 1, 2),
+    ga AS (SELECT k, CAST(count(*) FILTER (decile <= k) AS HUGEINT)
+                         AS cum_all
+           FROM cb, ks GROUP BY k),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM c),
+    t AS (SELECT gc.nation, gc.segment, ng.n_g,
+                 sum(abs(gc.cum_g * nn.n - ga.cum_all * ng.n_g))
+                     AS num,
+                 10 * ng.n_g * nn.n AS den
+          FROM gc JOIN ng USING (nation, segment)
+          JOIN ga USING (k) CROSS JOIN nn
+          GROUP BY 1, 2, 3, den)
+    SELECT nation, segment, CAST(n_g AS BIGINT) AS n_members,
+           CAST(num AS VARCHAR) AS t_num,
+           CAST(den AS VARCHAR) AS t_den,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS t
+    FROM t
+"""
+
+
+def nearest_centroid_embeddings(sf_dir: str):
+    """NEAREST-CENTROID (Rocchio) classification of every embedding
+    against per-label centroids — EXACT despite the float curse:
+    vectors ride as int8 quantization codes, centroids stay as
+    (sum-of-codes, count) INTEGER pairs (never divided), and the
+    squared distance to centroid c reduces (dropping the shared |x|^2)
+    to f_c = (|S_c|^2 - 2*n_c*(x . S_c)) / n_c^2 — exact int64
+    numerator, ONE division, argmin over 5 bit-identical doubles
+    (label-asc ties). Two distributed passes: per-dim min/max +
+    per-label code sums, then a broadcast-scored map."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    import ray
+
+    from tldr_ray.stages.ann import _as_matrix
+    _ = Max, Min
+
+    def dimstats(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0))})
+
+    mm = (_read(sf_dir, "embeddings", ["embedding"])
+          .map_batches(dimstats, batch_format="pyarrow")
+          .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                    Max("mx", alias_name="mx"))
+          .to_pandas().sort_values("dim"))
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    bands = ray.put((mn, mx))
+
+    def codes_of(t: pa.Table) -> np.ndarray:
+        mn_, mx_ = ray.get(bands)
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        span = mx_ - mn_
+        return np.where(span > 0,
+                        np.floor((m - mn_) / span * 255 + 0.5),
+                        0.0).astype(np.int64)
+
+    def label_sums(t: pa.Table) -> pa.Table:
+        code = codes_of(t)
+        lab = np.asarray(t["label"], dtype=np.int64)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lv in np.unique(lab):
+            sel = code[lab == lv]
+            out_l.append(np.full(code.shape[1], lv, np.int64))
+            out_d.append(np.arange(code.shape[1], dtype=np.int64))
+            out_s.append(sel.sum(axis=0, dtype=np.int64))
+            out_n.append(np.full(code.shape[1],
+                                 sel.shape[0], np.int64))
+        return pa.table({
+            "label": pa.array(np.concatenate(out_l)),
+            "dim": pa.array(np.concatenate(out_d)),
+            "s": pa.array(np.concatenate(out_s)),
+            "n": pa.array(np.concatenate(out_n))})
+
+    cs = (_read(sf_dir, "embeddings", ["embedding", "label"])
+          .map_batches(label_sums, batch_format="pyarrow")
+          .groupby(["label", "dim"])
+          .aggregate(Sum("s", alias_name="s"),
+                     Sum("n", alias_name="n"))
+          .to_pandas().sort_values(["label", "dim"]))
+    labels = np.sort(cs["label"].unique()).astype(np.int64)
+    D = int(cs["dim"].max()) + 1
+    S = cs["s"].to_numpy(np.int64).reshape(labels.size, D)
+    ncl = cs["n"].to_numpy(np.int64).reshape(labels.size, D)[:, 0]
+    S2 = (S.astype(object) ** 2).sum(axis=1)
+    S2 = np.array([int(x) for x in S2], dtype=np.int64)
+    cref = ray.put((labels, S, ncl, S2))
+
+    def classify(t: pa.Table) -> pa.Table:
+        labs, S_, n_, S2_ = ray.get(cref)
+        code = codes_of(t)
+        dot = code @ S_.T                     # int64 exact
+        num = S2_[None, :] - 2 * n_[None, :] * dot
+        f = num.astype(np.float64) / (n_ * n_).astype(np.float64)
+        j = np.argmin(f, axis=1)              # first min = label asc
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "label": t["label"].cast(pa.int64()),
+            "pred": pa.array(labs[j])})
+
+    return (_read(sf_dir, "embeddings",
+                  ["vec_id", "embedding", "label"])
+            .map_batches(classify, batch_format="pyarrow"))
+
+
+QUERIES["nearest_centroid_embeddings"] = nearest_centroid_embeddings
+ORACLE_SQL["nearest_centroid_embeddings"] = """
+    WITH x AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    mm AS (SELECT dim, CAST(min(v) AS DOUBLE) AS mn,
+                  CAST(max(v) AS DOUBLE) AS mx
+           FROM x GROUP BY dim),
+    q AS (SELECT x.vec_id, x.label, x.dim,
+                 CASE WHEN mm.mx > mm.mn
+                      THEN CAST(floor((x.v - mm.mn) / (mm.mx - mm.mn)
+                                      * 255 + 0.5) AS BIGINT)
+                      ELSE 0 END AS code
+          FROM x JOIN mm USING (dim)),
+    cs AS (SELECT label AS cl, dim, CAST(sum(code) AS BIGINT) AS s
+           FROM q GROUP BY 1, 2),
+    nc AS (SELECT CAST(label AS BIGINT) AS cl,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+    s2 AS (SELECT cl, CAST(sum(s * s) AS BIGINT) AS s2
+           FROM cs GROUP BY cl),
+    dt AS (SELECT q.vec_id, cs.cl,
+                  CAST(sum(q.code * cs.s) AS BIGINT) AS dot
+           FROM q JOIN cs USING (dim)
+           GROUP BY 1, 2),
+    f AS (SELECT dt.vec_id, dt.cl,
+                 CAST(s2.s2 - 2 * nc.n * dt.dot AS DOUBLE)
+                     / CAST(nc.n * nc.n AS DOUBLE) AS f
+          FROM dt JOIN nc USING (cl) JOIN s2 USING (cl)),
+    r AS (SELECT vec_id, cl,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY f, cl) AS rn
+          FROM f)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           r.cl AS pred
+    FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rn = 1
+"""
