@@ -22437,3 +22437,244 @@ ORACLE_SQL["nearest_centroid_embeddings"] = """
            r.cl AS pred
     FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rn = 1
 """
+
+
+def matrix_profile_hourly(sf_dir: str, w: int = 24):
+    """MATRIX PROFILE (motif/discord discovery) over the dense hourly
+    value-cents series: for every 24-hour window, the squared
+    Euclidean distance to its nearest non-trivial neighbor (|i-j| >=
+    w exclusion). Minima are motifs (repeated daily shapes), maxima
+    discords (anomalous days). The distributed work is the hourly
+    grouped sum; the profile is EXACT INTEGER arithmetic on the
+    dimension-sized grid — per-lag vectorized sq-diff prefix sums
+    (O(T^2) integer ops, no floats anywhere), ties broken j asc, so
+    the whole profile hash-matches the SQL cross-join mirror."""
+    from ray.data.aggregate import Sum
+
+    HOUR = np.int64(3_600_000_000)
+
+    h = (_read(sf_dir, "events", ["ts", "value"])
+         .map_batches(lambda t: pa.table({
+             "hour": pa.array(np.asarray(t["ts"].cast(pa.int64()),
+                                         dtype=np.int64) // HOUR),
+             "c": pa.array(_cents(np.asarray(t["value"],
+                                             dtype=np.float64)))}),
+             batch_format="pyarrow")
+         .groupby("hour").aggregate(Sum("c", alias_name="y"))
+         .to_pandas())
+    lo, hi = int(h["hour"].min()), int(h["hour"].max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[h["hour"].to_numpy(np.int64) - lo] = h["y"].to_numpy(np.int64)
+    T = y.size
+    nw = T - w + 1                          # number of windows
+    best = np.full(nw, np.iinfo(np.int64).max, np.int64)
+    bestj = np.full(nw, -1, np.int64)
+    for L in range(w, nw):                  # dimension-sized lags
+        e = (y[:-L] - y[L:]) ** 2
+        cs = np.concatenate([[0], np.cumsum(e)])
+        d2 = cs[w:] - cs[:-w]               # dist(i, i+L), i+L < nw
+        n = d2.size
+        if n <= 0:
+            break
+        i_idx = np.arange(n)
+        j_idx = i_idx + L
+        # forward: candidate j = i+L (j > i, ascending-lag scan means
+        # a strictly-smaller d2 wins; equal keeps the earlier j)
+        upd = d2 < best[i_idx]
+        best[i_idx[upd]] = d2[upd]
+        bestj[i_idx[upd]] = j_idx[upd]
+        # backward: candidate j = i-L for window i+L
+        upd = (d2 < best[j_idx]) | ((d2 == best[j_idx])
+                                    & (i_idx < bestj[j_idx]))
+        best[j_idx[upd]] = d2[upd]
+        bestj[j_idx[upd]] = i_idx[upd]
+    return pa.table({
+        "win_hour": pa.array(lo + np.arange(nw, dtype=np.int64)),
+        "nn_hour": pa.array(lo + bestj),
+        "d2": pa.array(best)})
+
+
+QUERIES["matrix_profile_hourly"] = matrix_profile_hourly
+ORACLE_SQL["matrix_profile_hourly"] = """
+    WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                      CAST(sum(CAST(floor(value * 100 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+    grid AS (SELECT g.hour - b.lo AS idx,
+                    CAST(coalesce(h.y, 0) AS BIGINT) AS y
+             FROM (SELECT unnest(range(lo, hi + 1)) AS hour
+                   FROM bounds) g
+             CROSS JOIN bounds b
+             LEFT JOIN h ON h.hour = g.hour),
+    wn AS (SELECT idx FROM grid
+           WHERE idx <= (SELECT max(idx) FROM grid) - 23),
+    d AS (SELECT a.idx AS i, b.idx AS j,
+                 CAST(sum((ga.y - gb.y) * (ga.y - gb.y)) AS BIGINT)
+                     AS d2
+          FROM wn a
+          JOIN wn b ON abs(a.idx - b.idx) >= 24
+          CROSS JOIN unnest(range(24)) AS k(k)
+          JOIN grid ga ON ga.idx = a.idx + k.k
+          JOIN grid gb ON gb.idx = b.idx + k.k
+          GROUP BY 1, 2),
+    r AS (SELECT i, j, d2,
+                 row_number() OVER (PARTITION BY i
+                                    ORDER BY d2, j) AS rn
+          FROM d)
+    SELECT i + (SELECT lo FROM bounds) AS win_hour,
+           j + (SELECT lo FROM bounds) AS nn_hour,
+           d2
+    FROM r WHERE rn = 1
+"""
+
+
+def bootstrap_median_ci_value(sf_dir: str):
+    """Poisson bootstrap of the MEDIAN event value — the robust
+    sibling of bootstrap_mean_ci_value (a metric's CI where outliers
+    rule the mean out): per replica b, every row gets the same
+    deterministic Poisson(1) weight (integer inverse-CDF thresholds
+    on splitmix64(event_id*B+b)), and the replica statistic is the
+    WEIGHTED lower median — smallest cents with 2*cum >= tot on the
+    per-replica value-counts frame. Everything is integers; the
+    B x #distinct-cents exchange is the only shuffle; 32 rows out."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.dedup import _mix64
+
+    T = np.array(_POISSON_T64, dtype=np.uint64)
+    B = _BOOT_B
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["event_id"], dtype=np.int64)
+        cents = _cents(np.asarray(batch["value"], dtype=np.float64))
+        base = (ids.astype(np.uint64)[:, None] * np.uint64(B)
+                + np.arange(B, dtype=np.uint64)[None, :])
+        h = _mix64(base.ravel()).reshape(-1, B)
+        wgt = np.searchsorted(T, h.ravel(), side="right") \
+            .reshape(-1, B).astype(np.int64)
+        key = (cents[:, None] * np.int64(B)
+               + np.arange(B, dtype=np.int64)[None, :]).ravel()
+        uk, inv = np.unique(key, return_inverse=True)
+        ws = np.bincount(inv, weights=wgt.ravel().astype(np.float64))
+        return pa.table({
+            "b": pa.array(uk % B),
+            "s": pa.array(uk // B),
+            "w": pa.array(ws.astype(np.int64))})
+
+    vc = (_read(sf_dir, "events", ["event_id", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["b", "s"]).aggregate(Sum("w", alias_name="w")))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("s", kind="mergesort")
+        wv = g["w"].to_numpy(np.int64)
+        cum = np.cumsum(wv)
+        tot = int(cum[-1])
+        k = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame({
+            "b": g["b"].to_numpy(np.int64)[:1],
+            "n_w": np.array([tot], np.int64),
+            "median_cents": g["s"].to_numpy(np.int64)[k:k + 1]})
+
+    return vc.groupby("b").map_groups(med, batch_format="pandas")
+
+
+QUERIES["bootstrap_median_ci_value"] = bootstrap_median_ci_value
+
+
+def _bootstrap_median_oracle_sql() -> str:
+    w_expr = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON_T64)
+    return f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST((CAST(event_id AS HUGEINT) * {_BOOT_B} + r.b)
+                    % {_SQL_M64} AS HUGEINT) AS h,
+               r.b AS b
+        FROM events,
+             (SELECT unnest(range(0, {_BOOT_B})) AS b) r),
+    {_sql_splitmix_ctes("base", carry="cents, b, ")},
+    wts AS (SELECT b, cents, {w_expr} AS w FROM m3),
+    agg AS (SELECT b, cents, CAST(sum(w) AS BIGINT) AS w
+            FROM wts GROUP BY b, cents),
+    c AS (SELECT b, cents,
+                 sum(w) OVER (PARTITION BY b ORDER BY cents) AS cum,
+                 sum(w) OVER (PARTITION BY b) AS tot
+          FROM agg)
+    SELECT b, CAST(min(tot) AS BIGINT) AS n_w,
+           CAST(min(cents) AS BIGINT) AS median_cents
+    FROM c WHERE 2 * cum >= tot GROUP BY b
+"""
+
+
+ORACLE_SQL["bootstrap_median_ci_value"] = _bootstrap_median_oracle_sql()
+
+
+def prefix_top_word_docs(sf_dir: str):
+    """AUTOCOMPLETE table: for every 3-char prefix in the corpus
+    vocabulary, the most frequent completion (freq desc, word asc
+    ties) plus the prefix's candidate count — the suggest-index
+    shape. One token-count groupby; the per-prefix argmax runs as a
+    coarse hash(prefix) sweep with a vectorized segment scan."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.hashing import part_key
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        wds = _pc.list_flatten(_pc.utf8_split_whitespace(t["text"]))
+        wds = wds.filter(_pc.not_equal(wds, ""))
+        return pa.table({"w": wds,
+                         "n": pa.array(np.ones(len(wds), np.int64))})
+
+    wc = (_read(sf_dir, "documents", ["text"])
+          .map_batches(toks, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("n", alias_name="freq")))
+
+    def pfx(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        p = _pc.utf8_slice_codeunits(t["w"], 0, 3)
+        t = t.append_column("prefix", p)
+        return t.append_column("part", pa.array(
+            part_key(p, 16)))
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["prefix", "freq", "w"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        first = g.drop_duplicates("prefix", keep="first")
+        n = g.groupby("prefix", sort=True).size()
+        first = first.sort_values("prefix", kind="mergesort")
+        return pd.DataFrame({
+            "prefix": pd.Series(first["prefix"].to_numpy(object),
+                                dtype=object),
+            "top_word": pd.Series(first["w"].to_numpy(object),
+                                  dtype=object),
+            "freq": first["freq"].to_numpy(np.int64),
+            "n_candidates": n.loc[first["prefix"]].to_numpy(np.int64)})
+
+    return (wc.map_batches(pfx, batch_format="pyarrow")
+            .groupby("part").map_groups(top, batch_format="pandas"))
+
+
+QUERIES["prefix_top_word_docs"] = prefix_top_word_docs
+ORACLE_SQL["prefix_top_word_docs"] = """
+    WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+'))
+                     AS w
+                 FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM tok WHERE w <> '' GROUP BY w),
+    p AS (SELECT substr(w, 1, 3) AS prefix, w, freq,
+                 row_number() OVER (PARTITION BY substr(w, 1, 3)
+                                    ORDER BY freq DESC, w) AS rn,
+                 count(*) OVER (PARTITION BY substr(w, 1, 3))
+                     AS n_candidates
+          FROM wc)
+    SELECT prefix, w AS top_word, freq,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM p WHERE rn = 1
+"""
