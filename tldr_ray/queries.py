@@ -22678,3 +22678,205 @@ ORACLE_SQL["prefix_top_word_docs"] = """
            CAST(n_candidates AS BIGINT) AS n_candidates
     FROM p WHERE rn = 1
 """
+
+
+def bounce_rate_sessions(sf_dir: str):
+    """BOUNCE RATE: share of 30-min-gap sessions containing exactly
+    one event — the engagement-quality scalar on top of the
+    sessionizer this repo already ships (stages.windows.
+    session_windows); counts exact, one division."""
+    from ray.data.aggregate import Count, Sum
+
+    from tldr_ray.stages.windows import session_windows
+
+    s = session_windows(_read(sf_dir, "events", ["user_id", "ts"]),
+                        key_col="user_id", ts_col="ts", gap_s=1800)
+
+    def flag(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_events"], dtype=np.int64)
+        return pa.table({
+            "one": pa.array((n == 1).astype(np.int64))})
+
+    g = (s.map_batches(flag, batch_format="pyarrow")
+         .aggregate(Count(alias_name="n_sessions"),
+                    Sum("one", alias_name="n_bounces")))
+    ns, nb = int(g["n_sessions"]), int(g["n_bounces"])
+    return pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "n_bounces": pa.array([nb], pa.int64()),
+        "bounce_rate": pa.array([float(nb) / float(ns)],
+                                pa.float64())})
+
+
+QUERIES["bounce_rate_sessions"] = bounce_rate_sessions
+ORACLE_SQL["bounce_rate_sessions"] = """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+        FROM gaps),
+    sz AS (SELECT user_id, session_id, count(*) AS n
+           FROM sessions GROUP BY 1, 2),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                 CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces
+          FROM sz)
+    SELECT n_sessions, n_bounces,
+           CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+               AS bounce_rate
+    FROM c
+"""
+
+
+def user_type_signature_counts(sf_dir: str):
+    """AUDIENCE SEGMENTATION by event-type SET signature: every user
+    collapses to a 5-bit mask of which event types they ever fired
+    (click=1, error=2, purchase=4, signup=8, view=16), and the
+    output is the mask histogram — which behavioral segments exist
+    and how big each is (the full-lattice generalization of
+    users_all_event_types). Distinct (user, type) -> per-user bit sum
+    (each type once, so Sum == bit_or) -> mask histogram; nothing
+    user-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    idx = {s: i for i, s in enumerate(_MARKOV_STATES)}
+
+    def tb(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"], dtype=object)
+        bi = np.array([idx[x] for x in et], dtype=np.int64)
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        k = np.unique(u * np.int64(32) + bi)
+        return pa.table({
+            "user_id": pa.array(k >> 5),
+            "b": pa.array(np.int64(1) << (k & np.int64(31)))})
+
+    return (_read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(tb, batch_format="pyarrow")
+            .groupby(["user_id", "b"]).count()
+            .map_batches(lambda t: t.select(["user_id", "b"]),
+                         batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("b", alias_name="mask"))
+            .groupby("mask").count()
+            .map_batches(lambda t: pa.table({
+                "mask": t["mask"].cast(pa.int64()),
+                "n_users": t["count()"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
+QUERIES["user_type_signature_counts"] = user_type_signature_counts
+ORACLE_SQL["user_type_signature_counts"] = """
+    WITH b AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                     ('purchase', 4), ('signup', 8),
+                                     ('view', 16)) AS t(et, bit)),
+    m AS (SELECT e.user_id,
+                 CAST(bit_or(b.bit) AS BIGINT) AS mask
+          FROM events e JOIN b ON b.et = e.event_type
+          GROUP BY e.user_id)
+    SELECT mask, CAST(count(*) AS BIGINT) AS n_users
+    FROM m GROUP BY mask
+"""
+
+
+def vocab_coverage_curve_docs(sf_dir: str):
+    """VOCABULARY COVERAGE curve: rank words by corpus frequency
+    (freq desc, word asc) and report each rank's cumulative share of
+    all tokens — the how-big-must-the-vocab-be table every tokenizer
+    budget decision reads off. Exact integer cum sums; one division
+    per rank."""
+    from ray.data.aggregate import Sum
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        wds = _pc.list_flatten(_pc.utf8_split_whitespace(t["text"]))
+        wds = wds.filter(_pc.not_equal(wds, ""))
+        return pa.table({"w": wds,
+                         "n": pa.array(np.ones(len(wds), np.int64))})
+
+    wc = (_read(sf_dir, "documents", ["text"])
+          .map_batches(toks, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("n", alias_name="freq"))
+          .to_pandas())
+    wc = wc.sort_values(["freq", "w"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    freq = wc["freq"].to_numpy(np.int64)
+    cum = np.cumsum(freq)
+    tot = int(cum[-1])
+    return pa.table({
+        "rank": pa.array(np.arange(1, freq.size + 1, dtype=np.int64)),
+        "w": pa.array(wc["w"].to_numpy(object), pa.string()),
+        "freq": pa.array(freq),
+        "cum_freq": pa.array(cum),
+        "coverage": pa.array(cum.astype(np.float64)
+                             / np.float64(tot))})
+
+
+QUERIES["vocab_coverage_curve_docs"] = vocab_coverage_curve_docs
+ORACLE_SQL["vocab_coverage_curve_docs"] = """
+    WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+'))
+                     AS w
+                 FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           FROM tok WHERE w <> '' GROUP BY w),
+    r AS (SELECT w, freq,
+                 row_number() OVER (ORDER BY freq DESC, w) AS rank,
+                 CAST(sum(freq) OVER (ORDER BY freq DESC, w)
+                      AS BIGINT) AS cum_freq
+          FROM wc)
+    SELECT rank, w, freq, cum_freq,
+           CAST(cum_freq AS DOUBLE)
+               / CAST((SELECT sum(freq) FROM wc) AS DOUBLE)
+               AS coverage
+    FROM r
+"""
+
+
+def dup_payments_orders(sf_dir: str):
+    """DUPLICATE-PAYMENT detection: orders by the same customer in
+    the same $100 amount band — the finance-audit dedup screen
+    (double-submit / retry artifacts surface as same-customer
+    near-identical amounts; exact-cent equality never fires on
+    continuous prices, so the screen bands first). One exact groupby
+    on the (custkey, band) composite; emits the suspect groups with
+    their order-key range so the auditor can diff them."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "band": pa.array(np.floor(np.asarray(
+                t["o_totalprice"], dtype=np.float64) / 100.0)
+                .astype(np.int64)),
+            "o_orderkey": t["o_orderkey"].cast(pa.int64())})
+
+    g = (_read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderkey"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["o_custkey", "band"])
+         .aggregate(Count(alias_name="n"),
+                    Min("o_orderkey", alias_name="first_key"),
+                    Max("o_orderkey", alias_name="last_key")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], 1))
+
+    return g.map_batches(keep, batch_format="pyarrow")
+
+
+QUERIES["dup_payments_orders"] = dup_payments_orders
+ORACLE_SQL["dup_payments_orders"] = """
+    SELECT o_custkey,
+           CAST(floor(o_totalprice / 100) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    GROUP BY 1, 2 HAVING count(*) > 1
+"""
