@@ -273,3 +273,68 @@ def test_compact_bins_preserves_rows(ray_session, tmp_path):
     got = pq.read_table(str(d))["id"].to_numpy()
     assert sorted(got.tolist()) == sorted(
         np.concatenate(all_ids).tolist())
+
+
+# ---------------------------------------------------------- geometric
+
+
+def test_geometric_median_robust_and_monotone(ray_session):
+    import ray.data as rd
+
+    from tldr_ray.stages.ann import geometric_median
+
+    rng = np.random.default_rng(5)
+    cloud = rng.normal(0, 1, size=(300, 8))
+    cloud[:5] += 500.0                        # gross outliers
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array(list(cloud.astype(np.float32)))}))
+    center, objs = geometric_median(ds, iters=15)
+    mean = cloud.mean(axis=0)
+    # monotone (Weiszfeld never increases the objective)
+    assert all(objs[i + 1] <= objs[i] + 1e-6
+               for i in range(len(objs) - 1))
+    # robust: the median stays near the bulk, the mean is dragged
+    assert np.linalg.norm(center) < 1.0
+    assert np.linalg.norm(mean) > 5.0
+
+
+# ------------------------------------------------------------ huffman
+
+
+def _all_code_lengths(n):
+    """All achievable prefix-code length multisets for n symbols via
+    full binary trees (Kraft-complete): enumerate recursively."""
+    if n == 1:
+        return [[1]]
+
+    def trees(k):
+        if k == 1:
+            return [[0]]
+        out = []
+        for left in range(1, k):
+            for lt in trees(left):
+                for rt in trees(k - left):
+                    out.append([d + 1 for d in lt]
+                               + [d + 1 for d in rt])
+        return out
+
+    return trees(n)
+
+
+def test_huffman_kraft_and_optimality():
+    from tldr_ray.queries import _huffman_lengths
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        freqs = {f"s{i}": int(w) for i, w in
+                 enumerate(rng.integers(1, 1000, size=5))}
+        lens = _huffman_lengths(freqs)
+        # Kraft equality (full tree)
+        assert sum(2 ** -lens[s] for s in freqs) == 1.0
+        cost = sum(freqs[s] * lens[s] for s in freqs)
+        w = sorted(freqs.values())
+        best = min(
+            sum(ww * ll for ww, ll in zip(w, sorted(shape,
+                                                    reverse=True)))
+            for shape in _all_code_lengths(5))
+        assert cost == best

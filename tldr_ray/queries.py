@@ -22880,3 +22880,88 @@ ORACLE_SQL["dup_payments_orders"] = """
     FROM orders
     GROUP BY 1, 2 HAVING count(*) > 1
 """
+
+
+def geometric_median_embeddings(sf_dir: str):
+    """Robust corpus center: the GEOMETRIC MEDIAN of the embedding
+    cloud by 20 distributed Weiszfeld passes (stages.ann.
+    geometric_median) beside the per-dim mean — the robust-statistics
+    upgrade whose objective (sum of distances) is printed per
+    iteration so convergence is visible in the result. Rows-only
+    (iterative float divisions); the pytest pins monotone objective
+    + outlier robustness on a planted cloud."""
+    from tldr_ray.stages.ann import _as_matrix, geometric_median
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    center, objs = geometric_median(ds, iters=20)
+
+    def mean_part(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        return pa.table({
+            "k": pa.array(np.arange(m.shape[1] + 1, dtype=np.int64)),
+            "v": pa.array(np.concatenate([m.sum(axis=0),
+                                          [float(m.shape[0])]]))})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(mean_part, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("v", alias_name="s"))
+           .to_pandas().sort_values("k"))
+    v = agg["s"].to_numpy()
+    mean = v[:-1] / v[-1]
+    return pa.table({
+        "dim": pa.array(np.arange(center.size, dtype=np.int64)),
+        "gmedian": pa.array(center),
+        "mean": pa.array(mean),
+        "obj_first": pa.array(np.full(center.size, objs[0])),
+        "obj_last": pa.array(np.full(center.size, objs[-1]))})
+
+
+QUERIES["geometric_median_embeddings"] = geometric_median_embeddings
+
+
+def _huffman_lengths(freqs: dict) -> dict:
+    """Deterministic Huffman code lengths: merge the two smallest
+    (weight, min-symbol) nodes; ties resolve by the lexicographically
+    smallest symbol carried inside each subtree — total order, no RNG."""
+    import heapq
+
+    heap = [(int(w), s, {s: 0}) for s, w in sorted(freqs.items())]
+    heapq.heapify(heap)
+    if len(heap) == 1:
+        w, s, d = heap[0]
+        return {s: 1}
+    while len(heap) > 1:
+        w1, s1, d1 = heapq.heappop(heap)
+        w2, s2, d2 = heapq.heappop(heap)
+        d = {k: v + 1 for k, v in d1.items()}
+        d.update({k: v + 1 for k, v in d2.items()})
+        heapq.heappush(heap, (w1 + w2, min(s1, s2), d))
+    return heap[0][2]
+
+
+def huffman_code_events(sf_dir: str):
+    """HUFFMAN code lengths for the event-type alphabet — the
+    entropy-coding budget table (how many bits a type-stream column
+    costs under optimal prefix coding, the compression-aware cousin
+    of compression_signal_docs). One distributed type count; the
+    5-leaf merge is driver arithmetic with total-order (weight,
+    min-symbol) ties. Rows-only (the greedy's tree state has no SQL
+    mirror); the pytest pins Kraft equality + brute-force optimality."""
+    g = (_read(sf_dir, "events", ["event_type"])
+         .groupby("event_type").count().to_pandas())
+    freqs = {r["event_type"]: int(r["count()"])
+             for _, r in g.iterrows()}
+    lens = _huffman_lengths(freqs)
+    syms = sorted(freqs)
+    total = sum(freqs[s] * lens[s] for s in syms)
+    return pa.table({
+        "event_type": pa.array(syms, pa.string()),
+        "freq": pa.array([freqs[s] for s in syms], pa.int64()),
+        "code_len": pa.array([lens[s] for s in syms], pa.int64()),
+        "weighted_bits": pa.array([freqs[s] * lens[s] for s in syms],
+                                  pa.int64()),
+        "total_bits": pa.array([total] * len(syms), pa.int64())})
+
+
+QUERIES["huffman_code_events"] = huffman_code_events

@@ -1119,3 +1119,65 @@ def kcenter_select(ds, k: int = 16, emb_col: str = "embedding",
         "sel_order": np.arange(len(sel), dtype=np.int64),
         "vec_id": np.array(sel, np.int64),
         "radius_after": np.array(radii[:len(sel)], np.float64)})
+
+
+def geometric_median(ds, col: str = "embedding", iters: int = 20,
+                     eps: float = 1e-9):
+    """Distributed GEOMETRIC MEDIAN (Weiszfeld): the L1-robust center
+    the per-dim mean is not (one adversarial vector drags every mean
+    coordinate; the geometric median has breakdown point 1/2). Each
+    iteration is ONE map_batches pass over the materialized corpus —
+    batches emit (sum x/d, sum 1/d, sum d) partials against the
+    broadcast current center — and a driver-side division; 20
+    iterations = 20 streaming passes, nothing corpus-sized ever on
+    the driver. Returns (center ndarray, objective_per_iter list)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()
+
+    def partials(cref):
+        def fn(t):
+            import numpy as _np
+            import pyarrow as _pa
+
+            c = ray.get(cref)
+            m = _as_matrix(t[col]).astype(_np.float64)
+            d = _np.sqrt(((m - c) ** 2).sum(axis=1))
+            d = _np.maximum(d, eps)
+            w = 1.0 / d
+            return _pa.table({
+                "k": _pa.array(_np.arange(m.shape[1] + 2,
+                                          dtype=_np.int64)),
+                "v": _pa.array(_np.concatenate(
+                    [(m * w[:, None]).sum(axis=0),
+                     [w.sum()], [d.sum()]]))})
+        return fn
+
+    # init: per-dim mean (one pass)
+    def mean_part(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        m = _as_matrix(t[col]).astype(_np.float64)
+        return _pa.table({
+            "k": _pa.array(_np.arange(m.shape[1] + 1,
+                                      dtype=_np.int64)),
+            "v": _pa.array(_np.concatenate(
+                [m.sum(axis=0), [float(m.shape[0])]]))})
+
+    agg = (ds.map_batches(mean_part, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("v", alias_name="s"))
+           .to_pandas().sort_values("k"))
+    v = agg["s"].to_numpy()
+    center = v[:-1] / v[-1]
+    objs = []
+    for _ in range(iters):
+        cref = ray.put(center)
+        agg = (ds.map_batches(partials(cref), batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("v", alias_name="s"))
+               .to_pandas().sort_values("k"))
+        v = agg["s"].to_numpy()
+        objs.append(float(v[-1]))            # sum of distances
+        center = v[:-2] / v[-2]
+    return center, objs
