@@ -22965,3 +22965,270 @@ def huffman_code_events(sf_dir: str):
 
 
 QUERIES["huffman_code_events"] = huffman_code_events
+
+
+def revenue_share_hierarchy(sf_dir: str):
+    """HIERARCHICAL share-of-parent rollup over the region -> nation
+    dimension chain: every nation's order revenue, its share within
+    its region, and the region's share of world revenue — the BI
+    drill-down table. Orders join the customer dim through the
+    counted auto_join gate (dims broadcast while small), the rollup
+    is one groupby, and every share is ONE division of exact cents."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.stages.joins import auto_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t["c_custkey"].cast(pa.int64()),
+            "nationkey": t["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(np.asarray(
+                t["o_totalprice"], dtype=np.float64)))}),
+            batch_format="pyarrow")
+    per_nation = (auto_join(orders, cust, on="o_custkey")
+                  .groupby("nationkey")
+                  .aggregate(Sum("cents", alias_name="cents"))
+                  .to_pandas())
+    nat = _read(sf_dir, "nation", None).to_pandas()
+    reg = _read(sf_dir, "region", None).to_pandas()
+    nat = nat.merge(per_nation, left_on="n_nationkey",
+                    right_on="nationkey", how="inner")
+    nat = nat.merge(reg, left_on="n_regionkey",
+                    right_on="r_regionkey")
+    nat["cents"] = nat["cents"].astype(np.int64)
+    rsum = nat.groupby("r_name")["cents"].transform("sum") \
+        .astype(np.int64)
+    total = int(nat["cents"].sum())
+    nat = nat.sort_values("n_name")
+    return pa.table({
+        "region": pa.array(nat["r_name"].to_numpy(object),
+                           pa.string()),
+        "nation": pa.array(nat["n_name"].to_numpy(object),
+                           pa.string()),
+        "cents": pa.array(nat["cents"].to_numpy(np.int64)),
+        "region_cents": pa.array(rsum.loc[nat.index]
+                                 .to_numpy(np.int64)),
+        "share_in_region": pa.array(
+            nat["cents"].to_numpy(np.int64).astype(np.float64)
+            / rsum.loc[nat.index].to_numpy(np.int64)
+            .astype(np.float64)),
+        "region_share": pa.array(
+            rsum.loc[nat.index].to_numpy(np.int64)
+            .astype(np.float64) / np.float64(total))})
+
+
+QUERIES["revenue_share_hierarchy"] = revenue_share_hierarchy
+ORACLE_SQL["revenue_share_hierarchy"] = """
+    WITH pn AS (SELECT c_nationkey AS nk,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                GROUP BY 1),
+    j AS (SELECT r_name AS region, n_name AS nation, cents
+          FROM pn JOIN nation ON n_nationkey = nk
+          JOIN region ON r_regionkey = n_regionkey),
+    w AS (SELECT region, nation, cents,
+                 CAST(sum(cents) OVER (PARTITION BY region)
+                      AS BIGINT) AS region_cents,
+                 CAST(sum(cents) OVER () AS BIGINT) AS total
+          FROM j)
+    SELECT region, nation, cents, region_cents,
+           CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+               AS share_in_region,
+           CAST(region_cents AS DOUBLE) / CAST(total AS DOUBLE)
+               AS region_share
+    FROM w
+"""
+
+
+def leakage_screen_users(sf_dir: str):
+    """TARGET-LEAKAGE screen: Pearson correlation of each per-user
+    event-type count against the per-user purchase count (the label's
+    own aggregate) — features that correlate suspiciously hard with
+    the target get flagged before training, and the purchase row
+    itself scores r = 1, the planted leak the screen must catch.
+    Zero cells INCLUDED (absent (user, type) pairs are x = 0 — the
+    correlation is over the dense user x type grid, assembled in a
+    coarse user sweep). Exact integer moments, the num/sqrt(a*b)
+    IEEE chain."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    NP = np.uint64(64)
+    types = list(_MARKOV_STATES)
+
+    def part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_type": t["event_type"],
+            "__part": pa.array((vhash(u) % NP).astype(np.int32))})
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        pv = (g.groupby(["user_id", "event_type"]).size()
+              .unstack(fill_value=0)
+              .reindex(columns=types, fill_value=0))
+        y = pv["purchase"].to_numpy(np.int64)
+        rows = []
+        for t in types:
+            x = pv[t].to_numpy(np.int64)
+            rows.append((t, len(pv), int(x.sum()), int(y.sum()),
+                         int((x * y).sum()), int((x * x).sum()),
+                         int((y * y).sum())))
+        return pd.DataFrame(rows, columns=[
+            "t", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    m = (_read(sf_dir, "events", ["user_id", "event_type"])
+         .map_batches(part, batch_format="pyarrow")
+         .groupby("__part").map_groups(moments,
+                                       batch_format="pandas")
+         .groupby("t")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxy", alias_name="sxy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy"))
+         .to_pandas().sort_values("t"))
+    out_r = []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        a = n * int(r["sxx"]) - sx * sx
+        b = n * int(r["syy"]) - sy * sy
+        out_r.append(float(num) / math.sqrt(float(a) * float(b)))
+    return pa.table({
+        "event_type": pa.array(m["t"].to_numpy(object), pa.string()),
+        "n_users": pa.array(m["n"].to_numpy(np.int64)),
+        "r": pa.array(out_r, pa.float64())})
+
+
+QUERIES["leakage_screen_users"] = leakage_screen_users
+ORACLE_SQL["leakage_screen_users"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                          'view']) AS et),
+    c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+    grid AS (SELECT u.user_id, ty.et,
+                    CAST(coalesce(c.x, 0) AS HUGEINT) AS x
+             FROM u CROSS JOIN ty
+             LEFT JOIN c ON c.user_id = u.user_id
+                        AND c.event_type = ty.et),
+    yy AS (SELECT user_id, x AS y FROM grid WHERE et = 'purchase'),
+    g AS (SELECT grid.et, grid.x, yy.y
+          FROM grid JOIN yy USING (user_id)),
+    m AS (SELECT et, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM g GROUP BY et)
+    SELECT et AS event_type, CAST(n AS BIGINT) AS n_users,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM m
+"""
+
+
+def daily_top_users_trailing7(sf_dir: str, k: int = 3):
+    """Daily LEADERBOARD over a trailing-7-day window: for every day
+    in the data's span, the top-3 users by trailing event count —
+    the sliding heavy-hitter readout. Same shift-replication trick as
+    trailing_7d_active_users ((user, day) counts fan to day..day+6 —
+    7x the DISTINCT pairs, never 7x the events), one grouped sum,
+    then a per-day rank in a coarse day sweep."""
+    from ray.data.aggregate import Sum
+
+    from tldr_ray.graph.partition import vhash
+
+    DAY = np.int64(86_400_000_000)
+    NP = np.uint64(32)
+
+    def ud(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        d = np.asarray(t["ts"].cast(pa.int64()),
+                       dtype=np.int64) // DAY
+        k_ = u * np.int64(1 << 20) + d
+        uk, cnt = np.unique(k_, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uk >> 20),
+            "day": pa.array(uk & np.int64((1 << 20) - 1)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    ud_ds = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(ud, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Sum("c", alias_name="c")).materialize())
+    bounds = ud_ds.map_batches(
+        lambda t: pa.table({
+            "mn": pa.array([int(np.asarray(t["day"]).min())]),
+            "mx": pa.array([int(np.asarray(t["day"]).max())])}),
+        batch_format="pyarrow").to_pandas()
+    lo, hi = int(bounds["mn"].min()), int(bounds["mx"].max())
+
+    def fan(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        d = np.asarray(t["day"], dtype=np.int64)
+        c = np.asarray(t["c"], dtype=np.int64)
+        off = np.arange(7, dtype=np.int64)
+        uu = np.repeat(u, 7)
+        dd = (d[:, None] + off[None, :]).ravel()
+        cc = np.repeat(c, 7)
+        keep = dd <= hi
+        return pa.table({"user_id": pa.array(uu[keep]),
+                         "day": pa.array(dd[keep]),
+                         "c": pa.array(cc[keep])})
+
+    tr = (ud_ds.map_batches(fan, batch_format="pyarrow")
+          .groupby(["user_id", "day"])
+          .aggregate(Sum("c", alias_name="t7")))
+
+    def dpart(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["day"], dtype=np.int64)
+        return t.append_column(
+            "__part", pa.array((vhash(d) % NP).astype(np.int32)))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "t7", "user_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        rn = g.groupby("day", sort=False).cumcount() + 1
+        g = g[rn <= k]
+        rn = rn[rn <= k]
+        return pd.DataFrame({
+            "day": g["day"].to_numpy(np.int64),
+            "rank": rn.to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "t7": g["t7"].to_numpy(np.int64)})
+
+    return (tr.map_batches(dpart, batch_format="pyarrow")
+            .groupby("__part").map_groups(rank,
+                                          batch_format="pandas"))
+
+
+QUERIES["daily_top_users_trailing7"] = daily_top_users_trailing7
+ORACLE_SQL["daily_top_users_trailing7"] = """
+    WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    b AS (SELECT max(day) AS hi FROM ud),
+    f AS (SELECT user_id, day + o.o AS day, c
+          FROM ud, unnest(range(7)) AS o(o)
+          WHERE day + o.o <= (SELECT hi FROM b)),
+    t AS (SELECT user_id, day, CAST(sum(c) AS BIGINT) AS t7
+          FROM f GROUP BY 1, 2),
+    r AS (SELECT day, user_id, t7,
+                 row_number() OVER (PARTITION BY day
+                                    ORDER BY t7 DESC, user_id)
+                     AS rank
+          FROM t)
+    SELECT day, CAST(rank AS BIGINT) AS rank, user_id, t7
+    FROM r WHERE rank <= 3
+"""
