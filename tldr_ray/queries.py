@@ -23232,3 +23232,326 @@ ORACLE_SQL["daily_top_users_trailing7"] = """
     SELECT day, CAST(rank AS BIGINT) AS rank, user_id, t7
     FROM r WHERE rank <= 3
 """
+
+
+_BM25_TERMS = ("batch", "merge", "stream")
+
+
+def bm25_search_docs(sf_dir: str, k: int = 20):
+    """BM25 ranked retrieval for a fixed 3-term query (k1=1.5,
+    b=0.75 — both exact binary floats) with the LINEAR RATIONAL idf
+    (N/df) this repo's tfidf standardized on (libm log never
+    hash-matches; the ranking monotonicity is identical): score =
+    sum_t (N/df_t) * tf*2.5 / (tf + 1.5*(0.25 + 0.75*(dl/avgdl))).
+    ONE tokenize pass emits per-doc (dl, tf_t) — docs never span
+    batches, so no shuffle; three Sum scalars give df/N/avgdl; the
+    scorer is a broadcast map with per-block top-k partials, driver
+    merges 20. Every float op is a fixed chain, term-ascending
+    left-associative sum — hash-matches the SQL pivot mirror."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    def percell(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.utf8_split_whitespace(t["text"])
+        flat = np.asarray(_pc.list_flatten(lists), dtype=object)
+        lens = np.asarray(_pc.list_value_length(lists),
+                          dtype=np.int64)
+        doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = flat != ""
+        dl = np.bincount(doc[keep], minlength=lens.size) \
+            .astype(np.int64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        cols = {"doc_id": pa.array(ids), "dl": pa.array(dl)}
+        for q in _BM25_TERMS:
+            sel = keep & (flat == q)
+            cols[f"tf_{q}"] = pa.array(
+                np.bincount(doc[sel], minlength=lens.size)
+                .astype(np.int64))
+        return pa.table(cols)
+
+    per_doc = (_read(sf_dir, "documents", ["doc_id", "text"])
+               .map_batches(percell, batch_format="pyarrow")
+               .materialize())
+    aggs = [Sum("dl", alias_name="sum_dl")]
+    stats = per_doc.map_batches(
+        lambda t: pa.table(
+            {"n_docs": pa.array([t.num_rows], pa.int64()),
+             "sum_dl": pa.array([int(np.asarray(t["dl"],
+                                                dtype=np.int64)
+                                     .sum())], pa.int64()),
+             **{f"df_{q}": pa.array(
+                 [int((np.asarray(t[f"tf_{q}"], dtype=np.int64)
+                       > 0).sum())], pa.int64())
+                for q in _BM25_TERMS}}),
+        batch_format="pyarrow").to_pandas().sum()
+    _ = aggs
+    N = int(stats["n_docs"])
+    avgdl = float(int(stats["sum_dl"])) / float(N)
+    dfs = {q: int(stats[f"df_{q}"]) for q in _BM25_TERMS}
+    sref = ray.put((N, avgdl, dfs))
+
+    def score(t: pa.Table) -> pa.Table:
+        N_, avgdl_, dfs_ = ray.get(sref)
+        dl = np.asarray(t["dl"], dtype=np.int64).astype(np.float64)
+        total = None
+        contribs = {}
+        for q in _BM25_TERMS:                    # ascending order
+            tf = np.asarray(t[f"tf_{q}"],
+                            dtype=np.int64).astype(np.float64)
+            idf = np.float64(N_) / np.float64(dfs_[q])
+            den = tf + np.float64(1.5) * (np.float64(0.25)
+                                          + np.float64(0.75)
+                                          * (dl / np.float64(avgdl_)))
+            c = np.where(tf > 0, idf * (tf * np.float64(2.5)) / den,
+                         0.0)
+            contribs[q] = c
+            total = c if total is None else total + c
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        hit = total > 0
+        sel = np.lexsort((ids[hit], -total[hit]))[:20]
+        base = {"doc_id": pa.array(ids[hit][sel]),
+                "score": pa.array(total[hit][sel])}
+        for q in _BM25_TERMS:
+            base[f"c_{q}"] = pa.array(contribs[q][hit][sel])
+        return pa.table(base)
+
+    parts = per_doc.map_batches(score,
+                                batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(np.int64)),
+        "score": pa.array(parts["score"].to_numpy(np.float64)),
+        **{f"c_{q}": pa.array(parts[f"c_{q}"].to_numpy(np.float64))
+           for q in _BM25_TERMS}})
+
+
+QUERIES["bm25_search_docs"] = bm25_search_docs
+ORACLE_SQL["bm25_search_docs"] = """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')
+                          AS a
+               FROM documents),
+    tok AS (SELECT doc_id, a[u.i] AS w
+            FROM t, unnest(generate_series(1, len(a))) AS u(i)
+            WHERE a[u.i] <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id,
+                  CAST(count(*) FILTER (w = 'batch') AS BIGINT)
+                      AS tfb,
+                  CAST(count(*) FILTER (w = 'merge') AS BIGINT)
+                      AS tfm,
+                  CAST(count(*) FILTER (w = 'stream') AS BIGINT)
+                      AS tfs
+           FROM tok GROUP BY doc_id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      AS avgdl,
+                  (SELECT count(*) FROM tf WHERE tfb > 0) AS dfb,
+                  (SELECT count(*) FROM tf WHERE tfm > 0) AS dfm,
+                  (SELECT count(*) FROM tf WHERE tfs > 0) AS dfs
+           FROM dl),
+    sc AS (SELECT d.doc_id,
+        CASE WHEN tf.tfb > 0 THEN
+            (CAST(st.N AS DOUBLE) / CAST(st.dfb AS DOUBLE))
+            * (CAST(tf.tfb AS DOUBLE) * 2.5)
+            / (CAST(tf.tfb AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                                       / st.avgdl)))
+            ELSE 0.0 END AS cb,
+        CASE WHEN tf.tfm > 0 THEN
+            (CAST(st.N AS DOUBLE) / CAST(st.dfm AS DOUBLE))
+            * (CAST(tf.tfm AS DOUBLE) * 2.5)
+            / (CAST(tf.tfm AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                                       / st.avgdl)))
+            ELSE 0.0 END AS cm,
+        CASE WHEN tf.tfs > 0 THEN
+            (CAST(st.N AS DOUBLE) / CAST(st.dfs AS DOUBLE))
+            * (CAST(tf.tfs AS DOUBLE) * 2.5)
+            / (CAST(tf.tfs AS DOUBLE)
+               + 1.5 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                                       / st.avgdl)))
+            ELSE 0.0 END AS cs
+        FROM dl d JOIN tf USING (doc_id) CROSS JOIN st)
+    SELECT doc_id, (cb + cm) + cs AS score,
+           cb AS c_batch, cm AS c_merge, cs AS c_stream
+    FROM sc WHERE (cb + cm) + cs > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def dow_hod_decomposition_events(sf_dir: str):
+    """Two-factor SEASONALITY decomposition of event value over the
+    (day-of-week x hour-of-day) grid: every populated cell with its
+    exact counts/cents, its mean, the marginal dow/hod means, the
+    grand mean, and the additive prediction row + col - grand — the
+    residual surface that separates 'Mondays are big' from '9am is
+    big' from 'Monday 9am specifically'. ONE groupby; every mean is
+    one division; the prediction is the fixed two-rounding chain."""
+    from ray.data.aggregate import Count, Sum
+
+    DAY = np.int64(86_400_000_000)
+    HOUR = np.int64(3_600_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"].cast(pa.int64()), dtype=np.int64)
+        d = us // DAY
+        return pa.table({
+            "dow": pa.array((d + 3) % 7),
+            "hod": pa.array((us // HOUR) % 24),
+            "c": pa.array(_cents(np.asarray(t["value"],
+                                            dtype=np.float64)))})
+
+    g = (_read(sf_dir, "events", ["ts", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["dow", "hod"])
+         .aggregate(Count(alias_name="n"),
+                    Sum("c", alias_name="cents"))
+         .to_pandas())
+    rn = g.groupby("dow")["n"].transform("sum").to_numpy(np.int64)
+    rc = g.groupby("dow")["cents"].transform("sum") \
+        .to_numpy(np.int64)
+    cn = g.groupby("hod")["n"].transform("sum").to_numpy(np.int64)
+    cc = g.groupby("hod")["cents"].transform("sum") \
+        .to_numpy(np.int64)
+    N = int(g["n"].sum())
+    C = int(g["cents"].sum())
+    cell = g["cents"].to_numpy(np.int64).astype(np.float64) \
+        / g["n"].to_numpy(np.int64).astype(np.float64)
+    rm = rc.astype(np.float64) / rn.astype(np.float64)
+    cm = cc.astype(np.float64) / cn.astype(np.float64)
+    gm = np.float64(C) / np.float64(N)
+    return pa.table({
+        "dow": pa.array(g["dow"].to_numpy(np.int64)),
+        "hod": pa.array(g["hod"].to_numpy(np.int64)),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "cents": pa.array(g["cents"].to_numpy(np.int64)),
+        "cell_mean": pa.array(cell),
+        "dow_mean": pa.array(rm),
+        "hod_mean": pa.array(cm),
+        "grand_mean": pa.array(np.full(len(g), gm)),
+        "additive_pred": pa.array((rm + cm) - gm)})
+
+
+QUERIES["dow_hod_decomposition_events"] = dow_hod_decomposition_events
+ORACLE_SQL["dow_hod_decomposition_events"] = """
+    WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+                      (epoch_us(ts) // 3600000000) % 24 AS hod,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    g AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS cents
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT dow, hod, n, cents,
+                 CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT)
+                     AS rn,
+                 CAST(sum(cents) OVER (PARTITION BY dow) AS BIGINT)
+                     AS rc,
+                 CAST(sum(n) OVER (PARTITION BY hod) AS BIGINT)
+                     AS cn,
+                 CAST(sum(cents) OVER (PARTITION BY hod) AS BIGINT)
+                     AS cc,
+                 CAST(sum(n) OVER () AS BIGINT) AS tn,
+                 CAST(sum(cents) OVER () AS BIGINT) AS tc
+          FROM g)
+    SELECT dow, hod, n, cents,
+           CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS cell_mean,
+           CAST(rc AS DOUBLE) / CAST(rn AS DOUBLE) AS dow_mean,
+           CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE) AS hod_mean,
+           CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) AS grand_mean,
+           (CAST(rc AS DOUBLE) / CAST(rn AS DOUBLE)
+            + CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE))
+               - CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE)
+               AS additive_pred
+    FROM w
+"""
+
+
+def phrase_proximity_docs(sf_dir: str, a: str = "stream",
+                          b: str = "batch", window: int = 3):
+    """PROXIMITY search: documents where 'stream' and 'batch' occur
+    within 3 word positions — the NEAR operator boolean search lacks
+    (co-occurrence anywhere in a doc is weak evidence; adjacency is
+    strong). Positions come from the tokenize pass; the per-doc
+    minimum gap is two vectorized searchsorteds on a (doc, pos)
+    composite (nearest b left/right of every a — no per-doc loop, no
+    position self-join)."""
+    K = np.int64(1 << 20)
+
+    def gaps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.utf8_split_whitespace(t["text"])
+        flat = np.asarray(_pc.list_flatten(lists), dtype=object)
+        lens = np.asarray(_pc.list_value_length(lists),
+                          dtype=np.int64)
+        doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        pos = (np.arange(flat.size, dtype=np.int64)
+               - np.repeat(np.concatenate(
+                   [[0], np.cumsum(lens)[:-1]]), lens))
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        ca = doc[flat == a] * K + pos[flat == a]
+        cb = doc[flat == b] * K + pos[flat == b]
+        if ca.size == 0 or cb.size == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "min_gap": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64())})
+        idx = np.searchsorted(cb, ca)
+        gap = np.full(ca.size, np.int64(1 << 30))
+        right = idx < cb.size
+        same = right & ((cb[np.minimum(idx, cb.size - 1)] // K)
+                        == (ca // K))
+        gap[same] = cb[np.minimum(idx, cb.size - 1)][same] - ca[same]
+        left = idx > 0
+        samel = left & ((cb[np.maximum(idx - 1, 0)] // K)
+                        == (ca // K))
+        gap[samel] = np.minimum(
+            gap[samel], ca[samel] - cb[np.maximum(idx - 1, 0)][samel])
+        da = (ca // K).astype(np.int64)
+        ud = np.unique(da)
+        ming = np.full(ud.size, np.int64(1 << 30))
+        np.minimum.at(ming, np.searchsorted(ud, da), gap)
+        na = np.bincount(np.searchsorted(ud, da),
+                         minlength=ud.size).astype(np.int64)
+        db = (cb // K).astype(np.int64)
+        nb = np.zeros(ud.size, np.int64)
+        pres = np.isin(db, ud)
+        np.add.at(nb, np.searchsorted(ud, db[pres]),
+                  np.ones(int(pres.sum()), np.int64))
+        keep = ming <= window
+        return pa.table({
+            "doc_id": pa.array(ids[ud[keep]]),
+            "min_gap": pa.array(ming[keep]),
+            "n_a": pa.array(na[keep]),
+            "n_b": pa.array(nb[keep])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(gaps, batch_format="pyarrow"))
+
+
+QUERIES["phrase_proximity_docs"] = phrase_proximity_docs
+ORACLE_SQL["phrase_proximity_docs"] = """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')
+                          AS arr
+               FROM documents),
+    tok AS (SELECT doc_id, u.i - 1 AS pos, arr[u.i] AS w
+            FROM t, unnest(generate_series(1, len(arr))) AS u(i)
+            WHERE arr[u.i] <> ''),
+    pa_ AS (SELECT doc_id, pos FROM tok WHERE w = 'stream'),
+    pb AS (SELECT doc_id, pos FROM tok WHERE w = 'batch'),
+    g AS (SELECT pa_.doc_id,
+                 CAST(min(abs(pa_.pos - pb.pos)) AS BIGINT)
+                     AS min_gap,
+                 CAST(count(DISTINCT pa_.pos) AS BIGINT) AS n_a,
+                 CAST(count(DISTINCT pb.pos) AS BIGINT) AS n_b
+          FROM pa_ JOIN pb USING (doc_id)
+          GROUP BY pa_.doc_id)
+    SELECT doc_id, min_gap, n_a, n_b FROM g WHERE min_gap <= 3
+"""
