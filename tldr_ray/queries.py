@@ -23555,3 +23555,251 @@ ORACLE_SQL["phrase_proximity_docs"] = """
           GROUP BY pa_.doc_id)
     SELECT doc_id, min_gap, n_a, n_b FROM g WHERE min_gap <= 3
 """
+
+
+def radix_select_kth_value(sf_dir: str, k: int = 1000):
+    """EXACT k-th largest value by RADIX DESCENT — the
+    order-statistic without a global sort: three streaming passes,
+    each histogramming 256 buckets of one byte of (cents) among rows
+    still in the running, narrowing to the bucket containing the
+    k-th; a final exact count finishes. At 100 TB this replaces an
+    all-to-all sort with 3 tiny fixed-width aggregations. Emits the
+    k-th largest cents value, how many rows strictly exceed it, and
+    how many tie it."""
+    from ray.data.aggregate import Sum
+
+    def cents_ds():
+        return (_read(sf_dir, "events", ["value"])
+                .map_batches(lambda t: pa.table({
+                    "c": pa.array(_cents(np.asarray(
+                        t["value"], dtype=np.float64)))}),
+                    batch_format="pyarrow"))
+
+    ds = cents_ds().materialize()
+    lo_bound, hi_bound = None, None          # narrowing [lo, hi]
+    remaining = k
+    for shift in (16, 8, 0):                 # cents < 2^24 here; the
+        sh = np.int64(shift)                 # descent generalizes
+
+        def hist(t: pa.Table, lo=lo_bound, hi=hi_bound, s=sh):
+            c = np.asarray(t["c"], dtype=np.int64)
+            if lo is not None:
+                c = c[(c >= lo) & (c <= hi)]
+            b = (c >> s) & np.int64(0xFF)
+            return pa.table({
+                "b": pa.array(np.arange(256, dtype=np.int64)),
+                "n": pa.array(np.bincount(b, minlength=256)
+                              .astype(np.int64))})
+
+        h = (ds.map_batches(hist, batch_format="pyarrow")
+             .groupby("b").aggregate(Sum("n", alias_name="n"))
+             .to_pandas().sort_values("b", ascending=False))
+        cum = 0
+        for _, r in h.iterrows():
+            if cum + int(r["n"]) >= remaining:
+                b = int(r["b"])
+                base = lo_bound if lo_bound is not None else 0
+                _ = base
+                lo_new = (b << shift)
+                hi_new = lo_new + (1 << shift) - 1
+                if lo_bound is not None:
+                    lo_new |= lo_bound & ~(((1 << (shift + 8)) - 1))
+                    hi_new |= lo_bound & ~(((1 << (shift + 8)) - 1))
+                lo_bound, hi_bound = lo_new, hi_new
+                remaining -= cum
+                break
+            cum += int(r["n"])
+    kth = lo_bound                            # shift 0: exact value
+
+    def cmp_counts(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"], dtype=np.int64)
+        return pa.table({
+            "above": pa.array([int((c > kth).sum())], pa.int64()),
+            "ties": pa.array([int((c == kth).sum())], pa.int64())})
+
+    agg = ds.map_batches(cmp_counts, batch_format="pyarrow") \
+        .to_pandas().sum()
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "kth_cents": pa.array([kth], pa.int64()),
+        "n_above": pa.array([int(agg["above"])], pa.int64()),
+        "n_ties": pa.array([int(agg["ties"])], pa.int64())})
+
+
+QUERIES["radix_select_kth_value"] = radix_select_kth_value
+ORACLE_SQL["radix_select_kth_value"] = """
+    WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    kth AS (SELECT c AS kc FROM c ORDER BY c DESC
+            LIMIT 1 OFFSET 999)
+    SELECT CAST(1000 AS BIGINT) AS k,
+           (SELECT kc FROM kth) AS kth_cents,
+           CAST((SELECT count(*) FROM c
+                 WHERE c > (SELECT kc FROM kth)) AS BIGINT)
+               AS n_above,
+           CAST((SELECT count(*) FROM c
+                 WHERE c = (SELECT kc FROM kth)) AS BIGINT)
+               AS n_ties
+"""
+
+
+def local_bridges_hashgraph(sf_dir: str):
+    """LOCAL BRIDGES (Granovetter's weak ties): undirected edges
+    whose endpoints share NO common neighbor — removing one raises
+    the endpoint distance to >= 3, so these are exactly the edges
+    carrying non-redundant connectivity. Plan: wedge pairs from the
+    same coarse sweep as resource_allocation (they ARE the common-
+    neighbor relation), then edges minus wedge-pairs via one
+    left-join membership gate."""
+    from ray.data.aggregate import Count
+
+    from tldr_ray.graph.partition import vhash
+    from tldr_ray.stages.joins import auto_join
+
+    N = np.int64(1 << 21)
+    NP = np.uint64(64)
+
+    def und(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"key": pa.array(np.unique(a * N + b))})
+
+    ukeys = (_hash_graph_edges(sf_dir)
+             .map_batches(und, batch_format="pyarrow")
+             .groupby("key").count().select_columns(["key"])
+             .materialize())
+
+    def adj(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["key"], dtype=np.int64)
+        a, b = k // N, k % N
+        z = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "z": pa.array(z), "v": pa.array(v),
+            "__part": pa.array((vhash(z) % NP).astype(np.int32))})
+
+    def wedge_keys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["z", "v"], kind="mergesort")
+        z = g["z"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        cnt = np.diff(np.r_[starts, z.size])
+        ks = []
+        m = int(cnt.max()) if cnt.size else 0
+        for d1 in range(m - 1):
+            for d2 in range(d1 + 1, m):
+                sel = starts[cnt > d2]
+                if not sel.size:
+                    continue
+                u = v[sel + d1]
+                w = v[sel + d2]
+                ks.append(np.minimum(u, w) * N + np.maximum(u, w))
+        if not ks:
+            return pd.DataFrame({"key": pd.Series([],
+                                                  dtype=np.int64)})
+        return pd.DataFrame({"key": np.unique(np.concatenate(ks))})
+
+    wk = (ukeys.map_batches(adj, batch_format="pyarrow")
+          .groupby("__part").map_groups(wedge_keys,
+                                        batch_format="pandas")
+          .groupby("key").aggregate(Count(alias_name="cn")))
+
+    marked = auto_join(ukeys, wk, on="key", how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["cn"].isna()]
+        k = b["key"].to_numpy(np.int64)
+        return pd.DataFrame({"a": k // N, "b": k % N})
+
+    return marked.map_batches(finish, batch_format="pandas")
+
+
+QUERIES["local_bridges_hashgraph"] = local_bridges_hashgraph
+ORACLE_SQL["local_bridges_hashgraph"] = f"""
+    WITH {_HASHGRAPH_RAW},
+    und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+            FROM raw2),
+    adj AS (SELECT a AS z, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    wp AS (SELECT DISTINCT least(n1.v, n2.v) AS a,
+                  greatest(n1.v, n2.v) AS b
+           FROM adj n1 JOIN adj n2 ON n1.z = n2.z AND n1.v < n2.v)
+    SELECT und.a, und.b
+    FROM und ANTI JOIN wp ON wp.a = und.a AND wp.b = und.b
+"""
+
+
+def lang_similarity_matrix(sf_dir: str):
+    """Language-pair COSINE similarity over word-count vectors — do
+    'es' docs and 'de' docs draw from the same vocabulary
+    distribution? Exact integer dot products and norms from one
+    (lang, word) groupby; cosine is the num / (sqrt*sqrt) IEEE chain.
+    Emits the upper triangle including the diagonal (which pins the
+    norms: cos(l,l) = 1 up to the chain's last ulp)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lists = _pc.utf8_split_whitespace(t["text"])
+        flat = np.asarray(_pc.list_flatten(lists), dtype=object)
+        lens = np.asarray(_pc.list_value_length(lists),
+                          dtype=np.int64)
+        langs = np.asarray(t["lang"], dtype=object)
+        doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = flat != ""
+        return pa.table({
+            "lang": pa.array(langs[doc[keep]], pa.string()),
+            "w": pa.array(flat[keep], pa.string()),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    g = (_read(sf_dir, "documents", ["text", "lang"])
+         .map_batches(toks, batch_format="pyarrow")
+         .groupby(["lang", "w"]).aggregate(Sum("n", alias_name="c"))
+         .to_pandas())
+    pv = g.pivot_table(index="w", columns="lang", values="c",
+                       fill_value=0, aggfunc="sum")
+    langs = sorted(pv.columns)
+    M = pv[langs].to_numpy(np.int64)
+    rows = []
+    for i, l1 in enumerate(langs):
+        for j in range(i, len(langs)):
+            l2 = langs[j]
+            num = int((M[:, i] * M[:, j]).sum())
+            a = int((M[:, i] * M[:, i]).sum())
+            b = int((M[:, j] * M[:, j]).sum())
+            rows.append((l1, l2, num,
+                         float(num) / (math.sqrt(float(a))
+                                       * math.sqrt(float(b)))))
+    return pa.table({
+        "lang1": pa.array([r[0] for r in rows], pa.string()),
+        "lang2": pa.array([r[1] for r in rows], pa.string()),
+        "dot": pa.array([r[2] for r in rows], pa.int64()),
+        "cosine": pa.array([r[3] for r in rows], pa.float64())})
+
+
+QUERIES["lang_similarity_matrix"] = lang_similarity_matrix
+ORACLE_SQL["lang_similarity_matrix"] = """
+    WITH tok AS (SELECT lang,
+                        unnest(regexp_split_to_array(text, '\\s+'))
+                            AS w
+                 FROM documents),
+    c AS (SELECT lang, w, CAST(count(*) AS HUGEINT) AS c
+          FROM tok WHERE w <> '' GROUP BY 1, 2),
+    p AS (SELECT a.lang AS lang1, b.lang AS lang2,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM c a JOIN c b ON a.w = b.w AND a.lang <= b.lang
+          GROUP BY 1, 2),
+    nrm AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS n2
+            FROM c GROUP BY lang)
+    SELECT p.lang1, p.lang2, p.dot,
+           CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(n1.n2 AS DOUBLE))
+                  * sqrt(CAST(n2.n2 AS DOUBLE))) AS cosine
+    FROM p JOIN nrm n1 ON n1.lang = p.lang1
+    JOIN nrm n2 ON n2.lang = p.lang2
+"""
