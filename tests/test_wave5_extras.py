@@ -338,3 +338,56 @@ def test_huffman_kraft_and_optimality():
                                                     reverse=True)))
             for shape in _all_code_lengths(5))
         assert cost == best
+
+
+# ------------------------------------------------- fixed-width records
+
+
+def test_fixed_width_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tldr_ray.sinks import write_fixed_width
+    from tldr_ray.sources.tabular import read_fixed_width
+
+    t = pa.table({
+        "a": pa.array(np.arange(1000, dtype=np.int64)),
+        "b": pa.array(np.arange(1000, dtype=np.int64) * -7 + 3),
+        "c": pa.array((np.arange(1000, dtype=np.int64) ** 2) % 997)})
+    out = str(tmp_path / "fwr")
+    # two blocks -> two part files
+    write_fixed_width(rd.from_arrow(t).repartition(2), out,
+                      ["a", "b", "c"])
+    import glob
+    files = glob.glob(out + "/*.fwr")
+    assert len(files) == 2
+    for f in files:                      # record-aligned: 3 * 8 bytes
+        assert (len(open(f, "rb").read())) % 24 == 0
+    # explicit column order
+    back = read_fixed_width(out, ["a", "b", "c"]).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+    # sidecar-inferred column order
+    back2 = read_fixed_width(out).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, t.to_pandas())
+
+
+def test_graph_contraction_shrinks_and_conserves(ray_session):
+    """The quotient graph has fewer vertices, no self-loops, and its
+    edge multiplicities sum to the number of original undirected
+    edges that survived (= edges whose endpoints landed in different
+    supernodes)."""
+    from tldr_ray.queries import (_hash_graph_edges,
+                                  graph_contraction_hashgraph)
+
+    sf = "/root/testdata/sf0.001"
+    q = graph_contraction_hashgraph(sf).to_pandas()
+    assert (q["a"] != q["b"]).all()
+    und = _hash_graph_edges(sf).to_pandas()
+    a = np.minimum(und["src"], und["dst"])
+    b = np.maximum(und["src"], und["dst"])
+    n_und = len(set(zip(a, b)))
+    assert q["weight"].sum() <= n_und
+    n_sup = len(np.union1d(q["a"].unique(), q["b"].unique()))
+    n_orig = len(np.union1d(und["src"].unique(), und["dst"].unique()))
+    assert n_sup < n_orig

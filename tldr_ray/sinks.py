@@ -479,3 +479,34 @@ def compact_bins(path: str, target_bytes: int = 128 << 20) -> dict:
     shutil.rmtree(old, ignore_errors=True)
     return {"files_before": len(names), "files_after": len(bins),
             "rows": int(rows), "bins": len(bins)}
+
+
+def write_fixed_width(ds, path: str, cols: list[str]):
+    """FIXED-WIDTH binary record sink: every column must be int64 (the
+    canonical interchange contract — timestamps as epoch-us, money as
+    cents, strings via a dictionary table; jsonl_roundtrip_events
+    established the same rule). One record = len(cols) * 8 bytes
+    little-endian, one file per executing block — the layout legacy
+    mainframe/HPC feeds and mmap-able numpy consumers expect, and the
+    densest possible scan format (zero parse: a reader reshapes the
+    byte stream). Returns the column order for the paired reader."""
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def write(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        m = np.column_stack([
+            np.asarray(batch[c], dtype=np.int64) for c in cols])
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.fwr")
+        with open(fname, "wb") as f:
+            f.write(np.ascontiguousarray(m, dtype="<i8").tobytes())
+        return pa.table({"file": pa.array([fname]),
+                         "rows": pa.array([m.shape[0]])})
+
+    ds.map_batches(write, batch_format="pyarrow").materialize()
+    with open(os.path.join(path, "_schema.txt"), "w") as f:
+        f.write(",".join(cols))
+    return cols

@@ -402,3 +402,34 @@ def read_bloom_filtered(path: str, keys,
     else:
         raise FileNotFoundError(f"bloom sidecar at {path} lists no files")
     return out, {"files_read": opened, "files_total": total}
+
+
+def read_fixed_width(path: str, cols: list[str] | None = None):
+    """Paired reader for ``sinks.write_fixed_width``: each .fwr file
+    is a record-aligned little-endian int64 matrix, so decode is ONE
+    zero-parse ``np.frombuffer`` + reshape per file — files stream as
+    independent blocks (one task per file, the same parallelism
+    contract as the parquet path). Column order comes from the
+    sidecar ``_schema.txt`` unless given."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    if cols is None:
+        with open(os.path.join(path, "_schema.txt")) as f:
+            cols = f.read().strip().split(",")
+    ncols = len(cols)
+
+    def decode(batch: pd.DataFrame) -> pa.Table:
+        out = []
+        for b in batch["bytes"]:
+            m = np.frombuffer(b, dtype="<i8").reshape(-1, ncols)
+            out.append(pa.table({c: pa.array(m[:, i])
+                                 for i, c in enumerate(cols)}))
+        return pa.concat_tables(out)
+
+    return rd.read_binary_files(
+        path, file_extensions=["fwr"]).map_batches(
+        decode, batch_format="pandas")
