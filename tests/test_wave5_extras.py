@@ -391,3 +391,61 @@ def test_graph_contraction_shrinks_and_conserves(ray_session):
     n_sup = len(np.union1d(q["a"].unique(), q["b"].unique()))
     n_orig = len(np.union1d(und["src"].unique(), und["dst"].unique()))
     assert n_sup < n_orig
+
+
+# --------------------------------------------- v-optimal histogram DP
+
+
+def test_voptimal_dp_matches_bruteforce():
+    from itertools import combinations
+
+    from tldr_ray.queries import _voptimal_dp
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(6, 14))
+        B = int(rng.integers(2, min(5, n)))
+        x = rng.integers(0, 20, size=n).astype(np.int64)
+        bounds, cost = _voptimal_dp(x, B)
+        assert bounds[0] == 0 and bounds[-1] == n
+        assert len(bounds) == B + 1
+        # recompute cost from bounds
+        def seg(a, b):
+            s = x[a:b]
+            return int((b - a) * np.dot(s, s) - int(s.sum()) ** 2)
+        assert cost == sum(seg(bounds[k], bounds[k + 1])
+                           for k in range(B))
+        best = min(
+            sum(seg(c[k], c[k + 1]) for k in range(B))
+            for mid in combinations(range(1, n), B - 1)
+            for c in [[0, *mid, n]])
+        assert cost == best
+
+
+def test_result_cache_protocol(tmp_path):
+    import pyarrow.parquet as pq
+
+    from tldr_ray.state.result_cache import (get_or_compute,
+                                             table_fingerprint)
+
+    src = str(tmp_path / "t.parquet")
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(t, src)
+    fp = table_fingerprint([src])
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return t
+
+    r1, h1 = get_or_compute(str(tmp_path / "c"), "k", fp, compute)
+    r2, h2 = get_or_compute(str(tmp_path / "c"), "k", fp, compute)
+    assert (h1, h2) == (False, True) and len(calls) == 1
+    assert r1.equals(r2)
+    # input change -> new fingerprint -> miss
+    pq.write_table(pa.table({"a": pa.array([1, 2, 4], pa.int64())}),
+                   src)
+    fp2 = table_fingerprint([src])
+    assert fp2 != fp
+    _, h3 = get_or_compute(str(tmp_path / "c"), "k", fp2, compute)
+    assert h3 is False and len(calls) == 2
