@@ -449,3 +449,57 @@ def test_result_cache_protocol(tmp_path):
     assert fp2 != fp
     _, h3 = get_or_compute(str(tmp_path / "c"), "k", fp2, compute)
     assert h3 is False and len(calls) == 2
+
+
+# ------------------------------------------------ histogram AdaBoost
+
+
+def test_adaboost_histogram_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from tldr_ray.stages.trees import (adaboost_reference,
+                                       adaboost_stumps)
+
+    rng = np.random.default_rng(3)
+    n = 60
+    X = np.column_stack([rng.integers(0, 8, n),
+                         rng.integers(0, 5, n)]).astype(np.int64)
+    # planted rule + noise: y = +1 iff f0 <= 3, 10% flipped
+    y = np.where(X[:, 0] <= 3, 1, -1).astype(np.int64)
+    flip = rng.random(n) < 0.1
+    y[flip] = -y[flip]
+    t = pa.table({"f0": pa.array(X[:, 0]), "f1": pa.array(X[:, 1]),
+                  "y": pa.array(y)})
+    stumps, err_w, err_n = adaboost_stumps(
+        rd.from_arrow(t).repartition(3), ["f0", "f1"], "y",
+        rounds=3)
+    ref = adaboost_reference(X, y, rounds=3)
+    assert [(s[0], s[1], s[2], s[3]) for s in stumps] == \
+        [(r[0], r[1], r[2], r[3]) for r in ref]
+    assert err_n == n
+    # boosting must beat the constant classifier on the planted rule
+    assert err_w < min((y == 1).sum(), (y == -1).sum())
+
+
+def test_isolation_forest_plants_outlier(ray_session):
+    import ray.data as rd
+
+    from tldr_ray.stages.trees import isolation_forest
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rng.integers(100, 120, n).astype(np.int64)),
+        "b": pa.array(rng.integers(50, 60, n).astype(np.int64))})
+    # plant one far outlier at id = n-1
+    t = t.set_column(1, "a", pa.array(np.concatenate(
+        [np.asarray(t["a"])[:-1], [100000]]).astype(np.int64)))
+    ds = rd.from_arrow(t).repartition(4)
+    out = isolation_forest(ds, "id", ["a", "b"], n_trees=64,
+                           sample_size=512, top_k=5)
+    assert int(out["id"].iloc[0]) == n - 1      # shortest path
+    # determinism
+    out2 = isolation_forest(ds, "id", ["a", "b"], n_trees=64,
+                            sample_size=512, top_k=5)
+    pd.testing.assert_frame_equal(out, out2)
