@@ -1787,8 +1787,9 @@ class TestBpeEncode:
 @pytest.mark.usefixtures("ray_session")
 class TestOrcFeatherRoundTrip:
     def test_orc_and_feather_round_trip(self, tmp_path):
-        """ORC and Arrow-IPC (feather) land as blob-decoded sources —
-        reading back what write_table wrote must equal the original."""
+        """ORC, Arrow-IPC (feather) and Avro land as blob-decoded
+        sources — reading back what write_table wrote must equal the
+        original."""
         import pandas as pd
 
         from tldr_ray.sinks import write_table
@@ -1798,7 +1799,7 @@ class TestOrcFeatherRoundTrip:
                          columns=["doc_id", "lang", "n_chars"])
         want = src.to_pandas().sort_values("doc_id") \
             .reset_index(drop=True)
-        for fmt in ("orc", "feather"):
+        for fmt in ("orc", "feather", "avro"):
             out = str(tmp_path / fmt)
             stats = write_table(src, out, format=fmt)
             assert stats["rows"] == len(want)

@@ -105,14 +105,14 @@ def write_table(ds, path: str, format: str = "parquet", **kwargs):
     through to the underlying writer. Each executing task writes its
     own file under ``path`` — output stays sharded, never one giant
     file."""
-    if format in ("orc", "feather", "arrow"):
+    if format in ("orc", "feather", "arrow", "avro"):
         return _write_blob_format(ds, path, format, **kwargs)
     try:
         writer = _WRITERS[format]
     except KeyError:
         raise ValueError(
             f"format must be one of "
-            f"{sorted(_WRITERS) + ['orc', 'feather', 'arrow']}: "
+            f"{sorted(_WRITERS) + ['orc', 'feather', 'arrow', 'avro']}: "
             f"{format!r}")
     os.makedirs(path, exist_ok=True)
     return getattr(ds, writer)(path, **kwargs)
@@ -127,7 +127,7 @@ def _write_blob_format(ds, path: str, format: str,
 
     import pyarrow as pa
 
-    ext = "orc" if format == "orc" else "arrow"
+    ext = format if format in ("orc", "avro") else "arrow"
     os.makedirs(path, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
@@ -137,6 +137,10 @@ def _write_blob_format(ds, path: str, format: str,
             import pyarrow.orc as po
 
             po.write_table(batch, fname)
+        elif format == "avro":
+            import polars as plr
+
+            plr.from_arrow(batch).write_avro(fname)
         else:
             with pa.ipc.new_file(fname, batch.schema) as w:
                 w.write_table(batch)

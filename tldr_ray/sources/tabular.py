@@ -44,9 +44,25 @@ def _register_blob_formats():
 
         return pa.ipc.open_file(pa.BufferReader(buf)).read_all()
 
+    def _avro(buf):
+        import io
+
+        import polars as plr
+        import pyarrow as pa
+
+        tab = plr.read_avro(io.BytesIO(buf)).to_arrow()
+        # polars decodes strings as large_string; normalize to the
+        # pyarrow-native string type so avro blocks unify with blocks
+        # from every other reader of the same logical table
+        fields = [f.with_type(pa.string())
+                  if pa.types.is_large_string(f.type) else f
+                  for f in tab.schema]
+        return tab.cast(pa.schema(fields))
+
     _BLOB_DECODERS["orc"] = _orc
     _BLOB_DECODERS["feather"] = _feather
     _BLOB_DECODERS["arrow"] = _feather     # alias: Arrow IPC file
+    _BLOB_DECODERS["avro"] = _avro         # via polars (no JVM)
 
 
 _register_blob_formats()
