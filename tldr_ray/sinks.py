@@ -105,14 +105,14 @@ def write_table(ds, path: str, format: str = "parquet", **kwargs):
     through to the underlying writer. Each executing task writes its
     own file under ``path`` — output stays sharded, never one giant
     file."""
-    if format in ("orc", "feather", "arrow", "avro"):
+    if format in ("orc", "feather", "arrow", "avro", "dvb"):
         return _write_blob_format(ds, path, format, **kwargs)
     try:
         writer = _WRITERS[format]
     except KeyError:
         raise ValueError(
             f"format must be one of "
-            f"{sorted(_WRITERS) + ['orc', 'feather', 'arrow', 'avro']}: "
+            f"{sorted(_WRITERS) + ['orc', 'feather', 'arrow', 'avro', 'dvb']}: "
             f"{format!r}")
     os.makedirs(path, exist_ok=True)
     return getattr(ds, writer)(path, **kwargs)
@@ -127,7 +127,7 @@ def _write_blob_format(ds, path: str, format: str,
 
     import pyarrow as pa
 
-    ext = format if format in ("orc", "avro") else "arrow"
+    ext = format if format in ("orc", "avro", "dvb") else "arrow"
     os.makedirs(path, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
@@ -141,6 +141,11 @@ def _write_blob_format(ds, path: str, format: str,
             import polars as plr
 
             plr.from_arrow(batch).write_avro(fname)
+        elif format == "dvb":
+            from tldr_ray.sources.codec import encode_dvb
+
+            with open(fname, "wb") as f:
+                f.write(encode_dvb(batch))
         else:
             with pa.ipc.new_file(fname, batch.schema) as w:
                 w.write_table(batch)

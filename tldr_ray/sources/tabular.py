@@ -59,10 +59,16 @@ def _register_blob_formats():
                   for f in tab.schema]
         return tab.cast(pa.schema(fields))
 
+    def _dvb(buf):
+        from tldr_ray.sources.codec import decode_dvb
+
+        return decode_dvb(buf)
+
     _BLOB_DECODERS["orc"] = _orc
     _BLOB_DECODERS["feather"] = _feather
     _BLOB_DECODERS["arrow"] = _feather     # alias: Arrow IPC file
     _BLOB_DECODERS["avro"] = _avro         # via polars (no JVM)
+    _BLOB_DECODERS["dvb"] = _dvb           # delta-varint/RLE (codec.py)
 
 
 _register_blob_formats()
