@@ -551,7 +551,30 @@ if __name__ == "__main__":
                  "user_value_rolling_zscore",
                  "session_entry_exit_matrix", "file_lineage_audit",
                  "orders_customer_view_incremental",
-                 "backfill_daily_partitions", "msf_hashgraph"]
+                 "backfill_daily_partitions", "msf_hashgraph",
+                 # round-5 fifth wave
+                 "wasserstein_click_vs_purchase", "anova_value_by_type",
+                 "kruskal_wallis_value_by_type",
+                 "mann_kendall_daily_events",
+                 "hodges_lehmann_weekend_shift",
+                 "katz_centrality_hashgraph", "rich_club_hashgraph",
+                 "avg_neighbor_degree_hashgraph", "chao1_vocab_docs",
+                 "word_burstiness_docs", "microaggregation_customers",
+                 "lorenz_curve_customers", "hourly_peaks_events",
+                 "user_covered_time_5m", "negative_edges_hashgraph",
+                 "modularity_hashgraph", "lang_assortativity_hashgraph",
+                 "attack_robustness_hashgraph", "span_corruption_docs",
+                 "dvb_roundtrip_events", "kwic_docs",
+                 "mutual_nn_embeddings", "bucket_balance_audit_events",
+                 "random_failure_robustness_hashgraph",
+                 "join_size_exact_orders_lineitem",
+                 "interarrival_cv_by_type", "type_count_corr_matrix",
+                 "mcnemar_purchase_halves",
+                 "bhattacharyya_click_purchase",
+                 "renyi2_diversity_daily", "bot_score_users",
+                 "wilson_lb_part_returns", "access_export_user",
+                 "repeat_revenue_share", "hod_profile_similarity",
+                 "shipping_latency_sla", "day_profile_knn"]
         qsec = {}
         try:
             for n in names:
