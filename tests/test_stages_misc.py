@@ -2997,3 +2997,32 @@ class TestMmrDiversity:
         assert len(picked_clusters) >= 2
         # and the first pick is the most query-relevant candidate
         assert out["rel"].iloc[0] == out["rel"].max()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_scene_cuts_planted_recovery():
+    """Planted scene boundaries (every 8th frame) must be recovered
+    exactly: cuts at frame_idx 8 and 16 for every video, none else."""
+    import ray.data as rd
+
+    from tldr_ray.stages.multimodal import (decode_mjpg_frames,
+                                            detect_scene_cuts,
+                                            sample_video_frames,
+                                            synth_video_table)
+
+    t = synth_video_table(10, frames=24, scene_len=8)
+    frames = decode_mjpg_frames(t["payload"][0].as_py())
+    assert len(frames) == 24 and frames[0].shape == (16, 24, 3)
+    out = detect_scene_cuts(
+        sample_video_frames(rd.from_arrow(t), stride=1),
+        min_hamming=8).to_pandas()
+    got = set(map(tuple, out[["video_id", "frame_idx"]].to_numpy()))
+    want = {(v, f) for v in range(10) for f in (8, 16)}
+    assert got == want
+    # stride-2 sampling halves the rows but still straddles cuts
+    s2 = sample_video_frames(rd.from_arrow(t), stride=2).to_pandas()
+    assert len(s2) == 10 * 12
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_mjpg_frames(b"\x00\x00notavideo")

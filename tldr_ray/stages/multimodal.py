@@ -485,3 +485,142 @@ def perturb_wav(payload: bytes, seed: int, noise: float = 1e-3) -> bytes:
     # patch the data-chunk + RIFF sizes for the (same-length) body
     return (hdr[:4] + struct.pack("<I", 36 + len(data)) + hdr[8:40]
             + struct.pack("<I", len(data)) + data)
+
+
+# ----------------------------------------------------------------- video
+
+_MJPG_MAGIC = b"MJPGv1\x00"
+
+
+def synth_video_table(n_videos: int, seed: int = 42,
+                      frames: int = 24, w: int = 24, h: int = 16,
+                      scene_len: int = 8) -> pa.Table:
+    """Deterministic synthetic 'videos': a length-prefixed
+    concatenation of raw PPM frames under an ``MJPGv1`` header (the
+    honest stand-in for a real container — frame EXTRACTION plumbing
+    is real, codec parsing stays out of scope, same contract as the
+    image/audio synth). Frames are constant within a scene and change
+    at every ``scene_len`` boundary — planted scene cuts the
+    keyframe detector must recover exactly."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    rows = {"video_id": [], "payload": [], "mime": [],
+            "n_frames": []}
+    for vid in range(n_videos):
+        parts = [_MJPG_MAGIC, struct.pack("<I", frames)]
+        scene_img = None
+        for f in range(frames):
+            if f % scene_len == 0:
+                scene_img = rng.integers(
+                    0, 256, (h, w, 3)).astype(np.uint8)
+            blob = (f"P6\n{w} {h}\n255\n".encode()
+                    + scene_img.tobytes())
+            parts.append(struct.pack("<I", len(blob)) + blob)
+        rows["video_id"].append(vid)
+        rows["payload"].append(b"".join(parts))
+        rows["mime"].append("video/x-mjpg-synth")
+        rows["n_frames"].append(frames)
+    return pa.table({
+        "video_id": pa.array(rows["video_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+        "n_frames": pa.array(rows["n_frames"], pa.int64())})
+
+
+def decode_mjpg_frames(payload: bytes):
+    """Parse the MJPGv1 container -> list of HxWx3 uint8 frames.
+    Anything else raises NotImplementedError (real MP4/H.264 needs
+    codec libraries not present in this container)."""
+    import struct
+
+    if not payload.startswith(_MJPG_MAGIC):
+        raise NotImplementedError(
+            "only the MJPGv1 synthetic container decodes here; real "
+            "video codecs need libraries not present in this image")
+    off = len(_MJPG_MAGIC)
+    (n,) = struct.unpack_from("<I", payload, off)
+    off += 4
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(decode_ppm(payload[off:off + ln]))
+        off += ln
+    return frames
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video payloads -> one row per SAMPLED frame
+    (stride subsampling — the decode-bound step a real pipeline
+    shards over actors) with the frame's 64-bit dHash. Container
+    parsing is set up once per actor; payload bytes dominate."""
+
+    def __init__(self, stride: int = 1):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, sigs = [], [], []
+        for vid, p in zip(batch["video_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            frames = decode_mjpg_frames(p)
+            for i in range(0, len(frames), self.stride):
+                vids.append(vid)
+                idxs.append(i)
+                sigs.append(int(dhash64(frames[i])))
+        return pa.table({
+            "video_id": pa.array(vids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "dhash": pa.array(np.asarray(sigs, dtype=np.uint64)
+                              .view(np.int64))})
+
+
+def sample_video_frames(ds, stride: int = 1, concurrency: int = 2,
+                        batch_size: int = 8):
+    """(video_id, frame_idx, dhash) for every stride-th frame."""
+    class _Stage(VideoFrameSampler):
+        def __init__(self):
+            super().__init__(stride=stride)
+
+    return ds.map_batches(_Stage, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          batch_size=batch_size)
+
+
+def detect_scene_cuts(frame_ds, min_hamming: int = 8):
+    """Scene-cut rows (video_id, frame_idx, hamming) wherever the
+    dHash hamming distance to the PREVIOUS sampled frame exceeds the
+    threshold — a coarse-partition sweep per video (sort by
+    (video, frame), vectorized popcount on adjacent xors)."""
+    import pandas as pd
+    import pyarrow.compute as pcc
+
+    from tldr_ray.hashing import part_key
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part", pa.array(
+            part_key(pcc.cast(batch["video_id"], pa.string()), 32)))
+
+    def sweep(grp: pd.DataFrame) -> pd.DataFrame:
+        if not len(grp):
+            return pd.DataFrame({"video_id": [], "frame_idx": [],
+                                 "hamming": []})
+        g = grp.sort_values(["video_id", "frame_idx"],
+                            kind="mergesort")
+        v = g["video_id"].to_numpy(np.int64)
+        f = g["frame_idx"].to_numpy(np.int64)
+        h = g["dhash"].to_numpy(np.int64).view(np.uint64)
+        same = np.empty(v.size, dtype=bool)
+        same[0], same[1:] = False, v[1:] == v[:-1]
+        x = np.zeros(v.size, np.uint64)
+        x[1:] = h[1:] ^ h[:-1]
+        ham = np.zeros(v.size, np.int64)
+        m = x.view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(m, axis=1).sum(axis=1).astype(np.int64)
+        keep = same & (ham >= min_hamming)
+        return pd.DataFrame({"video_id": v[keep],
+                             "frame_idx": f[keep],
+                             "hamming": ham[keep]})
+
+    return (frame_ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("part").map_groups(sweep, batch_format="pandas"))
