@@ -492,3 +492,22 @@ class TestBloomSidecar:
                                           [int(all_keys[0])])
         assert tab3["k"].to_pylist() == [int(all_keys[0])]
         assert info3["files_read"] <= 2
+
+
+def test_dp_budget_ledger_refusal_and_audit(tmp_path):
+    from tldr_ray.state.dp_ledger import BudgetExceeded, DPBudgetLedger
+
+    led = DPBudgetLedger(str(tmp_path / "l.jsonl"), eps_budget=1.0)
+    assert led.spend("a", 0.6) == 0.4
+    import pytest as _p
+    with _p.raises(BudgetExceeded):
+        led.spend("b", 0.5)            # would overdraw
+    # the refused spend recorded NOTHING
+    assert led.spent() == 0.6
+    assert led.spend("c", 0.4) <= 1e-12
+    with _p.raises(BudgetExceeded):
+        led.spend("d", 0.0001)
+    aud = led.audit().to_pandas()
+    assert list(aud["query"]) == ["a", "c"]
+    with _p.raises(ValueError):
+        led.spend("e", -1.0)
