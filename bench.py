@@ -574,7 +574,23 @@ if __name__ == "__main__":
                  "renyi2_diversity_daily", "bot_score_users",
                  "wilson_lb_part_returns", "access_export_user",
                  "repeat_revenue_share", "hod_profile_similarity",
-                 "shipping_latency_sla", "day_profile_knn"]
+                 "shipping_latency_sla", "day_profile_knn",
+                 "embedding_dim_minmax", "transition_dwell_matrix",
+                 "jsonl_gz_roundtrip_events", "revenue_yoy_monthly",
+                 "brand_margin_report", "value_ohlc_6h",
+                 "docs_lang_source_residuals", "persistent_top_users",
+                 "fim_transform_docs", "join_plan_report",
+                 "two_hop_reach_hashgraph", "order_backlog_daily",
+                 "value_cdf_export", "nation_revenue_race",
+                 "rare_word_ratio_docs",
+                 "split_half_reliability_value", "abc_xyz_parts",
+                 "its_level_trend_shift",
+                 "triangle_null_model_hashgraph", "repurchase_cadence",
+                 "video_scene_cuts_demo", "codec_advisor_events",
+                 "dp_budget_audit", "learned_index_audit_events",
+                 "gamma_mom_by_type", "log2_histogram_value",
+                 "overdispersion_daily_by_type", "local_hour_profile",
+                 "quality_scorecard"]
         qsec = {}
         try:
             for n in names:
