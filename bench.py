@@ -590,7 +590,9 @@ if __name__ == "__main__":
                  "dp_budget_audit", "learned_index_audit_events",
                  "gamma_mom_by_type", "log2_histogram_value",
                  "overdispersion_daily_by_type", "local_hour_profile",
-                 "quality_scorecard"]
+                 "quality_scorecard", "user_feature_export",
+                 "repurchase_hazard", "peak_concurrency_5m",
+                 "minute_uniformity_audit"]
         qsec = {}
         try:
             for n in names:
