@@ -592,7 +592,9 @@ if __name__ == "__main__":
                  "overdispersion_daily_by_type", "local_hour_profile",
                  "quality_scorecard", "user_feature_export",
                  "repurchase_hazard", "peak_concurrency_5m",
-                 "minute_uniformity_audit"]
+                 "minute_uniformity_audit", "activity_calendar_grid",
+                 "weekly_zchart_events", "pvm_decomposition_by_type",
+                 "priority_mix_drift_yearly"]
         qsec = {}
         try:
             for n in names:
