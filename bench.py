@@ -594,7 +594,7 @@ if __name__ == "__main__":
                  "repurchase_hazard", "peak_concurrency_5m",
                  "minute_uniformity_audit", "activity_calendar_grid",
                  "weekly_zchart_events", "pvm_decomposition_by_type",
-                 "priority_mix_drift_yearly"]
+                 "priority_mix_drift_yearly", "rising_streak_daily"]
         qsec = {}
         try:
             for n in names:
